@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.Q
+import graft.functions.Scoring
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's analytics + scoring surface (SURVEY.md §2.2-2.3,
+  * §2.6, §2.8) re-expressed over the driver's `events` table
+  * (`ts` ≈ event_time, `value` ≈ amount, `props` JSON ≈ features).
+  *
+  * Reference sources: scoring loop
+  * `services/fraud_service/app/main.py:219-231`, daily rollup
+  * `airflow/dags/compute-daily-metrics.py:19-37`, DQ checks
+  * `airflow/dags/Data_quality_checks.py:20-41`, dashboard panels
+  * `grafana/dashboards/predictions.json:18,35,49,63`.
+  *
+  * Scale notes: every query is a single declarative plan — parquet
+  * scan (filter + column pruning pushed down) → optional one shuffle
+  * for the aggregate. The scoring pipeline itself is pure column
+  * arithmetic (no UDF, no shuffle): at 100 TB it is an
+  * embarrassingly-parallel map over scan partitions inside one
+  * WholeStageCodegen stage. Time-anchored predicates use a 1-row
+  * broadcast of `max(ts)` (never a driver-side collect).
+  */
+object FraudAnalytics {
+
+  // Trained-model constants for the closed-form logistic score (M1-M3).
+  // Identity scaling + the generative coefficients of the reference's
+  // label model (`services/training/app/training.py:23-29`):
+  // logit = 0.002*amount + 1.5*risk + 0.05*night - 2.5.
+  private val Means  = Seq(0.0, 0.0, 0.0)
+  private val Stds   = Seq(1.0, 1.0, 1.0)
+  private val Coef   = Seq(0.002, 1.5, 0.05)
+  private val Intercept = -2.5
+
+  /** Scoring pipeline over events: parse features, derive model
+    * inputs, score with the logistic closed form; heuristic fallback
+    * kept as its own column (M9). `prediction` thresholds on the raw
+    * logit (`logit >= 0` ⇔ `sigmoid(logit) >= 0.5`) so the
+    * classification is exact arithmetic, immune to libm ulp skew.
+    */
+  def scored(events: DataFrame): DataFrame = {
+    val features = from_json(col("props"), Scoring.FeatureMapType)
+    val k     = Scoring.featureAt(features, "k")
+    val night = when(hour(col("ts")).isin(0, 1, 2, 3, 23), lit(1.0)).otherwise(lit(0.0))
+    val feats = Seq(col("value"), col("k") / lit(100.0), col("night"))
+    events
+      .withColumn("k", k)
+      .withColumn("hr", hour(col("ts")).cast("double"))
+      .withColumn("night", night)
+      .withColumn("logit", Scoring.logitOf(feats, Means, Stds, Coef, Intercept))
+      .withColumn("proba", Scoring.sigmoid(col("logit")))
+      .withColumn("heuristic_proba", Scoring.heuristicProba(col("value")))
+      .withColumn("prediction", (col("logit") >= lit(0.0)).cast("int"))
+  }
+
+  /** SQL mirror of [[scored]] for the DuckDB oracle — arithmetic is
+    * written with the same shape/associativity as the Spark
+    * expressions so per-row doubles are bit-identical. */
+  private val scoredSql: String =
+    """WITH f AS (
+      |  SELECT *,
+      |    COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0) AS k,
+      |    CAST(hour(ts) AS DOUBLE) AS hr,
+      |    CASE WHEN hour(ts) IN (0,1,2,3,23) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS night
+      |  FROM events
+      |), l AS (
+      |  SELECT *,
+      |    (((CAST(0.002 AS DOUBLE) * ((value - 0.0) / 1.0))
+      |     + (CAST(1.5 AS DOUBLE) * (((k / 100.0) - 0.0) / 1.0)))
+      |     + (CAST(0.05 AS DOUBLE) * ((night - 0.0) / 1.0)))
+      |     + CAST(-2.5 AS DOUBLE) AS logit
+      |  FROM f
+      |), s AS (
+      |  SELECT *,
+      |    CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-logit)) AS proba,
+      |    CASE WHEN value > 1000.0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.05 AS DOUBLE) END AS heuristic_proba,
+      |    CASE WHEN logit >= 0.0 THEN 1 ELSE 0 END AS prediction
+      |  FROM l
+      |)""".stripMargin
+
+  /** `max(ts)` as a 1-row broadcast — the deterministic stand-in for
+    * the reference's `NOW()` predicates. */
+  private def withAnchor(events: DataFrame): DataFrame =
+    events.crossJoin(broadcast(events.agg(max(col("ts")).as("anchor_ts"))))
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  // ---------------------------------------------------------------- A1/A2
+  /** Daily metrics rollup (`compute-daily-metrics.py:21-30`,
+    * `init.sql:24-30`). Hourly full-recompute-of-today upsert is
+    * reproduced as a deterministic recompute over all days — at scale
+    * this is a partition-overwrite keyed by `day`. */
+  val dailyMetrics: Q = Q("fraud_daily_metrics",
+    s"""$scoredSql
+       |SELECT CAST(ts AS DATE) AS day,
+       |       COUNT(*) AS num_predictions,
+       |       ROUND(AVG(CAST(prediction AS DOUBLE)), 6) AS fraud_rate,
+       |       ROUND(AVG(value), 6) AS avg_amount,
+       |       ROUND(AVG(proba), 6) AS avg_proba
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    scored(Tables.events(s, dir))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("num_predictions"),
+        r6(avg(col("prediction").cast("double"))).as("fraud_rate"),
+        r6(avg(col("value"))).as("avg_amount"),
+        r6(avg(col("proba"))).as("avg_proba"))
+      .orderBy(col("day"))
+  }
+
+  // ---------------------------------------------------------------- M3/P3/P4
+  /** Row-level scoring output — the streaming micro-batch body as a
+    * batch query (`main.py:219-231`). */
+  val scoredEvents: Q = Q("fraud_scored_events",
+    s"""$scoredSql
+       |SELECT event_id, value AS amount, k, hr AS hour, night,
+       |       ROUND(proba, 6) AS proba, prediction,
+       |       heuristic_proba
+       |FROM s ORDER BY event_id""".stripMargin) { (s, dir) =>
+    scored(Tables.events(s, dir))
+      .select(
+        col("event_id"), col("value").as("amount"), col("k"),
+        col("hr").as("hour"), col("night"),
+        r6(col("proba")).as("proba"), col("prediction"),
+        col("heuristic_proba"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- A3
+  /** Freshness DQ check (`Data_quality_checks.py:20-29`): rows in the
+    * trailing 15 min of the anchor. */
+  val freshness: Q = Q("fraud_freshness_15m",
+    """SELECT COUNT(*) AS recent_rows, COUNT(*) >= 1 AS fresh
+      |FROM events
+      |WHERE ts > (SELECT MAX(ts) FROM events) - INTERVAL '15 minutes'""".stripMargin) { (s, dir) =>
+    withAnchor(Tables.events(s, dir))
+      .filter(col("ts") > col("anchor_ts") - expr("INTERVAL 15 MINUTES"))
+      .agg(count(lit(1)).as("recent_rows"))
+      .select(col("recent_rows"), (col("recent_rows") >= 1).as("fresh"))
+  }
+
+  // ---------------------------------------------------------------- A4/P5
+  /** Null-violation DQ check (`Data_quality_checks.py:32-34`). */
+  val nullViolations: Q = Q("fraud_null_violations",
+    """SELECT COUNT(*) AS null_id_rows
+      |FROM events WHERE event_id IS NULL OR event_type IS NULL""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("event_id").isNull || col("event_type").isNull)
+      .agg(count(lit(1)).as("null_id_rows"))
+  }
+
+  // ---------------------------------------------------------------- A5
+  /** Fraud-rate sanity bound over the trailing hour
+    * (`Data_quality_checks.py:37-40`). */
+  val rateBound: Q = Q("fraud_rate_bound_1h",
+    s"""$scoredSql
+       |SELECT ROUND(COALESCE(AVG(CAST(prediction AS DOUBLE)), 0.0), 6) AS fraud_rate_1h,
+       |       COALESCE(AVG(CAST(prediction AS DOUBLE)), 0.0) BETWEEN 0.0 AND 1.0 AS within_bounds
+       |FROM s WHERE ts > (SELECT MAX(ts) FROM events) - INTERVAL '1 hour'""".stripMargin) { (s, dir) =>
+    val rate = coalesce(avg(col("prediction").cast("double")), lit(0.0))
+    withAnchor(scored(Tables.events(s, dir)))
+      .filter(col("ts") > col("anchor_ts") - expr("INTERVAL 1 HOUR"))
+      .agg(rate.as("rate"))
+      .select(
+        r6(col("rate")).as("fraud_rate_1h"),
+        (col("rate") >= 0.0 && col("rate") <= 1.0).as("within_bounds"))
+  }
+
+  // ---------------------------------------------------------------- A6/O2
+  /** Per-minute prediction time series (`predictions.json:18`) — the
+    * principled bucketed form of the reference's GROUP BY event_time. */
+  val timeseries: Q = Q("fraud_timeseries_minute",
+    s"""$scoredSql
+       |SELECT date_trunc('minute', ts) AS time,
+       |       ROUND(AVG(CAST(prediction AS DOUBLE)), 6) AS avg_prediction,
+       |       COUNT(*) AS n
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    scored(Tables.events(s, dir))
+      .groupBy(date_trunc("minute", col("ts")).as("time"))
+      .agg(
+        r6(avg(col("prediction").cast("double"))).as("avg_prediction"),
+        count(lit(1)).as("n"))
+      .orderBy(col("time"))
+  }
+
+  // ---------------------------------------------------------------- A7/P8
+  /** 1-hour dashboard stats with empty-window COALESCE guard
+    * (`predictions.json:35,49`). */
+  val hourlyStats: Q = Q("fraud_hourly_stats",
+    s"""$scoredSql
+       |SELECT ROUND(COALESCE(AVG(CAST(prediction AS DOUBLE)), 0.0), 6) AS avg_prediction_1h,
+       |       ROUND(COALESCE(AVG(value), 0.0), 6) AS avg_amount_1h,
+       |       COUNT(*) AS n_1h
+       |FROM s WHERE ts > (SELECT MAX(ts) FROM events) - INTERVAL '1 hour'""".stripMargin) { (s, dir) =>
+    withAnchor(scored(Tables.events(s, dir)))
+      .filter(col("ts") > col("anchor_ts") - expr("INTERVAL 1 HOUR"))
+      .agg(
+        r6(coalesce(avg(col("prediction").cast("double")), lit(0.0))).as("avg_prediction_1h"),
+        r6(coalesce(avg(col("value")), lit(0.0))).as("avg_amount_1h"),
+        count(lit(1)).as("n_1h"))
+  }
+
+  // ---------------------------------------------------------------- O1
+  /** Recent-predictions panel: top-50 by recency
+    * (`predictions.json:63`). Catalyst plans TakeOrderedAndProject —
+    * a true distributed top-k, no full sort. */
+  val recentTopK: Q = Q("fraud_recent_topk",
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(50)
+  }
+
+  // ---------------------------------------------------------------- P1/P2
+  /** Tolerant ordered feature projection with default fill + map
+    * augmentation (`main.py:64,107,176,228`): present key, absent key
+    * (→ 0.0), scalar merged into the map, derived hour. */
+  val featureProjection: Q = Q("fraud_feature_projection",
+    """SELECT event_id,
+      |       ROUND(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0), 6) AS f_k,
+      |       CAST(0.0 AS DOUBLE) AS f_missing,
+      |       ROUND(value, 6) AS f_amount,
+      |       CAST(hour(ts) AS DOUBLE) AS f_hour
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val parsed   = from_json(col("props"), Scoring.FeatureMapType)
+    val features = Scoring.withAmount(parsed, col("value"))
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        r6(Scoring.featureAt(features, "k")).as("f_k"),
+        Scoring.featureAt(features, "missing").as("f_missing"),
+        r6(Scoring.featureAt(features, "amount")).as("f_amount"),
+        hour(col("ts")).cast("double").as("f_hour"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- extra
+  /** Per-event-type rollup with exact-decimal totals (sum order
+    * independent) — basic categorical breakdown. */
+  val typeBreakdown: Q = Q("fraud_event_type_breakdown",
+    """SELECT event_type, COUNT(*) AS n,
+      |       ROUND(AVG(value), 6) AS avg_value,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        r6(avg(col("value"))).as("avg_value"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(
+    dailyMetrics, scoredEvents, freshness, nullViolations, rateBound,
+    timeseries, hourlyStats, recentTopK, featureProjection, typeBreakdown)
+}
