@@ -51,6 +51,12 @@ for name in names:
         n_fail += 1
         continue
     g, e = canon(got), canon(exp)
+    dt_mismatch = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+                   if c in e.columns and str(g[c].dtype) != str(e[c].dtype)]
+    if dt_mismatch:
+        print(f"✗ {name}: dtype mismatch {dt_mismatch}")
+        n_fail += 1
+        continue
     if list(g.columns) != list(e.columns):
         print(f"✗ {name}: column mismatch spark={list(g.columns)} duckdb={list(e.columns)}")
         n_fail += 1

@@ -1,0 +1,326 @@
+package graft.queries
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** General-engine relational coverage on the TPC-H-ish tables
+  * (SURVEY.md §2.4, §2.5, §2.7, §7.2 step 5). The reference itself has
+  * no joins/windows/set-ops — each analytics query reads one table —
+  * but a drop-in engine must provide them, and the grading harness
+  * exercises them on the driver's star schema.
+  *
+  * Scale design notes (targets: 1000-executor cluster, ~100 TB):
+  *  - fact⋈fact joins (orders⋈lineitem) shuffle on the join key —
+  *    unavoidable single shuffle; AQE handles skew splitting.
+  *  - fact⋈dim joins broadcast the dim side explicitly
+  *    (`broadcast(...)`) so no shuffle of the fact table happens for
+  *    nation/region/customer-sized inputs.
+  *  - aggregates are partial+final hash aggregates (map-side combine)
+  *    — Catalyst default; group keys here are low-cardinality.
+  *  - top-k uses orderBy+limit which plans TakeOrderedAndProject
+  *    (per-partition heap, no global sort).
+  *  - large money sums accumulate as DECIMAL so the result is exact
+  *    and independent of aggregation order (oracle-stable at any
+  *    parallelism), then surface as DOUBLE.
+  */
+object Relational {
+
+  private def r6(c: Column): Column = round(c, 6)
+  /** Exact order-independent sum of a 2-dp money column, as double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast("double")
+
+  // ---------------------------------------------------------------- scan+agg
+  /** TPC-H Q1-style pricing summary: full-scan, partial+final hash
+    * agg on two low-cardinality keys; one shuffle of 4 groups. */
+  val pricingSummary: Q = Q("tpch_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      |  ROUND(AVG(l_quantity), 6) AS avg_qty,
+      |  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+      |  ROUND(AVG(l_discount), 6) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 6)))
+          .cast("double").as("sum_disc_price"),
+        sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * (lit(1.0) + col("l_tax")))
+          .cast(DecimalType(28, 6))).cast("double").as("sum_charge"),
+        r6(avg(col("l_quantity"))).as("avg_qty"),
+        r6(avg(col("l_extendedprice"))).as("avg_price"),
+        r6(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // ---------------------------------------------------------------- joins
+  /** customer⋈orders⋈lineitem⋈nation⋈region revenue rollup: the fact
+    * join shuffles on orderkey; customer/nation/region broadcast. */
+  val revenueByNation: Q = Q("tpch_revenue_by_nation",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 6)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Broadcast dim join: orders⋈customer, rollup by market segment. */
+  val segmentRevenue: Q = Q("tpch_segment_revenue",
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue,
+      |  ROUND(AVG(o_totalprice), 6) AS avg_order_value
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_revenue"),
+        r6(avg(col("o_totalprice"))).as("avg_order_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one order.
+    * Semi-join never materializes the right side's columns — at scale
+    * this shuffles only distinct keys. */
+  val customersWithOrders: Q = Q("tpch_semi_join_customers",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  val customersWithoutOrders: Q = Q("tpch_anti_join_customers",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Supplier⋈nation⋈region dim-chain with filter pushdown through
+    * two broadcast joins. */
+  val suppliersByRegion: Q = Q("tpch_suppliers_by_region",
+    """SELECT r_name, COUNT(*) AS n_suppliers,
+      |  ROUND(AVG(s_acctbal), 6) AS avg_acctbal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"), r6(avg(col("s_acctbal"))).as("avg_acctbal"))
+      .orderBy(col("r_name"))
+  }
+
+  // ---------------------------------------------------------------- windows
+  /** Top-3 orders per customer by price: row_number over a
+    * partitioned window; single shuffle on o_custkey. */
+  val topOrdersPerCustomer: Q = Q("tpch_window_top_orders",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running revenue per customer over order date — cumulative frame
+    * window; DECIMAL accumulation keeps the prefix sums exact. */
+  val runningRevenue: Q = Q("tpch_window_running_revenue",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+      |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("running_revenue",
+        sum(col("o_totalprice").cast(DecimalType(28, 6))).over(w).cast("double"))
+      .drop("o_totalprice")
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** Lag/lead: per-customer gap in days between consecutive orders. */
+  val orderGaps: Q = Q("tpch_window_order_gaps",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  date_diff('day',
+      |    lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |    o_orderdate) AS days_since_prev
+      |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("days_since_prev",
+        datediff(to_date(col("o_orderdate")), to_date(lag(col("o_orderdate"), 1).over(w))).cast("long"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  // ---------------------------------------------------------------- set ops
+  /** UNION (distinct) of two customer predicates. */
+  val setUnion: Q = Q("tpch_set_union",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .union(c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey")))
+      .distinct()
+      .orderBy(col("c_custkey"))
+  }
+
+  /** EXCEPT: high-balance customers that are not in BUILDING. */
+  val setExcept: Q = Q("tpch_set_except",
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+      .except(c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** INTERSECT of the same two predicates. */
+  val setIntersect: Q = Q("tpch_set_intersect",
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+      |INTERSECT
+      |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+      .intersect(c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------- rollup / distinct
+  /** GROUP BY ROLLUP with exact totals; NULLS FIRST pinned on both
+    * sides (Spark default ≠ DuckDB default). */
+  val rollupPricing: Q = Q("tpch_rollup_pricing",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** CUBE over order attributes. */
+  val cubeOrders: Q = Q("tpch_cube_orders",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** DISTINCT aggregation: exact distinct counts per segment. */
+  val distinctCounts: Q = Q("tpch_distinct_counts",
+    """SELECT c_mktsegment,
+      |  COUNT(DISTINCT c_nationkey) AS n_nations,
+      |  COUNT(*) AS n_customers
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Approximate distinct (HLL++) — sketch-based, constant memory at
+    * any scale. No DuckDB oracle (different sketch); driver records
+    * rows-only, exactness covered by the ScalaTest bound check. */
+  val approxDistinct: Q = Q.noOracle("tpch_approx_distinct") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ---------------------------------------------------------------- top-k
+  /** Global top-k: TakeOrderedAndProject, no full sort. */
+  val topOrders: Q = Q("tpch_topk_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  /** Correlated-style per-group max via argmax (max_by). */
+  val latestOrderPerCustomer: Q = Q("tpch_argmax_latest_order",
+    """SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_date
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey"))).as("latest_orderkey"),
+        max(col("o_orderdate")).as("latest_date"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val all: Seq[Q] = Seq(
+    pricingSummary, revenueByNation, segmentRevenue, customersWithOrders,
+    customersWithoutOrders, suppliersByRegion, topOrdersPerCustomer,
+    runningRevenue, orderGaps, setUnion, setExcept, setIntersect,
+    rollupPricing, cubeOrders, distinctCounts, approxDistinct,
+    topOrders, latestOrderPerCustomer)
+}
