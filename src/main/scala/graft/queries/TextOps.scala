@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis + deduplication over `documents` — the
+  * training-data-pipeline operators (builder brief; BASELINE.json
+  * north star). The reference has no text surface; these are the
+  * operators a 100 TB LLM-data pipeline needs, built as single
+  * shuffle-bounded DataFrame plans:
+  *
+  *  - token/quality metrics: pure per-row column arithmetic (one
+  *    codegen stage, no shuffle).
+  *  - exact dedup: hash-groupBy on a content digest (one shuffle on
+  *    the digest — the canonical scalable exact-dedup shape).
+  *  - near-dup: token-shingle inverted-index self-join → per-pair
+  *    intersection counts → Jaccard. The shingle join IS the
+  *    scalable candidate generator (pairs with J ≥ τ > 0 must share
+  *    a shingle); at 100 TB you put a document-frequency cutoff on
+  *    hot shingles and a MinHash prefilter in front — both
+  *    implemented in [[MinHashDedup]].
+  */
+object TextOps {
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Whitespace tokens (corpus is single-spaced lowercase; verified). */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(col("text"), " "))
+
+  /** Distinct word 3-shingles per doc, exploded — the inverted index. */
+  private[queries] def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    tokenized(docs)
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"transform(sequence(0, size(w)-$n), i -> " +
+          (0 until n).map(j => s"w[i+$j]").mkString("concat_ws(' ', ", ", ", ")") + ")")
+      )).as("s"))
+
+  // ---------------------------------------------------------------- tokens
+  /** Token counting — whitespace tokenization + distinct counts. */
+  val tokenStats: Q = Q("text_token_stats",
+    """SELECT doc_id, n_chars,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      |  ROUND(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |        / len(string_split(text, ' ')), 6) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    tokenized(Tables.documents(s, dir))
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_tokens"),
+        r6((col("n_chars") - (size(col("w")) - lit(1))).cast("double") / size(col("w")))
+          .as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- quality
+  /** Quality scoring: length/stopword/distinctness signals combined
+    * into one deterministic score — the classic pre-training corpus
+    * filter, as pure column arithmetic. */
+  val quality: Q = Q("text_quality",
+    """WITH t AS (
+      |  SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents
+      |), m AS (
+      |  SELECT doc_id, n_chars,
+      |    len(w) AS n_tokens,
+      |    len(list_filter(w, x -> x = 'the' OR x = 'a')) AS n_stop,
+      |    len(list_distinct(w)) AS n_distinct
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tokens, n_stop,
+      |  ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+      |  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+      |  ROUND(((CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0))
+      |    + (CAST(0.3 AS DOUBLE) * (1.0 - (CAST(n_stop AS DOUBLE) / n_tokens))))
+      |    + (CAST(0.3 AS DOUBLE) * (CAST(n_distinct AS DOUBLE) / n_tokens)), 6) AS quality_score
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val nTokens   = size(col("w"))
+    val nStop     = size(filter(col("w"), x => x === "the" || x === "a"))
+    val nDistinct = size(array_distinct(col("w")))
+    tokenized(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        nTokens.cast("long").as("n_tokens"),
+        nStop.cast("long").as("n_stop"),
+        r6(nStop.cast("double") / nTokens).as("stopword_ratio"),
+        r6(nDistinct.cast("double") / nTokens).as("distinct_ratio"),
+        r6((lit(0.4) * least(nTokens.cast("double") / lit(50.0), lit(1.0))
+          + lit(0.3) * (lit(1.0) - (nStop.cast("double") / nTokens)))
+          + lit(0.3) * (nDistinct.cast("double") / nTokens)).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- lang id
+  /** Language ID via marker-token scoring (n-gram heuristic class).
+    * Deterministic scoring over small marker dictionaries; 'und' when
+    * no marker hits. Compared against the labeled `lang` column. */
+  val langId: Q = Q("text_lang_id",
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+      |), sc AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of')) AS s_en,
+      |    len(list_filter(w, x -> x = 'der' OR x = 'die' OR x = 'das')) AS s_de,
+      |    len(list_filter(w, x -> x = 'le' OR x = 'la' OR x = 'les')) AS s_fr,
+      |    len(list_filter(w, x -> x = 'el' OR x = 'los' OR x = 'las')) AS s_es
+      |  FROM t
+      |)
+      |SELECT doc_id, lang,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+      |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+      |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+      |       WHEN s_es > 0 THEN 'es'
+      |       ELSE 'und' END AS pred_lang,
+      |  s_en, s_de, s_fr, s_es
+      |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def markers(words: String*) =
+      size(filter(col("w"), x => words.map(x === _).reduce(_ || _))).cast("long")
+    tokenized(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"),
+        markers("the", "a", "of").as("s_en"),
+        markers("der", "die", "das").as("s_de"),
+        markers("le", "la", "les").as("s_fr"),
+        markers("el", "los", "las").as("s_es"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
+          && col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") && col("s_de") > 0, "de")
+        .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
+        .when(col("s_es") > 0, "es")
+        .otherwise("und"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- fingerprint
+  /** Document fingerprinting: content digest of raw + normalized
+    * text (md5 — stable across engines). */
+  val fingerprint: Q = Q("text_fingerprint",
+    """SELECT doc_id, md5(text) AS fp,
+      |  md5(trim(lower(text))) AS fp_norm,
+      |  substr(md5(text), 1, 16) AS fp_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("fp"),
+        md5(trim(lower(col("text")))).as("fp_norm"),
+        substring(md5(col("text")), 1, 16).as("fp_prefix"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- dedup
+  /** Exact dedup: hash-groupBy on the content digest; keeper = min
+    * doc_id per group. One shuffle on the digest, scales linearly. */
+  val dedupExact: Q = Q("text_dedup_exact",
+    """SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
+      .orderBy(col("fp"))
+  }
+
+  /** Near-dup pairs by exact 3-shingle Jaccard ≥ 0.5, candidates from
+    * the shingle inverted-index self-join. */
+  val dedupNear: Q = Q("text_dedup_near",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
+      |sh0 AS (SELECT doc_id,
+      |         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS s,
+      |         lead(word, 2) OVER win AS w2
+      |        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE w2 IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT d1, d2, i AS n_shared,
+      |  ROUND(CAST(i AS DOUBLE) / ((x.n + y.n) - i), 6) AS jaccard
+      |FROM inter JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+      |WHERE CAST(i AS DOUBLE) / ((x.n + y.n) - i) >= 0.5
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val sh    = shingles(Tables.documents(s, dir)).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") / ((col("x.n") + col("y.n")) - col("i"))
+    inter
+      .join(sizes.as("x"), col("d1") === col("x.doc_id"))
+      .join(sizes.as("y"), col("d2") === col("y.doc_id"))
+      .filter(j >= 0.5)
+      .select(col("d1"), col("d2"), col("i").as("n_shared"), r6(j).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val all: Seq[Q] = Seq(tokenStats, quality, langId, fingerprint, dedupExact, dedupNear)
+}
