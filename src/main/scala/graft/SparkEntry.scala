@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All registered engine queries, grouped by surface. */
   def registry: Seq[Q] =
-    FraudAnalytics.all ++ Relational.all ++ TextOps.all
+    FraudAnalytics.all ++ Relational.all ++ TextOps.all ++ Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
