@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All registered engine queries, grouped by surface. */
   def registry: Seq[Q] =
-    FraudAnalytics.all ++ Relational.all ++ TextOps.all ++ Similarity.all
+    FraudAnalytics.all ++ Relational.all ++ TextOps.all ++ Similarity.all ++
+      MinHashDedup.all ++ LshAnn.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

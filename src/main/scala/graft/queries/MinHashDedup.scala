@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based near-dup detection — the 100 TB-scale paths that
+  * replace the exact shingle self-join of [[TextOps.dedupNear]]:
+  *
+  *  - MinHash + LSH banding: k seeded xxhash64 min-hashes per doc →
+  *    band keys → equi-join on (band, band-hash) generates candidate
+  *    pairs; exact Jaccard re-check only on candidates. Cost is
+  *    O(docs·shingles) + a hash-partitioned join on band keys —
+  *    never O(docs²).
+  *  - SimHash: 64-bit signature from token hashes; near-dups have
+  *    small Hamming distance; chunk-equality banding (4×16 bit) makes
+  *    candidate generation an equi-join (Hamming ≤ 3 ⇒ ≥1 chunk
+  *    equal, pigeonhole).
+  *
+  * No DuckDB oracle (xxhash64 is Spark-specific); correctness is
+  * pinned by ScalaTest: LSH candidates must recover every pair the
+  * exact Jaccard query finds at the same threshold, on both the
+  * driver corpus and synthetic planted duplicates.
+  */
+object MinHashDedup {
+
+  val NumHashes  = 64
+  val Bands      = 16
+  val RowsPerBand = NumHashes / Bands // 4 → candidates at J ≳ (1/16)^(1/4) ≈ 0.5
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** MinHash signature per doc: for seed j, min over shingles of
+    * xxhash64(j, shingle). One explode + one groupBy(doc) with 64
+    * min-aggregates — map-side combinable, single shuffle. */
+  def signatures(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(
+        array((0 until NumHashes).map(j => min(xxhash64(lit(j), col("s")))): _*).as("sig"),
+        count(lit(1)).as("n_shingles"))
+
+  /** Band keys: hash of each RowsPerBand-slice of the signature. */
+  def banded(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("n_shingles"),
+      posexplode(array((0 until Bands).map { b =>
+        xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(i => col("sig").getItem(i)): _*)
+      }: _*)).as(Seq("band", "band_hash")))
+
+  /** Candidate pairs from LSH banding, with MinHash-estimated and
+    * exact shingle Jaccard, filtered at `threshold` on the exact
+    * value. */
+  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh   = TextOps.shingles(docs).cache()
+    val sigs = signatures(sh).cache()
+    val bands = banded(sigs)
+
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
+    // MinHash estimate: fraction of agreeing signature positions.
+    val sigPair = cands
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"), col("n_shingles").as("n1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"), col("n_shingles").as("n2")), "d2")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => (x === y).cast("int")),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(NumHashes))
+
+    // Exact re-check restricted to candidates (inverted-index join
+    // pruned down to candidate doc ids).
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+
+    sigPair
+      .join(inter, Seq("d1", "d2"), "left")
+      .withColumn("i", coalesce(col("i"), lit(0L)))
+      .withColumn("jaccard", col("i").cast("double") / ((col("n1") + col("n2")) - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), r6(col("est_jaccard")).as("est_jaccard"),
+        r6(col("jaccard")).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** 64-bit SimHash from token xxhash64s: per bit, sign of Σ(±1). */
+  def simhashed(docs: DataFrame): DataFrame = {
+    val tokens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val sums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val bitSums = tokens.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    bitSums.select(col("doc_id"),
+      (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit chunk banding (pigeonhole:
+    * Hamming ≤ 3 implies an equal chunk) then exact Hamming check. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashed(docs).cache()
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "ck")))
+    val hamming = {
+      val x = col("h1").bitwiseXOR(col("h2"))
+      bit_count(x)
+    }
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .distinct()
+      .withColumn("hamming", hamming.cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ---------------------------------------------------------------- queries
+  /** MinHash-LSH near-dups at the same threshold as the exact query —
+    * rows-only in the driver, equivalence asserted in ScalaTest. */
+  val minhashNearDups: Q = Q.noOracle("text_dedup_minhash_lsh") { (s, dir) =>
+    nearDupPairs(Tables.documents(s, dir), 0.5)
+  }
+
+  /** Per-doc SimHash signatures + banded near-dup pairs. */
+  val simhashDups: Q = Q.noOracle("text_dedup_simhash") { (s, dir) =>
+    simhashPairs(Tables.documents(s, dir))
+  }
+
+  val all: Seq[Q] = Seq(minhashNearDups, simhashDups)
+}
