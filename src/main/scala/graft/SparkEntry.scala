@@ -2,6 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
+import graft.ml.FraudModel
+import graft.multimodal.Multimodal
+import graft.streaming.ScoringStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +17,8 @@ object SparkEntry {
   /** All registered engine queries, grouped by surface. */
   def registry: Seq[Q] =
     FraudAnalytics.all ++ Relational.all ++ TextOps.all ++ Similarity.all ++
-      MinHashDedup.all ++ LshAnn.all
+      MinHashDedup.all ++ LshAnn.all ++ ScoringStream.all ++
+      FraudModel.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

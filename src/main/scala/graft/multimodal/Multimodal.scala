@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: media payloads as opaque `binary` columns with
+  * typed metadata, plus the decode → feature-extract plumbing a
+  * 100 TB media pipeline needs (builder brief).
+  *
+  * The container has no image/audio codecs, so the *decode step is a
+  * STUB* — a deterministic fake that derives pseudo-pixels from the
+  * payload bytes. Everything around it is real and tested: the
+  * schema (binary + metadata struct), the partition-preserving
+  * batched `mapPartitions` shape (the Scala analog of
+  * `mapInPandas` — records stream through an iterator, never
+  * materializing a partition), and the downstream feature queries.
+  *
+  * Payloads here are synthesized from `documents.text` bytes so the
+  * pipeline runs against driver testdata; a real deployment swaps
+  * the source for `spark.read.format("binaryFile")` and the stub for
+  * a codec call with the identical record/batch shape.
+  */
+object Multimodal {
+
+  final case class MediaRecord(
+      doc_id: Long,
+      payload: Array[Byte],
+      format: String,
+      width: Int,
+      height: Int)
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      mean_intensity: Double,
+      checksum: Long)
+
+  /** documents → media records: payload = utf-8 bytes; fake metadata
+    * derived deterministically from doc stats. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("fake/raw").as("format"),
+        (col("n_chars") % 64 + 16).cast("int").as("width"),
+        (col("n_chars") % 48 + 12).cast("int").as("height"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decode: deterministic pseudo-decode of payload bytes —
+    * stands in for a real codec (`???` boundary). Keeps the exact
+    * signature a real decoder would have: bytes → pixel intensities. */
+  private def decodeStub(payload: Array[Byte]): Array[Double] =
+    payload.map(b => (b & 0xFF).toDouble)
+
+  /** Frame sampling stub: every `stride`-th byte-window as a "frame". */
+  private def sampleFrames(pixels: Array[Double], stride: Int): Int =
+    math.max(1, pixels.length / stride)
+
+  /** Batched decode + feature extraction via mapPartitions: one
+    * decoder init per partition (the expensive part with a real
+    * codec), streaming record-at-a-time through the iterator. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real pipeline: initialize codec/context once per partition here
+      val crc = new java.util.zip.CRC32()
+      it.map { rec =>
+        val pixels = decodeStub(rec.payload)
+        crc.reset(); crc.update(rec.payload)
+        MediaFeatures(
+          doc_id = rec.doc_id,
+          n_bytes = rec.payload.length,
+          width = rec.width,
+          height = rec.height,
+          n_frames = sampleFrames(pixels, 32),
+          mean_intensity =
+            if (pixels.isEmpty) 0.0 else math.rint(pixels.sum / pixels.length * 1e6) / 1e6,
+          checksum = crc.getValue)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- queries
+  /** Metadata projection over the binary column — oracle-checkable
+    * (byte length + md5 digest agree across engines). */
+  val mediaMeta: Q = Q("mm_media_meta",
+    """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  md5(text) AS digest, 'fake/raw' AS format
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    mediaTable(s, dir).toDF()
+      .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("digest"), col("format"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Decode-stub feature extraction — rows-only in the driver
+    * (CRC/stub not expressible in the oracle); determinism + batch
+    * shape asserted in ScalaTest. */
+  val mediaFeatures: Q = Q.noOracle("mm_media_features") { (s, dir) =>
+    extractFeatures(mediaTable(s, dir)).toDF().orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures)
+}

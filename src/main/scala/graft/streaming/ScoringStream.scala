@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.Q
+import graft.queries.FraudAnalytics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** The real-time surface (SURVEY.md §2.10, §3.1): the same scoring
+  * `select` the batch queries use, wrapped in Structured Streaming.
+  *
+  * Reference pipeline: Kafka consumer thread → per-record JSON parse
+  * → score → per-row INSERT (`services/fraud_service/app/main.py:
+  * 202-254`). Spark shape: `readStream` → `from_json`/scoring
+  * projection (one stateless WholeStageCodegen map stage, no
+  * shuffle) → sink. At scale the source partitions (Kafka partitions
+  * / files) are the parallelism unit; there is no other boundary.
+  *
+  * The driver testdata is files, so these run the file source with
+  * `Trigger.AvailailableNow`-style semantics (bounded backfill); the
+  * same plans bind to a Kafka source unchanged (S1/S2: subscribe +
+  * `from_json(value)`).
+  *
+  * Delivery: file source + parquet sink is exactly-once via the
+  * checkpoint + file-commit log (an upgrade over the reference's
+  * at-least-once auto-commit consumer, T1).
+  */
+object ScoringStream {
+
+  /** events.parquet schema as stored (ts = TIMESTAMP(NANOS) read as
+    * long; see [[graft.sources.Tables.events]]). */
+  val EventsFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded scored stream over a directory of events parquet. */
+  def scoredStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(EventsFileSchema)
+      .option("pathGlobFilter", "events.parquet") // the sf dir holds all tables
+      .parquet(dir)
+    FraudAnalytics.scored(raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+  }
+
+  /** Run the scoring stream to completion (bounded input), landing
+    * scored rows in `outDir` as parquet; returns the result re-read.
+    * This is the streaming twin of `fraud_scored_events` and shares
+    * its DuckDB oracle. */
+  def runScoredBackfill(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val q = scoredStream(spark, dir)
+      .select(
+        col("event_id"), col("value").as("amount"), col("k"),
+        col("hr").as("hour"), col("night"),
+        round(col("proba"), 6).as("proba"), col("prediction"),
+        col("heuristic_proba"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy(col("event_id"))
+  }
+
+  /** Streaming daily-metrics: event-time window aggregation with a
+    * 1-hour watermark (T3 upgrade over the reference's hourly batch
+    * recompute). Update-mode rows land via foreachBatch into an
+    * in-memory store keyed by day — the A2 upsert (`ON CONFLICT
+    * (day) DO UPDATE`, compute-daily-metrics.py:21-35). On a real
+    * deployment the same foreachBatch body is a JDBC merge or a
+    * `replaceWhere` partition overwrite. */
+  def runDailyMetricsStream(spark: SparkSession, dir: String): DataFrame = {
+    val ckpt  = Files.createTempDirectory("graft-ckpt-").toString
+    val store = Files.createTempDirectory("graft-daily-store-").toString
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val agg = scoredStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("win"))
+      .agg(
+        count(lit(1)).as("num_predictions"),
+        avg(col("prediction").cast("double")).as("fraud_rate"),
+        avg(col("value")).as("avg_amount"),
+        avg(col("proba")).as("avg_proba"))
+      .select(to_date(col("win.start")).as("day"), col("num_predictions"),
+        col("fraud_rate"), col("avg_amount"), col("avg_proba"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Keyed upsert as dynamic partition overwrite: each updated
+        // `day` replaces exactly its own partition — the scalable
+        // analog of `INSERT .. ON CONFLICT (day) DO UPDATE`.
+        batch.write.mode("overwrite").partitionBy("day").parquet(store)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(store)
+      .select(col("day"), col("num_predictions"),
+        round(col("fraud_rate"), 6).as("fraud_rate"),
+        round(col("avg_amount"), 6).as("avg_amount"),
+        round(col("avg_proba"), 6).as("avg_proba"))
+      .orderBy(col("day"))
+  }
+
+  // ---------------------------------------------------------------- queries
+  /** Streaming scoring backfill — same oracle as fraud_scored_events. */
+  val streamScored: Q = Q("stream_scored_events",
+    FraudAnalytics.scoredEvents.oracle.get) { (s, dir) =>
+    val out = Files.createTempDirectory("graft-stream-out-").toString + "/scored"
+    runScoredBackfill(s, dir, out)
+  }
+
+  /** Streaming daily metrics — same oracle as fraud_daily_metrics. */
+  val streamDaily: Q = Q("stream_daily_metrics",
+    FraudAnalytics.dailyMetrics.oracle.get) { (s, dir) =>
+    runDailyMetricsStream(s, dir)
+  }
+
+  val all: Seq[Q] = Seq(streamScored, streamDaily)
+}
