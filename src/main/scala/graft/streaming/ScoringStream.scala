@@ -114,6 +114,31 @@ object ScoringStream {
       .orderBy(col("day"))
   }
 
+  /** G7 + S1: rate-limited synthetic transaction stream — the
+    * reference's producer (`services/producer/app/producer.py:16-46`)
+    * as a rate source feeding seeded generator expressions. The
+    * payload shape matches FIXTURES.md B1; `to_json(struct(*))` on
+    * this frame is exactly the Kafka value the reference emits. */
+  def syntheticTransactionStream(spark: SparkSession, rowsPerSecond: Int = 2): DataFrame = {
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+    rate.select(
+        expr("uuid()").as("transaction_id"),           // P11
+        col("timestamp").as("event_time"),
+        round(exp(randn(42) * 1.0 + 3.0), 2).as("amount0"), // G1
+        rand(43).as("spike_p"), (rand(44) * 15.0 + 5.0).as("mult"), // G2
+        greatest(lit(1), (randn(45) * 1.0 + 2.0).cast("int")).cast("double").as("num_items"), // G3
+        rand(46).as("merchant_risk"))                  // G4
+      .withColumn("amount",
+        when(col("spike_p") < 0.05, round(col("amount0") * col("mult"), 2))
+          .otherwise(col("amount0")))
+      .withColumn("features", map(
+        lit("num_items"), col("num_items"),
+        lit("merchant_risk"), col("merchant_risk"),
+        lit("hour"), hour(col("event_time")).cast("double"))) // G5
+      .select(col("transaction_id"), col("event_time"), col("amount"), col("features"))
+  }
+
   // ---------------------------------------------------------------- queries
   /** Streaming scoring backfill — same oracle as fraud_scored_events. */
   val streamScored: Q = Q("stream_scored_events",

@@ -1,0 +1,88 @@
+package graft
+
+import graft.queries.{LshAnn, MinHashDedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity: MinHash-LSH must recover the exact-Jaccard
+  * pairs; SimHash pairs must be truly close; LSH ANN must have
+  * nontrivial recall vs brute-force kNN on planted near-dups. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val planted = {
+    // 20 base docs from a 12-word vocab + near-dup copies of 5 of
+    // them (one word changed) + 1 exact dup.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rng = new scala.util.Random(7)
+    val base = (0 until 20).map { i =>
+      (i.toLong, Vector.fill(30)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val nearDups = (0 until 5).map { i =>
+      val words = base(i)._2.split(" ").toVector.updated(3, "CHANGED")
+      (100L + i, words.mkString(" "))
+    }
+    val exactDup = Seq((200L, base(7)._2))
+    (base ++ nearDups ++ exactDup).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups the planted exact duplicate") {
+    val groups = planted.groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+    assert(groups.filter(col("n") === 2).count() == 1)
+  }
+
+  test("minhash-LSH finds exactly the exact-Jaccard >= 0.5 pairs (planted)") {
+    val got = MinHashDedup.nearDupPairs(planted, 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // expected: 5 near-dup pairs + 1 exact-dup pair
+    val expectedPairs = (0 until 5).map(i => (i.toLong, 100L + i)).toSet + ((7L, 200L))
+    assert(got == expectedPairs)
+  }
+
+  test("minhash-LSH matches exact shingle-Jaccard pairs on driver corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val exact = TextOps.dedupNear.fn(spark, sf)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = MinHashDedup.nearDupPairs(docs, 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash separates dups from random pairs; banding finds exact dup") {
+    val sigs = MinHashDedup.simhashed(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(7L), sigs(200L)) == 0, "exact dup must have hamming 0")
+    val dupDists = (0 until 5).map(i => hamming(sigs(i.toLong), sigs(100L + i)))
+    val randomDists = for (i <- 0L until 20L; j <- i + 1 until 20L if j != i) yield hamming(sigs(i), sigs(j))
+    assert(dupDists.max < randomDists.sum.toDouble / randomDists.size,
+      s"dup dists $dupDists vs random mean ${randomDists.sum.toDouble / randomDists.size}")
+    // chunk banding has a pigeonhole guarantee at hamming <= 3
+    val banded = MinHashDedup.simhashPairs(planted, maxHamming = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(banded.contains((7L, 200L)))
+  }
+
+  test("LSH ANN recovers planted near-dup vectors (recall >= 0.9)") {
+    // 200 random 64-dim vectors + 20 near-dups (tiny perturbation):
+    // the near-dup must appear among the ANN top-3 of its source.
+    val rng = new scala.util.Random(11)
+    val base = (0 until 200).map(i => (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val dups = (0 until 20).map { i =>
+      (1000L + i, base(i)._2.map(v => v + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val ann = LshAnn.annTopK(emb, k = 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val found = (0 until 20).count(i => ann.contains((i.toLong, 1000L + i)))
+    assert(found >= 18, s"recall ${found / 20.0}")
+  }
+
+  test("LSH ANN candidates on driver corpus are a valid subset with correct ranks") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val ann = LshAnn.annTopK(emb, k = 3)
+    val ranks = ann.groupBy(col("q_id")).agg(max(col("rank")).as("mx"), count(lit(1)).as("n"))
+    assert(ranks.filter(col("mx") =!= col("n")).count() == 0) // ranks 1..n dense
+    assert(ann.filter(col("q_id") === col("c_id")).count() == 0)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ml.{FraudModel, ModelRegistry}
+import graft.functions.Scoring
+import org.apache.spark.sql.functions._
+
+/** Training path, registry lifecycle, closed-form equivalence,
+  * hot-reload and heuristic fallback (SURVEY.md §2.8). */
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val data = FraudModel.syntheticTraining(spark, n = 3000, seed = 42).cache()
+  private lazy val trained = FraudModel.train(data)
+
+  test("G1-G6 generator: schema, determinism, label plausibility") {
+    assert(data.columns.toSeq == Seq("amount", "num_items", "merchant_risk", "hour", "label"))
+    val again = FraudModel.syntheticTraining(spark, n = 3000, seed = 42)
+    assert(data.except(again).count() == 0 && again.except(data).count() == 0)
+    val fraudRate = data.agg(avg("label")).head.getDouble(0)
+    assert(fraudRate > 0.02 && fraudRate < 0.5, s"fraud rate $fraudRate")
+    assert(data.agg(min("num_items")).head.getDouble(0) >= 1.0)
+    val hours = data.agg(min("hour"), max("hour")).head
+    assert(hours.getDouble(0) >= 0.0 && hours.getDouble(1) <= 23.0)
+  }
+
+  test("M2/M5: trained model separates classes (AUC > 0.6)") {
+    assert(trained.auc > 0.6, s"auc ${trained.auc}")
+    assert(trained.nTrain + trained.nTest == 3000)
+  }
+
+  test("M3: closed-form sigmoid equals MLlib probabilities") {
+    val feats = Scoring.FeatureOrder.map(col)
+    val scored = FraudModel.mllibProba(trained.model.transform(data))
+      .withColumn("cf", FraudModel.closedFormProba(trained.model, feats))
+    val gap = scored.agg(max(abs(col("proba") - col("cf")))).head.getDouble(0)
+    assert(gap < 1e-9, s"gap $gap")
+  }
+
+  test("M7: registry versioning + atomic promotion + O3 latest") {
+    val root = Files.createTempDirectory("graft-registry-").toString
+    val reg = new ModelRegistry(root)
+    assert(reg.latestVersion("fraud_detector").isEmpty)
+    assert(reg.loadProduction(spark, "fraud_detector").isEmpty)
+    val v1 = reg.register(trained.model, "fraud_detector")
+    assert(v1 == 1 && reg.latestVersion("fraud_detector").contains(1))
+    reg.promote("fraud_detector", 1)
+    assert(reg.productionVersion("fraud_detector").contains(1))
+    val v2 = reg.register(trained.model, "fraud_detector")
+    assert(v2 == 2 && reg.latestVersion("fraud_detector").contains(2))
+    // promotion is explicit: production still v1 until promoted
+    assert(reg.productionVersion("fraud_detector").contains(1))
+    reg.promote("fraud_detector", 2)
+    assert(reg.productionVersion("fraud_detector").contains(2))
+    intercept[IllegalArgumentException](reg.promote("fraud_detector", 99))
+  }
+
+  test("M8/M9: scoreBatch hot-reloads production and falls back to heuristic") {
+    val root = Files.createTempDirectory("graft-registry-").toString
+    val reg = new ModelRegistry(root)
+    val batch = data.limit(50)
+    // no model → heuristic fallback
+    val fb = FraudModel.scoreBatch(spark, reg, "fraud_detector", batch)
+    assert(fb.select("model_version").distinct.head.getString(0) == "heuristic")
+    assert(fb.filter(col("proba") =!= 0.05 && col("proba") =!= 1.0).count() == 0)
+    // register + promote → model path with version stamp (hot reload)
+    reg.promote("fraud_detector", reg.register(trained.model, "fraud_detector"))
+    val scored = FraudModel.scoreBatch(spark, reg, "fraud_detector", batch)
+    assert(scored.select("model_version").distinct.head.getString(0) == "v1")
+    assert(scored.filter(col("proba") < 0 || col("proba") > 1).count() == 0)
+    val both = scored.withColumn("expected", Scoring.classify(col("proba")))
+    assert(both.filter(col("prediction") =!= col("expected")).count() == 0)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every registered query runs at sf0.001 and respects basic result
+  * invariants. Value-level correctness is gated by the DuckDB oracle
+  * (Verify + driver t2); these specs pin structure + semantics. */
+class QueriesSpec extends SparkSpec {
+
+  test("registry names are unique and every oracle has a query") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for (q <- SparkEntry.registry if !q.name.startsWith("stream")) {
+    test(s"${q.name} runs and returns a stable schema") {
+      val df = q.fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0)
+      assert(df.columns.nonEmpty)
+    }
+  }
+
+  test("fraud_daily_metrics: fraud rate bounded, one row per day") {
+    val df = SparkEntry.queries("fraud_daily_metrics")(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[java.sql.Date]("day")).distinct.length == rows.length)
+    assert(rows.forall { r =>
+      val fr = r.getAs[Double]("fraud_rate"); fr >= 0.0 && fr <= 1.0
+    })
+  }
+
+  test("fraud_scored_events: prediction equals proba>=0.5 decision") {
+    val df = SparkEntry.queries("fraud_scored_events")(spark, sf)
+    val bad = df.filter(
+      (col("proba") >= 0.5 && col("prediction") =!= 1) ||
+      (col("proba") < 0.5 && col("prediction") =!= 0)).count()
+    assert(bad == 0)
+  }
+
+  test("tpch_topk_orders: descending and globally maximal") {
+    val df = SparkEntry.queries("tpch_topk_orders")(spark, sf)
+    val top = df.collect().map(_.getAs[Double]("o_totalprice"))
+    assert(top.sameElements(top.sorted.reverse))
+    val globalMax = graft.sources.Tables.orders(spark, sf)
+      .agg(max(col("o_totalprice"))).head.getDouble(0)
+    assert(top.head == globalMax)
+  }
+
+  test("tpch_approx_distinct within 5% of exact") {
+    val approx = SparkEntry.queries("tpch_approx_distinct")(spark, sf)
+      .select(col("l_returnflag"), col("approx_orders")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact)
+      assert(math.abs(approx(k) - e).toDouble / e < 0.05, s"flag $k: ${approx(k)} vs $e")
+  }
+
+  test("set ops partition correctly: union = except ∪ intersect (disjointly)") {
+    val u = SparkEntry.queries("tpch_set_union")(spark, sf).count()
+    val e = SparkEntry.queries("tpch_set_except")(spark, sf).count()
+    val i = SparkEntry.queries("tpch_set_intersect")(spark, sf).count()
+    val building = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").count()
+    assert(u == building + e)
+    assert(e + i == graft.sources.Tables.customer(spark, sf).filter(col("c_acctbal") > 5000.0).count())
+  }
+}

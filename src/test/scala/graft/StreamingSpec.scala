@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.FraudAnalytics
+import graft.streaming.ScoringStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming semantics (SURVEY.md §2.10): stream/batch parity,
+  * malformed-record skip (T6/P14), dedup-within-watermark (T1
+  * upgrade), rate-source generator (G7). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream/batch parity: streaming backfill equals batch scoring") {
+    val out = Files.createTempDirectory("graft-sp-").toString + "/scored"
+    val streamed = ScoringStream.runScoredBackfill(spark, sf, out)
+    val batch = SparkEntry.queries("fraud_scored_events")(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
+  test("T6/P14: malformed JSON records are skipped, not failed") {
+    val rows = Seq(
+      (1L, """{"k": 5}"""),
+      (2L, """{broken"""),
+      (3L, """{"k": "not-a-number"}"""),
+      (4L, null.asInstanceOf[String])).toDF("event_id", "props")
+    val parsed = rows.withColumn("features",
+      from_json(col("props"), graft.functions.Scoring.FeatureMapType))
+    val ok = parsed.filter(col("features").isNotNull)
+    // PERMISSIVE: broken json, non-numeric values, and null payloads
+    // all parse to a null map → the record is skipped, mirroring the
+    // reference's per-record try/except skip (main.py:224-235, where
+    // float("not-a-number") throws and the record is dropped).
+    assert(ok.count() == 1)
+    val projected = ok.select(col("event_id"),
+      graft.functions.Scoring.featureAt(col("features"), "k").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(projected == Map(1L -> 5.0))
+  }
+
+  test("T1 upgrade: dropDuplicatesWithinWatermark dedups replayed ids") {
+    val srcDir = Files.createTempDirectory("graft-dup-").toString + "/src"
+    Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 1.0), // replay
+      ("b", java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2.0))
+      .toDF("transaction_id", "ts", "amount")
+      .write.parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft-dup-ckpt-").toString
+    val outDir = Files.createTempDirectory("graft-dup-out-").toString
+    val q = spark.readStream
+      .schema("transaction_id STRING, ts TIMESTAMP, amount DOUBLE")
+      .parquet(srcDir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("transaction_id")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == 2)
+    assert(got.select("transaction_id").as[String].collect().toSet == Set("a", "b"))
+  }
+
+  test("G7: rate-source synthetic transaction stream produces valid records") {
+    val stream = ScoringStream.syntheticTransactionStream(spark, rowsPerSecond = 100)
+    val q = stream.writeStream.format("memory").queryName("synth_tx")
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    try {
+      var tries = 0
+      while (spark.table("synth_tx").isEmpty && tries < 50) { Thread.sleep(200); tries += 1 }
+      val rows = spark.table("synth_tx")
+      assert(!rows.isEmpty, "rate source produced no rows")
+      assert(rows.columns.toSet ==
+        Set("transaction_id", "event_time", "amount", "features"))
+      assert(rows.filter(col("amount") <= 0).count() == 0)
+      assert(rows.filter(length(col("transaction_id")) =!= 36).count() == 0)
+    } finally q.stop()
+  }
+
+  test("streaming daily metrics equal batch daily metrics") {
+    val streamed = ScoringStream.runDailyMetricsStream(spark, sf)
+    val batch = FraudAnalytics.dailyMetrics.fn(spark, sf)
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+}
