@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen, scheduler, file index caches) so
+    // one-time init cost doesn't land on an arbitrary first query.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    SparkEntry.entry(spark).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

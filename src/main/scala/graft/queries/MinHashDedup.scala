@@ -71,10 +71,16 @@ object MinHashDedup {
         aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => (x === y).cast("int")),
           lit(0), (acc, v) => acc + v).cast("double") / lit(NumHashes))
 
-    // Exact re-check restricted to candidates (inverted-index join
-    // pruned down to candidate doc ids).
-    val inter = sh.as("x")
-      .join(sh.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+    // Exact re-check restricted to candidates: prune the shingle
+    // index to candidate docs FIRST (broadcast semi-join on the small
+    // candidate-id set), so the pair join touches ~|candidates| docs,
+    // not the whole corpus — this is what keeps the re-check O(dups)
+    // instead of O(corpus²) at scale.
+    val candDocs = cands
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    val shC = sh.join(broadcast(candDocs), "doc_id")
+    val inter = shC.as("x")
+      .join(shC.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .agg(count(lit(1)).as("i"))
 
@@ -88,19 +94,25 @@ object MinHashDedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** 64-bit SimHash from token xxhash64s: per bit, sign of Σ(±1). */
-  def simhashed(docs: DataFrame): DataFrame = {
-    val tokens = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val sums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val bitSums = tokens.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-    bitSums.select(col("doc_id"),
-      (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-        .reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+  /** 64-bit SimHash from token xxhash64s: per bit, sign of Σ(±1).
+    *
+    * Computed entirely with array higher-order functions *per row* —
+    * no explode, no shuffle: fold the token hashes into a 64-wide
+    * bit-sum vector, then pack sign bits into one long. At any scale
+    * this is a pure map stage over the document scan. */
+  def simhashed(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("hs", expr("transform(split(text, ' '), t -> xxhash64(t))"))
+      .withColumn("bitsums", expr(
+        """aggregate(hs,
+          |  array_repeat(0L, 64),
+          |  (acc, h) -> zip_with(acc, sequence(0, 63),
+          |                (a, b) -> a + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(zip_with(bitsums, sequence(0, 63),
+          |            (s, b) -> CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END),
+          |  0L, (acc, v) -> acc | v)""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
 
   /** SimHash near-dup pairs: 4×16-bit chunk banding (pigeonhole:
     * Hamming ≤ 3 implies an equal chunk) then exact Hamming check. */
