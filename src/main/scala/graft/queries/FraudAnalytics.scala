@@ -257,7 +257,77 @@ object FraudAnalytics {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- P10/S1/S2
+  /** Kafka value shape: serialize each event to a JSON payload
+    * (`to_json(struct(..))` — exactly the producer's value,
+    * producer.py:37) and parse it back (`from_json` — the consumer,
+    * main.py:205). The oracle checks both the payload bytes and the
+    * roundtrip identity. */
+  val kafkaRoundtrip: Q = Q("fraud_kafka_roundtrip",
+    """SELECT event_id,
+      |  to_json(struct_pack(event_id := event_id, event_type := event_type, user_id := user_id)) AS payload,
+      |  event_id AS rt_event_id, event_type AS rt_event_type, user_id AS rt_user_id
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val payload = to_json(struct(col("event_id"), col("event_type"), col("user_id")))
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("event_id BIGINT, event_type STRING, user_id BIGINT")
+    Tables.events(s, dir)
+      .select(col("event_id"), payload.as("payload"))
+      .withColumn("rt", from_json(col("payload"), schema))
+      .select(col("event_id"), col("payload"),
+        col("rt.event_id").as("rt_event_id"),
+        col("rt.event_type").as("rt_event_type"),
+        col("rt.user_id").as("rt_user_id"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- P12
+  /** ISO local-time formatting in the producer's zone
+    * (`producer.py:26-28` stamps Africa/Cairo wall-clock). Session tz
+    * stays UTC; the zone applies only at the formatting boundary. */
+  val tzFormat: Q = Q("fraud_tz_format",
+    """SELECT event_id,
+      |  strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Africa/Cairo', '%Y-%m-%d %H:%M:%S') AS cairo_time,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_time
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        date_format(from_utc_timestamp(col("ts"), "Africa/Cairo"), "yyyy-MM-dd HH:mm:ss").as("cairo_time"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("utc_time"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---------------------------------------------------------------- T4 upgrade
+  /** Sessionization: 30-minute-inactivity sessions per user via
+    * `session_window` — the stateful window operator the reference's
+    * predicate-style lookbacks never had. Oracle reproduces the
+    * semantics with gaps-and-islands SQL. */
+  val sessionize: Q = Q("fraud_sessionize",
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o
+      |)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |       COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val all: Seq[Q] = Seq(
     dailyMetrics, scoredEvents, freshness, nullViolations, rateBound,
-    timeseries, hourlyStats, recentTopK, featureProjection, typeBreakdown)
+    timeseries, hourlyStats, recentTopK, featureProjection, typeBreakdown,
+    kafkaRoundtrip, tzFormat, sessionize)
 }
