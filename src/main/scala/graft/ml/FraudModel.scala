@@ -120,19 +120,26 @@ object FraudModel {
 
   // ---------------------------------------------------------------- queries
   /** Train-and-evaluate as a self-validating query: one row with
-    * sizes, AUC, and the max |closed-form − MLlib| probability gap
-    * over the test split (must be ~1e-15). Rows-only in the driver
-    * (DuckDB can't train); bounds asserted in ScalaTest. */
+    * sizes, exact AUC, the histogram-sketch AUC (must agree within
+    * ~1/bins), and the max |closed-form − MLlib| probability gap
+    * (must be ~1e-15). Rows-only in the driver (DuckDB can't train);
+    * bounds asserted in ScalaTest. */
   val trainEval: Q = Q.noOracle("ml_train_eval") { (s, _) =>
+    graft.functions.GraftFunctions.register(s)
     val data = syntheticTraining(s)
     val t = train(data)
     val feats = Scoring.FeatureOrder.map(col)
     val scored = mllibProba(t.model.transform(data))
       .withColumn("cf_proba", closedFormProba(t.model, feats))
-    val gap = scored.agg(max(abs(col("proba") - col("cf_proba")))).head.getDouble(0)
+    val row = scored
+      .agg(max(abs(col("proba") - col("cf_proba"))).as("gap"),
+        expr("graft_auc(label, proba)").as("auc_hist"))
+      .head
+    val (gap, aucHist) = (row.getDouble(0), row.getDouble(1))
     import s.implicits._
-    Seq((t.nTrain, t.nTest, math.rint(t.auc * 1e6) / 1e6, gap < 1e-9))
-      .toDF("n_train", "n_test", "auc", "closed_form_matches")
+    Seq((t.nTrain, t.nTest, math.rint(t.auc * 1e6) / 1e6,
+        math.rint(aucHist * 1e6) / 1e6, gap < 1e-9))
+      .toDF("n_train", "n_test", "auc", "auc_hist", "closed_form_matches")
   }
 
   val all: Seq[Q] = Seq(trainEval)

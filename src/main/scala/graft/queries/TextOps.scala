@@ -198,5 +198,18 @@ object TextOps {
       .orderBy(col("d1"), col("d2"))
   }
 
-  val all: Seq[Q] = Seq(tokenStats, quality, langId, fingerprint, dedupExact, dedupNear)
+  /** 64-bit rolling-hash fingerprints via the native codegen'd
+    * [[graft.functions.RollingHash]] expression, registered as a SQL
+    * function. Rows-only in the driver (engine-specific hash);
+    * bit-equality with the Scala reference pinned in ScalaTest. */
+  val fingerprint64: Q = Q.noOracle("text_fingerprint64") { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "graft_fingerprint64(text) AS fp64",
+        "graft_fingerprint64(lower(text)) AS fp64_norm")
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(tokenStats, quality, langId, fingerprint, dedupExact,
+    dedupNear, fingerprint64)
 }

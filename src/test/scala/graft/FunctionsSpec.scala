@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.{GraftFunctions, RollingHash}
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst extensions: codegen'd rolling hash + histogram
+  * AUC aggregate. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_fingerprint64 matches the Scala reference bit-for-bit") {
+    GraftFunctions.register(spark)
+    val inputs = Seq("", "a", "hello world", "the quick brown fox",
+      "ünïcödé ✓ strings", "a" * 1000)
+    val got = inputs.toDF("s")
+      .selectExpr("s", "graft_fingerprint64(s) AS h")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (s <- inputs) assert(got(s) == RollingHash.reference(s), s"input '$s'")
+  }
+
+  test("graft_fingerprint64 stays inside WholeStageCodegen") {
+    GraftFunctions.register(spark)
+    val df = spark.range(100).selectExpr("graft_fingerprint64(cast(id as string)) AS h")
+    // `*(n)` prefix marks operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_fingerprint64"), plan)
+    assert(df.distinct().count() == 100)
+  }
+
+  test("graft_auc matches BinaryClassificationEvaluator within 2/bins") {
+    GraftFunctions.register(spark)
+    // separable-ish synthetic scores with overlap
+    val rng = new scala.util.Random(5)
+    val rows = (1 to 4000).map { _ =>
+      val y = if (rng.nextDouble() < 0.3) 1.0 else 0.0
+      val s = math.min(1.0, math.max(0.0,
+        rng.nextGaussian() * 0.18 + (if (y > 0.5) 0.62 else 0.40)))
+      (y, s)
+    }
+    val df = rows.toDF("label", "score")
+    val sketch = df.agg(expr("graft_auc(label, score)")).head.getDouble(0)
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    val exact = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("score")
+      .setMetricName("areaUnderROC").evaluate(df)
+    assert(math.abs(sketch - exact) < 2.0 / 2048 + 1e-6, s"sketch $sketch vs exact $exact")
+  }
+
+  test("graft_auc degenerate inputs: single class → 0.5") {
+    GraftFunctions.register(spark)
+    val df = Seq((1.0, 0.9), (1.0, 0.2)).toDF("label", "score")
+    assert(df.agg(expr("graft_auc(label, score)")).head.getDouble(0) == 0.5)
+  }
+
+  test("graft_auc merges across partitions (distributed correctness)") {
+    GraftFunctions.register(spark)
+    val rows = (1 to 1000).map(i => (if (i % 3 == 0) 1.0 else 0.0, (i % 100) / 100.0))
+    val one = rows.toDF("label", "score").coalesce(1)
+      .agg(expr("graft_auc(label, score)")).head.getDouble(0)
+    val many = rows.toDF("label", "score").repartition(13)
+      .agg(expr("graft_auc(label, score)")).head.getDouble(0)
+    assert(one == many)
+  }
+}
