@@ -32,13 +32,16 @@ object MinHashDedup {
   private def r6(c: Column): Column = round(c, 6)
 
   /** MinHash signature per doc: for seed j, min over shingles of
-    * xxhash64(j, shingle). One explode + one groupBy(doc) with 64
-    * min-aggregates — map-side combinable, single shuffle. */
-  def signatures(sh: DataFrame): DataFrame =
-    sh.groupBy(col("doc_id"))
-      .agg(
-        array((0 until NumHashes).map(j => min(xxhash64(lit(j), col("s")))): _*).as("sig"),
-        count(lit(1)).as("n_shingles"))
+    * xxhash64(j, shingle). Computed per row with nested HOFs over the
+    * shingle array — a pure map stage, no explode, no shuffle.
+    * Input: (doc_id, sh: array<string>) from
+    * [[TextOps.shingleArrays]]. */
+  def signatures(shArr: DataFrame): DataFrame =
+    shArr.select(
+      col("doc_id"),
+      expr(s"transform(sequence(0, ${NumHashes - 1}), " +
+        "j -> array_min(transform(sh, s -> xxhash64(j, s))))").as("sig"),
+      size(col("sh")).cast("long").as("n_shingles"))
 
   /** Band keys: hash of each RowsPerBand-slice of the signature. */
   def banded(sigs: DataFrame): DataFrame =
@@ -52,8 +55,8 @@ object MinHashDedup {
     * exact shingle Jaccard, filtered at `threshold` on the exact
     * value. */
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh   = TextOps.shingles(docs).cache()
-    val sigs = signatures(sh).cache()
+    val shArr = TextOps.shingleArrays(docs).cache()
+    val sigs  = signatures(shArr).cache()
     val bands = banded(sigs)
 
     val cands = bands.as("a")
@@ -71,14 +74,15 @@ object MinHashDedup {
         aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => (x === y).cast("int")),
           lit(0), (acc, v) => acc + v).cast("double") / lit(NumHashes))
 
-    // Exact re-check restricted to candidates: prune the shingle
-    // index to candidate docs FIRST (broadcast semi-join on the small
-    // candidate-id set), so the pair join touches ~|candidates| docs,
-    // not the whole corpus — this is what keeps the re-check O(dups)
-    // instead of O(corpus²) at scale.
+    // Exact re-check restricted to candidates: prune to candidate
+    // docs FIRST (broadcast semi-join on the small candidate-id set)
+    // and only then explode their shingles, so the inverted-index
+    // pair join touches ~|candidates| docs, not the whole corpus —
+    // this keeps the re-check O(dups) instead of O(corpus²) at scale.
     val candDocs = cands
       .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
-    val shC = sh.join(broadcast(candDocs), "doc_id")
+    val shC = shArr.join(broadcast(candDocs), "doc_id")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
     val inter = shC.as("x")
       .join(shC.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))

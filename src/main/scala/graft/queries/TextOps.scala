@@ -30,14 +30,19 @@ object TextOps {
   private def tokenized(docs: DataFrame): DataFrame =
     docs.withColumn("w", split(col("text"), " "))
 
-  /** Distinct word 3-shingles per doc, exploded — the inverted index. */
-  private[queries] def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+  /** Distinct word n-shingles per doc as an array column (no
+    * explode — per-row HOF computation). */
+  private[queries] def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
     tokenized(docs)
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(array_distinct(
+      .select(col("doc_id"), array_distinct(
         expr(s"transform(sequence(0, size(w)-$n), i -> " +
           (0 until n).map(j => s"w[i+$j]").mkString("concat_ws(' ', ", ", ", ")") + ")")
-      )).as("s"))
+      ).as("sh"))
+
+  /** Distinct word 3-shingles per doc, exploded — the inverted index. */
+  private[queries] def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleArrays(docs, n).select(col("doc_id"), explode(col("sh")).as("s"))
 
   // ---------------------------------------------------------------- tokens
   /** Token counting — whitespace tokenization + distinct counts. */
