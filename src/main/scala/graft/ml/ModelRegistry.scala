@@ -38,11 +38,25 @@ final class ModelRegistry(root: String) {
   /** O3: latest = max numeric version. */
   def latestVersion(name: String): Option[Int] = versions(name).lastOption
 
-  /** Save a model as the next version; returns the version number. */
-  def register(model: PipelineModel, name: String): Int = {
+  /** Save a model as the next version; returns the version number.
+    * M6: the input signature (feature schema JSON) is persisted next
+    * to the model, the analog of MLflow's `infer_signature`
+    * (`training.py:75`). */
+  def register(model: PipelineModel, name: String,
+               signature: Option[org.apache.spark.sql.types.StructType] = None): Int = {
     val v = latestVersion(name).getOrElse(0) + 1
-    model.write.overwrite().save(nameDir(name).resolve(s"v$v").toString)
+    val dir = nameDir(name).resolve(s"v$v")
+    model.write.overwrite().save(dir.toString)
+    signature.foreach(s => Files.writeString(dir.resolve("signature.json"), s.json))
     v
+  }
+
+  def signature(name: String, version: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val p = nameDir(name).resolve(s"v$version").resolve("signature.json")
+    if (Files.exists(p))
+      Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(p))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else None
   }
 
   /** Atomic stage promotion: write-then-move pointer replace. */

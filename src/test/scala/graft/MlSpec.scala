@@ -54,6 +54,11 @@ class MlSpec extends SparkSpec {
     reg.promote("fraud_detector", 2)
     assert(reg.productionVersion("fraud_detector").contains(2))
     intercept[IllegalArgumentException](reg.promote("fraud_detector", 99))
+    // M6: signature persisted and recovered
+    val v3 = reg.register(trained.model, "fraud_detector",
+      Some(data.drop("label").schema))
+    assert(reg.signature("fraud_detector", v3).contains(data.drop("label").schema))
+    assert(reg.signature("fraud_detector", 1).isEmpty)
   }
 
   test("M8/M9: scoreBatch hot-reloads production and falls back to heuristic") {
