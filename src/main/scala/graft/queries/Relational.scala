@@ -317,10 +317,33 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  // ---------------------------------------------------------------- SQL front-end
+  /** TPC-H Q3 shape through the SQL entry point: one ANSI string
+    * planned by Catalyst over temp views — and the *same string* is
+    * the DuckDB oracle, proving the SQL surface is dialect-clean. */
+  private val q3Sql =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin
+
+  val sqlQ3: Q = Q("tpch_sql_q3", q3Sql) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(q3Sql)
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, revenueByNation, segmentRevenue, customersWithOrders,
     customersWithoutOrders, suppliersByRegion, topOrdersPerCustomer,
     runningRevenue, orderGaps, setUnion, setExcept, setIntersect,
     rollupPricing, cubeOrders, distinctCounts, approxDistinct,
-    topOrders, latestOrderPerCustomer)
+    topOrders, latestOrderPerCustomer, sqlQ3)
 }
