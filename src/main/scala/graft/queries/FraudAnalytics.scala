@@ -326,8 +326,47 @@ object FraudAnalytics {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  // ---------------------------------------------------------------- pivot
+  /** Day × event-type contingency counts via `pivot` (explicit value
+    * list → deterministic schema, single shuffle). */
+  val pivotTypeDaily: Q = Q("fraud_pivot_type_daily",
+    """SELECT CAST(ts AS DATE) AS day,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("day"))
+  }
+
+  // ---------------------------------------------------------------- percentiles
+  /** Exact percentiles of transaction value per type (`percentile` ≡
+    * `quantile_cont`, linear interpolation) plus the sketch-based
+    * `approx_percentile` path for the 100 TB variant is exercised in
+    * ScalaTest. */
+  val valuePercentiles: Q = Q("fraud_value_percentiles",
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+      |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        r6(expr("percentile(value, 0.5)")).as("p50"),
+        r6(expr("percentile(value, 0.9)")).as("p90"),
+        r6(expr("percentile(value, 0.99)")).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(
     dailyMetrics, scoredEvents, freshness, nullViolations, rateBound,
     timeseries, hourlyStats, recentTopK, featureProjection, typeBreakdown,
-    kafkaRoundtrip, tzFormat, sessionize)
+    kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, valuePercentiles)
 }
