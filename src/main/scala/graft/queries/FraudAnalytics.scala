@@ -57,6 +57,22 @@ object FraudAnalytics {
       .withColumn("prediction", (col("logit") >= lit(0.0)).cast("int"))
   }
 
+  /** [[scored]] plus ingest observability: an `observe()` node
+    * counting total and malformed payloads per action/micro-batch —
+    * the engine-native form of the reference's "log and skip" counter
+    * (`main.py:233-235`). Metrics ride the existing plan (no extra
+    * pass); read them from the [[org.apache.spark.sql.Observation]]
+    * after an action, or from `StreamingQueryProgress.observedMetrics`
+    * in streaming. */
+  def scoredWithIngestMetrics(events: DataFrame,
+                              obs: org.apache.spark.sql.Observation): DataFrame = {
+    val malformed = from_json(col("props"), Scoring.FeatureMapType).isNull
+      .and(col("props").isNotNull)
+    scored(events.observe(obs,
+      count(lit(1)).as("n_ingested"),
+      sum(when(malformed, 1L).otherwise(0L)).as("n_malformed")))
+  }
+
   /** SQL mirror of [[scored]] for the DuckDB oracle — arithmetic is
     * written with the same shape/associativity as the Spark
     * expressions so per-row doubles are bit-identical. */

@@ -81,6 +81,16 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observe() ingest metrics count malformed payloads in-plan") {
+    val good = graft.sources.Tables.events(spark, sf)
+    val bad = good.limit(3).withColumn("props", lit("""{broken"""))
+    val obs = org.apache.spark.sql.Observation("ingest")
+    val scored = FraudAnalytics.scoredWithIngestMetrics(good.union(bad), obs)
+    val total = scored.count()
+    assert(obs.get("n_ingested") == total)
+    assert(obs.get("n_malformed") == 3L)
+  }
+
   test("streaming daily metrics equal batch daily metrics") {
     val streamed = ScoringStream.runDailyMetricsStream(spark, sf)
     val batch = FraudAnalytics.dailyMetrics.fn(spark, sf)
