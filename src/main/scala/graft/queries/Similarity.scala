@@ -135,5 +135,33 @@ object Similarity {
       .orderBy(col("label"))
   }
 
-  val all: Seq[Q] = Seq(topKQuery, knnSample, labelTopPairs, embeddingStats)
+  /** Embedding-cosine near-dup pairs above a threshold, domain-pruned
+    * to same-label candidates (the label partition is the IVF-style
+    * coarse quantizer here; [[LshAnn]] is the unlabeled-data path). */
+  val labelNearDups: Q = Q("sim_label_neardup",
+    """WITH n AS (SELECT vec_id, label, SUM(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)) AS nsq
+      |           FROM (SELECT vec_id, label, unnest(embedding) AS a FROM embeddings) GROUP BY 1, 2),
+      |z AS (SELECT x.label AS label, x.vec_id AS v1, y.vec_id AS v2,
+      |             unnest(x.embedding) AS a, unnest(y.embedding) AS b
+      |      FROM embeddings x JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id),
+      |dots AS (SELECT label, v1, v2, SUM(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dot FROM z GROUP BY 1, 2, 3)
+      |SELECT dots.label, v1, v2,
+      |  ROUND(dot/(sqrt(nx.nsq)*sqrt(ny.nsq)), 6) AS cosine
+      |FROM dots JOIN n nx ON v1 = nx.vec_id JOIN n ny ON v2 = ny.vec_id
+      |WHERE dot/(sqrt(nx.nsq)*sqrt(ny.nsq)) >= 0.4
+      |ORDER BY dots.label, v1, v2""".stripMargin) { (s, dir) =>
+    val emb = withNormSq(Tables.embeddings(s, dir))
+    val x = emb.select(col("label"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nsq").as("nsq1"))
+    val y = emb.select(col("label").as("label_y"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nsq").as("nsq2"))
+    val cos = cosine(dotd(col("e1"), col("e2")), col("nsq1"), col("nsq2"))
+    x.join(y, col("label") === col("label_y") && col("v1") < col("v2"))
+      .withColumn("cos_raw", cos)
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("label"), col("v1"), col("v2"), r6(col("cos_raw")).as("cosine"))
+      .orderBy(col("label"), col("v1"), col("v2"))
+  }
+
+  val all: Seq[Q] = Seq(topKQuery, knnSample, labelTopPairs, embeddingStats, labelNearDups)
 }

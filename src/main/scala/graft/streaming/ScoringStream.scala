@@ -83,6 +83,17 @@ object ScoringStream {
     val ckpt  = Files.createTempDirectory("graft-ckpt-").toString
     val store = Files.createTempDirectory("graft-daily-store-").toString
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // ~30 daily groups: a handful of state-store partitions beats the
+    // session default (one state store instance per shuffle
+    // partition, each with checkpoint + commit overhead per batch).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try runDailyMetricsStreamInner(spark, dir, ckpt, store)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def runDailyMetricsStreamInner(spark: SparkSession, dir: String,
+                                         ckpt: String, store: String): DataFrame = {
     val agg = scoredStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day").as("win"))
