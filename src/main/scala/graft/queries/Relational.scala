@@ -340,10 +340,30 @@ object Relational {
     s.sql(q3Sql)
   }
 
+  // ---------------------------------------------------------------- custom operator
+  /** The same top-3-per-customer result through the custom
+    * [[graft.plans.TopKPerKey]] operator (bounded per-key heaps, no
+    * per-partition sort) — oracle-checked against the window-function
+    * semantics. */
+  val topKPerKeyOp: Q = Q("tpch_custom_topk_per_key",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
+    graft.plans.TopKPerKey(
+      Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      keyCols = Seq("o_custkey"),
+      orderBy = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+      k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, revenueByNation, segmentRevenue, customersWithOrders,
     customersWithoutOrders, suppliersByRegion, topOrdersPerCustomer,
     runningRevenue, orderGaps, setUnion, setExcept, setIntersect,
     rollupPricing, cubeOrders, distinctCounts, approxDistinct,
-    topOrders, latestOrderPerCustomer, sqlQ3)
+    topOrders, latestOrderPerCustomer, sqlQ3, topKPerKeyOp)
 }
