@@ -215,6 +215,49 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus word frequencies (the canonical explode → groupBy text
+    * op): top-50 tokens with doc frequency. */
+  val wordCount: Q = Q("text_wordcount",
+    """SELECT w AS token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY 1 ORDER BY tf DESC, token LIMIT 50""".stripMargin) { (s, dir) =>
+    tokenized(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(col("w")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(50)
+  }
+
+  /** End-to-end dedup output: the retained corpus after near-dup
+    * removal — greedy keeper policy "drop any doc that near-matches a
+    * lower doc_id" (one pass over the pair list; at scale the pair
+    * list is orders of magnitude smaller than the corpus, so this is
+    * a broadcast anti-join against the scan). */
+  val dedupKeep: Q = Q("text_dedup_keep",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
+      |sh0 AS (SELECT doc_id,
+      |         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS s,
+      |         lead(word, 2) OVER win AS w2
+      |        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE w2 IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |dups AS (SELECT DISTINCT d2 FROM inter
+      |         JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+      |         WHERE CAST(i AS DOUBLE) / ((x.n + y.n) - i) >= 0.5)
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT d2 FROM dups)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val dropIds = dedupNear.fn(s, dir).select(col("d2").as("doc_id")).distinct()
+    docs.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokenStats, quality, langId, fingerprint, dedupExact,
-    dedupNear, fingerprint64)
+    dedupNear, fingerprint64, wordCount, dedupKeep)
 }

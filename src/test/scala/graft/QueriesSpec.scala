@@ -64,6 +64,15 @@ class QueriesSpec extends SparkSpec {
       assert(math.abs(approx(k) - e).toDouble / e < 0.05, s"flag $k: ${approx(k)} vs $e")
   }
 
+  test("approx_percentile tracks exact percentile (scale path for quantiles)") {
+    val events = graft.sources.Tables.events(spark, sf)
+    val row = events.agg(
+      expr("percentile(value, 0.9)").as("exact"),
+      expr("approx_percentile(value, 0.9, 1000)").as("approx")).head
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")
+  }
+
   test("set ops partition correctly: union = except ∪ intersect (disjointly)") {
     val u = SparkEntry.queries("tpch_set_union")(spark, sf).count()
     val e = SparkEntry.queries("tpch_set_except")(spark, sf).count()
