@@ -91,6 +91,21 @@ class StreamingSpec extends SparkSpec {
     assert(obs.get("n_malformed") == 3L)
   }
 
+  test("T5 upgrade: mapGroupsWithState per-user profiles match batch aggregation") {
+    val profiles = graft.streaming.UserState.runProfiles(spark, sf)
+      .collect().map(p => p.user_id -> p).toMap
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"), max(col("ts")).as("mx"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(profiles.keySet == batch.keySet)
+    for ((u, p) <- profiles) {
+      assert(p.n_events == batch(u).getAs[Long]("n"))
+      assert(math.abs(p.total_value - batch(u).getAs[Double]("total")) < 1e-6)
+      assert(p.last_ts == batch(u).getAs[java.sql.Timestamp]("mx"))
+    }
+  }
+
   test("streaming daily metrics equal batch daily metrics") {
     val streamed = ScoringStream.runDailyMetricsStream(spark, sf)
     val batch = FraudAnalytics.dailyMetrics.fn(spark, sf)
