@@ -21,6 +21,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[RollingHash].getName, "graft_fingerprint64"),
       (children: Seq[Expression]) => RollingHash(children.head))
     registry.registerFunction(
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+    registry.registerFunction(
       FunctionIdentifier("graft_auc"),
       new ExpressionInfo(classOf[HistAuc].getName, "graft_auc"),
       (children: Seq[Expression]) => {

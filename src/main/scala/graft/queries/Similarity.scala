@@ -39,9 +39,6 @@ object Similarity {
 
   private def r6(c: Column): Column = round(c, 6)
 
-  /** (vec_id, label, nsq) side table — norms computed once. */
-  private def withNormSq(emb: DataFrame): DataFrame =
-    emb.withColumn("nsq", normSq(col("embedding")))
 
   // ---------------------------------------------------------------- top-k
   /** Brute-force cosine top-20 against the vec_id=0 query vector. */
@@ -54,13 +51,11 @@ object Similarity {
       |      FROM z GROUP BY 1)
       |SELECT vec_id, ROUND(dot/(sqrt(na)*sqrt(nb)), 6) AS cosine
       |FROM d ORDER BY ROUND(dot/(sqrt(na)*sqrt(nb)), 6) DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-    val cos = cosine(
-      dotd(col("embedding"), col("qe")),
-      normSq(col("embedding")), normSq(col("qe")))
     emb.crossJoin(broadcast(q))
-      .select(col("vec_id"), r6(cos).as("cosine"))
+      .select(col("vec_id"), r6(expr("graft_cosine(embedding, qe)")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(20)
   }
@@ -80,13 +75,14 @@ object Similarity {
       |        FROM dots JOIN n nq ON q_id = nq.vec_id JOIN n nc ON c_id = nc.vec_id),
       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank FROM cos)
       |SELECT q_id, c_id, cosine, rank FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
-    val emb = withNormSq(Tables.embeddings(s, dir))
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nsq").as("q_nsq"))
-    val cos = cosine(dotd(col("embedding"), col("qe")), col("q_nsq"), col("nsq"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
     emb.join(broadcast(queries), col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("c_id"), r6(cos).as("cosine"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        r6(expr("graft_cosine(embedding, qe)")).as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .orderBy(col("q_id"), col("rank"))
@@ -107,15 +103,15 @@ object Similarity {
       |        FROM dots JOIN n nx ON v1 = nx.vec_id JOIN n ny ON v2 = ny.vec_id),
       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY cosine DESC, v1, v2) AS rank FROM cos)
       |SELECT label, v1, v2, cosine, rank FROM rk WHERE rank <= 3 ORDER BY label, rank""".stripMargin) { (s, dir) =>
-    val emb = withNormSq(Tables.embeddings(s, dir))
-    val x = emb.select(col("label"), col("vec_id").as("v1"),
-      col("embedding").as("e1"), col("nsq").as("nsq1"))
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val x = emb.select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"))
     val y = emb.select(col("label").as("label_y"), col("vec_id").as("v2"),
-      col("embedding").as("e2"), col("nsq").as("nsq2"))
-    val cos = cosine(dotd(col("e1"), col("e2")), col("nsq1"), col("nsq2"))
+      col("embedding").as("e2"))
     val w = Window.partitionBy(col("label")).orderBy(col("cosine").desc, col("v1"), col("v2"))
     x.join(y, col("label") === col("label_y") && col("v1") < col("v2"))
-      .select(col("label"), col("v1"), col("v2"), r6(cos).as("cosine"))
+      .select(col("label"), col("v1"), col("v2"),
+        r6(expr("graft_cosine(e1, e2)")).as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .orderBy(col("label"), col("rank"))
@@ -150,14 +146,13 @@ object Similarity {
       |FROM dots JOIN n nx ON v1 = nx.vec_id JOIN n ny ON v2 = ny.vec_id
       |WHERE dot/(sqrt(nx.nsq)*sqrt(ny.nsq)) >= 0.4
       |ORDER BY dots.label, v1, v2""".stripMargin) { (s, dir) =>
-    val emb = withNormSq(Tables.embeddings(s, dir))
-    val x = emb.select(col("label"), col("vec_id").as("v1"),
-      col("embedding").as("e1"), col("nsq").as("nsq1"))
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val x = emb.select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"))
     val y = emb.select(col("label").as("label_y"), col("vec_id").as("v2"),
-      col("embedding").as("e2"), col("nsq").as("nsq2"))
-    val cos = cosine(dotd(col("e1"), col("e2")), col("nsq1"), col("nsq2"))
+      col("embedding").as("e2"))
     x.join(y, col("label") === col("label_y") && col("v1") < col("v2"))
-      .withColumn("cos_raw", cos)
+      .withColumn("cos_raw", expr("graft_cosine(e1, e2)"))
       .filter(col("cos_raw") >= 0.4)
       .select(col("label"), col("v1"), col("v2"), r6(col("cos_raw")).as("cosine"))
       .orderBy(col("label"), col("v1"), col("v2"))

@@ -46,6 +46,21 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(sketch - exact) < 2.0 / 2048 + 1e-6, s"sketch $sketch vs exact $exact")
   }
 
+  test("graft_cosine is bit-identical to the HOF formulation") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 50).map(i =>
+      (i, Array.fill(64)(rng.nextGaussian().toFloat), Array.fill(64)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("i", "a", "b")
+    val hof = graft.queries.Similarity.cosine(
+      graft.queries.Similarity.dotd(col("a"), col("b")),
+      graft.queries.Similarity.normSq(col("a")),
+      graft.queries.Similarity.normSq(col("b")))
+    val out = df.select(col("i"), expr("graft_cosine(a, b)").as("native"), hof.as("hof"))
+      .collect()
+    for (r <- out) assert(r.getDouble(1) == r.getDouble(2), s"row ${r.getInt(0)}")
+  }
+
   test("graft_auc degenerate inputs: single class → 0.5") {
     GraftFunctions.register(spark)
     val df = Seq((1.0, 0.9), (1.0, 0.2)).toDF("label", "score")
