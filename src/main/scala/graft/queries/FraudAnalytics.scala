@@ -381,8 +381,34 @@ object FraudAnalytics {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- as-of
+  /** As-of join within the stream: each purchase attributed to the
+    * user's most recent prior click — the point-in-time lookup
+    * pattern (composed from an ignore-nulls running window; no
+    * custom operator needed, stays sort-merge-free after the single
+    * shuffle on user_id). */
+  val clickAttribution: Q = Q("fraud_click_attribution",
+    """SELECT event_id, user_id, ts, last_click_id
+      |FROM (
+      |  SELECT *, last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id
+      |  FROM events) t
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_click_id"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(
     dailyMetrics, scoredEvents, freshness, nullViolations, rateBound,
     timeseries, hourlyStats, recentTopK, featureProjection, typeBreakdown,
-    kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, valuePercentiles)
+    kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, valuePercentiles,
+    clickAttribution)
 }
