@@ -108,5 +108,29 @@ object Multimodal {
     extractFeatures(mediaTable(s, dir)).toDF().orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures)
+  /** Frame sampling over the payload: fixed-stride 64-byte windows
+    * exploded to one row per frame with per-frame digests — the
+    * video-frame / audio-chunk extraction shape (the real decoder
+    * swaps in at the same record boundary). Corpus is ASCII so the
+    * char windows are byte windows; oracle checks count, size and
+    * digest per frame. */
+  val frameSample: Q = Q("mm_frame_sample",
+    """SELECT doc_id, i AS frame_idx,
+      |  length(substring(text, i*64 + 1, 64)) AS frame_bytes,
+      |  md5(substring(text, i*64 + 1, 64)) AS frame_digest
+      |FROM documents, generate_series(0, 9) g(i)
+      |WHERE i*64 < n_chars
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        posexplode(expr("transform(sequence(0, 9), i -> substring(text, i*64 + 1, 64))"))
+          .as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") * 64 < col("n_chars"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        md5(col("frame")).as("frame_digest"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample)
 }
