@@ -28,7 +28,8 @@ def canon(df):
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object and len(df) and all(
-                v is None or hasattr(v, "isoformat") for v in df[c].head(20)):
+                v is None or hasattr(v, "isoformat") for v in df[c]) and any(
+                hasattr(v, "isoformat") for v in df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df

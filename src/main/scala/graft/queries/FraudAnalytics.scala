@@ -406,9 +406,42 @@ object FraudAnalytics {
       .orderBy(col("event_id"))
   }
 
+  // ---------------------------------------------------------------- stats
+  /** Statistical moments + correlation per event type (stddev/var
+    * one-pass merge formulas agree across engines to ~1e-12; rounded
+    * well above that). */
+  val valueStats: Q = Q("fraud_value_stats",
+    """SELECT event_type,
+      |  ROUND(stddev_samp(value), 6) AS sd_value,
+      |  ROUND(var_samp(value), 6) AS var_value,
+      |  ROUND(corr(value, hour(ts)), 6) AS corr_value_hour
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        r6(stddev_samp(col("value"))).as("sd_value"),
+        r6(var_samp(col("value"))).as("var_value"),
+        r6(corr(col("value"), hour(col("ts")))).as("corr_value_hour"))
+      .orderBy(col("event_type"))
+  }
+
+  /** GROUPING SETS through the SQL front-end (same string is the
+    * oracle): per-type, per-day, and grand-total counts in one pass. */
+  private val groupingSetsSql =
+    """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+      |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
+
+  val groupingSets: Q = Q("fraud_grouping_sets", groupingSetsSql) { (s, dir) =>
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    s.sql(groupingSetsSql)
+  }
+
   val all: Seq[Q] = Seq(
     dailyMetrics, scoredEvents, freshness, nullViolations, rateBound,
     timeseries, hourlyStats, recentTopK, featureProjection, typeBreakdown,
     kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, valuePercentiles,
-    clickAttribution)
+    clickAttribution, valueStats, groupingSets)
 }
