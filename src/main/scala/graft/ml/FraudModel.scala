@@ -129,7 +129,10 @@ object FraudModel {
     val data = syntheticTraining(s)
     val t = train(data)
     val feats = Scoring.FeatureOrder.map(col)
-    val scored = mllibProba(t.model.transform(data))
+    // same split as train() (same plan + seed → same assignment), so
+    // the sketch AUC and the exact evaluator AUC see the same rows
+    val te = data.randomSplit(Array(0.75, 0.25), 42)(1)
+    val scored = mllibProba(t.model.transform(te))
       .withColumn("cf_proba", closedFormProba(t.model, feats))
     val row = scored
       .agg(max(abs(col("proba") - col("cf_proba"))).as("gap"),

@@ -61,6 +61,16 @@ class MlSpec extends SparkSpec {
     assert(reg.signature("fraud_detector", 1).isEmpty)
   }
 
+  test("ml_train_eval query row: sizes, AUC bounds, sketch-vs-exact agreement") {
+    val row = SparkEntry.queries("ml_train_eval")(spark, sf).head
+    assert(row.getAs[Long]("n_train") + row.getAs[Long]("n_test") == 5000L)
+    val auc = row.getAs[Double]("auc")
+    val aucHist = row.getAs[Double]("auc_hist")
+    assert(auc > 0.6 && auc <= 1.0)
+    assert(math.abs(auc - aucHist) < 0.01, s"$auc vs $aucHist")
+    assert(row.getAs[Boolean]("closed_form_matches"))
+  }
+
   test("M8/M9: scoreBatch hot-reloads production and falls back to heuristic") {
     val root = Files.createTempDirectory("graft-registry-").toString
     val reg = new ModelRegistry(root)

@@ -65,6 +65,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("transaction_id").as[String].collect().toSet == Set("a", "b"))
   }
 
+  test("checkpoint recovery: restart processes only newly arrived files, exactly once") {
+    val base = Files.createTempDirectory("graft-ckpt-rec-").toString
+    val (srcDir, outDir, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, v DOUBLE")
+        .parquet(srcDir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    (1L to 5L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 5)
+    (6L to 8L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 8) // old files not reprocessed, new ones exactly once
+    assert(out.select("id").distinct().count() == 8)
+  }
+
   test("G7: rate-source synthetic transaction stream produces valid records") {
     val stream = ScoringStream.syntheticTransactionStream(spark, rowsPerSecond = 100)
     val q = stream.writeStream.format("memory").queryName("synth_tx")
