@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The shuffle-elimination techniques the 100 TB plan leans on,
+  * demonstrated and asserted on the local engine:
+  *
+  *  - bucketed tables → co-located join with NO exchange on either
+  *    side (the fact⋈fact shuffle disappears when both sides are
+  *    bucketed by the join key);
+  *  - skew salting → two-phase aggregation over a salted key is
+  *    exactly equal to the direct aggregation while spreading one hot
+  *    key over N reducers.
+  */
+class ScaleTechniquesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed join plans without an Exchange on either side") {
+    // default warehouse (./spark-warehouse, gitignored) — the
+    // warehouse dir is a static conf on the shared session
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    graft.sources.Tables.orders(spark, sf)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    graft.sources.Tables.lineitem(spark, sf)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+             !plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+      // same result as the unbucketed join
+      val direct = graft.sources.Tables.lineitem(spark, sf)
+        .join(graft.sources.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      assert(joined.except(direct).count() == 0 && direct.except(joined).count() == 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
+  test("salted two-phase aggregation equals direct aggregation on skewed keys") {
+    // one hot key carrying 90% of rows
+    val skewed = spark.range(0, 100000)
+      .select(when(col("id") % 10 =!= 0, lit("hot")).otherwise(concat(lit("k"), col("id") % 97)).as("key"),
+        (col("id") % 1000).cast("double").as("v"))
+    val direct = skewed.groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"))
+    val salts = 16
+    val salted = skewed
+      .withColumn("salt", pmod(hash(col("v"), monotonically_increasing_id()), lit(salts)))
+      .groupBy(col("key"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum("v").as("pt"))   // phase 1: spread the hot key
+      .groupBy(col("key"))
+      .agg(sum("pn").as("n"), sum("pt").as("total"))    // phase 2: merge partials
+    val d = direct.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val s = salted.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(d.keySet == s.keySet)
+    for ((k, (n, t)) <- d) {
+      assert(s(k)._1 == n)
+      assert(math.abs(s(k)._2 - t) < 1e-6 * math.max(1.0, math.abs(t)), s"key $k")
+    }
+  }
+}
