@@ -273,6 +273,24 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-style pre-tokenization (runs-of-letters / runs-of-digits /
+    * single other, the GPT-2 pre-tokenizer shape) next to whitespace
+    * counting — the two token-count flavors a data pipeline reports. */
+  val tokenBpe: Q = Q("text_token_bpe",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens_ws,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens_bpe,
+      |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_distinct_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bpe = expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens_ws"),
+        size(bpe).cast("long").as("n_tokens_bpe"),
+        size(array_distinct(bpe)).cast("long").as("n_distinct_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokenStats, quality, langId, fingerprint, dedupExact,
-    dedupNear, fingerprint64, wordCount, dedupKeep)
+    dedupNear, fingerprint64, wordCount, dedupKeep, tokenBpe)
 }
