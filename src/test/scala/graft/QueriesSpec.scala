@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions._
   * (Verify + driver t2); these specs pin structure + semantics. */
 class QueriesSpec extends SparkSpec {
 
+  test("GraftSession.attach exposes native functions and strategy") {
+    GraftSession.attach(spark)
+    import spark.implicits._
+    val r = Seq(("abc")).toDF("s")
+      .selectExpr("graft_fingerprint64(s)").head.getLong(0)
+    assert(r == graft.functions.RollingHash.reference("abc"))
+    assert(spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+  }
+
   test("registry names are unique and every oracle has a query") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size == names.size)

@@ -17,9 +17,17 @@ class ScaleTechniquesSpec extends SparkSpec {
 
   test("bucketed join plans without an Exchange on either side") {
     // default warehouse (./spark-warehouse, gitignored) — the
-    // warehouse dir is a static conf on the shared session
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // warehouse dir is a static conf on the shared session. The
+    // in-memory catalog forgets tables between JVM runs but the
+    // files persist, so clear both catalog and location.
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     graft.sources.Tables.orders(spark, sf)
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
