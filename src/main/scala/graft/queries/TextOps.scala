@@ -180,12 +180,38 @@ object TextOps {
 
   private[queries] def nearDupPairs05(s: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
-      val sh    = shingles(Tables.documents(s, dir))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      // AllPairs/PPJoin prefix filtering, exact for J >= 0.5: under
+      // any global shingle ordering, two sets with Jaccard >= τ must
+      // share a shingle among each one's first n−⌈τ·n⌉+1 (= ⌊n/2⌋+1)
+      // shingles. Ordering by ascending corpus frequency puts the
+      // RAREST shingles in the prefix, so the inverted index joins on
+      // rare tokens only — candidates collapse from Σ df² over all
+      // shingles to Σ df² over rare ones. The full intersection is
+      // then recomputed exactly, but only for candidate pairs.
+      val shArr = shingleArrays(Tables.documents(s, dir)).persist()
+      val sh    = shArr.select(col("doc_id"), explode(col("sh")).as("s"))
+      // sizes come from the arrays — a projection, not a shuffle
+      val sizes = shArr.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+      val freq  = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+      val prefix = sh.join(freq, "s")
+        .withColumn("rk", row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(col("rk") <= floor(col("n") / 2) + 1)
+        .select(col("doc_id"), col("s"))
+      val cands = prefix.as("a")
+        .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val candDocs = cands
+        .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+      val shC = sh.join(broadcast(candDocs), "doc_id")
+      val inter = shC.as("a")
+        .join(shC.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("i"))
+        .join(cands, Seq("d1", "d2"), "left_semi")
       val j = col("i").cast("double") / ((col("x.n") + col("y.n")) - col("i"))
       inter
         .join(sizes.as("x"), col("d1") === col("x.doc_id"))
