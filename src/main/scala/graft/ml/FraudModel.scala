@@ -126,7 +126,9 @@ object FraudModel {
     * bounds asserted in ScalaTest. */
   val trainEval: Q = Q.noOracle("ml_train_eval") { (s, _) =>
     graft.functions.GraftFunctions.register(s)
-    val data = syntheticTraining(s)
+    // fit + split + transform each re-scan the frame; materialize the
+    // 5000-row generator output once
+    val data = syntheticTraining(s).cache()
     val t = train(data)
     val feats = Scoring.FeatureOrder.map(col)
     // same split as train() (same plan + seed → same assignment), so
