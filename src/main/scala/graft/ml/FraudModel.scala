@@ -71,13 +71,22 @@ object FraudModel {
   final case class Trained(model: PipelineModel, auc: Double, nTrain: Long, nTest: Long)
 
   /** M4 (randomSplit 75/25 — documented deviation from sklearn's
-    * exact stratify) + fit + M5 AUC. */
+    * exact stratify) + fit + M5 AUC.
+    *
+    * AUC is evaluated on the closed-form probability column rather
+    * than `model.transform`: identical scores (< 1e-9, asserted in
+    * MlSpec) without ever putting the fitted model object into a task
+    * closure — in Spark 4 the persisted training summary references
+    * the SparkSession and is not serializable. */
   def train(df: DataFrame, seed: Long = 42): Trained = {
     val Array(tr, te) = df.randomSplit(Array(0.75, 0.25), seed)
     val model = pipeline().fit(tr)
+    val scoredTe = te.withColumn("proba",
+      closedFormProba(model, Scoring.FeatureOrder.map(col)))
     val auc = new BinaryClassificationEvaluator()
-      .setLabelCol("label").setMetricName("areaUnderROC")
-      .evaluate(model.transform(te))
+      .setLabelCol("label").setRawPredictionCol("proba")
+      .setMetricName("areaUnderROC")
+      .evaluate(scoredTe)
     Trained(model, auc, tr.count(), te.count())
   }
 
@@ -100,17 +109,38 @@ object FraudModel {
   def mllibProba(scored: DataFrame): DataFrame =
     scored.withColumn("proba", vector_to_array(col("probability")).getItem(1))
 
+  /** MLlib's own probability computed driver-side (manual z-score +
+    * `predictProbability` on local vectors) — the ground truth the
+    * closed-form export is checked against, without putting the model
+    * object into any task closure. */
+  def mllibProbaLocal(model: PipelineModel, features: Seq[Array[Double]]): Seq[Double] = {
+    val scaler = model.stages.collectFirst { case m: StandardScalerModel => m }.get
+    val lr     = model.stages.collectFirst { case m: LogisticRegressionModel => m }.get
+    features.map { f =>
+      val z = Array.tabulate(f.length)(i => (f(i) - scaler.mean(i)) / scaler.std(i))
+      lr.predictProbability(org.apache.spark.ml.linalg.Vectors.dense(z))(1)
+    }
+  }
+
   /** M9+M8: score a batch with the current Production model (pointer
     * re-resolved on every call → hot reload per micro-batch), falling
-    * back to the heuristic when the registry is empty. */
+    * back to the heuristic when the registry is empty.
+    *
+    * The loaded model is immediately exported to closed form and
+    * scored as column arithmetic — no `model.transform`, so no model
+    * object (whose persisted training summary drags a SparkSession
+    * along) ever enters a task closure, and the scoring stays inside
+    * WholeStageCodegen. Equivalence with `transform` probabilities is
+    * pinned at < 1e-9 by MlSpec/ml_train_eval. */
   def scoreBatch(spark: SparkSession, registry: ModelRegistry, name: String, batch: DataFrame): DataFrame =
     registry.loadProduction(spark, name) match {
       case Some(model) =>
         val v = registry.productionVersion(name).get
-        mllibProba(model.transform(batch))
+        val feats = Scoring.FeatureOrder.map(col)
+        batch
+          .withColumn("proba", closedFormProba(model, feats))
           .withColumn("prediction", Scoring.classify(col("proba")))
           .withColumn("model_version", lit(s"v$v"))
-          .drop("rawFeatures", "features", "rawPrediction", "probability")
       case None =>
         batch
           .withColumn("proba", Scoring.heuristicProba(col("amount")))
@@ -134,13 +164,16 @@ object FraudModel {
     // same split as train() (same plan + seed → same assignment), so
     // the sketch AUC and the exact evaluator AUC see the same rows
     val te = data.randomSplit(Array(0.75, 0.25), 42)(1)
-    val scored = mllibProba(t.model.transform(te))
-      .withColumn("cf_proba", closedFormProba(t.model, feats))
-    val row = scored
-      .agg(max(abs(col("proba") - col("cf_proba"))).as("gap"),
-        expr("graft_auc(label, proba)").as("auc_hist"))
-      .head
-    val (gap, aucHist) = (row.getDouble(0), row.getDouble(1))
+    val scored = te.withColumn("proba", closedFormProba(t.model, feats))
+    val aucHist = scored
+      .agg(expr("graft_auc(label, proba)")).head.getDouble(0)
+    // closed form vs MLlib's own local probabilities on a sample
+    val sample = scored.limit(200)
+      .select((feats :+ col("proba")): _*).collect()
+    val gap = mllibProbaLocal(t.model,
+      sample.toIndexedSeq.map(r => Array.tabulate(feats.length)(r.getDouble)))
+      .zip(sample.map(_.getDouble(feats.length)))
+      .map { case (m, cf) => math.abs(m - cf) }.max
     import s.implicits._
     Seq((t.nTrain, t.nTest, math.rint(t.auc * 1e6) / 1e6,
         math.rint(aucHist * 1e6) / 1e6, gap < 1e-9))

@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   * never-set `_model_version` (`main.py:77-83`) are implemented as
   * intended, not as shipped.
   */
-final class ModelRegistry(root: String) {
+final class ModelRegistry(root: String) extends Serializable {
 
   private def nameDir(name: String): Path = Paths.get(root, name)
 

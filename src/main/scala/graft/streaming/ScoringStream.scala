@@ -125,6 +125,40 @@ object ScoringStream {
       .orderBy(col("day"))
   }
 
+  /** The complete real-time scoring shape (M8 in streaming form):
+    * event stream → model-feature projection → `foreachBatch` that
+    * re-resolves the Production model from the registry on EVERY
+    * micro-batch (pointer read — the reference's 60 s reload thread,
+    * `main.py:183-189`, collapsed to per-batch freshness) and appends
+    * scored rows. Falls back to the heuristic while the registry is
+    * empty (M9). */
+  def runModelScoredStream(spark: SparkSession, dir: String, outDir: String,
+                           registry: graft.ml.ModelRegistry,
+                           modelName: String): DataFrame = {
+    val ckpt = Files.createTempDirectory("graft-model-ckpt-").toString
+    val features = scoredStream(spark, dir)
+      .select(
+        col("event_id"), col("ts"),
+        col("value").as("amount"),
+        lit(1.0).as("num_items"),
+        (col("k") / lit(100.0)).as("merchant_risk"),
+        col("hr").as("hour"))
+    val q = features.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // batch.sparkSession, not an outer capture: the sink closure
+        // must stay serializable
+        graft.ml.FraudModel
+          .scoreBatch(batch.sparkSession, registry, modelName, batch)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** G7 + S1: rate-limited synthetic transaction stream — the
     * reference's producer (`services/producer/app/producer.py:16-46`)
     * as a rate source feeding seeded generator expressions. The

@@ -32,9 +32,13 @@ class MlSpec extends SparkSpec {
 
   test("M3: closed-form sigmoid equals MLlib probabilities") {
     val feats = Scoring.FeatureOrder.map(col)
-    val scored = FraudModel.mllibProba(trained.model.transform(data))
+    val scored = data.limit(500)
       .withColumn("cf", FraudModel.closedFormProba(trained.model, feats))
-    val gap = scored.agg(max(abs(col("proba") - col("cf")))).head.getDouble(0)
+      .select((feats :+ col("cf")): _*).collect()
+    val mllib = FraudModel.mllibProbaLocal(trained.model,
+      scored.toIndexedSeq.map(r => Array.tabulate(feats.length)(r.getDouble)))
+    val gap = mllib.zip(scored.map(_.getDouble(feats.length)))
+      .map { case (m, cf) => math.abs(m - cf) }.max
     assert(gap < 1e-9, s"gap $gap")
   }
 

@@ -130,6 +130,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("M8 streaming: foreachBatch scores with the live Production model") {
+    val root = Files.createTempDirectory("graft-stream-reg-").toString
+    val reg = new graft.ml.ModelRegistry(root)
+    val trained = graft.ml.FraudModel.train(
+      graft.ml.FraudModel.syntheticTraining(spark, n = 2000, seed = 7))
+    reg.promote("fraud_detector", reg.register(trained.model, "fraud_detector"))
+    val out = Files.createTempDirectory("graft-stream-scored-").toString + "/out"
+    val scored = graft.streaming.ScoringStream
+      .runModelScoredStream(spark, sf, out, reg, "fraud_detector")
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(scored.count() == nEvents)
+    assert(scored.select("model_version").distinct().head.getString(0) == "v1")
+    assert(scored.filter(col("proba") < 0 || col("proba") > 1).count() == 0)
+    // empty registry → heuristic fallback, same plumbing
+    val out2 = Files.createTempDirectory("graft-stream-scored-").toString + "/out"
+    val fb = graft.streaming.ScoringStream.runModelScoredStream(
+      spark, sf, out2, new graft.ml.ModelRegistry(
+        Files.createTempDirectory("graft-empty-reg-").toString), "fraud_detector")
+    assert(fb.select("model_version").distinct().head.getString(0) == "heuristic")
+  }
+
   test("streaming daily metrics equal batch daily metrics") {
     val streamed = ScoringStream.runDailyMetricsStream(spark, sf)
     val batch = FraudAnalytics.dailyMetrics.fn(spark, sf)
