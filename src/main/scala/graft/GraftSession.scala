@@ -19,7 +19,6 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
 
   /** Build (or reuse) the session and install the graft extensions. */

@@ -41,11 +41,16 @@ object Scoring {
     coalesce(element_at(features, key).cast(DoubleType), lit(0.0))
 
   /** P2 — merge a scalar column into the feature map
-    * (`features["amount"] = amount`). map_concat keeps the last
-    * occurrence of a duplicate key under
-    * spark.sql.mapKeyDedupPolicy=LAST_WIN. */
+    * (`features["amount"] = amount`). The reference's dict assignment
+    * overwrites an existing key; we drop any pre-existing "amount"
+    * entry before concatenating so the result is correct under ANY
+    * spark.sql.mapKeyDedupPolicy (the default EXCEPTION policy would
+    * otherwise throw DUPLICATE_MAP_KEY on maps that already carry an
+    * "amount" key). */
   def withAmount(features: Column, amount: Column): Column =
-    map_concat(features, map(lit("amount"), amount.cast(DoubleType)))
+    map_concat(
+      map_filter(features, (k, _) => k =!= lit("amount")),
+      map(lit("amount"), amount.cast(DoubleType)))
 
   /** P4 / M9 — heuristic fallback score used when no model is loaded. */
   def heuristicProba(amount: Column, threshold: Double = 1000.0): Column =

@@ -28,10 +28,12 @@ final class ModelRegistry(root: String) extends Serializable {
     if (!Files.isDirectory(d)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(d).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
-        .toSeq.sorted
+      scala.util.Using.resource(Files.list(d)) { stream =>
+        stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
+          .toSeq.sorted
+      }
     }
   }
 

@@ -317,12 +317,15 @@ object FraudAnalytics {
   /** Sessionization: 30-minute-inactivity sessions per user via
     * `session_window` — the stateful window operator the reference's
     * predicate-style lookbacks never had. Oracle reproduces the
-    * semantics with gaps-and-islands SQL. */
+    * semantics with gaps-and-islands SQL. Boundary: Spark's session
+    * window is [start, start+gap) — end exclusive — so a gap of
+    * exactly 30:00 starts a NEW session; the oracle must break on
+    * `>=`, not `>`, to agree on exact-boundary gaps. */
   val sessionize: Q = Q("fraud_sessionize",
     """WITH o AS (
       |  SELECT user_id, ts,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |              OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+      |              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
       |         THEN 1 ELSE 0 END AS brk
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), s AS (

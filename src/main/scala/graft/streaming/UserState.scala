@@ -62,6 +62,16 @@ object UserState {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table("graft_user_profiles").as[UserProfile]
+    // Update-mode memory sink appends one row per (user, micro-batch);
+    // when the source splits input across batches a user appears once
+    // per batch it was updated in. Keep only the final state per user
+    // (max n_events — the count is monotone across batches).
+    val rows = spark.table("graft_user_profiles").as[UserProfile]
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    rows.withColumn("_rn",
+        row_number().over(Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+      .as[UserProfile]
   }
 }

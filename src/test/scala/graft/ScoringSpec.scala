@@ -24,12 +24,25 @@ class ScoringSpec extends SparkSpec {
     assert(df.head.getSeq[Double](0) == Seq(0.0, 0.0, 0.0, 0.0))
   }
 
-  test("P2 map augmentation overrides amount (LAST_WIN)") {
-    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    val df = features(Map("amount" -> 1.0))
+  test("P2 map augmentation overrides amount under the DEFAULT dedup policy") {
+    // Must work without LAST_WIN: the default EXCEPTION policy throws
+    // on duplicate map keys, so withAmount has to pre-drop the key.
+    assert(spark.conf.get("spark.sql.mapKeyDedupPolicy") == "EXCEPTION")
+    val df = features(Map("amount" -> 1.0, "hour" -> 4.0))
+      .select(
+        Scoring.featureAt(
+          Scoring.withAmount(col("features"), lit(99.0)), "amount").as("a"),
+        Scoring.featureAt(
+          Scoring.withAmount(col("features"), lit(99.0)), "hour").as("h"))
+    val r = df.head
+    assert(r.getDouble(0) == 99.0 && r.getDouble(1) == 4.0)
+  }
+
+  test("P2 map augmentation inserts amount when absent") {
+    val df = features(Map("hour" -> 4.0))
       .select(Scoring.featureAt(
-        Scoring.withAmount(col("features"), lit(99.0)), "amount").as("a"))
-    assert(df.head.getDouble(0) == 99.0)
+        Scoring.withAmount(col("features"), lit(7.5)), "amount").as("a"))
+    assert(df.head.getDouble(0) == 7.5)
   }
 
   test("P4 heuristic: 1.0 above threshold else 0.05") {
