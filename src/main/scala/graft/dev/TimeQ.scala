@@ -2,13 +2,14 @@ package graft.dev
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: time a single named query (args: name [sfDir] [reps]) the
-  * same way Bench does, printing per-rep wall seconds. */
+/** Dev-only: time named queries (args: name1[,name2,...] [sfDir]
+  * [reps]) in ONE warmed session the same way Bench does, printing
+  * per-rep wall seconds. */
 object TimeQ {
   def main(args: Array[String]): Unit = {
-    val name  = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps  = if (args.length > 2) args(2).toInt else 2
+    val reps  = if (args.length > 2) args(2).toInt else 1
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,12 +17,25 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val ms = for { s <- si.submissionTime; c <- si.completionTime } yield c - s
+        val tm = si.taskMetrics
+        println(f"  stage ${si.stageId}%3d ${ms.getOrElse(-1L)}%6d ms cpu=${tm.executorRunTime}%6d " +
+          f"in=${tm.inputMetrics.recordsRead}%8d sr=${tm.shuffleReadMetrics.recordsRead}%8d " +
+          f"sw=${tm.shuffleWriteMetrics.recordsWritten}%8d tasks=${si.numTasks}%3d")
+      }
+    })
     spark.range(1000).selectExpr("sum(id)").collect()
-    val fn = graft.SparkEntry.queries(name)
+    graft.SparkEntry.entry(spark).count()
     (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s  ($n rows)")
+      names.foreach { name =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"rep$i $name: ${(System.nanoTime() - t0) / 1e9}%.3f s  ($n rows)")
+      }
     }
     spark.stop()
   }

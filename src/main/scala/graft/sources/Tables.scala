@@ -38,4 +38,15 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Spread a small scan across all cores before a CPU-heavy per-row
+    * stage (shingling, signature computation). At production scale the
+    * input has more splits than cores and this is a no-op (guarded on
+    * the scan's partition count); on the local testdata each table is
+    * one small file → one task, which would serialize the per-row work
+    * no matter how many executor threads exist. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }
