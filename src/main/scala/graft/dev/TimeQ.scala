@@ -18,6 +18,9 @@ object TimeQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        println(s"  job ${js.jobId} stages=${js.stageIds.mkString(",")} " +
+          Option(js.properties.getProperty("spark.job.description")).getOrElse("").take(120))
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
@@ -25,7 +28,7 @@ object TimeQ {
         val tm = si.taskMetrics
         println(f"  stage ${si.stageId}%3d ${ms.getOrElse(-1L)}%6d ms cpu=${tm.executorRunTime}%6d " +
           f"in=${tm.inputMetrics.recordsRead}%8d sr=${tm.shuffleReadMetrics.recordsRead}%8d " +
-          f"sw=${tm.shuffleWriteMetrics.recordsWritten}%8d tasks=${si.numTasks}%3d")
+          f"sw=${tm.shuffleWriteMetrics.recordsWritten}%8d tasks=${si.numTasks}%3d  [${si.name.take(60)}]")
       }
     })
     spark.range(1000).selectExpr("sum(id)").collect()

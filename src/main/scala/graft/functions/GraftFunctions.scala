@@ -25,6 +25,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1)))
     registry.registerFunction(
+      FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
+    registry.registerFunction(
       FunctionIdentifier("graft_auc"),
       new ExpressionInfo(classOf[HistAuc].getName, "graft_auc"),
       (children: Seq[Expression]) => {

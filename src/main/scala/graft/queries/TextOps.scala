@@ -30,16 +30,6 @@ object TextOps {
   private def tokenized(docs: DataFrame): DataFrame =
     docs.withColumn("w", split(col("text"), " "))
 
-  /** Distinct word n-shingles per doc as an array column (no
-    * explode — per-row HOF computation). */
-  private[queries] def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
-    tokenized(docs)
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), array_distinct(
-        expr(s"transform(sequence(0, size(w)-$n), i -> " +
-          (0 until n).map(j => s"w[i+$j]").mkString("concat_ws(' ', ", ", ", ")") + ")")
-      ).as("sh"))
-
   /** Distinct HASHED word 3-shingles per doc as `array<long>` plus the
     * distinct-shingle count `n` — the compact representation every
     * dedup pipeline (exact near-dup, MinHash, LSH recheck) works from.
@@ -49,34 +39,50 @@ object TextOps {
     * STRINGS are ever materialized, so the dominant cost drops from
     * |tokens|·shingle-width string building to 2·|tokens| long hashes,
     * and everything downstream (distinct, joins, intersections) runs
-    * on 8-byte keys. Collisions: distinct token triples collide with
-    * p ≈ |vocab|²/2⁶⁵ (~1e-11 here) and can only merge two shingles,
-    * which both the Spark side and, w.h.p., nothing observable —
-    * candidate generation re-checks exactly, and the exact
-    * intersection over hashes equals the string intersection unless a
-    * collision lands inside one document pair. */
+    * on 8-byte keys. Collisions: two distinct token triples collide
+    * with p ≈ |shingles|²/2⁶⁵ (~1e-11 here); a collision can only
+    * merge two shingles, which inflates an intersection by at most
+    * one — w.h.p. nothing observable, and candidate generation is
+    * re-checked exactly over these same hashes, so LSH vs exact
+    * comparisons stay internally consistent. */
   private[queries] def hashedShingleArrays(docs: DataFrame): DataFrame =
     tokenized(docs)
       .filter(size(col("w")) >= 3)
       .withColumn("hw", expr("transform(w, x -> xxhash64(x))"))
-      .select(col("doc_id"), array_distinct(
-        expr("transform(sequence(0, size(hw)-3), i -> xxhash64(hw[i], hw[i+1], hw[i+2]))"))
+      .select(col("doc_id"), sort_array(array_distinct(
+        expr("transform(sequence(0, size(hw)-3), i -> xxhash64(hw[i], hw[i+1], hw[i+2]))")))
         .as("hs"))
       .withColumn("n", size(col("hs")).cast("long"))
+
+  /** Broadcast-hint a join side only when its estimated in-memory size
+    * fits comfortably on the driver/executors. Hard-coding the hint is
+    * wrong at the 100 TB design point (distinct shingles and candidate
+    * sets grow with the corpus); gating on an estimate keeps the local
+    * plan optimal and degrades to a shuffle hash join at scale. */
+  private val BroadcastBytesLimit: Long = 64L << 20
+  private def maybeBroadcast(df: DataFrame, estBytes: Long): DataFrame =
+    if (estBytes <= BroadcastBytesLimit) broadcast(df) else df
 
   /** [[hashedShingleArrays]] over the documents table, memoized +
     * persisted per (application, sf dir): the exact near-dup queries
     * and the MinHash/LSH sketch queries all start from this one
-    * cached frame, so a session benches the shingle computation ONCE. */
+    * cached frame, so a session benches the shingle computation ONCE.
+    * Materialization doubles as the stats pass — doc count and total
+    * postings come back from the same single job and feed the
+    * broadcast-size gates downstream. */
   private val shCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long, Long)]
 
-  private[queries] def hashedShingles(s: SparkSession, dir: String): DataFrame =
+  /** Returns (hashed-shingle frame, nDocs, total postings). */
+  private[queries] def hashedShinglesStats(s: SparkSession, dir: String): (DataFrame, Long, Long) =
     shCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
       val df = hashedShingleArrays(Tables.fanOut(Tables.documents(s, dir))).persist()
-      df.count()
-      df
+      val r = df.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
+      (df, r.getLong(0), r.getLong(1))
     })
+
+  private[queries] def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    hashedShinglesStats(s, dir)._1
 
   // ---------------------------------------------------------------- tokens
   /** Token counting — whitespace tokenization + distinct counts. */
@@ -222,72 +228,82 @@ object TextOps {
       // rare tokens only — candidates collapse from Σ df² over all
       // shingles to Σ df² over rare ones. The full intersection is
       // then recomputed exactly, but only for candidate pairs.
-      // fanOut: the shingle HOF is the CPU-heavy stage — spread the
-      // one-file local scan across cores. The intermediates below
-      // (inverted index, prefix, candidates) are each consumed by
-      // SEVERAL downstream branches; without an explicit cache each
-      // branch re-evaluates the whole upstream chain (self-joins
-      // defeat exchange reuse because attribute dedup re-ids one
-      // side), so the candidate DAG would run 4-6×. Cache + eager
-      // count pins each shared intermediate to exactly one
-      // evaluation — the "materialized intermediate" discipline a
-      // production dedup pipeline needs at any scale.
-      // The inverted index works on xxhash64(shingle) LONGS, not the
-      // shingle strings: every downstream shuffle, sort, and join key
-      // is 8 bytes instead of ~20-char strings, and the prefix
-      // self-join becomes a long equi-join. A hash collision can only
-      // ADD a candidate pair (false positive), never drop one, and
-      // every candidate is re-checked exactly below — so exactness is
-      // preserved. The string arrays stay cached only for the final
-      // array_intersect.
-      val shArr = shingleArrays(Tables.fanOut(Tables.documents(s, dir))).persist()
-      val sh = shArr
-        .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
-          explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
-        .persist()
-      sh.count() // materializes shArr too (parent of sh)
-      // df per shingle: one shuffle over longs, output ~|vocab| rows —
-      // small enough to broadcast back for the rank computation.
-      val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      // Everything runs on the shared hashed-shingle frame
+      // ([[hashedShingles]]): every shuffle, sort, and join key is an
+      // 8-byte long, shingle strings are never materialized, and the
+      // one CPU-heavy shingling pass is computed (and cached) once per
+      // session for ALL dedup pipelines. The intermediates below
+      // (inverted index, prefix, candidates) each feed several
+      // downstream branches; without an explicit cache each branch
+      // re-evaluates the whole upstream chain (self-joins defeat
+      // exchange reuse because attribute dedup re-ids one side), so
+      // the candidate DAG would run 4-6×. Cache + eager count pins
+      // each shared intermediate to exactly one evaluation, and each
+      // is unpersisted as soon as its consumers have materialized.
+      val (hsArr, _, postings) = hashedShinglesStats(s, dir)
+      // Exploding the cached arrays is a cheap narrow map — both
+      // consumers (df counts, prefix ranks) re-derive it from the
+      // cache rather than paying a third materialization job.
+      val sh = hsArr.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+      // df per shingle: one shuffle over longs, ~|distinct shingles|
+      // rows (≤ postings). Broadcast only while the estimate fits —
+      // distinct shingles grow with the corpus, so at the 100 TB
+      // design point this falls back to a shuffle hash join.
+      val freq = maybeBroadcast(
+        sh.groupBy(col("h")).agg(count(lit(1)).as("df")),
+        estBytes = postings * 16)
       // Prefix-filter rank via window over (df, h): any consistent
       // total order works for prefix filtering; (df asc) puts the
-      // RAREST shingles in each doc's prefix. broadcast(freq) keeps
-      // the df attachment a map-side hash join (no sort-merge).
+      // RAREST shingles in each doc's prefix.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-      val prefix = sh.join(broadcast(freq), "h")
+      val prefix = sh.join(freq, "h")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= floor(col("n") / 2) + 1)
-        .select(col("doc_id"), col("h"))
+        .select(col("doc_id"), col("n"), col("rk"), col("h"))
         .persist()
       prefix.count() // self-join below would otherwise evaluate it twice
+      // Candidate pairs, pruned in the join itself by the two other
+      // PPJoin bounds (both exact for J >= 0.5, both integer-only):
+      //  - length filter: J <= min(n1,n2)/max(n1,n2), so a qualifying
+      //    pair has max(n) <= 2·min(n).
+      //  - positional filter: J >= 1/2 needs overlap i with 3i >=
+      //    n1+n2; at a pair's FIRST shared prefix shingle (ranks rk1,
+      //    rk2 in the shared global order) the remaining overlap is at
+      //    most min(n1-rk1, n2-rk2)+1. Later shared shingles of a true
+      //    pair may fail this bound, but the first never does, so the
+      //    pair always survives the subsequent distinct.
       val cands = prefix.as("a")
-        .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
+          && greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * 2
+          && (least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) + 1) * 3
+             >= col("a.n") + col("b.n"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
         .persist()
       cands.count()
       prefix.unpersist()
-      // Exact intersection per CANDIDATE PAIR via array_intersect on
-      // the two docs' shingle arrays — joins each pair to its arrays
-      // and intersects in a map stage. This replaces a second
-      // inverted-index self-join + huge groupBy (which computes
-      // intersections for every co-shingled pair among candidate
-      // docs, then throws most away): cost becomes |cands| × O(n)
-      // hash-intersects instead of a Σdf² shuffle. Broadcast is safe
-      // because the per-doc array table is ~|docs| rows; at cluster
-      // scale swap to shuffle hash joins on d1/d2 — same plan shape.
-      val j = col("i").cast("double") /
-        ((size(col("x.sh")) + size(col("y.sh"))) - col("i"))
+      // Exact intersection per CANDIDATE PAIR via the native
+      // two-pointer merge over the (sorted) hashed-shingle arrays —
+      // codegen'd, no per-row hash set or output array
+      // ([[graft.functions.SortedIntersectCount]]). This replaces a
+      // second inverted-index self-join + huge groupBy: cost becomes
+      // |cands| × O(n) linear merges instead of a Σdf² shuffle.
+      // No broadcast hint: hsArr is cached so AQE has exact stats and
+      // picks broadcast while it fits, shuffle joins on d1/d2 past
+      // that; at extreme corpus sizes a candidate-id semi-join prune
+      // of hsArr in front of these joins cuts the shuffled volume.
+      graft.functions.GraftFunctions.register(s)
+      val j = col("i").cast("double") / ((col("x.n") + col("y.n")) - col("i"))
       val pairs = cands
-        .join(broadcast(shArr.as("x")), col("d1") === col("x.doc_id"))
-        .join(broadcast(shArr.as("y")), col("d2") === col("y.doc_id"))
-        .withColumn("i", size(array_intersect(col("x.sh"), col("y.sh"))).cast("long"))
+        .join(hsArr.as("x"), col("d1") === col("x.doc_id"))
+        .join(hsArr.as("y"), col("d2") === col("y.doc_id"))
+        .withColumn("i", expr("graft_sorted_intersect(x.hs, y.hs)"))
         .filter(j >= 0.5)
         .select(col("d1"), col("d2"), col("i"), j.as("jaccard"))
         .persist()
       pairs.count()
-      Seq(shArr, sh, cands).foreach(_.unpersist())
+      cands.unpersist()
       pairs
     })
 

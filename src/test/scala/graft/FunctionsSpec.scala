@@ -61,6 +61,36 @@ class FunctionsSpec extends SparkSpec {
     for (r <- out) assert(r.getDouble(1) == r.getDouble(2), s"row ${r.getInt(0)}")
   }
 
+  test("graft_sorted_intersect equals size(array_intersect) on sorted arrays") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(17)
+    def arr() = Array.fill(rng.nextInt(60))(rng.nextInt(40).toLong).distinct.sorted
+    val rows = (0 until 200).map(i => (i, arr(), arr())) ++
+      Seq((200, Array.empty[Long], Array(1L, 2L)), (201, Array.empty[Long], Array.empty[Long]))
+    val out = rows.toDF("i", "a", "b")
+      .selectExpr("i", "graft_sorted_intersect(a, b) AS native",
+        "cast(size(array_intersect(a, b)) AS bigint) AS builtin")
+      .collect()
+    for (r <- out) assert(r.getLong(1) == r.getLong(2), s"row ${r.getInt(0)}")
+  }
+
+  test("graft_sorted_intersect stays inside WholeStageCodegen and is null-safe") {
+    GraftFunctions.register(spark)
+    val df = spark.range(100)
+      .selectExpr("sequence(0L, id) AS a", "sequence(id div 2, 99L) AS b")
+      .selectExpr("graft_sorted_intersect(a, b) AS n")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sorted_intersect"), plan)
+    assert(plan.contains("*(1) Project"), plan)
+    // |[0..id] ∩ [id/2..99]| = id - id/2 + 1 for id <= 99
+    val got = df.collect().map(_.getLong(0))
+    val want = (0 until 100).map(id => (id - id / 2 + 1).toLong)
+    assert(got.toSeq == want)
+    val withNull = Seq((Some(Array(1L, 2L)), None), (None, None))
+      .toDF("a", "b").selectExpr("graft_sorted_intersect(a, b) AS n").collect()
+    assert(withNull.forall(_.isNullAt(0)))
+  }
+
   test("graft_auc degenerate inputs: single class → 0.5") {
     GraftFunctions.register(spark)
     val df = Seq((1.0, 0.9), (1.0, 0.2)).toDF("label", "score")
