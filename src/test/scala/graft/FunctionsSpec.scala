@@ -86,7 +86,8 @@ class FunctionsSpec extends SparkSpec {
     val got = df.collect().map(_.getLong(0))
     val want = (0 until 100).map(id => (id - id / 2 + 1).toLong)
     assert(got.toSeq == want)
-    val withNull = Seq((Some(Array(1L, 2L)), None), (None, None))
+    val withNull = Seq[(Option[Array[Long]], Option[Array[Long]])](
+        (Some(Array(1L, 2L)), None), (None, None))
       .toDF("a", "b").selectExpr("graft_sorted_intersect(a, b) AS n").collect()
     assert(withNull.forall(_.isNullAt(0)))
   }
