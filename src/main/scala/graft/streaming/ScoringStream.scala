@@ -110,8 +110,11 @@ object ScoringStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // Keyed upsert as dynamic partition overwrite: each updated
         // `day` replaces exactly its own partition — the scalable
-        // analog of `INSERT .. ON CONFLICT (day) DO UPDATE`.
-        batch.write.mode("overwrite").partitionBy("day").parquet(store)
+        // analog of `INSERT .. ON CONFLICT (day) DO UPDATE`. The
+        // update set is one row per touched day (~30 here; bounded by
+        // days-per-batch at any scale), so collapse to one write task
+        // instead of fanning 30 rows across every core.
+        batch.coalesce(1).write.mode("overwrite").partitionBy("day").parquet(store)
         ()
       }
       .trigger(Trigger.AvailableNow())
