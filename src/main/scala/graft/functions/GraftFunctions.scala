@@ -2,39 +2,47 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.DoubleType
 
-/** Registration of graft's native Catalyst functions into a session's
-  * FunctionRegistry, making them available to `expr(...)` / SQL like
-  * any built-in:
+/** graft's native Catalyst functions, available to `expr(...)` / SQL
+  * like any built-in once registered:
   *
-  *   graft_fingerprint64(str)      — codegen'd rolling-hash (scalar)
-  *   graft_auc(label, score)      — histogram AUC (aggregate)
+  *   graft_fingerprint64(str)       — codegen'd rolling-hash (scalar)
+  *   graft_cosine(a, b)             — fused cosine similarity
+  *   graft_sorted_intersect(a, b)   — two-pointer merge intersection count
+  *   graft_auc(label, score)        — histogram AUC (aggregate)
+  *
+  * Two wiring paths share these descriptions: [[register]] installs
+  * them imperatively on a built session; [[graft.GraftExtensions]]
+  * injects them via `spark.sql.extensions` at session build time.
   */
 object GraftFunctions {
 
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    registry.registerFunction(
-      FunctionIdentifier("graft_fingerprint64"),
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val descriptions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("graft_fingerprint64"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_fingerprint64"),
-      (children: Seq[Expression]) => RollingHash(children.head))
-    registry.registerFunction(
-      FunctionIdentifier("graft_cosine"),
+      (children: Seq[Expression]) => RollingHash(children.head)),
+    (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1)))
-    registry.registerFunction(
-      FunctionIdentifier("graft_sorted_intersect"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))),
+    (FunctionIdentifier("graft_sorted_intersect"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
-      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
-    registry.registerFunction(
-      FunctionIdentifier("graft_auc"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
+    (FunctionIdentifier("graft_auc"),
       new ExpressionInfo(classOf[HistAuc].getName, "graft_auc"),
       (children: Seq[Expression]) => {
-        val asDouble = children.map(c =>
-          org.apache.spark.sql.catalyst.expressions.Cast(c, DoubleType))
+        val asDouble = children.map(Cast(_, DoubleType))
         HistAuc(asDouble(0), asDouble(1)).toAggregateExpression()
-      })
+      }))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    descriptions.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
   }
 }

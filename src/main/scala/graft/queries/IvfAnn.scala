@@ -41,20 +41,22 @@ object IvfAnn {
     * (deterministic at any partitioning, unlike `limit`). */
   val TrainSample = 4096L
 
-  private def centLit(c: Array[Double]): Column = array(c.map(lit): _*)
-
   /** `struct(cosine, list)` per centroid, sorted descending by
     * cosine, truncated to `take` — the per-row scoring kernel for
-    * both assignment (take=1) and probing (take=NProbe). Pure column
-    * arithmetic over literal centroids: stays in WholeStageCodegen. */
+    * both assignment (take=1) and probing (take=NProbe).
+    *
+    * Centroids enter the plan as `typedLit` array constants (one
+    * Literal each, NOT a per-row CreateArray of 64 literals) and the
+    * per-centroid score is the native fused [[graft.functions
+    * .CosineSim]] — one allocation-free codegen loop per centroid per
+    * row. The HOF formulation (zip_with + aggregate per centroid)
+    * costs ~50× more: boxed lambda evaluation plus an intermediate
+    * array allocation per centroid per row. */
   private def bestLists(e: Column, cents: Array[Array[Double]], take: Int): Column = {
     // NB: `array(struct(...), ...)` type-coercion renames struct
     // fields to the positional col1/col2 — extract by those names.
     val scored = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(
-        Similarity.dotd(e, centLit(c)) /
-          (sqrt(Similarity.normSq(e)) * lit(math.sqrt(c.map(x => x * x).sum))),
-        lit(i))
+      struct(call_function("graft_cosine", e, typedLit(c)), lit(i))
     }: _*)
     slice(reverse(array_sort(scored)), 1, take)
   }
@@ -64,36 +66,49 @@ object IvfAnn {
   private def assignCol(e: Column, cents: Array[Array[Double]]): Column =
     element_at(bestLists(e, cents, 1), 1).getField(ListField)
 
-  /** One Lloyd iteration: assign the sample, recompute per-list mean
-    * vectors (posexplode → (list, dim) avg → re-assembled in dim
-    * order). Lists that lose all members keep their old centroid. */
-  private def lloydStep(sample: DataFrame, cents: Array[Array[Double]]): Array[Array[Double]] = {
-    val means = sample
-      .select(assignCol(col("embedding"), cents).as("list_id"),
-        posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("list_id"), col("i"))
-      .agg(avg(col("x").cast("double")).as("m"))
-      .groupBy(col("list_id"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
-        s => s.getField("m")).as("cent"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .toMap
-    cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Train the codebook: seed with the first `NumLists` vectors by
-    * vec_id, refine with [[LloydIters]] iterations on the bounded
-    * sample. Deterministic end to end. */
+  /** One Lloyd iteration over the in-memory sample: assign each
+    * vector to its max-cosine centroid, recompute per-list means.
+    * Lists that lose all members keep their old centroid. */
+  private def lloydLocal(sample: Array[Array[Double]],
+                         cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val dim  = cents.head.length
+    val sums = Array.fill(cents.length)(new Array[Double](dim))
+    val cnts = new Array[Long](cents.length)
+    sample.foreach { v =>
+      var best = 0; var bestCos = Double.NegativeInfinity; var c = 0
+      while (c < cents.length) {
+        val cos = cosineLocal(v, cents(c))
+        if (cos > bestCos) { bestCos = cos; best = c }
+        c += 1
+      }
+      var i = 0
+      while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      cnts(best) += 1
+    }
+    cents.indices.map { c =>
+      if (cnts(c) == 0) cents(c) else sums(c).map(_ / cnts(c))
+    }.toArray
+  }
+
+  /** Train the codebook DRIVER-SIDE on a bounded sample: one collect
+    * (≤ `TrainSample`×dim doubles — MBs at any corpus size, the IVF
+    * contract), then Lloyd iterations as local loops. Seeds are the
+    * first `NumLists` vectors by vec_id; deterministic end to end.
+    * Running Lloyd distributed would cost a job + a fresh codegen of
+    * the scoring expression per iteration to average a few thousand
+    * rows — the sample is the thing that's small by design here. */
   def trainCentroids(emb: DataFrame): Array[Array[Double]] = {
     val sample = emb.filter(col("vec_id") < TrainSample)
-      .select(col("vec_id"), col("embedding")).cache()
-    val seeds = sample.filter(col("vec_id") < NumLists)
-      .orderBy(col("vec_id")).collect()
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).collect()
       .map(_.getSeq[Float](1).toArray.map(_.toDouble))
-    val trained = (1 to LloydIters).foldLeft(seeds)((c, _) => lloydStep(sample, c))
-    sample.unpersist()
-    trained
+    val seeds = sample.take(NumLists)
+    (1 to LloydIters).foldLeft(seeds)((c, _) => lloydLocal(sample, c))
   }
 
   /** IVF ANN top-k for the first `numQueries` vectors (self
