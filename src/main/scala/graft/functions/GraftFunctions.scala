@@ -37,6 +37,16 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         val asDouble = children.map(Cast(_, DoubleType))
         HistAuc(asDouble(0), asDouble(1)).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash(hs, k): k must be an int literal, got $other")
+        }
+        MinHashSig(children(0), k)
       }))
 
   def register(spark: SparkSession): Unit = {

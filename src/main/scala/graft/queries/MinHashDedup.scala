@@ -41,15 +41,19 @@ object MinHashDedup {
     * the seed — the standard "one strong hash + k cheap mixes"
     * construction (hashing the full shingle k times would multiply
     * the dominant cost by k for no statistical gain). Computed per
-    * row with HOFs — a pure map stage, no explode, no shuffle.
-    * Input: (doc_id, hs: array<long>, n) from
-    * [[TextOps.hashedShingleArrays]]. */
-  def signatures(hsArr: DataFrame): DataFrame =
+    * row by the native [[graft.functions.MinHashSig]] — one
+    * allocation-free codegen loop, bit-identical to the HOF
+    * `transform(sequence, j -> array_min(transform(hs, xxhash64)))`
+    * formulation (equality pinned in FunctionsSpec). A pure map
+    * stage: no explode, no shuffle. Input: (doc_id, hs: array<long>,
+    * n) from [[TextOps.hashedShingleArrays]]. */
+  def signatures(hsArr: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(hsArr.sparkSession)
     hsArr.select(
       col("doc_id"),
-      expr(s"transform(sequence(0, ${NumHashes - 1}), " +
-        "j -> array_min(transform(hs, h -> xxhash64(j, h))))").as("sig"),
+      expr(s"graft_minhash(hs, $NumHashes)").as("sig"),
       col("n").as("n_shingles"))
+  }
 
   /** Band keys: hash of each RowsPerBand-slice of the signature. */
   def banded(sigs: DataFrame): DataFrame =

@@ -61,6 +61,30 @@ class FunctionsSpec extends SparkSpec {
     for (r <- out) assert(r.getDouble(1) == r.getDouble(2), s"row ${r.getInt(0)}")
   }
 
+  test("graft_minhash is bit-identical to the HOF formulation and codegen-resident") {
+    GraftFunctions.register(spark)
+    val df = spark.range(200)
+      .selectExpr("id AS doc_id",
+        "transform(sequence(0L, 5L + id % 37), i -> xxhash64(i * 7 + id)) AS hs")
+    val both = df.selectExpr(
+      "graft_minhash(hs, 16) AS native",
+      "transform(sequence(0, 15), j -> array_min(transform(hs, h -> xxhash64(j, h)))) AS hof")
+    assert(both.filter(expr("native <> hof")).count() == 0)
+    // codegen residency needs a lambda-free input projection (the HOF
+    // hs above would itself fall out of WholeStageCodegen)
+    val plan = spark.range(100)
+      .selectExpr("array(xxhash64(id), xxhash64(id + 1), xxhash64(id * 3)) AS hs")
+      .selectExpr("graft_minhash(hs, 8) AS s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    // null input -> null; empty array -> k nulls (HOF parity)
+    val edge = spark.sql(
+      """SELECT graft_minhash(CAST(NULL AS ARRAY<BIGINT>), 4) AS a,
+        |       graft_minhash(CAST(array() AS ARRAY<BIGINT>), 4) AS b""".stripMargin).head
+    assert(edge.isNullAt(0))
+    assert(edge.getSeq[Any](1) == Seq(null, null, null, null))
+  }
+
   test("graft_sorted_intersect equals size(array_intersect) on sorted arrays") {
     GraftFunctions.register(spark)
     val rng = new scala.util.Random(17)
