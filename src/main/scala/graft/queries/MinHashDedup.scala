@@ -90,16 +90,16 @@ object MinHashDedup {
     sigs.count()
     val bands = banded(sigs)
 
-    // cands feeds three branches (candDocs, the signature join, the
-    // exact recheck) — pin it to one evaluation.
+    // cands flows linearly into the signature join then the exact
+    // recheck — one consumer chain, so it stays lazy (persisting it
+    // would only add a materialization barrier); sigs above is the
+    // frame that genuinely forks (bands + two signature joins).
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-      .persist()
-    cands.count()
 
     // MinHash estimate: fraction of agreeing signature positions.
     val sigPair = cands
@@ -128,7 +128,7 @@ object MinHashDedup {
       .orderBy(col("d1"), col("d2"))
       .persist()
     pairs.count()
-    Seq(sigs, cands).foreach(_.unpersist())
+    sigs.unpersist()
     pairs
   }
 

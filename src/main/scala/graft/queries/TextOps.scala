@@ -280,9 +280,10 @@ object TextOps {
              >= col("a.n") + col("b.n"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-        .persist()
-      cands.count()
-      prefix.unpersist()
+      // cands flows into exactly ONE consumer (the recheck below), so
+      // it stays lazy — an eager persist here would only add a full
+      // materialization barrier. prefix must remain pinned until the
+      // recheck job (which re-reads it through cands) completes.
       // Exact intersection per CANDIDATE PAIR via the native
       // two-pointer merge over the (sorted) hashed-shingle arrays —
       // codegen'd, no per-row hash set or output array
@@ -303,7 +304,7 @@ object TextOps {
         .select(col("d1"), col("d2"), col("i"), j.as("jaccard"))
         .persist()
       pairs.count()
-      cands.unpersist()
+      prefix.unpersist()
       pairs
     })
 

@@ -107,6 +107,14 @@ class DedupSpec extends SparkSpec {
     assert(ann.filter(col("q_id") === col("c_id")).count() == 0)
   }
 
+  test("IVF ANN plan broadcasts the probe side and never goes cartesian") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val plan = IvfAnn.annTopK(emb).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("LSH ANN candidates on driver corpus are a valid subset with correct ranks") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val ann = LshAnn.annTopK(emb, k = 3)
