@@ -4,10 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    // The engine's recommended session config (GraftSession): AQE on
+    // with skew handling — runtime coalescing collapses the tiny
+    // post-shuffle partitions these SF inputs produce, and the same
+    // conf is what a production deployment would run with.
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, scheduler, file index caches) so
