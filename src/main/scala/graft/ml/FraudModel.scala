@@ -64,7 +64,13 @@ object FraudModel {
       .setWithMean(true).setWithStd(true)
       .setInputCol("rawFeatures").setOutputCol("features")
     val lr = new LogisticRegression()
-      .setMaxIter(1000).setFeaturesCol("features").setLabelCol("label")
+      .setMaxIter(1000)
+      // sklearn's LogisticRegression convergence default (the
+      // reference trains with it, training.py:51); MLlib's default is
+      // 1e-6, which burns extra LBFGS iterations past the tolerance
+      // the reference model ever had.
+      .setTol(1e-4)
+      .setFeaturesCol("features").setLabelCol("label")
     new Pipeline().setStages(Array(assembler, scaler, lr))
   }
 
