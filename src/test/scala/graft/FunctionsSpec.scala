@@ -85,6 +85,24 @@ class FunctionsSpec extends SparkSpec {
     assert(edge.getSeq[Any](1) == Seq(null, null, null, null))
   }
 
+  test("property: natives equal their built-in/HOF formulations on random inputs") {
+    GraftFunctions.register(spark)
+    // random sorted-distinct long arrays (negatives included, values
+    // compressed into [-50, 50) to force overlaps), random lengths
+    val rng = new scala.util.Random(99)
+    def arr() = Array.fill(rng.nextInt(60))(rng.nextLong() % 50).distinct.sorted
+    val rows = Seq.fill(300)((arr(), arr()))
+    val df = rows.toDF("a", "b")
+    val si = df.selectExpr(
+      "graft_sorted_intersect(a, b) AS native",
+      "size(array_intersect(a, b)) AS builtin")
+    assert(si.filter(expr("native <> builtin")).count() == 0)
+    val mh = df.filter(size(col("a")) > 0).selectExpr(
+      "graft_minhash(a, 8) AS native",
+      "transform(sequence(0, 7), j -> array_min(transform(a, h -> xxhash64(j, h)))) AS hof")
+    assert(mh.filter(expr("native <> hof")).count() == 0)
+  }
+
   test("graft_sorted_intersect equals size(array_intersect) on sorted arrays") {
     GraftFunctions.register(spark)
     val rng = new scala.util.Random(17)
