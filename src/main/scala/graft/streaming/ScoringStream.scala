@@ -87,9 +87,18 @@ object ScoringStream {
     // session default (one state store instance per shuffle
     // partition, each with checkpoint + commit overhead per batch).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // In UPDATE mode every batch already emits its updated groups; the
+    // trailing no-data micro-batch exists to advance the watermark for
+    // APPEND-mode finalization/state eviction, which this bounded
+    // backfill never needs — skip a whole state-store commit cycle.
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try runDailyMetricsStreamInner(spark, dir, ckpt, store)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
   }
 
   private def runDailyMetricsStreamInner(spark: SparkSession, dir: String,
