@@ -53,7 +53,7 @@ object FraudModel {
         lit(0.002) * col("amount") + lit(1.5) * col("merchant_risk")
           + lit(0.05) * night - lit(2.5)))
       .withColumn("label", (rand(seed + 6) < col("p_fraud")).cast("double"))
-      .select((FeatureCols.map(col) :+ col("label")): _*)
+      .select((FeatureCols.toIndexedSeq.map(col) :+ col("label")): _*)
   }
 
   /** M1+M2: assemble → z-score → logistic regression. */
@@ -179,7 +179,7 @@ object FraudModel {
     val te = data.randomSplit(Array(0.75, 0.25), 42)(1)
     val scored = te.withColumn("proba", closedFormProba(t.model, feats))
     val aucHist = scored
-      .agg(expr("graft_auc(label, proba)")).head.getDouble(0)
+      .agg(expr("graft_auc(label, proba)")).head().getDouble(0)
     // closed form vs MLlib's own local probabilities on a sample
     val sample = scored.limit(200)
       .select((feats :+ col("proba")): _*).collect()

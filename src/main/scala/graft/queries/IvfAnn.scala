@@ -55,7 +55,7 @@ object IvfAnn {
   private def bestLists(e: Column, cents: Array[Array[Double]], take: Int): Column = {
     // NB: `array(struct(...), ...)` type-coercion renames struct
     // fields to the positional col1/col2 — extract by those names.
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+    val scored = array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(call_function("graft_cosine", e, typedLit(c)), lit(i))
     }: _*)
     slice(reverse(array_sort(scored)), 1, take)
