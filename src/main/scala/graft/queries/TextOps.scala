@@ -45,7 +45,7 @@ object TextOps {
     * one — w.h.p. nothing observable, and candidate generation is
     * re-checked exactly over these same hashes, so LSH vs exact
     * comparisons stay internally consistent. */
-  private[queries] def hashedShingleArrays(docs: DataFrame): DataFrame =
+  private[graft] def hashedShingleArrays(docs: DataFrame): DataFrame =
     tokenized(docs)
       .filter(size(col("w")) >= 3)
       .withColumn("hw", expr("transform(w, x -> xxhash64(x))"))

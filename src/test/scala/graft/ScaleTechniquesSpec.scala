@@ -51,6 +51,43 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
+  test("PPJoin prefix filtering prunes the near-dup candidate space and stays complete") {
+    // Structural mirror of the candidate stage in
+    // TextOps.nearDupPairs05, next to the naive inverted-index
+    // candidates (every pair sharing ANY shingle) it replaces. The
+    // prefix-filter claim at scale: candidates collapse from Σ df²
+    // over all shingles to the rare-shingle prefix subset, with
+    // nothing true lost.
+    import org.apache.spark.sql.expressions.Window
+    val hsArr = graft.queries.TextOps
+      .hashedShingleArrays(graft.sources.Tables.documents(spark, sf))
+    val sh = hsArr.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+    val naive = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = sh.join(freq, "h")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= floor(col("n") / 2) + 1)
+      .select(col("doc_id"), col("n"), col("rk"), col("h"))
+    val pruned = prefix.as("a")
+      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
+        && greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * 2
+        && (least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) + 1) * 3
+           >= col("a.n") + col("b.n"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    val prunedCount = pruned.count()
+    val truePairs = graft.queries.TextOps.dedupNear.fn(spark, sf)
+      .select(col("d1"), col("d2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // complete: every true pair survives the prefix filter
+    val candSet = pruned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.subsetOf(candSet),
+      s"missing ${truePairs.diff(candSet)}")
+    // effective: strictly fewer candidates than the naive index
+    assert(prunedCount < naive, s"pruned=$prunedCount naive=$naive")
+  }
+
   test("salted two-phase aggregation equals direct aggregation on skewed keys") {
     // one hot key carrying 90% of rows
     val skewed = spark.range(0, 100000)
