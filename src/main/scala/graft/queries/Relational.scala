@@ -149,6 +149,46 @@ object Relational {
       .orderBy(col("r_name"))
   }
 
+  /** TPC-H Q14 shape: conditional aggregation over a broadcast
+    * fact⋈dim join — promo share of revenue. Both sums accumulate
+    * DECIMAL; the ratio is taken in double at the end. */
+  val promoRevenue: Q = Q("tpch_promo_revenue",
+    """SELECT ROUND(100.0 *
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |           THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
+      |           ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE),
+      |  6) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin) { (s, dir) =>
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 6))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(r6(lit(100.0)
+        * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(28, 6))))
+          .cast("double")
+        / sum(rev).cast("double")).as("promo_revenue_pct"))
+  }
+
+  /** Brand-level rollup with a selective filter on the broadcast dim
+    * side (pushed to the part scan). */
+  val brandPartStats: Q = Q("tpch_brand_part_stats",
+    """SELECT p_brand, COUNT(*) AS n_lineitems,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+      |  ROUND(AVG(p_retailprice), 6) AS avg_retail
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 25
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_size") <= 25)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        r6(avg(col("p_retailprice"))).as("avg_retail"))
+      .orderBy(col("p_brand"))
+  }
+
   // ---------------------------------------------------------------- windows
   /** Top-3 orders per customer by price: row_number over a
     * partitioned window; single shuffle on o_custkey. */
@@ -362,8 +402,8 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     pricingSummary, revenueByNation, segmentRevenue, customersWithOrders,
-    customersWithoutOrders, suppliersByRegion, topOrdersPerCustomer,
-    runningRevenue, orderGaps, setUnion, setExcept, setIntersect,
-    rollupPricing, cubeOrders, distinctCounts, approxDistinct,
+    customersWithoutOrders, suppliersByRegion, promoRevenue, brandPartStats,
+    topOrdersPerCustomer, runningRevenue, orderGaps, setUnion, setExcept,
+    setIntersect, rollupPricing, cubeOrders, distinctCounts, approxDistinct,
     topOrders, latestOrderPerCustomer, sqlQ3, topKPerKeyOp)
 }
