@@ -149,6 +149,34 @@ object Relational {
       .orderBy(col("r_name"))
   }
 
+  /** TPC-H Q5 shape: the canonical 6-table join — fact⋈fact shuffle
+    * on orderkey, every dim broadcast, plus the cross-dimension
+    * equality (customer's nation = supplier's nation) that makes Q5
+    * a join-ORDER test. The region filter reaches the region scan;
+    * the nation list shrinks before it touches the fact side. */
+  val localSupplierRevenue: Q = Q("tpch_local_supplier_revenue",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 6)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** TPC-H Q14 shape: conditional aggregation over a broadcast
     * fact⋈dim join — promo share of revenue. Both sums accumulate
     * DECIMAL; the ratio is taken in double at the end. */
@@ -402,7 +430,8 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     pricingSummary, revenueByNation, segmentRevenue, customersWithOrders,
-    customersWithoutOrders, suppliersByRegion, promoRevenue, brandPartStats,
+    customersWithoutOrders, suppliersByRegion, localSupplierRevenue,
+    promoRevenue, brandPartStats,
     topOrdersPerCustomer, runningRevenue, orderGaps, setUnion, setExcept,
     setIntersect, rollupPricing, cubeOrders, distinctCounts, approxDistinct,
     topOrders, latestOrderPerCustomer, sqlQ3, topKPerKeyOp)
