@@ -408,6 +408,24 @@ object Relational {
     s.sql(q3Sql)
   }
 
+  /** TPC-H Q17 shape through the SQL front end: a CORRELATED scalar
+    * subquery (per-part average quantity) that Catalyst decorrelates
+    * into an aggregate + join — the rewrite, not a per-row re-scan,
+    * is what makes this runnable at scale. Same string is the
+    * oracle. */
+  private val q17Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+      |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  val sqlQ17: Q = Q("tpch_sql_q17", q17Sql) { (s, dir) =>
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    s.sql(q17Sql)
+  }
+
   // ---------------------------------------------------------------- custom operator
   /** The same top-3-per-customer result through the custom
     * [[graft.plans.TopKPerKey]] operator (bounded per-key heaps, no
@@ -434,5 +452,5 @@ object Relational {
     promoRevenue, brandPartStats,
     topOrdersPerCustomer, runningRevenue, orderGaps, setUnion, setExcept,
     setIntersect, rollupPricing, cubeOrders, distinctCounts, approxDistinct,
-    topOrders, latestOrderPerCustomer, sqlQ3, topKPerKeyOp)
+    topOrders, latestOrderPerCustomer, sqlQ3, sqlQ17, topKPerKeyOp)
 }

@@ -35,6 +35,13 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("tpch_sql_q17: correlated scalar subquery decorrelates (no per-row subquery)") {
+    val plan = graft.queries.Relational.sqlQ17.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalarSubquery"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("fraud_daily_metrics: fraud rate bounded, one row per day") {
     val df = SparkEntry.queries("fraud_daily_metrics")(spark, sf)
     val rows = df.collect()
