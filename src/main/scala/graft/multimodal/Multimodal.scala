@@ -2,7 +2,7 @@ package graft.multimodal
 
 import graft.Q
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: media payloads as opaque `binary` columns with
