@@ -38,6 +38,9 @@ object GraftFunctions {
         val asDouble = children.map(Cast(_, DoubleType))
         HistAuc(asDouble(0), asDouble(1)).toAggregateExpression()
       }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash64(children.head)),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => {

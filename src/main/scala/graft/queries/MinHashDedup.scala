@@ -134,23 +134,18 @@ object MinHashDedup {
 
   /** 64-bit SimHash from token xxhash64s: per bit, sign of Σ(±1).
     *
-    * Computed entirely with array higher-order functions *per row* —
-    * no explode, no shuffle: fold the token hashes into a 64-wide
-    * bit-sum vector, then pack sign bits into one long. At any scale
-    * this is a pure map stage over the document scan. */
-  def simhashed(docs: DataFrame): DataFrame =
+    * One codegen'd pass per row via the native
+    * [[graft.functions.SimHash64]] (bit-identical to the HOF
+    * fold-and-pack formulation — equality pinned in FunctionsSpec;
+    * the HOF form allocated a 64-long array per TOKEN). No explode,
+    * no shuffle: at any scale this is a pure map stage over the
+    * document scan. */
+  def simhashed(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .withColumn("hs", expr("transform(split(text, ' '), t -> xxhash64(t))"))
-      .withColumn("bitsums", expr(
-        """aggregate(hs,
-          |  array_repeat(0L, 64),
-          |  (acc, h) -> zip_with(acc, sequence(0, 63),
-          |                (a, b) -> a + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(zip_with(bitsums, sequence(0, 63),
-          |            (s, b) -> CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END),
-          |  0L, (acc, v) -> acc | v)""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
+      .select(col("doc_id"),
+        expr("graft_simhash(transform(split(text, ' '), t -> xxhash64(t)))").as("simhash"))
+  }
 
   /** SimHash near-dup pairs: 4×16-bit chunk banding (pigeonhole:
     * Hamming ≤ 3 implies an equal chunk) then exact Hamming check.

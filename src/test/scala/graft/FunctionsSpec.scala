@@ -103,6 +103,28 @@ class FunctionsSpec extends SparkSpec {
     assert(mh.filter(expr("native <> hof")).count() == 0)
   }
 
+  test("graft_simhash is bit-identical to the HOF fold-and-pack formulation") {
+    GraftFunctions.register(spark)
+    val df = spark.range(200)
+      .selectExpr("transform(sequence(0L, id % 41), i -> xxhash64(i * 13 + id)) AS hs")
+    val both = df.selectExpr(
+      "graft_simhash(hs) AS native",
+      """aggregate(zip_with(
+        |  aggregate(hs, array_repeat(0L, 64),
+        |    (acc, h) -> zip_with(acc, sequence(0, 63),
+        |                  (a, b) -> a + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)),
+        |  sequence(0, 63),
+        |  (s, b) -> CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END),
+        |0L, (acc, v) -> acc | v) AS hof""".stripMargin)
+    assert(both.filter(expr("native <> hof")).count() == 0)
+    // codegen residency with a lambda-free input
+    val plan = spark.range(100)
+      .selectExpr("array(xxhash64(id), xxhash64(id + 7)) AS hs")
+      .selectExpr("graft_simhash(hs) AS s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("graft_sorted_intersect equals size(array_intersect) on sorted arrays") {
     GraftFunctions.register(spark)
     val rng = new scala.util.Random(17)
