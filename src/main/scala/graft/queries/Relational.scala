@@ -16,9 +16,12 @@ import org.apache.spark.sql.types.DecimalType
   * Scale design notes (targets: 1000-executor cluster, ~100 TB):
   *  - fact⋈fact joins (orders⋈lineitem) shuffle on the join key —
   *    unavoidable single shuffle; AQE handles skew splitting.
-  *  - fact⋈dim joins broadcast the dim side explicitly
-  *    (`broadcast(...)`) so no shuffle of the fact table happens for
-  *    nation/region/customer-sized inputs.
+  *  - fact⋈dim joins: FIXED-size dims (nation=25, region=5 rows at
+  *    any SF) carry an explicit `broadcast(...)` hint; SF-SCALED dims
+  *    (customer/supplier/part) deliberately do not — a forced hint
+  *    would OOM once the dim outgrows executor memory at the 100 TB
+  *    design point, while stats/AQE pick broadcast exactly while the
+  *    dim fits and degrade to a shuffle join past that.
   *  - aggregates are partial+final hash aggregates (map-side combine)
   *    — Catalyst default; group keys here are low-cardinality.
   *  - top-k uses orderBy+limit which plans TakeOrderedAndProject
@@ -67,8 +70,9 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- joins
-  /** customer⋈orders⋈lineitem⋈nation⋈region revenue rollup: the fact
-    * join shuffles on orderkey; customer/nation/region broadcast. */
+  /** customer⋈orders⋈lineitem⋈nation revenue rollup: the fact join
+    * shuffles on orderkey; nation (fixed size) broadcast-hinted,
+    * customer left to stats/AQE (broadcast while it fits). */
   val revenueByNation: Q = Q("tpch_revenue_by_nation",
     """SELECT n_name,
       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
@@ -80,7 +84,7 @@ object Relational {
       |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
@@ -90,7 +94,8 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  /** Broadcast dim join: orders⋈customer, rollup by market segment. */
+  /** Dim join: orders⋈customer, rollup by market segment (customer
+    * join strategy left to stats/AQE — SF-scaled dim). */
   val segmentRevenue: Q = Q("tpch_segment_revenue",
     """SELECT c_mktsegment,
       |  COUNT(*) AS n_orders,
@@ -99,7 +104,7 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -150,7 +155,8 @@ object Relational {
   }
 
   /** TPC-H Q5 shape: the canonical 6-table join — fact⋈fact shuffle
-    * on orderkey, every dim broadcast, plus the cross-dimension
+    * on orderkey, fixed-size dims broadcast-hinted (the rest to
+    * stats/AQE), plus the cross-dimension
     * equality (customer's nation = supplier's nation) that makes Q5
     * a join-ORDER test. The region filter reaches the region scan;
     * the nation list shrinks before it touches the fact side. */
@@ -165,8 +171,8 @@ object Relational {
       |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)),
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
@@ -177,8 +183,8 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  /** TPC-H Q14 shape: conditional aggregation over a broadcast
-    * fact⋈dim join — promo share of revenue. Both sums accumulate
+  /** TPC-H Q14 shape: conditional aggregation over a fact⋈dim join
+    * (part strategy to stats/AQE) — promo share of revenue. Both sums accumulate
     * DECIMAL; the ratio is taken in double at the end. */
   val promoRevenue: Q = Q("tpch_promo_revenue",
     """SELECT ROUND(100.0 *
@@ -190,15 +196,15 @@ object Relational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin) { (s, dir) =>
     val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 6))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .agg(r6(lit(100.0)
         * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(28, 6))))
           .cast("double")
         / sum(rev).cast("double")).as("promo_revenue_pct"))
   }
 
-  /** Brand-level rollup with a selective filter on the broadcast dim
-    * side (pushed to the part scan). */
+  /** Brand-level rollup with a selective filter on the dim side
+    * (pushed to the part scan). */
   val brandPartStats: Q = Q("tpch_brand_part_stats",
     """SELECT p_brand, COUNT(*) AS n_lineitems,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
@@ -207,7 +213,7 @@ object Relational {
       |WHERE p_size <= 25
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).filter(col("p_size") <= 25)),
+      .join(Tables.part(s, dir).filter(col("p_size") <= 25),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(

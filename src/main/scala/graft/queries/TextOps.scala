@@ -380,8 +380,16 @@ object TextOps {
       |WHERE doc_id NOT IN (SELECT d2 FROM dups)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val dropIds = nearDupPairs05(s, dir).select(col("d2").as("doc_id")).distinct()
-    docs.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    val pairs = nearDupPairs05(s, dir)
+    val dropIds = pairs.select(col("d2").as("doc_id")).distinct()
+    // The drop list is bounded by the pair count, which the memoized
+    // pair frame has already materialized — gate the broadcast on it
+    // (a high-duplication corpus at the 100 TB design point can have
+    // a drop list proportional to the corpus, where a forced hint
+    // would OOM; the anti-join then shuffles on doc_id instead).
+    val anti =
+      if (pairs.count() * 16 <= BroadcastBytesLimit) broadcast(dropIds) else dropIds
+    docs.join(anti, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
