@@ -364,6 +364,30 @@ object FraudAnalytics {
       .orderBy(col("day"))
   }
 
+  /** The inverse reshape: melt the pivoted wide table back to long
+    * (day, event_type, n) with the native `unpivot` operator —
+    * wide↔long round-trip, both directions oracle-checked. */
+  val unpivotTypeDaily: Q = Q("fraud_unpivot_type_daily",
+    """WITH wide AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |    COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |    COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |    COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |  FROM events GROUP BY 1)
+      |SELECT day, event_type, n FROM wide
+      |UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+      |ORDER BY day, event_type""".stripMargin) { (s, dir) =>
+    pivotTypeDaily.fn(s, dir)
+      .unpivot(
+        ids = Array(col("day")),
+        values = Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        variableColumnName = "event_type",
+        valueColumnName = "n")
+      .orderBy(col("day"), col("event_type"))
+  }
+
   // ---------------------------------------------------------------- percentiles
   /** Exact percentiles of transaction value per type (`percentile` ≡
     * `quantile_cont`, linear interpolation) plus the sketch-based
@@ -445,6 +469,6 @@ object FraudAnalytics {
   val all: Seq[Q] = Seq(
     dailyMetrics, scoredEvents, freshness, nullViolations, rateBound,
     timeseries, hourlyStats, recentTopK, featureProjection, typeBreakdown,
-    kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, valuePercentiles,
-    clickAttribution, valueStats, groupingSets)
+    kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, unpivotTypeDaily,
+    valuePercentiles, clickAttribution, valueStats, groupingSets)
 }
