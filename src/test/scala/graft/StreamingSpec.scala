@@ -151,6 +151,41 @@ class StreamingSpec extends SparkSpec {
     assert(fb.select("model_version").distinct().head.getString(0) == "heuristic")
   }
 
+  test("stream-stream interval join (click->purchase within 1h) matches batch join") {
+    val ckpt = Files.createTempDirectory("graft-ssj-").toString
+    def evStream() = ScoringStream.scoredStream(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    // Both sides watermarked; the interval condition bounds the join
+    // state Spark must retain (clicks kept only while a purchase
+    // could still match).
+    val clicks = evStream().filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val buys = evStream().filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"), col("event_id").as("buy_id"))
+    val cond = col("user_id") === col("buy_user") &&
+      col("buy_ts") >= col("click_ts") &&
+      col("buy_ts") <= col("click_ts") + expr("INTERVAL 60 MINUTES")
+    val q = clicks.join(buys, cond)
+      .writeStream.format("memory").queryName("graft_ssj")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("graft_ssj")
+    val ev = graft.sources.Tables.events(spark, sf)
+    val want = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"), col("event_id").as("buy_id")),
+        cond)
+    assert(want.count() > 0, "batch join must be non-trivial")
+    assert(got.count() == want.count())
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
   test("streaming daily metrics equal batch daily metrics") {
     val streamed = ScoringStream.runDailyMetricsStream(spark, sf)
     val batch = FraudAnalytics.dailyMetrics.fn(spark, sf)
