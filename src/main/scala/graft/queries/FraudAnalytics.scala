@@ -437,6 +437,28 @@ object FraudAnalytics {
   /** Statistical moments + correlation per event type (stddev/var
     * one-pass merge formulas agree across engines to ~1e-12; rounded
     * well above that). */
+  /** SQL:2003 linear-regression aggregates — OLS of value on
+    * hour-of-day per event type (slope/intercept/R²/pair count).
+    * Single partial+final hash agg; the moment sums combine
+    * associatively so the plan is identical to any other grouped
+    * aggregate. */
+  val regressionStats: Q = Q("fraud_regression_stats",
+    """SELECT event_type,
+      |  ROUND(regr_slope(value, hour(ts)), 6) AS slope,
+      |  ROUND(regr_intercept(value, hour(ts)), 6) AS intercept,
+      |  ROUND(regr_r2(value, hour(ts)), 6) AS r2,
+      |  CAST(regr_count(value, hour(ts)) AS BIGINT) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        r6(regr_slope(col("value"), hour(col("ts")))).as("slope"),
+        r6(regr_intercept(col("value"), hour(col("ts")))).as("intercept"),
+        r6(regr_r2(col("value"), hour(col("ts")))).as("r2"),
+        regr_count(col("value"), hour(col("ts"))).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   val valueStats: Q = Q("fraud_value_stats",
     """SELECT event_type,
       |  ROUND(stddev_samp(value), 6) AS sd_value,
@@ -470,5 +492,5 @@ object FraudAnalytics {
     dailyMetrics, scoredEvents, freshness, nullViolations, rateBound,
     timeseries, hourlyStats, recentTopK, featureProjection, typeBreakdown,
     kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, unpivotTypeDaily,
-    valuePercentiles, clickAttribution, valueStats, groupingSets)
+    valuePercentiles, clickAttribution, valueStats, regressionStats, groupingSets)
 }
