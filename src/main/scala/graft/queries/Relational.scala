@@ -432,6 +432,25 @@ object Relational {
     s.sql(q17Sql)
   }
 
+  /** LATERAL correlated subquery through the SQL front end: per-row
+    * top-2 orders via a correlated ORDER BY + LIMIT — the lateral
+    * join surface (planned as a per-key limit, not a per-row
+    * re-scan). Same string is the oracle. */
+  private val lateralSql =
+    """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c_custkey <= 20
+      |ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
+  val sqlLateralTopK: Q = Q("tpch_sql_lateral_topk", lateralSql) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(lateralSql)
+  }
+
   // ---------------------------------------------------------------- custom operator
   /** The same top-3-per-customer result through the custom
     * [[graft.plans.TopKPerKey]] operator (bounded per-key heaps, no
@@ -458,5 +477,6 @@ object Relational {
     promoRevenue, brandPartStats,
     topOrdersPerCustomer, runningRevenue, orderGaps, setUnion, setExcept,
     setIntersect, rollupPricing, cubeOrders, distinctCounts, approxDistinct,
-    topOrders, latestOrderPerCustomer, sqlQ3, sqlQ17, topKPerKeyOp)
+    topOrders, latestOrderPerCustomer, sqlQ3, sqlQ17, sqlLateralTopK,
+    topKPerKeyOp)
 }
