@@ -63,6 +63,23 @@ class DedupSpec extends SparkSpec {
     assert(banded.contains((7L, 200L)))
   }
 
+  test("repeated direct dedup calls leak no persisted blocks once results are released") {
+    // nearDupPairs/simhashPairs are the non-memoized public APIs: each
+    // call unpersists its own intermediates (shingles, signatures) and
+    // hands the caller ONE persisted result frame. Releasing that frame
+    // must return executor storage to its prior state — repeated
+    // invocations may not accumulate blocks for the session lifetime.
+    MinHashDedup.nearDupPairs(planted, 0.5).unpersist(blocking = true)
+    MinHashDedup.simhashPairs(planted).unpersist(blocking = true)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      MinHashDedup.nearDupPairs(planted, 0.5).unpersist(blocking = true)
+      MinHashDedup.simhashPairs(planted).unpersist(blocking = true)
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before, s"persisted RDD count grew $before -> $after across 3 repeated calls")
+  }
+
   test("LSH ANN recovers planted near-dup vectors (recall >= 0.9)") {
     // 200 random 64-dim vectors + 20 near-dups (tiny perturbation):
     // the near-dup must appear among the ANN top-3 of its source.
