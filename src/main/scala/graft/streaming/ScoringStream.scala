@@ -101,9 +101,11 @@ object ScoringStream {
     }
   }
 
-  private def runDailyMetricsStreamInner(spark: SparkSession, dir: String,
-                                         ckpt: String, store: String): DataFrame = {
-    val agg = scoredStream(spark, dir)
+  /** The streaming daily-metrics aggregate (event-time day window,
+    * 1-hour watermark) — shared by the parquet partition-overwrite
+    * sink and the JDBC merge sink ([[JdbcMetricsSink]]). */
+  private[streaming] def dailyMetricsAgg(spark: SparkSession, dir: String): DataFrame =
+    scoredStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day").as("win"))
       .agg(
@@ -113,6 +115,10 @@ object ScoringStream {
         avg(col("proba")).as("avg_proba"))
       .select(to_date(col("win.start")).as("day"), col("num_predictions"),
         col("fraud_rate"), col("avg_amount"), col("avg_proba"))
+
+  private def runDailyMetricsStreamInner(spark: SparkSession, dir: String,
+                                         ckpt: String, store: String): DataFrame = {
+    val agg = dailyMetricsAgg(spark, dir)
     val q = agg.writeStream
       .outputMode("update")
       .option("checkpointLocation", ckpt)
