@@ -132,19 +132,31 @@ object MinHashDedup {
     pairs
   }
 
-  /** 64-bit SimHash from token xxhash64s: per bit, sign of Σ(±1).
+  /** Engine-agnostic 60-bit token hash (the first 15 hex digits of
+    * md5, so any ANSI engine — the DuckDB oracle included — computes
+    * the identical value): the portable alternative to the default
+    * xxhash64 token hash. ~5× the per-token hashing cost of xxhash64;
+    * use it when signatures must be reproducible across engines
+    * (cross-system dedup, oracle checking), the default when only
+    * this engine consumes them. */
+  val PortableTokenHashSql: String =
+    "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+
+  /** 64-bit SimHash from per-token hashes: per bit, sign of Σ(±1).
     *
     * One codegen'd pass per row via the native
     * [[graft.functions.SimHash64]] (bit-identical to the HOF
     * fold-and-pack formulation — equality pinned in FunctionsSpec;
     * the HOF form allocated a 64-long array per TOKEN). No explode,
     * no shuffle: at any scale this is a pure map stage over the
-    * document scan. */
-  def simhashed(docs: DataFrame): DataFrame = {
+    * document scan. `tokenHashSql` is the per-token hash (`t` is the
+    * token), default the fast engine-native xxhash64. */
+  def simhashed(docs: DataFrame,
+                tokenHashSql: String = "xxhash64(t)"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"),
-        expr("graft_simhash(transform(split(text, ' '), t -> xxhash64(t)))").as("simhash"))
+        expr(s"graft_simhash(transform(split(text, ' '), t -> $tokenHashSql))").as("simhash"))
   }
 
   /** SimHash near-dup pairs: 4×16-bit chunk banding (pigeonhole:
@@ -152,8 +164,9 @@ object MinHashDedup {
     * Same persistence contract as [[nearDupPairs]]: the signature
     * intermediate is unpersisted once the final pair list
     * materializes; the returned (small) frame stays cached. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashed(graft.sources.Tables.fanOut(docs)).persist()
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   tokenHashSql: String = "xxhash64(t)"): DataFrame = {
+    val sigs = simhashed(graft.sources.Tables.fanOut(docs), tokenHashSql).persist()
     sigs.count()
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
@@ -221,9 +234,30 @@ object MinHashDedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Per-doc SimHash signatures + banded near-dup pairs. */
-  val simhashDups: Q = Q.noOracle("text_dedup_simhash") { (s, dir) =>
-    memoized("simhash", s, dir)(simhashPairs(Tables.documents(s, dir)))
+  /** SimHash banded near-dup pairs, fully oracle-checked: the query
+    * runs on the PORTABLE token hash (md5-derived, identical in any
+    * engine), and 4×16-bit chunk banding is EXACT at Hamming ≤ 3
+    * (pigeonhole: ≤ 3 flipped bits cannot touch all 4 chunks), so the
+    * banded pair list equals the oracle's brute-force all-pairs
+    * Hamming scan — no recall caveat, unlike probabilistic LSH. The
+    * oracle recomputes the signatures from scratch in SQL (token
+    * hash → per-bit ±1 sums → sign pack → pairwise XOR popcount). */
+  val simhashDups: Q = Q("text_dedup_simhash",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS hv FROM tok),
+      |bits AS (SELECT doc_id, b AS bit,
+      |         SUM(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS w
+      |         FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |        SUM(CASE WHEN w > 0 THEN 1::BIGINT << bit ELSE 0::BIGINT END) AS simhash
+      |        FROM bits GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |          FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+      |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    memoized("simhash", s, dir)(
+      simhashPairs(Tables.documents(s, dir), tokenHashSql = PortableTokenHashSql))
   }
 
   val all: Seq[Q] = Seq(minhashNearDups, simhashDups)

@@ -355,14 +355,28 @@ object Relational {
   }
 
   /** Approximate distinct (HLL++) — sketch-based, constant memory at
-    * any scale. No DuckDB oracle (different sketch); driver records
-    * rows-only, exactness covered by the ScalaTest bound check. */
-  val approxDistinct: Q = Q.noOracle("tpch_approx_distinct") { (s, dir) =>
+    * any scale. The sketch VALUE is engine-specific (DuckDB's sketch
+    * differs), so the verified projection carries the exact
+    * COUNT(DISTINCT) columns plus the sketch-vs-exact tolerance as a
+    * boolean: the oracle checks the exact counts, and a sketch drift
+    * past 5% (rsd is 1%, so 5σ; HLL++ is deterministic per dataset)
+    * flips the boolean and fails the hash match. Production users
+    * read the sketch; the exact column here is the oracle anchor. */
+  val approxDistinct: Q = Q("tpch_approx_distinct",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(*) AS n,
+      |  TRUE AS within_5pct
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n_orders"), col("n"),
+        (abs(col("approx_orders") - col("n_orders")).cast("double") / col("n_orders")
+          <= 0.05).as("within_5pct"))
       .orderBy(col("l_returnflag"))
   }
 
