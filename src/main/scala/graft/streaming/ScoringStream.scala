@@ -104,7 +104,7 @@ object ScoringStream {
   /** The streaming daily-metrics aggregate (event-time day window,
     * 1-hour watermark) — shared by the parquet partition-overwrite
     * sink and the JDBC merge sink ([[JdbcMetricsSink]]). */
-  private[streaming] def dailyMetricsAgg(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def dailyMetricsAgg(spark: SparkSession, dir: String): DataFrame =
     scoredStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day").as("win"))
