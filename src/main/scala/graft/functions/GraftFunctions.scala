@@ -41,6 +41,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash64(children.head)),
+    (FunctionIdentifier("graft_positions_equal"),
+      new ExpressionInfo(classOf[PositionsEqual].getName, "graft_positions_equal"),
+      (children: Seq[Expression]) => PositionsEqual(children(0), children(1))),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => {

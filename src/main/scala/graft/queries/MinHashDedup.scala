@@ -101,13 +101,15 @@ object MinHashDedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
 
-    // MinHash estimate: fraction of agreeing signature positions.
+    // MinHash estimate: fraction of agreeing signature positions, via
+    // the native codegen'd counting loop (the HOF zip_with/aggregate
+    // form allocates per pair and breaks WholeStageCodegen on the
+    // candidate projection — the hot loop at scale).
     val sigPair = cands
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"), col("n_shingles").as("n1")), "d1")
       .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"), col("n_shingles").as("n2")), "d2")
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => (x === y).cast("int")),
-          lit(0), (acc, v) => acc + v).cast("double") / lit(NumHashes))
+        expr("graft_positions_equal(sig1, sig2)").cast("double") / lit(NumHashes))
 
     // Exact re-check restricted to candidates: intersect per pair in a
     // map stage (array_intersect over 8-byte hashes) — |cands| × O(n)

@@ -156,6 +156,39 @@ class FunctionsSpec extends SparkSpec {
     assert(withNull.forall(_.isNullAt(0)))
   }
 
+  test("graft_positions_equal is bit-identical to the HOF formulation and codegen-resident") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 200).map { i =>
+      val a = Array.fill(64)(rng.nextInt(8).toLong)
+      // mix of identical, perturbed, and independent signatures
+      val b = i % 3 match {
+        case 0 => a.clone()
+        case 1 => a.clone().updated(rng.nextInt(64), 99L)
+        case _ => Array.fill(64)(rng.nextInt(8).toLong)
+      }
+      (i, a, b)
+    }
+    val out = rows.toDF("i", "a", "b")
+      .selectExpr("i", "graft_positions_equal(a, b) AS native",
+        """cast(aggregate(zip_with(a, b, (x, y) -> int(x = y)), 0, (acc, v) -> acc + v) AS bigint) AS hof""")
+      .collect()
+    for (r <- out) assert(r.getLong(1) == r.getLong(2), s"row ${r.getInt(0)}")
+    // codegen residency with a lambda-free input
+    val df = spark.range(100)
+      .selectExpr("sequence(0L, 63L) AS a", "sequence(id, id + 63L) AS b")
+      .selectExpr("graft_positions_equal(a, b) AS n")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_positions_equal"), plan)
+    assert(plan.contains("*(1) Project"), plan)
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      (0 until 100).map(id => if (id == 0) 64L else 0L))
+    val withNull = Seq[(Option[Array[Long]], Option[Array[Long]])](
+        (Some(Array(1L, 2L)), None), (None, None))
+      .toDF("a", "b").selectExpr("graft_positions_equal(a, b) AS n").collect()
+    assert(withNull.forall(_.isNullAt(0)))
+  }
+
   test("graft_auc degenerate inputs: single class → 0.5") {
     GraftFunctions.register(spark)
     val df = Seq((1.0, 0.9), (1.0, 0.2)).toDF("label", "score")
