@@ -42,8 +42,13 @@ object FraudAnalytics {
     * logit (`logit >= 0` ⇔ `sigmoid(logit) >= 0.5`) so the
     * classification is exact arithmetic, immune to libm ulp skew.
     */
-  def scored(events: DataFrame): DataFrame = {
-    val features = from_json(col("props"), Scoring.FeatureMapType)
+  def scored(events: DataFrame): DataFrame =
+    scoredFrom(events, from_json(col("props"), Scoring.FeatureMapType))
+
+  /** [[scored]] over an already-parsed feature map — sources that
+    * carry a native `MapType` column (the Kafka transaction payload,
+    * typed Datasets) score without a JSON round-trip through `props`. */
+  def scoredFrom(events: DataFrame, features: Column): DataFrame = {
     val k     = Scoring.featureAt(features, "k")
     val night = when(hour(col("ts")).isin(0, 1, 2, 3, 23), lit(1.0)).otherwise(lit(0.0))
     val feats = Seq(col("value"), col("k") / lit(100.0), col("night"))

@@ -64,22 +64,22 @@ object KafkaScoring {
         col("tx.features").as("features"))
 
   /** Full consumer value path: wire rows → parse → the SAME scoring
-    * projection as the batch/file-source pipelines. The payload maps
-    * onto the events shape (`event_time→ts`, `amount→value`,
-    * `features→props`), so [[FraudAnalytics.scored]] is reused
-    * verbatim — one scoring definition across batch, file-stream and
-    * Kafka-stream. The events-table risk convention is `k` = 100 ×
-    * merchant_risk (P2 map augmentation bridges the payload's raw
-    * `merchant_risk` to it; absent → 0.0, the P1 tolerant default). */
+    * projection as the batch/file-source pipelines
+    * ([[FraudAnalytics.scoredFrom]]) — one scoring definition across
+    * batch, file-stream and Kafka-stream. The payload maps onto the
+    * events shape (`event_time→ts`, `amount→value`); its already-
+    * parsed feature map feeds the scorer directly (no JSON
+    * round-trip, no lambda — the whole path stays codegen-resident),
+    * with the events-table risk convention `k` = 100 × merchant_risk
+    * bridged as the scoring feature (absent → 0.0, the P1 tolerant
+    * default). */
   def scoredTransactions(wire: DataFrame): DataFrame =
-    FraudAnalytics.scored(
+    FraudAnalytics.scoredFrom(
       parsedTransactions(wire)
         .withColumnRenamed("event_time", "ts")
-        .withColumn("value", col("amount"))
-        .withColumn("props", to_json(map_concat(
-          map_filter(col("features"), (kk, _) => kk =!= "k"), // dedup guard: payload-supplied "k" would trip EXCEPTION policy
-          map(lit("k"),
-            coalesce(element_at(col("features"), "merchant_risk"), lit(0.0)) * 100.0)))))
+        .withColumn("value", col("amount")),
+      map(lit("k"),
+        coalesce(element_at(col("features"), "merchant_risk"), lit(0.0)) * 100.0))
 
   /** The raw subscribed source — requires the spark-sql-kafka
     * connector on the classpath at plan time (`load()` resolves the
@@ -99,6 +99,21 @@ object KafkaScoring {
     * attach unchanged. */
   def kafkaScoredStream(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
     scoredTransactions(kafkaSource(spark, bootstrap, topic))
+
+  /** S3, the one-shot peek (`main.py:147-170`): BATCH read of the
+    * topic from `latest`, one parsed message, no commit — Spark's
+    * batch Kafka source reads a bounded offset range and commits
+    * nothing, so the no-side-effect debug contract holds by
+    * construction. */
+  def peekOne(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    parsedTransactions(
+      spark.read
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .load())
+      .limit(1)
 
   /** S1 producer side: scored (or synthetic) rows → Kafka sink shape.
     * `to_json(struct(..))` is byte-for-byte the reference producer's

@@ -84,6 +84,20 @@ class KafkaSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSeq == Seq("s1"))
   }
 
+  test("kafka value path is one shuffle-free codegen stage") {
+    // The whole consumer path (parse → augment → score) must stay a
+    // stateless map over source partitions: no Exchange anywhere, and
+    // the projection inside WholeStageCodegen — at scale, throughput
+    // is then bounded by Kafka partitions alone.
+    val plan = KafkaScoring.scoredTransactions(wireFrame(Seq(
+      payload("p1", "2024-01-01T00:00:00", 1.0, 0.1, 0))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // `*(n)` prefix marks codegen stages; the scoring projection
+    // (logit/proba/prediction) must carry one.
+    assert("""\*\(\d+\) Project .*logit""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("production composition wires format(\"kafka\") with subscribe options") {
     // No connector jar in the sandbox: load() must fail at PROVIDER
     // RESOLUTION, and the error must name the kafka source — proving
@@ -94,5 +108,11 @@ class KafkaSpec extends SparkSpec {
     }
     val msg = (err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse("")).toLowerCase
     assert(msg.contains("kafka"), s"expected kafka provider-resolution failure, got: $msg")
+    val errPeek = intercept[Exception] {
+      KafkaScoring.peekOne(spark, "broker:9092", "transactions")
+    }
+    val msgPeek = (errPeek.getMessage +
+      Option(errPeek.getCause).map(_.getMessage).getOrElse("")).toLowerCase
+    assert(msgPeek.contains("kafka"), s"expected kafka provider-resolution failure, got: $msgPeek")
   }
 }
