@@ -46,21 +46,27 @@ object Jobs {
   /** One cron firing of Data_quality_checks: the three reference
     * checks (freshness window non-empty, no null ids, fraud rate in
     * bounds — `Data_quality_checks.py:20-41`) as one (check, value,
-    * ok) report. Composes the existing single-plan check queries;
-    * the union is three tiny aggregates, not a new scan shape. */
-  def dataQualityTick(spark: SparkSession, dir: String): DataFrame = {
-    val fresh = FraudAnalytics.freshness.fn(spark, dir)
-      .select(lit("freshness_15m").as("check"),
-        col("recent_rows").cast("double").as("value"), col("fresh").as("ok"))
-    val nulls = FraudAnalytics.nullViolations.fn(spark, dir)
-      .select(lit("null_ids").as("check"),
-        col("null_id_rows").cast("double").as("value"),
-        (col("null_id_rows") === 0).as("ok"))
-    val rate = FraudAnalytics.rateBound.fn(spark, dir)
-      .select(lit("rate_bound_1h").as("check"),
-        col("fraud_rate_1h").as("value"), col("within_bounds").as("ok"))
-    fresh.unionAll(nulls).unionAll(rate).orderBy(col("check"))
-  }
+    * ok) report. The DAG ran three separate SQL statements; here all
+    * three ride ONE scan of the scored stream and ONE conditional
+    * aggregate (the anchor is the usual 1-row broadcast), then
+    * `stack` reshapes the 1-row summary into the report rows — at
+    * any scale this is a single pass over the day's data. */
+  def dataQualityTick(spark: SparkSession, dir: String): DataFrame =
+    FraudAnalytics.anchoredScored(spark, dir)
+      .agg(
+        count(when(col("ts") > col("anchor_ts") - expr("INTERVAL 15 MINUTES"), lit(1)))
+          .as("recent_rows"),
+        count(when(col("event_id").isNull || col("event_type").isNull, lit(1)))
+          .as("null_id_rows"),
+        round(coalesce(avg(when(col("ts") > col("anchor_ts") - expr("INTERVAL 1 HOUR"),
+          col("prediction").cast("double"))), lit(0.0)), 6).as("rate"))
+      .selectExpr(
+        """stack(3,
+          |  'freshness_15m', cast(recent_rows AS double), recent_rows >= 1,
+          |  'null_ids',      cast(null_id_rows AS double), null_id_rows = 0,
+          |  'rate_bound_1h', rate,                          rate BETWEEN 0.0 AND 1.0
+          |) AS (`check`, value, ok)""".stripMargin)
+      .orderBy(col("check"))
 
   /** Engine-native scheduling of the daily-metrics job: the streaming
     * twin of [[dailyMetricsTick]] on a processing-time cadence (the

@@ -110,6 +110,11 @@ object FraudAnalytics {
 
   private def r6(c: Column): Column = round(c, 6)
 
+  /** Scored events with the `max(ts)` anchor attached — the shared
+    * input of the anchored DQ surfaces ([[graft.jobs.Jobs]]). */
+  def anchoredScored(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    withAnchor(scored(Tables.events(s, dir)))
+
   // ---------------------------------------------------------------- A1/A2
   /** Daily metrics rollup (`compute-daily-metrics.py:21-30`,
     * `init.sql:24-30`). Hourly full-recompute-of-today upsert is
