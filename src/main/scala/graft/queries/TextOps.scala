@@ -333,9 +333,29 @@ object TextOps {
 
   /** 64-bit rolling-hash fingerprints via the native codegen'd
     * [[graft.functions.RollingHash]] expression, registered as a SQL
-    * function. Rows-only in the driver (engine-specific hash);
-    * bit-equality with the Scala reference pinned in ScalaTest. */
-  val fingerprint64: Q = Q.noOracle("text_fingerprint64") { (s, dir) =>
+    * function. Fully oracle-checked: the hash is a plain polynomial
+    * fold (h·31 + byte in wrapping 64-bit arithmetic), which the
+    * DuckDB oracle replays per character with a HUGEINT accumulator
+    * mod 2⁶⁴ (corpus is ASCII, so codepoint = byte) — bit-equality
+    * also pinned against the Scala reference in ScalaTest. */
+  val fingerprint64: Q = Q("text_fingerprint64",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_transform(range(1, length(text) + 1),
+      |                     i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)),
+      |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS h,
+      |    list_reduce(
+      |      list_transform(range(1, length(lower(text)) + 1),
+      |                     i -> CAST(ord(substr(lower(text), i, 1)) AS HUGEINT)),
+      |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS hn
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+      |            THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp64,
+      |  CAST(CASE WHEN hn >= 9223372036854775808::HUGEINT
+      |            THEN hn - 18446744073709551616::HUGEINT ELSE hn END AS BIGINT) AS fp64_norm
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .selectExpr("doc_id", "graft_fingerprint64(text) AS fp64",
