@@ -130,6 +130,20 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T5 on transformWithState: RocksDB-backed profiles match the mapGroupsWithState twin") {
+    val tws = graft.streaming.UserStateTws.runProfiles(spark, sf)
+      .collect().map(p => p.user_id -> p).toMap
+    val mgws = graft.streaming.UserState.runProfiles(spark, sf)
+      .collect().map(p => p.user_id -> p).toMap
+    assert(tws.keySet == mgws.keySet)
+    for ((u, p) <- tws) {
+      assert(p.n_events == mgws(u).n_events, s"user $u")
+      assert(math.abs(p.total_value - mgws(u).total_value) < 1e-6, s"user $u")
+      assert(p.last_ts == mgws(u).last_ts, s"user $u")
+      assert(p.spike_seen == mgws(u).spike_seen, s"user $u")
+    }
+  }
+
   test("M8 streaming: foreachBatch scores with the live Production model") {
     val root = Files.createTempDirectory("graft-stream-reg-").toString
     val reg = new graft.ml.ModelRegistry(root)
