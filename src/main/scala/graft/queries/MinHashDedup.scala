@@ -18,15 +18,18 @@ import org.apache.spark.sql.functions._
   *    candidate generation an equi-join (Hamming ≤ 3 ⇒ ≥1 chunk
   *    equal, pigeonhole).
   *
-  * Both pipelines run on the hashed-shingle representation
+  * The MinHash pipeline runs on the hashed-shingle representation
   * ([[TextOps.hashedShingleArrays]]): shingle strings are never
   * materialized and the one shingling pass is shared (cached) with
-  * the exact pipeline via [[TextOps.hashedShingles]].
+  * the exact pipeline via [[TextOps.hashedShingles]]. The SimHash
+  * pipeline is a pure per-row map over the token stream (no shingles
+  * needed — order sensitivity comes from the bit-sum construction).
   *
-  * No DuckDB oracle (xxhash64 is Spark-specific); correctness is
-  * pinned by ScalaTest: LSH candidates must recover every pair the
-  * exact Jaccard query finds at the same threshold, on both the
-  * driver corpus and synthetic planted duplicates.
+  * Correctness: the LSH query is oracle-checked against the exact
+  * Jaccard pair list (recall-1 subset by construction); the SimHash
+  * query is oracle-checked outright via the portable token hash
+  * ([[PortableTokenHashSql]] — banding is exact at Hamming ≤ 3);
+  * ScalaTest additionally pins planted-duplicate recovery for both.
   */
 object MinHashDedup {
 
