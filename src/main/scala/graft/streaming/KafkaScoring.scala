@@ -52,8 +52,7 @@ object KafkaScoring {
 
   /** Kafka wire rows → parsed transactions. Malformed payloads parse
     * to NULL structs and are dropped — the reference's "log and skip"
-    * (`main.py:233-235`; counting rides [[FraudAnalytics
-    * .scoredWithIngestMetrics]] when observability is wanted). */
+    * (`main.py:233-235`). */
   def parsedTransactions(wire: DataFrame): DataFrame =
     wire
       .select(from_json(col("value").cast("string"), TransactionSchema).as("tx"))
@@ -62,6 +61,20 @@ object KafkaScoring {
         col("tx.event_time").as("event_time"),
         col("tx.amount").as("amount"),
         col("tx.features").as("features"))
+
+  /** [[parsedTransactions]] with the skip counter riding the plan: an
+    * `observe()` node on the wire rows counts total and unparseable
+    * payloads per action/micro-batch (the P14 ingest metric for the
+    * Kafka transport — same pattern as
+    * [[graft.queries.FraudAnalytics.scoredWithIngestMetrics]]). */
+  def parsedWithIngestMetrics(wire: DataFrame,
+                              obs: org.apache.spark.sql.Observation): DataFrame = {
+    val tx = from_json(col("value").cast("string"), TransactionSchema)
+    parsedTransactions(wire.observe(obs,
+      count(lit(1)).as("n_ingested"),
+      sum(when(tx.isNull || tx.getField("transaction_id").isNull, 1L).otherwise(0L))
+        .as("n_skipped")))
+  }
 
   /** Full consumer value path: wire rows → parse → the SAME scoring
     * projection as the batch/file-source pipelines
