@@ -22,31 +22,46 @@ object GraftFunctions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  /** Arity guard shared by every builder: a wrong argument count in
+    * SQL must surface as an analysis-time message naming the
+    * function, not an IndexOutOfBoundsException from `children(i)`. */
+  private def arity(name: String, n: Int, children: Seq[Expression])
+      (build: => Expression): Expression = {
+    require(children.length == n,
+      s"$name expects $n argument(s), got ${children.length}")
+    build
+  }
+
   val descriptions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("graft_fingerprint64"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_fingerprint64"),
-      (children: Seq[Expression]) => RollingHash(children.head)),
+      (children: Seq[Expression]) => arity("graft_fingerprint64", 1, children)(
+        RollingHash(children.head))),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1))),
+      (children: Seq[Expression]) => arity("graft_cosine", 2, children)(
+        CosineSim(children(0), children(1)))),
     (FunctionIdentifier("graft_sorted_intersect"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
-      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
+      (children: Seq[Expression]) => arity("graft_sorted_intersect", 2, children)(
+        SortedIntersectCount(children(0), children(1)))),
     (FunctionIdentifier("graft_auc"),
       new ExpressionInfo(classOf[HistAuc].getName, "graft_auc"),
-      (children: Seq[Expression]) => {
+      (children: Seq[Expression]) => arity("graft_auc", 2, children) {
         val asDouble = children.map(Cast(_, DoubleType))
         HistAuc(asDouble(0), asDouble(1)).toAggregateExpression()
       }),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHash64(children.head)),
+      (children: Seq[Expression]) => arity("graft_simhash", 1, children)(
+        SimHash64(children.head))),
     (FunctionIdentifier("graft_positions_equal"),
       new ExpressionInfo(classOf[PositionsEqual].getName, "graft_positions_equal"),
-      (children: Seq[Expression]) => PositionsEqual(children(0), children(1))),
+      (children: Seq[Expression]) => arity("graft_positions_equal", 2, children)(
+        PositionsEqual(children(0), children(1)))),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
-      (children: Seq[Expression]) => {
+      (children: Seq[Expression]) => arity("graft_minhash", 2, children) {
         val k = children(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(

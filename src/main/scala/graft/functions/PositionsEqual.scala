@@ -7,17 +7,22 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst expression: the number of positions at which two
-  * equal-length `array<long>` columns agree — the MinHash similarity
-  * estimate (agreeing signature positions / k estimates Jaccard).
+  * `array<long>` columns agree — the MinHash similarity estimate
+  * (agreeing signature positions / k estimates Jaccard).
   *
   * The HOF formulation
   * `aggregate(zip_with(s1, s2, (x,y) -> int(x=y)), 0, (a,v) -> a+v)`
   * allocates a zipped array per pair and evaluates two boxed lambdas
   * per element, and its presence pushes the whole candidate-pair
-  * projection out of WholeStageCodegen; this is one branch-free
-  * counting loop inside codegen (bit-identical result — pinned in
-  * FunctionsSpec). Evaluated once per CANDIDATE pair, which at the
-  * 100 TB design point is the LSH pipeline's hot inner loop. */
+  * projection out of WholeStageCodegen; this is one counting loop
+  * inside codegen. Bit-identical to the HOF form for EQUAL-LENGTH
+  * inputs (the signature contract — every caller compares k-hash
+  * signatures; pinned in FunctionsSpec). On unequal lengths the
+  * semantics intentionally differ: this counts over the common
+  * prefix (min length), where the HOF form null-pads and returns
+  * NULL — a defined total function beats a silent NULL for a
+  * similarity estimate. Evaluated once per CANDIDATE pair, which at
+  * the 100 TB design point is the LSH pipeline's hot inner loop. */
 case class PositionsEqual(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -72,13 +72,19 @@ object Jobs {
     * twin of [[dailyMetricsTick]] on a processing-time cadence (the
     * DAG's `schedule_interval` becomes the trigger interval; the
     * hourly production value is `"1 hour"`). Runs until stopped;
-    * every interval the updated days merge into the same store. */
+    * every interval the updated days merge into the same store.
+    *
+    * `checkpoint` must be a DURABLE location in production — restart
+    * recovery (resume from the last committed source offsets instead
+    * of reprocessing history) lives entirely in that directory. The
+    * temp-dir default is for tests/dev only. */
   def scheduleDailyMetrics(spark: SparkSession, dir: String, url: String,
-                           every: String = "1 hour"): StreamingQuery =
+                           every: String = "1 hour",
+                           checkpoint: Option[String] = None): StreamingQuery =
     ScoringStream.dailyMetricsAgg(spark, dir).writeStream
       .outputMode("update")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-sched-ckpt-").toString)
+      .option("checkpointLocation", checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-sched-ckpt-").toString))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         JdbcMetricsSink.upsertDailyMetrics(batch, url)
         ()
@@ -130,7 +136,8 @@ object DailyMetricsJob {
       val out = Jobs.dailyMetricsTick(spark, dir, url)
       println(s"[daily-metrics-job] upserted ${out.count()} days -> $url")
     } else {
-      val q = Jobs.scheduleDailyMetrics(spark, dir, url, every = mode)
+      val q = Jobs.scheduleDailyMetrics(spark, dir, url, every = mode,
+        checkpoint = if (args.length > 3) Some(args(3)) else None)
       println(s"[daily-metrics-job] scheduled every $mode -> $url")
       q.awaitTermination()
     }

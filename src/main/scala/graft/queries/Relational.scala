@@ -354,14 +354,17 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** Approximate distinct (HLL++) — sketch-based, constant memory at
-    * any scale. The sketch VALUE is engine-specific (DuckDB's sketch
-    * differs), so the verified projection carries the exact
-    * COUNT(DISTINCT) columns plus the sketch-vs-exact tolerance as a
-    * boolean: the oracle checks the exact counts, and a sketch drift
-    * past 5% (rsd is 1%, so 5σ; HLL++ is deterministic per dataset)
-    * flips the boolean and fails the hash match. Production users
-    * read the sketch; the exact column here is the oracle anchor. */
+  /** HLL++ approximate distinct, verified against the exact count.
+    * The sketch VALUE is engine-specific (DuckDB's sketch differs),
+    * so this query is the ACCURACY CHECK, not the production scale
+    * path: it computes both the sketch and the exact COUNT(DISTINCT)
+    * (a full distinct shuffle — fine at oracle scale) and projects
+    * the exact counts plus the sketch-vs-exact tolerance boolean.
+    * The oracle hash-checks the exact columns; sketch drift past 5%
+    * (rsd is 1%, so 5σ; HLL++ is deterministic per dataset) flips
+    * the boolean and fails the match. Production users at 100 TB run
+    * `approx_count_distinct` alone — constant memory, no distinct
+    * shuffle — with this query as its accuracy certificate. */
   val approxDistinct: Q = Q("tpch_approx_distinct",
     """SELECT l_returnflag,
       |  COUNT(DISTINCT l_orderkey) AS n_orders,

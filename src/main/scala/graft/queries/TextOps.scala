@@ -341,14 +341,14 @@ object TextOps {
   val fingerprint64: Q = Q("text_fingerprint64",
     """WITH f AS (
       |  SELECT doc_id,
-      |    list_reduce(
+      |    CASE WHEN length(text) = 0 THEN 0::HUGEINT ELSE list_reduce(
       |      list_transform(range(1, length(text) + 1),
       |                     i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)),
-      |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS h,
-      |    list_reduce(
+      |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) END AS h,
+      |    CASE WHEN length(text) = 0 THEN 0::HUGEINT ELSE list_reduce(
       |      list_transform(range(1, length(lower(text)) + 1),
       |                     i -> CAST(ord(substr(lower(text), i, 1)) AS HUGEINT)),
-      |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS hn
+      |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) END AS hn
       |  FROM documents)
       |SELECT doc_id,
       |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT

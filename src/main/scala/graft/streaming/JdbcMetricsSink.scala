@@ -31,8 +31,20 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object JdbcMetricsSink {
 
-  val Table   = "graft_daily_metrics"
-  val Staging = "graft_daily_metrics_stage"
+  val Table = "graft_daily_metrics"
+
+  /** Target tables already bootstrapped this JVM, keyed by url — the
+    * metadata probe runs once per store, not once per micro-batch. */
+  private val ensured = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private val stagingSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Unique across threads AND processes (two Spark apps may share
+    * one external store): per-JVM random tag + per-call counter. */
+  private val jvmTag =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+  private def freshStagingName(): String =
+    s"graft_daily_metrics_stage_${jvmTag}_${stagingSeq.incrementAndGet()}"
 
   /** Embedded-Derby JDBC url rooted at a fresh temp dir. */
   def derbyUrl(): String = {
@@ -61,27 +73,38 @@ object JdbcMetricsSink {
     * Identifiers are quoted lowercase to match how Spark's JDBC
     * writer quotes the staging columns, so the MERGE below references
     * both tables consistently. */
-  def ensureTable(url: String): Unit = withConn(url) { c =>
-    if (!tableExists(c, Table))
-      exec(c,
-        s"""CREATE TABLE $Table (
-           |  "day" DATE PRIMARY KEY,
-           |  "num_predictions" BIGINT,
-           |  "fraud_rate" DOUBLE,
-           |  "avg_amount" DOUBLE,
-           |  "avg_proba" DOUBLE)""".stripMargin)
-  }
+  def ensureTable(url: String): Unit =
+    if (!ensured.contains(url)) {
+      withConn(url) { c =>
+        if (!tableExists(c, Table))
+          exec(c,
+            s"""CREATE TABLE $Table (
+               |  "day" DATE PRIMARY KEY,
+               |  "num_predictions" BIGINT,
+               |  "fraud_rate" DOUBLE,
+               |  "avg_amount" DOUBLE,
+               |  "avg_proba" DOUBLE)""".stripMargin)
+      }
+      ensured.add(url)
+      ()
+    }
 
   /** The foreachBatch body: stage the batch with `DataFrameWriter
-    * .jdbc`, then merge staging into the target keyed by day. */
+    * .jdbc`, then merge staging into the target keyed by day. The
+    * staging table is named uniquely per invocation (and dropped
+    * after the merge) so concurrent writers against the same store —
+    * an external tick firing while the engine-native schedule runs —
+    * never overwrite each other's staged rows; last-merge-wins per
+    * day at the target, exactly like concurrent ON CONFLICT upserts. */
   def upsertDailyMetrics(batch: DataFrame, url: String): Unit = {
     ensureTable(url)
+    val staging = freshStagingName()
     batch.coalesce(1) // one row per touched day — one write task, like the parquet sink
       .write.mode("overwrite")
-      .jdbc(url, Staging, new java.util.Properties)
+      .jdbc(url, staging, new java.util.Properties)
     withConn(url) { c =>
-      exec(c,
-        s"""MERGE INTO $Table t USING $Staging s ON t."day" = s."day"
+      try exec(c,
+        s"""MERGE INTO $Table t USING $staging s ON t."day" = s."day"
            |WHEN MATCHED THEN UPDATE SET
            |  "num_predictions" = s."num_predictions",
            |  "fraud_rate"  = s."fraud_rate",
@@ -91,6 +114,7 @@ object JdbcMetricsSink {
            |  ("day", "num_predictions", "fraud_rate", "avg_amount", "avg_proba")
            |  VALUES (s."day", s."num_predictions", s."fraud_rate", s."avg_amount",
            |          s."avg_proba")""".stripMargin)
+      finally exec(c, s"DROP TABLE $staging")
     }
   }
 

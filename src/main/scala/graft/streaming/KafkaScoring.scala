@@ -50,31 +50,38 @@ object KafkaScoring {
     StructField("amount", DoubleType),
     StructField("features", MapType(StringType, DoubleType))))
 
-  /** Kafka wire rows → parsed transactions. Malformed payloads parse
-    * to NULL structs and are dropped — the reference's "log and skip"
-    * (`main.py:233-235`). */
-  def parsedTransactions(wire: DataFrame): DataFrame =
-    wire
-      .select(from_json(col("value").cast("string"), TransactionSchema).as("tx"))
+  /** One `from_json` per payload — both parse entry points go through
+    * this single column so the dominant per-row cost is paid once. */
+  private def withTx(wire: DataFrame): DataFrame =
+    wire.select(from_json(col("value").cast("string"), TransactionSchema).as("tx"))
+
+  /** Parsed-struct rows → transaction columns, dropping malformed
+    * payloads (NULL struct / missing id) — the reference's "log and
+    * skip" (`main.py:233-235`). */
+  private def projectTx(parsed: DataFrame): DataFrame =
+    parsed
       .filter(col("tx").isNotNull && col("tx.transaction_id").isNotNull)
       .select(col("tx.transaction_id").as("transaction_id"),
         col("tx.event_time").as("event_time"),
         col("tx.amount").as("amount"),
         col("tx.features").as("features"))
 
+  /** Kafka wire rows → parsed transactions. */
+  def parsedTransactions(wire: DataFrame): DataFrame = projectTx(withTx(wire))
+
   /** [[parsedTransactions]] with the skip counter riding the plan: an
-    * `observe()` node on the wire rows counts total and unparseable
-    * payloads per action/micro-batch (the P14 ingest metric for the
-    * Kafka transport — same pattern as
-    * [[graft.queries.FraudAnalytics.scoredWithIngestMetrics]]). */
+    * `observe()` node counts total and unparseable payloads per
+    * action/micro-batch (the P14 ingest metric for the Kafka
+    * transport — same pattern as [[graft.queries.FraudAnalytics
+    * .scoredWithIngestMetrics]]). The metric observes the
+    * ALREADY-PARSED struct column, so the JSON parse still happens
+    * exactly once per payload. */
   def parsedWithIngestMetrics(wire: DataFrame,
-                              obs: org.apache.spark.sql.Observation): DataFrame = {
-    val tx = from_json(col("value").cast("string"), TransactionSchema)
-    parsedTransactions(wire.observe(obs,
+                              obs: org.apache.spark.sql.Observation): DataFrame =
+    projectTx(withTx(wire).observe(obs,
       count(lit(1)).as("n_ingested"),
-      sum(when(tx.isNull || tx.getField("transaction_id").isNull, 1L).otherwise(0L))
+      sum(when(col("tx").isNull || col("tx.transaction_id").isNull, 1L).otherwise(0L))
         .as("n_skipped")))
-  }
 
   /** Full consumer value path: wire rows → parse → the SAME scoring
     * projection as the batch/file-source pipelines
@@ -87,8 +94,16 @@ object KafkaScoring {
     * bridged as the scoring feature (absent → 0.0, the P1 tolerant
     * default). */
   def scoredTransactions(wire: DataFrame): DataFrame =
+    scoredParsed(parsedTransactions(wire))
+
+  /** The scoring half of [[scoredTransactions]], over already-parsed
+    * transaction rows — the entry point when the parse stage carries
+    * extras (e.g. [[parsedWithIngestMetrics]]' observe node). This is
+    * THE definition of the payload→events mapping and the risk
+    * bridge; nothing else restates it. */
+  def scoredParsed(parsed: DataFrame): DataFrame =
     FraudAnalytics.scoredFrom(
-      parsedTransactions(wire)
+      parsed
         .withColumnRenamed("event_time", "ts")
         .withColumn("value", col("amount")),
       map(lit("k"),
@@ -114,19 +129,27 @@ object KafkaScoring {
     scoredTransactions(kafkaSource(spark, bootstrap, topic))
 
   /** S3, the one-shot peek (`main.py:147-170`): BATCH read of the
-    * topic from `latest`, one parsed message, no commit — Spark's
-    * batch Kafka source reads a bounded offset range and commits
-    * nothing, so the no-side-effect debug contract holds by
-    * construction. */
-  def peekOne(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    * topic, most recent parsed message, no commit — the batch Kafka
+    * source reads a bounded offset range and commits nothing, so the
+    * no-side-effect debug contract holds by construction. Batch reads
+    * reject `startingOffsets=latest` (the range would be empty), so
+    * the scan starts at `sinceMs` via startingOffsetsByTimestamp when
+    * given — the production way to bound the peek to recent data —
+    * and falls back to `earliest` (full-topic scan; debug-only)
+    * otherwise. */
+  def peekOne(spark: SparkSession, bootstrap: String, topic: String,
+              sinceMs: Option[Long] = None): DataFrame = {
+    val reader = spark.read
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+    val bounded = sinceMs match {
+      case Some(ts) => reader.option("startingOffsetsByTimestamp", s"""{"$topic": $ts}""")
+      case None     => reader.option("startingOffsets", "earliest")
+    }
     parsedTransactions(
-      spark.read
-        .format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", "latest")
-        .load())
-      .limit(1)
+      bounded.load().orderBy(col("timestamp").desc, col("offset").desc).limit(1))
+  }
 
   /** S1 producer side: scored (or synthetic) rows → Kafka sink shape.
     * `to_json(struct(..))` is byte-for-byte the reference producer's

@@ -24,12 +24,14 @@ object UserState {
       last_ts: java.sql.Timestamp,
       spike_seen: Boolean)
 
-  def updateProfile(
-      userId: Long,
-      events: Iterator[UserEvent],
-      state: GroupState[UserProfile]): UserProfile = {
-    val prior = state.getOption.getOrElse(
-      UserProfile(userId, 0L, 0.0, new java.sql.Timestamp(0L), spike_seen = false))
+  def emptyProfile(userId: Long): UserProfile =
+    UserProfile(userId, 0L, 0.0, new java.sql.Timestamp(0L), spike_seen = false)
+
+  /** THE per-user fold — the one definition both state APIs
+    * ([[updateProfile]] / [[UserStateTws.ProfileProcessor]]) apply;
+    * pure, so the parity pinned in StreamingSpec is by construction
+    * limited to the state plumbing. */
+  def foldProfile(prior: UserProfile, events: Iterator[UserEvent]): UserProfile = {
     var n = prior.n_events
     var total = prior.total_value
     var last = prior.last_ts
@@ -40,9 +42,30 @@ object UserState {
       n += 1; total += e.value
       if (e.ts.after(last)) last = e.ts
     }
-    val next = UserProfile(userId, n, total, last, spike)
+    UserProfile(prior.user_id, n, total, last, spike)
+  }
+
+  def updateProfile(
+      userId: Long,
+      events: Iterator[UserEvent],
+      state: GroupState[UserProfile]): UserProfile = {
+    val next = foldProfile(state.getOption.getOrElse(emptyProfile(userId)), events)
     state.update(next)
     next
+  }
+
+  /** Update-mode memory sinks append one row per (user, touched
+    * micro-batch); keep only the final state per user (n_events is
+    * monotone across batches). Shared by both state-API twins. */
+  private[streaming] def finalProfiles(spark: SparkSession, table: String): Dataset[UserProfile] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    spark.table(table).as[UserProfile]
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+      .as[UserProfile]
   }
 
   /** Run the stateful profile stream over a bounded events directory;
@@ -62,16 +85,6 @@ object UserState {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // Update-mode memory sink appends one row per (user, micro-batch);
-    // when the source splits input across batches a user appears once
-    // per batch it was updated in. Keep only the final state per user
-    // (max n_events — the count is monotone across batches).
-    val rows = spark.table("graft_user_profiles").as[UserProfile]
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, row_number}
-    rows.withColumn("_rn",
-        row_number().over(Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
-      .filter(col("_rn") === 1).drop("_rn")
-      .as[UserProfile]
+    finalProfiles(spark, "graft_user_profiles")
   }
 }

@@ -37,19 +37,8 @@ object UserStateTws {
     override def handleInputRows(userId: Long, events: Iterator[UserEvent],
                                  timerValues: TimerValues): Iterator[UserProfile] = {
       val prior =
-        if (profile.exists()) profile.get()
-        else UserProfile(userId, 0L, 0.0, new java.sql.Timestamp(0L), spike_seen = false)
-      var n = prior.n_events
-      var total = prior.total_value
-      var last = prior.last_ts
-      var spike = prior.spike_seen
-      events.foreach { e =>
-        val mean = if (n > 0) total / n else Double.MaxValue
-        if (n > 0 && e.value > 3.0 * mean) spike = true
-        n += 1; total += e.value
-        if (e.ts.after(last)) last = e.ts
-      }
-      val next = UserProfile(userId, n, total, last, spike)
+        if (profile.exists()) profile.get() else UserState.emptyProfile(userId)
+      val next = UserState.foldProfile(prior, events)
       profile.update(next)
       Iterator.single(next)
     }
@@ -78,15 +67,7 @@ object UserStateTws {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // Same final-state-per-user selection as the mapGroupsWithState
-      // twin (update-mode memory sink emits one row per touched batch).
-      val rows = spark.table("graft_user_profiles_tws").as[UserProfile]
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions.{col, row_number}
-      rows.withColumn("_rn",
-          row_number().over(Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
-        .filter(col("_rn") === 1).drop("_rn")
-        .as[UserProfile]
+      UserState.finalProfiles(spark, "graft_user_profiles_tws")
     } finally {
       prev match {
         case Some(v) => spark.conf.set(providerKey, v)

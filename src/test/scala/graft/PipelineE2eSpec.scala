@@ -37,11 +37,8 @@ class PipelineE2eSpec extends SparkSpec {
 
     // -- consumer side: parse (skip counter in-plan) → score
     val obs = Observation("kafka_ingest")
-    val scored = graft.queries.FraudAnalytics.scoredFrom(
-      KafkaScoring.parsedWithIngestMetrics(wire.unionByName(garbage), obs)
-        .withColumnRenamed("event_time", "ts")
-        .withColumn("value", col("amount")),
-      map(lit("k"), coalesce(element_at(col("features"), "merchant_risk"), lit(0.0)) * 100.0))
+    val scored = KafkaScoring.scoredParsed(
+      KafkaScoring.parsedWithIngestMetrics(wire.unionByName(garbage), obs))
       .persist()
     assert(scored.count() == 3)
     assert(obs.get("n_ingested") == 5L, "observe must count raw wire rows")
