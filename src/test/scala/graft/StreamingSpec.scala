@@ -130,6 +130,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("T4 streaming: session_window with watermark matches batch sessionization") {
+    // The batch fraud_sessionize oracle query, run as a STREAM: same
+    // session_window(ts, 30 min) groupBy under a watermark, append
+    // mode (sessions finalize when the watermark passes their gap).
+    // The bounded backfill's final no-data batch advances the
+    // watermark to max(ts)+0, so only sessions still open within the
+    // last hour may be withheld — compare on the closed prefix.
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt-").toString
+    val agg = ScoringStream.scoredStream(spark, sf)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory").queryName("graft_sessions_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("graft_sessions_stream")
+    val batch = SparkEntry.queries("fraud_sessionize")(spark, sf)
+    // Every emitted streaming session must be a batch session…
+    assert(streamed.except(batch).count() == 0)
+    // …and the stream must have finalized the overwhelming majority
+    // (only sessions inside the trailing watermark horizon may be held).
+    val horizon = graft.sources.Tables.events(spark, sf)
+      .agg(max(col("ts"))).head.getTimestamp(0).getTime - 2 * 3600 * 1000
+    val closed = batch.filter(col("session_end") < new java.sql.Timestamp(horizon))
+    assert(closed.except(streamed).count() == 0,
+      "a session closed before the watermark horizon was never emitted")
+    assert(streamed.count() > 0)
+  }
+
   test("T5 on transformWithState: RocksDB-backed profiles match the mapGroupsWithState twin") {
     val tws = graft.streaming.UserStateTws.runProfiles(spark, sf)
       .collect().map(p => p.user_id -> p).toMap
