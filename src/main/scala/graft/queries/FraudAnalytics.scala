@@ -418,6 +418,40 @@ object FraudAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Sketch-based percentiles certified against the exact path — the
+    * companion of [[valuePercentiles]] the way `tpch_approx_distinct`
+    * companions the exact distinct counts. `approx_percentile`
+    * (Greenwald-Khanna summaries: constant memory per group,
+    * mergeable partials, no per-group sort) is what runs at 100 TB;
+    * this query computes it NEXT TO the exact interpolated
+    * percentiles and projects the exact values plus a boolean pinning
+    * the sketch inside generous rank bounds (accuracy 10⁴ → rank
+    * error 10⁻⁴; the bound checked is ±0.05 quantile, 500×). The
+    * oracle hash-checks the exact columns; sketch drift past the
+    * bound flips the boolean and fails the match. */
+  val valuePercentilesSketch: Q = Q("fraud_value_percentiles_sketch",
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(value, 0.99), 6) AS p99,
+      |  TRUE AS sketch_within_bounds
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        r6(expr("percentile(value, 0.5)")).as("p50"),
+        r6(expr("percentile(value, 0.99)")).as("p99"),
+        expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(value, 0.99, 10000)").as("a99"),
+        expr("percentile(value, 0.45)").as("lo50"),
+        expr("percentile(value, 0.55)").as("hi50"),
+        expr("percentile(value, 0.98)").as("lo99"),
+        max(col("value")).as("hi99"))
+      .select(col("event_type"), col("p50"), col("p99"),
+        (col("a50").between(col("lo50"), col("hi50")) &&
+         col("a99").between(col("lo99"), col("hi99"))).as("sketch_within_bounds"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- as-of
   /** As-of join within the stream: each purchase attributed to the
     * user's most recent prior click — the point-in-time lookup
@@ -502,5 +536,6 @@ object FraudAnalytics {
     dailyMetrics, scoredEvents, freshness, nullViolations, rateBound,
     timeseries, hourlyStats, recentTopK, featureProjection, typeBreakdown,
     kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, unpivotTypeDaily,
-    valuePercentiles, clickAttribution, valueStats, regressionStats, groupingSets)
+    valuePercentiles, valuePercentilesSketch, clickAttribution, valueStats,
+    regressionStats, groupingSets)
 }

@@ -223,6 +223,34 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Skew-mitigated fact⋈dim join — the EXPLICIT salting form of what
+    * AQE's skew-join does adaptively. The fact side carries a
+    * deterministic salt (hash of its unique key mod S); the dim side
+    * is replicated S× with one copy per salt value, so a single hot
+    * customer key spreads over S reducers instead of one straggler
+    * task. The result is provably identical to the unsalted join —
+    * the oracle IS the plain join — which is the property that makes
+    * the technique safe to apply at ingest when a hot key is known up
+    * front (the reference's per-user event stream concentrates on
+    * power users the same way). Replication cost: S× the dim rows
+    * through the shuffle, paid only on the salted copy. */
+  val saltedJoinRevenue: Q = Q("tpch_salted_join_revenue",
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val salts = 8
+    val fact = Tables.orders(s, dir)
+      .withColumn("f_salt", pmod(hash(col("o_orderkey")), lit(salts)))
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), explode(typedLit((0 until salts).toArray)).as("d_salt"))
+    fact
+      .join(dim, col("o_custkey") === col("c_custkey") && col("f_salt") === col("d_salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ---------------------------------------------------------------- windows
   /** Top-3 orders per customer by price: row_number over a
     * partitioned window; single shuffle on o_custkey. */
@@ -491,7 +519,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     pricingSummary, revenueByNation, segmentRevenue, customersWithOrders,
     customersWithoutOrders, suppliersByRegion, localSupplierRevenue,
-    promoRevenue, brandPartStats,
+    promoRevenue, brandPartStats, saltedJoinRevenue,
     topOrdersPerCustomer, runningRevenue, orderGaps, setUnion, setExcept,
     setIntersect, rollupPricing, cubeOrders, distinctCounts, approxDistinct,
     topOrders, latestOrderPerCustomer, sqlQ3, sqlQ17, sqlLateralTopK,
