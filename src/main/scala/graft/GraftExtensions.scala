@@ -8,15 +8,17 @@ import org.apache.spark.sql.SparkSessionExtensions
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *
-  * Injects the native functions into the FunctionRegistry and the
-  * [[graft.plans.TopKPerKeyStrategy]] planner strategy at session
-  * build time. [[GraftSession.attach]] remains the programmatic
-  * equivalent for an already-built session.
+  * Injects the native functions into the FunctionRegistry, the
+  * [[graft.plans.TopKPerKeyStrategy]] planner strategy, and the
+  * [[graft.plans.WindowTopKRewrite]] optimizer rule at session build
+  * time. [[GraftSession.attach]] remains the programmatic equivalent
+  * for an already-built session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.descriptions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }

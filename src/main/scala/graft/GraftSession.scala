@@ -28,12 +28,17 @@ object GraftSession {
     spark
   }
 
-  /** Install graft's functions + strategy on an existing session. */
+  /** Install graft's functions, strategy, and optimizer rule on an
+    * existing session. */
   def attach(spark: SparkSession): SparkSession = {
     graft.functions.GraftFunctions.register(spark)
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.WindowTopKRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.WindowTopKRewrite
     }
     spark
   }

@@ -1,0 +1,106 @@
+package graft
+
+import graft.plans.{TopKPerKeyStrategy, WindowTopKRewrite}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The optimizer rule leg of the custom-operator stack: the filtered
+  * row_number idiom is rewritten to TopKPerKeyExec (no per-partition
+  * sort), guarded shapes are left alone, and the rewrite never changes
+  * answers. The rule+strategy are attached to the shared session for
+  * the duration of the suite and removed afterwards. */
+class WindowTopKRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def attached[A](body: => A): A = {
+    val prevStrategies = spark.experimental.extraStrategies
+    val prevRules = spark.experimental.extraOptimizations
+    spark.experimental.extraStrategies = prevStrategies :+ TopKPerKeyStrategy
+    spark.experimental.extraOptimizations = prevRules :+ WindowTopKRewrite
+    try body
+    finally {
+      spark.experimental.extraStrategies = prevStrategies
+      spark.experimental.extraOptimizations = prevRules
+    }
+  }
+
+  private def topkIdiom(k: Int): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .drop("rn")
+  }
+
+  test("rewrites the drop-rn idiom to TopKPerKeyExec with no sort and no window") {
+    attached {
+      val plan = topkIdiom(3).queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey ["), plan)
+      assert(!plan.contains("Window ["), plan)
+      assert(!plan.contains("Sort ["), plan)
+    }
+  }
+
+  test("rewritten plan returns exactly the window-form rows") {
+    val expected = topkIdiom(3).collect().toSet // rule not attached: window plan
+    val got = attached(topkIdiom(3).collect().toSet)
+    assert(got == expected)
+  }
+
+  test("rn = 1 (argmax idiom) rewrites with k = 1") {
+    attached {
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      val latest = Tables.orders(spark, sf)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .drop("rn")
+      assert(latest.queryExecution.executedPlan.toString.contains("TopKPerKey ["))
+      val viaArgmax = Tables.orders(spark, sf)
+        .groupBy($"o_custkey")
+        .agg(max_by($"o_orderkey", struct($"o_orderdate", $"o_orderkey")).as("o_orderkey"))
+        .select($"o_custkey", $"o_orderkey")
+      assert(latest.select($"o_custkey", $"o_orderkey").except(viaArgmax).isEmpty)
+    }
+  }
+
+  test("does not fire when the rank column is kept in the output") {
+    attached {
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      val kept = Tables.orders(spark, sf)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+      val plan = kept.queryExecution.executedPlan.toString
+      assert(plan.contains("Window ["), plan)
+      assert(!plan.contains("TopKPerKey ["), plan)
+    }
+  }
+
+  test("does not fire for rank() — tie semantics differ") {
+    attached {
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+      val ranked = Tables.orders(spark, sf)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .withColumn("rn", rank().over(w))
+        .filter($"rn" <= 3)
+        .drop("rn")
+      assert(!ranked.queryExecution.executedPlan.toString.contains("TopKPerKey ["))
+    }
+  }
+
+  test("does not fire past MaxK or when disabled by conf") {
+    attached {
+      val big = topkIdiom(WindowTopKRewrite.MaxK + 1)
+      assert(!big.queryExecution.executedPlan.toString.contains("TopKPerKey ["))
+      spark.conf.set("spark.graft.topkRewrite.enabled", "false")
+      try {
+        val off = topkIdiom(3)
+        assert(!off.queryExecution.executedPlan.toString.contains("TopKPerKey ["))
+      } finally spark.conf.unset("spark.graft.topkRewrite.enabled")
+    }
+  }
+}
