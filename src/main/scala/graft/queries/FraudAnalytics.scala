@@ -452,6 +452,45 @@ object FraudAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Ordered conversion funnel view → click → purchase: each stage is
+    * the user's FIRST qualifying event strictly after their previous
+    * stage and within a 24 h conversion window (sequential pattern
+    * matching, the product-analytics twin of the reference's per-user
+    * event stream). Each stage pre-aggregates (min ts per user)
+    * BEFORE joining, so the joins carry one row per user, not one per
+    * event — the staged min-reduction that keeps funnels linear at
+    * 100 TB. Output is the single-row stage-count summary. */
+  val funnelCounts: Q = Q("fraud_funnel_counts",
+    """WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS ct FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.vt
+      |        AND e.ts <= v.vt + INTERVAL 24 HOUR GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.ct
+      |        AND e.ts <= c.ct + INTERVAL 24 HOUR GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |       (SELECT COUNT(*) FROM c) AS n_click,
+      |       (SELECT COUNT(*) FROM p) AS n_purchase""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val window24h = expr("INTERVAL 24 HOUR")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("vt") && col("ts") <= col("vt") + window24h)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ct"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("ct") && col("ts") <= col("ct") + window24h)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+  }
+
   // ---------------------------------------------------------------- as-of
   /** As-of join within the stream: each purchase attributed to the
     * user's most recent prior click — the point-in-time lookup
@@ -536,6 +575,6 @@ object FraudAnalytics {
     dailyMetrics, scoredEvents, freshness, nullViolations, rateBound,
     timeseries, hourlyStats, recentTopK, featureProjection, typeBreakdown,
     kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, unpivotTypeDaily,
-    valuePercentiles, valuePercentilesSketch, clickAttribution, valueStats,
-    regressionStats, groupingSets)
+    valuePercentiles, valuePercentilesSketch, funnelCounts, clickAttribution,
+    valueStats, regressionStats, groupingSets)
 }

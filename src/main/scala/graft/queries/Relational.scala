@@ -223,6 +223,56 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** TPC-H Q13 shape: join-then-REaggregate — orders-per-customer
+    * distribution including zero-order customers via LEFT OUTER. Two
+    * cascaded aggregations with different keys (custkey, then the
+    * computed count): the first shuffle is the join/group on custkey,
+    * the second groups a |customers|-sized frame on a tiny key — AQE
+    * coalesces it to a handful of partitions. COUNT(o_orderkey) (not
+    * COUNT(*)) makes the no-order group count 0, which is the whole
+    * point of the outer join. */
+  val ordersPerCustomerDist: Q = Q("tpch_orders_per_customer_dist",
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q22 shape: a GLOBAL scalar subquery (average balance) as
+    * the filter bound plus an anti-join, then aggregate. The scalar
+    * aggregate is a 1-row frame broadcast-cross-joined onto the scan
+    * (the anchor pattern — no driver round-trip, stays one job); the
+    * anti-join shuffles only the distinct probe keys. */
+  val topBalanceInactive: Q = Q("tpch_top_balance_inactive",
+    """SELECT c_nationkey, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    cust
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Skew-mitigated fact⋈dim join — the EXPLICIT salting form of what
     * AQE's skew-join does adaptively. The fact side carries a
     * deterministic salt (hash of its unique key mod S); the dim side
@@ -519,7 +569,8 @@ object Relational {
   val all: Seq[Q] = Seq(
     pricingSummary, revenueByNation, segmentRevenue, customersWithOrders,
     customersWithoutOrders, suppliersByRegion, localSupplierRevenue,
-    promoRevenue, brandPartStats, saltedJoinRevenue,
+    promoRevenue, brandPartStats, saltedJoinRevenue, ordersPerCustomerDist,
+    topBalanceInactive,
     topOrdersPerCustomer, runningRevenue, orderGaps, setUnion, setExcept,
     setIntersect, rollupPricing, cubeOrders, distinctCounts, approxDistinct,
     topOrders, latestOrderPerCustomer, sqlQ3, sqlQ17, sqlLateralTopK,
