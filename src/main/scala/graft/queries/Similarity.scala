@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors) — the ANN surface of a training-data pipeline.
   *
-  * All vector math is SQL higher-order functions (`zip_with` +
-  * `aggregate`) over the array column — codegen'd column arithmetic,
-  * no UDF, no driver-side collect. Shapes:
+  * Pair-path vector math is the native codegen'd [[graft.functions.CosineSim]]
+  * expression (`graft_cosine`); the HOF form ([[dotd]]) survives only
+  * on per-row once paths (norms in [[embeddingStats]]) where its
+  * boxing cost is off the hot loop. No UDFs, no driver-side collect.
+  * Shapes:
   *
   *  - query-vs-corpus top-k: 1-row broadcast against a partitioned
   *    scan; at 100 TB this is the brute-force baseline that scales
