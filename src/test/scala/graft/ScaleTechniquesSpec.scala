@@ -88,6 +88,20 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(prunedCount < naive, s"pruned=$prunedCount naive=$naive")
   }
 
+  test("salted join shuffles on the composite (key, salt) when broadcast is off") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = graft.queries.Relational.saltedJoinRevenue.fn(spark, sf)
+      val plan = salted.queryExecution.executedPlan.toString
+      // the fact-side exchange must carry BOTH the key and the salt —
+      // that composite is what spreads a hot key over the reducers
+      assert(plan.contains("Exchange hashpartitioning(o_custkey") &&
+             plan.split("Exchange hashpartitioning\\(o_custkey")(1).startsWith("#") &&
+             plan.contains("f_salt"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted two-phase aggregation equals direct aggregation on skewed keys") {
     // one hot key carrying 90% of rows
     val skewed = spark.range(0, 100000)
