@@ -491,6 +491,32 @@ object FraudAnalytics {
       .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
   }
 
+  /** Semi-structured extraction through Spark 4's VARIANT type: props
+    * parsed once into the binary variant encoding, fields pulled with
+    * `variant_get` path expressions — the schema-on-read path for
+    * props payloads whose shape drifts (vs [[scoredEvents]]'s
+    * fixed-schema `from_json`). `try_parse_json` nulls malformed
+    * payloads instead of failing the scan, matching the engine's
+    * malformed-skip contract (P14). Variant's typed binary encoding
+    * is columnar-friendly: at 100 TB the parse cost is paid once per
+    * value, not once per extracted path. */
+  val propsVariant: Q = Q("fraud_props_variant",
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CASE WHEN json_valid(props)
+      |             THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+      |      FROM events) t
+      |WHERE k IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("k", expr("variant_get(try_parse_json(props), '$.k', 'bigint')"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- as-of
   /** As-of join within the stream: each purchase attributed to the
     * user's most recent prior click — the point-in-time lookup
@@ -575,6 +601,6 @@ object FraudAnalytics {
     dailyMetrics, scoredEvents, freshness, nullViolations, rateBound,
     timeseries, hourlyStats, recentTopK, featureProjection, typeBreakdown,
     kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, unpivotTypeDaily,
-    valuePercentiles, valuePercentilesSketch, funnelCounts, clickAttribution,
-    valueStats, regressionStats, groupingSets)
+    valuePercentiles, valuePercentilesSketch, funnelCounts, propsVariant,
+    clickAttribution, valueStats, regressionStats, groupingSets)
 }
