@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan invariants for headline queries — the shapes that
+  * must survive a 100× scale-up, pinned so a refactor can't silently
+  * trade them away: filters reaching the parquet scan, unused columns
+  * pruned out of ReadSchema, fixed-size dims broadcast, global top-k
+  * planned as TakeOrderedAndProject (no full sort), and Spark's own
+  * window-group-limit kicking in on the rank-filter idiom. */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("pricing summary: shipdate filter is pushed to the parquet scan") {
+    val plan = formatted(SparkEntry.queries("tpch_pricing_summary")(spark, sf))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.replaceAll("\\s+", " ")
+      .matches(".*PushedFilters: \\[[^\\]]*LessThanOrEqual\\(l_shipdate.*"), plan)
+  }
+
+  test("pricing summary: unused lineitem columns are pruned from ReadSchema") {
+    val plan = formatted(SparkEntry.queries("tpch_pricing_summary")(spark, sf))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.nonEmpty, plan)
+    for (unused <- Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      assert(!readSchema.contains(unused), readSchema)
+  }
+
+  test("revenue by nation: the fixed-size nation dim joins by broadcast") {
+    val plan = formatted(SparkEntry.queries("tpch_revenue_by_nation")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("global top-k plans TakeOrderedAndProject, not a full sort") {
+    val plan = formatted(SparkEntry.queries("tpch_topk_orders")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("rank-filter window engages Spark's WindowGroupLimit pre-filter") {
+    val plan = formatted(SparkEntry.queries("tpch_window_top_orders")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("dim filter sits on the dim scan before the join (Q5 region)") {
+    val plan = formatted(SparkEntry.queries("tpch_local_supplier_revenue")(spark, sf))
+    assert(plan.replaceAll("\\s+", " ")
+      .matches(".*PushedFilters: \\[[^\\]]*EqualTo\\(r_name,ASIA.*"), plan)
+  }
+
+  test("scored events stay inside whole-stage codegen (no UDF break)") {
+    val df = SparkEntry.queries("fraud_scored_events")(spark, sf)
+    df.collect() // AQE finalizes THIS plan's codegen spans only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefix marks codegen stages; the scoring projection must
+    // carry one, and nothing may fall back to an interpreted UDF.
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+}
