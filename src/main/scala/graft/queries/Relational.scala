@@ -273,6 +273,35 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H Q18 shape: an AGGREGATE-DERIVED semi-join — orders whose
+    * total lineitem quantity clears a HAVING bound, joined back to
+    * order/customer detail. The heavy-hitter key set is built by one
+    * partial+final aggregate over the fact table and then used as the
+    * (small) build side of the detail join — the two-pass shape that
+    * replaces a correlated per-order subquery, and the standard way
+    * to materialize "outlier keys" once and reuse them at 100 TB. */
+  val bigVolumeCustomers: Q = Q("tpch_big_volume_customers",
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, sum_qty
+      |FROM (SELECT l_orderkey,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+      |      FROM lineitem GROUP BY 1
+      |      HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 250) big
+      |JOIN orders   ON o_orderkey = big.l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY sum_qty DESC, o_orderkey""".stripMargin) { (s, dir) =>
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(28, 6))).as("qty_dec"))
+      .filter(col("qty_dec") > 250)
+      .select(col("l_orderkey"), col("qty_dec").cast("double").as("sum_qty"))
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
   /** Skew-mitigated fact⋈dim join — the EXPLICIT salting form of what
     * AQE's skew-join does adaptively. The fact side carries a
     * deterministic salt (hash of its unique key mod S); the dim side
@@ -570,7 +599,7 @@ object Relational {
     pricingSummary, revenueByNation, segmentRevenue, customersWithOrders,
     customersWithoutOrders, suppliersByRegion, localSupplierRevenue,
     promoRevenue, brandPartStats, saltedJoinRevenue, ordersPerCustomerDist,
-    topBalanceInactive,
+    topBalanceInactive, bigVolumeCustomers,
     topOrdersPerCustomer, runningRevenue, orderGaps, setUnion, setExcept,
     setIntersect, rollupPricing, cubeOrders, distinctCounts, approxDistinct,
     topOrders, latestOrderPerCustomer, sqlQ3, sqlQ17, sqlLateralTopK,
