@@ -432,6 +432,33 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic stratified sampling by CONTENT HASH — the
+    * reproducible subsampling a training-data pipeline needs: the
+    * same document lands in the same split on every run, any engine,
+    * any partitioning (unlike `df.sample`'s per-partition RNG, whose
+    * draw depends on split layout). The strata here keep 20% of short
+    * documents and 60% of long ones (length rebalancing); the md5
+    * bucket in [0,100) is portable, so the exact sampled id set is
+    * oracle-checked. Stateless per-row predicate → embarrassingly
+    * parallel, pushes nothing but a scan at 100 TB. */
+  val sampleStratified: Q = Q("text_sample_stratified",
+    """SELECT doc_id, lang, n_chars,
+      |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+      |FROM documents
+      |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+      |      < CASE WHEN n_chars < 500 THEN 20 ELSE 60 END
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // same 60-bit md5-prefix bucket on both engines (non-negative, so
+    // % and DuckDB's % agree); threshold varies by the length stratum
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+    Tables.documents(s, dir)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < when(col("n_chars") < 500, 20).otherwise(60))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokenStats, quality, langId, fingerprint, dedupExact,
-    dedupNear, fingerprint64, wordCount, dedupKeep, tokenBpe)
+    dedupNear, fingerprint64, wordCount, dedupKeep, tokenBpe, sampleStratified)
 }
