@@ -459,6 +459,51 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source corpus report card — the summary a curation pipeline
+    * publishes per ingest feed: volume, exact-dup rate (distinct
+    * content fingerprints vs rows), language spread, and mean quality
+    * score. Composes the per-doc [[quality]] frame with the raw doc
+    * attributes through one doc_id join, then a single groupBy on the
+    * low-cardinality source key; COUNT(DISTINCT fp) is the only
+    * distinct shuffle and rides the same aggregation. */
+  val corpusReport: Q = Q("text_corpus_report",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), q AS (
+      |  SELECT doc_id,
+      |    ROUND(((CAST(0.4 AS DOUBLE) * least(CAST(len(w) AS DOUBLE) / 50.0, 1.0))
+      |      + (CAST(0.3 AS DOUBLE) * (1.0 - (CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(w)))))
+      |      + (CAST(0.3 AS DOUBLE) * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))), 6) AS quality_score
+      |  FROM t
+      |), d AS (
+      |  SELECT doc_id, source, lang, n_chars, md5(text) AS fp FROM documents
+      |)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT fp) AS n_unique,
+      |  ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  ROUND(AVG(quality_score), 6) AS avg_quality
+      |FROM d JOIN q USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val perDoc = quality.fn(s, dir).select(col("doc_id"), col("quality_score"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("fp"))
+      .join(perDoc, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        r6(lit(1.0) - countDistinct(col("fp")).cast("double") / count(lit(1))).as("dup_rate"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        r6(avg(col("quality_score"))).as("avg_quality"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(tokenStats, quality, langId, fingerprint, dedupExact,
-    dedupNear, fingerprint64, wordCount, dedupKeep, tokenBpe, sampleStratified)
+    dedupNear, fingerprint64, wordCount, dedupKeep, tokenBpe, sampleStratified,
+    corpusReport)
 }
