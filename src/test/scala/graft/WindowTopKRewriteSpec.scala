@@ -92,6 +92,23 @@ class WindowTopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("randomized equivalence with the window form (total order, varied k)") {
+    // duplicate sort values exercised via a coarse double grid; the
+    // unique id tiebreak keeps the order total so both plans must
+    // return the identical set
+    for (seed <- Seq(1, 7, 42); k <- Seq(1, 3, 8)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.tabulate(500)(i => (rnd.nextInt(10).toLong, (rnd.nextInt(20) / 4.0), i.toLong))
+      val df = spark.createDataFrame(rows).toDF("key", "v", "id")
+      val w = Window.partitionBy($"key").orderBy($"v".desc, $"id")
+      def idiom(d: DataFrame) = d.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k).drop("rn")
+      val expected = idiom(df).collect().toSet       // window plan
+      val got = attached(idiom(df).collect().toSet)  // rewritten plan
+      assert(got == expected, s"seed=$seed k=$k")
+    }
+  }
+
   test("does not fire past MaxK or when disabled by conf") {
     attached {
       val big = topkIdiom(WindowTopKRewrite.MaxK + 1)
