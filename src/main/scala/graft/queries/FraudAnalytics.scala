@@ -491,6 +491,34 @@ object FraudAnalytics {
       .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
   }
 
+  /** Gap-filled per-minute series: a generated minute SPINE (1-row
+    * min/max anchor → `sequence` → explode) left-joined to the
+    * aggregated counts, empty minutes coalesced to 0 — resampling to
+    * a continuous time grid, the dashboard-feed form of
+    * [[timeseries]]. Scale shape: the spine is bounded by the time
+    * range (not the data volume), the count aggregate is the only
+    * fact-table shuffle, and the spine⋈agg join is between two
+    * minute-bounded frames. */
+  val timeseriesFilled: Q = Q("fraud_timeseries_filled",
+    """WITH b AS (SELECT MIN(date_trunc('minute', ts)) AS t0,
+      |                  MAX(date_trunc('minute', ts)) AS t1 FROM events),
+      |spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS minute FROM b),
+      |agg AS (SELECT date_trunc('minute', ts) AS minute, COUNT(*) AS n
+      |        FROM events GROUP BY 1)
+      |SELECT spine.minute, COALESCE(agg.n, 0) AS n
+      |FROM spine LEFT JOIN agg USING (minute) ORDER BY spine.minute""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val spine = e
+      .agg(min(date_trunc("minute", col("ts"))).as("t0"),
+           max(date_trunc("minute", col("ts"))).as("t1"))
+      .select(explode(expr("sequence(t0, t1, interval 1 minute)")).as("minute"))
+    val agg = e.groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(agg, Seq("minute"), "left_outer")
+      .select(col("minute"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("minute"))
+  }
+
   /** Semi-structured extraction through Spark 4's VARIANT type: props
     * parsed once into the binary variant encoding, fields pulled with
     * `variant_get` path expressions — the schema-on-read path for
@@ -602,5 +630,5 @@ object FraudAnalytics {
     timeseries, hourlyStats, recentTopK, featureProjection, typeBreakdown,
     kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, unpivotTypeDaily,
     valuePercentiles, valuePercentilesSketch, funnelCounts, propsVariant,
-    clickAttribution, valueStats, regressionStats, groupingSets)
+    timeseriesFilled, clickAttribution, valueStats, regressionStats, groupingSets)
 }
