@@ -27,10 +27,29 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // Full per-query detail goes to STDERR: the driver that consumes
+    // the stdout line keeps only the last ~2000 chars of output, and
+    // 80+ query timings don't fit — a longer line loses its head
+    // (including "metric") to the truncation and never parses.
+    System.err.println(s"""[bench-detail] ${fmt(results)}""")
+    // The ONE stdout JSON line, capped so line + sbt's trailing
+    // "[success] ..." stays inside the consumer's tail window: the
+    // slowest queries first (the ones worth grading), the rest summed
+    // into "queries_other" so the map still totals to "value".
+    val byCost = results.sortBy(-_._2)
+    val prefix = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","queries_total":${results.size},"queries":"""
+    val budget = 1600 - prefix.length
+    val (kept, keptLen) = byCost.foldLeft((Vector.empty[(String, Double)], 0)) {
+      case ((acc, len), (k, v)) =>
+        val entryLen = k.length + 12 // "name":12.345, with quotes+comma
+        if (len + entryLen <= budget) (acc :+ (k -> v), len + entryLen) else (acc, len)
+    }
+    val other = total - kept.map(_._2).sum
+    val qs = fmt(kept :+ ("queries_other" -> other))
+    println(prefix + qs + "}")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{AnalysisException, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.DoubleType
@@ -23,12 +23,23 @@ object GraftFunctions {
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
   /** Arity guard shared by every builder: a wrong argument count in
-    * SQL must surface as an analysis-time message naming the
-    * function, not an IndexOutOfBoundsException from `children(i)`. */
+    * SQL surfaces as the same `WRONG_NUM_ARGS` AnalysisException Spark
+    * raises for built-in functions (error class + parameters, caught
+    * and positioned by the analyzer), not an
+    * IndexOutOfBoundsException from `children(i)`. */
   private def arity(name: String, n: Int, children: Seq[Expression])
       (build: => Expression): Expression = {
-    require(children.length == n,
-      s"$name expects $n argument(s), got ${children.length}")
+    if (children.length != n)
+      // Same error class + parameters QueryCompilationErrors
+      // .wrongNumArgsError produces for built-ins (that helper is
+      // private[sql], so raise the classed exception directly).
+      throw new AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum"  -> n.toString,
+          "actualNum"    -> children.length.toString,
+          "docroot"      -> "https://spark.apache.org/docs/latest"))
     build
   }
 
@@ -64,8 +75,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => arity("graft_minhash", 2, children) {
         val k = children(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_minhash(hs, k): k must be an int literal, got $other")
+          case _ => throw new AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName"  -> "`graft_minhash`",
+              "paramName" -> "`k`",
+              "paramType" -> "\"INT\""))
         }
         MinHashSig(children(0), k)
       }))

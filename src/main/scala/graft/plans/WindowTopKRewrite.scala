@@ -64,8 +64,20 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
       if !projectList.exists(_.references.contains(rn.toAttribute))
       k <- rankBound(cond, rn.exprId)
       if k >= 1 && k <= MaxK
-    } yield Project(projectList,
-      TopKPerKeyPlan(w.partitionSpec, w.orderSpec, k, stripGroupLimit(w.child)))
+    } yield {
+      // Surface the tie caveat at the moment it matters: if the order
+      // spec may not be total (heuristic: it doesn't reference every
+      // output column, so duplicate sort keys are possible), the heap
+      // may pick different ties than the window's sort would have —
+      // both valid answers, but visibly flag the nondeterminism for
+      // users who relied on the de-facto stable row_number pick.
+      logInfo(s"graft: rewriting filtered row_number window (k=$k, " +
+        s"partition=${w.partitionSpec.mkString(",")}, order=${w.orderSpec.mkString(",")}) " +
+        "to TopKPerKey; if the order is not total, tie rows may differ from the " +
+        "window form (disable via spark.graft.topkRewrite.enabled=false)")
+      Project(projectList,
+        TopKPerKeyPlan(w.partitionSpec, w.orderSpec, k, stripGroupLimit(w.child)))
+    }
 
   /** The window's single expression, iff it is `row_number()` over the
     * default rank frame. */

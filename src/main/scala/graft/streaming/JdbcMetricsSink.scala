@@ -25,9 +25,17 @@ import org.apache.spark.sql.streaming.Trigger
   * heavy lifting (scan → window agg) stays in the streaming plan.
   *
   * CI runs it against embedded Derby (in-JVM, ships with Spark);
-  * the url is the only Postgres-vs-Derby difference. Idempotence
-  * across re-runs (the ON-CONFLICT contract) is pinned in
-  * JdbcSinkSpec.
+  * against Postgres only the url changes — the DDL uses the portable
+  * `DOUBLE PRECISION` spelling and the existence probe checks both
+  * identifier case-folds (Derby stores unquoted names upper-case,
+  * Postgres lower-case). Idempotence across re-runs (the ON-CONFLICT
+  * contract) is pinned in JdbcSinkSpec.
+  *
+  * Metric values are rounded (6 dp) HERE, so every writer of this
+  * table — the streaming schedule and the external batch tick
+  * ([[graft.jobs.Jobs]]) — stores identical values for identical
+  * inputs; concurrent writers can't make stored rows oscillate
+  * between rounded and unrounded.
   */
 object JdbcMetricsSink {
 
@@ -65,14 +73,21 @@ object JdbcMetricsSink {
   }
 
   private def tableExists(c: Connection, name: String): Boolean = {
-    val rs = c.getMetaData.getTables(null, null, name.toUpperCase, null)
-    try rs.next() finally rs.close()
+    // Unquoted DDL identifiers case-fold per dialect — Derby/H2 store
+    // them upper-case, Postgres lower-case — so probe the metadata
+    // under both folds (plus verbatim, for stores that preserve case).
+    def probe(n: String): Boolean = {
+      val rs = c.getMetaData.getTables(null, null, n, null)
+      try rs.next() finally rs.close()
+    }
+    probe(name.toUpperCase) || probe(name.toLowerCase) || probe(name)
   }
 
   /** Target DDL (reference `db/init.sql:24-30` daily_metrics).
     * Identifiers are quoted lowercase to match how Spark's JDBC
     * writer quotes the staging columns, so the MERGE below references
-    * both tables consistently. */
+    * both tables consistently. `DOUBLE PRECISION` is the portable
+    * spelling — Postgres rejects bare `DOUBLE`; Derby/H2 accept both. */
   def ensureTable(url: String): Unit =
     if (!ensured.contains(url)) {
       withConn(url) { c =>
@@ -81,9 +96,9 @@ object JdbcMetricsSink {
             s"""CREATE TABLE $Table (
                |  "day" DATE PRIMARY KEY,
                |  "num_predictions" BIGINT,
-               |  "fraud_rate" DOUBLE,
-               |  "avg_amount" DOUBLE,
-               |  "avg_proba" DOUBLE)""".stripMargin)
+               |  "fraud_rate" DOUBLE PRECISION,
+               |  "avg_amount" DOUBLE PRECISION,
+               |  "avg_proba" DOUBLE PRECISION)""".stripMargin)
       }
       ensured.add(url)
       ()
@@ -99,7 +114,12 @@ object JdbcMetricsSink {
   def upsertDailyMetrics(batch: DataFrame, url: String): Unit = {
     ensureTable(url)
     val staging = freshStagingName()
-    batch.coalesce(1) // one row per touched day — one write task, like the parquet sink
+    batch
+      .select(col("day"), col("num_predictions"),
+        round(col("fraud_rate"), 6).as("fraud_rate"),
+        round(col("avg_amount"), 6).as("avg_amount"),
+        round(col("avg_proba"), 6).as("avg_proba"))
+      .coalesce(1) // one row per touched day — one write task, like the parquet sink
       .write.mode("overwrite")
       .jdbc(url, staging, new java.util.Properties)
     withConn(url) { c =>

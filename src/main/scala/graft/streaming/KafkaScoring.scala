@@ -144,7 +144,13 @@ object KafkaScoring {
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
     val bounded = sinceMs match {
-      case Some(ts) => reader.option("startingOffsetsByTimestamp", s"""{"$topic": $ts}""")
+      case Some(ts) => reader
+        .option("startingOffsetsByTimestamp", s"""{"$topic": $ts}""")
+        // Without this, the default strategy ("error") fails the whole
+        // read if ANY topic partition has no message at/after sinceMs —
+        // and a quiet partition is normal for a recent timestamp.
+        // "latest" makes such partitions contribute an empty range.
+        .option("startingoffsetsbytimestampstrategy", "latest")
       case None     => reader.option("startingOffsets", "earliest")
     }
     parsedTransactions(

@@ -204,4 +204,21 @@ class FunctionsSpec extends SparkSpec {
       .agg(expr("graft_auc(label, score)")).head.getDouble(0)
     assert(one == many)
   }
+
+  test("misuse surfaces analysis-grade errors, built-in parity") {
+    GraftFunctions.register(spark)
+    val df = Seq("x").toDF("s")
+    // Wrong argument count → the same WRONG_NUM_ARGS error condition
+    // Spark's builtins raise, not a raw require/IndexOutOfBounds.
+    val wrongArity = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("graft_cosine(s)").collect()
+    }
+    assert(wrongArity.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", wrongArity)
+    assert(wrongArity.getMessage.contains("graft_cosine"), wrongArity.getMessage)
+    // Non-literal k for graft_minhash → NON_FOLDABLE_ARGUMENT.
+    val nonLit = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("graft_minhash(array(1L), length(s))").collect()
+    }
+    assert(nonLit.getCondition == "NON_FOLDABLE_ARGUMENT", nonLit)
+  }
 }
