@@ -503,7 +503,145 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Corpus-level top bigrams — the n-gram frequency pass every
+    * corpus audit runs (domain drift, boilerplate detection). One
+    * explode → one hash-aggregate shuffle on the bigram key →
+    * TakeOrdered(25); partial aggregation absorbs the per-doc
+    * repetition before the shuffle, so bytes shuffled are bounded by
+    * the distinct-bigram count, not the token count. The bigram key
+    * is part of the sort, so the top-25 cut is total-ordered. */
+  val topNgrams: Q = Q("text_top_ngrams",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), b AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      |  FROM t WHERE len(w) >= 2
+      |)
+      |SELECT bigram, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM b GROUP BY 1
+      |ORDER BY occurrences DESC, bigram LIMIT 25""".stripMargin) { (s, dir) =>
+    tokenized(Tables.documents(s, dir))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"))
+          .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("occurrences").desc, col("bigram"))
+      .limit(25)
+  }
+
+  /** Token-length histogram over power-of-two buckets — the length
+    * profile batch-assembly pipelines use to pack training sequences.
+    * Pure per-row bucketing (codegen stage) into a tiny grouped
+    * aggregate; one shuffle on ~20 bucket keys at any corpus size. */
+  val lengthBuckets: Q = Q("text_length_buckets",
+    """WITH t AS (
+      |  SELECT len(string_split(text, ' ')) AS n_tokens, n_chars FROM documents
+      |)
+      |SELECT CAST(pow(2, floor(log2(n_tokens))) AS BIGINT) AS bucket_lo,
+      |  COUNT(*) AS n_docs,
+      |  ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6) AS avg_tokens,
+      |  ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+      |FROM t WHERE n_tokens >= 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    tokenized(Tables.documents(s, dir))
+      .select(size(col("w")).cast("long").as("n_tokens"), col("n_chars"))
+      .filter(col("n_tokens") >= 1)
+      .groupBy(pow(lit(2), floor(log2(col("n_tokens")))).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        r6(avg(col("n_tokens").cast("double"))).as("avg_tokens"),
+        r6(avg(col("n_chars").cast("double"))).as("avg_chars"))
+      .orderBy(col("bucket_lo"))
+  }
+
+  /** Per-source vocabulary stats — type/token ratios per ingest feed
+    * (vocabulary collapse is the classic symptom of a broken feed).
+    * Explode → one grouped aggregate on the low-cardinality source
+    * key; the two COUNT(DISTINCT)s ride the same aggregate via
+    * expand (2× the exploded rows into the partial agg, still one
+    * shuffle, no join). */
+  val vocabBySource: Q = Q("text_vocab_by_source",
+    """WITH tok AS (
+      |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |)
+      |SELECT source,
+      |  COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(*) AS n_tokens,
+      |  COUNT(DISTINCT tok) AS vocab,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT tok), 6) AS tokens_per_type
+      |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    tokenized(Tables.documents(s, dir))
+      .select(col("source"), col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("vocab"),
+        r6(count(lit(1)).cast("double") / countDistinct(col("tok"))).as("tokens_per_type"))
+      .orderBy(col("source"))
+  }
+
+  /** TF-IDF top-3 terms per document — the keyword-extraction pass
+    * (dedup explanations, topic tagging) in its canonical distributed
+    * shape: tf = one (doc, token) aggregate, df = one token aggregate
+    * over tf (already distinct per doc), idf joined back on the token
+    * key (vocab-sized — AQE broadcasts while it fits), then the
+    * filtered-row_number idiom for the per-doc cut (which the
+    * [[graft.plans.WindowTopKRewrite]] rule turns into the bounded-
+    * heap operator when the extensions are attached).
+    *
+    * RANKING is done on an integer key — `tf * round(idf·1e6)` — not
+    * the raw double score: the two engines' `ln` may differ in the
+    * last ulp, and a rank flip between near-tied terms would be an
+    * artifact of libm, not semantics. Micro-unit idf makes the order
+    * (and therefore the emitted rows) engine-exact; the displayed
+    * score stays the conventional rounded double. */
+  val tfidfTopK: Q = Q("text_tfidf_topk",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(w) AS tok FROM t
+      |), tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), df AS (
+      |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT COUNT(*) AS n_docs FROM documents
+      |), sc AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |    tf.tf * CAST(round(ln((n.n_docs + 1.0) / (df.df + 1)) * 1000000) AS BIGINT) AS score_key,
+      |    ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1)), 6) AS score
+      |  FROM tf JOIN df USING (tok) CROSS JOIN n
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_key DESC, tok) AS rn
+      |  FROM sc
+      |)
+      |SELECT doc_id, rn, tok, tf, df, score FROM r
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tf = tokenized(docs)
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score_key").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs)) // 1-row anchor, same pattern as anchoredScored
+      .withColumn("score_key", col("tf") * round(idf * lit(1e6)).cast("long"))
+      .withColumn("score", r6(col("tf") * idf))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn").cast("long").as("rn"), col("tok"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, fingerprint64, wordCount, dedupKeep, tokenBpe, sampleStratified,
-    corpusReport)
+    corpusReport, topNgrams, lengthBuckets, vocabBySource, tfidfTopK)
 }
