@@ -18,6 +18,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     FraudAnalytics.all ++ Relational.all ++ TextOps.all ++ Similarity.all ++
       MinHashDedup.all ++ LshAnn.all ++ IvfAnn.all ++ ScoringStream.all ++
+      graft.streaming.ClickAttribution.all ++
       FraudModel.all ++ Multimodal.all ++ graft.jobs.Jobs.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

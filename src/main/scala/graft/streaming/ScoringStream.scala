@@ -40,15 +40,21 @@ object ScoringStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Unbounded scored stream over a directory of events parquet. */
-  def scoredStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Unbounded raw event stream over a directory of events parquet,
+    * ts converted to a proper timestamp (same nanos handling as the
+    * batch [[graft.sources.Tables.events]]). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
+    spark.readStream
       .schema(EventsFileSchema)
       .option("pathGlobFilter", "events.parquet") // the sf dir holds all tables
       .parquet(dir)
-    FraudAnalytics.scored(raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+
+  /** Unbounded scored stream over a directory of events parquet. */
+  def scoredStream(spark: SparkSession, dir: String): DataFrame =
+    FraudAnalytics.scored(eventsStream(spark, dir))
 
   /** Run the scoring stream to completion (bounded input), landing
     * scored rows in `outDir` as parquet; returns the result re-read.
