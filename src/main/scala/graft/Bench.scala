@@ -7,8 +7,7 @@ object Bench {
     // with skew handling — runtime coalescing collapses the tiny
     // post-shuffle partitions these SF inputs produce, and the same
     // conf is what a production deployment would run with.
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
-      .getOrCreate()
+    val spark = GraftSession.create(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, scheduler, file index caches) so
     // one-time init cost doesn't land on an arbitrary first query.
@@ -28,8 +27,12 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
+    // Locale-pinned decimal format: f"" uses the JVM default locale,
+    // and a comma-decimal locale (de_DE, ...) would emit 68,008 and
+    // break the one-line JSON contract.
+    def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt(pairs: Seq[(String, Double)]): String =
-      pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      pairs.map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
     // Full per-query detail goes to STDERR: the driver that consumes
     // the stdout line keeps only the last ~2000 chars of output, and
     // 80+ query timings don't fit — a longer line loses its head
@@ -40,7 +43,7 @@ object Bench {
     // slowest queries first (the ones worth grading), the rest summed
     // into "queries_other" so the map still totals to "value".
     val byCost = results.sortBy(-_._2)
-    val prefix = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir","queries_total":${results.size},"queries":"""
+    val prefix = s"""{"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir","queries_total":${results.size},"queries":"""
     val budget = 1600 - prefix.length
     val (kept, keptLen) = byCost.foldLeft((Vector.empty[(String, Double)], 0)) {
       case ((acc, len), (k, v)) =>

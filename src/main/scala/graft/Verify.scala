@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // The correctness gate runs with the full engine attached (native
+    // functions, TopKPerKey strategy, window-top-k rewrite) so the
+    // custom-operator path is oracle-checked, not just spec-checked.
+    GraftSession.attach(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

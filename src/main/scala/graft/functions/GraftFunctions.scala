@@ -52,6 +52,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => arity("graft_cosine", 2, children)(
         CosineSim(children(0), children(1)))),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => arity("graft_dot", 2, children)(
+        DotProduct(children(0), children(1)))),
     (FunctionIdentifier("graft_sorted_intersect"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
       (children: Seq[Expression]) => arity("graft_sorted_intersect", 2, children)(
@@ -73,15 +77,32 @@ object GraftFunctions {
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => arity("graft_minhash", 2, children) {
-        val k = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case _ => throw new AnalysisException(
+        // Accept any FOLDABLE int expression for k (1+1, CAST(2 AS
+        // INT), ...), the way Spark built-ins take constant int
+        // parameters; NON_FOLDABLE_ARGUMENT only when k genuinely
+        // isn't foldable.
+        val kExpr = children(1)
+        val k =
+          if (!kExpr.foldable) throw new AnalysisException(
             errorClass = "NON_FOLDABLE_ARGUMENT",
             messageParameters = Map(
               "funcName"  -> "`graft_minhash`",
               "paramName" -> "`k`",
               "paramType" -> "\"INT\""))
-        }
+          else kExpr.eval() match {
+            case i: Int => i
+            case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+            case s: Short => s.toInt
+            case b: Byte => b.toInt
+            case other => throw new AnalysisException(
+              errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+              messageParameters = Map(
+                "sqlExpr"      -> "\"graft_minhash\"",
+                "paramIndex"   -> "second",
+                "requiredType" -> "\"INT\"",
+                "inputSql"     -> s"\"${kExpr.sql}\"",
+                "inputType"    -> s"\"${kExpr.dataType.sql}\""))
+          }
         MinHashSig(children(0), k)
       }))
 

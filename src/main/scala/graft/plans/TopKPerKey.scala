@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -32,16 +32,18 @@ case class TopKPerKeyPlan(
     keys: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+    child: LogicalPlan,
+    rankOutput: Option[Attribute] = None) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ rankOutput
+  override def producedAttributes: AttributeSet = AttributeSet(rankOutput.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
     copy(child = newChild)
 }
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case TopKPerKeyPlan(keys, order, k, child, rankOut) =>
+      TopKPerKeyExec(keys, order, k, planLater(child), rankOut) :: Nil
     case _ => Nil
   }
 }
@@ -50,9 +52,11 @@ case class TopKPerKeyExec(
     keys: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    rankOutput: Option[Attribute] = None) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankOutput
+  override def producedAttributes: AttributeSet = AttributeSet(rankOutput.toSeq)
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
@@ -62,6 +66,8 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val order = sortOrder
     val limit = k
+    val emitRank = rankOutput.isDefined
+    val outAttrs = output
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // `ordering.lt(a, b)` ⇔ a ranks before b; PriorityQueue is a
@@ -81,7 +87,22 @@ case class TopKPerKeyExec(
         if (heap.size < limit) heap.enqueue(row.copy())
         else if (ordering.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
       }
-      heaps.valuesIterator.flatMap(h => h.toArray.sorted(ordering).iterator)
+      if (!emitRank) heaps.valuesIterator.flatMap(h => h.toArray.sorted(ordering).iterator)
+      else {
+        // Append the 1-based within-key rank (`row_number()` value):
+        // the heap's sorted drain makes it the index in emit order.
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        heaps.valuesIterator.flatMap { h =>
+          var i = 0
+          h.toArray.sorted(ordering).iterator.map { r =>
+            i += 1
+            rankRow.update(0, i)
+            proj(joined(r, rankRow))
+          }
+        }
+      }
     }, preservesPartitioning = true)
   }
 

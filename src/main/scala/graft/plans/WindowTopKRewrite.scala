@@ -51,6 +51,11 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
     else plan.transformUp {
       case p @ Project(projectList, Filter(cond, w: Window)) =>
         rewrite(projectList, cond, w).getOrElse(p)
+      // No Project above the Filter — the rank column is part of the
+      // query output. Rewrite with an identity projection; the rank
+      // reference makes the operator emit row_number natively.
+      case f @ Filter(cond, w: Window) =>
+        rewrite(w.output, cond, w).getOrElse(f)
     }
 
   private def rewrite(
@@ -61,22 +66,26 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
       rn <- rowNumberOutput(w)
       if w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty
       if w.partitionSpec.forall(_.deterministic) && w.orderSpec.forall(_.deterministic)
-      if !projectList.exists(_.references.contains(rn.toAttribute))
       k <- rankBound(cond, rn.exprId)
       if k >= 1 && k <= MaxK
     } yield {
-      // Surface the tie caveat at the moment it matters: if the order
-      // spec may not be total (heuristic: it doesn't reference every
-      // output column, so duplicate sort keys are possible), the heap
-      // may pick different ties than the window's sort would have —
-      // both valid answers, but visibly flag the nondeterminism for
-      // users who relied on the de-facto stable row_number pick.
+      // When the projection keeps the rank column, the operator emits
+      // it natively (1-based position in each key's sorted drain —
+      // exactly the row_number() value for the surviving rows).
+      val needsRank = projectList.exists(_.references.contains(rn.toAttribute))
+      // Tie caveat, logged on EVERY rewrite (totality of the order
+      // spec is not decidable cheaply here, so we do not try): when
+      // duplicate sort keys exist within a key group, the heap may
+      // keep different tie rows than the window's full sort would
+      // have — both are valid answers, but users who relied on the
+      // de-facto stable row_number pick should know.
       logInfo(s"graft: rewriting filtered row_number window (k=$k, " +
         s"partition=${w.partitionSpec.mkString(",")}, order=${w.orderSpec.mkString(",")}) " +
         "to TopKPerKey; if the order is not total, tie rows may differ from the " +
         "window form (disable via spark.graft.topkRewrite.enabled=false)")
       Project(projectList,
-        TopKPerKeyPlan(w.partitionSpec, w.orderSpec, k, stripGroupLimit(w.child)))
+        TopKPerKeyPlan(w.partitionSpec, w.orderSpec, k, stripGroupLimit(w.child),
+          if (needsRank) Some(rn.toAttribute) else None))
     }
 
   /** The window's single expression, iff it is `row_number()` over the

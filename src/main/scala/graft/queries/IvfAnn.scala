@@ -66,6 +66,13 @@ object IvfAnn {
   private def assignCol(e: Column, cents: Array[Array[Double]]): Column =
     element_at(bestLists(e, cents, 1), 1).getField(ListField)
 
+  /** The coarse stage, shared with [[PqAnn]] (IVFADC reuses the same
+    * inverted lists; only the scoring differs). */
+  private[queries] def assignColPublic(e: Column, cents: Array[Array[Double]]): Column =
+    assignCol(e, cents)
+  private[queries] def probeListsPublic(e: Column, cents: Array[Array[Double]]): Column =
+    transform(bestLists(e, cents, NProbe), s => s.getField(ListField))
+
   private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }

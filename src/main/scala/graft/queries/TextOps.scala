@@ -84,6 +84,29 @@ object TextOps {
   private[queries] def hashedShingles(s: SparkSession, dir: String): DataFrame =
     hashedShinglesStats(s, dir)._1
 
+  /** Per-(doc, token) term counts `(doc_id, source, tok, tf)` —
+    * memoized + persisted per (application, sf dir) exactly like the
+    * shingle cache. Every corpus-analysis query (word frequencies,
+    * per-source vocabulary, TF-IDF) is a small reduction over this one
+    * frame, so a session pays the tokenize→explode→count shuffle ONCE;
+    * the frame is |distinct (doc, token)| rows (partial aggregation
+    * absorbs within-doc repetition before the shuffle). At the 100 TB
+    * design point this is the intermediate a pipeline would land as a
+    * table; session-scoped persist is the local analog. */
+  private val tcCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[queries] def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    tcCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val df = tokenized(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), explode(col("w")).as("tok"))
+        .groupBy(col("doc_id"), col("source"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .persist()
+      df.count() // pin to one evaluation before fan-out
+      df
+    })
+
   // ---------------------------------------------------------------- tokens
   /** Token counting — whitespace tokenization + distinct counts. */
   val tokenStats: Q = Q("text_token_stats",
@@ -369,10 +392,13 @@ object TextOps {
     """SELECT w AS token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
       |GROUP BY 1 ORDER BY tf DESC, token LIMIT 50""".stripMargin) { (s, dir) =>
-    tokenized(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(col("w")).as("token"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    // Over the shared (doc, token) counts: tf = Σ per-doc counts, df =
+    // row count (the frame is already distinct per (doc, token)) — the
+    // expensive corpus-wide shuffle happens once in [[tokenCounts]],
+    // and the COUNT(DISTINCT doc_id) expand disappears entirely.
+    tokenCounts(s, dir)
+      .groupBy(col("tok").as("token"))
+      .agg(sum(col("tf")).as("tf"), count(lit(1)).as("df"))
       .orderBy(col("tf").desc, col("token"))
       .limit(50)
   }
@@ -572,14 +598,16 @@ object TextOps {
       |  COUNT(DISTINCT tok) AS vocab,
       |  ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT tok), 6) AS tokens_per_type
       |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    tokenized(Tables.documents(s, dir))
-      .select(col("source"), col("doc_id"), explode(col("w")).as("tok"))
+    // Shared (doc, token) counts again: n_tokens = Σtf, and the two
+    // COUNT(DISTINCT)s expand |distinct (doc,token)| rows instead of
+    // every token occurrence in the corpus.
+    tokenCounts(s, dir)
       .groupBy(col("source"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_tokens"),
+        sum(col("tf")).as("n_tokens"),
         countDistinct(col("tok")).as("vocab"),
-        r6(count(lit(1)).cast("double") / countDistinct(col("tok"))).as("tokens_per_type"))
+        r6(sum(col("tf")).cast("double") / countDistinct(col("tok"))).as("tokens_per_type"))
       .orderBy(col("source"))
   }
 
@@ -588,9 +616,11 @@ object TextOps {
     * shape: tf = one (doc, token) aggregate, df = one token aggregate
     * over tf (already distinct per doc), idf joined back on the token
     * key (vocab-sized — AQE broadcasts while it fits), then the
-    * filtered-row_number idiom for the per-doc cut (which the
-    * [[graft.plans.WindowTopKRewrite]] rule turns into the bounded-
-    * heap operator when the extensions are attached).
+    * filtered-row_number idiom for the per-doc cut. With the graft
+    * extensions attached, [[graft.plans.WindowTopKRewrite]] turns the
+    * cut into the bounded-heap operator even though `rn` stays in the
+    * output — [[graft.plans.TopKPerKeyExec]] emits the row_number
+    * value natively from its sorted per-key drain.
     *
     * RANKING is done on an integer key — `tf * round(idf·1e6)` — not
     * the raw double score: the two engines' `ln` may differ in the
@@ -622,10 +652,7 @@ object TextOps {
       |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val tf = tokenized(docs)
-      .select(col("doc_id"), explode(col("w")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = tokenCounts(s, dir).select(col("doc_id"), col("tok"), col("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val idf = log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)))

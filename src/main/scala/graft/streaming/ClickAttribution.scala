@@ -66,6 +66,11 @@ object ClickAttribution {
   def runAttribution(spark: SparkSession, dir: String): DataFrame = {
     val ckpt = Files.createTempDirectory("graft-attr-ckpt-").toString
     val out  = Files.createTempDirectory("graft-attr-out-").toString + "/pairs"
+    // Captured up front so the read-back below can carry an explicit
+    // schema: a bounded run that joins zero pairs writes no data
+    // files, and a schema-less read would fail with unable-to-infer
+    // instead of returning the correct empty frame.
+    val pairsSchema = joinedPairs(spark, dir).schema
     // Join state lives per shuffle partition (one store pair per
     // partition per batch); a handful beats the session default for
     // the bounded backfill, same tuning as the daily-metrics stream.
@@ -87,7 +92,7 @@ object ClickAttribution {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     }
-    spark.read.parquet(out)
+    spark.read.schema(pairsSchema).parquet(out)
       .groupBy(col("event_id"), col("user_id"), col("ts"))
       .agg(max_by(col("click_id"), struct(col("click_ts"), col("click_id")))
         .as("click_id"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{IvfAnn, LshAnn, MinHashDedup, Similarity, TextOps}
+import graft.queries.{IvfAnn, LshAnn, MinHashDedup, PqAnn, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Dedup + similarity: MinHash-LSH must recover the exact-Jaccard
@@ -122,6 +122,36 @@ class DedupSpec extends SparkSpec {
     // structural validity: dense ranks, no self-matches
     val ann = IvfAnn.annTopK(emb, k = 3)
     assert(ann.filter(col("q_id") === col("c_id")).count() == 0)
+  }
+
+  test("IVF-PQ ANN recovers planted near-dup vectors (recall >= 0.9)") {
+    // Same planted setup as the IVF/LSH tests: code-compressed ADC
+    // scoring plus exact refine must still surface each planted
+    // near-dup among its source's top-3.
+    val rng = new scala.util.Random(11)
+    val base = (0 until 200).map(i => (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val dups = (0 until 20).map { i =>
+      (1000L + i, base(i)._2.map(v => v + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val ann = PqAnn.annTopK(emb, k = 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val found = (0 until 20).count(i => ann.contains((i.toLong, 1000L + i)))
+    assert(found >= 18, s"recall ${found / 20.0}")
+  }
+
+  test("IVF-PQ ANN recall@3 vs brute-force kNN on driver corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val exact = Similarity.knnSample.fn(spark, sf)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val pq = PqAnn.annTopK(emb, k = 3)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+    val ann = PqAnn.annTopK(emb, k = 3)
+    assert(ann.filter(col("q_id") === col("c_id")).count() == 0)
+    val ranks = ann.groupBy(col("q_id")).agg(max(col("rank")).as("mx"), count(lit(1)).as("n"))
+    assert(ranks.filter(col("mx") =!= col("n")).count() == 0) // dense 1..n ranks
   }
 
   test("IVF ANN plan broadcasts the probe side and never goes cartesian") {

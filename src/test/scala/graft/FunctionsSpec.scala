@@ -61,6 +61,28 @@ class FunctionsSpec extends SparkSpec {
     for (r <- out) assert(r.getDouble(1) == r.getDouble(2), s"row ${r.getInt(0)}")
   }
 
+  test("graft_dot is bit-identical to the HOF dot and codegen-resident") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 50).map(i =>
+      (i, Array.fill(64)(rng.nextGaussian().toFloat), Array.fill(64)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("i", "a", "b")
+    val hof = graft.queries.Similarity.dotd(col("a"), col("b"))
+    val q = df.select(col("i"), expr("graft_dot(a, b)").as("native"), hof.as("hof"))
+    for (r <- q.collect()) assert(r.getDouble(1) == r.getDouble(2), s"row ${r.getInt(0)}")
+    // stays inside WholeStageCodegen (no fallback eval in the hot
+    // path) — asserted over range() because a LocalRelation input
+    // would be constant-folded into a LocalTableScan
+    val cg = spark.range(100)
+      .selectExpr("transform(sequence(0L, 7L), x -> CAST(x + id AS DOUBLE)) AS a")
+      .selectExpr("graft_dot(a, a) AS d")
+    val plan = cg.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_dot""".r.findFirstIn(plan).isDefined, plan)
+    // null-safe: null array → null out
+    val withNull = df.select(expr("graft_dot(CAST(NULL AS ARRAY<DOUBLE>), b)").as("d"))
+    assert(withNull.collect().forall(_.isNullAt(0)))
+  }
+
   test("graft_minhash is bit-identical to the HOF formulation and codegen-resident") {
     GraftFunctions.register(spark)
     val df = spark.range(200)

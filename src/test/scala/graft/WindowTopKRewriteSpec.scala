@@ -67,16 +67,18 @@ class WindowTopKRewriteSpec extends SparkSpec {
     }
   }
 
-  test("does not fire when the rank column is kept in the output") {
+  test("fires when the rank column is kept — operator emits row_number natively") {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    def kept: DataFrame = Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+    val expected = kept.collect().toSet // rule not attached: window plan
     attached {
-      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
-      val kept = Tables.orders(spark, sf)
-        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 3)
       val plan = kept.queryExecution.executedPlan.toString
-      assert(plan.contains("Window ["), plan)
-      assert(!plan.contains("TopKPerKey ["), plan)
+      assert(plan.contains("TopKPerKey ["), plan)
+      assert(!plan.contains("Window ["), plan)
+      assert(kept.collect().toSet == expected)
     }
   }
 
