@@ -440,6 +440,65 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Asymmetric containment dedup: ordered pairs (d1 ≈⊂ d2) with
+    * |sh(d1) ∩ sh(d2)| / |sh(d1)| ≥ 0.6 — the "document swallowed by
+    * a concatenation or quote" case symmetric Jaccard misses (a short
+    * doc pasted into one 10× its size has Jaccard ≈ 0.1 but
+    * containment ≈ 1.0; cf. the suffix-array containment pass in
+    * deduplication pipelines). Candidate generation prefix-filters
+    * the CONTAINED side only: a pair with overlap ≥ ⌈τ·n1⌉ must share
+    * one of d1's first n1 − ⌈τ·n1⌉ + 1 shingles in any fixed global
+    * order (rarest-first, so prefixes hit the shortest posting
+    * lists), joined against the full inverted index of the containing
+    * side under the n2 ≥ τ·n1 size bound; exact recheck via the
+    * native two-pointer merge on the cached sorted-hash arrays. At
+    * τ = 0.6 the prefix is ~0.4·n1 — candidates stay posting-list
+    * bounded, never all-pairs, so the shape survives 100 TB the same
+    * way the Jaccard PPJoin does. */
+  val dedupContainment: Q = Q("text_dedup_containment",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
+      |sh0 AS (SELECT doc_id,
+      |         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS s,
+      |         lead(word, 2) OVER win AS w2
+      |        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE w2 IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+      |SELECT d1, d2, i AS n_shared,
+      |  ROUND(CAST(i AS DOUBLE) / x.n, 6) AS containment
+      |FROM inter JOIN sizes x ON d1 = x.doc_id
+      |WHERE CAST(i AS DOUBLE) / x.n >= 0.6
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val Tau = 0.6
+    graft.functions.GraftFunctions.register(s)
+    val (hsArr, _, postings) = hashedShinglesStats(s, dir)
+    val sh = hsArr.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+    val freq = maybeBroadcast(
+      sh.groupBy(col("h")).agg(count(lit(1)).as("df")),
+      estBytes = postings * 16)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    // overlap needed: t = ⌈τ·n1⌉ → prefix length n1 − t + 1
+    val prefix = sh.join(freq, "h")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("n") - ceil(col("n") * lit(Tau)) + 1)
+      .select(col("doc_id").as("d1"), col("n").as("n1"), col("h"))
+    val cands = prefix
+      .join(sh.select(col("doc_id").as("d2"), col("n").as("n2"), col("h")), Seq("h"))
+      .filter(col("d1") =!= col("d2") && col("n2") >= col("n1") * lit(Tau))
+      .select(col("d1"), col("d2")).distinct()
+    val c = col("i").cast("double") / col("x.n")
+    cands
+      .join(hsArr.as("x"), col("d1") === col("x.doc_id"))
+      .join(hsArr.as("y"), col("d2") === col("y.doc_id"))
+      .withColumn("i", expr("graft_sorted_intersect(x.hs, y.hs)"))
+      .filter(c >= Tau)
+      .select(col("d1"), col("d2"), col("i").as("n_shared"), r6(c).as("containment"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** BPE-style pre-tokenization (runs-of-letters / runs-of-digits /
     * single other, the GPT-2 pre-tokenizer shape) next to whitespace
     * counting — the two token-count flavors a data pipeline reports. */
@@ -669,6 +728,7 @@ object TextOps {
   }
 
   val all: Seq[Q] = Seq(tokenStats, quality, langId, fingerprint, dedupExact,
-    dedupNear, fingerprint64, wordCount, dedupKeep, tokenBpe, sampleStratified,
-    corpusReport, topNgrams, lengthBuckets, vocabBySource, tfidfTopK)
+    dedupNear, dedupContainment, fingerprint64, wordCount, dedupKeep, tokenBpe,
+    sampleStratified, corpusReport, topNgrams, lengthBuckets, vocabBySource,
+    tfidfTopK)
 }

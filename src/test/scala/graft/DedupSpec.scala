@@ -39,6 +39,30 @@ class DedupSpec extends SparkSpec {
     assert(got == expectedPairs)
   }
 
+  test("containment dedup equals brute-force all-pairs containment") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = TextOps.dedupContainment.fn(spark, sf)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // brute force over the same hashed shingle arrays: every ordered
+    // pair, exact intersection, i/n1 >= 0.6 — the prefix-filtered
+    // candidate path must lose nothing
+    val hs = TextOps.hashedShingleArrays(
+      graft.sources.Tables.documents(spark, sf))
+    val bf = hs.as("x").crossJoin(hs.as("y"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .withColumn("i", expr("graft_sorted_intersect(x.hs, y.hs)"))
+      .filter(col("i").cast("double") / col("x.n") >= 0.6)
+      .select(col("x.doc_id"), col("y.doc_id")).as[(Long, Long)].collect().toSet
+    assert(got == bf)
+    assert(got.nonEmpty) // corpus has planted dups; empty would be vacuous
+    // containment dominates Jaccard: every symmetric near-dup pair
+    // (tau 0.5 < 0.6 check skipped; J >= 0.6 implies i/n1 >= 0.6)
+    val jac = TextOps.dedupNear.fn(spark, sf)
+      .filter(col("jaccard") >= 0.6)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(jac.forall(p => got.contains(p) || got.contains(p.swap)))
+  }
+
   test("minhash-LSH matches exact shingle-Jaccard pairs on driver corpus") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val exact = TextOps.dedupNear.fn(spark, sf)
