@@ -517,6 +517,76 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source dedup-rate monitoring with MERGEABLE distinct
+    * sketches — the 100 TB shape of "how duplicated is each feed":
+    * every shard/source aggregates a Datasketches HLL over document
+    * content (`hll_sketch_agg`, constant memory), and the global
+    * distinct count is the UNION of the per-source sketches
+    * (`hll_union_agg`) — no re-scan, no distinct shuffle; this
+    * mergeability is what `approx_count_distinct`'s internal HLL++
+    * does not expose. Exact per-source counts ride the same
+    * aggregate as the accuracy certificate (oracle-checked), with
+    * booleans pinning both the per-source estimates and the unioned
+    * global estimate inside ±5% — an engine off by more flips a
+    * boolean and fails the hash match. */
+  val dupRateSketch: Q = Q("text_dup_rate_sketch",
+    """WITH g AS (SELECT COUNT(DISTINCT text) AS ge FROM documents)
+      |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct,
+      |  TRUE AS within_5pct, TRUE AS union_within_5pct
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("source"), col("text"))
+    val per = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"),
+        hll_sketch_agg(col("text")).as("sk"))
+    // one-row global frame: unioned sketch vs exact global distinct
+    val globalBound = per.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("g_est"))
+      .crossJoin(broadcast(d.agg(countDistinct(col("text")).as("g_exact"))))
+      .select((abs(col("g_est") - col("g_exact")).cast("double") / col("g_exact")
+        <= 0.05).as("union_within_5pct"))
+    per
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (abs(hll_sketch_estimate(col("sk")) - col("n_distinct")).cast("double")
+          / col("n_distinct") <= 0.05).as("within_5pct"))
+      .crossJoin(broadcast(globalBound))
+      .orderBy(col("source"))
+  }
+
+  /** Sequence packing — the batch-assembly op that concatenates
+    * documents (in a deterministic order) and cuts fixed-token-budget
+    * training sequences: each doc lands in the sequence holding its
+    * starting offset (`floor(prev_cumsum / budget)`), the standard
+    * concat-then-chunk packing. Packing is PER SOURCE SHARD
+    * (`PARTITION BY source`), the way a real pipeline packs within an
+    * ingest shard — the running sum parallelizes across shards
+    * instead of forcing one global ordered pass, so the shape holds
+    * at 100 TB (shard count scales with the corpus; a global ORDER BY
+    * would not). Pure integer window arithmetic → oracle-exact. */
+  val packSequences: Q = Q("text_pack_sequences",
+    """WITH t AS (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+      |), o AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM t
+      |)
+      |SELECT source, CAST(start_off // 512 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM o GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tokenized(Tables.documents(s, dir))
+      .select(col("source"), col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .groupBy(col("source"), floor(col("start_off") / 512).as("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
   /** Deterministic stratified sampling by CONTENT HASH — the
     * reproducible subsampling a training-data pipeline needs: the
     * same document lands in the same split on every run, any engine,
@@ -729,6 +799,6 @@ object TextOps {
 
   val all: Seq[Q] = Seq(tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, fingerprint64, wordCount, dedupKeep, tokenBpe,
-    sampleStratified, corpusReport, topNgrams, lengthBuckets, vocabBySource,
-    tfidfTopK)
+    packSequences, dupRateSketch, sampleStratified, corpusReport, topNgrams,
+    lengthBuckets, vocabBySource, tfidfTopK)
 }

@@ -95,6 +95,16 @@ class QueriesSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")
   }
 
+  test("text_pack_sequences: every doc packed exactly once, dense seq ids per source") {
+    val packed = SparkEntry.queries("text_pack_sequences")(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(packed.agg(sum(col("n_docs"))).head.getLong(0) == docs)
+    val sparse = packed.groupBy(col("source"))
+      .agg(max(col("seq_id")).as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n") - 1)
+    assert(sparse.count() == 0) // seq ids are 0..max with no gaps
+  }
+
   test("set ops partition correctly: union = except ∪ intersect (disjointly)") {
     val u = SparkEntry.queries("tpch_set_union")(spark, sf).count()
     val e = SparkEntry.queries("tpch_set_except")(spark, sf).count()
