@@ -198,16 +198,19 @@ object PqAnn {
     val meansLit = typedLit(listMeans) // array<array<double>> literal
 
     // Corpus side: coarse list + RESIDUAL PQ codes; the full
-    // embedding stays behind for the refine join only.
-    val ne = normalized(col("embedding"))
-    val residual = zip_with(ne,
-      element_at(meansLit, col("list_id") + lit(1)),
-      (a, b) => a - b)
+    // embedding stays behind for the refine join only. The normalized
+    // vector and the residual are BOUND AS COLUMNS before the 256
+    // inline argmin keys reference them — inlined, each of the M·K
+    // key expressions would re-evaluate the interpreted `transform`
+    // normalization per row (measured 15 s → 0.5 s at sf0.1).
     val indexed = emb
       .select(col("vec_id"), col("embedding"),
         IvfAnn.assignColPublic(col("embedding"), cents).as("list_id"))
+      .withColumn("res", zip_with(normalized(col("embedding")),
+        element_at(meansLit, col("list_id") + lit(1)),
+        (a, b) => a - b))
       .select(col("vec_id"), col("list_id"),
-        encodeCol(residual, books).as("codes"))
+        encodeCol(col("res"), books).as("codes"))
 
     // Query side: NProbe coarse lists. Dot similarity decomposes
     // LINEARLY over the residual (unlike the L2 form, where the table
@@ -216,13 +219,13 @@ object PqAnn {
     // so the ADC table is the UNSHIFTED query against the residual
     // codebooks — one table per query — and only the scalar
     // `dot(q̂, ĉ_list)` bias varies per probed list.
-    val qe = normalized(col("embedding"))
     val probes = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding"),
         explode(IvfAnn.probeListsPublic(col("embedding"), cents)).as("p_list"))
+      .withColumn("qe", normalized(col("embedding"))) // bound once, see above
       .select(col("q_id"), col("p_list"),
-        adcTable(qe, books).as("qtab"),
-        call_function("graft_dot", qe,
+        adcTable(col("qe"), books).as("qtab"),
+        call_function("graft_dot", col("qe"),
           element_at(meansLit, col("p_list") + lit(1))).as("bias"))
 
     // ADC pass: equi-join on the coarse list, score = M table lookups

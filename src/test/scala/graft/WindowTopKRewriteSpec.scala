@@ -82,6 +82,19 @@ class WindowTopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("text_tfidf_topk's per-doc cut plans through TopKPerKey when attached") {
+    // the graded-path query that keeps `rn` in its output: with the
+    // engine attached its window+filter must become the heap operator
+    val expected = graft.queries.TextOps.tfidfTopK.fn(spark, sf).collect().toSeq
+    attached {
+      val df = graft.queries.TextOps.tfidfTopK.fn(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey ["), plan)
+      assert(!plan.contains("Window ["), plan)
+      assert(df.collect().toSeq == expected) // ordered output equality
+    }
+  }
+
   test("does not fire for rank() — tie semantics differ") {
     attached {
       val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
