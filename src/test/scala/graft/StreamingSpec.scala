@@ -240,4 +240,29 @@ class StreamingSpec extends SparkSpec {
     val batch = FraudAnalytics.dailyMetrics.fn(spark, sf)
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
+
+  test("state data source exposes streaming aggregation state (ops introspection)") {
+    // At 100 TB the state store is the part of a streaming job you
+    // cannot re-derive by rereading the input; `format("statestore")`
+    // is the operational window into it (skew hunts, debugging,
+    // state-compatible migrations). Run a bounded per-user count,
+    // then read the checkpoint's state directly and require it to
+    // equal the batch aggregate.
+    val ckpt = Files.createTempDirectory("graft-statestore-").toString
+    val q = ScoringStream.eventsStream(spark, sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) => { b.count(); () } }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val state = spark.read.format("statestore").load(ckpt)
+      .select($"key.user_id".as("user_id"), $"value.count".as("n"))
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    assert(state.count() > 0)
+    assert(state.except(batch).count() == 0 && batch.except(state).count() == 0)
+  }
 }
