@@ -490,6 +490,33 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Join-key skew profile — the diagnostic every 100 TB join starts
+    * from: per-key group sizes reduced to distribution stats
+    * (p50/p99/max, skew ratio = max/avg). This is the number that
+    * decides whether a key needs salting or AQE skew handling before
+    * the expensive job runs; two aggregations (partial+final on the
+    * key, then a single global reduce), no sort of the raw data. */
+  val keySkewReport: Q = Q("tpch_key_skew_report",
+    """WITH g AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+      |SELECT COUNT(*) AS n_keys,
+      |  ROUND(AVG(CAST(n AS DOUBLE)), 6) AS avg_rows,
+      |  ROUND(quantile_cont(CAST(n AS DOUBLE), 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(CAST(n AS DOUBLE), 0.99), 6) AS p99,
+      |  MAX(n) AS max_rows,
+      |  ROUND(CAST(MAX(n) AS DOUBLE) / AVG(CAST(n AS DOUBLE)), 6) AS skew_ratio
+      |FROM g""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        round(avg(col("n").cast("double")), 6).as("avg_rows"),
+        round(expr("percentile(CAST(n AS DOUBLE), 0.5)"), 6).as("p50"),
+        round(expr("percentile(CAST(n AS DOUBLE), 0.99)"), 6).as("p99"),
+        max(col("n")).as("max_rows"),
+        round(max(col("n")).cast("double") / avg(col("n").cast("double")), 6)
+          .as("skew_ratio"))
+  }
+
   // ---------------------------------------------------------------- top-k
   /** Global top-k: TakeOrderedAndProject, no full sort. */
   val topOrders: Q = Q("tpch_topk_orders",
@@ -602,6 +629,6 @@ object Relational {
     topBalanceInactive, bigVolumeCustomers,
     topOrdersPerCustomer, runningRevenue, orderGaps, setUnion, setExcept,
     setIntersect, rollupPricing, cubeOrders, distinctCounts, approxDistinct,
-    topOrders, latestOrderPerCustomer, sqlQ3, sqlQ17, sqlLateralTopK,
-    topKPerKeyOp)
+    keySkewReport, topOrders, latestOrderPerCustomer, sqlQ3, sqlQ17,
+    sqlLateralTopK, topKPerKeyOp)
 }

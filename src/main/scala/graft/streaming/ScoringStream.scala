@@ -208,6 +208,41 @@ object ScoringStream {
       .select(col("transaction_id"), col("event_time"), col("amount"), col("features"))
   }
 
+  /** Stream-STATIC enrichment join (§2.10): each micro-batch of the
+    * event stream joins a static per-user dimension computed once
+    * from the warehouse — the planner re-resolves the static side per
+    * batch and broadcasts it (no state store, unlike stream-stream
+    * joins; the dim is the build side every batch). This is the
+    * standard "enrich events with reference data" shape: at 100 TB
+    * the stream partitions scale out while the dim stays a broadcast
+    * (or a bucketed storage join past broadcast size). Flags events
+    * spending above the user's lifetime average. */
+  def runEnrichedStream(spark: SparkSession, dir: String): DataFrame = {
+    val ckpt = Files.createTempDirectory("graft-enrich-ckpt-").toString
+    val out  = Files.createTempDirectory("graft-enrich-out-").toString + "/rows"
+    val dim = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events"), avg(col("value")).as("user_avg_value"))
+    val enriched = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .join(broadcast(dim), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("user_events"),
+        col("user_avg_value"),
+        (col("value") > col("user_avg_value")).as("above_user_avg"))
+    val q = enriched.writeStream
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(enriched.schema).parquet(out)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("user_events"), round(col("user_avg_value"), 6).as("user_avg_value"),
+        col("above_user_avg"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------- queries
   /** Streaming scoring backfill — same oracle as fraud_scored_events. */
   val streamScored: Q = Q("stream_scored_events",
@@ -222,5 +257,19 @@ object ScoringStream {
     runDailyMetricsStream(s, dir)
   }
 
-  val all: Seq[Q] = Seq(streamScored, streamDaily)
+  /** Stream-static enrichment — oracle is the equivalent batch join. */
+  val streamEnriched: Q = Q("stream_enriched_events",
+    """WITH dim AS (
+      |  SELECT user_id, COUNT(*) AS user_events, AVG(value) AS user_avg_value
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT e.event_id, e.user_id, e.value, d.user_events,
+      |  ROUND(d.user_avg_value, 6) AS user_avg_value,
+      |  e.value > d.user_avg_value AS above_user_avg
+      |FROM events e JOIN dim d ON e.user_id = d.user_id
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    runEnrichedStream(s, dir)
+  }
+
+  val all: Seq[Q] = Seq(streamScored, streamDaily, streamEnriched)
 }
