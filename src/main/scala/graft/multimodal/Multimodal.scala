@@ -66,24 +66,29 @@ object Multimodal {
 
   /** Batched decode + feature extraction via mapPartitions: one
     * decoder init per partition (the expensive part with a real
-    * codec), streaming record-at-a-time through the iterator. */
+    * codec), streaming record-at-a-time through the iterator. The
+    * checksum is the same wrapping 31-polynomial byte fold as
+    * [[graft.functions.RollingHash]], so the DuckDB oracle can replay
+    * every output column (fully oracle-checked despite the stubbed
+    * codec); the mean intensity is emitted RAW and rounded at the
+    * query boundary like every other float output. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real pipeline: initialize codec/context once per partition here
-      val crc = new java.util.zip.CRC32()
       it.map { rec =>
         val pixels = decodeStub(rec.payload)
-        crc.reset(); crc.update(rec.payload)
+        var h = 0L
+        var i = 0
+        while (i < rec.payload.length) { h = h * 31 + (rec.payload(i) & 0xFF); i += 1 }
         MediaFeatures(
           doc_id = rec.doc_id,
           n_bytes = rec.payload.length,
           width = rec.width,
           height = rec.height,
           n_frames = sampleFrames(pixels, 32),
-          mean_intensity =
-            if (pixels.isEmpty) 0.0 else math.rint(pixels.sum / pixels.length * 1e6) / 1e6,
-          checksum = crc.getValue)
+          mean_intensity = if (pixels.isEmpty) 0.0 else pixels.sum / pixels.length,
+          checksum = h)
       }
     }
   }
@@ -101,11 +106,40 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Decode-stub feature extraction — rows-only in the driver
-    * (CRC/stub not expressible in the oracle); determinism + batch
-    * shape asserted in ScalaTest. */
-  val mediaFeatures: Q = Q.noOracle("mm_media_features") { (s, dir) =>
-    extractFeatures(mediaTable(s, dir)).toDF().orderBy(col("doc_id"))
+  /** Decode-stub feature extraction — FULLY oracle-checked: the
+    * corpus is ASCII so DuckDB replays the byte decode per character
+    * (`ord`), the polynomial checksum with a HUGEINT accumulator mod
+    * 2⁶⁴ (same formula as `text_fingerprint64`'s oracle), the mean
+    * intensity as a sequential list average, and the frame count as
+    * integer division. Determinism + batch shape additionally
+    * asserted in ScalaTest. */
+  val mediaFeatures: Q = Q("mm_media_features",
+    """WITH f AS (
+      |  SELECT doc_id, n_chars,
+      |    octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |    CASE WHEN length(text) = 0 THEN 0::HUGEINT ELSE list_reduce(
+      |      list_transform(range(1, length(text) + 1),
+      |                     i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)),
+      |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) END AS h,
+      |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |      list_avg(list_transform(range(1, length(text) + 1),
+      |                              i -> CAST(ord(substr(text, i, 1)) AS DOUBLE)))
+      |    END AS mi
+      |  FROM documents)
+      |SELECT doc_id, n_bytes,
+      |  CAST(n_chars % 64 + 16 AS INTEGER) AS width,
+      |  CAST(n_chars % 48 + 12 AS INTEGER) AS height,
+      |  CAST(GREATEST(1, n_bytes // 32) AS INTEGER) AS n_frames,
+      |  ROUND(mi, 6) AS mean_intensity,
+      |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+      |            THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS checksum
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    extractFeatures(mediaTable(s, dir)).toDF()
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("width"), col("height"), col("n_frames"),
+        round(col("mean_intensity"), 6).as("mean_intensity"),
+        col("checksum"))
+      .orderBy(col("doc_id"))
   }
 
   /** Frame sampling over the payload: fixed-stride 64-byte windows
