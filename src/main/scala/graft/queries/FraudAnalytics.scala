@@ -120,6 +120,39 @@ object FraudAnalytics {
     * `init.sql:24-30`). Hourly full-recompute-of-today upsert is
     * reproduced as a deterministic recompute over all days — at scale
     * this is a partition-overwrite keyed by `day`. */
+  /** FULL OUTER join — the one join type the rest of the suite does
+    * not exercise: per (user, day) click activity vs purchase
+    * activity, keeping users who clicked without buying AND bought
+    * without a same-day click (both null sides coalesced to 0). The
+    * classic activity-reconciliation shape; one shuffle per side on
+    * the composite key, then the outer merge. */
+  val dailyActivityFullOuter: Q = Q("fraud_daily_activity_fullouter",
+    """WITH c AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_clicks
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), p AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |)
+      |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+      |  COALESCE(c.day, p.day) AS day,
+      |  COALESCE(n_clicks, 0) AS n_clicks,
+      |  COALESCE(n_purchases, 0) AS n_purchases
+      |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id AND c.day = p.day
+      |ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    def daily(kind: String, as: String) = ev
+      .filter(col("event_type") === kind)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as(as))
+    daily("click", "n_clicks")
+      .join(daily("purchase", "n_purchases"), Seq("user_id", "day"), "full_outer")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val dailyMetrics: Q = Q("fraud_daily_metrics",
     s"""$scoredSql
        |SELECT CAST(ts AS DATE) AS day,
@@ -630,5 +663,6 @@ object FraudAnalytics {
     timeseries, hourlyStats, recentTopK, featureProjection, typeBreakdown,
     kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, unpivotTypeDaily,
     valuePercentiles, valuePercentilesSketch, funnelCounts, propsVariant,
-    timeseriesFilled, clickAttribution, valueStats, regressionStats, groupingSets)
+    timeseriesFilled, clickAttribution, valueStats, regressionStats, groupingSets,
+    dailyActivityFullOuter)
 }
