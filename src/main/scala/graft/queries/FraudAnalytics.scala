@@ -153,6 +153,28 @@ object FraudAnalytics {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** SLIDING time windows (30 min length, 10 min step): each event
+    * lands in exactly 3 overlapping windows — `window(ts, len, step)`
+    * explodes to the covering window set before the per-window
+    * aggregate, the overlap-analytics shape tumbling windows can't
+    * express. Oracle replays it by unnesting the 3 step offsets from
+    * the event's 10-minute bucket (both engines align buckets to a
+    * :00 epoch multiple, so the grids agree). */
+  val slidingCounts: Q = Q("fraud_sliding_counts",
+    """SELECT ws AS window_start, COUNT(*) AS n,
+      |  ROUND(AVG(value), 6) AS avg_value
+      |FROM (
+      |  SELECT time_bucket(INTERVAL '10 minutes', ts) - k * INTERVAL '10 minutes' AS ws,
+      |         value
+      |  FROM events, unnest([0, 1, 2]) t(k))
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("win"))
+      .agg(count(lit(1)).as("n"), r6(avg(col("value"))).as("avg_value"))
+      .select(col("win.start").as("window_start"), col("n"), col("avg_value"))
+      .orderBy(col("window_start"))
+  }
+
   val dailyMetrics: Q = Q("fraud_daily_metrics",
     s"""$scoredSql
        |SELECT CAST(ts AS DATE) AS day,
@@ -664,5 +686,5 @@ object FraudAnalytics {
     kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, unpivotTypeDaily,
     valuePercentiles, valuePercentilesSketch, funnelCounts, propsVariant,
     timeseriesFilled, clickAttribution, valueStats, regressionStats, groupingSets,
-    dailyActivityFullOuter)
+    dailyActivityFullOuter, slidingCounts)
 }
