@@ -110,13 +110,25 @@ object IvfAnn {
     * Running Lloyd distributed would cost a job + a fresh codegen of
     * the scoring expression per iteration to average a few thousand
     * rows — the sample is the thing that's small by design here. */
-  def trainCentroids(emb: DataFrame): Array[Array[Double]] = {
-    val sample = emb.filter(col("vec_id") < TrainSample)
-      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).collect()
-      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
-    val seeds = sample.take(NumLists)
-    (1 to LloydIters).foldLeft(seeds)((c, _) => lloydLocal(sample, c))
-  }
+  private val centCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  def trainCentroids(emb: DataFrame): Array[Array[Double]] =
+    // Memoized per (application, canonical input plan): sim_ann_ivf
+    // and sim_ann_ivfpq share the same coarse codebook, so a session
+    // collects and trains the bounded sample once. semanticHash
+    // canonicalizes expression ids, so two reads of the same table
+    // hit the same entry while different in-memory frames (specs) do
+    // not collide.
+    centCache.getOrElseUpdate(
+      emb.sparkSession.sparkContext.applicationId + "#" +
+        emb.queryExecution.analyzed.semanticHash(), {
+      val sample = emb.filter(col("vec_id") < TrainSample)
+        .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).collect()
+        .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      val seeds = sample.take(NumLists)
+      (1 to LloydIters).foldLeft(seeds)((c, _) => lloydLocal(sample, c))
+    })
 
   /** IVF ANN top-k for the first `numQueries` vectors (self
     * excluded), exact-cosine re-ranked. Same output shape as the
