@@ -60,4 +60,19 @@ class PlanInvariantsSpec extends SparkSpec {
     assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan)
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
+
+  test("sequence packing aggregates on the window's partitioning (one data shuffle)") {
+    val plan = formatted(SparkEntry.queries("text_pack_sequences")(spark, sf))
+    // groupBy(source, seq_id) must ride the window's hash(source)
+    // partitioning: exchanges = one for the window + one for the
+    // final ORDER BY presentation sort, nothing else. (Count tree
+    // nodes only — the formatted detail section repeats each name.)
+    assert("""[+:]- Exchange""".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("containment dedup candidate generation never goes cartesian") {
+    val plan = formatted(SparkEntry.queries("text_dedup_containment")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
