@@ -74,37 +74,43 @@ object GraftFunctions {
       new ExpressionInfo(classOf[PositionsEqual].getName, "graft_positions_equal"),
       (children: Seq[Expression]) => arity("graft_positions_equal", 2, children)(
         PositionsEqual(children(0), children(1)))),
+    (FunctionIdentifier("graft_freq_items"),
+      new ExpressionInfo(classOf[FreqItemsSketch].getName, "graft_freq_items"),
+      (children: Seq[Expression]) => arity("graft_freq_items", 2, children) {
+        FreqItemsSketch(children(0), foldableInt("graft_freq_items", children(1)))
+          .toAggregateExpression()
+      }),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
-      (children: Seq[Expression]) => arity("graft_minhash", 2, children) {
-        // Accept any FOLDABLE int expression for k (1+1, CAST(2 AS
-        // INT), ...), the way Spark built-ins take constant int
-        // parameters; NON_FOLDABLE_ARGUMENT only when k genuinely
-        // isn't foldable.
-        val kExpr = children(1)
-        val k =
-          if (!kExpr.foldable) throw new AnalysisException(
-            errorClass = "NON_FOLDABLE_ARGUMENT",
-            messageParameters = Map(
-              "funcName"  -> "`graft_minhash`",
-              "paramName" -> "`k`",
-              "paramType" -> "\"INT\""))
-          else kExpr.eval() match {
-            case i: Int => i
-            case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
-            case s: Short => s.toInt
-            case b: Byte => b.toInt
-            case other => throw new AnalysisException(
-              errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
-              messageParameters = Map(
-                "sqlExpr"      -> "\"graft_minhash\"",
-                "paramIndex"   -> "second",
-                "requiredType" -> "\"INT\"",
-                "inputSql"     -> s"\"${kExpr.sql}\"",
-                "inputType"    -> s"\"${kExpr.dataType.sql}\""))
-          }
-        MinHashSig(children(0), k)
-      }))
+      (children: Seq[Expression]) => arity("graft_minhash", 2, children)(
+        MinHashSig(children(0), foldableInt("graft_minhash", children(1))))))
+
+  /** Constant-int parameter handling shared by the parameterized
+    * functions: accept any FOLDABLE int expression (1+1, CAST(2 AS
+    * INT), ...) the way Spark built-ins take constant int parameters;
+    * NON_FOLDABLE_ARGUMENT only when the argument genuinely isn't
+    * foldable, datatype mismatch when it folds to a non-integer. */
+  private def foldableInt(name: String, kExpr: Expression): Int =
+    if (!kExpr.foldable) throw new AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map(
+        "funcName"  -> s"`$name`",
+        "paramName" -> "`k`",
+        "paramType" -> "\"INT\""))
+    else kExpr.eval() match {
+      case i: Int => i
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case _ => throw new AnalysisException(
+        errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+        messageParameters = Map(
+          "sqlExpr"      -> s""""$name"""",
+          "paramIndex"   -> "second",
+          "requiredType" -> "\"INT\"",
+          "inputSql"     -> s"\"${kExpr.sql}\"",
+          "inputType"    -> s"\"${kExpr.dataType.sql}\""))
+    }
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -552,6 +552,35 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Distributed heavy hitters: exact top-20 tokens computed THROUGH
+    * the [[graft.functions.FreqItemsSketch]] Misra-Gries aggregate —
+    * one constant-memory pass over the token occurrences (map-side
+    * partial sketches, mergeable combine; the raw occurrences are
+    * never shuffled) yields ≤ 64 candidates, guaranteed to contain
+    * every token with frequency > N/65; the candidate set is then
+    * recounted EXACTLY (a semi-join-shaped recount against the shared
+    * token-counts frame) and cut to the top 20. Because the 20th
+    * token here clears the MG bound, the output is exact and fully
+    * oracle-checked — the sketch is the candidate generator, never
+    * the reported number. This is the 100 TB top-k shape when the key
+    * space itself is too hot to shuffle. */
+  val topTokensSketch: Q = Q("text_top_tokens_sketch",
+    """SELECT w AS token, COUNT(*) AS tf
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY 1 ORDER BY tf DESC, token LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val cands = tokenized(Tables.documents(s, dir))
+      .select(explode(col("w")).as("tok"))
+      .agg(expr("graft_freq_items(tok, 64)").as("cand"))
+      .select(explode(col("cand")).as("tok"))
+    val exact = tokenCounts(s, dir)
+      .groupBy(col("tok")).agg(sum(col("tf")).as("tf"))
+    exact.join(broadcast(cands), Seq("tok")) // recount only the candidates
+      .select(col("tok").as("token"), col("tf"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(20)
+  }
+
   /** Sequence packing — the batch-assembly op that concatenates
     * documents (in a deterministic order) and cuts fixed-token-budget
     * training sequences: each doc lands in the sequence holding its
@@ -799,6 +828,6 @@ object TextOps {
 
   val all: Seq[Q] = Seq(tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, fingerprint64, wordCount, dedupKeep, tokenBpe,
-    packSequences, dupRateSketch, sampleStratified, corpusReport, topNgrams,
-    lengthBuckets, vocabBySource, tfidfTopK)
+    packSequences, dupRateSketch, topTokensSketch, sampleStratified,
+    corpusReport, topNgrams, lengthBuckets, vocabBySource, tfidfTopK)
 }

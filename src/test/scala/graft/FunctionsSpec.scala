@@ -61,6 +61,35 @@ class FunctionsSpec extends SparkSpec {
     for (r <- out) assert(r.getDouble(1) == r.getDouble(2), s"row ${r.getInt(0)}")
   }
 
+  test("graft_freq_items honours the Misra-Gries guarantee under merge") {
+    GraftFunctions.register(spark)
+    // skewed synthetic stream: token t0 has 3000 hits, t1..t9 have 300,
+    // a 1000-token noise tail has ~3 each; capacity 16 << 1010 distinct
+    // forces the decrement path AND the merge-combine across partitions
+    val rows = (0 until 3000).map(_ => "t0") ++
+      (for (i <- 1 to 9; _ <- 0 until 300) yield s"t$i") ++
+      (0 until 3000).map(i => s"noise${i % 1000}")
+    val rng = new scala.util.Random(13)
+    val df = rng.shuffle(rows).toDF("tok").repartition(8)
+    val cand = df.agg(expr("graft_freq_items(tok, 16)").as("c"))
+      .head().getSeq[String](0).toSet
+    // N = 8700, bound N/(k+1) ≈ 512: t0 (3000) must be present; the
+    // 300-hit tokens are below the bound so no guarantee, and the
+    // candidate list must respect capacity
+    assert(cand.contains("t0"), cand)
+    assert(cand.size <= 16, cand)
+    // exact recount over candidates recovers the exact top-1
+    val exactTop = df.groupBy($"tok").count()
+      .orderBy($"count".desc, $"tok").head().getString(0)
+    assert(cand.contains(exactTop))
+    // with capacity >= distinct items the sketch is exhaustive & exact
+    val small = Seq("a", "a", "b", "c", "c", "c").toDF("tok").repartition(3)
+    val all16 = small.agg(expr("graft_freq_items(tok, 16)").as("c"))
+      .head().getSeq[String](0)
+    assert(all16.toSet == Set("a", "b", "c"))
+    assert(all16.head == "c") // ordered by estimated count desc
+  }
+
   test("graft_dot is bit-identical to the HOF dot and codegen-resident") {
     GraftFunctions.register(spark)
     val rng = new scala.util.Random(5)
