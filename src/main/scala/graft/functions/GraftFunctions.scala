@@ -10,8 +10,13 @@ import org.apache.spark.sql.types.DoubleType
   *
   *   graft_fingerprint64(str)       — codegen'd rolling-hash (scalar)
   *   graft_cosine(a, b)             — fused cosine similarity
+  *   graft_dot(a, b)                — fused dot product (PQ/ADC kernel)
   *   graft_sorted_intersect(a, b)   — two-pointer merge intersection count
+  *   graft_positions_equal(a, b)    — signature agreement count
+  *   graft_minhash(arr, k)          — k-min-hash signature
+  *   graft_simhash(arr)             — fused 64-bit SimHash
   *   graft_auc(label, score)        — histogram AUC (aggregate)
+  *   graft_freq_items(col, k)       — Misra-Gries heavy hitters (aggregate)
   *
   * Two wiring paths share these descriptions: [[register]] installs
   * them imperatively on a built session; [[graft.GraftExtensions]]

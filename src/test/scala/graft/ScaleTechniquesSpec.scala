@@ -88,6 +88,34 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(prunedCount < naive, s"pruned=$prunedCount naive=$naive")
   }
 
+  test("AQE skew-join splits the hot partition at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    // one pathologically hot key joined against a small dim; thresholds
+    // lowered so the skew detector fires on test-sized partitions
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
+    confs.foreach { case (key, v) => spark.conf.set(key, v) }
+    try {
+      val fact = spark.range(200000)
+        .select(when($"id" % 100 =!= 0, lit(0L)).otherwise($"id").as("k"),
+          concat(lit("payload-padding-padding-"), $"id").as("payload"))
+      val dim = spark.range(64).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = fact.join(dim, "k")
+      // finalize THIS query execution (count() would plan a new one)
+      assert(joined.collect().length > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan)
+    } finally prev.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None)    => spark.conf.unset(key)
+    }
+  }
+
   test("salted join shuffles on the composite (key, salt) when broadcast is off") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
