@@ -13,11 +13,26 @@ import org.apache.spark.sql.types._
   * Same fused allocation-free shape as [[CosineSim]] (one loop over
   * the two ArrayData buffers, `doGenCode` keeps it inside
   * WholeStageCodegen); accumulation is double-precision in element
-  * order, bit-identical to the HOF `aggregate(zip_with(...))` form.
+  * order, bit-identical to the HOF `aggregate(zip_with(...))` form —
+  * including its null semantics: unequal lengths yield NULL (zip_with
+  * null-pads the shorter side and the sum absorbs the null), and a
+  * NULL element in either array yields NULL. The per-element null
+  * check is emitted only when the input type says `containsNull`, so
+  * the null-free hot path (every ANN/PQ call site) stays a bare
+  * multiply-add loop.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // NULL on length mismatch even when both inputs are non-null.
+  override def nullable: Boolean = true
+
+  private def anyElementNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -37,12 +52,15 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    val checkNulls = anyElementNullable
     val leftIsFloat = elemType(left) == FloatType
     val rightIsFloat = elemType(right) == FloatType
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv
@@ -58,13 +76,24 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      // per-element null checks only compile in when the schema allows
+      // null elements — the ANN hot path keeps the bare fused loop
+      val elemCheck =
+        if (anyElementNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemCheck
+         |    $dot += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
   }

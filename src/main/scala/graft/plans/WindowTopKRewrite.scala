@@ -46,9 +46,16 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
 
   val MaxK = 4096
 
+  // Top-down traversal, NOT transformUp: bottom-up would visit the
+  // Filter child first, so the bare-Filter case would consume every
+  // Project(Filter(Window)) occurrence before the Project case could
+  // match its parent — and each rewrite would pay the rank-emitting
+  // path even when the projection drops `rn`. Going top-down, the
+  // Project case claims the shape first and computes `needsRank` from
+  // the real consumer; the Filter case only sees rank-kept queries.
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString("spark.graft.topkRewrite.enabled", "true").toBoolean) plan
-    else plan.transformUp {
+    else plan.transformDown {
       case p @ Project(projectList, Filter(cond, w: Window)) =>
         rewrite(projectList, cond, w).getOrElse(p)
       // No Project above the Filter — the rank column is part of the

@@ -116,13 +116,15 @@ object IvfAnn {
   def trainCentroids(emb: DataFrame): Array[Array[Double]] =
     // Memoized per (application, canonical input plan): sim_ann_ivf
     // and sim_ann_ivfpq share the same coarse codebook, so a session
-    // collects and trains the bounded sample once. semanticHash
-    // canonicalizes expression ids, so two reads of the same table
-    // hit the same entry while different in-memory frames (specs) do
-    // not collide.
+    // collects and trains the bounded sample once. The key is the
+    // FULL canonicalized plan string (expression ids normalized, so
+    // two reads of the same table hit the same entry) — not the
+    // 32-bit semanticHash, whose collision between two different
+    // embedding frames in one application would silently serve the
+    // wrong codebook.
     centCache.getOrElseUpdate(
       emb.sparkSession.sparkContext.applicationId + "#" +
-        emb.queryExecution.analyzed.semanticHash(), {
+        emb.queryExecution.analyzed.canonicalized.toString, {
       val sample = emb.filter(col("vec_id") < TrainSample)
         .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).collect()
         .map(_.getSeq[Float](1).toArray.map(_.toDouble))

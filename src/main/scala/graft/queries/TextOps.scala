@@ -558,12 +558,19 @@ object TextOps {
     * partial sketches, mergeable combine; the raw occurrences are
     * never shuffled) yields ≤ 64 candidates, guaranteed to contain
     * every token with frequency > N/65; the candidate set is then
-    * recounted EXACTLY (a semi-join-shaped recount against the shared
-    * token-counts frame) and cut to the top 20. Because the 20th
-    * token here clears the MG bound, the output is exact and fully
-    * oracle-checked — the sketch is the candidate generator, never
-    * the reported number. This is the 100 TB top-k shape when the key
-    * space itself is too hot to shuffle. */
+    * recounted EXACTLY and cut to the top 20. The recount is
+    * CANDIDATE-FIRST: the shared token-counts frame joins to the
+    * broadcast ≤ 64-token candidate list BEFORE the groupBy, so the
+    * only vocab-keyed shuffle moves candidate rows — Catalyst cannot
+    * push a join below an aggregate on its own, so ordering the plan
+    * this way is what makes the "the key space itself is too hot to
+    * shuffle" claim literally true in the physical plan (pinned in
+    * PlanInvariantsSpec). The MG validity precondition — the 20th
+    * recounted frequency must clear the N/(k+1) bound, else
+    * candidates below it are run-nondeterministic — is asserted at
+    * runtime on every output row (`assert_true`), so a corpus where
+    * the sketch stops being exact fails loudly instead of silently
+    * dropping a true top-20 token. */
   val topTokensSketch: Q = Q("text_top_tokens_sketch",
     """SELECT w AS token, COUNT(*) AS tf
       |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -573,12 +580,20 @@ object TextOps {
       .select(explode(col("w")).as("tok"))
       .agg(expr("graft_freq_items(tok, 64)").as("cand"))
       .select(explode(col("cand")).as("tok"))
-    val exact = tokenCounts(s, dir)
+    val total = tokenCounts(s, dir).agg(sum(col("tf")).as("n_total"))
+    tokenCounts(s, dir)
+      .join(broadcast(cands), Seq("tok")) // restrict BEFORE the aggregate
       .groupBy(col("tok")).agg(sum(col("tf")).as("tf"))
-    exact.join(broadcast(cands), Seq("tok")) // recount only the candidates
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(20)
+      .crossJoin(broadcast(total)) // 1-row anchor for the MG bound
+      .filter(coalesce(assert_true(col("tf") * 65 > col("n_total"),
+        concat(lit("Misra-Gries bound violated: top-20 token frequency "),
+          col("tf").cast("string"), lit(" <= N/65 with N = "),
+          col("n_total").cast("string"), lit(" — raise the sketch capacity k"))),
+        lit(true)))
       .select(col("tok").as("token"), col("tf"))
       .orderBy(col("tf").desc, col("token"))
-      .limit(20)
   }
 
   /** Sequence packing — the batch-assembly op that concatenates

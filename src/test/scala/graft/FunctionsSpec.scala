@@ -110,6 +110,26 @@ class FunctionsSpec extends SparkSpec {
     // null-safe: null array → null out
     val withNull = df.select(expr("graft_dot(CAST(NULL AS ARRAY<DOUBLE>), b)").as("d"))
     assert(withNull.collect().forall(_.isNullAt(0)))
+    // HOF-equivalent edge semantics: unequal lengths → NULL (zip_with
+    // null-pads and the sum absorbs it), NULL element → NULL. Built
+    // over range(id) so the expressions are NOT constant-folded — the
+    // codegen path is the one exercised.
+    val mm = spark.range(3).selectExpr("id",
+      "graft_dot(transform(sequence(0L, id), x -> CAST(x AS DOUBLE)), array(1.0d, 1.0d)) AS d")
+      .collect()
+    assert(mm.filter(_.getLong(0) != 1L).forall(_.isNullAt(1)), mm.mkString(","))
+    assert(mm.find(_.getLong(0) == 1L).get.getDouble(1) == 1.0, mm.mkString(","))
+    val ne = spark.range(2).selectExpr(
+      """graft_dot(transform(sequence(0L, 1L),
+        |  x -> CASE WHEN x = id THEN CAST(NULL AS DOUBLE) ELSE 1.0d END),
+        |  array(1.0d, 1.0d)) AS d""".stripMargin).collect()
+    assert(ne.forall(_.isNullAt(0)), ne.mkString(","))
+    // interpreted path agrees (constant-folded literal form), and so
+    // does the HOF it claims equivalence with
+    assert(spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d)) AS d").head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT aggregate(zip_with(array(1.0d, 2.0d), array(3.0d), (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) AS d"
+    ).head().isNullAt(0))
   }
 
   test("graft_minhash is bit-identical to the HOF formulation and codegen-resident") {

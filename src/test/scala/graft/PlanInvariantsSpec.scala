@@ -75,4 +75,42 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("heavy-hitters recount is candidate-first: candidate join below the exact aggregate") {
+    // the candidate broadcast join must sit BELOW the vocab-keyed
+    // aggregate, so only ≤ 64 candidate tokens ever shuffle — the
+    // sketch's whole reason to exist at 100 TB. The regression shape
+    // (aggregate the full vocab, join after) would put a grouped
+    // aggregate INSIDE the join's subtree.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec        => flatten(q.plan)
+      case other                    => other.children.flatMap(flatten)
+    })
+    val df = SparkEntry.queries("text_top_tokens_sketch")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val all = flatten(df.queryExecution.executedPlan)
+    def groupedSum(a: HashAggregateExec): Boolean =
+      a.groupingExpressions.nonEmpty &&
+        a.aggregateExpressions.exists(_.aggregateFunction.prettyName == "sum")
+    val joins = all.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "no broadcast candidate join planned:\n" + all.head)
+    // candidate-first: some grouped sum aggregate has the join beneath it…
+    assert(all.exists {
+      case a: HashAggregateExec if groupedSum(a) =>
+        flatten(a.child).exists(_.isInstanceOf[BroadcastHashJoinExec])
+      case _ => false
+    }, "recount aggregate has no candidate join below it:\n" + all.head)
+    // …and no broadcast join consumes an already-aggregated vocab
+    joins.foreach { j =>
+      assert(!flatten(j).tail.exists {
+        case a: HashAggregateExec => groupedSum(a)
+        case _ => false
+      }, s"vocab aggregated before the candidate join:\n$j")
+    }
+  }
 }

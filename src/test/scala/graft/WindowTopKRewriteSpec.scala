@@ -95,6 +95,29 @@ class WindowTopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("drop-rn idiom plans rankOutput=None; kept-rn plans rankOutput=Some") {
+    // the Project case must claim the Project(Filter(Window)) shape
+    // before the bare-Filter case (top-down traversal) — otherwise
+    // every rewrite pays the rank-emitting JoinedRow projection even
+    // when the query drops `rn`
+    attached {
+      def topkNodes(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+        case t: graft.plans.TopKPerKeyPlan => t
+      }
+      val dropped = topkNodes(topkIdiom(3))
+      assert(dropped.nonEmpty, "drop-rn idiom did not rewrite")
+      assert(dropped.forall(_.rankOutput.isEmpty),
+        s"rank emitted for a projection that drops it: $dropped")
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      val kept = Tables.orders(spark, sf)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+      val keptNodes = topkNodes(kept)
+      assert(keptNodes.nonEmpty && keptNodes.forall(_.rankOutput.isDefined), s"$keptNodes")
+    }
+  }
+
   test("does not fire for rank() — tie semantics differ") {
     attached {
       val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
