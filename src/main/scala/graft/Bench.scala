@@ -19,9 +19,24 @@ object Bench {
     // shape ml_train_eval uses (big enough that both label classes
     // are present w.h.p., so the fit + evaluator exercise fully).
     graft.ml.FraudModel.train(graft.ml.FraudModel.syntheticTraining(spark, n = 256))
+    // The SHARED caches (hashed shingles, token counts) are consumed
+    // by many text/dedup queries; in name-sorted order whichever
+    // query runs first would be billed their one-time
+    // materialization, making per-query numbers depend on run order
+    // (r6: text_dedup_containment absorbed the shingle cache,
+    // text_dedup_keep the pair list — diagnosed as pure attribution
+    // by graft.dev.DedupTimeQ). Warm them as an explicit, named
+    // entry COUNTED IN THE TOTAL so the cost is visible but no
+    // longer misattributed.
+    val warmShared = {
+      val t0 = System.nanoTime()
+      graft.queries.TextOps.hashedShinglesStats(spark, sfDir)
+      graft.queries.TextOps.tokenCounts(spark, sfDir).count()
+      "cache_warm_shared" -> (System.nanoTime() - t0) / 1e9
+    }
     // sorted order: stable query sequence run-to-run so per-query
     // timings are comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = warmShared +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

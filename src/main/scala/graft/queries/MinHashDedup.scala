@@ -88,7 +88,7 @@ object MinHashDedup {
     * (shared via [[TextOps.hashedShingles]] with the exact pipeline —
     * the corpus is shingled once per session no matter how many dedup
     * flavors run). */
-  private def nearDupPairsFrom(hsArr: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def nearDupPairsFrom(hsArr: DataFrame, threshold: Double): DataFrame = {
     val sigs = signatures(hsArr).persist()
     sigs.count()
     val bands = banded(sigs)

@@ -74,14 +74,14 @@ object TextOps {
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long, Long)]
 
   /** Returns (hashed-shingle frame, nDocs, total postings). */
-  private[queries] def hashedShinglesStats(s: SparkSession, dir: String): (DataFrame, Long, Long) =
+  private[graft] def hashedShinglesStats(s: SparkSession, dir: String): (DataFrame, Long, Long) =
     shCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
       val df = hashedShingleArrays(Tables.fanOut(Tables.documents(s, dir))).persist()
       val r = df.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
       (df, r.getLong(0), r.getLong(1))
     })
 
-  private[queries] def hashedShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def hashedShingles(s: SparkSession, dir: String): DataFrame =
     hashedShinglesStats(s, dir)._1
 
   /** Per-(doc, token) term counts `(doc_id, source, tok, tf)` —
@@ -96,7 +96,7 @@ object TextOps {
   private val tcCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  private[queries] def tokenCounts(s: SparkSession, dir: String): DataFrame =
+  private[graft] def tokenCounts(s: SparkSession, dir: String): DataFrame =
     tcCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
       val df = tokenized(Tables.documents(s, dir))
         .select(col("doc_id"), col("source"), explode(col("w")).as("tok"))
