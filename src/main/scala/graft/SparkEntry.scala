@@ -17,7 +17,8 @@ object SparkEntry {
   /** All registered engine queries, grouped by surface. */
   def registry: Seq[Q] =
     FraudAnalytics.all ++ Relational.all ++ TextOps.all ++ Similarity.all ++
-      MinHashDedup.all ++ LshAnn.all ++ IvfAnn.all ++ PqAnn.all ++ ScoringStream.all ++
+      MinHashDedup.all ++ LshAnn.all ++ IvfAnn.all ++ PqAnn.all ++ AnnCert.all ++
+      ScoringStream.all ++
       graft.streaming.ClickAttribution.all ++
       FraudModel.all ++ Multimodal.all ++ graft.jobs.Jobs.all
 

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Recall CERTIFICATES for the ANN family — the queries that move
+  * IVF/IVF-PQ from rows-only to oracle-checked in the driver gate.
+  *
+  * A k-means-trained index can't be replayed in an ANSI oracle, but
+  * its QUALITY can be certified the same way the sketch queries
+  * ([[TextOps.dupRateSketch]], `tpch_approx_distinct`) are: the query
+  * computes BOTH the ANN answer and the exact brute-force kNN over
+  * the same corpus, emits the exact-side facts the oracle can
+  * recompute independently (query count, exact-neighbor count, mean
+  * exact cosine — decimal-summed so aggregation order can't skew the
+  * last ulp) plus a recall boolean; DuckDB recomputes the exact kNN
+  * from the same parquet and emits the same row with literal TRUE.
+  * An engine whose index quality collapses (or whose exact-kNN side
+  * drifts) flips the boolean or a value and fails the hash match.
+  *
+  * Thresholds are set from the measured driver-corpus recall@3 at
+  * NProbe=8 (IVF 0.70 / IVF-PQ 0.70 at sf0.01, 0.87 / 0.85 at
+  * sf0.001 — deterministic: seeded k-means on a deterministic
+  * sample) with margin: the certificate pins "the index keeps
+  * finding most true neighbors", not a tuned high-water mark. A 0.9
+  * bar is not reachable on this corpus without probing ~90% of it —
+  * the embeddings are near-random, so recall ≈ probed fraction; the
+  * ≥ 0.9 planted-near-dup bounds (the population ANN exists for)
+  * stay in DedupSpec.
+  */
+object AnnCert {
+
+  val K          = 3
+  val NumQueries = 50
+
+  /** Exact brute-force kNN for the first `NumQueries` vectors (self
+    * excluded) — same shape as [[Similarity.knnSample]]. */
+  private def exactKnn(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    emb.join(broadcast(queries), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        round(expr("graft_cosine(embedding, qe)"), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("c_id"), col("cosine"))
+  }
+
+  /** One-row certificate: exact-side facts + `recall >= threshold`.
+    * Micro recall = |ANN ∩ exact| / |exact| over all queries. */
+  private[queries] def certificate(emb: DataFrame, ann: DataFrame,
+                                   threshold: Double, thresholdTag: String): DataFrame = {
+    val exact = exactKnn(emb)
+    val hits = ann.select(col("q_id"), col("c_id"))
+      .join(exact.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"))
+    exact.agg(
+        countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"),
+        round(sum(col("cosine").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("mean_exact_cosine"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_queries"), col("n_exact"), col("mean_exact_cosine"),
+        (col("n_hits").cast("double") / col("n_exact") >= threshold)
+          .as(s"recall_ge_$thresholdTag"))
+  }
+
+  /** The oracle: exact kNN recomputed in DuckDB (the `sim_knn_sample`
+    * CTE), aggregated to the same certificate row, recall boolean as
+    * literal TRUE. */
+  private def oracleSql(thresholdTag: String): String =
+    s"""WITH n AS (SELECT vec_id, SUM(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)) AS nsq
+       |           FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings) GROUP BY 1),
+       |z AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |             unnest(q.embedding) AS a, unnest(c.embedding) AS b
+       |      FROM embeddings q JOIN embeddings c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
+       |dots AS (SELECT q_id, c_id, SUM(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dot FROM z GROUP BY 1, 2),
+       |cos AS (SELECT q_id, c_id,
+       |          ROUND(dot/(sqrt(nq.nsq)*sqrt(nc.nsq)), 6) AS cosine
+       |        FROM dots JOIN n nq ON q_id = nq.vec_id JOIN n nc ON c_id = nc.vec_id),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank FROM cos),
+       |ex AS (SELECT q_id, c_id, cosine FROM rk WHERE rank <= $K)
+       |SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS n_exact,
+       |  ROUND(CAST(SUM(CAST(cosine AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_exact_cosine,
+       |  TRUE AS recall_ge_$thresholdTag
+       |FROM ex""".stripMargin
+
+  /** IVF recall certificate: coarse-list probing must retain ≥ 60% of
+    * the true top-3 (measured 0.70 at sf0.01 / 0.87 at sf0.001). */
+  val ivfCert: Q = Q("sim_ann_ivf_cert", oracleSql("060")) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    certificate(emb, IvfAnn.annTopK(emb, K, NumQueries), 0.6, "060")
+  }
+
+  /** IVF-PQ recall certificate: 16-byte ADC codes + exact refine must
+    * retain ≥ 60% of the true top-3 (measured 0.70 at sf0.01 / 0.85
+    * at sf0.001 — ADC at RefineFactor=16 matches uncompressed IVF). */
+  val ivfpqCert: Q = Q("sim_ann_ivfpq_cert", oracleSql("060")) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    certificate(emb, PqAnn.annTopK(emb, K, NumQueries), 0.6, "060")
+  }
+
+  val all: Seq[Q] = Seq(ivfCert, ivfpqCert)
+}

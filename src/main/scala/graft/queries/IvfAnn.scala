@@ -35,7 +35,15 @@ import org.apache.spark.sql.functions._
 object IvfAnn {
 
   val NumLists   = 16
-  val NProbe     = 4
+  /** Lists probed per query. The driver corpus is near-random (the
+    * adversarial IVF regime: a random query's true neighbors land in
+    * near-uniformly-random lists, so recall ≈ probed fraction —
+    * measured 0.47 at nProbe=4, 0.70 at 8, at sf0.01); 8/16 is the
+    * recall-vs-cost point the certificate query pins. On a clustered
+    * production corpus the same code sits far above this floor (the
+    * planted near-dup population recalls ≥ 0.9 at nProbe=4,
+    * DedupSpec). */
+  val NProbe     = 8
   val LloydIters = 2
   /** Codebook training sample bound: vectors with vec_id below this
     * (deterministic at any partitioning, unlike `limit`). */
@@ -70,8 +78,9 @@ object IvfAnn {
     * inverted lists; only the scoring differs). */
   private[queries] def assignColPublic(e: Column, cents: Array[Array[Double]]): Column =
     assignCol(e, cents)
-  private[queries] def probeListsPublic(e: Column, cents: Array[Array[Double]]): Column =
-    transform(bestLists(e, cents, NProbe), s => s.getField(ListField))
+  private[queries] def probeListsPublic(e: Column, cents: Array[Array[Double]],
+                                        nProbe: Int = NProbe): Column =
+    transform(bestLists(e, cents, nProbe), s => s.getField(ListField))
 
   private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -113,7 +122,7 @@ object IvfAnn {
   private val centCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
 
-  def trainCentroids(emb: DataFrame): Array[Array[Double]] =
+  def trainCentroids(emb: DataFrame, numLists: Int = NumLists): Array[Array[Double]] =
     // Memoized per (application, canonical input plan): sim_ann_ivf
     // and sim_ann_ivfpq share the same coarse codebook, so a session
     // collects and trains the bounded sample once. The key is the
@@ -123,26 +132,27 @@ object IvfAnn {
     // embedding frames in one application would silently serve the
     // wrong codebook.
     centCache.getOrElseUpdate(
-      emb.sparkSession.sparkContext.applicationId + "#" +
+      emb.sparkSession.sparkContext.applicationId + "#" + numLists + "#" +
         emb.queryExecution.analyzed.canonicalized.toString, {
       val sample = emb.filter(col("vec_id") < TrainSample)
         .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).collect()
         .map(_.getSeq[Float](1).toArray.map(_.toDouble))
-      val seeds = sample.take(NumLists)
+      val seeds = sample.take(numLists)
       (1 to LloydIters).foldLeft(seeds)((c, _) => lloydLocal(sample, c))
     })
 
   /** IVF ANN top-k for the first `numQueries` vectors (self
     * excluded), exact-cosine re-ranked. Same output shape as the
     * brute-force [[Similarity.knnSample]]. */
-  def annTopK(emb: DataFrame, k: Int = 3, numQueries: Int = 50): DataFrame = {
+  def annTopK(emb: DataFrame, k: Int = 3, numQueries: Int = 50,
+              nProbe: Int = NProbe, numLists: Int = NumLists): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val cents = trainCentroids(emb)
+    val cents = trainCentroids(emb, numLists)
     val lists = emb.select(col("vec_id"), col("embedding"),
       assignCol(col("embedding"), cents).as("list_id"))
     val probes = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        explode(transform(bestLists(col("embedding"), cents, NProbe),
+        explode(transform(bestLists(col("embedding"), cents, nProbe),
           s => s.getField(ListField))).as("p_list"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
     lists

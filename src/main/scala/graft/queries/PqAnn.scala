@@ -55,7 +55,7 @@ object PqAnn {
   val M            = 16  // subspaces (subDim = dim/M = 4 on the 64-d corpus)
   val K            = 16  // codebook entries per subspace
   val LloydIters   = 2
-  val RefineFactor = 8
+  val RefineFactor = 16
   /** Same deterministic bounded-sample contract as [[IvfAnn]]. */
   val TrainSample  = 4096L
 
@@ -191,7 +191,8 @@ object PqAnn {
     * excluded): coarse-list candidates → ADC scoring on codes →
     * exact-cosine refine of the top `k`·`RefineFactor`. Output shape
     * matches [[Similarity.knnSample]] / [[IvfAnn.annTopK]]. */
-  def annTopK(emb: DataFrame, k: Int = 3, numQueries: Int = 50): DataFrame = {
+  def annTopK(emb: DataFrame, k: Int = 3, numQueries: Int = 50,
+              nProbe: Int = IvfAnn.NProbe): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val cents = IvfAnn.trainCentroids(emb)
     val (books, listMeans) = trainCodebooks(emb, cents)
@@ -221,7 +222,7 @@ object PqAnn {
     // `dot(q̂, ĉ_list)` bias varies per probed list.
     val probes = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding"),
-        explode(IvfAnn.probeListsPublic(col("embedding"), cents)).as("p_list"))
+        explode(IvfAnn.probeListsPublic(col("embedding"), cents, nProbe)).as("p_list"))
       .withColumn("qe", normalized(col("embedding"))) // bound once, see above
       .select(col("q_id"), col("p_list"),
         adcTable(col("qe"), books).as("qtab"),

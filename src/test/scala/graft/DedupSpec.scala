@@ -193,4 +193,16 @@ class DedupSpec extends SparkSpec {
     assert(ranks.filter(col("mx") =!= col("n")).count() == 0) // ranks 1..n dense
     assert(ann.filter(col("q_id") === col("c_id")).count() == 0)
   }
+
+  test("ANN recall certificates emit TRUE booleans and exact-side facts") {
+    // the oracle-gated certificate rows (sim_ann_ivf_cert /
+    // sim_ann_ivfpq_cert): recall boolean must hold and the exact-kNN
+    // side must agree with the brute-force query it mirrors
+    for (q <- graft.queries.AnnCert.all) {
+      val row = q.fn(spark, sf).head()
+      assert(row.getLong(0) == 50, s"${q.name}: n_queries ${row.getLong(0)}")
+      assert(row.getLong(1) == 150, s"${q.name}: n_exact ${row.getLong(1)}")
+      assert(row.getBoolean(3), s"${q.name}: recall bound failed")
+    }
+  }
 }
