@@ -18,7 +18,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     FraudAnalytics.all ++ Relational.all ++ TextOps.all ++ Similarity.all ++
       MinHashDedup.all ++ LshAnn.all ++ IvfAnn.all ++ PqAnn.all ++ AnnCert.all ++
-      ScoringStream.all ++
+      AnnIndexStore.all ++ ScoringStream.all ++
       graft.streaming.ClickAttribution.all ++
       FraudModel.all ++ Multimodal.all ++ graft.jobs.Jobs.all
 

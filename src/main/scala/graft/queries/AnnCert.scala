@@ -101,7 +101,8 @@ object AnnCert {
     * at sf0.001 — ADC at RefineFactor=16 matches uncompressed IVF). */
   val ivfpqCert: Q = Q("sim_ann_ivfpq_cert", oracleSql("060")) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
-    certificate(emb, PqAnn.annTopK(emb, K, NumQueries), 0.6, "060")
+    certificate(emb, PqAnn.queryIndex(emb, PqAnn.cachedIndex(s, dir), K, NumQueries),
+      0.6, "060")
   }
 
   val all: Seq[Q] = Seq(ivfCert, ivfpqCert)

@@ -1,0 +1,178 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted IVF-PQ index with versioned promotion — the index-side
+  * analog of the model-artifact lifecycle ([[graft.ml.ModelRegistry]];
+  * reference `services/fraud_service/app/main.py:73-97` resolves the
+  * Production model by pointer and hot-reloads it). At 100 TB the
+  * index is the thing you must NOT recompute per session: training +
+  * encoding scans the corpus once, then every consumer loads 16-byte
+  * codes + KB-scale codebooks and never touches the raw vectors until
+  * the final refine.
+  *
+  * Layout (same pointer pattern as the model registry):
+  * {{{
+  *   <root>/<name>/v<N>/codes/      (vec_id, list_id, codes array<int>)  — corpus-scale
+  *   <root>/<name>/v<N>/codebooks/  (m, j, centroid array<double>)       — M·K rows
+  *   <root>/<name>/v<N>/coarse/     (list_id, centroid, list_mean)       — NumLists rows
+  *   <root>/<name>/PRODUCTION       pointer file, atomically replaced
+  * }}}
+  *
+  * Doubles round-trip parquet bit-exactly, so a reloaded index
+  * answers queries IDENTICALLY to the in-session build — pinned by
+  * DedupSpec (cold-reload equality) and by the oracle-gated
+  * `sim_ann_index_roundtrip` certificate.
+  */
+final class AnnIndexStore(root: String) extends Serializable {
+
+  private def nameDir(name: String): Path = Paths.get(root, name)
+
+  def versions(name: String): Seq[Int] = {
+    val d = nameDir(name)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.list(d)) { stream =>
+        stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
+          .toSeq.sorted
+      }
+    }
+  }
+
+  def latestVersion(name: String): Option[Int] = versions(name).lastOption
+
+  /** Persist an index as the next version; returns the version. The
+    * codes frame is written partitioned by `list_id` so a probe of
+    * `nProbe` lists prunes to `nProbe`/`NumLists` of the files on
+    * disk — the IVF inverted-list layout, expressed as partition
+    * pruning. */
+  def register(spark: SparkSession, idx: PqAnn.PqIndex, name: String): Int = {
+    val v = latestVersion(name).getOrElse(0) + 1
+    val dir = nameDir(name).resolve(s"v$v")
+    idx.codes.write.mode("overwrite").partitionBy("list_id")
+      .parquet(dir.resolve("codes").toString)
+    val books = for {
+      (book, m) <- idx.books.zipWithIndex.toSeq
+      (c, j) <- book.zipWithIndex
+    } yield Row(m, j, c.toSeq)
+    val bookSchema = StructType(Seq(
+      StructField("m", IntegerType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(books, 1), bookSchema)
+      .write.mode("overwrite").parquet(dir.resolve("codebooks").toString)
+    val coarse = idx.cents.zipWithIndex.toSeq.map { case (c, l) =>
+      Row(l, c.toSeq, idx.listMeans(l).toSeq)
+    }
+    val coarseSchema = StructType(Seq(
+      StructField("list_id", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("list_mean", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(coarse, 1), coarseSchema)
+      .write.mode("overwrite").parquet(dir.resolve("coarse").toString)
+    v
+  }
+
+  /** Atomic stage promotion: write-then-move pointer replace. */
+  def promote(name: String, version: Int): Unit = {
+    require(versions(name).contains(version), s"unknown version v$version of $name")
+    val d = nameDir(name)
+    val tmp = Files.createTempFile(d, ".PRODUCTION", ".tmp")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, d.resolve("PRODUCTION"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def productionVersion(name: String): Option[Int] = {
+    val p = nameDir(name).resolve("PRODUCTION")
+    if (Files.exists(p)) Some(Files.readString(p).trim.toInt) else None
+  }
+
+  /** Load a version purely from disk: driver constants from the two
+    * KB-scale tables, codes as a lazy parquet scan. */
+  def load(spark: SparkSession, name: String, version: Int): PqAnn.PqIndex = {
+    val dir = nameDir(name).resolve(s"v$version")
+    val books = spark.read.parquet(dir.resolve("codebooks").toString)
+      .select(col("m"), col("j"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2))
+    val m = books.map(_._1).max + 1
+    val bookArr = Array.tabulate(m)(mi => books.filter(_._1 == mi).map(_._3))
+    val coarse = spark.read.parquet(dir.resolve("coarse").toString)
+      .select(col("list_id"), col("centroid"), col("list_mean")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    val codes = spark.read.parquet(dir.resolve("codes").toString)
+      .select(col("vec_id"), col("list_id").cast("int").as("list_id"), col("codes"))
+    PqAnn.PqIndex(coarse.map(_._2), bookArr, coarse.map(_._3), codes)
+  }
+
+  def loadProduction(spark: SparkSession, name: String): Option[PqAnn.PqIndex] =
+    productionVersion(name).map(load(spark, name, _))
+}
+
+/** The oracle-gated roundtrip certificate + the persisted-index query
+  * path over the driver corpus. */
+object AnnIndexStore {
+
+  val IndexName = "ivfpq_embeddings"
+
+  /** One persisted index per (application, sf dir), built and
+    * promoted on first use — bench reps and the roundtrip query reuse
+    * the artifact instead of re-encoding the corpus. */
+  private val memo = scala.collection.concurrent.TrieMap.empty[String, AnnIndexStore]
+
+  private[queries] def forDir(spark: SparkSession, dir: String): AnnIndexStore =
+    memo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
+      val root = Files.createTempDirectory("graft_ann_index_").toString
+      val store = new AnnIndexStore(root)
+      val v = store.register(spark, PqAnn.cachedIndex(spark, dir), IndexName)
+      store.promote(IndexName, v)
+      store
+    })
+
+  /** Certificate: the reloaded index must answer EXACTLY like the
+    * in-session build, and the persisted codes must cover the corpus
+    * 1:1 at `M` bytes per vector. Exact-side facts (vector count,
+    * code count, code length) are oracle-recomputed from the same
+    * parquet; the equality boolean is TRUE in the oracle — a
+    * serialization drift (lost precision, truncated codes, wrong
+    * list) flips it and fails the hash compare. */
+  val roundtrip: Q = Q("sim_ann_index_roundtrip",
+    s"""SELECT COUNT(*) AS n_vectors, COUNT(*) AS n_codes,
+       |  CAST(${PqAnn.M} AS INT) AS code_len,
+       |  TRUE AS one_code_per_vector, TRUE AS results_equal
+       |FROM embeddings""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val idx = forDir(s, dir).loadProduction(s, IndexName)
+      .getOrElse(sys.error("no production ANN index"))
+    val fresh = PqAnn.queryIndex(emb, PqAnn.cachedIndex(s, dir))
+    val indexed = PqAnn.queryIndex(emb, idx)
+    val nDiff = fresh.exceptAll(indexed).union(indexed.exceptAll(fresh))
+      .agg(count(lit(1)).as("n_diff"))
+    val codeStats = idx.codes.agg(
+      count(lit(1)).as("n_codes"),
+      countDistinct(col("vec_id")).as("n_distinct_vec"),
+      min(size(col("codes"))).as("min_len"), max(size(col("codes"))).as("max_len"))
+    emb.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(codeStats))
+      .crossJoin(broadcast(nDiff))
+      .select(
+        col("n_vectors"), col("n_codes"),
+        col("min_len").as("code_len"),
+        (col("n_codes") === col("n_distinct_vec") && col("min_len") === col("max_len"))
+          .as("one_code_per_vector"),
+        (col("n_diff") === 0).as("results_equal"))
+  }
+
+  val all: Seq[Q] = Seq(roundtrip)
+}

@@ -187,24 +187,31 @@ object PqAnn {
     aggregate(zip_with(codes, table, (c, t) => element_at(t, c + lit(1))),
       lit(0.0), (acc, x) => acc + x)
 
-  /** IVF-PQ ANN top-k for the first `numQueries` vectors (self
-    * excluded): coarse-list candidates → ADC scoring on codes →
-    * exact-cosine refine of the top `k`·`RefineFactor`. Output shape
-    * matches [[Similarity.knnSample]] / [[IvfAnn.annTopK]]. */
-  def annTopK(emb: DataFrame, k: Int = 3, numQueries: Int = 50,
-              nProbe: Int = IvfAnn.NProbe): DataFrame = {
+  /** The trained + encoded IVF-PQ index: the driver-side constants
+    * (coarse centroids, residual codebooks, per-list residual means —
+    * KBs) plus the corpus-scale `codes` frame `(vec_id, list_id,
+    * codes: array<int>)` — `M` bytes of payload per vector. This is
+    * the artifact [[AnnIndexStore]] persists and reloads; scoring
+    * never needs the original vectors except in the final refine. */
+  final case class PqIndex(
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      listMeans: Array[Array[Double]],
+      codes: DataFrame)
+
+  /** TRAIN + ENCODE: the index-build half of [[annTopK]]. */
+  def buildIndex(emb: DataFrame): PqIndex = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val cents = IvfAnn.trainCentroids(emb)
     val (books, listMeans) = trainCodebooks(emb, cents)
     val meansLit = typedLit(listMeans) // array<array<double>> literal
-
     // Corpus side: coarse list + RESIDUAL PQ codes; the full
     // embedding stays behind for the refine join only. The normalized
     // vector and the residual are BOUND AS COLUMNS before the 256
     // inline argmin keys reference them — inlined, each of the M·K
     // key expressions would re-evaluate the interpreted `transform`
     // normalization per row (measured 15 s → 0.5 s at sf0.1).
-    val indexed = emb
+    val codes = emb
       .select(col("vec_id"), col("embedding"),
         IvfAnn.assignColPublic(col("embedding"), cents).as("list_id"))
       .withColumn("res", zip_with(normalized(col("embedding")),
@@ -212,6 +219,17 @@ object PqAnn {
         (a, b) => a - b))
       .select(col("vec_id"), col("list_id"),
         encodeCol(col("res"), books).as("codes"))
+    PqIndex(cents, books, listMeans, codes)
+  }
+
+  /** PROBE + ADC + REFINE: answer top-k from an existing index (built
+    * in-session or reloaded from [[AnnIndexStore]]); `emb` supplies
+    * the query vectors and the exact-refine join. */
+  def queryIndex(emb: DataFrame, idx: PqIndex, k: Int = 3, numQueries: Int = 50,
+                 nProbe: Int = IvfAnn.NProbe): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val PqIndex(cents, books, listMeans, indexed) = idx
+    val meansLit = typedLit(listMeans)
 
     // Query side: NProbe coarse lists. Dot similarity decomposes
     // LINEARLY over the residual (unlike the L2 form, where the table
@@ -223,7 +241,7 @@ object PqAnn {
     val probes = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding"),
         explode(IvfAnn.probeListsPublic(col("embedding"), cents, nProbe)).as("p_list"))
-      .withColumn("qe", normalized(col("embedding"))) // bound once, see above
+      .withColumn("qe", normalized(col("embedding"))) // bound once, see build side
       .select(col("q_id"), col("p_list"),
         adcTable(col("qe"), books).as("qtab"),
         call_function("graft_dot", col("qe"),
@@ -257,10 +275,34 @@ object PqAnn {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF-PQ ANN top-k for the first `numQueries` vectors (self
+    * excluded): coarse-list candidates → ADC scoring on codes →
+    * exact-cosine refine of the top `k`·`RefineFactor`. Output shape
+    * matches [[Similarity.knnSample]] / [[IvfAnn.annTopK]]. */
+  def annTopK(emb: DataFrame, k: Int = 3, numQueries: Int = 50,
+              nProbe: Int = IvfAnn.NProbe): DataFrame =
+    queryIndex(emb, buildIndex(emb), k, numQueries, nProbe)
+
+  /** The session's index over the driver corpus, built once per
+    * (application, sf dir) with the codes frame persisted: the query,
+    * its recall certificate, and the persistence roundtrip all score
+    * against the SAME artifact — and a corpus is encoded once per
+    * session, the way a pipeline would land the codes as a table. */
+  private val idxCache =
+    scala.collection.concurrent.TrieMap.empty[String, PqIndex]
+
+  private[queries] def cachedIndex(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): PqIndex =
+    idxCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val i = buildIndex(Tables.embeddings(s, dir))
+      i.copy(codes = i.codes.persist())
+    })
+
   /** IVF-PQ ANN over the driver corpus — rows-only in the driver
-    * harness; recall vs brute-force kNN pinned by ScalaTest. */
+    * harness; recall certified by `sim_ann_ivfpq_cert` and pinned by
+    * ScalaTest. */
   val annQuery: Q = Q.noOracle("sim_ann_ivfpq") { (s, dir) =>
-    annTopK(Tables.embeddings(s, dir))
+    queryIndex(Tables.embeddings(s, dir), cachedIndex(s, dir))
   }
 
   val all: Seq[Q] = Seq(annQuery)

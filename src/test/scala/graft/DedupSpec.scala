@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{IvfAnn, LshAnn, MinHashDedup, PqAnn, Similarity, TextOps}
+import graft.queries.{AnnIndexStore, IvfAnn, LshAnn, MinHashDedup, PqAnn, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Dedup + similarity: MinHash-LSH must recover the exact-Jaccard
@@ -192,6 +192,34 @@ class DedupSpec extends SparkSpec {
     val ranks = ann.groupBy(col("q_id")).agg(max(col("rank")).as("mx"), count(lit(1)).as("n"))
     assert(ranks.filter(col("mx") =!= col("n")).count() == 0) // ranks 1..n dense
     assert(ann.filter(col("q_id") === col("c_id")).count() == 0)
+  }
+
+  test("persisted ANN index cold-reloads to bit-identical constants and answers") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("ann_idx_spec_").toString
+    val store = new AnnIndexStore(root)
+    val idx = PqAnn.buildIndex(emb)
+    val v = store.register(spark, idx, "test_index")
+    store.promote("test_index", v)
+    // a FRESH store instance: everything comes off disk
+    val reloaded = new AnnIndexStore(root).loadProduction(spark, "test_index").get
+    assert(reloaded.cents.map(_.toSeq).toSeq == idx.cents.map(_.toSeq).toSeq)
+    assert(reloaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx.books.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(reloaded.listMeans.map(_.toSeq).toSeq == idx.listMeans.map(_.toSeq).toSeq)
+    val fresh = PqAnn.queryIndex(emb, idx).collect().toSeq
+    val cold = PqAnn.queryIndex(emb, reloaded).collect().toSeq
+    assert(cold == fresh)
+    // probing the reloaded index prunes code partitions (inverted-list layout)
+    val pruned = reloaded.codes.filter(col("list_id") === 3)
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters: [isnotnull(list_id"), pruned)
+    // versioned promotion semantics match the model registry
+    val v2 = store.register(spark, idx, "test_index")
+    assert(v2 == v + 1)
+    assert(store.productionVersion("test_index").contains(v))
+    store.promote("test_index", v2)
+    assert(store.productionVersion("test_index").contains(v2))
   }
 
   test("ANN recall certificates emit TRUE booleans and exact-side facts") {
