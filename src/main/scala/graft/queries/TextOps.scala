@@ -233,6 +233,27 @@ object TextOps {
       .orderBy(col("fp"))
   }
 
+  /** Rarest-first PPJoin prefix over the shared hashed-shingle cache:
+    * `(doc_id, n, rk, h)` rows for each doc's first n − ⌈τ·n⌉ + 1
+    * shingles under the (df asc, h) global order — the candidate-
+    * generation index every prefix-filtered dedup flavor (symmetric
+    * Jaccard, containment, incremental) starts from. Unpersisted;
+    * callers own persistence for their own join DAGs. */
+  private[queries] def rarestFirstPrefix(s: SparkSession, dir: String,
+                                         tau: Double): DataFrame = {
+    val (hsArr, _, postings) = hashedShinglesStats(s, dir)
+    val sh = hsArr.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+    val freq = maybeBroadcast(
+      sh.groupBy(col("h")).agg(count(lit(1)).as("df")),
+      estBytes = postings * 16)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    sh.join(freq, "h")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("n") - ceil(col("n") * lit(tau)) + 1)
+      .select(col("doc_id"), col("n"), col("rk"), col("h"))
+  }
+
   /** Exact 3-shingle Jaccard ≥ 0.5 pairs, memoized + persisted per
     * (application, sf dir): several queries consume the same pair
     * list (pair report, keeper filter), so the expensive
@@ -263,28 +284,10 @@ object TextOps {
       // the candidate DAG would run 4-6×. Cache + eager count pins
       // each shared intermediate to exactly one evaluation, and each
       // is unpersisted as soon as its consumers have materialized.
-      val (hsArr, _, postings) = hashedShinglesStats(s, dir)
-      // Exploding the cached arrays is a cheap narrow map — both
-      // consumers (df counts, prefix ranks) re-derive it from the
-      // cache rather than paying a third materialization job.
-      val sh = hsArr.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
-      // df per shingle: one shuffle over longs, ~|distinct shingles|
-      // rows (≤ postings). Broadcast only while the estimate fits —
-      // distinct shingles grow with the corpus, so at the 100 TB
-      // design point this falls back to a shuffle hash join.
-      val freq = maybeBroadcast(
-        sh.groupBy(col("h")).agg(count(lit(1)).as("df")),
-        estBytes = postings * 16)
-      // Prefix-filter rank via window over (df, h): any consistent
-      // total order works for prefix filtering; (df asc) puts the
-      // RAREST shingles in each doc's prefix.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-      val prefix = sh.join(freq, "h")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= floor(col("n") / 2) + 1)
-        .select(col("doc_id"), col("n"), col("rk"), col("h"))
-        .persist()
+      val hsArr = hashedShingles(s, dir)
+      // Prefix index from the shared builder ([[rarestFirstPrefix]]):
+      // at τ = 0.5 each doc keeps its ⌊n/2⌋+1 rarest shingles.
+      val prefix = rarestFirstPrefix(s, dir, 0.5).persist()
       prefix.count() // self-join below would otherwise evaluate it twice
       // Candidate pairs, pruned in the join itself by the two other
       // PPJoin bounds (both exact for J >= 0.5, both integer-only):
@@ -473,17 +476,11 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     val Tau = 0.6
     graft.functions.GraftFunctions.register(s)
-    val (hsArr, _, postings) = hashedShinglesStats(s, dir)
+    val hsArr = hashedShingles(s, dir)
     val sh = hsArr.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
-    val freq = maybeBroadcast(
-      sh.groupBy(col("h")).agg(count(lit(1)).as("df")),
-      estBytes = postings * 16)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    // overlap needed: t = ⌈τ·n1⌉ → prefix length n1 − t + 1
-    val prefix = sh.join(freq, "h")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("n") - ceil(col("n") * lit(Tau)) + 1)
+    // overlap needed: t = ⌈τ·n1⌉ → prefix length n1 − t + 1, from the
+    // shared rarest-first builder
+    val prefix = rarestFirstPrefix(s, dir, Tau)
       .select(col("doc_id").as("d1"), col("n").as("n1"), col("h"))
     val cands = prefix
       .join(sh.select(col("doc_id").as("d2"), col("n").as("n2"), col("h")), Seq("h"))
@@ -498,6 +495,82 @@ object TextOps {
       .select(col("d1"), col("d2"), col("i").as("n_shared"), r6(c).as("containment"))
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** INCREMENTAL dedup — the streaming-ingest shape of the reference's
+    * core loop (score each ARRIVING record against existing state)
+    * applied to near-dup detection: the corpus (doc_id below the 90%
+    * split) is the existing indexed collection; the new batch (top
+    * 10% of doc_ids) is deduped against corpus ∪ batch WITHOUT ever
+    * recomputing a corpus×corpus join. Candidate generation joins the
+    * BATCH side's rarest-first prefix against the full prefix index
+    * (the persisted artifact of [[rarestFirstPrefix]]; here it comes
+    * off the session cache) — the work is bounded by the batch's
+    * posting lists, so a continuously-ingesting 100 TB pipeline pays
+    * per-batch cost, not per-corpus. Because new doc_ids are the
+    * highest, every emitted pair has its new doc on the d2 side, so
+    * the result is EXACTLY the full pair list restricted to
+    * `d2 >= split` — which is what the oracle computes brute-force
+    * and DedupSpec pins against the full PPJoin list. */
+  val dedupIncremental: Q = Q("text_dedup_incremental",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
+      |sh0 AS (SELECT doc_id,
+      |         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS s,
+      |         lead(word, 2) OVER win AS w2
+      |        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE w2 IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |sp AS (SELECT MAX(doc_id) * 9 // 10 AS split_id FROM documents),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT d1, d2, i AS n_shared,
+      |  ROUND(CAST(i AS DOUBLE) / ((x.n + y.n) - i), 6) AS jaccard
+      |FROM inter JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+      |CROSS JOIN sp
+      |WHERE CAST(i AS DOUBLE) / ((x.n + y.n) - i) >= 0.5 AND d2 >= split_id
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    incrementalPairs(s, dir)
+  }
+
+  private val incrCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Body of [[dedupIncremental]], memoized + persisted like
+    * [[nearDupPairs05]] (the pair list is small; the prefix index is
+    * unpersisted once it materializes). */
+  private[queries] def incrementalPairs(s: SparkSession, dir: String): DataFrame =
+    incrCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      graft.functions.GraftFunctions.register(s)
+      val hsArr = hashedShingles(s, dir)
+      val split = Tables.documents(s, dir)
+        .agg(expr("max(doc_id) * 9 div 10").as("split_id"))
+      val prefix = rarestFirstPrefix(s, dir, 0.5).persist()
+      prefix.count() // the "index": evaluated once, both join sides read it
+      // batch side = new docs only; the a-side stays the FULL index, so
+      // corpus×corpus pairs are never generated
+      val batch = prefix.crossJoin(broadcast(split))
+        .filter(col("doc_id") >= col("split_id"))
+        .select(col("doc_id"), col("n"), col("rk"), col("h"))
+      val cands = prefix.as("a")
+        .join(batch.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
+          && greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * 2
+          && (least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) + 1) * 3
+             >= col("a.n") + col("b.n"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val j = col("i").cast("double") / ((col("x.n") + col("y.n")) - col("i"))
+      val out = cands
+        .join(hsArr.as("x"), col("d1") === col("x.doc_id"))
+        .join(hsArr.as("y"), col("d2") === col("y.doc_id"))
+        .withColumn("i", expr("graft_sorted_intersect(x.hs, y.hs)"))
+        .filter(j >= 0.5)
+        .select(col("d1"), col("d2"), col("i").as("n_shared"), r6(j).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+        .persist()
+      out.count()
+      prefix.unpersist()
+      out
+    })
 
   /** BPE-style pre-tokenization (runs-of-letters / runs-of-digits /
     * single other, the GPT-2 pre-tokenizer shape) next to whitespace
@@ -842,7 +915,8 @@ object TextOps {
   }
 
   val all: Seq[Q] = Seq(tokenStats, quality, langId, fingerprint, dedupExact,
-    dedupNear, dedupContainment, fingerprint64, wordCount, dedupKeep, tokenBpe,
-    packSequences, dupRateSketch, topTokensSketch, sampleStratified,
-    corpusReport, topNgrams, lengthBuckets, vocabBySource, tfidfTopK)
+    dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
+    dedupKeep, tokenBpe, packSequences, dupRateSketch, topTokensSketch,
+    sampleStratified, corpusReport, topNgrams, lengthBuckets, vocabBySource,
+    tfidfTopK)
 }

@@ -194,6 +194,23 @@ class DedupSpec extends SparkSpec {
     assert(ann.filter(col("q_id") === col("c_id")).count() == 0)
   }
 
+  test("incremental dedup equals the full pair list restricted to new docs") {
+    // the batch-vs-index query must find EXACTLY the pairs of the full
+    // corpus-wide PPJoin that touch a new doc (new ids are the highest,
+    // so those are the d2 >= split pairs) — nothing extra, nothing lost
+    val full = TextOps.dedupNear.fn(spark, sf)
+      .select("d1", "d2", "n_shared", "jaccard").collect().toSet
+    val maxId = graft.sources.Tables.documents(spark, sf)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val split = maxId * 9 / 10
+    val expected = full.filter(_.getLong(1) >= split)
+    val got = TextOps.dedupIncremental.fn(spark, sf)
+      .select("d1", "d2", "n_shared", "jaccard").collect().toSet
+    assert(got == expected,
+      s"extra=${got -- expected} missing=${expected -- got}")
+    assert(got.nonEmpty, "split produced no new-doc pairs — spec is vacuous")
+  }
+
   test("persisted ANN index cold-reloads to bit-identical constants and answers") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val root = java.nio.file.Files.createTempDirectory("ann_idx_spec_").toString
