@@ -19,7 +19,7 @@ object SparkEntry {
     FraudAnalytics.all ++ Relational.all ++ TextOps.all ++ Similarity.all ++
       MinHashDedup.all ++ LshAnn.all ++ IvfAnn.all ++ PqAnn.all ++ AnnCert.all ++
       AnnIndexStore.all ++ ScoringStream.all ++
-      graft.streaming.ClickAttribution.all ++
+      graft.streaming.ClickAttribution.all ++ graft.streaming.StreamingDedup.all ++
       FraudModel.all ++ Multimodal.all ++ graft.jobs.Jobs.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -13,6 +13,19 @@ import org.apache.spark.sql.streaming.Trigger
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("streaming incremental dedup: micro-batched loop equals the batch query") {
+    // new docs sliced into 4 micro-batches, each deduped against the
+    // growing persisted index — the accumulated pair list must equal
+    // the single-pass batch text_dedup_incremental exactly
+    val streamed = graft.streaming.StreamingDedup
+      .runIncrementalDedupStream(spark, sf, slices = 4)
+      .select("d1", "d2", "n_shared", "jaccard").collect().toSet
+    val batch = graft.queries.TextOps.dedupIncremental.fn(spark, sf)
+      .select("d1", "d2", "n_shared", "jaccard").collect().toSet
+    assert(streamed == batch,
+      s"extra=${streamed -- batch} missing=${batch -- streamed}")
+  }
+
   test("stream/batch parity: streaming backfill equals batch scoring") {
     val out = Files.createTempDirectory("graft-sp-").toString + "/scored"
     val streamed = ScoringStream.runScoredBackfill(spark, sf, out)
