@@ -248,6 +248,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
+  test("stream-stream LEFT OUTER join: watermark eviction emits exactly the batch null-extended twin") {
+    val streamed = graft.streaming.ClickAttribution.runAttributionLeftOuter(spark, sf)
+    streamed.cache()
+    // Batch twin with identical semantics: left outer as-of join, null
+    // rows kept only below the eventual-watermark horizon.
+    val ev = graft.sources.Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("click_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val horizon = ev.agg(
+      (least(max(when(col("event_type") === "click", col("ts"))),
+             max(when(col("event_type") === "purchase", col("ts"))))
+        - expr("INTERVAL 1 HOUR") - expr("INTERVAL 1 SECOND")).as("horizon"))
+    val batch = buys.join(clicks,
+        col("cu") === col("user_id") && col("click_ts") < col("ts") &&
+          col("click_ts") >= col("ts") - expr("INTERVAL 30 MINUTES"), "left_outer")
+      .crossJoin(broadcast(horizon))
+      .filter(col("click_id").isNotNull || col("ts") < col("horizon"))
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(max_by(col("click_id"), struct(col("click_ts"), col("click_id"))).as("click_id"))
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+    // the eviction path must actually fire: null-extended rows exist…
+    val nullRows = streamed.filter(col("click_id").isNull).count()
+    assert(nullRows > 0, "no null-extended rows — watermark eviction never fired")
+    // …alongside matched rows, and the matched side equals the batch inner twin
+    val matched = streamed.filter(col("click_id").isNotNull)
+    val inner = buys.join(clicks,
+        col("cu") === col("user_id") && col("click_ts") < col("ts") &&
+          col("click_ts") >= col("ts") - expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(max_by(col("click_id"), struct(col("click_ts"), col("click_id"))).as("click_id"))
+    assert(matched.except(inner).count() == 0 && inner.except(matched).count() == 0)
+    streamed.unpersist()
+  }
+
   test("streaming daily metrics equal batch daily metrics") {
     val streamed = ScoringStream.runDailyMetricsStream(spark, sf)
     val batch = FraudAnalytics.dailyMetrics.fn(spark, sf)
