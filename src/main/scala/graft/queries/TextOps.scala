@@ -96,6 +96,17 @@ object TextOps {
   private val tcCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Materialize the session-shared cached intermediates (hashed
+    * shingles, token counts, the J ≥ 0.5 pair list) — Bench calls
+    * this as its explicit `cache_warm_shared` entry so the one-time
+    * cost is visible but never misattributed to whichever consumer
+    * happens to run first. */
+  def warmSharedCaches(s: SparkSession, dir: String): Unit = {
+    hashedShinglesStats(s, dir)
+    tokenCounts(s, dir).count()
+    nearDupPairs05(s, dir)
+  }
+
   private[graft] def tokenCounts(s: SparkSession, dir: String): DataFrame =
     tcCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
       val df = tokenized(Tables.documents(s, dir))
@@ -731,6 +742,192 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end corpus CURATION — the composed pipeline a
+    * training-data run actually executes, as ONE declarative plan:
+    * exact dedup (content-digest keeper) → near-dup removal (the
+    * memoized PPJoin pair list) → language filter (marker-token ID)
+    * → quality threshold. Output is the per-document decision record
+    * (`drop_reason` NULL = retained), the audit artifact a curation
+    * run persists next to the retained corpus.
+    *
+    * Reasons are evaluated in priority order (exact_dup > near_dup >
+    * lang > low_quality), each reason computed independently over the
+    * full corpus — the set-subtraction semantics every reason list
+    * can be replayed from. Scale shape: one tokenize pass computes
+    * quality AND language signals per row (no join between them); the
+    * digest keeper is one shuffle on `md5(text)` (the exact-dedup
+    * shape); the near-dup drop list is the pair list both dedup
+    * queries already share, broadcast-gated the same way. */
+  val curation: Q = Q("text_curation",
+    """WITH tok AS (
+      |  SELECT doc_id, source, lang, md5(text) AS fp,
+      |         string_split(text, ' ') AS w
+      |  FROM documents
+      |), words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
+      |sh0 AS (SELECT doc_id,
+      |         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS s,
+      |         lead(word, 2) OVER win AS w2
+      |        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE w2 IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |neard AS (SELECT DISTINCT d2 FROM inter
+      |          JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+      |          WHERE CAST(i AS DOUBLE) / ((x.n + y.n) - i) >= 0.5),
+      |keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM tok GROUP BY 1),
+      |m AS (
+      |  SELECT doc_id, source, lang, fp,
+      |    len(w) AS n_tokens,
+      |    len(list_filter(w, x -> x = 'the' OR x = 'a')) AS n_stop,
+      |    len(list_distinct(w)) AS n_distinct,
+      |    len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of')) AS s_en,
+      |    len(list_filter(w, x -> x = 'der' OR x = 'die' OR x = 'das')) AS s_de,
+      |    len(list_filter(w, x -> x = 'le' OR x = 'la' OR x = 'les')) AS s_fr,
+      |    len(list_filter(w, x -> x = 'el' OR x = 'los' OR x = 'las')) AS s_es
+      |  FROM tok
+      |), sc AS (
+      |  SELECT doc_id, source, lang, fp, n_tokens,
+      |    ROUND(((CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0))
+      |      + (CAST(0.3 AS DOUBLE) * (1.0 - (CAST(n_stop AS DOUBLE) / n_tokens))))
+      |      + (CAST(0.3 AS DOUBLE) * (CAST(n_distinct AS DOUBLE) / n_tokens)), 6) AS quality_score,
+      |    CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+      |         WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+      |         WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+      |         WHEN s_es > 0 THEN 'es'
+      |         ELSE 'und' END AS pred_lang
+      |  FROM m
+      |)
+      |SELECT sc.doc_id, sc.source, sc.lang, sc.pred_lang, sc.n_tokens, sc.quality_score,
+      |  CASE WHEN sc.doc_id <> k.keeper THEN 'exact_dup'
+      |       WHEN sc.doc_id IN (SELECT d2 FROM neard) THEN 'near_dup'
+      |       WHEN sc.pred_lang <> 'en' THEN 'lang'
+      |       WHEN sc.quality_score < 0.7 THEN 'low_quality'
+      |       END AS drop_reason
+      |FROM sc JOIN keepers k ON sc.fp = k.fp
+      |ORDER BY sc.doc_id""".stripMargin) { (s, dir) =>
+    curationDecisions(s, dir).orderBy(col("doc_id"))
+  }
+
+  /** Per-doc decision frame behind [[curation]] / [[curationPack]]. */
+  private[queries] def curationDecisions(s: SparkSession, dir: String): DataFrame = {
+    val docs = tokenized(Tables.documents(s, dir))
+    val nTokens   = size(col("w"))
+    val nStop     = size(filter(col("w"), x => x === "the" || x === "a"))
+    val nDistinct = size(array_distinct(col("w")))
+    def markers(ws: String*) =
+      size(filter(col("w"), x => ws.map(x === _).reduce(_ || _))).cast("long")
+    val perDoc = docs.select(
+      col("doc_id"), col("source"), col("lang"), md5(col("text")).as("fp"),
+      nTokens.cast("long").as("n_tokens"),
+      r6((lit(0.4) * least(nTokens.cast("double") / lit(50.0), lit(1.0))
+        + lit(0.3) * (lit(1.0) - (nStop.cast("double") / nTokens)))
+        + lit(0.3) * (nDistinct.cast("double") / nTokens)).as("quality_score"),
+      markers("the", "a", "of").as("s_en"), markers("der", "die", "das").as("s_de"),
+      markers("le", "la", "les").as("s_fr"), markers("el", "los", "las").as("s_es"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
+          && col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") && col("s_de") > 0, "de")
+        .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
+        .when(col("s_es") > 0, "es")
+        .otherwise("und"))
+    val keepers = Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("fp")).agg(min(col("doc_id")).as("keeper"))
+    val pairs = nearDupPairs05(s, dir)
+    val nearIds = pairs.select(col("d2").as("doc_id")).distinct()
+      .withColumn("is_near_dup", lit(true))
+    // drop list bounded by the (already materialized) pair count —
+    // same broadcast gate as the keeper filter in [[dedupKeep]]
+    val near =
+      if (pairs.count() * 16 <= BroadcastBytesLimit) broadcast(nearIds) else nearIds
+    perDoc
+      .join(keepers, Seq("fp"))
+      .join(near, Seq("doc_id"), "left_outer")
+      .withColumn("drop_reason",
+        when(col("doc_id") =!= col("keeper"), "exact_dup")
+        .when(col("is_near_dup"), "near_dup")
+        .when(col("pred_lang") =!= "en", "lang")
+        .when(col("quality_score") < 0.7, "low_quality"))
+      .select(col("doc_id"), col("source"), col("lang"), col("pred_lang"),
+        col("n_tokens"), col("quality_score"), col("drop_reason"))
+  }
+
+  /** The curated corpus PACKED into training sequences — the terminal
+    * batch-assembly stage composed over [[curationDecisions]]: only
+    * retained documents (drop_reason NULL) flow into the same
+    * per-source-shard concat-then-chunk packing as
+    * [[packSequences]]. One extra codegen filter between the two
+    * plans — the pipeline composes without a landing step. */
+  val curationPack: Q = Q("text_curation_pack",
+    """WITH tok AS (
+      |  SELECT doc_id, source, lang, md5(text) AS fp,
+      |         string_split(text, ' ') AS w
+      |  FROM documents
+      |), words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
+      |sh0 AS (SELECT doc_id,
+      |         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS s,
+      |         lead(word, 2) OVER win AS w2
+      |        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE w2 IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |neard AS (SELECT DISTINCT d2 FROM inter
+      |          JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+      |          WHERE CAST(i AS DOUBLE) / ((x.n + y.n) - i) >= 0.5),
+      |keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM tok GROUP BY 1),
+      |m AS (
+      |  SELECT doc_id, source, fp,
+      |    len(w) AS n_tokens,
+      |    len(list_filter(w, x -> x = 'the' OR x = 'a')) AS n_stop,
+      |    len(list_distinct(w)) AS n_distinct,
+      |    len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of')) AS s_en,
+      |    len(list_filter(w, x -> x = 'der' OR x = 'die' OR x = 'das')) AS s_de,
+      |    len(list_filter(w, x -> x = 'le' OR x = 'la' OR x = 'les')) AS s_fr,
+      |    len(list_filter(w, x -> x = 'el' OR x = 'los' OR x = 'las')) AS s_es
+      |  FROM tok
+      |), sc AS (
+      |  SELECT doc_id, source, fp, n_tokens,
+      |    ROUND(((CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0))
+      |      + (CAST(0.3 AS DOUBLE) * (1.0 - (CAST(n_stop AS DOUBLE) / n_tokens))))
+      |      + (CAST(0.3 AS DOUBLE) * (CAST(n_distinct AS DOUBLE) / n_tokens)), 6) AS quality_score,
+      |    CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+      |         WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+      |         WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+      |         WHEN s_es > 0 THEN 'es'
+      |         ELSE 'und' END AS pred_lang
+      |  FROM m
+      |), kept AS (
+      |  SELECT sc.doc_id, sc.source, sc.n_tokens
+      |  FROM sc JOIN keepers k ON sc.fp = k.fp
+      |  WHERE sc.doc_id = k.keeper
+      |    AND sc.doc_id NOT IN (SELECT d2 FROM neard)
+      |    AND sc.pred_lang = 'en'
+      |    AND sc.quality_score >= 0.7
+      |), o AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM kept
+      |)
+      |SELECT source, CAST(start_off // 512 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM o GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    curationDecisions(s, dir)
+      .filter(col("drop_reason").isNull)
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .groupBy(col("source"), floor(col("start_off") / 512).as("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
   /** Per-source corpus report card — the summary a curation pipeline
     * publishes per ingest feed: volume, exact-dup rate (distinct
     * content fingerprints vs rows), language spread, and mean quality
@@ -918,5 +1115,5 @@ object TextOps {
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
     dedupKeep, tokenBpe, packSequences, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, vocabBySource,
-    tfidfTopK)
+    tfidfTopK, curation, curationPack)
 }

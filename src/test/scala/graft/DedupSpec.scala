@@ -250,4 +250,34 @@ class DedupSpec extends SparkSpec {
       assert(row.getBoolean(3), s"${q.name}: recall bound failed")
     }
   }
+
+  test("curation pipeline: decisions are consistent with their source queries and the pack") {
+    val dec = TextOps.curation.fn(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // exactly one decision per document
+    assert(dec.length == docs.count())
+    assert(dec.map(_.getAs[Long]("doc_id")).distinct.length == dec.length)
+    val byReason = dec.groupBy(r => Option(r.getAs[String]("drop_reason")))
+    // near_dup reason ids = exactly the d2 side of the shared pair list
+    val nearIds = TextOps.dedupNear.fn(spark, sf)
+      .select("d2").collect().map(_.getLong(0)).toSet
+    val reasonNear = byReason.getOrElse(Some("near_dup"), Array.empty)
+      .map(_.getAs[Long]("doc_id")).toSet
+    // (minus docs already dropped as exact dups, which take priority)
+    val exactIds = byReason.getOrElse(Some("exact_dup"), Array.empty)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(reasonNear == nearIds -- exactIds,
+      s"extra=${reasonNear -- nearIds} missing=${(nearIds -- exactIds) -- reasonNear}")
+    // every kept doc passes every filter
+    val kept = byReason.getOrElse(None, Array.empty)
+    assert(kept.nonEmpty && kept.length < dec.length)
+    assert(kept.forall(r => r.getAs[String]("pred_lang") == "en"
+      && r.getAs[Double]("quality_score") >= 0.7
+      && !nearIds.contains(r.getAs[Long]("doc_id"))))
+    // the pack conserves the kept corpus: same docs, same token mass
+    val pack = TextOps.curationPack.fn(spark, sf).collect()
+    assert(pack.map(_.getAs[Long]("n_docs")).sum == kept.length)
+    assert(pack.map(_.getAs[Long]("seq_tokens")).sum ==
+      kept.map(_.getAs[Long]("n_tokens")).sum)
+  }
 }
