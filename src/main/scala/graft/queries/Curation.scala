@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs after
+  * cleaning and dedup: deterministic split assignment, temperature-
+  * weighted source mixing, and unigram-LM quality scoring (the CCNet
+  * / The-Pile-style "score with a cheap LM, filter the tail" step).
+  *
+  * All three are pure column programs over the `documents` table —
+  * no UDFs, no state, every decision derived from `md5` so the same
+  * doc lands in the same split/sample on any cluster at any scale
+  * (re-runs and backfills stay consistent, the property a random()
+  * split destroys). Each is fully oracle-checked: DuckDB replays the
+  * identical hash arithmetic from the same parquet.
+  */
+object Curation {
+
+  /** First `hexChars` of md5(prefix ++ doc_id) as an integer column —
+    * the deterministic uniform hash behind splits and sampling.
+    * Matches DuckDB `CAST('0x' || substr(md5(...), 1, n) AS INT)`. */
+  private def hashInt(prefix: String, hexChars: Int): Column =
+    conv(substring(md5(concat(lit(prefix), col("doc_id").cast("string"))), 1, hexChars),
+      16, 10).cast("int")
+
+  // ---------------------------------------------------------------- split
+  /** Deterministic 80/10/10 train/val/test assignment: bucket =
+    * md5(doc_id) mod 100. Content-stable: adding or removing OTHER
+    * docs never reassigns a doc (contrast `randomSplit`, which
+    * reshuffles on every corpus change and leaks val into train
+    * across refreshes). Embarrassingly parallel — one projection,
+    * no shuffle beyond the output sort. */
+  val splitAssign: Q = Q("text_split_assign",
+    """SELECT doc_id,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bucket,
+      |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 80 THEN 'train'
+      |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (hashInt("", 4) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- mix
+  /** Temperature-weighted source mixing (α = 0.5): sample the corpus
+    * down to half size with per-source keep rates ∝ n_s^α / n_s, the
+    * multinomial temperature-sampling scheme of multilingual-corpus
+    * training (upweights small sources, downweights dominant ones).
+    * The keep decision is a per-doc hash-fraction threshold — fully
+    * parallel, reproducible, and incremental (new docs get sampled at
+    * the same rate without touching old ones). Rates are derived from
+    * one tiny per-source count aggregate (broadcast back); rounded to
+    * 1e-6 BEFORE the comparison so both engines threshold the exact
+    * same constant. */
+  val sourceMix: Q = Q("text_source_mix",
+    """WITH u AS (
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER) / 16777216.0 AS u
+      |  FROM documents),
+      |cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+      |tot AS (SELECT SUM(n) AS total, SUM(sqrt(CAST(n AS DOUBLE))) AS z FROM cnt),
+      |rate AS (SELECT source, n AS n_docs,
+      |          ROUND(LEAST(1.0, (total / 2.0) * (sqrt(CAST(n AS DOUBLE)) / z) / n), 6) AS keep_rate
+      |         FROM cnt, tot)
+      |SELECT r.source, r.n_docs, r.keep_rate,
+      |       COUNT(*) FILTER (WHERE u.u < r.keep_rate) AS n_kept
+      |FROM u JOIN rate r ON u.source = r.source
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+    mixReport(Tables.documents(s, dir), alpha = 0.5, targetFrac = 0.5)
+  }
+
+  /** Per-source keep rates + realized kept counts for temperature
+    * `alpha`, target size `targetFrac`·|corpus|. Exposed for the
+    * skewed-source spec. */
+  def mixReport(docs: org.apache.spark.sql.DataFrame,
+                alpha: Double, targetFrac: Double): org.apache.spark.sql.DataFrame = {
+    val u = docs.select(col("source"),
+      (hashInt("mix:", 6).cast("double") / 16777216.0).as("u"))
+    val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum(col("n")).as("total"),
+      sum(pow(col("n").cast("double"), alpha)).as("z"))
+    val rate = cnt.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_docs"),
+        round(least(lit(1.0),
+          (col("total") * targetFrac) * (pow(col("n").cast("double"), alpha) / col("z"))
+            / col("n")), 6).as("keep_rate"))
+    u.join(broadcast(rate), "source")
+      .groupBy(col("source"), col("n_docs"), col("keep_rate"))
+      .agg(count(when(col("u") < col("keep_rate"), 1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------- lm score
+  /** Unigram-LM quality score: mean log-probability of each doc's
+    * tokens under the corpus unigram distribution — the cheap
+    * LM-perplexity filter of CCNet/RedPajama-style curation (docs of
+    * improbable tokens score low). Rides the session-shared
+    * [[TextOps.tokenCounts]] frame, so the tokenize+count shuffle is
+    * paid once for the whole text family; the vocab join is a
+    * broadcast of the (small) distinct-token frame. Per-doc mean =
+    * Σ tf·ln(c/total) / Σ tf — identical to averaging over the
+    * exploded word stream, without re-exploding. */
+  val lmScore: Q = Q("text_lm_score",
+    """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |vocab AS (SELECT word, COUNT(*) AS c FROM words GROUP BY 1),
+      |tot AS (SELECT SUM(c) AS total FROM vocab)
+      |SELECT w.doc_id, COUNT(*) AS n_tokens,
+      |       ROUND(AVG(ln(CAST(v.c AS DOUBLE) / total)), 6) AS avg_logp
+      |FROM words w JOIN vocab v ON w.word = v.word, tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val tc = TextOps.tokenCounts(s, dir)
+    val vocab = tc.groupBy(col("tok")).agg(sum(col("tf")).as("c"))
+    val tot = vocab.agg(sum(col("c")).as("total"))
+    tc.join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf") * log(col("c").cast("double") / col("total")))
+          / sum(col("tf")), 6).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(splitAssign, sourceMix, lmScore)
+}

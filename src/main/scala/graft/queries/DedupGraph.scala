@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Q
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Duplicate-CLUSTER assignment — connected components over the
+  * near-dup pair graph.
+  *
+  * Pairwise dedup ([[TextOps.dedupNear]]) emits edges; a real corpus
+  * cleanup needs the transitive closure: if A≈B and B≈C, all three
+  * are one duplicate group even when A and C themselves fall below
+  * the threshold (the reference's dedup story stops at per-record
+  * scoring, `services/fraud_service/app/main.py:219-231`; clustering
+  * is the batch-corpus analog a training-data pipeline adds). Each
+  * clustered doc gets `cluster_id` = min doc_id of its component —
+  * the canonical keeper — so "dedup the corpus" is then a single
+  * `filter(is_keeper)`.
+  *
+  * Algorithm: iterative min-label propagation with per-round pointer
+  * jumping (label ← label's label), the alternating-contraction shape
+  * of Kiveris et al., "Connected Components in MapReduce and Beyond"
+  * (SOCC'14). Propagation alone converges in O(diameter) rounds;
+  * the jump step halves pointer chains each round, so convergence is
+  * O(log d) shuffles even on pathological chain graphs. Each round
+  * is two hash-partitioned equi-joins + a groupBy(min) on the label
+  * frame — |V| keys, never edges×labels materialized — and the loop
+  * re-persists only the (tiny relative to the corpus) label frame.
+  * At 100 TB the label frame is |clustered docs| rows of two longs;
+  * the corpus text never enters the loop.
+  *
+  * Convergence is detected by an exact changed-count action per
+  * round (labels only ever decrease, so changed == 0 is a fixpoint);
+  * `maxIters` bounds the loop defensively.
+  */
+object DedupGraph {
+
+  /** Per-node min-reachable-id labels for an undirected edge list
+    * `(d1, d2)`. Output: `(v, lbl)`, one row per distinct endpoint. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+      .persist()
+    labels.count() // pin before the loop re-reads it twice per round
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // min over self + neighbors' labels
+      val prop = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("lbl"))
+      val stepped = labels.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
+      // pointer jump: lbl <- lbl's lbl (labels only decrease, so this
+      // is always sound and short-circuits long chains)
+      val next = stepped.as("a")
+        .join(stepped.select(col("v").as("pv"), col("lbl").as("plbl")).as("p"),
+          col("a.lbl") === col("pv"), "left")
+        .select(col("a.v").as("v"), coalesce(col("plbl"), col("a.lbl")).as("lbl"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.lbl") < col("o.lbl"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster assignment for every doc in a ≥ 0.5-Jaccard near-dup
+    * pair (singletons omitted — their cluster is themselves).
+    * `is_keeper` marks the canonical (min-id) member, so the deduped
+    * corpus is `anti-join on (is_keeper = false)`. Oracle: DuckDB
+    * recomputes the same pair list and closes it with a recursive
+    * CTE. */
+  val dedupClusters: Q = Q("text_dedup_clusters",
+    """WITH RECURSIVE
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
+      |sh0 AS (SELECT doc_id,
+      |         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS s,
+      |         lead(word, 2) OVER win AS w2
+      |        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE w2 IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT d1, d2 FROM inter JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+      |          WHERE CAST(i AS DOUBLE) / ((x.n + y.n) - i) >= 0.5),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS v, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS v, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
+      |comp AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)
+      |SELECT c.doc_id, c.cluster_id, n.sz AS cluster_size,
+      |       (c.doc_id = c.cluster_id) AS is_keeper
+      |FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY 1) n USING (cluster_id)
+      |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+    val cc = connectedComponents(TextOps.nearDupPairs05(s, dir).select("d1", "d2"))
+    val sz = Window.partitionBy(col("cluster_id"))
+    cc.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(sz))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(dedupClusters)
+}

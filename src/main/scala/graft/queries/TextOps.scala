@@ -273,7 +273,7 @@ object TextOps {
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  private[queries] def nearDupPairs05(s: SparkSession, dir: String): DataFrame =
+  private[graft] def nearDupPairs05(s: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
       // AllPairs/PPJoin prefix filtering, exact for J >= 0.5: under
       // any global shingle ordering, two sets with Jaccard >= τ must

@@ -1,0 +1,97 @@
+package graft
+
+import graft.queries.{Curation, DedupGraph}
+import org.apache.spark.sql.functions._
+
+/** Connected-components clustering + curation operators. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components label a chain graph in O(log d) rounds") {
+    // 0-1-2-...-9 chain (diameter 9: plain propagation would need 9
+    // rounds; pointer jumping must close it in far fewer) plus a
+    // separate triangle and an isolated pair.
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))).toDF("d1", "d2")
+    val got = DedupGraph.connectedComponents(pairs, maxIters = 6)
+      .as[(Long, Long)].collect().toMap
+    val expected = (0L to 9L).map(_ -> 0L).toMap ++
+      Map(20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L)
+    assert(got == expected)
+  }
+
+  test("cluster assignment is transitively consistent with the pair list") {
+    val clusters = DedupGraph.dedupClusters.fn(spark, sf)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    val pairs = graft.queries.TextOps.nearDupPairs05(spark, sf)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (d1, d2) =>
+      assert(clusters(d1) == clusters(d2), s"pair ($d1,$d2) split across clusters")
+    }
+    // every cluster id is the min doc_id of its members
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+    }
+  }
+
+  test("temperature mix upweights small sources and hits the target size") {
+    // 900 docs from a dominant source, 100 from a small one
+    val docs = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val report = Curation.mixReport(docs, alpha = 0.5, targetFrac = 0.5)
+      .select($"source", $"n_docs", $"keep_rate", $"n_kept")
+      .as[(String, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    val (_, _, rBig, kBig) = report("big")
+    val (_, _, rSmall, kSmall) = report("small")
+    // alpha=0.5: weights prop sqrt(n); small source's raw rate
+    // 500*(10/40)/100 = 1.25 clamps to keep-everything
+    assert(rSmall == 1.0 && kSmall == 100L, s"small rate $rSmall kept $kSmall")
+    assert(math.abs(rBig - 500.0 * (30.0 / 40.0) / 900.0) < 1e-6, s"big rate $rBig")
+    // realized big-source sample ~ 375 expected (hash-uniform within ~20%)
+    assert(math.abs(kBig - 375L) < 75, s"kept big $kBig")
+  }
+
+  test("alpha=1 mix is proportional (uniform keep rate across sources)") {
+    val docs = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val rates = Curation.mixReport(docs, alpha = 1.0, targetFrac = 0.5)
+      .select($"keep_rate").as[Double].collect().toSet
+    assert(rates == Set(0.5))
+  }
+
+  test("split assignment is stable under corpus growth") {
+    val full = Curation.splitAssign.fn(spark, sf)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // recompute on a half corpus: surviving docs keep their split
+    val half = graft.sources.Tables.documents(spark, sf).filter($"doc_id" % 2 === 0)
+    val bucket = conv(substring(md5(concat(lit(""), $"doc_id".cast("string"))), 1, 4), 16, 10)
+      .cast("int") % 100
+    val halfSplits = half.select($"doc_id",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .as[(Long, String)].collect()
+    halfSplits.foreach { case (id, s) => assert(full(id) == s) }
+    // and the realized shares are near 80/10/10
+    val n = full.size.toDouble
+    val train = full.values.count(_ == "train") / n
+    assert(train > 0.7 && train < 0.9, s"train share $train")
+  }
+
+  test("lm score ranks a gibberish doc below average") {
+    // uses the corpus unigram LM via the query itself: the lowest-
+    // scoring docs must score strictly below the corpus mean, and
+    // token counts must match the whitespace tokenization
+    val scored = Curation.lmScore.fn(spark, sf)
+      .select($"doc_id", $"n_tokens", $"avg_logp")
+      .as[(Long, Long, Double)].collect()
+    assert(scored.length > 0)
+    val mean = scored.map(_._3).sum / scored.length
+    assert(scored.map(_._3).min < mean)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    scored.foreach { case (id, n, _) => assert(docs(id) == n) }
+  }
+}
