@@ -126,5 +126,44 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(splitAssign, sourceMix, lmScore)
+  // ---------------------------------------------------------------- repetition
+  /** Intra-doc repetition score — the Gopher/RefinedWeb "duplicate
+    * n-gram fraction" quality rule: 1 − |distinct 3-shingles| /
+    * |3-shingles|. Highly repetitive docs (boilerplate, keyword spam,
+    * generation loops) approach 1. The distinct side rides the
+    * session-shared hashed-shingle cache every dedup query already
+    * pays for; the total side is `|tokens| − 2`, a projection — so
+    * the marginal cost of this scorer is one broadcast-sized join.
+    * Docs under 3 tokens have no 3-shingles and are omitted. */
+  val repetitionScore: Q = Q("text_repetition_score",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id, len(w) - 2 AS n_shingles FROM tok WHERE len(w) >= 3),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
+      |sh0 AS (SELECT doc_id,
+      |         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS sg,
+      |         lead(word, 2) OVER win AS w2
+      |        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |d AS (SELECT doc_id, COUNT(DISTINCT sg) AS n_distinct FROM sh0 WHERE w2 IS NOT NULL GROUP BY 1)
+      |SELECT doc_id, n_shingles, n_distinct,
+      |       ROUND(1 - CAST(n_distinct AS DOUBLE) / n_shingles, 6) AS dup_ratio
+      |FROM s JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val (hs, _, _) = TextOps.hashedShinglesStats(s, dir)
+    repetitionReport(Tables.documents(s, dir),
+      hs.select(col("doc_id"), col("n").as("n_distinct")))
+  }
+
+  /** `(doc_id, n_shingles, n_distinct, dup_ratio)` from a documents
+    * frame and its distinct-shingle counts (see [[repetitionScore]];
+    * exposed for the planted-doc spec). */
+  def repetitionReport(docs: org.apache.spark.sql.DataFrame,
+                       distinctCounts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+        (size(split(col("text"), " ")) - 2).cast("long").as("n_shingles"))
+      .filter(col("n_shingles") >= 1)
+      .join(distinctCounts, "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        round(lit(1) - col("n_distinct").cast("double") / col("n_shingles"), 6).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+
+  val all: Seq[Q] = Seq(splitAssign, sourceMix, lmScore, repetitionScore)
 }

@@ -79,6 +79,22 @@ class CurationSpec extends SparkSpec {
     assert(train > 0.7 && train < 0.9, s"train share $train")
   }
 
+  test("repetition score separates a looping doc from a diverse one") {
+    val docs = Seq(
+      (1L, Seq.fill(30)("spam ham eggs").mkString(" ")), // 3-word loop: few distinct shingles
+      (2L, (1 to 90).map("w" + _).mkString(" "))         // all-distinct tokens
+    ).toDF("doc_id", "text")
+    val distinct = graft.queries.TextOps.hashedShingleArrays(docs)
+      .select($"doc_id", $"n".as("n_distinct"))
+    val got = Curation.repetitionReport(docs, distinct)
+      .select($"doc_id", $"n_shingles", $"n_distinct", $"dup_ratio")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val (_, n1, d1, r1) = got(1L)
+    val (_, n2, d2, r2) = got(2L)
+    assert(n1 == 88L && d1 == 3L && r1 > 0.95, s"looping doc: $n1 $d1 $r1")
+    assert(n2 == 88L && d2 == 88L && r2 == 0.0, s"diverse doc: $n2 $d2 $r2")
+  }
+
   test("lm score ranks a gibberish doc below average") {
     // uses the corpus unigram LM via the query itself: the lowest-
     // scoring docs must score strictly below the corpus mean, and

@@ -113,4 +113,26 @@ class PlanInvariantsSpec extends SparkSpec {
       }, s"vocab aggregated before the candidate join:\n$j")
     }
   }
+
+  test("split assignment shuffles only for the presentation sort") {
+    // the hash-split is a pure projection: one range exchange for the
+    // ORDER BY, no hash exchange anywhere (nothing to aggregate or join)
+    val plan = formatted(SparkEntry.queries("text_split_assign")(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert("""[+:]- Exchange""".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("source mix joins per-source rates back by broadcast") {
+    // rates derive from a tiny per-source count frame; the corpus-side
+    // join must be broadcast (never a corpus shuffle on source)
+    val plan = formatted(SparkEntry.queries("text_source_mix")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("lm score joins the vocab by broadcast, never reshuffling the token frame") {
+    val plan = formatted(SparkEntry.queries("text_lm_score")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
