@@ -37,15 +37,34 @@ import org.apache.spark.sql.functions._
 object DedupGraph {
 
   /** Per-node min-reachable-id labels for an undirected edge list
-    * `(d1, d2)`. Output: `(v, lbl)`, one row per distinct endpoint. */
+    * `(d1, d2)`. Output: `(v, lbl)`, one row per distinct endpoint.
+    *
+    * One Spark action per round: labels are per-node monotone
+    * nonincreasing, so the GLOBAL label sum strictly decreases iff
+    * any node changed — the same `agg` that materializes the round
+    * doubles as the convergence test (decimal-summed so the check
+    * survives id ranges whose sum would overflow a long). The
+    * propagate→groupBy frame is persisted before the pointer-jump
+    * self-join reads it twice, and each round unpersists the
+    * previous round's frames once the action is done. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist()
+    // localCheckpoint (eager), NOT persist: each round's frame must
+    // be lineage-free. A persist chain across rounds makes round r's
+    // plan nest every earlier round's; unpersisting the previous
+    // round then invalidates the cached subtree and the recompute
+    // fans out exponentially (measured: round 0 = 2 s, round 1 = 30 s
+    // at sf0.1 before the checkpoint). The checkpointed RDD is a few
+    // longs per clustered doc — negligible storage at any corpus
+    // size — and the ContextCleaner reclaims prior rounds.
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
-      .persist()
-    labels.count() // pin before the loop re-reads it twice per round
+      .localCheckpoint()
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -53,20 +72,19 @@ object DedupGraph {
       val prop = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("lbl"))
       val stepped = labels.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
+        .persist() // the self-join below reads it twice
       // pointer jump: lbl <- lbl's lbl (labels only decrease, so this
       // is always sound and short-circuits long chains)
       val next = stepped.as("a")
         .join(stepped.select(col("v").as("pv"), col("lbl").as("plbl")).as("p"),
           col("a.lbl") === col("pv"), "left")
         .select(col("a.v").as("v"), coalesce(col("plbl"), col("a.lbl")).as("lbl"))
-        .persist()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.lbl") < col("o.lbl"))
-        .count()
-      labels.unpersist()
+        .localCheckpoint() // eager: materializes the round, cuts lineage
+      stepped.unpersist() // safe: next no longer references it
+      val s = lblSum(next) // cheap agg over the checkpointed RDD
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     edges.unpersist()
