@@ -71,7 +71,10 @@ object AnnCert {
 
   /** The oracle: exact kNN recomputed in DuckDB (the `sim_knn_sample`
     * CTE), aggregated to the same certificate row, recall boolean as
-    * literal TRUE. */
+    * literal TRUE. Exposed so index-lifecycle certificates
+    * ([[AnnIndexStore.appendCert]]) can wrap it with extra facts. */
+  private[queries] def certOracleSql(thresholdTag: String): String = oracleSql(thresholdTag)
+
   private def oracleSql(thresholdTag: String): String =
     s"""WITH n AS (SELECT vec_id, SUM(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)) AS nsq
        |           FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings) GROUP BY 1),

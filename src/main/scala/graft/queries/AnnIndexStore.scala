@@ -118,6 +118,27 @@ final class AnnIndexStore(root: String) extends Serializable {
 
   def loadProduction(spark: SparkSession, name: String): Option[PqAnn.PqIndex] =
     productionVersion(name).map(load(spark, name, _))
+
+  /** INSERT arriving vectors into the production index without
+    * retraining: encode them with the production constants
+    * ([[PqAnn.encodeWith]]) and append the new code files into the
+    * version's `list_id`-partitioned codes layout — the inverted-list
+    * insert every segment-based ANN store does. Appends extend a
+    * version in place (codes are an insertable table); a NEW version
+    * is for retrained codebooks. Sound because encoding is
+    * deterministic in the constants: the extended index is
+    * bit-identical to a one-shot encode of the union corpus (pinned
+    * by `sim_ann_index_append`). At 100 TB this is the only viable
+    * shape — re-encoding the corpus for a 0.1% daily arrival is off
+    * the table. */
+  def appendBatch(spark: SparkSession, name: String, newEmb: DataFrame): Unit = {
+    val v = productionVersion(name)
+      .getOrElse(sys.error(s"no production index $name to append to"))
+    val idx = load(spark, name, v)
+    PqAnn.encodeWith(newEmb, idx.cents, idx.books, idx.listMeans)
+      .write.mode("append").partitionBy("list_id")
+      .parquet(nameDir(name).resolve(s"v$v").resolve("codes").toString)
+  }
 }
 
 /** The oracle-gated roundtrip certificate + the persisted-index query
@@ -174,5 +195,54 @@ object AnnIndexStore {
         (col("n_diff") === 0).as("results_equal"))
   }
 
-  val all: Seq[Q] = Seq(roundtrip)
+  val BaseIndexName = "ivfpq_base"
+
+  /** Base-index-plus-appended-batch store, built once per
+    * (application, sf dir): train + encode on the 80% base slice
+    * (`vec_id % 5 ≠ 4`), promote, then insert the held-out 20% via
+    * [[AnnIndexStore.appendBatch]] — the daily-arrivals lifecycle. */
+  private val appendMemo = scala.collection.concurrent.TrieMap.empty[String, AnnIndexStore]
+
+  private def appendedStore(spark: SparkSession, dir: String): AnnIndexStore =
+    appendMemo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
+      val emb = Tables.embeddings(spark, dir)
+      val store = new AnnIndexStore(
+        Files.createTempDirectory("graft_ann_append_").toString)
+      val v = store.register(spark,
+        PqAnn.buildIndex(emb.filter(col("vec_id") % 5 =!= 4)), BaseIndexName)
+      store.promote(BaseIndexName, v)
+      store.appendBatch(spark, BaseIndexName, emb.filter(col("vec_id") % 5 === 4))
+      store
+    })
+
+  /** Incremental-append certificate: after inserting a 20% batch
+    * into the base-trained index, (a) the extended codes must be
+    * BIT-IDENTICAL to a one-shot encode of the full corpus with the
+    * same constants (append soundness), (b) exactly one code per
+    * corpus vector, and (c) recall@3 vs exact kNN must clear the
+    * same ≥ 0.6 bar as the full-corpus index — codebooks trained on
+    * 80% must not collapse on arrivals they never saw. The oracle
+    * recomputes the exact-kNN facts and emits the booleans as TRUE. */
+  val appendCert: Q = Q("sim_ann_index_append",
+    s"""SELECT c.*, (SELECT COUNT(*) FROM embeddings) AS n_codes,
+       |  TRUE AS append_equals_oneshot, TRUE AS one_code_per_vector
+       |FROM (${AnnCert.certOracleSql("060")}) c""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val idx = appendedStore(s, dir).loadProduction(s, BaseIndexName)
+      .getOrElse(sys.error("no production base index"))
+    val oneshot = PqAnn.encodeWith(emb, idx.cents, idx.books, idx.listMeans)
+    val codesDiff = idx.codes.exceptAll(oneshot).union(oneshot.exceptAll(idx.codes))
+      .agg(count(lit(1)).as("n_code_diff"))
+    val codeStats = idx.codes.agg(
+      count(lit(1)).as("n_codes"), countDistinct(col("vec_id")).as("n_distinct_vec"))
+    AnnCert.certificate(emb, PqAnn.queryIndex(emb, idx), 0.6, "060")
+      .crossJoin(broadcast(codeStats))
+      .crossJoin(broadcast(codesDiff))
+      .select(col("n_queries"), col("n_exact"), col("mean_exact_cosine"),
+        col("recall_ge_060"), col("n_codes"),
+        (col("n_code_diff") === 0).as("append_equals_oneshot"),
+        (col("n_codes") === col("n_distinct_vec")).as("one_code_per_vector"))
+  }
+
+  val all: Seq[Q] = Seq(roundtrip, appendCert)
 }

@@ -199,11 +199,17 @@ object PqAnn {
       listMeans: Array[Array[Double]],
       codes: DataFrame)
 
-  /** TRAIN + ENCODE: the index-build half of [[annTopK]]. */
-  def buildIndex(emb: DataFrame): PqIndex = {
+  /** ENCODE a vector frame against FIXED index constants — the
+    * insert path: arriving vectors get coarse-assigned and
+    * residual-PQ-coded with the production codebooks, no retraining.
+    * Deterministic in the constants, so
+    * `encodeWith(base) ∪ encodeWith(batch) ≡ encodeWith(base ∪ batch)`
+    * bit-exactly — the invariant that makes incremental index append
+    * sound (pinned by `sim_ann_index_append`). */
+  def encodeWith(emb: DataFrame, cents: Array[Array[Double]],
+                 books: Array[Array[Array[Double]]],
+                 listMeans: Array[Array[Double]]): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val cents = IvfAnn.trainCentroids(emb)
-    val (books, listMeans) = trainCodebooks(emb, cents)
     val meansLit = typedLit(listMeans) // array<array<double>> literal
     // Corpus side: coarse list + RESIDUAL PQ codes; the full
     // embedding stays behind for the refine join only. The normalized
@@ -211,7 +217,7 @@ object PqAnn {
     // inline argmin keys reference them — inlined, each of the M·K
     // key expressions would re-evaluate the interpreted `transform`
     // normalization per row (measured 15 s → 0.5 s at sf0.1).
-    val codes = emb
+    emb
       .select(col("vec_id"), col("embedding"),
         IvfAnn.assignColPublic(col("embedding"), cents).as("list_id"))
       .withColumn("res", zip_with(normalized(col("embedding")),
@@ -219,7 +225,14 @@ object PqAnn {
         (a, b) => a - b))
       .select(col("vec_id"), col("list_id"),
         encodeCol(col("res"), books).as("codes"))
-    PqIndex(cents, books, listMeans, codes)
+  }
+
+  /** TRAIN + ENCODE: the index-build half of [[annTopK]]. */
+  def buildIndex(emb: DataFrame): PqIndex = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val cents = IvfAnn.trainCentroids(emb)
+    val (books, listMeans) = trainCodebooks(emb, cents)
+    PqIndex(cents, books, listMeans, encodeWith(emb, cents, books, listMeans))
   }
 
   /** PROBE + ADC + REFINE: answer top-k from an existing index (built

@@ -251,6 +251,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental index append: extended codes equal a one-shot encode of the union") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("ann_append_spec_").toString
+    val store = new AnnIndexStore(root)
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    val v = store.register(spark, PqAnn.buildIndex(base), "append_index")
+    store.promote("append_index", v)
+    store.appendBatch(spark, "append_index", batch)
+    val ext = store.loadProduction(spark, "append_index").get
+    // append happened in place: same production version, no new dir
+    assert(store.productionVersion("append_index").contains(v))
+    assert(store.versions("append_index") == Seq(v))
+    // bit-identical to encoding the full corpus with the same constants
+    val oneshot = PqAnn.encodeWith(emb, ext.cents, ext.books, ext.listMeans)
+    assert(ext.codes.exceptAll(oneshot).union(oneshot.exceptAll(ext.codes)).count() == 0)
+    assert(ext.codes.count() == emb.count())
+    // the appended batch is findable: certificate booleans hold at sf0.001
+    val row = graft.queries.AnnIndexStore.appendCert.fn(spark, sf).head()
+    assert(row.getBoolean(3), "recall bound failed on the extended index")
+    assert(row.getBoolean(5), "append != one-shot encode")
+    assert(row.getBoolean(6), "codes not 1:1 with vectors")
+  }
+
   test("curation pipeline: decisions are consistent with their source queries and the pack") {
     val dec = TextOps.curation.fn(spark, sf).collect()
     val docs = graft.sources.Tables.documents(spark, sf)
