@@ -178,7 +178,12 @@ object AnnIndexStore {
       .getOrElse(sys.error("no production ANN index"))
     val fresh = PqAnn.queryIndex(emb, PqAnn.cachedIndex(s, dir))
     val indexed = PqAnn.queryIndex(emb, idx)
-    val nDiff = fresh.exceptAll(indexed).union(indexed.exceptAll(fresh))
+    // one-pass symmetric diff on the (q_id, rank) key — each ANN
+    // pipeline evaluates once, not twice per exceptAll side
+    val nDiff = fresh.as("f")
+      .join(indexed.as("i"), Seq("q_id", "rank"), "full_outer")
+      .filter(!(col("f.c_id") <=> col("i.c_id") &&
+        col("f.cosine") <=> col("i.cosine")))
       .agg(count(lit(1)).as("n_diff"))
     val codeStats = idx.codes.agg(
       count(lit(1)).as("n_codes"),
@@ -230,8 +235,14 @@ object AnnIndexStore {
     val emb = Tables.embeddings(s, dir)
     val idx = appendedStore(s, dir).loadProduction(s, BaseIndexName)
       .getOrElse(sys.error("no production base index"))
+    // one-pass symmetric diff: vec_id is unique on both sides, so a
+    // full-outer join + null-safe compare evaluates each encode ONCE
+    // (exceptAll both ways would run the corpus encode twice per side)
     val oneshot = PqAnn.encodeWith(emb, idx.cents, idx.books, idx.listMeans)
-    val codesDiff = idx.codes.exceptAll(oneshot).union(oneshot.exceptAll(idx.codes))
+    val codesDiff = idx.codes.as("e")
+      .join(oneshot.as("o"), Seq("vec_id"), "full_outer")
+      .filter(!(col("e.list_id") <=> col("o.list_id") &&
+        col("e.codes") <=> col("o.codes")))
       .agg(count(lit(1)).as("n_code_diff"))
     val codeStats = idx.codes.agg(
       count(lit(1)).as("n_codes"), countDistinct(col("vec_id")).as("n_distinct_vec"))
