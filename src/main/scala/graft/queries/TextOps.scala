@@ -1111,9 +1111,81 @@ object TextOps {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Distinct hashed word 8-grams per doc as `(doc_id, h)` postings —
+    * the long-n-gram representation benchmark decontamination works
+    * from. Same hash-don't-materialize scheme as
+    * [[hashedShingleArrays]] (token longs via xxhash64, one more
+    * xxhash64 over each consecutive 8-tuple), just wider: long grams
+    * only collide across documents when a run of text was actually
+    * copied, which is the property decontamination needs. */
+  private def hashedGrams8(docs: DataFrame): DataFrame =
+    tokenized(docs)
+      .filter(size(col("w")) >= 8)
+      .withColumn("hw", expr("transform(w, x -> xxhash64(x))"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(hw)-8), i ->
+          |  xxhash64(hw[i], hw[i+1], hw[i+2], hw[i+3],
+          |           hw[i+4], hw[i+5], hw[i+6], hw[i+7]))""".stripMargin)))
+        .as("h"))
+
+  /** Benchmark decontamination — flag training documents whose long
+    * word n-grams overlap a held-out benchmark split, the filter every
+    * published LLM data pipeline runs so eval text never leaks into
+    * training (reference corpus role: `documents`; split = `doc_id %
+    * 4 = 3` as the benchmark quarter). Width 8 matters: on this
+    * corpus the 3-shingle union SATURATES as the corpus grows (small
+    * vocabulary ⇒ the benchmark quarter eventually contains every
+    * trigram, flagging 100% of training docs at sf0.1), while 8-gram
+    * overlap stays cleanly bimodal at every SF — docs sharing a
+    * copied run score ≥ 0.8, everything else has zero hits — which is
+    * exactly why production decontamination uses long grams (8-13).
+    *
+    * Shape: the benchmark gram set is ~|corpus|/4 deduped 8-byte
+    * keys — broadcast while it fits ([[maybeBroadcast]]), degrading
+    * to a shuffle hash join at 100 TB; the training side then takes
+    * ONE pass (left join marks hits, a single per-doc aggregate
+    * counts grams and hits together). No all-pairs step anywhere; the
+    * flagged list is tiny and the clean corpus is its anti-join. */
+  val decontaminate: Q = Q("text_decontaminate",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
+      |g0 AS (SELECT doc_id, word,
+      |         lead(word, 1) OVER win AS w1, lead(word, 2) OVER win AS w2,
+      |         lead(word, 3) OVER win AS w3, lead(word, 4) OVER win AS w4,
+      |         lead(word, 5) OVER win AS w5, lead(word, 6) OVER win AS w6,
+      |         lead(word, 7) OVER win AS w7
+      |       FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |g AS (SELECT DISTINCT doc_id,
+      |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+      |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS s
+      |      FROM g0 WHERE w7 IS NOT NULL),
+      |bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 4 = 3),
+      |train AS (SELECT doc_id, s FROM g WHERE doc_id % 4 <> 3),
+      |agg AS (SELECT t.doc_id, COUNT(*) AS n_grams, COUNT(b.s) AS n_hit
+      |        FROM train t LEFT JOIN bench b ON t.s = b.s GROUP BY 1)
+      |SELECT doc_id, n_grams, n_hit,
+      |  ROUND(CAST(n_hit AS DOUBLE) / n_grams, 6) AS overlap
+      |FROM agg WHERE CAST(n_hit AS DOUBLE) / n_grams >= 0.5
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val grams = hashedGrams8(Tables.fanOut(Tables.documents(s, dir)))
+    val bench = grams.filter(col("doc_id") % 4 === 3)
+      .select(col("h")).distinct().withColumn("hit", lit(1))
+    val train = grams.filter(col("doc_id") % 4 =!= 3)
+    // size the broadcast gate off the memoized corpus posting count
+    // (3-shingle postings ≈ token count ≈ 8-gram postings)
+    val (_, _, postings) = hashedShinglesStats(s, dir)
+    train.join(maybeBroadcast(bench, postings / 4 * 8), Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit").cast("double") / col("n_grams") >= 0.5)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        r6(col("n_hit").cast("double") / col("n_grams")).as("overlap"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
     dedupKeep, tokenBpe, packSequences, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, vocabBySource,
-    tfidfTopK, curation, curationPack)
+    tfidfTopK, curation, curationPack, decontaminate)
 }

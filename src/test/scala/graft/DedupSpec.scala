@@ -304,4 +304,26 @@ class DedupSpec extends SparkSpec {
     assert(pack.map(_.getAs[Long]("seq_tokens")).sum ==
       kept.map(_.getAs[Long]("n_tokens")).sum)
   }
+
+  test("decontamination equals a brute-force string-gram computation") {
+    // independent reference: real STRING 8-grams over the collected
+    // corpus (no hashing, no Spark) — flags must match exactly
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[Seq[String]] =
+      t.split(" ").toSeq.sliding(8).filter(_.size == 8).toSet
+    val bench = docs.collect { case (id, t) if id % 4 == 3 => grams(t) }
+      .foldLeft(Set.empty[Seq[String]])(_ ++ _)
+    val expected = docs.collect { case (id, t) if id % 4 != 3 =>
+      val g = grams(t)
+      val hit = g.count(bench)
+      (id, g.size.toLong, hit.toLong)
+    }.filter { case (_, n, h) => n > 0 && h.toDouble / n >= 0.5 }.toSet
+    val got = TextOps.decontaminate.fn(spark, sf)
+      .select("doc_id", "n_grams", "n_hit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"extra=${got -- expected} missing=${expected -- got}")
+    assert(got.nonEmpty, "no contaminated docs at this SF — spec is vacuous")
+  }
 }
