@@ -37,8 +37,26 @@ object AnnCert {
   val NumQueries = 50
 
   /** Exact brute-force kNN for the first `NumQueries` vectors (self
-    * excluded) — same shape as [[Similarity.knnSample]]. */
-  private def exactKnn(emb: DataFrame): DataFrame = {
+    * excluded) — same shape as [[Similarity.knnSample]]. Memoized +
+    * persisted per (application, input plan): the IVF, IVF-PQ and
+    * index-append certificates all certify against the SAME exact
+    * side, so a session computes the brute-force pass once (the
+    * result is ≤ NumQueries·K rows). Keyed on the full canonicalized
+    * plan string, same collision-safe scheme as the IVF centroid
+    * memo. */
+  private val exactMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def exactKnn(emb: DataFrame): DataFrame =
+    exactMemo.getOrElseUpdate(
+      (emb.sparkSession.sparkContext.applicationId,
+        emb.queryExecution.analyzed.canonicalized.toString), {
+        val df = exactKnnCompute(emb).persist()
+        df.count()
+        df
+      })
+
+  private def exactKnnCompute(emb: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))

@@ -94,6 +94,47 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q7-shaped nation-pair trade volume: the DOUBLE-ROLE
+    * dimension join — `nation` enters the plan twice under different
+    * roles (supplier's nation via `supplier`, customer's nation via
+    * `orders⋈customer`), each as its own broadcast, so the fact scan
+    * flows through two BroadcastHashJoins with zero added shuffles.
+    * The big-side joins (lineitem⋈orders⋈customer) shuffle on their
+    * keys exactly once each; the cross-nation filter runs before the
+    * aggregate so same-nation volume never reaches the shuffle. */
+  val nationVolume: Q = Q("tpch_nation_volume",
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name <> cn.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val custNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 6)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   /** Dim join: orders⋈customer, rollup by market segment (customer
     * join strategy left to stats/AQE — SF-scaled dim). */
   val segmentRevenue: Q = Q("tpch_segment_revenue",
@@ -623,7 +664,7 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
-    pricingSummary, revenueByNation, segmentRevenue, customersWithOrders,
+    pricingSummary, revenueByNation, nationVolume, segmentRevenue, customersWithOrders,
     customersWithoutOrders, suppliersByRegion, localSupplierRevenue,
     promoRevenue, brandPartStats, saltedJoinRevenue, ordersPerCustomerDist,
     topBalanceInactive, bigVolumeCustomers,

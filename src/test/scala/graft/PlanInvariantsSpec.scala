@@ -34,6 +34,14 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("nation volume: both roles of the nation dim broadcast, no extra shuffle") {
+    val plan = formatted(SparkEntry.queries("tpch_nation_volume")(spark, sf))
+    // supplier + nation(supp role) + nation(cust role) = 3 broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    // only the two fact-side equi-joins and the final agg/sort shuffle
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("global top-k plans TakeOrderedAndProject, not a full sort") {
     val plan = formatted(SparkEntry.queries("tpch_topk_orders")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)
