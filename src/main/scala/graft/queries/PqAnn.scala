@@ -217,6 +217,13 @@ object PqAnn {
     // inline argmin keys reference them — inlined, each of the M·K
     // key expressions would re-evaluate the interpreted `transform`
     // normalization per row (measured 15 s → 0.5 s at sf0.1).
+    // NOTE: deliberately no fanOut/repartition here. The encode runs
+    // serially on a 1-split local input, but inserting an Exchange
+    // between the scan and these projections undoes the column
+    // binding below — measured 1.5 → 62 CPU-s at sf0.1 (the same
+    // 30-40× re-evaluation the binding exists to prevent). At scale
+    // the input arrives as many splits and the map parallelizes with
+    // no exchange at all, which is the shape this method is built for.
     emb
       .select(col("vec_id"), col("embedding"),
         IvfAnn.assignColPublic(col("embedding"), cents).as("list_id"))
