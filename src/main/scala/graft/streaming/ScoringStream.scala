@@ -243,6 +243,54 @@ object ScoringStream {
       .orderBy(col("event_id"))
   }
 
+  /** Streaming sessionization: the batch `fraud_sessionize`
+    * `session_window(ts, 30 min)` aggregate run as an APPEND-mode
+    * stream under a 1-hour watermark — a session row emits exactly
+    * once, when the watermark passes its gap-extended end (merge
+    * semantics live in the session state store, so two micro-batches
+    * landing in the same gap window collapse to one row —
+    * StreamingSpec pins cross-batch behavior). Sessions still open
+    * inside the trailing watermark horizon are held in state when a
+    * bounded run stops, so — same scheme as the left-outer
+    * attribution join — the query replays the eventual watermark from
+    * the bounded input as a 1-row broadcast anchor, with a 1-second
+    * guard band, and applies the SAME horizon cut to its own output
+    * and to the oracle: both sides keep exactly the provably-final
+    * sessions. */
+  def runSessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt-").toString
+    val out  = Files.createTempDirectory("graft-sess-out-").toString + "/sessions"
+    val sess = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    val sessSchema = sess.schema
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // no-data micro-batches stay ENABLED: the trailing batch advances
+    // the watermark to its final value and flushes closed sessions.
+    try {
+      val q = sess.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val horizon = graft.sources.Tables.events(spark, dir)
+      .agg((max(col("ts"))
+        - expr("INTERVAL 1 HOUR") - expr("INTERVAL 1 SECOND")).as("horizon"))
+    spark.read.schema(sessSchema).parquet(out)
+      .crossJoin(broadcast(horizon))
+      .filter(col("session_end") + expr("INTERVAL 30 MINUTES") < col("horizon"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   // ---------------------------------------------------------------- queries
   /** Streaming scoring backfill — same oracle as fraud_scored_events. */
   val streamScored: Q = Q("stream_scored_events",
@@ -271,5 +319,34 @@ object ScoringStream {
     runEnrichedStream(s, dir)
   }
 
-  val all: Seq[Q] = Seq(streamScored, streamDaily, streamEnriched)
+  /** Streaming sessionization — the batch sessionize oracle under the
+    * replayed watermark-horizon cut (applied identically on both
+    * sides; see [[runSessionizeStream]]). */
+  val streamSessionize: Q = Q("stream_sessionize",
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o
+      |), sess AS (
+      |  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |         COUNT(*) AS n_events
+      |  FROM s GROUP BY user_id, sid
+      |), w AS (
+      |  SELECT max(ts) - INTERVAL 1 HOUR - INTERVAL 1 SECOND AS horizon
+      |  FROM events
+      |)
+      |SELECT user_id, session_start, session_end, n_events
+      |FROM sess, w
+      |WHERE session_end + INTERVAL 30 MINUTE < horizon
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    runSessionizeStream(s, dir)
+  }
+
+  val all: Seq[Q] = Seq(streamScored, streamDaily, streamEnriched, streamSessionize)
 }

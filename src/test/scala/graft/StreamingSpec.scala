@@ -178,6 +178,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("T4 streaming: sessions MERGE across micro-batches before the watermark closes them") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val ckpt = Files.createTempDirectory("graft-sessmerge-ckpt-").toString
+    def ts(min: Long) = min * 60000L
+    val sess = input.toDF().toDF("user_id", "ts_ms")
+      .select(col("user_id"), timestamp_millis(col("ts_ms")).as("ts"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("graft_sess_merge")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // batch 1: user 1 events at t=0 and t=10 min → one open session
+      input.addData((1L, ts(0)), (1L, ts(10)))
+      q.processAllAvailable()
+      // batch 2: t=25 min lands INSIDE the gap window of the stored
+      // session — state-store MERGE, not a second session
+      input.addData((1L, ts(25)))
+      q.processAllAvailable()
+      // batch 3+4: far-future event advances the watermark past the
+      // session's gap-extended end → the merged session flushes once
+      input.addData((2L, ts(600)))
+      q.processAllAvailable()
+      input.addData((2L, ts(700)))
+      q.processAllAvailable()
+      val out = spark.table("graft_sess_merge")
+        .filter(col("user_id") === 1L).collect()
+      assert(out.length == 1, out.mkString("; "))
+      assert(out.head.getAs[Long]("n_events") == 3)
+      assert(out.head.getAs[java.sql.Timestamp]("session_start").getTime == ts(0))
+    } finally q.stop()
+  }
+
   test("T5 on transformWithState: RocksDB-backed profiles match the mapGroupsWithState twin") {
     val tws = graft.streaming.UserStateTws.runProfiles(spark, sf)
       .collect().map(p => p.user_id -> p).toMap
