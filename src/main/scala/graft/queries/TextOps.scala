@@ -775,6 +775,21 @@ object TextOps {
       |neard AS (SELECT DISTINCT d2 FROM inter
       |          JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
       |          WHERE CAST(i AS DOUBLE) / ((x.n + y.n) - i) >= 0.5),
+      |g0 AS (SELECT doc_id, word,
+      |         lead(word, 1) OVER win AS w1, lead(word, 2) OVER win AS w2,
+      |         lead(word, 3) OVER win AS w3, lead(word, 4) OVER win AS w4,
+      |         lead(word, 5) OVER win AS w5, lead(word, 6) OVER win AS w6,
+      |         lead(word, 7) OVER win AS w7
+      |       FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |g AS (SELECT DISTINCT doc_id,
+      |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+      |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS s8
+      |      FROM g0 WHERE w7 IS NOT NULL),
+      |gbench AS (SELECT DISTINCT s8 FROM g WHERE doc_id % 4 = 3),
+      |contam AS (SELECT t.doc_id
+      |           FROM g t LEFT JOIN gbench b ON t.s8 = b.s8
+      |           WHERE t.doc_id % 4 <> 3 GROUP BY 1
+      |           HAVING CAST(COUNT(b.s8) AS DOUBLE) / COUNT(*) >= 0.5),
       |keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM tok GROUP BY 1),
       |m AS (
       |  SELECT doc_id, source, lang, fp,
@@ -801,6 +816,7 @@ object TextOps {
       |SELECT sc.doc_id, sc.source, sc.lang, sc.pred_lang, sc.n_tokens, sc.quality_score,
       |  CASE WHEN sc.doc_id <> k.keeper THEN 'exact_dup'
       |       WHEN sc.doc_id IN (SELECT d2 FROM neard) THEN 'near_dup'
+      |       WHEN sc.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
       |       WHEN sc.pred_lang <> 'en' THEN 'lang'
       |       WHEN sc.quality_score < 0.7 THEN 'low_quality'
       |       END AS drop_reason
@@ -841,12 +857,19 @@ object TextOps {
     // same broadcast gate as the keeper filter in [[dedupKeep]]
     val near =
       if (pairs.count() * 16 <= BroadcastBytesLimit) broadcast(nearIds) else nearIds
+    // benchmark-contaminated docs (tiny flagged list — see
+    // [[contaminationAgg]]): dropped after dups, before the language
+    // and quality gates, the order published pipelines run
+    val contam = broadcast(contaminationAgg(s, dir)
+      .select(col("doc_id")).withColumn("is_contam", lit(true)))
     perDoc
       .join(keepers, Seq("fp"))
       .join(near, Seq("doc_id"), "left_outer")
+      .join(contam, Seq("doc_id"), "left_outer")
       .withColumn("drop_reason",
         when(col("doc_id") =!= col("keeper"), "exact_dup")
         .when(col("is_near_dup"), "near_dup")
+        .when(col("is_contam"), "contaminated")
         .when(col("pred_lang") =!= "en", "lang")
         .when(col("quality_score") < 0.7, "low_quality"))
       .select(col("doc_id"), col("source"), col("lang"), col("pred_lang"),
@@ -876,6 +899,21 @@ object TextOps {
       |neard AS (SELECT DISTINCT d2 FROM inter
       |          JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
       |          WHERE CAST(i AS DOUBLE) / ((x.n + y.n) - i) >= 0.5),
+      |g0 AS (SELECT doc_id, word,
+      |         lead(word, 1) OVER win AS w1, lead(word, 2) OVER win AS w2,
+      |         lead(word, 3) OVER win AS w3, lead(word, 4) OVER win AS w4,
+      |         lead(word, 5) OVER win AS w5, lead(word, 6) OVER win AS w6,
+      |         lead(word, 7) OVER win AS w7
+      |       FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |g AS (SELECT DISTINCT doc_id,
+      |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+      |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS s8
+      |      FROM g0 WHERE w7 IS NOT NULL),
+      |gbench AS (SELECT DISTINCT s8 FROM g WHERE doc_id % 4 = 3),
+      |contam AS (SELECT t.doc_id
+      |           FROM g t LEFT JOIN gbench b ON t.s8 = b.s8
+      |           WHERE t.doc_id % 4 <> 3 GROUP BY 1
+      |           HAVING CAST(COUNT(b.s8) AS DOUBLE) / COUNT(*) >= 0.5),
       |keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM tok GROUP BY 1),
       |m AS (
       |  SELECT doc_id, source, fp,
@@ -903,6 +941,7 @@ object TextOps {
       |  FROM sc JOIN keepers k ON sc.fp = k.fp
       |  WHERE sc.doc_id = k.keeper
       |    AND sc.doc_id NOT IN (SELECT d2 FROM neard)
+      |    AND sc.doc_id NOT IN (SELECT doc_id FROM contam)
       |    AND sc.pred_lang = 'en'
       |    AND sc.quality_score >= 0.7
       |), o AS (
@@ -1167,6 +1206,16 @@ object TextOps {
       |  ROUND(CAST(n_hit AS DOUBLE) / n_grams, 6) AS overlap
       |FROM agg WHERE CAST(n_hit AS DOUBLE) / n_grams >= 0.5
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    contaminationAgg(s, dir)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        r6(col("n_hit").cast("double") / col("n_grams")).as("overlap"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-training-doc 8-gram benchmark-overlap counts, filtered to
+    * the ≥ 0.5 contaminated set — shared by [[decontaminate]] and the
+    * curation pipeline's `contaminated` drop reason. */
+  private[queries] def contaminationAgg(s: SparkSession, dir: String): DataFrame = {
     val grams = hashedGrams8(Tables.fanOut(Tables.documents(s, dir)))
     val bench = grams.filter(col("doc_id") % 4 === 3)
       .select(col("h")).distinct().withColumn("hit", lit(1))
@@ -1178,9 +1227,6 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
       .filter(col("n_hit").cast("double") / col("n_grams") >= 0.5)
-      .select(col("doc_id"), col("n_grams"), col("n_hit"),
-        r6(col("n_hit").cast("double") / col("n_grams")).as("overlap"))
-      .orderBy(col("doc_id"))
   }
 
   val all: Seq[Q] = Seq(tokenStats, quality, langId, fingerprint, dedupExact,

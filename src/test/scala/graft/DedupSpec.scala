@@ -292,12 +292,23 @@ class DedupSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet
     assert(reasonNear == nearIds -- exactIds,
       s"extra=${reasonNear -- nearIds} missing=${(nearIds -- exactIds) -- reasonNear}")
+    // contaminated reason ids = exactly the decontamination flags not
+    // already dropped as a dup (dups take priority)
+    val contamIds = TextOps.decontaminate.fn(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val reasonContam = byReason.getOrElse(Some("contaminated"), Array.empty)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(reasonContam == contamIds -- exactIds -- nearIds,
+      s"extra=${reasonContam -- contamIds} " +
+        s"missing=${(contamIds -- exactIds -- nearIds) -- reasonContam}")
+    assert(reasonContam.nonEmpty, "no contaminated docs at this SF — spec is vacuous")
     // every kept doc passes every filter
     val kept = byReason.getOrElse(None, Array.empty)
     assert(kept.nonEmpty && kept.length < dec.length)
     assert(kept.forall(r => r.getAs[String]("pred_lang") == "en"
       && r.getAs[Double]("quality_score") >= 0.7
-      && !nearIds.contains(r.getAs[Long]("doc_id"))))
+      && !nearIds.contains(r.getAs[Long]("doc_id"))
+      && !contamIds.contains(r.getAs[Long]("doc_id"))))
     // the pack conserves the kept corpus: same docs, same token mass
     val pack = TextOps.curationPack.fn(spark, sf).collect()
     assert(pack.map(_.getAs[Long]("n_docs")).sum == kept.length)
