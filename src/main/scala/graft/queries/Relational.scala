@@ -135,6 +135,45 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** TPC-H Q19-shaped disjunctive join filter: an OR of per-branch
+    * conjunctions spanning BOTH join sides (brand+size on `part`,
+    * quantity on `lineitem`). The plan property this exercises:
+    * Catalyst extracts the single-side implications of the
+    * disjunction and pushes them below the join — the part scan gets
+    * `(brand=1 ∧ size≤15) ∨ (brand=2 ∧ size≤25) ∨ (brand=3 ∧
+    * size≤35)` and the lineitem scan gets the quantity-range OR, so
+    * at 100 TB both scans prune before a single row shuffles; the
+    * exact cross-side predicate re-applies after the join. Pinned in
+    * PlanInvariantsSpec via the scans' PushedFilters. */
+  val disjunctiveRevenue: Q = Q("tpch_disjunctive_revenue",
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 30)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val branch1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+      col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+      col("l_quantity").between(20, 30)
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .groupBy(col("p_brand"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 6)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Dim join: orders⋈customer, rollup by market segment (customer
     * join strategy left to stats/AQE — SF-scaled dim). */
   val segmentRevenue: Q = Q("tpch_segment_revenue",
@@ -664,7 +703,8 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
-    pricingSummary, revenueByNation, nationVolume, segmentRevenue, customersWithOrders,
+    pricingSummary, revenueByNation, nationVolume, disjunctiveRevenue,
+    segmentRevenue, customersWithOrders,
     customersWithoutOrders, suppliersByRegion, localSupplierRevenue,
     promoRevenue, brandPartStats, saltedJoinRevenue, ordersPerCustomerDist,
     topBalanceInactive, bigVolumeCustomers,

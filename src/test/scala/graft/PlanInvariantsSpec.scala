@@ -42,6 +42,16 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("disjunctive join filter: per-side OR implications push to BOTH scans") {
+    val plan = SparkEntry.queries("tpch_disjunctive_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    // part scan: the brand/size disjunction reached the reader
+    assert(scans.exists(l => l.contains("p_brand") && l.contains("Or(")), plan)
+    // lineitem scan: the quantity-range disjunction reached the reader
+    assert(scans.exists(l => l.contains("l_quantity") && l.contains("Or(")), plan)
+  }
+
   test("global top-k plans TakeOrderedAndProject, not a full sort") {
     val plan = formatted(SparkEntry.queries("tpch_topk_orders")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)
