@@ -1214,8 +1214,25 @@ object TextOps {
 
   /** Per-training-doc 8-gram benchmark-overlap counts, filtered to
     * the ≥ 0.5 contaminated set — shared by [[decontaminate]] and the
-    * curation pipeline's `contaminated` drop reason. */
-  private[queries] def contaminationAgg(s: SparkSession, dir: String): DataFrame = {
+    * curation pipeline's `contaminated` drop reason. Memoized +
+    * persisted per (application, sf dir) like the shingle cache: three
+    * queries consume it (decontaminate, curation, pack), and the
+    * flagged list is tiny, so a session pays the gram self-join once.
+    * The gram frame itself is derived twice (benchmark set + training
+    * side) inside that one computation — the session-local analog of
+    * landing the gram postings as a table, which is what a 100 TB
+    * pipeline would do instead. */
+  private val contamCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[queries] def contaminationAgg(s: SparkSession, dir: String): DataFrame =
+    contamCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val df = contaminationAggCompute(s, dir).persist()
+      df.count()
+      df
+    })
+
+  private def contaminationAggCompute(s: SparkSession, dir: String): DataFrame = {
     val grams = hashedGrams8(Tables.fanOut(Tables.documents(s, dir)))
     val bench = grams.filter(col("doc_id") % 4 === 3)
       .select(col("h")).distinct().withColumn("hit", lit(1))
