@@ -97,11 +97,15 @@ object Relational {
   /** TPC-H Q7-shaped nation-pair trade volume: the DOUBLE-ROLE
     * dimension join — `nation` enters the plan twice under different
     * roles (supplier's nation via `supplier`, customer's nation via
-    * `orders⋈customer`), each as its own broadcast, so the fact scan
+    * `orders⋈customer`), each as its own broadcast (nation is a
+    * FIXED 25-row dim, safe to hint at any scale), so the fact scan
     * flows through two BroadcastHashJoins with zero added shuffles.
-    * The big-side joins (lineitem⋈orders⋈customer) shuffle on their
-    * keys exactly once each; the cross-nation filter runs before the
-    * aggregate so same-nation volume never reaches the shuffle. */
+    * `supplier` is SF-scaled, so its join strategy is left to
+    * stats/AQE — broadcast locally, shuffle join at 100 TB — same
+    * policy as the customer join in [[revenueByNation]]. The big-side
+    * joins shuffle on their keys exactly once each; the cross-nation
+    * filter runs before the aggregate so same-nation volume never
+    * reaches the shuffle. */
   val nationVolume: Q = Q("tpch_nation_volume",
     """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -120,7 +124,7 @@ object Relational {
     val custNation = Tables.nation(s, dir)
       .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
