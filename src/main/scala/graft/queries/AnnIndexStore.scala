@@ -121,23 +121,54 @@ final class AnnIndexStore(root: String) extends Serializable {
 
   /** INSERT arriving vectors into the production index without
     * retraining: encode them with the production constants
-    * ([[PqAnn.encodeWith]]) and append the new code files into the
-    * version's `list_id`-partitioned codes layout — the inverted-list
-    * insert every segment-based ANN store does. Appends extend a
-    * version in place (codes are an insertable table); a NEW version
-    * is for retrained codebooks. Sound because encoding is
-    * deterministic in the constants: the extended index is
-    * bit-identical to a one-shot encode of the union corpus (pinned
-    * by `sim_ann_index_append`). At 100 TB this is the only viable
-    * shape — re-encoding the corpus for a 0.1% daily arrival is off
-    * the table. */
-  def appendBatch(spark: SparkSession, name: String, newEmb: DataFrame): Unit = {
+    * ([[PqAnn.encodeWith]]) and publish base + batch as a NEW version,
+    * flipped in by the same atomic PRODUCTION pointer move as every
+    * other promotion — a concurrent [[loadProduction]] sees either the
+    * complete old index or the complete extended one, never a
+    * half-appended codes directory, and a crash mid-append leaves only
+    * an unpromoted staging dir (skipped by the next version number,
+    * reclaimable). The base version's immutable code files are
+    * HARDLINKED into the staged version — O(#files) metadata, zero
+    * data copied — the local-FS analog of a manifest referencing
+    * immutable segments, which is how a 100 TB store appends (a 0.1%
+    * daily arrival must never re-encode or re-copy the corpus).
+    * Sound because encoding is deterministic in the constants: the
+    * extended index is bit-identical to a one-shot encode of the
+    * union corpus (pinned by `sim_ann_index_append`). Returns the
+    * promoted version. */
+  def appendBatch(spark: SparkSession, name: String, newEmb: DataFrame): Int = {
     val v = productionVersion(name)
       .getOrElse(sys.error(s"no production index $name to append to"))
     val idx = load(spark, name, v)
+    val next = latestVersion(name).getOrElse(0) + 1
+    val src = nameDir(name).resolve(s"v$v")
+    val dst = nameDir(name).resolve(s"v$next")
+    linkTree(src, dst)
     PqAnn.encodeWith(newEmb, idx.cents, idx.books, idx.listMeans)
       .write.mode("append").partitionBy("list_id")
-      .parquet(nameDir(name).resolve(s"v$v").resolve("codes").toString)
+      .parquet(dst.resolve("codes").toString)
+    promote(name, next)
+    next
+  }
+
+  /** Hardlink every data file under `src` into the same relative
+    * layout under `dst` (parquet part files are immutable once
+    * written, so sharing inodes is safe). Writer-metadata files
+    * (`_SUCCESS`, `.crc`) are skipped rather than linked: the staged
+    * append rewrites them, and a link would write through to the
+    * source version's copy. */
+  private def linkTree(src: Path, dst: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(src)) { stream =>
+      stream.iterator().asScala.foreach { p =>
+        val rel = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(rel)
+        else {
+          val fn = p.getFileName.toString
+          if (!fn.startsWith("_") && !fn.startsWith(".")) Files.createLink(rel, p)
+        }
+      }
+    }
   }
 }
 

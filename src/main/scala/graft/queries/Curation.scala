@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.sources.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a training-data pipeline runs after
@@ -96,16 +96,35 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Corpus unigram vocabulary `(tok, c)` + its row count, memoized +
+    * persisted per (application, sf dir) like the TextOps caches: the
+    * count is the broadcast-gate evidence for [[lmScore]]'s vocab
+    * join, and memoizing means repeated runs (Bench reps) neither
+    * recompute the aggregate nor leak persisted frames. */
+  private val vocabCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)]
+
+  private[graft] def vocabStats(s: SparkSession, dir: String): (DataFrame, Long) =
+    vocabCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val df = TextOps.tokenCounts(s, dir)
+        .groupBy(col("tok")).agg(sum(col("tf")).as("c")).persist()
+      (df, df.count())
+    })
+
   // ---------------------------------------------------------------- lm score
   /** Unigram-LM quality score: mean log-probability of each doc's
     * tokens under the corpus unigram distribution — the cheap
     * LM-perplexity filter of CCNet/RedPajama-style curation (docs of
     * improbable tokens score low). Rides the session-shared
     * [[TextOps.tokenCounts]] frame, so the tokenize+count shuffle is
-    * paid once for the whole text family; the vocab join is a
-    * broadcast of the (small) distinct-token frame. Per-doc mean =
-    * Σ tf·ln(c/total) / Σ tf — identical to averaging over the
-    * exploded word stream, without re-exploding. */
+    * paid once for the whole text family. The vocab join is
+    * broadcast ONLY under [[TextOps.maybeBroadcast]]'s size gate: a
+    * web-scale corpus has an effectively unbounded distinct-token
+    * tail, so the vocab frame grows with the corpus and must degrade
+    * to a shuffle join at 100 TB (the vocab frame + its count are
+    * memoized per session, so the gate evidence is paid once).
+    * Per-doc mean = Σ tf·ln(c/total) / Σ tf — identical to averaging
+    * over the exploded word stream, without re-exploding. */
   val lmScore: Q = Q("text_lm_score",
     """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
       |vocab AS (SELECT word, COUNT(*) AS c FROM words GROUP BY 1),
@@ -115,9 +134,10 @@ object Curation {
       |FROM words w JOIN vocab v ON w.word = v.word, tot
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     val tc = TextOps.tokenCounts(s, dir)
-    val vocab = tc.groupBy(col("tok")).agg(sum(col("tf")).as("c"))
+    val (vocab, nVocab) = vocabStats(s, dir)
     val tot = vocab.agg(sum(col("c")).as("total"))
-    tc.join(broadcast(vocab), "tok")
+    // ~48 B/row estimate: avg token string + 8-byte count + row overhead
+    tc.join(TextOps.maybeBroadcast(vocab, nVocab * 48), "tok")
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),

@@ -62,8 +62,12 @@ object DedupGraph {
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
       .localCheckpoint()
+    // coalesce: sum over an empty label frame is SQL NULL — a corpus
+    // with zero near-dup pairs must converge to an empty result, not
+    // NPE on the convergence compare
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = lblSum(labels)
     var converged = false
     var iter = 0

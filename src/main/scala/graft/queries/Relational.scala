@@ -167,8 +167,11 @@ object Relational {
       col("l_quantity").between(10, 20)
     val branch3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
       col("l_quantity").between(20, 30)
+    // join strategy left to stats/AQE: even after the pushed-down
+    // brand/size OR, the surviving slice of `part` is SF-proportional,
+    // so a hard broadcast hint would OOM at the 100 TB design point
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .filter(branch1 || branch2 || branch3)
       .groupBy(col("p_brand"))
       .agg(

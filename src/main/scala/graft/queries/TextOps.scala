@@ -59,8 +59,8 @@ object TextOps {
     * wrong at the 100 TB design point (distinct shingles and candidate
     * sets grow with the corpus); gating on an estimate keeps the local
     * plan optimal and degrades to a shuffle hash join at scale. */
-  private val BroadcastBytesLimit: Long = 64L << 20
-  private def maybeBroadcast(df: DataFrame, estBytes: Long): DataFrame =
+  private[graft] val BroadcastBytesLimit: Long = 64L << 20
+  private[graft] def maybeBroadcast(df: DataFrame, estBytes: Long): DataFrame =
     if (estBytes <= BroadcastBytesLimit) broadcast(df) else df
 
   /** [[hashedShingleArrays]] over the documents table, memoized +
@@ -857,11 +857,16 @@ object TextOps {
     // same broadcast gate as the keeper filter in [[dedupKeep]]
     val near =
       if (pairs.count() * 16 <= BroadcastBytesLimit) broadcast(nearIds) else nearIds
-    // benchmark-contaminated docs (tiny flagged list — see
-    // [[contaminationAgg]]): dropped after dups, before the language
-    // and quality gates, the order published pipelines run
-    val contam = broadcast(contaminationAgg(s, dir)
-      .select(col("doc_id")).withColumn("is_contam", lit(true)))
+    // benchmark-contaminated docs — dropped after dups, before the
+    // language and quality gates, the order published pipelines run.
+    // The flagged list is tiny HERE, but corpus-proportional in the
+    // worst case (a widely-leaked benchmark), so it takes the same
+    // count gate as the near-dup drop list above: the aggregate is
+    // already materialized ([[contaminationAgg]] persists + counts),
+    // so the gate's count() is a cache read, not a job.
+    val contam = maybeBroadcast(
+      contaminationAgg(s, dir).select(col("doc_id")).withColumn("is_contam", lit(true)),
+      contaminationAgg(s, dir).count() * 16)
     perDoc
       .join(keepers, Seq("fp"))
       .join(near, Seq("doc_id"), "left_outer")

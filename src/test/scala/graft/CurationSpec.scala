@@ -20,6 +20,14 @@ class CurationSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("connected components on an empty pair list returns an empty frame") {
+    // a clean corpus (no near-dup pairs) is a legal input at some SF
+    // or after upstream filtering — must converge empty, not NPE on
+    // the null decimal the convergence sum yields over zero rows
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(DedupGraph.connectedComponents(empty, maxIters = 3).count() == 0)
+  }
+
   test("cluster assignment is transitively consistent with the pair list") {
     val clusters = DedupGraph.dedupClusters.fn(spark, sf)
       .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap

@@ -259,11 +259,16 @@ class DedupSpec extends SparkSpec {
     val batch = emb.filter(col("vec_id") % 5 === 4)
     val v = store.register(spark, PqAnn.buildIndex(base), "append_index")
     store.promote("append_index", v)
-    store.appendBatch(spark, "append_index", batch)
+    val v2 = store.appendBatch(spark, "append_index", batch)
     val ext = store.loadProduction(spark, "append_index").get
-    // append happened in place: same production version, no new dir
-    assert(store.productionVersion("append_index").contains(v))
-    assert(store.versions("append_index") == Seq(v))
+    // append published ATOMICALLY as a new promoted version: the base
+    // version is still intact (a concurrent reader mid-append would
+    // have seen it whole), and the pointer flipped to the extension
+    assert(v2 == v + 1)
+    assert(store.productionVersion("append_index").contains(v2))
+    assert(store.versions("append_index") == Seq(v, v2))
+    assert(store.load(spark, "append_index", v).codes.count() == base.count(),
+      "base version mutated by the append")
     // bit-identical to encoding the full corpus with the same constants
     val oneshot = PqAnn.encodeWith(emb, ext.cents, ext.books, ext.listMeans)
     assert(ext.codes.exceptAll(oneshot).union(oneshot.exceptAll(ext.codes)).count() == 0)

@@ -148,7 +148,10 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("lm score joins the vocab by broadcast, never reshuffling the token frame") {
+  test("lm score joins the vocab by broadcast while it fits the size gate") {
+    // at test SF the vocab passes TextOps.maybeBroadcast's bound, so
+    // the hint applies; the degradation past the bound is pinned in
+    // ScaleTechniquesSpec ("broadcast gate degrades...")
     val plan = formatted(SparkEntry.queries("text_lm_score")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)

@@ -152,4 +152,29 @@ class ScaleTechniquesSpec extends SparkSpec {
       assert(math.abs(s(k)._2 - t) < 1e-6 * math.max(1.0, math.abs(t)), s"key $k")
     }
   }
+
+  test("broadcast gate degrades to a non-broadcast join past the size bound") {
+    // The corpus-scaled frames (lm-score vocab, contaminated drop
+    // list, decontamination gram set) all route through
+    // TextOps.maybeBroadcast: under the bound the hint applies; past
+    // it the plan must fall back to a shuffle strategy — the property
+    // that keeps these joins alive at the 100 TB design point.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // AQE/stats must not slip a broadcast in on their own: the gate
+    // is what we're testing, so force strategy choice through it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (vocab, nVocab) = graft.queries.Curation.vocabStats(spark, sf)
+      val tc = graft.queries.TextOps.tokenCounts(spark, sf)
+      def planWith(estBytes: Long): String =
+        tc.join(graft.queries.TextOps.maybeBroadcast(vocab, estBytes), "tok")
+          .groupBy(col("doc_id")).agg(sum(col("tf")).as("n"))
+          .queryExecution.executedPlan.toString
+      val under = planWith(nVocab * 48)  // real local estimate: fits
+      // simulated 100 TB-scale vocab estimate: the hint must not apply
+      val over = planWith(graft.queries.TextOps.BroadcastBytesLimit + 1)
+      assert(under.contains("BroadcastHashJoin"), under)
+      assert(!over.contains("BroadcastHashJoin"), over)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
