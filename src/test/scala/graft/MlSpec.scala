@@ -91,4 +91,24 @@ class MlSpec extends SparkSpec {
     val both = scored.withColumn("expected", Scoring.classify(col("proba")))
     assert(both.filter(col("prediction") =!= col("expected")).count() == 0)
   }
+
+  test("ml_train_eval_cert: deterministic split, exact AUC facts, booleans hold") {
+    val row = graft.ml.MlCert.trainEvalCert.fn(spark, sf).head()
+    // md5 split ⇒ exactly one membership per event, ~25% test
+    val n = row.getAs[Long]("n_total")
+    val nTest = row.getAs[Long]("n_test")
+    assert(nTest > n / 5 && nTest < n / 3, s"test share $nTest/$n")
+    assert(row.getAs[Long]("n_pos_test") + row.getAs[Long]("n_neg_test") == nTest)
+    // the latent (Bayes) scorer's exact rank AUC is high by design
+    assert(row.getAs[Double]("bayes_auc_test") > 0.9)
+    // the Spark-only halves of the certificate
+    assert(row.getAs[Boolean]("model_auc_ge_085"), "trained model under AUC bound")
+    assert(row.getAs[Boolean]("sketch_auc_within_bound"), "graft_auc sketch drifted")
+    assert(row.getAs[Boolean]("closed_form_matches"), "closed form != MLlib")
+    // split stability: membership is a pure function of event_id, so
+    // recomputing yields the identical split (contrast randomSplit)
+    val a = graft.ml.MlCert.labeledEvents(spark, sf).select("event_id", "bucket", "label")
+    val b = graft.ml.MlCert.labeledEvents(spark, sf).select("event_id", "bucket", "label")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
 }
