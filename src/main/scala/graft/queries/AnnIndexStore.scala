@@ -30,25 +30,7 @@ import org.apache.spark.sql.types._
   * DedupSpec (cold-reload equality) and by the oracle-gated
   * `sim_ann_index_roundtrip` certificate.
   */
-final class AnnIndexStore(root: String) extends Serializable {
-
-  private def nameDir(name: String): Path = Paths.get(root, name)
-
-  def versions(name: String): Seq[Int] = {
-    val d = nameDir(name)
-    if (!Files.isDirectory(d)) Seq.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(Files.list(d)) { stream =>
-        stream.iterator().asScala
-          .map(_.getFileName.toString)
-          .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
-          .toSeq.sorted
-      }
-    }
-  }
-
-  def latestVersion(name: String): Option[Int] = versions(name).lastOption
+final class AnnIndexStore(root: String) extends graft.sources.VersionedStore(root) {
 
   /** Persist an index as the next version; returns the version. The
     * codes frame is written partitioned by `list_id` so a probe of
@@ -80,21 +62,6 @@ final class AnnIndexStore(root: String) extends Serializable {
     spark.createDataFrame(spark.sparkContext.parallelize(coarse, 1), coarseSchema)
       .write.mode("overwrite").parquet(dir.resolve("coarse").toString)
     v
-  }
-
-  /** Atomic stage promotion: write-then-move pointer replace. */
-  def promote(name: String, version: Int): Unit = {
-    require(versions(name).contains(version), s"unknown version v$version of $name")
-    val d = nameDir(name)
-    val tmp = Files.createTempFile(d, ".PRODUCTION", ".tmp")
-    Files.writeString(tmp, version.toString)
-    Files.move(tmp, d.resolve("PRODUCTION"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  def productionVersion(name: String): Option[Int] = {
-    val p = nameDir(name).resolve("PRODUCTION")
-    if (Files.exists(p)) Some(Files.readString(p).trim.toInt) else None
   }
 
   /** Load a version purely from disk: driver constants from the two
@@ -149,26 +116,6 @@ final class AnnIndexStore(root: String) extends Serializable {
       .parquet(dst.resolve("codes").toString)
     promote(name, next)
     next
-  }
-
-  /** Hardlink every data file under `src` into the same relative
-    * layout under `dst` (parquet part files are immutable once
-    * written, so sharing inodes is safe). Writer-metadata files
-    * (`_SUCCESS`, `.crc`) are skipped rather than linked: the staged
-    * append rewrites them, and a link would write through to the
-    * source version's copy. */
-  private def linkTree(src: Path, dst: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(Files.walk(src)) { stream =>
-      stream.iterator().asScala.foreach { p =>
-        val rel = dst.resolve(src.relativize(p).toString)
-        if (Files.isDirectory(p)) Files.createDirectories(rel)
-        else {
-          val fn = p.getFileName.toString
-          if (!fn.startsWith("_") && !fn.startsWith(".")) Files.createLink(rel, p)
-        }
-      }
-    }
   }
 }
 

@@ -1,11 +1,11 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import graft.Q
 import graft.queries.TextOps
-import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.{FrameStore, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -19,6 +19,24 @@ import org.apache.spark.sql.streaming.Trigger
   * (`services/fraud_service/app/main.py:219-231`); here the "state"
   * is the corpus shingle index and the "score" is membership in a
   * near-dup pair.
+  *
+  * The index is a VERSIONED PROMOTED ARTIFACT ([[FrameStore]] — same
+  * lifecycle as the ANN index and the model registry; reference
+  * `main.py:73-97`), not a session cache or an unversioned temp dir:
+  *
+  *  - per micro-batch the PRODUCTION pointer is re-resolved (the
+  *    model registry's hot-reload move applied to the index), and
+  *    the batch's shingles are published as a new version via the
+  *    atomic hardlink-stage-then-flip append — a concurrent reader
+  *    never sees a half-appended index;
+  *  - a KILLED stream resumes from the checkpoint + the promoted
+  *    artifact alone — no session state — and still converges to the
+  *    exact batch result (pinned by the StreamingSpec cold-restart
+  *    test);
+  *  - `text_dedup_index_roundtrip` certifies persistence itself: a
+  *    cold reload of the promoted corpus index must be row-identical
+  *    to the session-built shingle frame, with the doc/posting
+  *    counts oracle-recomputed by DuckDB.
   *
   * Per batch (all DataFrame plans, no driver-side pair loops):
   *  1. shingle the batch ([[TextOps.hashedShingleArrays]] — hashed
@@ -37,6 +55,8 @@ import org.apache.spark.sql.streaming.Trigger
   * batch-parity and by the shared DuckDB oracle.
   */
 object StreamingDedup {
+
+  val IndexName = "shingle_index"
 
   /** Near-dup pairs of one batch vs (index ∪ batch), exact Jaccard
     * ≥ `threshold`, orientation-normalized. `idx` is the persisted
@@ -71,29 +91,44 @@ object StreamingDedup {
         round(j, 6).as("jaccard"))
   }
 
-  /** Run the full loop: seed the index with the corpus side (doc_id
-    * below the 90% split), stream the new docs one FILE per
-    * micro-batch, dedup + grow the index per batch, return the
-    * accumulated pair list. `slices` controls how many files (and so
-    * micro-batches) the new docs arrive in. */
-  def runIncrementalDedupStream(spark: SparkSession, dir: String,
-                                slices: Int = 3): DataFrame = {
+  /** One dedup stream's on-disk world: arrival dir, pair sink,
+    * checkpoint, the index store, and the corpus/new-docs split.
+    * Everything a RESTARTED stream needs lives here (disk), not in
+    * the session. */
+  final case class StreamEnv(inDir: String, outDir: String, ckpt: String,
+                             store: FrameStore, split: Long,
+                             schema: org.apache.spark.sql.types.StructType)
+
+  /** Seed the persisted index artifact with the corpus side (doc_id
+    * below the 90% split) and prepare the stream's directories.
+    * Arrivals are added with [[addArrivals]], processed with
+    * [[runPass]]. */
+  def prepare(spark: SparkSession, dir: String): StreamEnv = {
     val tmp = Files.createTempDirectory("graft-stream-dedup-").toString
-    val (inDir, indexDir, outDir, ckpt) =
-      (s"$tmp/in", s"$tmp/index", s"$tmp/pairs", s"$tmp/ckpt")
     val docs = Tables.documents(spark, dir)
     val split = docs.agg(expr("max(doc_id) * 9 div 10")).head().getLong(0)
-    // seed: the corpus side of the session shingle cache becomes the
-    // persisted index artifact
-    TextOps.hashedShingles(spark, dir).filter(col("doc_id") < split)
-      .write.mode("overwrite").parquet(indexDir)
-    // the new docs arrive as `slices` files → `slices` micro-batches
-    docs.filter(col("doc_id") >= split).repartition(slices)
-      .write.mode("overwrite").parquet(inDir)
-    val stream = spark.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val store = new FrameStore(s"$tmp/store")
+    val v = store.register(spark, IndexName,
+      TextOps.hashedShingles(spark, dir).filter(col("doc_id") < split))
+    store.promote(IndexName, v)
+    StreamEnv(s"$tmp/in", s"$tmp/pairs", s"$tmp/ckpt", store, split, docs.schema)
+  }
+
+  /** Land `docs` as `slices` files in the arrival dir — one file per
+    * future micro-batch. */
+  def addArrivals(env: StreamEnv, docs: DataFrame, slices: Int): Unit =
+    docs.repartition(slices).write.mode("append").parquet(env.inDir)
+
+  /** One `AvailableNow` pass over the files currently in the arrival
+    * dir, resuming from the checkpoint (already-processed files are
+    * skipped — the restart path). Per micro-batch the PRODUCTION
+    * index version is re-resolved (hot reload) and the batch's
+    * shingles are published via the atomic versioned append. */
+  def runPass(spark: SparkSession, env: StreamEnv): Unit = {
+    val stream = spark.readStream.schema(env.schema)
+      .option("maxFilesPerTrigger", 1).parquet(env.inDir)
     val q = stream.writeStream
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", env.ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           // everything inside the micro-batch binds to the STREAM'S
@@ -102,21 +137,93 @@ object StreamingDedup {
           // or expression resolution runs against the wrong registry
           val bs = batch.sparkSession
           graft.functions.GraftFunctions.register(bs)
-          val idx = bs.read.parquet(indexDir)
+          val idx = env.store.loadProduction(bs, IndexName)
+            .getOrElse(sys.error("no production shingle index"))
           dedupBatchAgainstIndex(batch, idx)
-            .write.mode("append").parquet(outDir)
-          TextOps.hashedShingleArrays(batch)
-            .write.mode("append").parquet(indexDir)
+            .write.mode("append").parquet(env.outDir)
+          env.store.appendBatch(bs, IndexName, TextOps.hashedShingleArrays(batch))
+          ()
         }
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    if (Files.exists(java.nio.file.Paths.get(outDir)))
-      spark.read.parquet(outDir).orderBy(col("d1"), col("d2"))
-    else // no batch emitted a pair: empty frame with the pair schema
-      dedupBatchAgainstIndex(docs.filter(lit(false)), spark.read.parquet(indexDir))
+  }
+
+  /** The accumulated pair list (empty-schema frame when no batch
+    * emitted a pair). */
+  def collectedPairs(spark: SparkSession, env: StreamEnv): DataFrame =
+    if (Files.exists(Paths.get(env.outDir)))
+      spark.read.parquet(env.outDir).orderBy(col("d1"), col("d2"))
+    else {
+      val emptyDocs = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], env.schema)
+      dedupBatchAgainstIndex(emptyDocs,
+        env.store.loadProduction(spark, IndexName).get)
         .orderBy(col("d1"), col("d2"))
+    }
+
+  /** Run the full loop: seed the index, land the new docs (doc_id at
+    * or above the split) as `slices` arrival files, process them in
+    * one pass, return the accumulated pair list. */
+  def runIncrementalDedupStream(spark: SparkSession, dir: String,
+                                slices: Int = 3): DataFrame = {
+    val env = prepare(spark, dir)
+    addArrivals(env, Tables.documents(spark, dir).filter(col("doc_id") >= env.split), slices)
+    runPass(spark, env)
+    collectedPairs(spark, env)
+  }
+
+  /** One persisted full-corpus shingle index per (application, sf
+    * dir) for the roundtrip certificate. */
+  private val corpusMemo = scala.collection.concurrent.TrieMap.empty[String, FrameStore]
+
+  private def corpusIndexStore(s: SparkSession, dir: String): FrameStore =
+    corpusMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val store = new FrameStore(
+        Files.createTempDirectory("graft-shingle-index-").toString)
+      val v = store.register(s, "corpus_shingles", TextOps.hashedShingles(s, dir))
+      store.promote("corpus_shingles", v)
+      store
+    })
+
+  /** Persistence certificate for the shingle index artifact, in the
+    * `sim_ann_index_roundtrip` mold: a cold reload of the promoted
+    * index must be row-identical (doc_id, hs, n) to the session-built
+    * shingle frame, one row per doc. The doc/posting counts are
+    * exact-side facts DuckDB recomputes from `documents` with string
+    * shingles (the hashed and string representations count the same
+    * sets — the equivalence every dedup oracle in the family already
+    * rides). */
+  val indexRoundtrip: Q = Q("text_dedup_index_roundtrip",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i
+      |          FROM tok WHERE len(w) >= 3),
+      |sh0 AS (SELECT doc_id,
+      |         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS s,
+      |         lead(word, 2) OVER win AS w2
+      |        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE w2 IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+      |SELECT COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_postings,
+      |  TRUE AS reload_equals_session, TRUE AS one_row_per_doc
+      |FROM sizes""".stripMargin) { (s, dir) =>
+    val fresh = TextOps.hashedShingles(s, dir)
+    val reloaded = corpusIndexStore(s, dir).loadProduction(s, "corpus_shingles")
+      .getOrElse(sys.error("no production corpus shingle index"))
+    // one-pass symmetric diff on doc_id (unique per side): array
+    // equality over the sorted shingle arrays
+    val diff = fresh.as("f").join(reloaded.as("r"), Seq("doc_id"), "full_outer")
+      .filter(!(col("f.hs") <=> col("r.hs") && col("f.n") <=> col("r.n")))
+      .agg(count(lit(1)).as("n_diff"))
+    val stats = reloaded.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("doc_id")).as("n_docs_distinct"),
+      sum(col("n")).as("n_postings"))
+    stats.crossJoin(broadcast(diff))
+      .select(col("n_rows").as("n_docs"), col("n_postings"),
+        (col("n_diff") === 0).as("reload_equals_session"),
+        (col("n_rows") === col("n_docs_distinct")).as("one_row_per_doc"))
   }
 
   /** Streaming twin of `text_dedup_incremental` — same oracle: the
@@ -127,5 +234,5 @@ object StreamingDedup {
     runIncrementalDedupStream(s, dir)
   }
 
-  val all: Seq[Q] = Seq(streamIncremental)
+  val all: Seq[Q] = Seq(streamIncremental, indexRoundtrip)
 }

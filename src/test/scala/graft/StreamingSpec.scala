@@ -26,6 +26,42 @@ class StreamingSpec extends SparkSpec {
       s"extra=${streamed -- batch} missing=${batch -- streamed}")
   }
 
+  test("streaming dedup cold restart: killed stream resumes from the promoted index") {
+    // Phase 1: half the arrivals, one AvailableNow pass, then the
+    // stream is GONE (query terminated — nothing session-held except
+    // the checkpoint + the promoted artifact survives by design).
+    // Phase 2: the rest arrives, a FRESH query on the same checkpoint
+    // resumes, reloading the PRODUCTION index from disk. The final
+    // pair list must still equal the single-pass batch query, and the
+    // index must have grown only through promoted versions.
+    import graft.streaming.StreamingDedup
+    val env = StreamingDedup.prepare(spark, sf)
+    val newDocs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") >= env.split)
+    val mid = newDocs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+    StreamingDedup.addArrivals(env, newDocs.filter(col("doc_id") <= mid), 2)
+    StreamingDedup.runPass(spark, env)
+    val vAfterP1 = env.store.productionVersion(StreamingDedup.IndexName).get
+    assert(vAfterP1 > 1, "phase 1 published no index versions")
+    StreamingDedup.addArrivals(env, newDocs.filter(col("doc_id") > mid), 2)
+    StreamingDedup.runPass(spark, env) // fresh query, same checkpoint
+    assert(env.store.productionVersion(StreamingDedup.IndexName).get > vAfterP1,
+      "restarted stream did not extend the promoted index")
+    val streamed = StreamingDedup.collectedPairs(spark, env)
+      .select("d1", "d2", "n_shared", "jaccard").collect().toSet
+    val batch = graft.queries.TextOps.dedupIncremental.fn(spark, sf)
+      .select("d1", "d2", "n_shared", "jaccard").collect().toSet
+    assert(streamed == batch,
+      s"extra=${streamed -- batch} missing=${batch -- streamed}")
+  }
+
+  test("shingle index roundtrip certificate: cold reload equals session build") {
+    val row = graft.streaming.StreamingDedup.indexRoundtrip.fn(spark, sf).head()
+    assert(row.getAs[Long]("n_docs") > 0)
+    assert(row.getAs[Boolean]("reload_equals_session"))
+    assert(row.getAs[Boolean]("one_row_per_doc"))
+  }
+
   test("stream/batch parity: streaming backfill equals batch scoring") {
     val out = Files.createTempDirectory("graft-sp-").toString + "/scored"
     val streamed = ScoringStream.runScoredBackfill(spark, sf, out)
