@@ -1217,6 +1217,78 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The benchmark 8-gram set as a PERSISTED versioned artifact —
+    * the decontamination analog of the dedup shingle index
+    * ([[graft.streaming.StreamingDedup]]): a continuously-ingesting
+    * pipeline screens every arriving batch against the benchmark
+    * grams, so the gram set must be a promoted on-disk index loaded
+    * per batch, not a frame rebuilt per run. Memoized per
+    * (application, sf dir). */
+  private val benchGramMemo =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.FrameStore]
+
+  private[graft] def benchGramStore(s: SparkSession, dir: String): graft.sources.FrameStore =
+    benchGramMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val store = new graft.sources.FrameStore(
+        java.nio.file.Files.createTempDirectory("graft-bench-grams-").toString)
+      val bench = hashedGrams8(Tables.fanOut(Tables.documents(s, dir)))
+        .filter(col("doc_id") % 4 === 3)
+        .select(col("h")).distinct()
+      store.promote("bench_grams", store.register(s, "bench_grams", bench))
+      store
+    })
+
+  /** INCREMENTAL decontamination — `text_dedup_incremental`'s shape
+    * applied to benchmark screening: only the NEW training docs (top
+    * 10% of doc_ids) are 8-gram-hashed and joined against the
+    * persisted benchmark gram index; the corpus is never rescanned.
+    * Per-arrival cost is the batch's gram postings — the form a
+    * 100 TB pipeline runs on every ingest cycle, with the gram index
+    * loaded from its promoted artifact rather than recomputed. Same
+    * flag rule and broadcast gate as [[decontaminate]]; the oracle is
+    * the brute-force computation restricted to the new docs. */
+  val decontaminateIncremental: Q = Q("text_decontaminate_incremental",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
+      |g0 AS (SELECT doc_id, word,
+      |         lead(word, 1) OVER win AS w1, lead(word, 2) OVER win AS w2,
+      |         lead(word, 3) OVER win AS w3, lead(word, 4) OVER win AS w4,
+      |         lead(word, 5) OVER win AS w5, lead(word, 6) OVER win AS w6,
+      |         lead(word, 7) OVER win AS w7
+      |       FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |g AS (SELECT DISTINCT doc_id,
+      |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+      |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS s
+      |      FROM g0 WHERE w7 IS NOT NULL),
+      |sp AS (SELECT MAX(doc_id) * 9 // 10 AS split_id FROM documents),
+      |bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 4 = 3),
+      |train AS (SELECT g.doc_id, g.s FROM g CROSS JOIN sp
+      |          WHERE doc_id % 4 <> 3 AND doc_id >= split_id),
+      |agg AS (SELECT t.doc_id, COUNT(*) AS n_grams, COUNT(b.s) AS n_hit
+      |        FROM train t LEFT JOIN bench b ON t.s = b.s GROUP BY 1)
+      |SELECT doc_id, n_grams, n_hit,
+      |  ROUND(CAST(n_hit AS DOUBLE) / n_grams, 6) AS overlap
+      |FROM agg WHERE CAST(n_hit AS DOUBLE) / n_grams >= 0.5
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bench = benchGramStore(s, dir).loadProduction(s, "bench_grams")
+      .getOrElse(sys.error("no production benchmark gram index"))
+      .withColumn("hit", lit(1))
+    val docs = Tables.documents(s, dir)
+    val split = docs.agg(expr("max(doc_id) * 9 div 10")).head().getLong(0)
+    val newDocs = docs.filter(col("doc_id") >= split && col("doc_id") % 4 =!= 3)
+    // same gate evidence as contaminationAggCompute: the bench gram
+    // set is ~postings/4 8-byte keys
+    val (_, _, postings) = hashedShinglesStats(s, dir)
+    hashedGrams8(Tables.fanOut(newDocs))
+      .join(maybeBroadcast(bench, postings / 4 * 8), Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit").cast("double") / col("n_grams") >= 0.5)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        r6(col("n_hit").cast("double") / col("n_grams")).as("overlap"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-training-doc 8-gram benchmark-overlap counts, filtered to
     * the ≥ 0.5 contaminated set — shared by [[decontaminate]] and the
     * curation pipeline's `contaminated` drop reason. Memoized +
@@ -1255,5 +1327,5 @@ object TextOps {
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
     dedupKeep, tokenBpe, packSequences, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, vocabBySource,
-    tfidfTopK, curation, curationPack, decontaminate)
+    tfidfTopK, curation, curationPack, decontaminate, decontaminateIncremental)
 }

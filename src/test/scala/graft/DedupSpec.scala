@@ -342,4 +342,23 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, s"extra=${got -- expected} missing=${expected -- got}")
     assert(got.nonEmpty, "no contaminated docs at this SF — spec is vacuous")
   }
+
+  test("incremental decontamination equals the full pass restricted to new docs") {
+    // the persisted-gram-index path over only the top-10% doc_ids must
+    // flag exactly what the full corpus screen flags for those docs
+    val split = graft.sources.Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.expr("max(doc_id) * 9 div 10"))
+      .head().getLong(0)
+    val full = TextOps.decontaminate.fn(spark, sf)
+      .filter(col("doc_id") >= split)
+      .select("doc_id", "n_grams", "n_hit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val incr = TextOps.decontaminateIncremental.fn(spark, sf)
+      .select("doc_id", "n_grams", "n_hit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr == full, s"extra=${incr -- full} missing=${full -- incr}")
+    // the index is a promoted artifact, not a per-run frame
+    val store = TextOps.benchGramStore(spark, sf)
+    assert(store.productionVersion("bench_grams").nonEmpty)
+  }
 }
