@@ -9,13 +9,18 @@ import org.apache.spark.sql.functions._
   * typed metadata, plus the decode → feature-extract plumbing a
   * 100 TB media pipeline needs (builder brief).
   *
-  * The container has no image/audio codecs, so the *decode step is a
-  * STUB* — a deterministic fake that derives pseudo-pixels from the
-  * payload bytes. Everything around it is real and tested: the
-  * schema (binary + metadata struct), the partition-preserving
-  * batched `mapPartitions` shape (the Scala analog of
-  * `mapInPandas` — records stream through an iterator, never
-  * materializing a partition), and the downstream feature queries.
+  * Two decode tiers:
+  *  - [[imageDecode]] is a REAL fixed-format decoder: PPM P6 header
+  *    parse + per-channel pixel statistics in pure codegen'd column
+  *    expressions (oracle-checked byte-for-byte);
+  *  - formats that need an external codec (JPEG/audio/video — the
+  *    container has none) keep the *stubbed* decode behind the
+  *    batched `mapPartitions` boundary (the Scala analog of
+  *    `mapInPandas` — one codec init per partition, records stream
+  *    through an iterator, never materializing a partition), with
+  *    everything around it real and tested: the schema (binary +
+  *    metadata struct), the batch shape, and the downstream feature
+  *    queries.
   *
   * Payloads here are synthesized from `documents.text` bytes so the
   * pipeline runs against driver testdata; a real deployment swaps
@@ -142,6 +147,103 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic PPM (P6) payloads: real binary images synthesized
+    * from the text bytes — `P6\n<w> <h>\n255\n` + `3·w·h` RGB bytes
+    * (pixels = the text cycled to length). The encoder is the test
+    * fixture; [[imageDecode]] below never looks at anything but the
+    * payload column. */
+  def ppmTable(spark: SparkSession, dir: String) =
+    Tables.documents(spark, dir).filter(col("n_chars") > 0)
+      .withColumn("w", (col("n_chars") % 8 + 4).cast("int"))
+      .withColumn("h", (col("n_chars") % 6 + 3).cast("int"))
+      .withColumn("px_src",
+        expr("substring(repeat(text, 3*w*h div n_chars + 1), 1, 3*w*h)"))
+      .select(col("doc_id"),
+        expr("CAST(concat('P6', chr(10), w, ' ', h, chr(10), '255', chr(10), px_src) AS BINARY)")
+          .as("payload"))
+
+  /** A REAL fixed-format image decoder, not a stub: parses the PPM P6
+    * header (magic, dimensions, maxval, pixel offset) and computes
+    * per-channel pixel statistics — entirely in codegen'd column
+    * expressions over the `binary` payload (no UDF, no mapPartitions,
+    * no driver loop), which is the right shape for a decodable format:
+    * the whole decode stays inside WholeStageCodegen and scales as a
+    * map stage. The `mapPartitions` boundary in [[extractFeatures]]
+    * remains the documented plug for formats that genuinely need an
+    * external codec (JPEG/audio/video); this query is the existence
+    * proof that "multimodal column" means decode, not just checksums.
+    * Oracle: DuckDB re-parses the same payload bytes with its own
+    * string/blob arithmetic — header fields, byte accounting, channel
+    * means, min/max all hash-compared. */
+  val imageDecode: Q = Q("mm_image_decode",
+    """WITH enc AS (
+      |  SELECT doc_id,
+      |    'P6' || chr(10) || CAST(n_chars % 8 + 4 AS VARCHAR) || ' '
+      |      || CAST(n_chars % 6 + 3 AS VARCHAR) || chr(10) || '255' || chr(10)
+      |      || substr(repeat(text, 3*(n_chars % 8 + 4)*(n_chars % 6 + 3) // n_chars + 1),
+      |                1, 3*(n_chars % 8 + 4)*(n_chars % 6 + 3)) AS s
+      |  FROM documents WHERE n_chars > 0
+      |), dec AS (
+      |  SELECT doc_id, s,
+      |    split_part(s, chr(10), 1) AS p1,
+      |    split_part(s, chr(10), 2) AS p2,
+      |    split_part(s, chr(10), 3) AS p3,
+      |    CAST(split_part(split_part(s, chr(10), 2), ' ', 1) AS INTEGER) AS w,
+      |    CAST(split_part(split_part(s, chr(10), 2), ' ', 2) AS INTEGER) AS h
+      |  FROM enc
+      |), off AS (
+      |  SELECT *, length(p1) + length(p2) + length(p3) + 3 AS hdr,
+      |    substr(s, length(p1) + length(p2) + length(p3) + 3 + 1, 3*w*h) AS px
+      |  FROM dec
+      |)
+      |SELECT doc_id,
+      |  (p1 = 'P6') AS magic_ok,
+      |  w, h,
+      |  CAST(p3 AS INTEGER) AS maxval,
+      |  (length(s) = hdr + 3*w*h) AS payload_complete,
+      |  w*h AS n_pixels,
+      |  ROUND(list_sum(list_transform(range(0, w*h), i -> ord(substr(px, 3*i + 1, 1))))
+      |        / CAST(w*h AS DOUBLE), 6) AS mean_r,
+      |  ROUND(list_sum(list_transform(range(0, w*h), i -> ord(substr(px, 3*i + 2, 1))))
+      |        / CAST(w*h AS DOUBLE), 6) AS mean_g,
+      |  ROUND(list_sum(list_transform(range(0, w*h), i -> ord(substr(px, 3*i + 3, 1))))
+      |        / CAST(w*h AS DOUBLE), 6) AS mean_b,
+      |  CAST(list_min(list_transform(range(0, 3*w*h), i -> ord(substr(px, i + 1, 1)))) AS INTEGER) AS min_px,
+      |  CAST(list_max(list_transform(range(0, 3*w*h), i -> ord(substr(px, i + 1, 1)))) AS INTEGER) AS max_px
+      |FROM off ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    decodePpm(ppmTable(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** The decoder proper: `(doc_id, payload)` → header fields, byte
+    * accounting, per-channel stats. Derives every output from the
+    * payload column alone. */
+  def decodePpm(media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    media
+      .withColumn("s", col("payload").cast("string"))
+      .withColumn("p1", expr("split_part(s, chr(10), 1)"))
+      .withColumn("p2", expr("split_part(s, chr(10), 2)"))
+      .withColumn("p3", expr("split_part(s, chr(10), 3)"))
+      .withColumn("w", expr("CAST(split_part(p2, ' ', 1) AS INT)"))
+      .withColumn("h", expr("CAST(split_part(p2, ' ', 2) AS INT)"))
+      .withColumn("hdr", expr("length(p1) + length(p2) + length(p3) + 3"))
+      .withColumn("px", expr("substring(s, hdr + 1, 3*w*h)"))
+      .select(col("doc_id"),
+        (col("p1") === "P6").as("magic_ok"),
+        col("w"), col("h"),
+        expr("CAST(p3 AS INT)").as("maxval"),
+        (length(col("s")) === col("hdr") + expr("3*w*h")).as("payload_complete"),
+        expr("w*h").as("n_pixels"),
+        expr("""ROUND(aggregate(transform(sequence(0, w*h - 1), i -> ascii(substring(px, 3*i + 1, 1))),
+                CAST(0 AS BIGINT), (a, x) -> a + x) / CAST(w*h AS DOUBLE), 6)""").as("mean_r"),
+        expr("""ROUND(aggregate(transform(sequence(0, w*h - 1), i -> ascii(substring(px, 3*i + 2, 1))),
+                CAST(0 AS BIGINT), (a, x) -> a + x) / CAST(w*h AS DOUBLE), 6)""").as("mean_g"),
+        expr("""ROUND(aggregate(transform(sequence(0, w*h - 1), i -> ascii(substring(px, 3*i + 3, 1))),
+                CAST(0 AS BIGINT), (a, x) -> a + x) / CAST(w*h AS DOUBLE), 6)""").as("mean_b"),
+        expr("array_min(transform(sequence(0, 3*w*h - 1), i -> ascii(substring(px, i + 1, 1))))")
+          .cast("int").as("min_px"),
+        expr("array_max(transform(sequence(0, 3*w*h - 1), i -> ascii(substring(px, i + 1, 1))))")
+          .cast("int").as("max_px"))
+
   /** Frame sampling over the payload: fixed-stride 64-byte windows
     * exploded to one row per frame with per-frame digests — the
     * video-frame / audio-chunk extraction shape (the real decoder
@@ -166,5 +268,5 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode)
 }

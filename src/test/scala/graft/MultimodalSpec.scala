@@ -33,4 +33,37 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.extractFeatures(media)
     assert(out.rdd.getNumPartitions == 3)
   }
+
+  test("PPM decoder recovers header fields and validates byte accounting") {
+    val rows = Multimodal.imageDecode.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every synthesized image decodes cleanly
+    assert(rows.forall(_.getAs[Boolean]("magic_ok")))
+    assert(rows.forall(_.getAs[Boolean]("payload_complete")))
+    assert(rows.forall(_.getAs[Int]("maxval") == 255))
+    // decoded dims came from the HEADER; they must match the encoder's
+    val chars = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val n = chars(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("w") == n % 8 + 4 && r.getAs[Int]("h") == n % 6 + 3)
+      assert(r.getAs[Int]("n_pixels") == r.getAs[Int]("w") * r.getAs[Int]("h"))
+      // pixels are cycled printable text bytes
+      assert(r.getAs[Int]("min_px") >= 9 && r.getAs[Int]("max_px") <= 126)
+      val Seq(mr, mg, mb) = Seq("mean_r", "mean_g", "mean_b").map(r.getAs[Double])
+      assert(mr >= r.getAs[Int]("min_px") && mr <= r.getAs[Int]("max_px"))
+      assert(mg > 0 && mb > 0)
+    }
+  }
+
+  test("PPM decoder flags truncated payloads instead of decoding garbage") {
+    import spark.implicits._
+    // header claims 4x3 = 36 pixel bytes but only 10 arrive
+    val bad = Seq((1L, ("P6\n4 3\n255\n" + "x" * 10).getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val r = Multimodal.decodePpm(bad).select("magic_ok", "w", "h", "payload_complete").head()
+    assert(r.getBoolean(0) && r.getInt(1) == 4 && r.getInt(2) == 3)
+    assert(!r.getBoolean(3), "truncation not detected")
+  }
 }
