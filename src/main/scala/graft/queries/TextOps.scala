@@ -825,15 +825,18 @@ object TextOps {
     curationDecisions(s, dir).orderBy(col("doc_id"))
   }
 
-  /** Per-doc decision frame behind [[curation]] / [[curationPack]]. */
-  private[queries] def curationDecisions(s: SparkSession, dir: String): DataFrame = {
-    val docs = tokenized(Tables.documents(s, dir))
+  /** Stateless per-doc curation attributes — quality score, language
+    * guess, content fingerprint — shared by the batch pipeline and
+    * the streaming curation composition (the same expressions run per
+    * micro-batch there). */
+  private[graft] def perDocQuality(rawDocs: DataFrame): DataFrame = {
+    val docs = tokenized(rawDocs)
     val nTokens   = size(col("w"))
     val nStop     = size(filter(col("w"), x => x === "the" || x === "a"))
     val nDistinct = size(array_distinct(col("w")))
     def markers(ws: String*) =
       size(filter(col("w"), x => ws.map(x === _).reduce(_ || _))).cast("long")
-    val perDoc = docs.select(
+    docs.select(
       col("doc_id"), col("source"), col("lang"), md5(col("text")).as("fp"),
       nTokens.cast("long").as("n_tokens"),
       r6((lit(0.4) * least(nTokens.cast("double") / lit(50.0), lit(1.0))
@@ -848,6 +851,11 @@ object TextOps {
         .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
         .when(col("s_es") > 0, "es")
         .otherwise("und"))
+  }
+
+  /** Per-doc decision frame behind [[curation]] / [[curationPack]]. */
+  private[queries] def curationDecisions(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = perDocQuality(Tables.documents(s, dir))
     val keepers = Tables.documents(s, dir)
       .groupBy(md5(col("text")).as("fp")).agg(min(col("doc_id")).as("keeper"))
     val pairs = nearDupPairs05(s, dir)
@@ -959,11 +967,18 @@ object TextOps {
       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM o GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
+    packRetained(curationDecisions(s, dir).filter(col("drop_reason").isNull))
+  }
+
+  /** The per-source concat-then-chunk packing over a retained-docs
+    * frame `(source, doc_id, n_tokens)` — shared by [[curationPack]]
+    * and the streaming curation composition (which packs the landed
+    * retained corpus after the stream drains). */
+  private[graft] def packRetained(retained: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    curationDecisions(s, dir)
-      .filter(col("drop_reason").isNull)
+    retained
       .select(col("source"), col("doc_id"), col("n_tokens"))
       .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .groupBy(col("source"), floor(col("start_off") / 512).as("seq_id"))
@@ -1162,7 +1177,7 @@ object TextOps {
     * xxhash64 over each consecutive 8-tuple), just wider: long grams
     * only collide across documents when a run of text was actually
     * copied, which is the property decontamination needs. */
-  private def hashedGrams8(docs: DataFrame): DataFrame =
+  private[graft] def hashedGrams8(docs: DataFrame): DataFrame =
     tokenized(docs)
       .filter(size(col("w")) >= 8)
       .withColumn("hw", expr("transform(w, x -> xxhash64(x))"))

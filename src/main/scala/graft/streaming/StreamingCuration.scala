@@ -1,0 +1,188 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+import graft.Q
+import graft.queries.TextOps
+import graft.sources.{FrameStore, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The curation pipeline OPERATED CONTINUOUSLY — the end-to-end
+  * composition the north star describes: documents arrive as a
+  * stream (in ingest order), and every micro-batch runs the full
+  * published curation stack against PERSISTED promoted state:
+  *
+  *  1. exact dedup — content fingerprint vs the fp index artifact
+  *     (+ in-batch first-seen), the streaming form of the min-id
+  *     keeper rule;
+  *  2. near dedup — the batch's shingles vs the growing shingle
+  *     index ([[StreamingDedup.dedupBatchAgainstIndex]]): the doc on
+  *     the later side of any J ≥ 0.5 pair is dropped, exactly the
+  *     batch pipeline's d2 rule;
+  *  3. decontamination — 8-gram overlap vs the FIXED promoted
+  *     benchmark gram index (benchmarks are known up front — the
+  *     same artifact `text_decontaminate_incremental` screens
+  *     against);
+  *  4. language + quality gates — stateless per-doc expressions
+  *     ([[TextOps.perDocQuality]], the identical columns the batch
+  *     pipeline computes).
+  *
+  * Decisions land per batch; after the stream drains, the retained
+  * corpus is packed by the same [[TextOps.packRetained]] the batch
+  * `text_curation_pack` uses. Because arrivals are processed in
+  * doc_id (ingest) order, "first seen wins" coincides with the batch
+  * pipeline's global min-id keeper rule, so the streamed result is
+  * EXACTLY the batch result no matter how the corpus is sliced into
+  * micro-batches — pinned by StreamingSpec across three slicings and
+  * by sharing `text_curation_pack`'s DuckDB oracle.
+  *
+  * All per-batch state lives in promoted on-disk artifacts (fp
+  * index, shingle index, benchmark grams) — a killed curation stream
+  * resumes from the checkpoint + the artifacts, like
+  * [[StreamingDedup]].
+  */
+object StreamingCuration {
+
+  val ShingleIdx = "curation_shingles"
+  val FpIdx = "curation_fps"
+
+  final case class Env(inDir: String, outDir: String, ckpt: String,
+                       store: FrameStore, benchStore: FrameStore,
+                       schema: org.apache.spark.sql.types.StructType)
+
+  /** Stream world: empty fp + shingle indexes (the whole corpus
+    * arrives as the stream), the full benchmark gram artifact (fixed
+    * external input), fresh dirs. */
+  def prepare(spark: SparkSession, dir: String): Env = {
+    val tmp = Files.createTempDirectory("graft-stream-curation-").toString
+    val docs = Tables.documents(spark, dir)
+    val none = docs.filter(lit(false))
+    val store = new FrameStore(s"$tmp/store")
+    store.promote(ShingleIdx,
+      store.register(spark, ShingleIdx, TextOps.hashedShingleArrays(none)))
+    store.promote(FpIdx,
+      store.register(spark, FpIdx, none.select(md5(col("text")).as("fp"))))
+    Env(s"$tmp/in", s"$tmp/decisions", s"$tmp/ckpt",
+      store, TextOps.benchGramStore(spark, dir), docs.schema)
+  }
+
+  /** Land the corpus as `slices` contiguous doc_id ranges, one file
+    * per future micro-batch, stamped with increasing mtimes so the
+    * file source replays them in ingest order deterministically. */
+  def addArrivalsOrdered(spark: SparkSession, env: Env, dir: String, slices: Int): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = hi - lo + 1
+    Files.createDirectories(Paths.get(env.inDir))
+    for (i <- 0 until slices) {
+      val from = lo + span * i / slices
+      val until = lo + span * (i + 1) / slices
+      val staging = Files.createTempDirectory("graft-curation-slice-")
+      docs.filter(col("doc_id") >= from && col("doc_id") < until)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = scala.util.Using.resource(Files.list(staging)) { files =>
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+      }
+      val dst = Paths.get(env.inDir, f"slice-$i%04d.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis((i + 1) * 1000L))
+    }
+  }
+
+  /** One micro-batch of the curation stack against the promoted
+    * artifacts; appends the decision rows and extends both indexes
+    * via the atomic versioned append. */
+  def processBatch(batch: DataFrame, env: Env): Unit = {
+    val bs = batch.sparkSession
+    graft.functions.GraftFunctions.register(bs)
+    val perDoc = TextOps.perDocQuality(batch)
+    // 1. exact: promoted fp index = "seen in an earlier batch";
+    //    in-batch ties resolve to the smallest doc_id (same batch ⇒
+    //    same ingest cycle ⇒ min-id keeper, matching the batch rule)
+    val seen = env.store.loadProduction(bs, FpIdx)
+      .getOrElse(sys.error("no production fp index"))
+      .distinct().withColumn("seen", lit(true))
+    val exact = perDoc.join(seen, Seq("fp"), "left_outer")
+      .withColumn("batch_keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .withColumn("is_exact_dup",
+        coalesce(col("seen"), lit(false)) || col("doc_id") =!= col("batch_keeper"))
+    // 2. near: later side of any J ≥ 0.5 pair vs index ∪ batch
+    val idx = env.store.loadProduction(bs, ShingleIdx)
+      .getOrElse(sys.error("no production shingle index"))
+    val nearIds = StreamingDedup.dedupBatchAgainstIndex(batch, idx)
+      .select(col("d2").as("doc_id")).distinct().withColumn("is_near_dup", lit(true))
+    // 3. contaminated: overlap vs the fixed benchmark gram artifact
+    //    (benchmark docs themselves are never screened — batch rule)
+    val bench = env.benchStore.loadProduction(bs, "bench_grams")
+      .getOrElse(sys.error("no production benchmark gram index"))
+      .withColumn("hit", lit(1))
+    val contamIds = TextOps.hashedGrams8(batch.filter(col("doc_id") % 4 =!= 3))
+      .join(bench, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit").cast("double") / col("n_grams") >= 0.5)
+      .select(col("doc_id")).withColumn("is_contam", lit(true))
+    val decisions = exact
+      .join(nearIds, Seq("doc_id"), "left_outer")
+      .join(contamIds, Seq("doc_id"), "left_outer")
+      .withColumn("drop_reason",
+        when(col("is_exact_dup"), "exact_dup")
+        .when(col("is_near_dup"), "near_dup")
+        .when(col("is_contam"), "contaminated")
+        .when(col("pred_lang") =!= "en", "lang")
+        .when(col("quality_score") < 0.7, "low_quality"))
+      .select(col("doc_id"), col("source"), col("lang"), col("pred_lang"),
+        col("n_tokens"), col("quality_score"), col("drop_reason"))
+    decisions.write.mode("append").parquet(env.outDir)
+    // the indexes grow with EVERY doc (dropped docs still index —
+    // the batch pipeline's pair list spans the whole corpus)
+    env.store.appendBatch(bs, ShingleIdx, TextOps.hashedShingleArrays(batch))
+    env.store.appendBatch(bs, FpIdx, batch.select(md5(col("text")).as("fp")))
+    ()
+  }
+
+  /** One `AvailableNow` pass over the arrival files, resuming from
+    * the checkpoint — the restartable unit. */
+  def runPass(spark: SparkSession, env: Env): Unit = {
+    val q = spark.readStream.schema(env.schema)
+      .option("maxFilesPerTrigger", 1).parquet(env.inDir)
+      .writeStream
+      .option("checkpointLocation", env.ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) processBatch(batch, env)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def streamedDecisions(spark: SparkSession, env: Env): DataFrame =
+    spark.read.parquet(env.outDir)
+
+  /** Full loop: prepare, land the corpus in `slices` ordered
+    * arrivals, drain the stream, pack the retained corpus. */
+  def runCurationStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame = {
+    val env = prepare(spark, dir)
+    addArrivalsOrdered(spark, env, dir, slices)
+    runPass(spark, env)
+    TextOps.packRetained(streamedDecisions(spark, env).filter(col("drop_reason").isNull))
+  }
+
+  /** Streaming twin of `text_curation_pack` — same oracle: the
+    * continuously-operated pipeline must pack exactly the sequences
+    * the batch pipeline packs. */
+  val streamCurationPack: Q = Q("stream_curation_pack",
+    TextOps.curationPack.oracle.get) { (s, dir) =>
+    runCurationStream(s, dir)
+  }
+
+  val all: Seq[Q] = Seq(streamCurationPack)
+}

@@ -55,6 +55,33 @@ class StreamingSpec extends SparkSpec {
       s"extra=${streamed -- batch} missing=${batch -- streamed}")
   }
 
+  test("streaming curation pack equals the batch pipeline across slicings") {
+    // the continuously-operated stack (exact/near/contam/lang/quality
+    // against promoted artifacts) must land the identical decisions
+    // and pack the identical sequences no matter how the corpus is
+    // sliced into micro-batches
+    import graft.streaming.StreamingCuration
+    val batchPack = graft.queries.TextOps.curationPack.fn(spark, sf).collect().toSet
+    val batchDecisions = graft.queries.TextOps.curation.fn(spark, sf)
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    for (slices <- Seq(2, 3, 5)) {
+      val env = StreamingCuration.prepare(spark, sf)
+      StreamingCuration.addArrivalsOrdered(spark, env, sf, slices)
+      StreamingCuration.runPass(spark, env)
+      val streamedDecisions = StreamingCuration.streamedDecisions(spark, env)
+        .select("doc_id", "drop_reason").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(streamedDecisions == batchDecisions,
+        s"slices=$slices decision drift: " +
+          streamedDecisions.filter { case (k, v) => batchDecisions.get(k) != Some(v) }.take(5))
+      val streamedPack = graft.queries.TextOps.packRetained(
+        StreamingCuration.streamedDecisions(spark, env)
+          .filter(col("drop_reason").isNull)).collect().toSet
+      assert(streamedPack == batchPack, s"slices=$slices pack drift")
+    }
+  }
+
   test("shingle index roundtrip certificate: cold reload equals session build") {
     val row = graft.streaming.StreamingDedup.indexRoundtrip.fn(spark, sf).head()
     assert(row.getAs[Long]("n_docs") > 0)
