@@ -47,7 +47,13 @@ object DedupGraph {
     * propagate→groupBy frame is persisted before the pointer-jump
     * self-join reads it twice, and each round unpersists the
     * previous round's frames once the action is done. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of rounds executed —
+    * the observable the scale spec pins against the O(log d) bound
+    * pointer jumping guarantees. */
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist()
@@ -92,7 +98,7 @@ object DedupGraph {
       iter += 1
     }
     edges.unpersist()
-    labels
+    (labels, iter)
   }
 
   /** Cluster assignment for every doc in a ≥ 0.5-Jaccard near-dup

@@ -153,6 +153,43 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("connected components close a 1000x pair graph within the log-round bound") {
+    // Synthetic graph ~3 orders of magnitude past the corpus pair
+    // list: 50 chains of 500 vertices (diameter 499 — the adversarial
+    // case for plain propagation, which would need 499 rounds) plus
+    // 2000 disjoint triangles. Pointer jumping must close it in
+    // O(log d) rounds, and each round's state must stay one row per
+    // vertex — the properties that let text_dedup_clusters survive a
+    // real corpus's cluster structure at 100 TB.
+    import spark.implicits._
+    val chainLen = 500L
+    val nChains = 50L
+    val chains = spark.range(nChains * (chainLen - 1)).select(
+      (($"id" / (chainLen - 1)).cast("long") * 1000000L + $"id" % (chainLen - 1)).as("d1"),
+      (($"id" / (chainLen - 1)).cast("long") * 1000000L + $"id" % (chainLen - 1) + 1L).as("d2"))
+    val triBase = nChains * 1000000L
+    val tris = spark.range(2000).flatMap { t =>
+      val b = triBase + t * 10
+      Seq((b, b + 1), (b + 1, b + 2), (b, b + 2))
+    }.toDF("d1", "d2")
+    val pairs = chains.union(tris)
+    val nVertices = nChains * chainLen + 2000 * 3
+    val (labels, rounds) =
+      graft.queries.DedupGraph.connectedComponentsWithRounds(pairs.persist(), maxIters = 20)
+    val out = labels.persist()
+    // one row per vertex every round — per-round shuffle is linear in |V|
+    assert(out.count() == nVertices, s"state not one-row-per-vertex")
+    // log-round bound: ceil(log2(499)) = 9 jumps + 1 convergence-check
+    // round + 1 slack, far under the diameter 499 plain propagation needs
+    assert(rounds <= 11, s"took $rounds rounds for diameter ${chainLen - 1}")
+    // every chain collapses to its min id, every triangle to its base
+    val labelMap = out.groupBy("lbl").count().collect()
+    assert(labelMap.length == nChains + 2000, s"${labelMap.length} components")
+    assert(labelMap.filter(_.getLong(1) == chainLen).length == nChains)
+    assert(labelMap.filter(_.getLong(1) == 3L).length == 2000)
+    out.unpersist(); pairs.unpersist()
+  }
+
   test("broadcast gate degrades to a non-broadcast join past the size bound") {
     // The corpus-scaled frames (lm-score vocab, contaminated drop
     // list, decontamination gram set) all route through
