@@ -88,7 +88,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => arity("graft_minhash", 2, children)(
-        MinHashSig(children(0), foldableInt("graft_minhash", children(1))))))
+        MinHashSig(children(0), foldableInt("graft_minhash", children(1))))),
+    (FunctionIdentifier("graft_hashed_ngrams"),
+      new ExpressionInfo(classOf[HashedNgrams].getName, "graft_hashed_ngrams"),
+      (children: Seq[Expression]) => arity("graft_hashed_ngrams", 2, children)(
+        HashedNgrams(children(0), foldableInt("graft_hashed_ngrams", children(1))))))
 
   /** Constant-int parameter handling shared by the parameterized
     * functions: accept any FOLDABLE int expression (1+1, CAST(2 AS

@@ -39,20 +39,23 @@ object TextOps {
     * STRINGS are ever materialized, so the dominant cost drops from
     * |tokens|·shingle-width string building to 2·|tokens| long hashes,
     * and everything downstream (distinct, joins, intersections) runs
-    * on 8-byte keys. Collisions: two distinct token triples collide
+    * on 8-byte keys. The hash/distinct/sort chain is the native
+    * [[graft.functions.HashedNgrams]] kernel (one primitive loop per
+    * row in WholeStageCodegen, bit-identical to the HOF formulation
+    * it replaced, which paid boxed-lambda evaluation per token).
+    * Collisions: two distinct token triples collide
     * with p ≈ |shingles|²/2⁶⁵ (~1e-11 here); a collision can only
     * merge two shingles, which inflates an intersection by at most
     * one — w.h.p. nothing observable, and candidate generation is
     * re-checked exactly over these same hashes, so LSH vs exact
     * comparisons stay internally consistent. */
-  private[graft] def hashedShingleArrays(docs: DataFrame): DataFrame =
+  private[graft] def hashedShingleArrays(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     tokenized(docs)
       .filter(size(col("w")) >= 3)
-      .withColumn("hw", expr("transform(w, x -> xxhash64(x))"))
-      .select(col("doc_id"), sort_array(array_distinct(
-        expr("transform(sequence(0, size(hw)-3), i -> xxhash64(hw[i], hw[i+1], hw[i+2]))")))
-        .as("hs"))
+      .select(col("doc_id"), expr("graft_hashed_ngrams(w, 3)").as("hs"))
       .withColumn("n", size(col("hs")).cast("long"))
+  }
 
   /** Broadcast-hint a join side only when its estimated in-memory size
     * fits comfortably on the driver/executors. Hard-coding the hint is
@@ -1177,15 +1180,12 @@ object TextOps {
     * xxhash64 over each consecutive 8-tuple), just wider: long grams
     * only collide across documents when a run of text was actually
     * copied, which is the property decontamination needs. */
-  private[graft] def hashedGrams8(docs: DataFrame): DataFrame =
+  private[graft] def hashedGrams8(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     tokenized(docs)
       .filter(size(col("w")) >= 8)
-      .withColumn("hw", expr("transform(w, x -> xxhash64(x))"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(0, size(hw)-8), i ->
-          |  xxhash64(hw[i], hw[i+1], hw[i+2], hw[i+3],
-          |           hw[i+4], hw[i+5], hw[i+6], hw[i+7]))""".stripMargin)))
-        .as("h"))
+      .select(col("doc_id"), explode(expr("graft_hashed_ngrams(w, 8)")).as("h"))
+  }
 
   /** Benchmark decontamination — flag training documents whose long
     * word n-grams overlap a held-out benchmark split, the filter every

@@ -102,7 +102,16 @@ object StreamingCuration {
   def processBatch(batch: DataFrame, env: Env): Unit = {
     val bs = batch.sparkSession
     graft.functions.GraftFunctions.register(bs)
-    val perDoc = TextOps.perDocQuality(batch)
+    // a micro-batch is one small arrival file = one input split;
+    // spread it across the session's shuffle width so every per-row
+    // text pass (quality, shingles, grams) uses the full executor
+    // set, and persist: four consumers read it below
+    val docs = batch.repartition(bs.sessionState.conf.numShufflePartitions).persist()
+    // the shingle pass (tokenize + hash per row) is the batch's most
+    // expensive column op — computed ONCE, shared by the near-dup
+    // join and the index append
+    val batchHs = TextOps.hashedShingleArrays(docs).persist()
+    val perDoc = TextOps.perDocQuality(docs)
     // 1. exact: promoted fp index = "seen in an earlier batch";
     //    in-batch ties resolve to the smallest doc_id (same batch ⇒
     //    same ingest cycle ⇒ min-id keeper, matching the batch rule)
@@ -116,14 +125,14 @@ object StreamingCuration {
     // 2. near: later side of any J ≥ 0.5 pair vs index ∪ batch
     val idx = env.store.loadProduction(bs, ShingleIdx)
       .getOrElse(sys.error("no production shingle index"))
-    val nearIds = StreamingDedup.dedupBatchAgainstIndex(batch, idx)
+    val nearIds = StreamingDedup.dedupShinglesAgainstIndex(batchHs, idx)
       .select(col("d2").as("doc_id")).distinct().withColumn("is_near_dup", lit(true))
     // 3. contaminated: overlap vs the fixed benchmark gram artifact
     //    (benchmark docs themselves are never screened — batch rule)
     val bench = env.benchStore.loadProduction(bs, "bench_grams")
       .getOrElse(sys.error("no production benchmark gram index"))
       .withColumn("hit", lit(1))
-    val contamIds = TextOps.hashedGrams8(batch.filter(col("doc_id") % 4 =!= 3))
+    val contamIds = TextOps.hashedGrams8(docs.filter(col("doc_id") % 4 =!= 3))
       .join(bench, Seq("h"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
@@ -143,8 +152,10 @@ object StreamingCuration {
     decisions.write.mode("append").parquet(env.outDir)
     // the indexes grow with EVERY doc (dropped docs still index —
     // the batch pipeline's pair list spans the whole corpus)
-    env.store.appendBatch(bs, ShingleIdx, TextOps.hashedShingleArrays(batch))
-    env.store.appendBatch(bs, FpIdx, batch.select(md5(col("text")).as("fp")))
+    env.store.appendBatch(bs, ShingleIdx, batchHs)
+    env.store.appendBatch(bs, FpIdx, docs.select(md5(col("text")).as("fp")))
+    batchHs.unpersist()
+    docs.unpersist()
     ()
   }
 

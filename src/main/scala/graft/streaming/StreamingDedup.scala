@@ -62,10 +62,17 @@ object StreamingDedup {
     * ≥ `threshold`, orientation-normalized. `idx` is the persisted
     * shingle index scan `(doc_id, hs, n)`. */
   def dedupBatchAgainstIndex(batch: DataFrame, idx: DataFrame,
-                             threshold: Double = 0.5): DataFrame = {
-    val spark = batch.sparkSession
+                             threshold: Double = 0.5): DataFrame =
+    dedupShinglesAgainstIndex(TextOps.hashedShingleArrays(batch), idx, threshold)
+
+  /** [[dedupBatchAgainstIndex]] on an already-shingled batch — the
+    * micro-batch processors shingle ONCE (a per-row tokenize+hash
+    * pass over the text) and share the frame between this join and
+    * the index append. */
+  def dedupShinglesAgainstIndex(batchHs: DataFrame, idx: DataFrame,
+                                threshold: Double = 0.5): DataFrame = {
+    val spark = batchHs.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val batchHs = TextOps.hashedShingleArrays(batch)
     val combined = idx.select(col("doc_id"), col("hs"), col("n"))
       .unionByName(batchHs.select(col("doc_id"), col("hs"), col("n")))
     val a = combined.select(col("doc_id").as("da"), col("n").as("na"),
@@ -139,9 +146,16 @@ object StreamingDedup {
           graft.functions.GraftFunctions.register(bs)
           val idx = env.store.loadProduction(bs, IndexName)
             .getOrElse(sys.error("no production shingle index"))
-          dedupBatchAgainstIndex(batch, idx)
+          // a micro-batch arrives as one small file (one input split);
+          // repartition to the session's shuffle width so the per-row
+          // shingle pass uses every core, and persist it so the dedup
+          // join and the index append pay the tokenize+hash pass ONCE
+          val hs = TextOps.hashedShingleArrays(
+            batch.repartition(bs.sessionState.conf.numShufflePartitions)).persist()
+          dedupShinglesAgainstIndex(hs, idx)
             .write.mode("append").parquet(env.outDir)
-          env.store.appendBatch(bs, IndexName, TextOps.hashedShingleArrays(batch))
+          env.store.appendBatch(bs, IndexName, hs)
+          hs.unpersist()
           ()
         }
       }

@@ -196,6 +196,34 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("graft_hashed_ngrams is bit-identical to the HOF formulation and codegen-resident") {
+    GraftFunctions.register(spark)
+    // random word arrays over a small vocabulary (forces repeated
+    // grams, so distinct matters), lengths straddling every width
+    val df = spark.range(300).selectExpr(
+      "transform(sequence(0L, id % 23), i -> concat('w', CAST(xxhash64(i * 11 + id) % 7 AS STRING))) AS w")
+    for (k <- Seq(3, 8)) {
+      val both = df.filter(expr(s"size(w) >= $k")).selectExpr(
+        s"graft_hashed_ngrams(w, $k) AS native",
+        s"""sort_array(array_distinct(transform(
+           |  sequence(0, size(w) - $k),
+           |  i -> xxhash64(${(0 until k).map(j => s"xxhash64(w[i+$j])").mkString(",")})))) AS hof""".stripMargin)
+      assert(both.filter(expr("native <> hof")).count() == 0, s"width $k")
+    }
+    // fewer than width tokens -> empty array; null -> null
+    val edge = spark.sql(
+      """SELECT graft_hashed_ngrams(array('a', 'b'), 3) AS a,
+        |       graft_hashed_ngrams(CAST(NULL AS ARRAY<STRING>), 3) AS b""".stripMargin).head
+    assert(edge.getSeq[Any](0) == Seq.empty)
+    assert(edge.isNullAt(1))
+    // codegen residency with a lambda-free input
+    val plan = spark.range(100)
+      .selectExpr("array('a', CAST(id AS STRING), 'b', 'a') AS w")
+      .selectExpr("graft_hashed_ngrams(w, 3) AS g")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("graft_sorted_intersect equals size(array_intersect) on sorted arrays") {
     GraftFunctions.register(spark)
     val rng = new scala.util.Random(17)
