@@ -11,11 +11,10 @@ object TimeQ {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps  = if (args.length > 2) args(2).toInt else 1
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GraftSession, exactly like Bench — AQE's post-shuffle
+    // coalescing changes iterative-loop timings materially, so a
+    // plain session here would mis-rank optimization targets
+    val spark = graft.GraftSession.create(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * O(log d) shuffles even on pathological chain graphs. Each round
   * is two hash-partitioned equi-joins + a groupBy(min) on the label
   * frame — |V| keys, never edges×labels materialized — and the loop
-  * re-persists only the (tiny relative to the corpus) label frame.
+  * checkpoints only the (tiny relative to the corpus) label frame.
   * At 100 TB the label frame is |clustered docs| rows of two longs;
   * the corpus text never enters the loop.
   *
@@ -57,17 +57,36 @@ object DedupGraph {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist()
-    // localCheckpoint (eager), NOT persist: each round's frame must
-    // be lineage-free. A persist chain across rounds makes round r's
-    // plan nest every earlier round's; unpersisting the previous
-    // round then invalidates the cached subtree and the recompute
-    // fans out exponentially (measured: round 0 = 2 s, round 1 = 30 s
-    // at sf0.1 before the checkpoint). The checkpointed RDD is a few
-    // longs per clustered doc — negligible storage at any corpus
-    // size — and the ContextCleaner reclaims prior rounds.
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v"))
-      .localCheckpoint()
+    // Round boundaries CUT the logical tree and the RDD lineage but
+    // NOT via Dataset.localCheckpoint. Three failure modes bracket
+    // this choice, all measured:
+    //  - No cut at all (persist chain): each round's composed plan
+    //    references the previous round's tree ~8x (two self-joins +
+    //    propagate), so the LOGICAL tree size multiplies per round
+    //    and the analyzer's tree walks go exponential (measured:
+    //    round 0 = 2 s, round 1 = 30 s at sf0.1).
+    //  - Dataset.localCheckpoint: cuts the tree, but LogicalRDD
+    //    INHERITS the origin plan's size ESTIMATE (originStats), and
+    //    estimates multiply through the round's joins — the
+    //    sizeInBytes BigInt's bit-length grows geometrically,
+    //    31 -> 141 -> 579 -> 2334 -> 9350 bits over five rounds
+    //    (graft.dev.StatsProbe), until join-stats products burn
+    //    minutes of driver CPU and the loop looks hung.
+    //  - RDD-level localCheckpoint + a fresh leaf DataFrame over the
+    //    checkpointed rows (this code): the new plan is a LEAF with
+    //    the DEFAULT size estimate (constant per round, so stats
+    //    stay bounded), the first action truncates the RDD lineage,
+    //    and the ContextCleaner reclaims prior rounds. Costs one
+    //    row-conversion pass per round over the two-long label frame
+    //    — linear in |V|, negligible against the round's joins.
+    val session = pairs.sparkSession
+    def cut(df: DataFrame): DataFrame = {
+      val rdd = df.rdd // RDD[Row]; localCheckpoint truncates lineage
+      rdd.localCheckpoint() // at the first action that computes it
+      session.createDataFrame(rdd, df.schema)
+    }
+    var labels = cut(edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")))
     // coalesce: sum over an empty label frame is SQL NULL — a corpus
     // with zero near-dup pairs must converge to an empty result, not
     // NPE on the convergence compare
@@ -85,13 +104,17 @@ object DedupGraph {
         .persist() // the self-join below reads it twice
       // pointer jump: lbl <- lbl's lbl (labels only decrease, so this
       // is always sound and short-circuits long chains)
-      val next = stepped.as("a")
-        .join(stepped.select(col("v").as("pv"), col("lbl").as("plbl")).as("p"),
+      def jump(df: DataFrame): DataFrame = df.as("a")
+        .join(df.select(col("v").as("pv"), col("lbl").as("plbl")).as("p"),
           col("a.lbl") === col("pv"), "left")
         .select(col("a.v").as("v"), coalesce(col("plbl"), col("a.lbl")).as("lbl"))
-        .localCheckpoint() // eager: materializes the round, cuts lineage
-      stepped.unpersist() // safe: next no longer references it
-      val s = lblSum(next) // cheap agg over the checkpointed RDD
+      // ONE jump per round: a second jump was measured a strict loss
+      // on both real pair graphs (text 3-shingle, embedding-cosine) —
+      // their min-labeled frontiers self-point, so the extra
+      // self-join adds a shuffle per round without reducing rounds
+      val next = cut(jump(stepped))
+      val s = lblSum(next) // ONE action: materializes and checkpoints the round
+      stepped.unpersist()
       labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.sources.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -133,6 +133,20 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Same-label `(v1 < v2, cos_raw)` candidate pairs above
+    * `threshold` — the label partition is the coarse-quantizer prune
+    * (candidates never cross buckets, so the join is an equi-join on
+    * label, not a cross join); shared by the pair listing and the
+    * semantic-dedup clustering. */
+  private def labelPairsAbove(emb: DataFrame, threshold: Double): DataFrame = {
+    val x = emb.select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val y = emb.select(col("label").as("label_y"), col("vec_id").as("v2"),
+      col("embedding").as("e2"))
+    x.join(y, col("label") === col("label_y") && col("v1") < col("v2"))
+      .withColumn("cos_raw", expr("graft_cosine(e1, e2)"))
+      .filter(col("cos_raw") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold, domain-pruned
     * to same-label candidates (the label partition is the IVF-style
     * coarse quantizer here; [[LshAnn]] is the unlabeled-data path). */
@@ -149,16 +163,72 @@ object Similarity {
       |WHERE dot/(sqrt(nx.nsq)*sqrt(ny.nsq)) >= 0.4
       |ORDER BY dots.label, v1, v2""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, dir)
-    val x = emb.select(col("label"), col("vec_id").as("v1"), col("embedding").as("e1"))
-    val y = emb.select(col("label").as("label_y"), col("vec_id").as("v2"),
-      col("embedding").as("e2"))
-    x.join(y, col("label") === col("label_y") && col("v1") < col("v2"))
-      .withColumn("cos_raw", expr("graft_cosine(e1, e2)"))
-      .filter(col("cos_raw") >= 0.4)
+    labelPairsAbove(Tables.embeddings(s, dir), 0.4)
       .select(col("label"), col("v1"), col("v2"), r6(col("cos_raw")).as("cosine"))
       .orderBy(col("label"), col("v1"), col("v2"))
   }
 
-  val all: Seq[Q] = Seq(topKQuery, knnSample, labelTopPairs, embeddingStats, labelNearDups)
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, arXiv
+    * 2303.09540): embedding-cosine near-dup pairs inside each
+    * coarse-quantizer bucket (the label partition), closed
+    * transitively with [[DedupGraph.connectedComponents]], each
+    * cluster keeping one canonical member (min vec_id — the same
+    * keeper rule as `text_dedup_clusters`, so "semantically dedup
+    * the corpus" is a single `filter(is_keeper)`). Completes the
+    * dedup family's fifth axis: exact, shingle-Jaccard, MinHash-LSH,
+    * SimHash, and now embedding-cosine.
+    *
+    * Scale shape: candidate pairs never leave a label bucket (an
+    * equi-join, pruned exactly like the IVF probe), the CC loop
+    * shuffles only the two-long label frame per round (O(log d)
+    * rounds, pinned in ScaleTechniquesSpec), and the label join back
+    * to `embeddings` is hint-free — the cluster frame is
+    * corpus-proportional in the worst case, so broadcast is left to
+    * stats/AQE. Oracle closes the identical pair graph with a
+    * recursive CTE. Threshold 0.35 keeps nontrivial transitive
+    * structure at every SF (14/25/262 components, clusters up to 7
+    * members) without the long percolation chains a looser cut
+    * creates on near-random embeddings (0.3 strings 10% of the
+    * corpus into diameter-100+ chains — 16 CC rounds for structure
+    * that is threshold noise, not duplication); margin to the
+    * nearest pair ≥ 5.4e-5, ~10 orders above double summation
+    * noise. */
+  val semanticDedup: Q = Q("sim_dedup_semantic",
+    """WITH RECURSIVE
+      |n AS (SELECT vec_id, label, SUM(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)) AS nsq
+      |      FROM (SELECT vec_id, label, unnest(embedding) AS a FROM embeddings) GROUP BY 1, 2),
+      |z AS (SELECT x.label AS label, x.vec_id AS v1, y.vec_id AS v2,
+      |             unnest(x.embedding) AS a, unnest(y.embedding) AS b
+      |      FROM embeddings x JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id),
+      |dots AS (SELECT label, v1, v2, SUM(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dot FROM z GROUP BY 1, 2, 3),
+      |pairs AS (SELECT v1, v2 FROM dots JOIN n nx ON v1 = nx.vec_id JOIN n ny ON v2 = ny.vec_id
+      |          WHERE dot/(sqrt(nx.nsq)*sqrt(ny.nsq)) >= 0.35),
+      |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION ALL SELECT v2, v1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS v, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS v, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
+      |comp AS (SELECT v AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)
+      |SELECT c.vec_id, e.label, c.cluster_id, s.sz AS cluster_size,
+      |       (c.vec_id = c.cluster_id) AS is_keeper
+      |FROM comp c JOIN embeddings e USING (vec_id)
+      |JOIN (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY 1) s USING (cluster_id)
+      |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val pairs = labelPairsAbove(emb, 0.35)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    val cc = DedupGraph.connectedComponents(pairs)
+    val sz = Window.partitionBy(col("cluster_id"))
+    cc.select(col("v").as("vec_id"), col("lbl").as("cluster_id"))
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .withColumn("cluster_size", count(lit(1)).over(sz))
+      .withColumn("is_keeper", col("vec_id") === col("cluster_id"))
+      .select(col("vec_id"), col("label"), col("cluster_id"),
+        col("cluster_size"), col("is_keeper"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[Q] = Seq(topKQuery, knnSample, labelTopPairs, embeddingStats,
+    labelNearDups, semanticDedup)
 }

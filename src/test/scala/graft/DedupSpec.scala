@@ -361,4 +361,27 @@ class DedupSpec extends SparkSpec {
     val store = TextOps.benchGramStore(spark, sf)
     assert(store.productionVersion("bench_grams").nonEmpty)
   }
+
+  test("semantic dedup clusters are valid components with one min-id keeper each") {
+    // sf0.01: the smallest SF whose pair graph has a >2 cluster, so
+    // the transitivity assertion below is non-vacuous
+    val rows = Similarity.semanticDedup.fn(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "label", "cluster_id", "cluster_size", "is_keeper").collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(2))
+    byCluster.foreach { case (cid, members) =>
+      // cluster_id is the min member id, marked as the one keeper
+      assert(members.map(_.getLong(0)).min == cid)
+      assert(members.count(_.getBoolean(4)) == 1)
+      assert(members.find(_.getBoolean(4)).get.getLong(0) == cid)
+      // every member entered through >= 1 pair, so no singletons
+      assert(members.length >= 2)
+      assert(members.forall(_.getLong(3) == members.length))
+      // pairs never cross coarse buckets: a cluster has ONE label
+      assert(members.map(_.getInt(1)).distinct.length == 1)
+    }
+    // spot-check transitivity did its job: some cluster exceeds a
+    // single pair (a->b, b->c glued) at this SF
+    assert(byCluster.values.exists(_.length > 2))
+  }
 }
