@@ -92,7 +92,15 @@ object GraftFunctions {
     (FunctionIdentifier("graft_hashed_ngrams"),
       new ExpressionInfo(classOf[HashedNgrams].getName, "graft_hashed_ngrams"),
       (children: Seq[Expression]) => arity("graft_hashed_ngrams", 2, children)(
-        HashedNgrams(children(0), foldableInt("graft_hashed_ngrams", children(1))))))
+        HashedNgrams(children(0), foldableInt("graft_hashed_ngrams", children(1))))),
+    (FunctionIdentifier("graft_token_profile"),
+      new ExpressionInfo(classOf[TokenProfile].getName, "graft_token_profile"),
+      (children: Seq[Expression]) => arity("graft_token_profile", 1, children)(
+        TokenProfile(children.head))),
+    (FunctionIdentifier("graft_token_hashes"),
+      new ExpressionInfo(classOf[TokenHashes].getName, "graft_token_hashes"),
+      (children: Seq[Expression]) => arity("graft_token_hashes", 1, children)(
+        TokenHashes(children.head))))
 
   /** Constant-int parameter handling shared by the parameterized
     * functions: accept any FOLDABLE int expression (1+1, CAST(2 AS

@@ -56,6 +56,51 @@ case class HashedNgrams(child: Expression, width: Int) extends UnaryExpression {
   override def prettyName: String = "graft_hashed_ngrams"
 }
 
+/** Native per-token xxhash64 over a token `array<string>` —
+  * order-preserving, multiplicity-keeping: bit-identical to the HOF
+  * `transform(w, t -> xxhash64(t))` (a CodegenFallback chain with a
+  * boxed lambda per token) in one primitive loop. Feeds
+  * [[SimHash64]], making the SimHash path fully native. */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_token_hashes needs array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHashes.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = TokenHashes.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $helper.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_token_hashes"
+}
+
+object TokenHashes {
+
+  /** Static forwarder target for generated Java. */
+  def compute(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val hw = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hw(i) = if (tokens.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+      i += 1
+    }
+    new GenericArrayData(hw)
+  }
+}
+
 object HashedNgrams {
 
   /** Shared interpreted/codegen kernel — static forwarder makes this

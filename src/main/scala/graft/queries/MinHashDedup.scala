@@ -159,9 +159,14 @@ object MinHashDedup {
   def simhashed(docs: DataFrame,
                 tokenHashSql: String = "xxhash64(t)"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
-      .select(col("doc_id"),
-        expr(s"graft_simhash(transform(split(text, ' '), t -> $tokenHashSql))").as("simhash"))
+    // default engine-native hash: the fully-native two-expression
+    // chain (graft_token_hashes is bit-identical to the transform
+    // lambda it replaces, which paid a boxed interpreted call per
+    // token); custom hashes (e.g. PortableTokenHashSql) keep the HOF
+    val hashes =
+      if (tokenHashSql == "xxhash64(t)") "graft_token_hashes(split(text, ' '))"
+      else s"transform(split(text, ' '), t -> $tokenHashSql)"
+    docs.select(col("doc_id"), expr(s"graft_simhash($hashes)").as("simhash"))
   }
 
   /** SimHash near-dup pairs: 4×16-bit chunk banding (pigeonhole:

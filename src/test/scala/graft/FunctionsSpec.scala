@@ -224,6 +224,33 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("graft_token_profile is bit-identical to the HOF count formulation") {
+    GraftFunctions.register(spark)
+    // random draws over a vocab that includes every marker word plus
+    // fillers, with repeats (distinct matters) and empty arrays
+    val df = spark.range(300).selectExpr(
+      """CASE WHEN id % 17 = 0 THEN CAST(array() AS ARRAY<STRING>)
+        |ELSE transform(sequence(0L, id % 17 - 1), i -> element_at(
+        |  array('the','a','of','der','die','das','le','la','les','el','los','las','x','y','zz'),
+        |  CAST(abs(xxhash64(i * 31 + id)) % 15 AS INT) + 1)) END AS w""".stripMargin)
+    val both = df.selectExpr(
+      "graft_token_profile(w) AS native",
+      """array(CAST(size(w) AS BIGINT),
+        |      CAST(size(filter(w, x -> x = 'the' OR x = 'a')) AS BIGINT),
+        |      CAST(size(array_distinct(w)) AS BIGINT),
+        |      CAST(size(filter(w, x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT),
+        |      CAST(size(filter(w, x -> x = 'der' OR x = 'die' OR x = 'das')) AS BIGINT),
+        |      CAST(size(filter(w, x -> x = 'le' OR x = 'la' OR x = 'les')) AS BIGINT),
+        |      CAST(size(filter(w, x -> x = 'el' OR x = 'los' OR x = 'las')) AS BIGINT)) AS hof""".stripMargin)
+    assert(both.filter(expr("native <> hof")).count() == 0)
+    // codegen residency with a lambda-free input
+    val plan = spark.range(100)
+      .selectExpr("array('the', CAST(id AS STRING), 'x') AS w")
+      .selectExpr("graft_token_profile(w) AS p")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("graft_sorted_intersect equals size(array_intersect) on sorted arrays") {
     GraftFunctions.register(spark)
     val rng = new scala.util.Random(17)
