@@ -17,6 +17,9 @@ import org.apache.spark.sql.types.DoubleType
   *   graft_simhash(arr)             — fused 64-bit SimHash
   *   graft_auc(label, score)        — histogram AUC (aggregate)
   *   graft_freq_items(col, k)       — Misra-Gries heavy hitters (aggregate)
+  *   graft_hashed_ngrams(w, k)      — sorted-distinct hashed word k-grams
+  *   graft_token_profile(w)         — one-pass quality/lang-id token counts
+  *   graft_token_hashes(w)          — per-token xxhash64 array
   *
   * Two wiring paths share these descriptions: [[register]] installs
   * them imperatively on a built session; [[graft.GraftExtensions]]
