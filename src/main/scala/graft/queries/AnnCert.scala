@@ -91,7 +91,7 @@ object AnnCert {
     * CTE), aggregated to the same certificate row, recall boolean as
     * literal TRUE. Exposed so index-lifecycle certificates
     * ([[AnnIndexStore.appendCert]]) can wrap it with extra facts. */
-  private[queries] def certOracleSql(thresholdTag: String): String = oracleSql(thresholdTag)
+  private[graft] def certOracleSql(thresholdTag: String): String = oracleSql(thresholdTag)
 
   private def oracleSql(thresholdTag: String): String =
     s"""WITH n AS (SELECT vec_id, SUM(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)) AS nsq

@@ -117,6 +117,36 @@ final class AnnIndexStore(root: String) extends graft.sources.VersionedStore(roo
     promote(name, next)
     next
   }
+
+  /** Compact the production version's CODES: every append adds part
+    * files inside the touched `list_id` partitions, and a probe's
+    * partition-pruned scan eventually opens one file per historical
+    * batch (the streaming small-files problem). Rewrites the codes
+    * one file per list (repartition on the partition column),
+    * hardlinks the KB-scale codebooks/coarse tables, and flips the
+    * pointer atomically. Row-identical by construction — the
+    * streamed append certificate runs AGAINST the compacted index,
+    * so the oracle gate covers compaction soundness too. */
+  /** Test/diagnostic visibility of a version's codes directory. */
+  def codesDir(name: String, version: Int): String =
+    nameDir(name).resolve(s"v$version").resolve("codes").toString
+
+  def compact(spark: SparkSession, name: String): Int = {
+    val v = productionVersion(name)
+      .getOrElse(sys.error(s"no production index $name to compact"))
+    val next = latestVersion(name).getOrElse(0) + 1
+    val src = nameDir(name).resolve(s"v$v")
+    val dst = nameDir(name).resolve(s"v$next")
+    Files.createDirectories(dst)
+    linkTree(src.resolve("codebooks"), dst.resolve("codebooks"))
+    linkTree(src.resolve("coarse"), dst.resolve("coarse"))
+    spark.read.parquet(src.resolve("codes").toString)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(dst.resolve("codes").toString)
+    promote(name, next)
+    next
+  }
 }
 
 /** The oracle-gated roundtrip certificate + the persisted-index query
@@ -180,39 +210,48 @@ object AnnIndexStore {
 
   val BaseIndexName = "ivfpq_base"
 
+  /** Base index trained + encoded on the 80% slice (`vec_id % 5 ≠
+    * 4`), built once per (application, sf dir) — the batch append
+    * certificate and its streaming twin both seed their stores from
+    * this one training pass. */
+  private val baseIdxMemo = scala.collection.concurrent.TrieMap.empty[String, PqAnn.PqIndex]
+
+  private[graft] def baseIndex(spark: SparkSession, dir: String): PqAnn.PqIndex =
+    baseIdxMemo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
+      PqAnn.buildIndex(
+        Tables.embeddings(spark, dir).filter(col("vec_id") % 5 =!= 4))
+    })
+
+  /** Fresh store seeded with the promoted base index. */
+  private[graft] def seededBaseStore(spark: SparkSession, dir: String,
+                                     prefix: String): AnnIndexStore = {
+    val store = new AnnIndexStore(Files.createTempDirectory(prefix).toString)
+    val v = store.register(spark, baseIndex(spark, dir), BaseIndexName)
+    store.promote(BaseIndexName, v)
+    store
+  }
+
   /** Base-index-plus-appended-batch store, built once per
-    * (application, sf dir): train + encode on the 80% base slice
-    * (`vec_id % 5 ≠ 4`), promote, then insert the held-out 20% via
-    * [[AnnIndexStore.appendBatch]] — the daily-arrivals lifecycle. */
+    * (application, sf dir): promote the base, then insert the
+    * held-out 20% via [[AnnIndexStore.appendBatch]] — the
+    * daily-arrivals lifecycle. */
   private val appendMemo = scala.collection.concurrent.TrieMap.empty[String, AnnIndexStore]
 
   private def appendedStore(spark: SparkSession, dir: String): AnnIndexStore =
     appendMemo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
       val emb = Tables.embeddings(spark, dir)
-      val store = new AnnIndexStore(
-        Files.createTempDirectory("graft_ann_append_").toString)
-      val v = store.register(spark,
-        PqAnn.buildIndex(emb.filter(col("vec_id") % 5 =!= 4)), BaseIndexName)
-      store.promote(BaseIndexName, v)
+      val store = seededBaseStore(spark, dir, "graft_ann_append_")
       store.appendBatch(spark, BaseIndexName, emb.filter(col("vec_id") % 5 === 4))
       store
     })
 
-  /** Incremental-append certificate: after inserting a 20% batch
-    * into the base-trained index, (a) the extended codes must be
-    * BIT-IDENTICAL to a one-shot encode of the full corpus with the
-    * same constants (append soundness), (b) exactly one code per
-    * corpus vector, and (c) recall@3 vs exact kNN must clear the
-    * same ≥ 0.6 bar as the full-corpus index — codebooks trained on
-    * 80% must not collapse on arrivals they never saw. The oracle
-    * recomputes the exact-kNN facts and emits the booleans as TRUE. */
-  val appendCert: Q = Q("sim_ann_index_append",
-    s"""SELECT c.*, (SELECT COUNT(*) FROM embeddings) AS n_codes,
-       |  TRUE AS append_equals_oneshot, TRUE AS one_code_per_vector
-       |FROM (${AnnCert.certOracleSql("060")}) c""".stripMargin) { (s, dir) =>
+  /** The append-soundness + recall certificate frame over a
+    * production index that should equal a one-shot encode of the
+    * full corpus — shared by `sim_ann_index_append` and the
+    * streaming twin. */
+  private[graft] def appendCertFrame(s: SparkSession, dir: String,
+                                     idx: PqAnn.PqIndex): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val idx = appendedStore(s, dir).loadProduction(s, BaseIndexName)
-      .getOrElse(sys.error("no production base index"))
     // one-pass symmetric diff: vec_id is unique on both sides, so a
     // full-outer join + null-safe compare evaluates each encode ONCE
     // (exceptAll both ways would run the corpus encode twice per side)
@@ -231,6 +270,23 @@ object AnnIndexStore {
         col("recall_ge_060"), col("n_codes"),
         (col("n_code_diff") === 0).as("append_equals_oneshot"),
         (col("n_codes") === col("n_distinct_vec")).as("one_code_per_vector"))
+  }
+
+  /** Incremental-append certificate: after inserting a 20% batch
+    * into the base-trained index, (a) the extended codes must be
+    * BIT-IDENTICAL to a one-shot encode of the full corpus with the
+    * same constants (append soundness), (b) exactly one code per
+    * corpus vector, and (c) recall@3 vs exact kNN must clear the
+    * same ≥ 0.6 bar as the full-corpus index — codebooks trained on
+    * 80% must not collapse on arrivals they never saw. The oracle
+    * recomputes the exact-kNN facts and emits the booleans as TRUE. */
+  val appendCert: Q = Q("sim_ann_index_append",
+    s"""SELECT c.*, (SELECT COUNT(*) FROM embeddings) AS n_codes,
+       |  TRUE AS append_equals_oneshot, TRUE AS one_code_per_vector
+       |FROM (${AnnCert.certOracleSql("060")}) c""".stripMargin) { (s, dir) =>
+    val idx = appendedStore(s, dir).loadProduction(s, BaseIndexName)
+      .getOrElse(sys.error("no production base index"))
+    appendCertFrame(s, dir, idx)
   }
 
   val all: Seq[Q] = Seq(roundtrip, appendCert)

@@ -71,6 +71,29 @@ abstract class VersionedStore(root: String) extends Serializable {
       }
     }
   }
+
+  /** Retention: delete version directories SUPERSEDED by production —
+    * everything below the pointer except the `keep` most recent of
+    * them (production itself and any staged version above it are
+    * never touched, so an in-flight append survives a concurrent gc).
+    * Deleting a version only unlinks ITS hardlinks; inodes shared
+    * with newer versions live on — this is the manifest-expiry half
+    * of the append lifecycle (append = new manifest over immutable
+    * segments; gc = dropping old manifests, segments reclaimed when
+    * the last reference goes). Returns the deleted versions. */
+  def gc(name: String, keep: Int = 1): Seq[Int] = {
+    val prod = productionVersion(name)
+      .getOrElse(sys.error(s"no production version of $name to gc against"))
+    val doomed = versions(name).filter(_ < prod).sorted.dropRight(keep)
+    doomed.foreach { v =>
+      val d = nameDir(name).resolve(s"v$v")
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(d)) { stream =>
+        stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+    doomed
+  }
 }
 
 /** A versioned store of ONE parquet frame per artifact — the shape
@@ -114,6 +137,32 @@ final class FrameStore(root: String) extends VersionedStore(root) {
     val next = latestVersion(name).getOrElse(0) + 1
     linkTree(nameDir(name).resolve(s"v$v"), nameDir(name).resolve(s"v$next"))
     val w = batch.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dataDir(name, next).toString)
+    promote(name, next)
+    next
+  }
+
+  /** COMPACT the production frame: every [[appendBatch]] adds part
+    * files, and after N micro-batches a scan opens N× the files it
+    * needs (the classic streaming small-files problem — at 100 TB
+    * the file-listing alone dominates). Rewrites production into a
+    * new version — `targetFiles` part files (per partition dir when
+    * partitioned, via repartition on the partition columns) — and
+    * flips the pointer atomically; readers see either the fragmented
+    * or the compacted version, both with identical rows. Old
+    * versions stay until [[gc]]. Returns the promoted version. */
+  def compact(spark: SparkSession, name: String,
+              partitionCols: Seq[String] = Nil, targetFiles: Int = 1): Int = {
+    val v = productionVersion(name)
+      .getOrElse(sys.error(s"no production frame $name to compact"))
+    val df = load(spark, name, v)
+    val next = latestVersion(name).getOrElse(0) + 1
+    import org.apache.spark.sql.functions.col
+    val out =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df.coalesce(targetFiles)
+    val w = out.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dataDir(name, next).toString)
     promote(name, next)

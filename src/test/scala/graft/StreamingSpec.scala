@@ -43,6 +43,13 @@ class StreamingSpec extends SparkSpec {
     StreamingDedup.runPass(spark, env)
     val vAfterP1 = env.store.productionVersion(StreamingDedup.IndexName).get
     assert(vAfterP1 > 1, "phase 1 published no index versions")
+    // maintenance between restarts: compact the fragmented postings
+    // and gc superseded versions — phase 2 must dedup against the
+    // COMPACTED production identically (parity below still pins the
+    // batch result, so FrameStore compaction soundness rides the
+    // same assertion)
+    env.store.compact(spark, StreamingDedup.IndexName)
+    env.store.gc(StreamingDedup.IndexName, keep = 1)
     StreamingDedup.addArrivals(env, newDocs.filter(col("doc_id") > mid), 2)
     StreamingDedup.runPass(spark, env) // fresh query, same checkpoint
     assert(env.store.productionVersion(StreamingDedup.IndexName).get > vAfterP1,
@@ -53,6 +60,62 @@ class StreamingSpec extends SparkSpec {
       .select("d1", "d2", "n_shared", "jaccard").collect().toSet
     assert(streamed == batch,
       s"extra=${streamed -- batch} missing=${batch -- streamed}")
+  }
+
+  test("streamed ANN index append equals a one-shot encode across a kill/resume boundary") {
+    // Arrivals in 5 slices; the stream is killed after the first pass
+    // over 2 of them and a FRESH query resumes from the checkpoint.
+    // The drained index's codes must be bit-identical to a one-shot
+    // encode of the full corpus with the base constants — slicing and
+    // restart must be invisible in the artifact.
+    import graft.streaming.StreamingAnnIndex
+    import graft.queries.{AnnIndexStore, PqAnn}
+    val env = StreamingAnnIndex.prepare(spark, sf)
+    val arrivals = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 4)
+    val mid = arrivals.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+    arrivals.filter(col("vec_id") <= mid).repartition(2)
+      .write.mode("append").parquet(env.inDir)
+    StreamingAnnIndex.runPass(spark, env)
+    val vAfterP1 = env.store.productionVersion(AnnIndexStore.BaseIndexName).get
+    assert(vAfterP1 > 1, "phase 1 published no index versions")
+    arrivals.filter(col("vec_id") > mid).repartition(3)
+      .write.mode("append").parquet(env.inDir)
+    StreamingAnnIndex.runPass(spark, env) // fresh query, same checkpoint
+    assert(env.store.productionVersion(AnnIndexStore.BaseIndexName).get > vAfterP1,
+      "restarted stream did not extend the promoted index")
+    val idx = env.store.loadProduction(spark, AnnIndexStore.BaseIndexName).get
+    val oneshot = PqAnn.encodeWith(graft.sources.Tables.embeddings(spark, sf),
+      idx.cents, idx.books, idx.listMeans)
+    val nDiff = idx.codes.as("e")
+      .join(oneshot.as("o"), Seq("vec_id"), "full_outer")
+      .filter(!(col("e.list_id") <=> col("o.list_id") &&
+        col("e.codes") <=> col("o.codes"))).count()
+    assert(nDiff == 0, s"$nDiff code rows differ from the one-shot encode")
+    // maintenance half: compaction consolidates the per-batch part
+    // files (one per list again), gc drops superseded versions, and
+    // the compacted production still answers row-identically
+    def codeFiles(v: Int): Int = {
+      val d = java.nio.file.Paths.get(env.store.codesDir(
+        AnnIndexStore.BaseIndexName, v))
+      scala.util.Using.resource(java.nio.file.Files.walk(d)) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      }
+    }
+    val fragmented = env.store.productionVersion(AnnIndexStore.BaseIndexName).get
+    val compacted = env.store.compact(spark, AnnIndexStore.BaseIndexName)
+    assert(codeFiles(compacted) < codeFiles(fragmented),
+      s"compaction did not shrink the file count " +
+        s"(${codeFiles(fragmented)} -> ${codeFiles(compacted)})")
+    val deleted = env.store.gc(AnnIndexStore.BaseIndexName, keep = 1)
+    assert(deleted.nonEmpty, "gc found nothing to retire after 5 appends")
+    val reloaded = env.store.loadProduction(spark, AnnIndexStore.BaseIndexName).get
+    val nDiff2 = reloaded.codes.as("e")
+      .join(oneshot.as("o"), Seq("vec_id"), "full_outer")
+      .filter(!(col("e.list_id") <=> col("o.list_id") &&
+        col("e.codes") <=> col("o.codes"))).count()
+    assert(nDiff2 == 0, s"$nDiff2 code rows differ after compaction + gc")
   }
 
   test("streaming curation pack equals the batch pipeline across slicings") {
