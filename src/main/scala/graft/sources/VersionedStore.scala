@@ -143,6 +143,30 @@ final class FrameStore(root: String) extends VersionedStore(root) {
     next
   }
 
+  /** DELETE rows from the production frame — the
+    * right-to-be-forgotten half of the artifact lifecycle: a corpus
+    * doc withdrawn from training must leave every derived artifact
+    * (postings, fingerprints, gram indexes), not just the corpus
+    * table. Publishes the filtered frame as a new version and flips
+    * the pointer atomically; superseded versions still hold the rows
+    * until [[gc]] retires them (an auditable grace window — run gc
+    * to make the forget durable on disk). A full rewrite is the
+    * parquet baseline; at 100 TB the store would partition and
+    * rewrite only predicate-touched partitions, which is this same
+    * operation under a partition pruning filter. Returns the
+    * promoted version. */
+  def deleteWhere(spark: SparkSession, name: String,
+                  predicate: org.apache.spark.sql.Column): Int = {
+    val v = productionVersion(name)
+      .getOrElse(sys.error(s"no production frame $name to delete from"))
+    val df = load(spark, name, v)
+    val next = latestVersion(name).getOrElse(0) + 1
+    df.filter(!predicate).write.mode("overwrite")
+      .parquet(dataDir(name, next).toString)
+    promote(name, next)
+    next
+  }
+
   /** COMPACT the production frame: every [[appendBatch]] adds part
     * files, and after N micro-batches a scan opens N× the files it
     * needs (the classic streaming small-files problem — at 100 TB

@@ -248,5 +248,58 @@ object StreamingDedup {
     runIncrementalDedupStream(s, dir)
   }
 
-  val all: Seq[Q] = Seq(streamIncremental, indexRoundtrip)
+  /** One forget-lifecycle store per (application, sf dir). */
+  private val forgetMemo = scala.collection.concurrent.TrieMap.empty[String, FrameStore]
+
+  private def forgottenStore(s: SparkSession, dir: String): FrameStore =
+    forgetMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val store = new FrameStore(
+        Files.createTempDirectory("graft-forget-index-").toString)
+      val v = store.register(s, "corpus_shingles", TextOps.hashedShingles(s, dir))
+      store.promote("corpus_shingles", v)
+      // the forget: docs withdrawn from training leave the postings
+      // artifact; gc retires the superseded versions that still held
+      // the rows, making the deletion durable on disk
+      store.deleteWhere(s, "corpus_shingles", col("doc_id") % 20 === 7)
+      store.gc("corpus_shingles", keep = 0)
+      store
+    })
+
+  /** Deletion certificate — the right-to-be-forgotten half of the
+    * index lifecycle (append/compact/gc cover growth; this covers
+    * withdrawal): after `deleteWhere(doc_id % 20 = 7)` + gc, the
+    * promoted postings must be ROW-IDENTICAL to an index rebuilt
+    * from scratch on the reduced corpus — a forgotten doc is
+    * indistinguishable from one never ingested. Counts are
+    * oracle-recomputed from `documents` (docs with ≥ 3 tokens are
+    * the indexable set); the equality boolean is TRUE in the
+    * oracle. */
+  val forgetCert: Q = Q("text_dedup_forget",
+    """WITH sized AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+      |idx AS (SELECT doc_id FROM sized WHERE n >= 3)
+      |SELECT (SELECT COUNT(*) FROM idx) AS n_docs_before,
+      |  (SELECT COUNT(*) FROM idx WHERE doc_id % 20 <> 7) AS n_docs_after,
+      |  (SELECT COUNT(*) FROM idx WHERE doc_id % 20 = 7) AS n_forgotten,
+      |  TRUE AS forget_equals_rebuild""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val before = TextOps.hashedShingles(s, dir)
+    val after = forgottenStore(s, dir).loadProduction(s, "corpus_shingles")
+      .getOrElse(sys.error("no production forgotten index"))
+    // rebuild from scratch on the reduced corpus (fresh plan, not the
+    // memoized cache) — the gold standard the forgotten index must equal
+    val rebuilt = TextOps.hashedShingleArrays(
+      Tables.documents(s, dir).filter(col("doc_id") % 20 =!= 7))
+    val diff = after.as("a").join(rebuilt.as("r"), Seq("doc_id"), "full_outer")
+      .filter(!(col("a.hs") <=> col("r.hs") && col("a.n") <=> col("r.n")))
+      .agg(count(lit(1)).as("n_diff"))
+    before.agg(count(lit(1)).as("n_docs_before"))
+      .crossJoin(broadcast(after.agg(count(lit(1)).as("n_docs_after"))))
+      .crossJoin(broadcast(before.filter(col("doc_id") % 20 === 7)
+        .agg(count(lit(1)).as("n_forgotten"))))
+      .crossJoin(broadcast(diff))
+      .select(col("n_docs_before"), col("n_docs_after"), col("n_forgotten"),
+        (col("n_diff") === 0).as("forget_equals_rebuild"))
+  }
+
+  val all: Seq[Q] = Seq(streamIncremental, indexRoundtrip, forgetCert)
 }
