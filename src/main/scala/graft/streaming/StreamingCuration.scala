@@ -184,6 +184,14 @@ object StreamingCuration {
     val env = prepare(spark, dir)
     addArrivalsOrdered(spark, env, dir, slices)
     runPass(spark, env)
+    // drain-time maintenance, same as the ANN stream: the per-batch
+    // appends fragment both index artifacts (one file set per batch);
+    // compact them back and retire superseded versions so the next
+    // operating window starts from a consolidated promoted state
+    env.store.compact(spark, ShingleIdx)
+    env.store.compact(spark, FpIdx)
+    env.store.gc(ShingleIdx, keep = 1)
+    env.store.gc(FpIdx, keep = 1)
     TextOps.packRetained(streamedDecisions(spark, env).filter(col("drop_reason").isNull))
   }
 
