@@ -37,9 +37,8 @@ final class AnnIndexStore(root: String) extends graft.sources.VersionedStore(roo
     * `nProbe` lists prunes to `nProbe`/`NumLists` of the files on
     * disk — the IVF inverted-list layout, expressed as partition
     * pruning. */
-  def register(spark: SparkSession, idx: PqAnn.PqIndex, name: String): Int = {
-    val v = latestVersion(name).getOrElse(0) + 1
-    val dir = nameDir(name).resolve(s"v$v")
+  def register(spark: SparkSession, idx: PqAnn.PqIndex, name: String): Int =
+    stageVersion(name) { dir =>
     idx.codes.write.mode("overwrite").partitionBy("list_id")
       .parquet(dir.resolve("codes").toString)
     val books = for {
@@ -61,7 +60,7 @@ final class AnnIndexStore(root: String) extends graft.sources.VersionedStore(roo
       StructField("list_mean", ArrayType(DoubleType, containsNull = false), nullable = false)))
     spark.createDataFrame(spark.sparkContext.parallelize(coarse, 1), coarseSchema)
       .write.mode("overwrite").parquet(dir.resolve("coarse").toString)
-    v
+    ()
   }
 
   /** Load a version purely from disk: driver constants from the two
@@ -101,22 +100,36 @@ final class AnnIndexStore(root: String) extends graft.sources.VersionedStore(roo
     * daily arrival must never re-encode or re-copy the corpus).
     * Sound because encoding is deterministic in the constants: the
     * extended index is bit-identical to a one-shot encode of the
-    * union corpus (pinned by `sim_ann_index_append`). Returns the
-    * promoted version. */
-  def appendBatch(spark: SparkSession, name: String, newEmb: DataFrame): Int = {
+    * union corpus (pinned by `sim_ann_index_append`).
+    *
+    * When `batchId` is given (streaming foreachBatch callers), the
+    * append is IDEMPOTENT under at-least-once replay: a production
+    * batch watermark ≥ the arriving id means this batch's encode
+    * already committed (the crash landed between the append and the
+    * checkpoint commit) and is skipped — a replayed batch can never
+    * produce two codes for one vec_id. Returns the promoted
+    * version. */
+  def appendBatch(spark: SparkSession, name: String, newEmb: DataFrame,
+                  batchId: Option[Long] = None): Int = {
     val v = productionVersion(name)
       .getOrElse(sys.error(s"no production index $name to append to"))
-    val idx = load(spark, name, v)
-    val next = latestVersion(name).getOrElse(0) + 1
-    val src = nameDir(name).resolve(s"v$v")
-    val dst = nameDir(name).resolve(s"v$next")
-    linkTree(src, dst)
-    PqAnn.encodeWith(newEmb, idx.cents, idx.books, idx.listMeans)
-      .write.mode("append").partitionBy("list_id")
-      .parquet(dst.resolve("codes").toString)
-    promote(name, next)
-    next
+    if (batchId.exists(id => lastAppliedBatch(name).exists(_ >= id))) v
+    else {
+      val idx = load(spark, name, v)
+      val next = stageVersion(name, batchId) { staging =>
+        linkTree(nameDir(name).resolve(s"v$v"), staging)
+        PqAnn.encodeWith(newEmb, idx.cents, idx.books, idx.listMeans)
+          .write.mode("append").partitionBy("list_id")
+          .parquet(staging.resolve("codes").toString)
+      }
+      promote(name, next)
+      next
+    }
   }
+
+  /** Test/diagnostic visibility of a version's codes directory. */
+  def codesDir(name: String, version: Int): String =
+    nameDir(name).resolve(s"v$version").resolve("codes").toString
 
   /** Compact the production version's CODES: every append adds part
     * files inside the touched `list_id` partitions, and a probe's
@@ -127,23 +140,23 @@ final class AnnIndexStore(root: String) extends graft.sources.VersionedStore(roo
     * pointer atomically. Row-identical by construction — the
     * streamed append certificate runs AGAINST the compacted index,
     * so the oracle gate covers compaction soundness too. */
-  /** Test/diagnostic visibility of a version's codes directory. */
-  def codesDir(name: String, version: Int): String =
-    nameDir(name).resolve(s"v$version").resolve("codes").toString
-
   def compact(spark: SparkSession, name: String): Int = {
     val v = productionVersion(name)
       .getOrElse(sys.error(s"no production index $name to compact"))
-    val next = latestVersion(name).getOrElse(0) + 1
     val src = nameDir(name).resolve(s"v$v")
-    val dst = nameDir(name).resolve(s"v$next")
-    Files.createDirectories(dst)
-    linkTree(src.resolve("codebooks"), dst.resolve("codebooks"))
-    linkTree(src.resolve("coarse"), dst.resolve("coarse"))
-    spark.read.parquet(src.resolve("codes").toString)
-      .repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id")
-      .parquet(dst.resolve("codes").toString)
+    val next = stageVersion(name) { staging =>
+      linkTree(src.resolve("codebooks"), staging.resolve("codebooks"))
+      linkTree(src.resolve("coarse"), staging.resolve("coarse"))
+      spark.read.parquet(src.resolve("codes").toString)
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(staging.resolve("codes").toString)
+      // maintenance preserves the applied-batch watermark: a replayed
+      // micro-batch must still be recognized after a compaction ran
+      val marker = src.resolve("BATCH")
+      if (Files.exists(marker))
+        Files.copy(marker, staging.resolve("BATCH"))
+    }
     promote(name, next)
     next
   }

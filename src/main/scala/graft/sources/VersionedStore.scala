@@ -21,6 +21,53 @@ abstract class VersionedStore(root: String) extends Serializable {
 
   protected def nameDir(name: String): Path = Paths.get(root, name)
 
+  /** Build a version in a dot-prefixed staging dir and RENAME it into
+    * place as `v<next>` before returning. `versions()` therefore never
+    * observes a half-written version: a crash mid-write leaves only an
+    * ignorable `.staging-*` name (swept by [[gc]]), and two concurrent
+    * writers cannot collide on a version number — the rename loser
+    * retries at the next free number. `batchId`, when given, is
+    * recorded inside the version (see [[appliedBatch]]) so streaming
+    * replays of an already-applied micro-batch can be skipped. */
+  protected def stageVersion(name: String, batchId: Option[Long] = None)
+                            (write: Path => Unit): Int = {
+    val d = nameDir(name)
+    Files.createDirectories(d)
+    val staging = Files.createTempDirectory(d, ".staging-")
+    write(staging)
+    batchId.foreach { id =>
+      // the callback may have HARDLINKED the previous version's BATCH
+      // marker into staging (linkTree of a batch-stamped version);
+      // writing through that link would corrupt the source version's
+      // marker, so unlink first and write a fresh file
+      Files.deleteIfExists(staging.resolve("BATCH"))
+      Files.writeString(staging.resolve("BATCH"), id.toString)
+    }
+    var v = latestVersion(name).getOrElse(0) + 1
+    var done = false
+    while (!done) {
+      try { Files.move(staging, d.resolve(s"v$v")); done = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => v += 1 }
+    }
+    v
+  }
+
+  /** The foreachBatch batchId recorded when `version` was published,
+    * if it came from a batch-stamped append. */
+  def appliedBatch(name: String, version: Int): Option[Long] = {
+    val p = nameDir(name).resolve(s"v$version").resolve("BATCH")
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  /** The batchId the PRODUCTION version was published under. Streaming
+    * appenders use this to make at-least-once foreachBatch replays
+    * idempotent: batchIds from one checkpoint are monotonic, so a
+    * production marker ≥ the arriving batchId means this batch's
+    * append already committed (the crash landed between the append
+    * and the checkpoint commit) and must not run again. */
+  def lastAppliedBatch(name: String): Option[Long] =
+    productionVersion(name).flatMap(appliedBatch(name, _))
+
   def versions(name: String): Seq[Int] = {
     val d = nameDir(name)
     if (!Files.isDirectory(d)) Seq.empty
@@ -74,8 +121,13 @@ abstract class VersionedStore(root: String) extends Serializable {
 
   /** Retention: delete version directories SUPERSEDED by production —
     * everything below the pointer except the `keep` most recent of
-    * them (production itself and any staged version above it are
-    * never touched, so an in-flight append survives a concurrent gc).
+    * them (production itself and any published version above it are
+    * never touched). Also sweeps crash debris: `.staging-*` dirs left
+    * by a writer that died before its rename (every writer stages
+    * through [[stageVersion]], so an interrupted build never becomes
+    * a `v<N>` dir — it stays a staging name and is reclaimed here).
+    * gc must not run concurrently with an in-flight writer on the
+    * same artifact (the engine runs it at stream drain time).
     * Deleting a version only unlinks ITS hardlinks; inodes shared
     * with newer versions live on — this is the manifest-expiry half
     * of the append lifecycle (append = new manifest over immutable
@@ -84,13 +136,17 @@ abstract class VersionedStore(root: String) extends Serializable {
   def gc(name: String, keep: Int = 1): Seq[Int] = {
     val prod = productionVersion(name)
       .getOrElse(sys.error(s"no production version of $name to gc against"))
-    val doomed = versions(name).filter(_ < prod).sorted.dropRight(keep)
-    doomed.foreach { v =>
-      val d = nameDir(name).resolve(s"v$v")
-      import scala.jdk.CollectionConverters._
+    import scala.jdk.CollectionConverters._
+    def rmTree(d: Path): Unit =
       scala.util.Using.resource(Files.walk(d)) { stream =>
         stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       }
+    val doomed = versions(name).filter(_ < prod).sorted.dropRight(keep)
+    doomed.foreach(v => rmTree(nameDir(name).resolve(s"v$v")))
+    scala.util.Using.resource(Files.list(nameDir(name))) { stream =>
+      stream.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith(".staging-"))
+        .foreach(rmTree)
     }
     doomed
   }
@@ -108,15 +164,16 @@ final class FrameStore(root: String) extends VersionedStore(root) {
     nameDir(name).resolve(s"v$v").resolve("data")
 
   /** Persist `df` as the next version of `name`; returns the version
-    * (NOT yet promoted — callers decide when to flip the pointer). */
+    * (NOT yet promoted — callers decide when to flip the pointer).
+    * Staged: a crash mid-write never publishes a half-written
+    * version. */
   def register(spark: SparkSession, name: String, df: DataFrame,
-               partitionCols: Seq[String] = Nil): Int = {
-    val v = latestVersion(name).getOrElse(0) + 1
-    val w = df.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(dataDir(name, v).toString)
-    v
-  }
+               partitionCols: Seq[String] = Nil): Int =
+    stageVersion(name) { staging =>
+      val w = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(staging.resolve("data").toString)
+    }
 
   def load(spark: SparkSession, name: String, version: Int): DataFrame =
     spark.read.parquet(dataDir(name, version).toString)
@@ -126,21 +183,32 @@ final class FrameStore(root: String) extends VersionedStore(root) {
 
   /** Append `batch` to the production frame and publish atomically:
     * hardlink the production version's files into a staged next
-    * version, append the batch there, flip the pointer. A concurrent
-    * reader sees the complete old frame until the flip; a crash
-    * leaves only an unpromoted staging dir. Returns the promoted
-    * version. */
+    * version, append the batch there, rename the staging dir into
+    * place, flip the pointer. A concurrent reader sees the complete
+    * old frame until the flip; a crash leaves only an ignorable
+    * `.staging-*` dir (reclaimed by [[gc]]). When `batchId` is given
+    * (streaming foreachBatch callers), the append is IDEMPOTENT
+    * under at-least-once replay: batchIds from one checkpoint are
+    * monotonic, so a production watermark ≥ the arriving id means
+    * this batch's append already committed (the crash landed between
+    * the append and the checkpoint commit) and is skipped. Returns
+    * the promoted version. */
   def appendBatch(spark: SparkSession, name: String, batch: DataFrame,
-                  partitionCols: Seq[String] = Nil): Int = {
+                  partitionCols: Seq[String] = Nil,
+                  batchId: Option[Long] = None): Int = {
     val v = productionVersion(name)
       .getOrElse(sys.error(s"no production frame $name to append to"))
-    val next = latestVersion(name).getOrElse(0) + 1
-    linkTree(nameDir(name).resolve(s"v$v"), nameDir(name).resolve(s"v$next"))
-    val w = batch.write.mode("append")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(dataDir(name, next).toString)
-    promote(name, next)
-    next
+    if (batchId.exists(id => lastAppliedBatch(name).exists(_ >= id))) v
+    else {
+      val next = stageVersion(name, batchId) { staging =>
+        linkTree(nameDir(name).resolve(s"v$v"), staging)
+        val w = batch.write.mode("append")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(staging.resolve("data").toString)
+      }
+      promote(name, next)
+      next
+    }
   }
 
   /** DELETE rows from the production frame — the
@@ -160,9 +228,10 @@ final class FrameStore(root: String) extends VersionedStore(root) {
     val v = productionVersion(name)
       .getOrElse(sys.error(s"no production frame $name to delete from"))
     val df = load(spark, name, v)
-    val next = latestVersion(name).getOrElse(0) + 1
-    df.filter(!predicate).write.mode("overwrite")
-      .parquet(dataDir(name, next).toString)
+    val next = stageVersion(name) { staging =>
+      df.filter(!predicate).write.mode("overwrite")
+        .parquet(staging.resolve("data").toString)
+    }
     promote(name, next)
     next
   }
@@ -181,14 +250,20 @@ final class FrameStore(root: String) extends VersionedStore(root) {
     val v = productionVersion(name)
       .getOrElse(sys.error(s"no production frame $name to compact"))
     val df = load(spark, name, v)
-    val next = latestVersion(name).getOrElse(0) + 1
     import org.apache.spark.sql.functions.col
     val out =
       if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
       else df.coalesce(targetFiles)
-    val w = out.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(dataDir(name, next).toString)
+    val next = stageVersion(name) { staging =>
+      val w = out.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(staging.resolve("data").toString)
+      // maintenance preserves the applied-batch watermark: a replayed
+      // micro-batch must still be recognized after a compaction ran
+      val marker = nameDir(name).resolve(s"v$v").resolve("BATCH")
+      if (Files.exists(marker))
+        Files.copy(marker, staging.resolve("BATCH"))
+    }
     promote(name, next)
     next
   }

@@ -50,19 +50,23 @@ object StreamingAnnIndex {
 
   /** One `AvailableNow` pass over the arrival files, resuming from
     * the checkpoint — already-processed files are skipped, so a
-    * killed stream restarts without double-appending. */
+    * killed stream restarts without double-appending. Mid-batch
+    * failure is covered too: the append is stamped with the
+    * foreachBatch batchId, and an at-least-once replay whose append
+    * already committed is skipped via the store's batch watermark —
+    * a replay can never encode a vector twice. */
   def runPass(spark: SparkSession, env: Env): Unit = {
     val q = spark.readStream.schema(env.schema)
       .option("maxFilesPerTrigger", 1).parquet(env.inDir)
       .writeStream
       .option("checkpointLocation", env.ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // the store re-resolves PRODUCTION per batch (hot reload);
           // each append re-encodes ONLY the batch with the promoted
           // constants and flips the pointer atomically
           env.store.appendBatch(batch.sparkSession,
-            AnnIndexStore.BaseIndexName, batch)
+            AnnIndexStore.BaseIndexName, batch, batchId = Some(batchId))
           ()
         }
       }

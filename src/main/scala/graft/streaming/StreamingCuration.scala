@@ -64,8 +64,13 @@ object StreamingCuration {
     val store = new FrameStore(s"$tmp/store")
     store.promote(ShingleIdx,
       store.register(spark, ShingleIdx, TextOps.hashedShingleArrays(none)))
+    // fps are keyed by doc_id (not bare fp values) so a replayed
+    // micro-batch can subtract ITS OWN already-appended rows and
+    // still see exactly the earlier-batch state — the idempotence
+    // normalization in [[processBatch]]
     store.promote(FpIdx,
-      store.register(spark, FpIdx, none.select(md5(col("text")).as("fp"))))
+      store.register(spark, FpIdx,
+        none.select(col("doc_id"), md5(col("text")).as("fp"))))
     Env(s"$tmp/in", s"$tmp/decisions", s"$tmp/ckpt",
       store, TextOps.benchGramStore(spark, dir), docs.schema)
   }
@@ -97,9 +102,20 @@ object StreamingCuration {
   }
 
   /** One micro-batch of the curation stack against the promoted
-    * artifacts; appends the decision rows and extends both indexes
-    * via the atomic versioned append. */
-  def processBatch(batch: DataFrame, env: Env): Unit = {
+    * artifacts; writes the batch's decision rows to a
+    * batchId-deterministic directory and extends both indexes via
+    * the atomic versioned append.
+    *
+    * IDEMPOTENT under foreachBatch's at-least-once contract: on a
+    * replay whose index appends already committed, the batch's own
+    * rows are anti-joined OUT of the loaded fp/shingle state (so the
+    * recomputed decisions are byte-identical to the first run and
+    * overwrite the same directory), and each store skips its
+    * already-applied append via the batch watermark
+    * ([[graft.sources.VersionedStore.lastAppliedBatch]]) — the two
+    * appends carry independent watermarks, so a crash BETWEEN them
+    * replays into the exact committed state either way. */
+  def processBatch(batch: DataFrame, batchId: Long, env: Env): Unit = {
     val bs = batch.sparkSession
     graft.functions.GraftFunctions.register(bs)
     // a micro-batch is one small arrival file = one input split;
@@ -113,11 +129,13 @@ object StreamingCuration {
     val batchHs = TextOps.hashedShingleArrays(docs).persist()
     val perDoc = TextOps.perDocQuality(docs)
     // 1. exact: promoted fp index = "seen in an earlier batch";
+    //    replayed own-batch rows are subtracted by doc_id first;
     //    in-batch ties resolve to the smallest doc_id (same batch ⇒
     //    same ingest cycle ⇒ min-id keeper, matching the batch rule)
     val seen = env.store.loadProduction(bs, FpIdx)
       .getOrElse(sys.error("no production fp index"))
-      .distinct().withColumn("seen", lit(true))
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("fp")).distinct().withColumn("seen", lit(true))
     val exact = perDoc.join(seen, Seq("fp"), "left_outer")
       .withColumn("batch_keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .withColumn("is_exact_dup",
@@ -149,11 +167,13 @@ object StreamingCuration {
         .when(col("quality_score") < 0.7, "low_quality"))
       .select(col("doc_id"), col("source"), col("lang"), col("pred_lang"),
         col("n_tokens"), col("quality_score"), col("drop_reason"))
-    decisions.write.mode("append").parquet(env.outDir)
+    decisions.write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
     // the indexes grow with EVERY doc (dropped docs still index —
     // the batch pipeline's pair list spans the whole corpus)
-    env.store.appendBatch(bs, ShingleIdx, batchHs)
-    env.store.appendBatch(bs, FpIdx, docs.select(md5(col("text")).as("fp")))
+    env.store.appendBatch(bs, ShingleIdx, batchHs, batchId = Some(batchId))
+    env.store.appendBatch(bs, FpIdx,
+      docs.select(col("doc_id"), md5(col("text")).as("fp")),
+      batchId = Some(batchId))
     batchHs.unpersist()
     docs.unpersist()
     ()
@@ -166,8 +186,8 @@ object StreamingCuration {
       .option("maxFilesPerTrigger", 1).parquet(env.inDir)
       .writeStream
       .option("checkpointLocation", env.ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) processBatch(batch, env)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) processBatch(batch, batchId, env)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -176,7 +196,7 @@ object StreamingCuration {
   }
 
   def streamedDecisions(spark: SparkSession, env: Env): DataFrame =
-    spark.read.parquet(env.outDir)
+    spark.read.parquet(env.outDir).drop("batch")
 
   /** Full loop: prepare, land the corpus in `slices` ordered
     * arrivals, drain the stream, pack the retained corpus. */

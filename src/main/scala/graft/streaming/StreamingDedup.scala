@@ -73,7 +73,16 @@ object StreamingDedup {
                                 threshold: Double = 0.5): DataFrame = {
     val spark = batchHs.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    // REPLAY NORMALIZATION: anti-join the batch's docs out of the
+    // index side before the union. On first processing this is a
+    // semantic no-op (the index never holds unprocessed docs); on an
+    // at-least-once foreachBatch replay whose index append already
+    // committed, it removes the batch's own duplicated postings so
+    // the recomputed pair list is BYTE-IDENTICAL to the first run
+    // (without it, a doc present on both sides double-counts through
+    // the recheck join and emits duplicate pair rows).
     val combined = idx.select(col("doc_id"), col("hs"), col("n"))
+      .join(batchHs.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .unionByName(batchHs.select(col("doc_id"), col("hs"), col("n")))
     val a = combined.select(col("doc_id").as("da"), col("n").as("na"),
       explode(col("hs")).as("h"))
@@ -130,13 +139,23 @@ object StreamingDedup {
     * dir, resuming from the checkpoint (already-processed files are
     * skipped — the restart path). Per micro-batch the PRODUCTION
     * index version is re-resolved (hot reload) and the batch's
-    * shingles are published via the atomic versioned append. */
+    * shingles are published via the atomic versioned append.
+    *
+    * IDEMPOTENT under foreachBatch's at-least-once contract: a crash
+    * between the side effects and the checkpoint commit replays the
+    * micro-batch, and the replay (a) rewrites the SAME
+    * batchId-deterministic pair directory with byte-identical content
+    * (the replay normalization in [[dedupShinglesAgainstIndex]]),
+    * and (b) skips the index append via the store's batch watermark
+    * ([[graft.sources.VersionedStore.lastAppliedBatch]]) — so mid-batch
+    * failure, not just a graceful between-batch restart, converges to
+    * the exact single-run result. */
   def runPass(spark: SparkSession, env: StreamEnv): Unit = {
     val stream = spark.readStream.schema(env.schema)
       .option("maxFilesPerTrigger", 1).parquet(env.inDir)
     val q = stream.writeStream
       .option("checkpointLocation", env.ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // everything inside the micro-batch binds to the STREAM'S
           // (cloned) session — the native functions must be registered
@@ -153,8 +172,8 @@ object StreamingDedup {
           val hs = TextOps.hashedShingleArrays(
             batch.repartition(bs.sessionState.conf.numShufflePartitions)).persist()
           dedupShinglesAgainstIndex(hs, idx)
-            .write.mode("append").parquet(env.outDir)
-          env.store.appendBatch(bs, IndexName, hs)
+            .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
+          env.store.appendBatch(bs, IndexName, hs, batchId = Some(batchId))
           hs.unpersist()
           ()
         }
@@ -165,10 +184,12 @@ object StreamingDedup {
   }
 
   /** The accumulated pair list (empty-schema frame when no batch
-    * emitted a pair). */
+    * emitted a pair). The per-batch `batch=<id>` directories surface
+    * as a discovered partition column — an idempotence bookkeeping
+    * detail, dropped from the result. */
   def collectedPairs(spark: SparkSession, env: StreamEnv): DataFrame =
     if (Files.exists(Paths.get(env.outDir)))
-      spark.read.parquet(env.outDir).orderBy(col("d1"), col("d2"))
+      spark.read.parquet(env.outDir).drop("batch").orderBy(col("d1"), col("d2"))
     else {
       val emptyDocs = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], env.schema)
