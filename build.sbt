@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through UNPREFIXED: the bench
+// driver parses the one stdout JSON line, and sbt's default logger
+// would wrap it as "[info] {...}", which defeats any line-oriented
+// JSON parse (observed: every round's BENCH parsed=null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -19,15 +19,28 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp. Read it as raw nanos (legacy conf) and
-    * convert to a µs TimestampType — exact, the driver's generator
-    * emits µs-aligned values (verified: no sub-µs component at any SF).
-    */
+  /** `events.ts` has shipped as two physical types across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 refuses to
+    * read as a timestamp — read as raw nanos via the legacy conf and
+    * convert, exact because the generator emits µs-aligned values) and
+    * plain TIMESTAMP(MICROS) without UTC adjustment (which Spark reads
+    * natively as TIMESTAMP_NTZ). Normalize both to a session-tz
+    * TimestampType — the session is pinned to UTC (GraftSession), so
+    * the NTZ→LTZ cast preserves the stored wall-clock instant. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(load(spark, dir, "events"))
+  }
+
+  /** Normalize the `ts` column to TimestampType regardless of how the
+    * file stored it (int64 nanos, TIMESTAMP_NTZ, or already LTZ). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")

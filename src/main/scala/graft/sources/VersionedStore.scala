@@ -143,9 +143,17 @@ abstract class VersionedStore(root: String) extends Serializable {
       }
     val doomed = versions(name).filter(_ < prod).sorted.dropRight(keep)
     doomed.foreach(v => rmTree(nameDir(name).resolve(s"v$v")))
+    // age-gate the staging sweep: a .staging-* dir modified within the
+    // last 10 minutes may belong to a LIVE writer mid-stageVersion —
+    // deleting it would fail that writer's write() or rename. Only
+    // genuine crash debris (stale for longer than any real version
+    // build) is reclaimed, so gc is safe even if the drain-time
+    // discipline slips and it races a writer.
+    val staleBefore = System.currentTimeMillis() - 10 * 60 * 1000L
     scala.util.Using.resource(Files.list(nameDir(name))) { stream =>
       stream.iterator().asScala.toSeq
         .filter(_.getFileName.toString.startsWith(".staging-"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < staleBefore)
         .foreach(rmTree)
     }
     doomed
@@ -191,7 +199,15 @@ final class FrameStore(root: String) extends VersionedStore(root) {
     * under at-least-once replay: batchIds from one checkpoint are
     * monotonic, so a production watermark ≥ the arriving id means
     * this batch's append already committed (the crash landed between
-    * the append and the checkpoint commit) and is skipped. Returns
+    * the append and the checkpoint commit) and is skipped.
+    *
+    * HARD REQUIREMENT — store↔checkpoint lifetime coupling: the skip
+    * rule assumes batchIds are monotonic for the store's whole life,
+    * i.e. exactly one streaming checkpoint ever feeds a given store.
+    * Starting a NEW stream (fresh checkpoint, batchIds restarting at
+    * 0) against an EXISTING batch-stamped store would silently skip
+    * every early batch. Create the store and the checkpoint together
+    * and retire them together (all engine call sites do). Returns
     * the promoted version. */
   def appendBatch(spark: SparkSession, name: String, batch: DataFrame,
                   partitionCols: Seq[String] = Nil,
@@ -231,6 +247,14 @@ final class FrameStore(root: String) extends VersionedStore(root) {
     val next = stageVersion(name) { staging =>
       df.filter(!predicate).write.mode("overwrite")
         .parquet(staging.resolve("data").toString)
+      // maintenance preserves the applied-batch watermark (same as
+      // compact): if a streaming appender also feeds this store, a
+      // deleteWhere that dropped the marker would reset
+      // lastAppliedBatch to None and an at-least-once replay would
+      // re-append an already-committed batch
+      val marker = nameDir(name).resolve(s"v$v").resolve("BATCH")
+      if (Files.exists(marker))
+        Files.copy(marker, staging.resolve("BATCH"))
     }
     promote(name, next)
     next

@@ -30,26 +30,34 @@ import org.apache.spark.sql.types._
   */
 object ScoringStream {
 
-  /** events.parquet schema as stored (ts = TIMESTAMP(NANOS) read as
-    * long; see [[graft.sources.Tables.events]]). */
-  val EventsFileSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events.parquet schema as stored, with `ts` typed as whatever the
+    * files actually hold (int64 nanos in older testdata generations,
+    * TIMESTAMP(MICROS)/NTZ in newer ones — see
+    * [[graft.sources.Tables.events]]). The file source requires a
+    * user-supplied schema, and a LongType/TimestampNTZ mismatch
+    * against the footer silently reinterprets the raw int64, so probe
+    * the batch reader's inferred schema once at stream-build time. */
+  def eventsFileSchema(spark: SparkSession, dir: String): StructType = {
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
 
   /** Unbounded raw event stream over a directory of events parquet,
-    * ts converted to a proper timestamp (same nanos handling as the
-    * batch [[graft.sources.Tables.events]]). */
+    * ts normalized to a proper timestamp (same handling as the batch
+    * [[graft.sources.Tables.events]]). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(EventsFileSchema)
-      .option("pathGlobFilter", "events.parquet") // the sf dir holds all tables
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Tables.normalizeTs(
+      spark.readStream
+        .schema(eventsFileSchema(spark, dir))
+        .option("pathGlobFilter", "events.parquet") // the sf dir holds all tables
+        .parquet(dir))
   }
 
   /** Unbounded scored stream over a directory of events parquet. */

@@ -114,7 +114,16 @@ object StreamingCuration {
     * already-applied append via the batch watermark
     * ([[graft.sources.VersionedStore.lastAppliedBatch]]) — the two
     * appends carry independent watermarks, so a crash BETWEEN them
-    * replays into the exact committed state either way. */
+    * replays into the exact committed state either way.
+    *
+    * PRECONDITION — globally unique doc_ids: the replay
+    * normalization anti-joins the fp/shingle indexes BY doc_id,
+    * which treats any index row with an arriving doc_id as "this
+    * batch's own earlier append". If an ingest path could
+    * legitimately re-deliver a doc_id in a LATER batch, that join
+    * would subtract the genuine earlier row and the duplicate would
+    * escape exact-dup detection; such a path must key the
+    * normalization on (doc_id, batch provenance) instead. */
   def processBatch(batch: DataFrame, batchId: Long, env: Env): Unit = {
     val bs = batch.sparkSession
     graft.functions.GraftFunctions.register(bs)
