@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loader schema tolerance: the driver's testdata has shipped
+  * `events.ts` under two physical types across generations
+  * (TIMESTAMP(NANOS) read as int64 nanos; TIMESTAMP(MICROS) read as
+  * TIMESTAMP_NTZ). A silent mismatch here wiped every events-based
+  * query in one correctness round, so the normalization is pinned by
+  * spec for all three inbound shapes. */
+class SourcesSpec extends SparkSpec {
+
+  test("normalizeTs converts int64 nanos to the exact µs timestamp") {
+    import spark.implicits._
+    // 2024-01-02T03:04:05.123456Z as epoch nanos
+    val nanos = 1704164645123456000L
+    val out = Tables.normalizeTs(Seq(nanos).toDF("ts")).as[Timestamp].head()
+    assert(out.toInstant == java.time.Instant.parse("2024-01-02T03:04:05.123456Z"))
+  }
+
+  test("normalizeTs casts TIMESTAMP_NTZ preserving the wall clock (UTC session)") {
+    import spark.implicits._
+    val ntz = Seq("2024-06-07 08:09:10.654321").toDF("s")
+      .select(col("s").cast(TimestampNTZType).as("ts"))
+    assert(ntz.schema("ts").dataType == TimestampNTZType)
+    val out = Tables.normalizeTs(ntz)
+    assert(out.schema("ts").dataType == TimestampType)
+    assert(out.select(col("ts").cast(StringType)).as[String].head()
+      == "2024-06-07 08:09:10.654321")
+  }
+
+  test("normalizeTs leaves an already-LTZ ts column untouched") {
+    import spark.implicits._
+    val ltz = Seq("2024-06-07 08:09:10").toDF("s")
+      .select(col("s").cast(TimestampType).as("ts"))
+    assert(Tables.normalizeTs(ltz).schema("ts").dataType == TimestampType)
+  }
+
+  test("batch and streaming events loaders agree on ts for the shipped testdata") {
+    val batch = Tables.events(spark, sf)
+    assert(batch.schema("ts").dataType == TimestampType)
+    val batchMinMax = batch.agg(min("ts"), max("ts")).head()
+    // the streaming loader must see the same instants through its
+    // user-supplied file schema (a mismatch silently reinterprets the
+    // raw int64 and shifts every timestamp by 1000x)
+    val streamSchema = graft.streaming.ScoringStream.eventsFileSchema(spark, sf)
+    val viaStreamSchema = Tables.normalizeTs(
+      spark.read.schema(streamSchema).parquet(s"$sf/events.parquet"))
+    assert(viaStreamSchema.agg(min("ts"), max("ts")).head() == batchMinMax)
+    // sanity: the generator's events live in a plausible year, not 1970
+    assert(batchMinMax.getTimestamp(0).toInstant
+      .isAfter(java.time.Instant.parse("2000-01-01T00:00:00Z")))
+  }
+}
