@@ -185,5 +185,59 @@ object Curation {
         round(lit(1) - col("n_distinct").cast("double") / col("n_shingles"), 6).as("dup_ratio"))
       .orderBy(col("doc_id"))
 
-  val all: Seq[Q] = Seq(splitAssign, sourceMix, lmScore, repetitionScore)
+  // ---------------------------------------------------------------- epochs
+  /** Epoch-weighted REPLICATION mix — the other half of data mixing:
+    * [[sourceMix]] only DOWNsamples (keep_rate ≤ 1), but real LLM mix
+    * configs specify per-source epoch counts that can exceed 1
+    * ("2 epochs of wiki, 0.5 epochs of CC"). A doc with weight w is
+    * emitted floor(w) times plus one more with probability frac(w),
+    * so every source's expected emitted mass is exactly w·n_s. The
+    * fractional coin is the md5 hash-fraction — deterministic, so the
+    * exact emitted multiset (doc_id, rep) is oracle-checked, and
+    * re-runs emit the identical corpus (a random coin would produce a
+    * different training set per backfill).
+    *
+    * Weights here are a configured per-source map, keyed off the
+    * source's numeric suffix mod 4 → {0.5, 1.0, 1.5, 2.0}: exercises
+    * pure downsample, identity, fractional upsample, and exact 2×.
+    *
+    * Scale shape: per-row arithmetic + an explode that grows the data
+    * by at most ⌈max w⌉ — no shuffle, no state, no skew (replicas of
+    * one doc stay in its partition and downstream repartitions spread
+    * them). At 100 TB this is the same one-pass map it is here. */
+  val epochMix: Q = Q("text_mix_epochs",
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    CAST(0.5 + 0.5 * (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4) AS DOUBLE)
+      |      AS weight,
+      |    CAST(('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+      |      / 16777216.0 AS u
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, weight,
+      |    CAST(FLOOR(weight) + CASE WHEN u < weight - FLOOR(weight) THEN 1 ELSE 0 END AS INT)
+      |      AS reps
+      |  FROM w)
+      |SELECT doc_id, source, ROUND(weight, 6) AS weight,
+      |       unnest(generate_series(0, reps - 1)) AS rep
+      |FROM r ORDER BY doc_id, rep""".stripMargin) { (s, dir) =>
+    val weight = lit(0.5) +
+      lit(0.5) * (regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4)
+    val u = hashInt("epoch:", 6).cast("double") / 16777216.0
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), weight.as("weight"), u.as("u"))
+      .withColumn("reps",
+        (floor(col("weight")) +
+          when(col("u") < col("weight") - floor(col("weight")), 1).otherwise(0)).cast("int"))
+      // sequence(0, -1) would infer step -1 and emit [0, -1]; guard the
+      // reps=0 (dropped doc) case with an empty array instead
+      .withColumn("rep", explode(
+        when(col("reps") > 0, sequence(lit(0), col("reps") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"), col("source"), round(col("weight"), 6).as("weight"),
+        col("rep").cast("long").as("rep"))
+      .orderBy(col("doc_id"), col("rep"))
+  }
+
+  val all: Seq[Q] = Seq(splitAssign, sourceMix, lmScore, repetitionScore, epochMix)
 }

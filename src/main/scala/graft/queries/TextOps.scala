@@ -1343,7 +1343,42 @@ object TextOps {
       .filter(col("n_hit").cast("double") / col("n_grams") >= 0.5)
   }
 
-  val all: Seq[Q] = Seq(tokenStats, quality, langId, fingerprint, dedupExact,
+  /** Overlapping token-window CHUNKING — the context-window shaping
+    * step every RAG / long-document training pipeline runs: split
+    * each document into windows of 32 whitespace tokens advancing by
+    * stride 24 (8-token overlap so no boundary context is lost).
+    * Emits one row per chunk with its offset, realized length, and
+    * materialized text; the final short window is kept (standard
+    * practice — trailing tokens must land somewhere).
+    *
+    * Scale shape: per-row sequence + explode + array slice — a pure
+    * map with no shuffle and bounded ~1.33× data growth; at 100 TB
+    * chunking is scan-bound, exactly this plan. The window starts
+    * come from `sequence(0, n-1, stride)` so a doc always yields at
+    * least one chunk. */
+  val chunkWindows: Q = Q("text_chunk_windows",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |c AS (
+      |  SELECT doc_id, len(w) AS n_tokens, w,
+      |         unnest(generate_series(0, len(w) - 1, 24)) AS start_tok
+      |  FROM t)
+      |SELECT doc_id, CAST(start_tok // 24 AS INT) AS chunk_id, start_tok,
+      |  LEAST(32, n_tokens - start_tok) AS chunk_tokens,
+      |  array_to_string(list_slice(w, start_tok + 1, start_tok + 32), ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    tokenized(Tables.documents(s, dir))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"), col("w"))
+      .withColumn("start_tok", explode(sequence(lit(0), col("n_tokens") - 1, lit(24))))
+      .select(col("doc_id"),
+        (col("start_tok") / 24).cast("int").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(32), col("n_tokens") - col("start_tok")).cast("long").as("chunk_tokens"),
+        array_join(slice(col("w"), col("start_tok") + 1, lit(32)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val all: Seq[Q] = Seq(chunkWindows, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
     dedupKeep, tokenBpe, packSequences, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, vocabBySource,

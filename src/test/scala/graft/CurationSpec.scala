@@ -103,6 +103,55 @@ class CurationSpec extends SparkSpec {
     assert(n2 == 88L && d2 == 88L && r2 == 0.0, s"diverse doc: $n2 $d2 $r2")
   }
 
+  test("epoch mix emits floor(w) or floor(w)+1 replicas with expected mass per source") {
+    val reps = Curation.epochMix.fn(spark, sf)
+      .groupBy($"doc_id", $"source", $"weight")
+      .agg(count(lit(1)).as("k"), max($"rep").as("max_rep"))
+      .select($"source", $"weight".cast("double"), $"k", $"max_rep")
+      .as[(String, Double, Long, Long)].collect()
+    assert(reps.nonEmpty)
+    reps.foreach { case (src, w, k, maxRep) =>
+      assert(k == math.floor(w).toLong || k == math.floor(w).toLong + 1,
+        s"$src w=$w emitted $k replicas")
+      assert(maxRep == k - 1, "rep indices must be dense 0..k-1")
+    }
+    // integral weights replicate EXACTLY (no coin involved)
+    reps.filter(r => r._2 == math.floor(r._2)).foreach { case (src, w, k, _) =>
+      assert(k == w.toLong, s"$src integral w=$w must emit exactly $w")
+    }
+    // weight-0.5 sources lose docs entirely (k would be 0 → absent):
+    // emitted doc count per such source must be strictly below the
+    // source's corpus count
+    val emitted = reps.groupBy(_._1).view.mapValues(_.size).toMap
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val halfSources = corpus.keys.filter(s =>
+      "\\d+".r.findFirstIn(s).exists(_.toInt % 4 == 0))
+    halfSources.foreach { s =>
+      assert(emitted.getOrElse(s, 0) < corpus(s), s"$s at w=0.5 kept everything")
+    }
+  }
+
+  test("chunk windows tile every document with stride 24 and cover the tail") {
+    val chunks = graft.queries.TextOps.chunkWindows.fn(spark, sf)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max($"start_tok" + $"chunk_tokens").as("covered"),
+        min($"start_tok").as("first"), max($"chunk_tokens").as("max_len"),
+        min($"chunk_tokens").as("min_len"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val nTokens = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long")).as[(Long, Long)]
+      .collect().toMap
+    assert(chunks.length == nTokens.size, "every doc must yield at least one chunk")
+    chunks.foreach { case (id, k, covered, first, maxLen, minLen) =>
+      val n = nTokens(id)
+      assert(first == 0L && covered == n, s"doc $id: tail not covered")
+      assert(k == (n - 1) / 24 + 1, s"doc $id: wrong chunk count")
+      assert(maxLen <= 32 && minLen >= 1, s"doc $id: window size out of bounds")
+    }
+  }
+
   test("lm score ranks a gibberish doc below average") {
     // uses the corpus unigram LM via the query itself: the lowest-
     // scoring docs must score strictly below the corpus mean, and

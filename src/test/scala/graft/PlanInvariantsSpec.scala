@@ -148,6 +148,18 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("epoch mix and chunk windows are pure maps: no hash exchange, no join") {
+    // both grow/shrink the corpus row-wise (explode) from per-row
+    // arithmetic alone — any Exchange hashpartitioning or join in the
+    // plan means someone turned a map into a shuffle
+    for (q <- Seq("text_mix_epochs", "text_chunk_windows")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Exchange hashpartitioning"), s"$q:\n$plan")
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+      assert("""[+:]- Exchange""".r.findAllIn(plan).size <= 1, s"$q:\n$plan")
+    }
+  }
+
   test("lm score joins the vocab by broadcast while it fits the size gate") {
     // at test SF the vocab passes TextOps.maybeBroadcast's bound, so
     // the hint applies; the degradation past the bound is pinned in
