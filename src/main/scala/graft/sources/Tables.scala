@@ -49,8 +49,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
-  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** Corpus loaders, type-normalized the same way [[events]] is: the
+    * driver has regenerated testdata with changed physical types
+    * before (events.ts, round 10), and a silent int32/int64 or
+    * float/double drift here would wipe the text/sim families the
+    * same way. The casts are no-ops on the current files. */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents").select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("text").cast("string").as("text"),
+      col("lang").cast("string").as("lang"),
+      col("source").cast("string").as("source"),
+      col("n_chars").cast("long").as("n_chars"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "embeddings").select(
+      col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"),
+      col("label").cast("int").as("label"))
 
   /** Spread a small scan across all cores before a CPU-heavy per-row
     * stage (shingling, signature computation). At production scale the

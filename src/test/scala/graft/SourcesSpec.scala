@@ -40,6 +40,33 @@ class SourcesSpec extends SparkSpec {
     assert(Tables.normalizeTs(ltz).schema("ts").dataType == TimestampType)
   }
 
+  test("corpus loaders normalize drifted physical types to the declared schema") {
+    import spark.implicits._
+    // simulate a regenerated testdata drop where integer widths and
+    // float precision drifted (the events.ts incident, other tables)
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-").toString
+    Seq((1, "hello world", "en", "src1", 11))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .selectExpr("cast(doc_id as int) doc_id", "text", "lang", "source",
+        "cast(n_chars as int) n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((7, Array(0.25, -0.5), 3))
+      .toDF("vec_id", "embedding", "label")
+      .selectExpr("cast(vec_id as int) vec_id",
+        "cast(embedding as array<double>) embedding", "cast(label as long) label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val docs = Tables.documents(spark, dir)
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("n_chars").dataType == LongType)
+    assert(docs.as[(Long, String, String, String, Long)].head()
+      == ((1L, "hello world", "en", "src1", 11L)))
+    val emb = Tables.embeddings(spark, dir)
+    assert(emb.schema("vec_id").dataType == LongType)
+    assert(emb.schema("embedding").dataType == ArrayType(FloatType))
+    assert(emb.schema("label").dataType == IntegerType)
+    assert(emb.as[(Long, Array[Float], Int)].head()._2.toSeq == Seq(0.25f, -0.5f))
+  }
+
   test("batch and streaming events loaders agree on ts for the shipped testdata") {
     val batch = Tables.events(spark, sf)
     assert(batch.schema("ts").dataType == TimestampType)
