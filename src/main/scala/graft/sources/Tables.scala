@@ -29,7 +29,7 @@ object Tables {
     * the NTZ→LTZ cast preserves the stored wall-clock instant. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(load(spark, dir, "events"))
+    normalizeEvents(load(spark, dir, "events"))
   }
 
   /** Normalize the `ts` column to TimestampType regardless of how the
@@ -41,6 +41,26 @@ object Tables {
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df
     }
+  }
+
+  /** Full events normalization: ts via [[normalizeTs]], integer/float
+    * widths to the declared schema, and `props` back to a JSON string
+    * if a future generation ships it pre-parsed (struct/map) — the
+    * scoring pipeline's `from_json` expects the wire form. All casts
+    * are no-ops on the current files. */
+  def normalizeEvents(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val props = df.schema("props").dataType match {
+      case StringType => col("props")
+      case _          => to_json(col("props"))
+    }
+    normalizeTs(df).select(
+      col("event_id").cast("long").as("event_id"),
+      col("ts"),
+      col("user_id").cast("long").as("user_id"),
+      col("event_type").cast("string").as("event_type"),
+      col("value").cast("double").as("value"),
+      props.as("props"))
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")

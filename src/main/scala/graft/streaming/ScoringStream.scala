@@ -30,30 +30,21 @@ import org.apache.spark.sql.types._
   */
 object ScoringStream {
 
-  /** events.parquet schema as stored, with `ts` typed as whatever the
-    * files actually hold (int64 nanos in older testdata generations,
-    * TIMESTAMP(MICROS)/NTZ in newer ones — see
-    * [[graft.sources.Tables.events]]). The file source requires a
-    * user-supplied schema, and a LongType/TimestampNTZ mismatch
-    * against the footer silently reinterprets the raw int64, so probe
-    * the batch reader's inferred schema once at stream-build time. */
-  def eventsFileSchema(spark: SparkSession, dir: String): StructType = {
-    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-    StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", tsType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-  }
+  /** events.parquet schema AS STORED, probed from the batch reader at
+    * stream-build time: the file source requires a user-supplied
+    * schema, the stored physical types have drifted across testdata
+    * generations (ts: int64 nanos → TIMESTAMP(MICROS)/NTZ), and a
+    * LongType/TimestampNTZ mismatch against the footer silently
+    * reinterprets the raw int64 — so never hardcode it. */
+  def eventsFileSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(s"$dir/events.parquet").schema
 
   /** Unbounded raw event stream over a directory of events parquet,
-    * ts normalized to a proper timestamp (same handling as the batch
-    * [[graft.sources.Tables.events]]). */
+    * normalized to the declared engine schema (same handling as the
+    * batch [[graft.sources.Tables.events]]). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.sources.Tables.normalizeTs(
+    graft.sources.Tables.normalizeEvents(
       spark.readStream
         .schema(eventsFileSchema(spark, dir))
         .option("pathGlobFilter", "events.parquet") // the sf dir holds all tables

@@ -67,6 +67,26 @@ class SourcesSpec extends SparkSpec {
     assert(emb.as[(Long, Array[Float], Int)].head()._2.toSeq == Seq(0.25f, -0.5f))
   }
 
+  test("events loader normalizes drifted widths and re-serializes pre-parsed props") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-edrift-").toString
+    Seq((1, "2024-03-04 05:06:07", 9, "click", 1.5f, 12.0))
+      .toDF("event_id", "s", "user_id", "event_type", "value", "amount")
+      .selectExpr("cast(event_id as int) event_id", "cast(s as timestamp_ntz) ts",
+        "cast(user_id as int) user_id", "event_type", "cast(value as float) value",
+        "named_struct('amount', amount) props")
+      .write.parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("event_id").dataType == LongType)
+    assert(ev.schema("ts").dataType == TimestampType)
+    assert(ev.schema("value").dataType == DoubleType)
+    assert(ev.schema("props").dataType == StringType)
+    val row = ev.head()
+    assert(row.getAs[Long]("user_id") == 9L)
+    assert(row.getAs[Double]("value") == 1.5)
+    assert(row.getAs[String]("props") == """{"amount":12.0}""")
+  }
+
   test("batch and streaming events loaders agree on ts for the shipped testdata") {
     val batch = Tables.events(spark, sf)
     assert(batch.schema("ts").dataType == TimestampType)
