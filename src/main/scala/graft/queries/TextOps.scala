@@ -1367,16 +1367,22 @@ object TextOps {
       |  LEAST(32, n_tokens - start_tok) AS chunk_tokens,
       |  array_to_string(list_slice(w, start_tok + 1, start_tok + 32), ' ') AS chunk_text
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
-    tokenized(Tables.documents(s, dir))
-      .select(col("doc_id"), size(col("w")).as("n_tokens"), col("w"))
+    chunkFrame(Tables.documents(s, dir)).orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** The chunking transform of [[chunkWindows]] over any documents
+    * frame (batch or streaming — stateless, so the streaming twin
+    * shares this code verbatim). */
+  def chunkFrame(docs: DataFrame): DataFrame =
+    tokenized(docs)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(col("w")).as("n_tokens"), col("w"))
       .withColumn("start_tok", explode(sequence(lit(0), col("n_tokens") - 1, lit(24))))
       .select(col("doc_id"),
         (col("start_tok") / 24).cast("int").as("chunk_id"),
         col("start_tok").cast("long").as("start_tok"),
         least(lit(32), col("n_tokens") - col("start_tok")).cast("long").as("chunk_tokens"),
         array_join(slice(col("w"), col("start_tok") + 1, lit(32)), " ").as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_id"))
-  }
 
   val all: Seq[Q] = Seq(chunkWindows, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,

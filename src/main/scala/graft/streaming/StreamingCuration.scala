@@ -232,5 +232,33 @@ object StreamingCuration {
     runCurationStream(s, dir)
   }
 
-  val all: Seq[Q] = Seq(streamCurationPack)
+  /** Streaming twin of `text_chunk_windows` — the chunker run as a
+    * continuous map over arriving documents. Stateless (each doc's
+    * chunks depend on that doc alone), so the exactly-once story is
+    * just the file-source checkpoint + parquet sink commit log: no
+    * state store, no watermark, no replay normalization needed, and
+    * the plan inside every micro-batch is the same shuffle-free
+    * explode the batch query runs. Shares the batch oracle — the
+    * continuously-operated chunker must emit exactly the chunks the
+    * batch pass emits, however arrivals are sliced. */
+  val streamChunkWindows: Q = Q("stream_chunk_windows",
+    TextOps.chunkWindows.oracle.get) { (s, dir) =>
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chunk-ckpt-").toString
+    val out  = java.nio.file.Files.createTempDirectory("graft-chunk-out-").toString + "/rows"
+    val chunks = TextOps.chunkFrame(
+      s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir))
+    val q = chunks.writeStream
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.schema(chunks.schema).parquet(out)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val all: Seq[Q] = Seq(streamCurationPack, streamChunkWindows)
 }
