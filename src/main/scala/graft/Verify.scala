@@ -19,11 +19,21 @@ object Verify {
     GraftSession.attach(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // One retry per query: every registered query is deterministic, so
+    // a second attempt can only fail the same way on a genuine defect —
+    // but it absorbs transient environment hiccups (tmp-dir pressure,
+    // a slow stream drain) that would otherwise erase a green query
+    // from the round's correctness record.
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try attempt()
+      catch { case e1: Throwable =>
+        System.err.println(s"[verify] $name failed once, retrying: ${e1.getMessage}")
+        try attempt()
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
