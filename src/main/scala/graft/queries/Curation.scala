@@ -221,11 +221,23 @@ object Curation {
       |SELECT doc_id, source, ROUND(weight, 6) AS weight,
       |       unnest(generate_series(0, reps - 1)) AS rep
       |FROM r ORDER BY doc_id, rep""".stripMargin) { (s, dir) =>
+    mixFrame(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), round(col("weight"), 6).as("weight"),
+        col("rep").cast("long").as("rep"))
+      .orderBy(col("doc_id"), col("rep"))
+  }
+
+  /** The replication transform of [[epochMix]] over any documents
+    * frame: one emitted row per (doc, rep) with the doc's other
+    * columns carried through — the frame downstream consumers
+    * (packing, shuffling into shards) compose on. */
+  def mixFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val weight = lit(0.5) +
       lit(0.5) * (regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4)
     val u = hashInt("epoch:", 6).cast("double") / 16777216.0
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), weight.as("weight"), u.as("u"))
+    docs
+      .withColumn("weight", weight)
+      .withColumn("u", u)
       .withColumn("reps",
         (floor(col("weight")) +
           when(col("u") < col("weight") - floor(col("weight")), 1).otherwise(0)).cast("int"))
@@ -234,10 +246,63 @@ object Curation {
       .withColumn("rep", explode(
         when(col("reps") > 0, sequence(lit(0), col("reps") - 1))
           .otherwise(array().cast("array<int>"))))
-      .select(col("doc_id"), col("source"), round(col("weight"), 6).as("weight"),
-        col("rep").cast("long").as("rep"))
-      .orderBy(col("doc_id"), col("rep"))
   }
 
-  val all: Seq[Q] = Seq(splitAssign, sourceMix, lmScore, repetitionScore, epochMix)
+  /** Epoch mix COMPOSED with sequence packing — the final corpus-
+    * assembly step a training run executes: replicate/downsample per
+    * the mix weights ([[mixFrame]]), then pack the emitted multiset
+    * into 512-token sequences per source in (doc_id, rep) order (the
+    * same running-sum offset scheme as `text_pack_sequences`, so two
+    * replicas of one doc land at different offsets, usually in
+    * different sequences). Output is the per-sequence manifest:
+    * entries, distinct docs, token mass, offset span.
+    *
+    * Scale shape: the mix is the shuffle-free map above; packing adds
+    * exactly ONE shuffle (hash on source for the window) and the
+    * aggregation reuses that partitioning — same plan family as
+    * text_pack_sequences, pinned there by PlanInvariantsSpec. */
+  val mixPack: Q = Q("text_mix_pack",
+    """WITH w AS (
+      |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+      |    CAST(0.5 + 0.5 * (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4) AS DOUBLE)
+      |      AS weight,
+      |    CAST(('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+      |      / 16777216.0 AS u
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(FLOOR(weight) + CASE WHEN u < weight - FLOOR(weight) THEN 1 ELSE 0 END AS INT)
+      |      AS reps
+      |  FROM w),
+      |m AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         unnest(generate_series(0, reps - 1)) AS rep
+      |  FROM r),
+      |o AS (
+      |  SELECT source, doc_id, rep, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, rep
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM m)
+      |SELECT source, CAST(start_off // 512 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_entries, COUNT(DISTINCT doc_id) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM o GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"), col("rep"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mixFrame(Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")))
+      .select(col("source"), col("doc_id"), col("rep"), col("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .groupBy(col("source"), floor(col("start_off") / 512).as("seq_id"))
+      .agg(count(lit(1)).as("n_entries"), countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  val all: Seq[Q] = Seq(splitAssign, sourceMix, lmScore, repetitionScore, epochMix,
+    mixPack)
 }

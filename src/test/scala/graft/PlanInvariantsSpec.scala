@@ -80,12 +80,16 @@ class PlanInvariantsSpec extends SparkSpec {
   }
 
   test("sequence packing aggregates on the window's partitioning (one data shuffle)") {
-    val plan = formatted(SparkEntry.queries("text_pack_sequences")(spark, sf))
     // groupBy(source, seq_id) must ride the window's hash(source)
     // partitioning: exchanges = one for the window + one for the
     // final ORDER BY presentation sort, nothing else. (Count tree
     // nodes only — the formatted detail section repeats each name.)
-    assert("""[+:]- Exchange""".r.findAllIn(plan).size <= 2, plan)
+    // text_mix_pack composes the shuffle-free epoch mix in front of
+    // the same packing scheme, so it must keep the identical bound.
+    for (q <- Seq("text_pack_sequences", "text_mix_pack")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sf))
+      assert("""[+:]- Exchange""".r.findAllIn(plan).size <= 2, s"$q:\n$plan")
+    }
   }
 
   test("containment dedup candidate generation never goes cartesian") {
