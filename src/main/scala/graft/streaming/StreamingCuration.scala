@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.nio.file.attribute.FileTime
 
 import graft.Q
-import graft.queries.TextOps
+import graft.queries.{Curation, TextOps}
 import graft.sources.{FrameStore, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -243,22 +243,49 @@ object StreamingCuration {
     * batch pass emits, however arrivals are sliced. */
   val streamChunkWindows: Q = Q("stream_chunk_windows",
     TextOps.chunkWindows.oracle.get) { (s, dir) =>
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-chunk-ckpt-").toString
-    val out  = java.nio.file.Files.createTempDirectory("graft-chunk-out-").toString + "/rows"
-    val chunks = TextOps.chunkFrame(
+    runStatelessTwin(s, dir, TextOps.chunkFrame)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Streaming twin of `text_mix_epochs` — the replication mix as a
+    * continuous map over arriving documents, same stateless
+    * exactly-once story as [[streamChunkWindows]] and the same batch
+    * oracle: the replica multiset is per-doc deterministic (md5
+    * coin), so slicing arrivals can never change what gets emitted —
+    * exactly the reproducibility property a continuously-assembled
+    * training corpus needs. */
+  val streamMixEpochs: Q = Q("stream_mix_epochs",
+    Curation.epochMix.oracle.get) { (s, dir) =>
+    runStatelessTwin(s, dir, docs =>
+      Curation.mixFrame(docs)
+        .select(col("doc_id"), col("source"), round(col("weight"), 6).as("weight"),
+          col("rep").cast("long").as("rep")))
+      .orderBy(col("doc_id"), col("rep"))
+  }
+
+  /** Run a STATELESS per-document transform as an `AvailableNow`
+    * stream over the sf dir's documents table and read the sink
+    * back. Stateless twins need no state store, watermark, or replay
+    * normalization: the file-source checkpoint plus the parquet
+    * commit log are the whole exactly-once story, and the per-batch
+    * plan is identical to the batch query's. */
+  def runStatelessTwin(s: SparkSession, dir: String,
+                       transform: DataFrame => DataFrame): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-twin-ckpt-").toString
+    val out  = java.nio.file.Files.createTempDirectory("graft-twin-out-").toString + "/rows"
+    val frame = transform(
       s.readStream
         .schema(s.read.parquet(s"$dir/documents.parquet").schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir))
-    val q = chunks.writeStream
+    val q = frame.writeStream
       .option("checkpointLocation", ckpt)
       .format("parquet").option("path", out)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.schema(chunks.schema).parquet(out)
-      .orderBy(col("doc_id"), col("chunk_id"))
+    s.read.schema(frame.schema).parquet(out)
   }
 
-  val all: Seq[Q] = Seq(streamCurationPack, streamChunkWindows)
+  val all: Seq[Q] = Seq(streamCurationPack, streamChunkWindows, streamMixEpochs)
 }
