@@ -208,7 +208,7 @@ object Curation {
   val epochMix: Q = Q("text_mix_epochs",
     """WITH w AS (
       |  SELECT doc_id, source,
-      |    CAST(0.5 + 0.5 * (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4) AS DOUBLE)
+      |    CAST(0.5 + 0.5 * (COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT), 0) % 4) AS DOUBLE)
       |      AS weight,
       |    CAST(('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
       |      / 16777216.0 AS u
@@ -232,8 +232,14 @@ object Curation {
     * columns carried through — the frame downstream consumers
     * (packing, shuffling into shards) compose on. */
   def mixFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val weight = lit(0.5) +
-      lit(0.5) * (regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4)
+    // a digitless source name extracts '', which the int cast rejects
+    // under ANSI (and DuckDB rejects as a Conversion Error) — nullif
+    // + coalesce pin both engines to suffix 0 (weight 0.5) so a
+    // testdata naming change degrades to a checkable default instead
+    // of a crash on one side and silent row loss on the other
+    val weight = lit(0.5) + lit(0.5) *
+      (coalesce(nullif(regexp_extract(col("source"), "(\\d+)", 1), lit("")).cast("int"),
+        lit(0)) % 4)
     val u = hashInt("epoch:", 6).cast("double") / 16777216.0
     docs
       .withColumn("weight", weight)
@@ -264,7 +270,7 @@ object Curation {
   val mixPack: Q = Q("text_mix_pack",
     """WITH w AS (
       |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
-      |    CAST(0.5 + 0.5 * (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4) AS DOUBLE)
+      |    CAST(0.5 + 0.5 * (COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT), 0) % 4) AS DOUBLE)
       |      AS weight,
       |    CAST(('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
       |      / 16777216.0 AS u

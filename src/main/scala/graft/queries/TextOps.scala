@@ -1384,9 +1384,104 @@ object TextOps {
         least(lit(32), col("n_tokens") - col("start_tok")).cast("long").as("chunk_tokens"),
         array_join(slice(col("w"), col("start_tok") + 1, lit(32)), " ").as("chunk_text"))
 
+  // ---------------------------------------------------------------- line dedup
+  /** Segment length (tokens) and cross-doc threshold for
+    * [[dedupLines]]: a "line" is a 4-token aligned window (the corpus
+    * has no newlines — the structural analog of a physical line), and
+    * a line present in ≥ 3 DISTINCT documents is boilerplate. */
+  private[graft] val LineLen = 4
+  private[graft] val LineMinDocs = 3
+
+  /** Per-doc aligned pseudo-line segments `(doc_id, seg_id, line,
+    * n_tok)` — a pure column program (tokenize + transform + slice),
+    * no shuffle until the caller aggregates. */
+  private[graft] def lineSegments(docs: DataFrame): DataFrame =
+    tokenized(docs)
+      .select(col("doc_id"), col("w"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(ceil(size(w) / $LineLen.0) as int) - 1),
+             |          k -> array_join(slice(w, k * $LineLen + 1, $LineLen), ' '))""".stripMargin)
+        ).as(Seq("seg_id", "line")))
+      .select(col("doc_id"), col("seg_id").cast("long").as("seg_id"), col("line"),
+        size(split(col("line"), " ")).cast("long").as("n_tok"))
+
+  /** Boilerplate line set + its size, memoized per (application, sf
+    * dir): the broadcast-gate evidence and the join both reuse it, so
+    * the cross-doc count aggregate is paid once per session, and no
+    * persisted frame leaks across Bench reps. */
+  private val boilerCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)]
+
+  private def boilerLines(s: SparkSession, dir: String): (DataFrame, Long) =
+    boilerCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val df = lineSegments(Tables.fanOut(Tables.documents(s, dir)))
+        .groupBy(md5(col("line")).as("fp"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= LineMinDocs)
+        .select(col("fp")).withColumn("is_boiler", lit(true))
+        .persist()
+      (df, df.count())
+    })
+
+  /** Line/paragraph-level deduplication — the CCNet/RefinedWeb
+    * boilerplate filter: a line repeated across ≥ [[LineMinDocs]]
+    * distinct documents (headers, footers, nav chrome) is removed
+    * from EVERY document, and the doc itself survives with the
+    * repeated lines cut out. Output is the per-doc removal report
+    * with the md5 of the retained text, so the oracle verifies the
+    * actual reassembled content, not just counts.
+    *
+    * Scale shape: segmentation is a shuffle-free map; the cross-doc
+    * count is ONE aggregate keyed by the line fingerprint (never
+    * all-pairs — candidates are bounded by total segments, exactly
+    * like a postings build); the mark-join keys on the fixed-width
+    * md5 rather than arbitrary-length line text, and broadcasts only
+    * under the size gate (a web corpus's boilerplate set grows with
+    * the crawl, so past the bound the join degrades to a shuffle on
+    * the same fixed-width key); reassembly is one groupBy(doc_id)
+    * whose collect is doc-bounded. */
+  val dedupLines: Q = Q("text_dedup_lines",
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS i FROM tok),
+      |seg AS (SELECT doc_id, i // $LineLen AS seg_id,
+      |               string_agg(word, ' ' ORDER BY i) AS line, COUNT(*) AS n_tok
+      |        FROM words GROUP BY 1, 2),
+      |cnt AS (SELECT md5(line) AS fp, COUNT(DISTINCT doc_id) AS nd FROM seg GROUP BY 1),
+      |m AS (SELECT s.*, (c.nd >= $LineMinDocs) AS boiler
+      |      FROM seg s JOIN cnt c ON md5(s.line) = c.fp)
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |  COUNT(*) FILTER (WHERE boiler) AS n_boiler,
+      |  CAST(COALESCE(SUM(n_tok) FILTER (WHERE NOT boiler), 0) AS BIGINT) AS n_tokens_kept,
+      |  md5(COALESCE(string_agg(line, ' ' ORDER BY seg_id) FILTER (WHERE NOT boiler), ''))
+      |    AS kept_fp
+      |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val (boiler, nBoiler) = boilerLines(s, dir)
+    lineDedupReport(Tables.documents(s, dir), boiler, nBoiler)
+  }
+
+  /** The [[dedupLines]] report for any documents frame against a
+    * boilerplate fingerprint set (exposed for the planted-line
+    * spec). */
+  private[graft] def lineDedupReport(docs: DataFrame, boiler: DataFrame,
+                                     nBoiler: Long): DataFrame =
+    lineSegments(docs)
+      .withColumn("fp", md5(col("line")))
+      // ~56 B/row: 32-char hex fp + boolean + row overhead
+      .join(maybeBroadcast(boiler, nBoiler * 56), Seq("fp"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("is_boiler")).as("n_boiler"),
+        coalesce(sum(when(col("is_boiler").isNull, col("n_tok"))), lit(0L))
+          .as("n_tokens_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(
+            when(col("is_boiler").isNull, struct(col("seg_id"), col("line"))))),
+          x => x.getField("line")), " ")).as("kept_fp"))
+      .orderBy(col("doc_id"))
+
   val all: Seq[Q] = Seq(chunkWindows, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
-    dedupKeep, tokenBpe, packSequences, dupRateSketch, topTokensSketch,
+    dedupKeep, dedupLines, tokenBpe, packSequences, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, vocabBySource,
     tfidfTopK, curation, curationPack, decontaminate, decontaminateIncremental)
 }

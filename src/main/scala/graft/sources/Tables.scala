@@ -75,7 +75,15 @@ object Tables {
     * float/double drift here would wipe the text/sim families the
     * same way. The casts are no-ops on the current files. */
   def documents(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "documents").select(
+    normalizeDocuments(load(spark, dir, "documents"))
+
+  /** The documents normalization as a frame transform, so STREAMING
+    * readers of documents.parquet (the stateless twins) apply the
+    * identical casts as the batch loader — a physical-type drift must
+    * move both sides together, never change a stream twin's output
+    * schema while its batch oracle stays normalized. */
+  def normalizeDocuments(df: DataFrame): DataFrame =
+    df.select(
       col("doc_id").cast("long").as("doc_id"),
       col("text").cast("string").as("text"),
       col("lang").cast("string").as("lang"),

@@ -143,17 +143,26 @@ abstract class VersionedStore(root: String) extends Serializable {
       }
     val doomed = versions(name).filter(_ < prod).sorted.dropRight(keep)
     doomed.foreach(v => rmTree(nameDir(name).resolve(s"v$v")))
-    // age-gate the staging sweep: a .staging-* dir modified within the
+    // age-gate the staging sweep: a .staging-* tree touched within the
     // last 10 minutes may belong to a LIVE writer mid-stageVersion —
-    // deleting it would fail that writer's write() or rename. Only
-    // genuine crash debris (stale for longer than any real version
-    // build) is reclaimed, so gc is safe even if the drain-time
+    // deleting it would fail that writer's write() or rename. The gate
+    // reads the NEWEST mtime anywhere in the tree, not the root dir's
+    // (a root's mtime only refreshes on top-level child creation, so a
+    // long build writing under staging/data/ would look stale at the
+    // root while its leaves are seconds old). Only genuine crash
+    // debris — no file touched for longer than any real version
+    // build — is reclaimed, so gc is safe even if the drain-time
     // discipline slips and it races a writer.
     val staleBefore = System.currentTimeMillis() - 10 * 60 * 1000L
+    def newestMtime(d: Path): Long =
+      scala.util.Using.resource(Files.walk(d)) { stream =>
+        stream.iterator().asScala
+          .map(Files.getLastModifiedTime(_).toMillis).max
+      }
     scala.util.Using.resource(Files.list(nameDir(name))) { stream =>
       stream.iterator().asScala.toSeq
         .filter(_.getFileName.toString.startsWith(".staging-"))
-        .filter(p => Files.getLastModifiedTime(p).toMillis < staleBefore)
+        .filter(p => newestMtime(p) < staleBefore)
         .foreach(rmTree)
     }
     doomed

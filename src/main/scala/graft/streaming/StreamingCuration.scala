@@ -271,13 +271,18 @@ object StreamingCuration {
     * plan is identical to the batch query's. */
   def runStatelessTwin(s: SparkSession, dir: String,
                        transform: DataFrame => DataFrame): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-twin-ckpt-").toString
-    val out  = java.nio.file.Files.createTempDirectory("graft-twin-out-").toString + "/rows"
-    val frame = transform(
+    val scratch = graft.sources.Scratch.dir("graft-twin-").toString
+    val ckpt = s"$scratch/ckpt"
+    val out  = s"$scratch/rows"
+    // the stream reads the file's PHYSICAL schema, then normalizes
+    // through the same transform as the batch loader — a physical-type
+    // drift (int32 doc_id, …) changes both sides together instead of
+    // silently de-normalizing only the streaming twin
+    val frame = transform(Tables.normalizeDocuments(
       s.readStream
         .schema(s.read.parquet(s"$dir/documents.parquet").schema)
         .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir))
+        .parquet(dir)))
     val q = frame.writeStream
       .option("checkpointLocation", ckpt)
       .format("parquet").option("path", out)

@@ -167,4 +167,27 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     scored.foreach { case (id, n, _) => assert(docs(id) == n) }
   }
+
+  test("mix weight defaults a digitless source to 0.5 instead of dropping it") {
+    // regexp_extract on a source with no digits yields '' → null int
+    // in Spark (silent row loss) but a Conversion Error in DuckDB;
+    // the coalesce pins both engines to suffix 0 ⇒ weight 0.5, so a
+    // testdata naming change degrades loudly (hash mismatch) rather
+    // than silently thinning the mix
+    // weight 0.5 is a coin per doc, so a single doc may legitimately
+    // emit nothing — assert over a population: without the coalesce
+    // EVERY digitless doc has null weight and is dropped (emitted=0)
+    val docs = ((1L to 50L).map(i => (i, s"tok$i a b", "en", "web", 8L)) :+
+        (99L, "d e f", "en", "crawl7", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val emitted = Curation.mixFrame(docs)
+      .select($"doc_id", $"source", $"weight".cast("double")).distinct()
+      .as[(Long, String, Double)].collect()
+    val web = emitted.filter(_._2 == "web")
+    assert(web.nonEmpty && web.length < 50,
+      s"digitless source must coin-sample at weight 0.5, emitted ${web.length}/50")
+    assert(web.forall(_._3 == 0.5), "digitless source must default to weight 0.5")
+    assert(emitted.filter(_._2 == "crawl7").forall(_._3 == 0.5 + 0.5 * (7 % 4)),
+      "digit-bearing source weights unchanged")
+  }
 }

@@ -214,4 +214,27 @@ class ScaleTechniquesSpec extends SparkSpec {
       assert(!over.contains("BroadcastHashJoin"), over)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("enrichment dim broadcast degrades past the size bound") {
+    // The stream-static enrichment join's dim is per-USER state —
+    // unbounded at scale — so ScoringStream.enrichDim routes the hint
+    // through the same gate. Plan the batch-equivalent join under the
+    // real per-row estimate (fits → broadcast) and under a simulated
+    // web-scale user base (must fall back to a shuffle strategy).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val events = graft.sources.Tables.events(spark, sf)
+      val dim = events.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("user_events"), avg(col("value")).as("user_avg_value"))
+      def planWith(bytesPerRow: Long): String =
+        events.select(col("event_id"), col("user_id"), col("value"))
+          .join(graft.streaming.ScoringStream.enrichDim(dim, bytesPerRow), Seq("user_id"))
+          .queryExecution.executedPlan.toString
+      val under = planWith(40L)
+      val over = planWith(graft.queries.TextOps.BroadcastBytesLimit + 1)
+      assert(under.contains("BroadcastHashJoin"), under)
+      assert(!over.contains("BroadcastHashJoin"), over)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
