@@ -384,4 +384,41 @@ class DedupSpec extends SparkSpec {
     // single pair (a->b, b->c glued) at this SF
     assert(byCluster.values.exists(_.length > 2))
   }
+
+  test("line dedup removes a planted boilerplate line from every carrier doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5, lit}
+    // one 4-token boilerplate line planted at a DIFFERENT aligned
+    // offset in 3 docs; a 4th doc shares no line with anyone
+    val boiler = "subscribe to our newsletter".split(" ")
+    def doc(unique: Seq[String], at: Int): String =
+      (unique.take(at * 4) ++ boiler ++ unique.drop(at * 4)).mkString(" ")
+    val u = (0 until 16).map(i => s"u$i")
+    val docs = Seq(
+      (1L, doc(u.map("a" + _), 0), "en", "s1", 0L),
+      (2L, doc(u.map("b" + _), 1), "en", "s1", 0L),
+      (3L, doc(u.map("c" + _), 2), "en", "s1", 0L),
+      (4L, u.map("d" + _).mkString(" "), "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val segs = graft.queries.TextOps.lineSegments(docs)
+    val boilerSet = segs.groupBy(md5(col("line")).as("fp"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= graft.queries.TextOps.LineMinDocs)
+      .select(col("fp")).withColumn("is_boiler", lit(true))
+    val out = graft.queries.TextOps.lineDedupReport(docs, boilerSet, nBoiler = 1L)
+      .select($"doc_id", $"n_lines", $"n_boiler", $"n_tokens_kept", $"kept_fp")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // each carrier has 20 tokens = 5 lines, loses exactly the planted one
+    for (id <- Seq(1L, 2L, 3L)) {
+      val (_, nLines, nBoiler, kept, _) = out(id)
+      assert(nLines == 5 && nBoiler == 1 && kept == 16, s"doc $id: $nLines $nBoiler $kept")
+    }
+    val (_, n4, b4, k4, _) = out(4L)
+    assert(n4 == 4 && b4 == 0 && k4 == 16, s"clean doc: $n4 $b4 $k4")
+    // retained text of doc 1 is its unique tokens exactly, in order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(u.map("a" + _).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1L)._5 == expect, "kept_fp must hash the reassembled retained text")
+  }
 }
