@@ -104,12 +104,6 @@ object TextOps {
     * this as its explicit `cache_warm_shared` entry so the one-time
     * cost is visible but never misattributed to whichever consumer
     * happens to run first. */
-  def warmSharedCaches(s: SparkSession, dir: String): Unit = {
-    hashedShinglesStats(s, dir)
-    tokenCounts(s, dir).count()
-    nearDupPairs05(s, dir)
-  }
-
   private[graft] def tokenCounts(s: SparkSession, dir: String): DataFrame =
     tcCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
       val df = tokenized(Tables.documents(s, dir))
