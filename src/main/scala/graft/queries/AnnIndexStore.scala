@@ -110,13 +110,14 @@ final class AnnIndexStore(root: String) extends graft.sources.VersionedStore(roo
     * produce two codes for one vec_id. Returns the promoted
     * version. */
   def appendBatch(spark: SparkSession, name: String, newEmb: DataFrame,
-                  batchId: Option[Long] = None): Int = {
+                  batchId: Option[Long] = None,
+                  streamId: Option[String] = None): Int = {
     val v = productionVersion(name)
       .getOrElse(sys.error(s"no production index $name to append to"))
-    if (batchId.exists(id => lastAppliedBatch(name).exists(_ >= id))) v
+    if (batchId.exists(id => lastAppliedBatch(name, streamId).exists(_ >= id))) v
     else {
       val idx = load(spark, name, v)
-      val next = stageVersion(name, batchId) { staging =>
+      val next = stageVersion(name, batchId, streamId) { staging =>
         linkTree(nameDir(name).resolve(s"v$v"), staging)
         PqAnn.encodeWith(newEmb, idx.cents, idx.books, idx.listMeans)
           .write.mode("append").partitionBy("list_id")

@@ -28,8 +28,13 @@ abstract class VersionedStore(root: String) extends Serializable {
     * writers cannot collide on a version number — the rename loser
     * retries at the next free number. `batchId`, when given, is
     * recorded inside the version (see [[appliedBatch]]) so streaming
-    * replays of an already-applied micro-batch can be skipped. */
-  protected def stageVersion(name: String, batchId: Option[Long] = None)
+    * replays of an already-applied micro-batch can be skipped;
+    * `streamId` (the appender's checkpoint identity) is recorded
+    * beside it so the skip applies only to replays from the SAME
+    * stream — batchIds are monotonic within one checkpoint, not
+    * across checkpoints. */
+  protected def stageVersion(name: String, batchId: Option[Long] = None,
+                             streamId: Option[String] = None)
                             (write: Path => Unit): Int = {
     val d = nameDir(name)
     Files.createDirectories(d)
@@ -41,7 +46,8 @@ abstract class VersionedStore(root: String) extends Serializable {
       // writing through that link would corrupt the source version's
       // marker, so unlink first and write a fresh file
       Files.deleteIfExists(staging.resolve("BATCH"))
-      Files.writeString(staging.resolve("BATCH"), id.toString)
+      Files.writeString(staging.resolve("BATCH"),
+        id.toString + streamId.map("\n" + _).getOrElse(""))
     }
     var v = latestVersion(name).getOrElse(0) + 1
     var done = false
@@ -56,17 +62,39 @@ abstract class VersionedStore(root: String) extends Serializable {
     * if it came from a batch-stamped append. */
   def appliedBatch(name: String, version: Int): Option[Long] = {
     val p = nameDir(name).resolve(s"v$version").resolve("BATCH")
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+    if (Files.exists(p))
+      Some(Files.readString(p).linesIterator.next().trim.toLong)
+    else None
+  }
+
+  /** The stream (checkpoint) identity recorded beside the batchId,
+    * when the publishing append carried one. */
+  def appliedStream(name: String, version: Int): Option[String] = {
+    val p = nameDir(name).resolve(s"v$version").resolve("BATCH")
+    if (Files.exists(p)) Files.readString(p).linesIterator.drop(1).nextOption()
+    else None
   }
 
   /** The batchId the PRODUCTION version was published under. Streaming
     * appenders use this to make at-least-once foreachBatch replays
-    * idempotent: batchIds from one checkpoint are monotonic, so a
+    * idempotent: batchIds from ONE checkpoint are monotonic, so a
     * production marker ≥ the arriving batchId means this batch's
     * append already committed (the crash landed between the append
-    * and the checkpoint commit) and must not run again. */
-  def lastAppliedBatch(name: String): Option[Long] =
-    productionVersion(name).flatMap(appliedBatch(name, _))
+    * and the checkpoint commit) and must not run again.
+    *
+    * When `streamId` is given, the watermark counts ONLY if the
+    * marker's recorded stream identity matches: a FRESH checkpoint
+    * (batchIds restarting at 0) pointed at an existing batch-stamped
+    * store would otherwise silently skip every early batch. An
+    * identity-less marker (a pre-identity append, or a non-streaming
+    * caller) never matches an identity-bearing probe — the safe
+    * direction, since re-running an append that did NOT commit from
+    * this stream is exactly what at-least-once demands. */
+  def lastAppliedBatch(name: String, streamId: Option[String] = None): Option[Long] =
+    productionVersion(name).flatMap { v =>
+      appliedBatch(name, v)
+        .filter(_ => streamId.isEmpty || appliedStream(name, v) == streamId)
+    }
 
   def versions(name: String): Seq[Int] = {
     val d = nameDir(name)
@@ -210,22 +238,22 @@ final class FrameStore(root: String) extends VersionedStore(root) {
     * this batch's append already committed (the crash landed between
     * the append and the checkpoint commit) and is skipped.
     *
-    * HARD REQUIREMENT — store↔checkpoint lifetime coupling: the skip
-    * rule assumes batchIds are monotonic for the store's whole life,
-    * i.e. exactly one streaming checkpoint ever feeds a given store.
-    * Starting a NEW stream (fresh checkpoint, batchIds restarting at
-    * 0) against an EXISTING batch-stamped store would silently skip
-    * every early batch. Create the store and the checkpoint together
-    * and retire them together (all engine call sites do). Returns
-    * the promoted version. */
+    * Pass `streamId` (the stream's checkpoint location) with
+    * `batchId`: the watermark skip is ENFORCED to the stream identity
+    * recorded in the marker, so a FRESH checkpoint (batchIds
+    * restarting at 0) pointed at an existing batch-stamped store
+    * appends normally instead of silently dropping every early batch
+    * — the store↔checkpoint lifetime coupling is checked, not just
+    * documented. Returns the promoted version. */
   def appendBatch(spark: SparkSession, name: String, batch: DataFrame,
                   partitionCols: Seq[String] = Nil,
-                  batchId: Option[Long] = None): Int = {
+                  batchId: Option[Long] = None,
+                  streamId: Option[String] = None): Int = {
     val v = productionVersion(name)
       .getOrElse(sys.error(s"no production frame $name to append to"))
-    if (batchId.exists(id => lastAppliedBatch(name).exists(_ >= id))) v
+    if (batchId.exists(id => lastAppliedBatch(name, streamId).exists(_ >= id))) v
     else {
-      val next = stageVersion(name, batchId) { staging =>
+      val next = stageVersion(name, batchId, streamId) { staging =>
         linkTree(nameDir(name).resolve(s"v$v"), staging)
         val w = batch.write.mode("append")
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)

@@ -66,7 +66,8 @@ object StreamingAnnIndex {
           // each append re-encodes ONLY the batch with the promoted
           // constants and flips the pointer atomically
           env.store.appendBatch(batch.sparkSession,
-            AnnIndexStore.BaseIndexName, batch, batchId = Some(batchId))
+            AnnIndexStore.BaseIndexName, batch,
+            batchId = Some(batchId), streamId = Some(env.ckpt))
           ()
         }
       }

@@ -179,10 +179,11 @@ object StreamingCuration {
     decisions.write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
     // the indexes grow with EVERY doc (dropped docs still index —
     // the batch pipeline's pair list spans the whole corpus)
-    env.store.appendBatch(bs, ShingleIdx, batchHs, batchId = Some(batchId))
+    env.store.appendBatch(bs, ShingleIdx, batchHs,
+      batchId = Some(batchId), streamId = Some(env.ckpt))
     env.store.appendBatch(bs, FpIdx,
       docs.select(col("doc_id"), md5(col("text")).as("fp")),
-      batchId = Some(batchId))
+      batchId = Some(batchId), streamId = Some(env.ckpt))
     batchHs.unpersist()
     docs.unpersist()
     ()

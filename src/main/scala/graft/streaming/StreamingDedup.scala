@@ -173,7 +173,8 @@ object StreamingDedup {
             batch.repartition(bs.sessionState.conf.numShufflePartitions)).persist()
           dedupShinglesAgainstIndex(hs, idx)
             .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
-          env.store.appendBatch(bs, IndexName, hs, batchId = Some(batchId))
+          env.store.appendBatch(bs, IndexName, hs,
+            batchId = Some(batchId), streamId = Some(env.ckpt))
           hs.unpersist()
           ()
         }

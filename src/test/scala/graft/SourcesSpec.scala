@@ -102,4 +102,38 @@ class SourcesSpec extends SparkSpec {
     assert(batchMinMax.getTimestamp(0).toInstant
       .isAfter(java.time.Instant.parse("2000-01-01T00:00:00Z")))
   }
+
+  test("batch watermark skips only replays from the SAME stream identity") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-streamid-").toString
+    val store = new graft.sources.FrameStore(root)
+    val name = "idx"
+    store.promote(name, store.register(spark, name,
+      Seq.empty[(Long, String)].toDF("id", "v")))
+    def rows(): Long = store.loadProduction(spark, name).get.count()
+    val b0 = Seq((1L, "a")).toDF("id", "v")
+    // first delivery from checkpoint A
+    store.appendBatch(spark, name, b0, batchId = Some(0L), streamId = Some("ckptA"))
+    assert(rows() == 1)
+    // at-least-once replay of the SAME batch from the SAME checkpoint: skipped
+    store.appendBatch(spark, name, b0, batchId = Some(0L), streamId = Some("ckptA"))
+    assert(rows() == 1, "same-stream replay must be idempotent")
+    // a FRESH checkpoint restarts batchIds at 0 against the existing
+    // store — its early batches must append, not be watermark-skipped
+    store.appendBatch(spark, name, Seq((2L, "b")).toDF("id", "v"),
+      batchId = Some(0L), streamId = Some("ckptB"))
+    assert(rows() == 2, "a new stream's batch 0 must not be skipped by A's watermark")
+    // an identity-less legacy marker never satisfies an identity-bearing
+    // probe: appending without a streamId then replaying WITH one re-runs
+    // (the safe direction under at-least-once)
+    store.appendBatch(spark, name, Seq((3L, "c")).toDF("id", "v"), batchId = Some(5L))
+    store.appendBatch(spark, name, Seq((4L, "d")).toDF("id", "v"),
+      batchId = Some(5L), streamId = Some("ckptB"))
+    assert(rows() == 4, "identity-less marker must not satisfy an identity probe")
+    // and the identity survives maintenance: compact, then replay from B
+    store.compact(spark, name)
+    store.appendBatch(spark, name, Seq((5L, "e")).toDF("id", "v"),
+      batchId = Some(5L), streamId = Some("ckptB"))
+    assert(rows() == 4, "post-compaction replay from the same stream must skip")
+  }
 }
