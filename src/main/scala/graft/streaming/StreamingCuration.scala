@@ -62,15 +62,19 @@ object StreamingCuration {
     val docs = Tables.documents(spark, dir)
     val none = docs.filter(lit(false))
     val store = new FrameStore(s"$tmp/store")
+    // every index row carries its appending batch's id (PROVENANCE):
+    // a replayed micro-batch recovers the exact earlier-batch state
+    // by filtering out rows stamped with its OWN batch id — keyed on
+    // provenance, not doc_id, so a doc_id legitimately re-delivered
+    // in a LATER batch keeps its genuine earlier row and is caught
+    // as an exact dup instead of escaping ([[processBatch]])
     store.promote(ShingleIdx,
-      store.register(spark, ShingleIdx, TextOps.hashedShingleArrays(none)))
-    // fps are keyed by doc_id (not bare fp values) so a replayed
-    // micro-batch can subtract ITS OWN already-appended rows and
-    // still see exactly the earlier-batch state — the idempotence
-    // normalization in [[processBatch]]
+      store.register(spark, ShingleIdx,
+        TextOps.hashedShingleArrays(none).withColumn("batch_id", lit(-1L))))
     store.promote(FpIdx,
       store.register(spark, FpIdx,
-        none.select(col("doc_id"), md5(col("text")).as("fp"))))
+        none.select(col("doc_id"), md5(col("text")).as("fp"))
+          .withColumn("batch_id", lit(-1L))))
     Env(s"$tmp/in", s"$tmp/decisions", s"$tmp/ckpt",
       store, TextOps.benchGramStore(spark, dir), docs.schema)
   }
@@ -108,22 +112,23 @@ object StreamingCuration {
     *
     * IDEMPOTENT under foreachBatch's at-least-once contract: on a
     * replay whose index appends already committed, the batch's own
-    * rows are anti-joined OUT of the loaded fp/shingle state (so the
-    * recomputed decisions are byte-identical to the first run and
-    * overwrite the same directory), and each store skips its
+    * rows are filtered OUT of the loaded fp/shingle state by batch
+    * PROVENANCE — every index row is stamped with the batch_id that
+    * appended it, and the load keeps only rows from OTHER batches —
+    * so the recomputed decisions are byte-identical to the first run
+    * and overwrite the same directory. Each store also skips its
     * already-applied append via the batch watermark
     * ([[graft.sources.VersionedStore.lastAppliedBatch]]) — the two
     * appends carry independent watermarks, so a crash BETWEEN them
     * replays into the exact committed state either way.
     *
-    * PRECONDITION — globally unique doc_ids: the replay
-    * normalization anti-joins the fp/shingle indexes BY doc_id,
-    * which treats any index row with an arriving doc_id as "this
-    * batch's own earlier append". If an ingest path could
-    * legitimately re-deliver a doc_id in a LATER batch, that join
-    * would subtract the genuine earlier row and the duplicate would
-    * escape exact-dup detection; such a path must key the
-    * normalization on (doc_id, batch provenance) instead. */
+    * Provenance (not doc_id) keying makes the normalization exact
+    * under RE-DELIVERED doc_ids: a doc_id legitimately arriving
+    * again in a later batch keeps its genuine earlier fp row, so the
+    * re-delivery is caught as an exact dup instead of silently
+    * escaping (the doc_id anti-join this replaces would have
+    * subtracted the earlier row as if it were this batch's own
+    * replayed append). */
   def processBatch(batch: DataFrame, batchId: Long, env: Env): Unit = {
     val bs = batch.sparkSession
     graft.functions.GraftFunctions.register(bs)
@@ -138,21 +143,27 @@ object StreamingCuration {
     val batchHs = TextOps.hashedShingleArrays(docs).persist()
     val perDoc = TextOps.perDocQuality(docs)
     // 1. exact: promoted fp index = "seen in an earlier batch";
-    //    replayed own-batch rows are subtracted by doc_id first;
-    //    in-batch ties resolve to the smallest doc_id (same batch ⇒
-    //    same ingest cycle ⇒ min-id keeper, matching the batch rule)
+    //    replayed own-batch rows are dropped by PROVENANCE (their
+    //    batch_id stamp — a filter, no shuffle, and exact even when a
+    //    doc_id is legitimately re-delivered later); in-batch ties
+    //    resolve to the smallest doc_id (same batch ⇒ same ingest
+    //    cycle ⇒ min-id keeper, matching the batch rule)
     val seen = env.store.loadProduction(bs, FpIdx)
       .getOrElse(sys.error("no production fp index"))
-      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .filter(col("batch_id") =!= batchId)
       .select(col("fp")).distinct().withColumn("seen", lit(true))
     val exact = perDoc.join(seen, Seq("fp"), "left_outer")
       .withColumn("batch_keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .withColumn("is_exact_dup",
         coalesce(col("seen"), lit(false)) || col("doc_id") =!= col("batch_keeper"))
-    // 2. near: later side of any J ≥ 0.5 pair vs index ∪ batch
+    // 2. near: later side of any J ≥ 0.5 pair vs index ∪ batch; own
+    //    replayed rows again dropped by provenance, so the shared
+    //    dedup join skips its doc_id-keyed normalization shuffle
     val idx = env.store.loadProduction(bs, ShingleIdx)
       .getOrElse(sys.error("no production shingle index"))
-    val nearIds = StreamingDedup.dedupShinglesAgainstIndex(batchHs, idx)
+      .filter(col("batch_id") =!= batchId)
+    val nearIds = StreamingDedup.dedupShinglesAgainstIndex(batchHs, idx,
+        normalizeReplay = false)
       .select(col("d2").as("doc_id")).distinct().withColumn("is_near_dup", lit(true))
     // 3. contaminated: overlap vs the fixed benchmark gram artifact
     //    (benchmark docs themselves are never screened — batch rule)
@@ -179,10 +190,12 @@ object StreamingCuration {
     decisions.write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
     // the indexes grow with EVERY doc (dropped docs still index —
     // the batch pipeline's pair list spans the whole corpus)
-    env.store.appendBatch(bs, ShingleIdx, batchHs,
+    env.store.appendBatch(bs, ShingleIdx,
+      batchHs.withColumn("batch_id", lit(batchId)),
       batchId = Some(batchId), streamId = Some(env.ckpt))
     env.store.appendBatch(bs, FpIdx,
-      docs.select(col("doc_id"), md5(col("text")).as("fp")),
+      docs.select(col("doc_id"), md5(col("text")).as("fp"))
+        .withColumn("batch_id", lit(batchId)),
       batchId = Some(batchId), streamId = Some(env.ckpt))
     batchHs.unpersist()
     docs.unpersist()

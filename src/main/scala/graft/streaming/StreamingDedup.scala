@@ -70,7 +70,8 @@ object StreamingDedup {
     * pass over the text) and share the frame between this join and
     * the index append. */
   def dedupShinglesAgainstIndex(batchHs: DataFrame, idx: DataFrame,
-                                threshold: Double = 0.5): DataFrame = {
+                                threshold: Double = 0.5,
+                                normalizeReplay: Boolean = true): DataFrame = {
     val spark = batchHs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     // REPLAY NORMALIZATION: anti-join the batch's docs out of the
@@ -80,10 +81,18 @@ object StreamingDedup {
     // committed, it removes the batch's own duplicated postings so
     // the recomputed pair list is BYTE-IDENTICAL to the first run
     // (without it, a doc present on both sides double-counts through
-    // the recheck join and emits duplicate pair rows).
-    val combined = idx.select(col("doc_id"), col("hs"), col("n"))
-      .join(batchHs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .unionByName(batchHs.select(col("doc_id"), col("hs"), col("n")))
+    // the recheck join and emits duplicate pair rows). Callers whose
+    // index rows carry batch PROVENANCE (StreamingCuration stamps
+    // batch_id and pre-filters its own batch out) pass
+    // `normalizeReplay = false`: their normalization is exact under
+    // re-delivered doc_ids, where the doc_id anti-join would subtract
+    // a GENUINE earlier row — and the extra shuffle is skipped.
+    val indexSide = idx.select(col("doc_id"), col("hs"), col("n"))
+    val combined =
+      (if (normalizeReplay)
+         indexSide.join(batchHs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+       else indexSide)
+        .unionByName(batchHs.select(col("doc_id"), col("hs"), col("n")))
     val a = combined.select(col("doc_id").as("da"), col("n").as("na"),
       explode(col("hs")).as("h"))
     val b = batchHs.select(col("doc_id").as("db"), col("n").as("nb"),

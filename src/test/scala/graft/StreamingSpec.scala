@@ -145,6 +145,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("curation replay normalization is provenance-keyed: a re-delivered doc_id is an exact dup") {
+    // a doc_id legitimately arriving AGAIN in a later batch must be
+    // caught by the fp index (its earlier row is genuine state, not a
+    // replayed own-append); the doc_id-keyed anti-join this replaced
+    // would have subtracted that row and let the duplicate escape
+    import graft.streaming.StreamingCuration
+    import graft.queries.TextOps
+    import graft.sources.FrameStore
+    val tmp = Files.createTempDirectory("graft-redeliver-").toString
+    // 24 distinct tokens: clean of near-dups, long enough to shingle
+    val text = (0 until 24).map(i => s"tok$i").mkString(" ")
+    val d1 = Seq((1L, text, "en", "s1", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val store = new FrameStore(s"$tmp/store")
+    store.promote(StreamingCuration.ShingleIdx,
+      store.register(spark, StreamingCuration.ShingleIdx,
+        TextOps.hashedShingleArrays(d1).withColumn("batch_id", lit(0L))))
+    store.promote(StreamingCuration.FpIdx,
+      store.register(spark, StreamingCuration.FpIdx,
+        d1.select(col("doc_id"), md5(col("text")).as("fp"))
+          .withColumn("batch_id", lit(0L))))
+    val env = StreamingCuration.Env(s"$tmp/in", s"$tmp/out", s"$tmp/ckpt",
+      store, TextOps.benchGramStore(spark, sf), d1.schema)
+    // batch 1 re-delivers the SAME doc_id with the same content
+    StreamingCuration.processBatch(d1, batchId = 1L, env)
+    val dec = spark.read.parquet(s"$tmp/out/batch=1")
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(dec(1L).contains("exact_dup"),
+      s"re-delivered doc_id must be an exact dup, got ${dec(1L)}")
+    // and a REPLAY of batch 1 (its append committed) still recovers
+    // the pre-batch state: decisions recompute byte-identically
+    StreamingCuration.processBatch(d1, batchId = 1L, env)
+    val dec2 = spark.read.parquet(s"$tmp/out/batch=1")
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(dec2 == dec, "replayed batch must recompute identical decisions")
+  }
+
   test("shingle index roundtrip certificate: cold reload equals session build") {
     val row = graft.streaming.StreamingDedup.indexRoundtrip.fn(spark, sf).head()
     assert(row.getAs[Long]("n_docs") > 0)
