@@ -133,5 +133,91 @@ object AnnCert {
       0.6, "060")
   }
 
-  val all: Seq[Q] = Seq(ivfCert, ivfpqCert)
+  // ---------------------------------------------------------------- lsh cert
+  /** Planted-twin parameters for [[lshCert]]: the first `NumPlanted`
+    * corpus vectors each get a deterministic high-cosine twin
+    * (per-element multiplicative perturbation, amplitude ±1%, md5
+    * hash-fraction seeded — the same md5 arithmetic the curation
+    * family oracles replay), appended with vec_id + `TwinOffset`. */
+  val NumPlanted = 25
+  val TwinOffset = 1000000L
+
+  /** The twin's per-element factor as SQL shared by the exact-side
+    * cosine and the twin materialization: element i (1-based) of
+    * vec_id v scales by 1 + (h(v,i) − ½)·0.02 with h the md5
+    * hash-fraction — deterministic, engine-neutral, and small enough
+    * that cos(base, twin) ≥ 0.999. */
+  private def deltaSql(pos: String): String =
+    s"(1.0d + (cast(conv(substring(md5(concat(cast(vec_id as string), ':', " +
+      s"cast($pos as string))), 1, 6), 16, 10) as int) / 16777216.0d - 0.5d) * 0.02d)"
+
+  /** LSH recall certificate on PLANTED pairs: the rows-only
+    * `sim_ann_lsh` measures retrieval over a noise corpus (whose true
+    * neighbor structure an ANSI oracle can't rank without replaying
+    * LSH itself); here the signal is PLANTED — each twin's true
+    * nearest neighbor is its base by construction (cos ≥ 0.999
+    * against a noise floor far below) — so the exact side
+    * (n_planted, mean planted cosine) is oracle-recomputable from
+    * the same md5 arithmetic, and the recall boolean certifies that
+    * multi-table bucketing actually retrieves the planted neighbor,
+    * the way [[ivfCert]] certifies coarse-list probing.
+    *
+    * Scale shape: the twin build is a per-row map over `NumPlanted`
+    * rows; the LSH join is the same bucket-key equi-join as
+    * `sim_ann_lsh` (never O(n²)); the certificate aggregate reduces
+    * to one row. */
+  val lshCert: Q = Q("sim_ann_lsh_cert",
+    s"""WITH e AS (SELECT vec_id, unnest(embedding) AS a,
+       |                  generate_subscripts(embedding, 1) AS i
+       |           FROM embeddings WHERE vec_id < $NumPlanted),
+       |t AS (SELECT vec_id, CAST(a AS DOUBLE) AS a,
+       |        CAST(a AS DOUBLE) * (1.0 + (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 6)) AS INTEGER) / 16777216.0 - 0.5) * 0.02) AS tt
+       |      FROM e),
+       |c AS (SELECT vec_id,
+       |        ROUND(SUM(a * tt) / (sqrt(SUM(a * a)) * sqrt(SUM(tt * tt))), 6) AS cosine
+       |      FROM t GROUP BY 1)
+       |SELECT COUNT(*) AS n_planted,
+       |  ROUND(CAST(SUM(CAST(cosine AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+       |    AS mean_planted_cosine,
+       |  TRUE AS recall_ge_090
+       |FROM c""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") < NumPlanted)
+    // exact side: cos(base, twin) in pure double arithmetic (one
+    // sequential fold per row — NumPlanted rows, driver-free)
+    val planted = base.select(col("vec_id"), round(expr(
+      s"""aggregate(
+         |  zip_with(embedding, sequence(1, size(embedding)), (x, i) -> struct(
+         |    cast(x as double) as a,
+         |    cast(x as double) * ${deltaSql("i")} as t)),
+         |  struct(cast(0.0 as double) as dot, cast(0.0 as double) as na,
+         |         cast(0.0 as double) as nt),
+         |  (acc, s) -> struct(acc.dot + s.a * s.t, acc.na + s.a * s.a,
+         |                     acc.nt + s.t * s.t),
+         |  acc -> acc.dot / (sqrt(acc.na) * sqrt(acc.nt)))""".stripMargin), 6)
+      .as("cosine"))
+    // ANN side: twins joined into the corpus (float column, like any
+    // arriving vector), full multi-table LSH retrieval, hit = the
+    // twin's base surfaces in its top-k
+    val twins = base.select(
+      (col("vec_id") + TwinOffset).as("vec_id"),
+      expr(s"""transform(embedding, (x, i) ->
+              |  cast(cast(x as double) * ${deltaSql("i + 1")} as float))""".stripMargin)
+        .as("embedding"),
+      col("label"))
+    val hits = LshAnn.annTopK(emb.unionByName(twins), K)
+      .filter(col("q_id") >= TwinOffset
+        && col("c_id") === col("q_id") - TwinOffset)
+      .select(col("q_id"))
+    planted.agg(
+        count(lit(1)).as("n_planted"),
+        round(sum(col("cosine").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("mean_planted_cosine"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_planted"), col("mean_planted_cosine"),
+        (col("n_hits").cast("double") / col("n_planted") >= 0.9).as("recall_ge_090"))
+  }
+
+  val all: Seq[Q] = Seq(ivfCert, ivfpqCert, lshCert)
 }
