@@ -1378,6 +1378,113 @@ object TextOps {
         least(lit(32), col("n_tokens") - col("start_tok")).cast("long").as("chunk_tokens"),
         array_join(slice(col("w"), col("start_tok") + 1, lit(32)), " ").as("chunk_text"))
 
+  // ---------------------------------------------------------------- bpe train
+  /** Merge-learning rounds for [[bpeTrain]] — each round is one
+    * aggregate over the distinct-word state, so the oracle unrolls
+    * exactly this many CTE blocks. */
+  private[graft] val BpeRounds = 16
+
+  /** Learned BPE merge table over the corpus vocabulary — the
+    * TRAINING half of byte-pair encoding ([[tokenBpe]] is the
+    * pre-trained segmentation half): start from characters, and for
+    * `rounds` rounds merge the adjacent symbol pair with the highest
+    * corpus frequency (ties broken lexicographically), re-counting
+    * after each merge — Sennrich et al. 2016's algorithm.
+    *
+    * Scale shape (how real BPE trainers run on clusters): the ONE
+    * corpus-scale pass is the word-frequency aggregate, shared with
+    * the lm-score family via the memoized vocab; every round then
+    * works on the DISTINCT-WORD state weighted by frequency —
+    * |vocab| rows, not |corpus| — as a groupBy over the exploded
+    * adjacent pairs, with only the single argmax row collected per
+    * round. Per-word state is a double-space-separated symbol
+    * string, so applying a merge is one non-overlapping
+    * left-to-right `replace(' l  r ', ' lr ')` — the 2-space
+    * separators leave one space on each side of a consumed
+    * occurrence, which keeps ADJACENT occurrences matchable in the
+    * same scan (single-space separators would swallow the shared
+    * boundary and diverge from greedy-leftmost fold semantics) and
+    * lets DuckDB replay the identical rewrite. */
+  val bpeTrain: Q = Q("text_bpe_train", bpeTrainOracle(BpeRounds)) { (s, dir) =>
+    val (vocab, _) = Curation.vocabStats(s, dir)
+    learnBpeMerges(s, vocab.select(col("tok").as("word"), col("c").as("freq")),
+      BpeRounds)
+  }
+
+  /** The iterative trainer: `vocab` is `(word, freq)`; returns the
+    * merge table `(round, lhs, rhs, pair_count)`. Each round CUTS
+    * LINEAGE with an eager localCheckpoint — persist alone keeps the
+    * full logical plan, and `rounds` nested rewrites over a cached
+    * aggregate blow plan rendering up quadratically (observed as a
+    * driver OOM in explain-string generation). On a cluster with a
+    * checkpoint dir, `checkpoint` is the durable equivalent — the
+    * standard iterative-algorithm discipline (same as MLlib's
+    * k-means/ALS). */
+  private[graft] def learnBpeMerges(s: SparkSession, vocab: DataFrame,
+                                    rounds: Int): DataFrame = {
+    var state = vocab.select(col("word"), col("freq"),
+        concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("st"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val toks = state.select(col("freq"), split(trim(col("st")), "  ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val top = toks.select(col("freq"), explode(expr(
+          """transform(sequence(1, size(ts) - 1),
+            |  j -> struct(element_at(ts, j) as l, element_at(ts, j + 1) as r))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rr, c))
+        state = state.withColumn("st",
+          call_function("replace", col("st"), lit(s" $l  $rr "), lit(s" $l$rr ")))
+          .localCheckpoint(true)
+      }
+      r += 1
+    }
+    import s.implicits._
+    merges.result().toDF("round", "lhs", "rhs", "pair_count")
+  }
+
+  /** The oracle replays the identical `rounds` merge rounds as
+    * unrolled CTE blocks: per round, pair counts via a lead window
+    * over the split state, the deterministic argmax, and the same
+    * boundary-preserving string rewrite. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    // state and merge CTEs are each referenced twice per round; without
+    // MATERIALIZED the inliner expands the chain exponentially (2^rounds
+    // scans of documents — observed as an fd-exhaustion failure)
+    sb.append(
+      """WITH v AS MATERIALIZED (SELECT word, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
+        |s0 AS MATERIALIZED (SELECT word, freq, '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS st FROM v)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(s""",
+        |t$r AS (SELECT word, freq, unnest(string_split(trim(st), '  ')) AS t,
+        |               generate_subscripts(string_split(trim(st), '  '), 1) AS i FROM s$p),
+        |pr$r AS (SELECT freq, t AS l, lead(t) OVER (PARTITION BY word ORDER BY i) AS r FROM t$r),
+        |c$r AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS c FROM pr$r WHERE r IS NOT NULL GROUP BY 1, 2),
+        |m$r AS MATERIALIZED (SELECT $r AS round, l, r, c FROM c$r ORDER BY c DESC, l, r LIMIT 1),
+        |s$r AS MATERIALIZED (SELECT word, freq,
+        |          replace(st, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS st
+        |        FROM s$p, m$r m)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT round, l AS lhs, r AS rhs, c AS pair_count
+      |FROM (${(1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
+      |ORDER BY round""".stripMargin)
+    sb.toString
+  }
+
   // ---------------------------------------------------------------- line dedup
   /** Segment length (tokens) and cross-doc threshold for
     * [[dedupLines]]: a "line" is a 4-token aligned window (the corpus
@@ -1475,7 +1582,7 @@ object TextOps {
 
   val all: Seq[Q] = Seq(chunkWindows, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
-    dedupKeep, dedupLines, tokenBpe, packSequences, dupRateSketch, topTokensSketch,
+    dedupKeep, dedupLines, tokenBpe, bpeTrain, packSequences, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, vocabBySource,
     tfidfTopK, curation, curationPack, decontaminate, decontaminateIncremental)
 }

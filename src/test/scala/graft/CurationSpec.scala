@@ -168,6 +168,19 @@ class CurationSpec extends SparkSpec {
     scored.foreach { case (id, n, _) => assert(docs(id) == n) }
   }
 
+  test("BPE trainer learns the textbook merge sequence on the Sennrich vocab") {
+    // low:5 lower:2 newest:6 widest:3 — the worked example from
+    // Sennrich et al. 2016: (e,s) then (es,t) then (l,o), with the
+    // round-1 tie between (e,s) and (s,t) at count 9 broken
+    // lexicographically
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "freq")
+    val merges = graft.queries.TextOps.learnBpeMerges(spark, vocab, rounds = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L)),
+      s"got $merges")
+  }
+
   test("mix weight defaults a digitless source to 0.5 instead of dropping it") {
     // regexp_extract on a source with no digits yields '' → null int
     // in Spark (silent row loss) but a Conversion Error in DuckDB;
