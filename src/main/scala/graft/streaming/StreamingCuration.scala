@@ -82,12 +82,17 @@ object StreamingCuration {
   /** Land the corpus as `slices` contiguous doc_id ranges, one file
     * per future micro-batch, stamped with increasing mtimes so the
     * file source replays them in ingest order deterministically. */
-  def addArrivalsOrdered(spark: SparkSession, env: Env, dir: String, slices: Int): Unit = {
+  def addArrivalsOrdered(spark: SparkSession, env: Env, dir: String, slices: Int): Unit =
+    landOrderedSlices(spark, env.inDir, dir, slices)
+
+  /** [[addArrivalsOrdered]] for any arrival dir — shared with the
+    * other ingest-ordered streaming twins ([[StreamingMixPack]]). */
+  def landOrderedSlices(spark: SparkSession, inDir: String, dir: String, slices: Int): Unit = {
     val docs = Tables.documents(spark, dir)
     val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val span = hi - lo + 1
-    Files.createDirectories(Paths.get(env.inDir))
+    Files.createDirectories(Paths.get(inDir))
     for (i <- 0 until slices) {
       val from = lo + span * i / slices
       val until = lo + span * (i + 1) / slices
@@ -99,7 +104,7 @@ object StreamingCuration {
         files.iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet")).get
       }
-      val dst = Paths.get(env.inDir, f"slice-$i%04d.parquet")
+      val dst = Paths.get(inDir, f"slice-$i%04d.parquet")
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dst, FileTime.fromMillis((i + 1) * 1000L))
     }

@@ -145,6 +145,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming mix-pack equals the batch manifest across slicings") {
+    // the per-source running token offset must carry across
+    // micro-batches exactly: any drift shifts every later sequence
+    // boundary for that source and changes the manifest
+    import graft.streaming.StreamingMixPack
+    val batchManifest = graft.queries.Curation.mixPack.fn(spark, sf).collect().toSeq
+    for (slices <- Seq(2, 3, 5)) {
+      val streamed = StreamingMixPack.runMixPackStream(spark, sf, slices).collect().toSeq
+      assert(streamed == batchManifest, s"slices=$slices manifest drift: " +
+        streamed.diff(batchManifest).take(3))
+    }
+  }
+
   test("curation replay normalization is provenance-keyed: a re-delivered doc_id is an exact dup") {
     // a doc_id legitimately arriving AGAIN in a later batch must be
     // caught by the fp index (its earlier row is genuine state, not a
