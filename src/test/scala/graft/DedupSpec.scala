@@ -240,15 +240,22 @@ class DedupSpec extends SparkSpec {
   }
 
   test("ANN recall certificates emit TRUE booleans and exact-side facts") {
-    // the oracle-gated certificate rows (sim_ann_ivf_cert /
-    // sim_ann_ivfpq_cert): recall boolean must hold and the exact-kNN
-    // side must agree with the brute-force query it mirrors
-    for (q <- graft.queries.AnnCert.all) {
+    // the oracle-gated certificate rows: recall boolean must hold and
+    // the exact side must agree with the query it mirrors — the kNN
+    // certs (sim_ann_ivf_cert / sim_ann_ivfpq_cert) against the
+    // brute-force counts, the planted-twin cert (sim_ann_lsh_cert)
+    // against its planted-pair facts
+    for (q <- Seq(graft.queries.AnnCert.ivfCert, graft.queries.AnnCert.ivfpqCert)) {
       val row = q.fn(spark, sf).head()
       assert(row.getLong(0) == 50, s"${q.name}: n_queries ${row.getLong(0)}")
       assert(row.getLong(1) == 150, s"${q.name}: n_exact ${row.getLong(1)}")
       assert(row.getBoolean(3), s"${q.name}: recall bound failed")
     }
+    val lsh = graft.queries.AnnCert.lshCert.fn(spark, sf).head()
+    assert(lsh.getLong(0) == graft.queries.AnnCert.NumPlanted,
+      s"sim_ann_lsh_cert: n_planted ${lsh.getLong(0)}")
+    assert(lsh.getDouble(1) > 0.999, s"sim_ann_lsh_cert: mean cosine ${lsh.getDouble(1)}")
+    assert(lsh.getBoolean(2), "sim_ann_lsh_cert: recall bound failed")
   }
 
   test("incremental index append: extended codes equal a one-shot encode of the union") {

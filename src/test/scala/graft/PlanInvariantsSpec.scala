@@ -172,4 +172,15 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("line dedup: gated broadcast mark-join, no cartesian, fp-keyed aggregation") {
+    // the boilerplate set fits the gate at test SF (hint applies); the
+    // cross-doc count must stay ONE fingerprint-keyed aggregate — a
+    // Cartesian or a non-broadcast join here would mean the candidate
+    // structure degraded to all-pairs
+    val plan = formatted(SparkEntry.queries("text_dedup_lines")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
