@@ -677,6 +677,60 @@ object TextOps {
       .orderBy(col("tf").desc, col("token"))
   }
 
+  /** Per-source token-length QUANTILES with a mergeable-sketch
+    * accuracy certificate — the third classic sketch next to the HLL
+    * dedup-rate monitor and the Misra-Gries heavy hitters: corpus
+    * length distributions (the inputs to truncation budgets, packing
+    * efficiency, and outlier filters) are monitored at 100 TB with a
+    * quantile sketch, not an exact sort. Exact p50/p90/p99 per source
+    * ride ONE aggregate (oracle-checked: DuckDB's quantile_cont uses
+    * the same linear interpolation as Spark's percentile); the same
+    * aggregate also runs `percentile_approx` — Spark's
+    * QuantileSummaries (Greenwald-Khanna) sketch, partial-merged
+    * across partitions exactly like a production monitor merges
+    * per-shard sketches — and a boolean pins each approximation
+    * inside the sketch's guarantee. The guarantee is RANK error, not
+    * value error (a sparse tail puts adjacent order statistics far
+    * apart in value at perfectly correct rank), so the certificate
+    * re-ranks the sketch's answers against the data: the fraction of
+    * lengths ≤ the approx value must reach q − ε, and the fraction
+    * strictly below must not exceed q + ε. An engine whose sketch
+    * merge drifts flips the boolean and fails the hash match. */
+  val lengthQuantiles: Q = Q("text_length_quantiles",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  ROUND(quantile_cont(len, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(len, 0.9), 6) AS p90,
+      |  ROUND(quantile_cont(len, 0.99), 6) AS p99,
+      |  TRUE AS approx_within_bound
+      |FROM (SELECT source, CAST(len(string_split(text, ' ')) AS DOUBLE) AS len
+      |      FROM documents)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("double").as("len"))
+    val per = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(len, 0.5)"), 6).as("p50"),
+        round(expr("percentile(len, 0.9)"), 6).as("p90"),
+        round(expr("percentile(len, 0.99)"), 6).as("p99"),
+        expr("approx_percentile(len, array(0.5, 0.9, 0.99), 1000)").as("ap"))
+    val qs = Seq(0.5, 0.9, 0.99)
+    def okAt(i: Int, q: Double) = {
+      val n = count(lit(1)).cast("double")
+      val le = sum(when(col("len") <= col("ap").getItem(i), 1).otherwise(0)).cast("double")
+      val lt = sum(when(col("len") < col("ap").getItem(i), 1).otherwise(0)).cast("double")
+      le / n >= q - 0.05 && lt / n <= q + 0.05
+    }
+    // per-source stats are broadcast-bounded (one row per source)
+    d.join(broadcast(per), Seq("source"))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"), first(col("p50")).as("p50"),
+        first(col("p90")).as("p90"), first(col("p99")).as("p99"),
+        qs.zipWithIndex.map { case (q, i) => okAt(i, q) }.reduce(_ && _)
+          .as("approx_within_bound"))
+      .orderBy(col("source"))
+  }
+
   /** Sequence packing — the batch-assembly op that concatenates
     * documents (in a deterministic order) and cuts fixed-token-budget
     * training sequences: each doc lands in the sequence holding its
@@ -1583,6 +1637,6 @@ object TextOps {
   val all: Seq[Q] = Seq(chunkWindows, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
     dedupKeep, dedupLines, tokenBpe, bpeTrain, packSequences, dupRateSketch, topTokensSketch,
-    sampleStratified, corpusReport, topNgrams, lengthBuckets, vocabBySource,
+    sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles, vocabBySource,
     tfidfTopK, curation, curationPack, decontaminate, decontaminateIncremental)
 }
