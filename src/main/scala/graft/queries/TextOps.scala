@@ -677,6 +677,69 @@ object TextOps {
       .orderBy(col("tf").desc, col("token"))
   }
 
+  /** Corpus bigram counts `(w1, w2, c)` with their left-marginal
+    * `(w1, m)`, memoized + persisted per (application, sf dir) with
+    * the row count as broadcast-gate evidence — the bigram table is
+    * O(V²)-bounded but corpus-driven, so it must degrade to a
+    * shuffle join at web scale exactly like the unigram vocab. */
+  private val bgCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)]
+
+  private def docBigrams(docs: DataFrame): DataFrame =
+    tokenized(docs).filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  j -> struct(element_at(w, j) as w1, element_at(w, j + 1) as w2))""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  private def bigramStats(s: SparkSession, dir: String): (DataFrame, Long) =
+    bgCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val c2 = docBigrams(Tables.fanOut(Tables.documents(s, dir)))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+      val df = c2.withColumn("m", sum(col("c")).over(w)).persist()
+      (df, df.count())
+    })
+
+  /** Bigram-LM quality score — the conditional-probability upgrade of
+    * [[Curation.lmScore]]'s unigram filter: per doc, the mean
+    * log P(wᵢ | wᵢ₋₁) under the corpus bigram distribution (the
+    * denominator is the bigram LEFT-MARGINAL, not the raw unigram
+    * count, so end-of-document occurrences don't skew the
+    * conditional). Word salads that pass a unigram filter (all
+    * frequent words, scrambled order) score low here — the cheapest
+    * LM that sees word ORDER.
+    *
+    * Scale shape: doc bigrams are a shuffle-free map+explode; the
+    * count table is ONE aggregate with its marginal as a window over
+    * the same partitioning (no second shuffle); the score join rides
+    * the [[maybeBroadcast]] gate on the memoized count-table size
+    * (bigram vocab is effectively unbounded at 100 TB → shuffle
+    * join past the gate); per-doc reduction is one groupBy. */
+  val bigramLm: Q = Q("text_bigram_lm",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
+      |bg AS (SELECT doc_id, word AS w1,
+      |              lead(word) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      |       FROM words),
+      |b AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |lm AS (SELECT w1, SUM(c) AS m FROM c2 GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |       ROUND(AVG(ln(CAST(c AS DOUBLE) / m)), 6) AS avg_logp
+      |FROM b JOIN c2 USING (w1, w2) JOIN lm USING (w1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val (bc, nBigrams) = bigramStats(s, dir)
+    // ~64 B/row: two avg-length tokens + two longs + row overhead
+    docBigrams(Tables.documents(s, dir))
+      .join(maybeBroadcast(bc, nBigrams * 64), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c").cast("double") / col("m"))), 6).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source token-length QUANTILES with a mergeable-sketch
     * accuracy certificate — the third classic sketch next to the HLL
     * dedup-rate monitor and the Misra-Gries heavy hitters: corpus
@@ -1637,6 +1700,7 @@ object TextOps {
   val all: Seq[Q] = Seq(chunkWindows, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
     dedupKeep, dedupLines, tokenBpe, bpeTrain, packSequences, dupRateSketch, topTokensSketch,
-    sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles, vocabBySource,
+    sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
+    bigramLm, vocabBySource,
     tfidfTopK, curation, curationPack, decontaminate, decontaminateIncremental)
 }

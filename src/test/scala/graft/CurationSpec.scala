@@ -168,6 +168,22 @@ class CurationSpec extends SparkSpec {
     scored.foreach { case (id, n, _) => assert(docs(id) == n) }
   }
 
+  test("bigram LM sees word order and counts bigrams per doc") {
+    val scored = graft.queries.TextOps.bigramLm.fn(spark, sf)
+      .select($"doc_id", $"n_bigrams", $"avg_logp")
+      .as[(Long, Long, Double)].collect()
+    assert(scored.nonEmpty)
+    // every doc has exactly len-1 bigrams
+    val lens = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    scored.foreach { case (id, nb, _) => assert(nb == lens(id) - 1, s"doc $id") }
+    // conditional log-probs spread below their mean (order signal
+    // exists: some docs chain high-probability bigrams, some don't)
+    val mean = scored.map(_._3).sum / scored.length
+    assert(scored.map(_._3).min < mean && scored.map(_._3).max > mean)
+  }
+
   test("BPE trainer learns the textbook merge sequence on the Sennrich vocab") {
     // low:5 lower:2 newest:6 widest:3 — the worked example from
     // Sennrich et al. 2016: (e,s) then (es,t) then (l,o), with the
