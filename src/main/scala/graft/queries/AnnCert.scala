@@ -78,7 +78,7 @@ object AnnCert {
 
   /** One-row certificate: exact-side facts + `recall >= threshold`.
     * Micro recall = |ANN ∩ exact| / |exact| over all queries. */
-  private[queries] def certificate(emb: DataFrame, ann: DataFrame,
+  private[graft] def certificate(emb: DataFrame, ann: DataFrame,
                                    threshold: Double, thresholdTag: String): DataFrame = {
     val exact = exactKnn(emb)
     val hits = ann.select(col("q_id"), col("c_id"))

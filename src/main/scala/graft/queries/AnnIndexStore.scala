@@ -174,7 +174,7 @@ object AnnIndexStore {
     * the artifact instead of re-encoding the corpus. */
   private val memo = scala.collection.concurrent.TrieMap.empty[String, AnnIndexStore]
 
-  private[queries] def forDir(spark: SparkSession, dir: String): AnnIndexStore =
+  private[graft] def forDir(spark: SparkSession, dir: String): AnnIndexStore =
     memo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
       val root = Files.createTempDirectory("graft_ann_index_").toString
       val store = new AnnIndexStore(root)

@@ -246,7 +246,17 @@ object PqAnn {
     * in-session or reloaded from [[AnnIndexStore]]); `emb` supplies
     * the query vectors and the exact-refine join. */
   def queryIndex(emb: DataFrame, idx: PqIndex, k: Int = 3, numQueries: Int = 50,
-                 nProbe: Int = IvfAnn.NProbe): DataFrame = {
+                 nProbe: Int = IvfAnn.NProbe): DataFrame =
+    queryIndexFrom(
+      emb.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("q_id"), col("embedding")),
+      emb, idx, k, nProbe)
+
+  /** [[queryIndex]] for an EXPLICIT query frame `(q_id, embedding)` —
+    * the serving shape: queries arrive from anywhere (a stream, an
+    * API batch), the corpus supplies the exact-refine vectors. */
+  def queryIndexFrom(queryVecs: DataFrame, emb: DataFrame, idx: PqIndex,
+                     k: Int = 3, nProbe: Int = IvfAnn.NProbe): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val PqIndex(cents, books, listMeans, indexed) = idx
     val meansLit = typedLit(listMeans)
@@ -258,8 +268,8 @@ object PqAnn {
     // so the ADC table is the UNSHIFTED query against the residual
     // codebooks — one table per query — and only the scalar
     // `dot(q̂, ĉ_list)` bias varies per probed list.
-    val probes = emb.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("embedding"),
+    val probes = queryVecs
+      .select(col("q_id"), col("embedding"),
         explode(IvfAnn.probeListsPublic(col("embedding"), cents, nProbe)).as("p_list"))
       .withColumn("qe", normalized(col("embedding"))) // bound once, see build side
       .select(col("q_id"), col("p_list"),
@@ -282,8 +292,7 @@ object PqAnn {
 
     // Refine: exact cosine on the shortlist only (~queries·k·Refine
     // rows join back to the vector table on its key).
-    val queries = emb.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val queries = queryVecs.select(col("q_id"), col("embedding").as("qe"))
     val wX = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
     shortlist
       .join(emb.select(col("vec_id").as("c_id"), col("embedding")), "c_id")

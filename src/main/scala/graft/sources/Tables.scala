@@ -90,7 +90,13 @@ object Tables {
       col("source").cast("string").as("source"),
       col("n_chars").cast("long").as("n_chars"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "embeddings").select(
+    normalizeEmbeddings(load(spark, dir, "embeddings"))
+
+  /** The embeddings normalization as a frame transform, for streaming
+    * readers of embeddings.parquet (the ANN serving twin) — same
+    * rationale as [[normalizeDocuments]]. */
+  def normalizeEmbeddings(df: DataFrame): DataFrame =
+    df.select(
       col("vec_id").cast("long").as("vec_id"),
       col("embedding").cast("array<float>").as("embedding"),
       col("label").cast("int").as("label"))

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.Q
+import graft.queries.{AnnCert, AnnIndexStore, PqAnn}
+import graft.sources.{Scratch, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The ANN SERVING path operated continuously — the query half of
+  * the index lifecycle, next to [[StreamingAnnIndex]]'s build half:
+  * query vectors arrive as a stream, and every micro-batch re-resolves
+  * the PRODUCTION index pointer (the model registry's hot-reload move
+  * applied to the ANN artifact — a promotion mid-stream serves later
+  * batches from the new version, reference lifecycle
+  * `services/fraud_service/app/main.py:73-97`) and answers top-k by
+  * probe + ADC + exact refine against the promoted codes.
+  *
+  * Per-query scoring is STATELESS, so exactly-once is the file-source
+  * checkpoint + per-batch deterministic sink dirs alone — no state
+  * store, no replay normalization; a replayed batch recomputes
+  * byte-identical answers against the same promoted version and
+  * overwrites its own directory.
+  *
+  * The drained result is certified with the SAME oracle as
+  * `sim_ann_ivfpq_cert`: recall-vs-exact-kNN over the streamed
+  * answers must clear the identical bar — continuous serving cannot
+  * cost retrieval quality, however arrivals are sliced.
+  */
+object StreamingAnnServe {
+
+  final case class Env(inDir: String, outDir: String, ckpt: String,
+                       dir: String,
+                       schema: org.apache.spark.sql.types.StructType)
+
+  def prepare(spark: SparkSession, dir: String): Env = {
+    val scratch = Scratch.dir("graft-annserve-").toString
+    // building + promoting the session's persisted index happens in
+    // AnnIndexStore.forDir on first use — the serving stream only
+    // ever READS the production pointer
+    val emb = Tables.embeddings(spark, dir)
+    Env(s"$scratch/in", s"$scratch/answers", s"$scratch/ckpt", dir, emb.schema)
+  }
+
+  def processBatch(batch: DataFrame, batchId: Long, env: Env): Unit = {
+    val bs = batch.sparkSession
+    // hot reload: re-resolve the production version EVERY batch
+    val idx = AnnIndexStore.forDir(bs, env.dir)
+      .loadProduction(bs, AnnIndexStore.IndexName)
+      .getOrElse(sys.error("no production ANN index"))
+    PqAnn.queryIndexFrom(
+        batch.select(col("vec_id").as("q_id"), col("embedding")),
+        Tables.embeddings(bs, env.dir), idx)
+      .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
+  }
+
+  def runPass(spark: SparkSession, env: Env): Unit = {
+    val q = spark.readStream.schema(env.schema)
+      .option("maxFilesPerTrigger", 1).parquet(env.inDir)
+      .writeStream
+      .option("checkpointLocation", env.ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(Tables.normalizeEmbeddings(batch), batchId, env)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def streamedAnswers(spark: SparkSession, env: Env): DataFrame =
+    spark.read.parquet(env.outDir).drop("batch")
+
+  /** Full loop: land the certificate's 50 query vectors in `slices`
+    * ordered arrivals, drain, certify the accumulated answers. */
+  def runServeStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame = {
+    val env = prepare(spark, dir)
+    StreamingCuration.landOrderedSlicesOf(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < AnnCert.NumQueries),
+      "vec_id", env.inDir, slices)
+    runPass(spark, env)
+    AnnCert.certificate(Tables.embeddings(spark, dir),
+      streamedAnswers(spark, env), 0.6, "060")
+  }
+
+  /** Streaming twin of the IVF-PQ serving certificate — same oracle
+    * as `sim_ann_ivfpq_cert`. */
+  val streamAnnQuery: Q = Q("stream_ann_query",
+    AnnCert.certOracleSql("060")) { (s, dir) =>
+    runServeStream(s, dir)
+  }
+
+  val all: Seq[Q] = Seq(streamAnnQuery)
+}

@@ -87,9 +87,15 @@ object StreamingCuration {
 
   /** [[addArrivalsOrdered]] for any arrival dir — shared with the
     * other ingest-ordered streaming twins ([[StreamingMixPack]]). */
-  def landOrderedSlices(spark: SparkSession, inDir: String, dir: String, slices: Int): Unit = {
-    val docs = Tables.documents(spark, dir)
-    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+  def landOrderedSlices(spark: SparkSession, inDir: String, dir: String, slices: Int): Unit =
+    landOrderedSlicesOf(Tables.documents(spark, dir), "doc_id", inDir, slices)
+
+  /** Land ANY keyed frame as `slices` contiguous id-range files with
+    * increasing mtimes — the ingest-ordered arrival layout every
+    * streaming twin replays deterministically. */
+  def landOrderedSlicesOf(frame: org.apache.spark.sql.DataFrame, idCol: String,
+                          inDir: String, slices: Int): Unit = {
+    val r = frame.agg(min(col(idCol)), max(col(idCol))).head()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val span = hi - lo + 1
     Files.createDirectories(Paths.get(inDir))
@@ -97,7 +103,7 @@ object StreamingCuration {
       val from = lo + span * i / slices
       val until = lo + span * (i + 1) / slices
       val staging = Files.createTempDirectory("graft-curation-slice-")
-      docs.filter(col("doc_id") >= from && col("doc_id") < until)
+      frame.filter(col(idCol) >= from && col(idCol) < until)
         .coalesce(1).write.mode("overwrite").parquet(staging.toString)
       val part = scala.util.Using.resource(Files.list(staging)) { files =>
         import scala.jdk.CollectionConverters._

@@ -145,6 +145,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN serving answers equal the batch index query across slicings") {
+    // per-query scoring is stateless and the promoted index reloads
+    // bit-exactly, so however the query stream is sliced the answers
+    // must be row-identical to the batch serving path
+    import graft.streaming.StreamingAnnServe
+    val batchAnswers = SparkEntry.queries("sim_ann_ivfpq")(spark, sf).collect().toSet
+    for (slices <- Seq(2, 3)) {
+      val env = StreamingAnnServe.prepare(spark, sf)
+      graft.streaming.StreamingCuration.landOrderedSlicesOf(
+        graft.sources.Tables.embeddings(spark, sf)
+          .filter(col("vec_id") < graft.queries.AnnCert.NumQueries),
+        "vec_id", env.inDir, slices)
+      StreamingAnnServe.runPass(spark, env)
+      val streamed = StreamingAnnServe.streamedAnswers(spark, env).collect().toSet
+      assert(streamed == batchAnswers, s"slices=$slices answer drift")
+    }
+  }
+
   test("streaming mix-pack equals the batch manifest across slicings") {
     // the per-source running token offset must carry across
     // micro-batches exactly: any drift shifts every later sequence
