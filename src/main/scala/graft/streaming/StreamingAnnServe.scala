@@ -42,12 +42,24 @@ object StreamingAnnServe {
     Env(s"$scratch/in", s"$scratch/answers", s"$scratch/ckpt", dir, emb.schema)
   }
 
+  /** Loaded index per (application, dir, version): the pointer is
+    * re-resolved every batch (hot reload), but the KB-scale driver
+    * constants and the codes scan only re-load when the VERSION
+    * actually changed — what a serving process does between
+    * promotions. */
+  private val idxMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), PqAnn.PqIndex]
+
   def processBatch(batch: DataFrame, batchId: Long, env: Env): Unit = {
     val bs = batch.sparkSession
-    // hot reload: re-resolve the production version EVERY batch
-    val idx = AnnIndexStore.forDir(bs, env.dir)
-      .loadProduction(bs, AnnIndexStore.IndexName)
+    // hot reload: re-resolve the production version EVERY batch,
+    // re-load only on a version change
+    val store = AnnIndexStore.forDir(bs, env.dir)
+    val v = store.productionVersion(AnnIndexStore.IndexName)
       .getOrElse(sys.error("no production ANN index"))
+    val idx = idxMemo.getOrElseUpdate(
+      (bs.sparkContext.applicationId, env.dir, v),
+      store.load(bs, AnnIndexStore.IndexName, v))
     PqAnn.queryIndexFrom(
         batch.select(col("vec_id").as("q_id"), col("embedding")),
         Tables.embeddings(bs, env.dir), idx)
