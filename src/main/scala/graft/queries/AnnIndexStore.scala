@@ -132,6 +132,37 @@ final class AnnIndexStore(root: String) extends graft.sources.VersionedStore(roo
   def codesDir(name: String, version: Int): String =
     nameDir(name).resolve(s"v$version").resolve("codes").toString
 
+  /** DELETE codes matching `predicate` from the production index —
+    * right-to-be-forgotten on the ANN artifact, mirroring
+    * [[graft.sources.FrameStore.deleteWhere]]: a withdrawn vector
+    * must leave the derived codes, not just the corpus table.
+    * Publishes the filtered codes as a new version (codebooks/coarse
+    * hardlinked — the KB-scale constants are untouched by a delete),
+    * flips the pointer atomically; superseded versions hold the rows
+    * until [[gc]] retires them. At 100 TB the rewrite prunes to the
+    * predicate-touched `list_id` partitions — this same operation
+    * under partition pruning. Returns the promoted version. */
+  def deleteWhere(spark: SparkSession, name: String,
+                  predicate: org.apache.spark.sql.Column): Int = {
+    val v = productionVersion(name)
+      .getOrElse(sys.error(s"no production index $name to delete from"))
+    val src = nameDir(name).resolve(s"v$v")
+    val next = stageVersion(name) { staging =>
+      linkTree(src.resolve("codebooks"), staging.resolve("codebooks"))
+      linkTree(src.resolve("coarse"), staging.resolve("coarse"))
+      spark.read.parquet(src.resolve("codes").toString)
+        .filter(!predicate)
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(staging.resolve("codes").toString)
+      val marker = src.resolve("BATCH")
+      if (Files.exists(marker))
+        Files.copy(marker, staging.resolve("BATCH"))
+    }
+    promote(name, next)
+    next
+  }
+
   /** Compact the production version's CODES: every append adds part
     * files inside the touched `list_id` partitions, and a probe's
     * partition-pruned scan eventually opens one file per historical
@@ -303,5 +334,58 @@ object AnnIndexStore {
     appendCertFrame(s, dir, idx)
   }
 
-  val all: Seq[Q] = Seq(roundtrip, appendCert)
+  /** One forgotten-from store per (application, sf dir): the shared
+    * session index, re-registered into its OWN store (the roundtrip
+    * artifact must stay intact), then `vec_id % 17 = 3` deleted. */
+  private val forgetMemo = scala.collection.concurrent.TrieMap.empty[String, AnnIndexStore]
+
+  private def forgottenStore(spark: SparkSession, dir: String): AnnIndexStore =
+    forgetMemo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
+      val store = new AnnIndexStore(
+        Files.createTempDirectory("graft_ann_forget_").toString)
+      store.promote(IndexName,
+        store.register(spark, PqAnn.cachedIndex(spark, dir), IndexName))
+      store.deleteWhere(spark, IndexName, col("vec_id") % 17 === 3)
+      store
+    })
+
+  /** Right-to-be-forgotten certificate on the ANN artifact: after
+    * deleting the (deterministic) `vec_id % 17 = 3` cohort from the
+    * production codes, (a) no forgotten id survives in the codes or
+    * in any query answer, and (b) exactly one code remains per
+    * retained vector. Exact-side facts (corpus size, cohort size,
+    * retained count) are oracle-recomputed from the same parquet;
+    * the booleans are TRUE literals an engine whose delete leaks
+    * flips. The serve path runs against the RELOADED post-delete
+    * version — the delete is proven on the artifact, not on a
+    * session frame. */
+  val forgetCert: Q = Q("sim_ann_forget",
+    """SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors_total,
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 17 = 3) AS n_forgotten,
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 17 <> 3) AS n_codes_after,
+      |  TRUE AS no_forgotten_anywhere, TRUE AS one_code_per_vector""".stripMargin) {
+    (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val idx = forgottenStore(s, dir).loadProduction(s, IndexName)
+      .getOrElse(sys.error("no production forgotten index"))
+    val isForgot = (c: org.apache.spark.sql.Column) => c % 17 === 3
+    val codeStats = idx.codes.agg(
+      count(lit(1)).as("n_codes_after"),
+      countDistinct(col("vec_id")).as("n_distinct_vec"),
+      sum(when(isForgot(col("vec_id")), 1).otherwise(0)).as("n_forgot_codes"))
+    val ansStats = PqAnn.queryIndex(emb, idx).agg(
+      sum(when(isForgot(col("c_id")), 1).otherwise(0)).as("n_forgot_answers"))
+    emb.agg(count(lit(1)).as("n_vectors_total"),
+        sum(when(isForgot(col("vec_id")), 1L).otherwise(0L)).as("n_forgotten"))
+      .crossJoin(broadcast(codeStats))
+      .crossJoin(broadcast(ansStats))
+      .select(col("n_vectors_total"), col("n_forgotten"), col("n_codes_after"),
+        (col("n_forgot_codes") === 0 && col("n_forgot_answers") === 0)
+          .as("no_forgotten_anywhere"),
+        (col("n_codes_after") === col("n_distinct_vec") &&
+          col("n_codes_after") === col("n_vectors_total") - col("n_forgotten"))
+          .as("one_code_per_vector"))
+  }
+
+  val all: Seq[Q] = Seq(roundtrip, appendCert, forgetCert)
 }
