@@ -17,7 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (the local-FS analog of a manifest over immutable segments —
   *    at 100 TB an append must never re-copy the corpus).
   */
-abstract class VersionedStore(root: String) extends Serializable {
+abstract class VersionedStore(val root: String) extends Serializable {
 
   protected def nameDir(name: String): Path = Paths.get(root, name)
 

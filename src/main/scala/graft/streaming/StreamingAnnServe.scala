@@ -30,16 +30,19 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingAnnServe {
 
   final case class Env(inDir: String, outDir: String, ckpt: String,
-                       dir: String,
+                       dir: String, store: AnnIndexStore,
                        schema: org.apache.spark.sql.types.StructType)
 
-  def prepare(spark: SparkSession, dir: String): Env = {
+  /** `store` defaults to the session's shared promoted index; a
+    * caller owning its OWN artifact (the mid-stream-forget spec
+    * promotes new versions between passes) injects it here. The
+    * serving stream only ever READS the production pointer. */
+  def prepare(spark: SparkSession, dir: String,
+              store: Option[AnnIndexStore] = None): Env = {
     val scratch = Scratch.dir("graft-annserve-").toString
-    // building + promoting the session's persisted index happens in
-    // AnnIndexStore.forDir on first use — the serving stream only
-    // ever READS the production pointer
     val emb = Tables.embeddings(spark, dir)
-    Env(s"$scratch/in", s"$scratch/answers", s"$scratch/ckpt", dir, emb.schema)
+    Env(s"$scratch/in", s"$scratch/answers", s"$scratch/ckpt", dir,
+      store.getOrElse(AnnIndexStore.forDir(spark, dir)), emb.schema)
   }
 
   /** Loaded index per (application, dir, version): the pointer is
@@ -54,12 +57,11 @@ object StreamingAnnServe {
     val bs = batch.sparkSession
     // hot reload: re-resolve the production version EVERY batch,
     // re-load only on a version change
-    val store = AnnIndexStore.forDir(bs, env.dir)
-    val v = store.productionVersion(AnnIndexStore.IndexName)
+    val v = env.store.productionVersion(AnnIndexStore.IndexName)
       .getOrElse(sys.error("no production ANN index"))
     val idx = idxMemo.getOrElseUpdate(
-      (bs.sparkContext.applicationId, env.dir, v),
-      store.load(bs, AnnIndexStore.IndexName, v))
+      (bs.sparkContext.applicationId, env.store.root, v),
+      env.store.load(bs, AnnIndexStore.IndexName, v))
     PqAnn.queryIndexFrom(
         batch.select(col("vec_id").as("q_id"), col("embedding")),
         Tables.embeddings(bs, env.dir), idx)

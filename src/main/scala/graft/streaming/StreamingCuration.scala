@@ -94,7 +94,7 @@ object StreamingCuration {
     * increasing mtimes — the ingest-ordered arrival layout every
     * streaming twin replays deterministically. */
   def landOrderedSlicesOf(frame: org.apache.spark.sql.DataFrame, idCol: String,
-                          inDir: String, slices: Int): Unit = {
+                          inDir: String, slices: Int, tag: String = ""): Unit = {
     val r = frame.agg(min(col(idCol)), max(col(idCol))).head()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val span = hi - lo + 1
@@ -110,7 +110,7 @@ object StreamingCuration {
         files.iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet")).get
       }
-      val dst = Paths.get(inDir, f"slice-$i%04d.parquet")
+      val dst = Paths.get(inDir, f"slice-$tag$i%04d.parquet")
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dst, FileTime.fromMillis((i + 1) * 1000L))
     }

@@ -392,6 +392,27 @@ class DedupSpec extends SparkSpec {
     assert(byCluster.values.exists(_.length > 2))
   }
 
+  test("ANN forget becomes durable on disk once gc retires superseded versions") {
+    import graft.queries.AnnIndexStore
+    import org.apache.spark.sql.functions.col
+    val store = new AnnIndexStore(
+      java.nio.file.Files.createTempDirectory("graft-forget-gc-").toString)
+    val idx = AnnIndexStore.forDir(spark, sf)
+      .loadProduction(spark, AnnIndexStore.IndexName).get
+    store.promote(AnnIndexStore.IndexName,
+      store.register(spark, idx, AnnIndexStore.IndexName))
+    store.deleteWhere(spark, AnnIndexStore.IndexName, col("vec_id") % 17 === 3)
+    // grace window: the superseded version still holds the rows
+    assert(store.versions(AnnIndexStore.IndexName) == Seq(1, 2))
+    val dropped = store.gc(AnnIndexStore.IndexName, keep = 0)
+    assert(dropped == Seq(1), s"gc dropped $dropped")
+    // every surviving version's codes are clean of the cohort
+    for (v <- store.versions(AnnIndexStore.IndexName)) {
+      val codes = spark.read.parquet(store.codesDir(AnnIndexStore.IndexName, v))
+      assert(codes.filter(col("vec_id") % 17 === 3).count() == 0, s"v$v leaks")
+    }
+  }
+
   test("line dedup removes a planted boilerplate line from every carrier doc") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, md5, lit}

@@ -163,6 +163,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ANN serving hot-reloads a mid-stream forget: later batches never return deleted ids") {
+    // promotion between passes must be picked up without restarting
+    // the stream world: pass 1 serves from v1; a deleteWhere promotes
+    // v2; pass 2 (same checkpoint, new arrivals) must serve from v2
+    import graft.streaming.{StreamingAnnServe, StreamingCuration}
+    import graft.queries.{AnnCert, AnnIndexStore, PqAnn}
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val store = new AnnIndexStore(
+      java.nio.file.Files.createTempDirectory("graft-serve-forget-").toString)
+    val sessionIdx = AnnIndexStore.forDir(spark, sf)
+      .loadProduction(spark, AnnIndexStore.IndexName)
+      .getOrElse(sys.error("no session index"))
+    store.promote(AnnIndexStore.IndexName,
+      store.register(spark, sessionIdx, AnnIndexStore.IndexName))
+    val env = StreamingAnnServe.prepare(spark, sf, Some(store))
+    val half = AnnCert.NumQueries / 2
+    StreamingCuration.landOrderedSlicesOf(
+      emb.filter(col("vec_id") < half), "vec_id", env.inDir, 1)
+    StreamingAnnServe.runPass(spark, env)
+    val phase1 = StreamingAnnServe.streamedAnswers(spark, env)
+    // premise, not property: on this corpus the pre-delete answers do
+    // contain cohort members; if a future testdata regeneration makes
+    // that vacuously false, cancel rather than fail the safety check
+    assume(phase1.filter(col("c_id") % 17 === 3).count() > 0,
+      "pre-delete answers contain no cohort members on this corpus")
+    store.deleteWhere(spark, AnnIndexStore.IndexName, col("vec_id") % 17 === 3)
+    // second wave of queries lands as NEW files (distinct names — the
+    // file source tracks processed paths); the checkpoint skips the
+    // already-processed slice
+    StreamingCuration.landOrderedSlicesOf(
+      emb.filter(col("vec_id") >= half && col("vec_id") < AnnCert.NumQueries),
+      "vec_id", env.inDir, 1, tag = "w2-")
+    StreamingAnnServe.runPass(spark, env)
+    val phase2 = StreamingAnnServe.streamedAnswers(spark, env)
+      .filter(col("q_id") >= half)
+    assert(phase2.count() > 0)
+    assert(phase2.filter(col("c_id") % 17 === 3).count() == 0,
+      "post-promotion batches must never return forgotten ids")
+  }
+
   test("streaming mix-pack equals the batch manifest across slicings") {
     // the per-source running token offset must carry across
     // micro-batches exactly: any drift shifts every later sequence
