@@ -1682,24 +1682,75 @@ object TextOps {
     * spec). */
   private[graft] def lineDedupReport(docs: DataFrame, boiler: DataFrame,
                                      nBoiler: Long): DataFrame =
-    lineSegments(docs)
+    lineReport(lineSegments(docs)
       .withColumn("fp", md5(col("line")))
       // ~56 B/row: 32-char hex fp + boolean + row overhead
       .join(maybeBroadcast(boiler, nBoiler * 56), Seq("fp"), "left_outer")
-      .groupBy(col("doc_id"))
+      .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false))))
+
+  /** Per-doc removal report over marked segments `(doc_id, seg_id,
+    * line, n_tok, is_boiler)` — shared by the global-count, prefix,
+    * and streaming line-dedup variants. */
+  private[graft] def lineReport(marked: DataFrame): DataFrame =
+    marked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
-        count(col("is_boiler")).as("n_boiler"),
-        coalesce(sum(when(col("is_boiler").isNull, col("n_tok"))), lit(0L))
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        coalesce(sum(when(!col("is_boiler"), col("n_tok"))), lit(0L))
           .as("n_tokens_kept"),
         md5(array_join(transform(
           array_sort(collect_list(
-            when(col("is_boiler").isNull, struct(col("seg_id"), col("line"))))),
+            when(!col("is_boiler"), struct(col("seg_id"), col("line"))))),
           x => x.getField("line")), " ")).as("kept_fp"))
       .orderBy(col("doc_id"))
 
+  /** PREFIX-semantics line dedup — the filter as a streaming ingest
+    * actually applies it: a line in doc d is boilerplate iff ≥
+    * [[LineMinDocs]] distinct documents with doc_id ≤ d (ingest
+    * order) carry it — decisions are made AT ARRIVAL and never
+    * retracted, unlike [[dedupLines]]'s whole-corpus rule, which
+    * needs future knowledge (the 3rd carrier flips the first two
+    * retroactively). Prefix decisions depend only on ingest order,
+    * not on batch boundaries, so the streaming twin
+    * ([[graft.streaming.StreamingLineDedup]]) shares this oracle
+    * verbatim.
+    *
+    * Scale shape: distinct (fp, doc) pairs + ONE window over fp
+    * (postings-bounded rank, the same partitioning the count
+    * aggregate would use), mark-join back on (fp, doc_id), one
+    * per-doc reduction. */
+  val dedupLinesPrefix: Q = Q("text_dedup_lines_prefix",
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS i FROM tok),
+      |seg AS (SELECT doc_id, i // $LineLen AS seg_id,
+      |               string_agg(word, ' ' ORDER BY i) AS line, COUNT(*) AS n_tok
+      |        FROM words GROUP BY 1, 2),
+      |f AS (SELECT DISTINCT md5(line) AS fp, doc_id FROM seg),
+      |rk AS (SELECT fp, doc_id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS k FROM f),
+      |m AS (SELECT s.doc_id, s.seg_id, s.line, s.n_tok, (r.k >= $LineMinDocs) AS boiler
+      |      FROM seg s JOIN rk r ON md5(s.line) = r.fp AND s.doc_id = r.doc_id)
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |  COUNT(*) FILTER (WHERE boiler) AS n_boiler,
+      |  CAST(COALESCE(SUM(n_tok) FILTER (WHERE NOT boiler), 0) AS BIGINT) AS n_tokens_kept,
+      |  md5(COALESCE(string_agg(line, ' ' ORDER BY seg_id) FILTER (WHERE NOT boiler), ''))
+      |    AS kept_fp
+      |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    prefixLineReport(Tables.documents(s, dir))
+  }
+
+  /** The [[dedupLinesPrefix]] transform over any documents frame. */
+  private[graft] def prefixLineReport(docs: DataFrame): DataFrame = {
+    val segs = lineSegments(docs).withColumn("fp", md5(col("line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val rk = segs.select(col("fp"), col("doc_id")).distinct()
+      .withColumn("k", row_number().over(w))
+    lineReport(segs.join(rk, Seq("fp", "doc_id"))
+      .withColumn("is_boiler", col("k") >= LineMinDocs))
+  }
+
   val all: Seq[Q] = Seq(chunkWindows, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
-    dedupKeep, dedupLines, tokenBpe, bpeTrain, packSequences, dupRateSketch, topTokensSketch,
+    dedupKeep, dedupLines, dedupLinesPrefix, tokenBpe, bpeTrain, packSequences, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
     tfidfTopK, curation, curationPack, decontaminate, decontaminateIncremental)

@@ -203,6 +203,18 @@ class StreamingSpec extends SparkSpec {
       "post-promotion batches must never return forgotten ids")
   }
 
+  test("streaming line dedup equals the batch prefix reports across slicings") {
+    // prefix decisions depend only on ingest order, so any slicing of
+    // doc_id-ordered arrivals must reproduce the batch reports exactly
+    import graft.streaming.StreamingLineDedup
+    val batchReports = graft.queries.TextOps.dedupLinesPrefix.fn(spark, sf).collect().toSeq
+    for (slices <- Seq(2, 4)) {
+      val streamed = StreamingLineDedup.runLineDedupStream(spark, sf, slices).collect().toSeq
+      assert(streamed == batchReports, s"slices=$slices report drift: " +
+        streamed.diff(batchReports).take(3))
+    }
+  }
+
   test("streaming mix-pack equals the batch manifest across slicings") {
     // the per-source running token offset must carry across
     // micro-batches exactly: any drift shifts every later sequence
