@@ -680,11 +680,61 @@ object FraudAnalytics {
     s.sql(groupingSetsSql)
   }
 
+  // ---------------------------------------------------------------- band join
+  /** Non-uniform value bands (quadratic widths — the shape of real
+    * pricing/risk tiers) and the unit-grid width the interval join
+    * buckets on. */
+  private[graft] val BandCellW = 8.0
+  private[graft] val Bands: Seq[(Int, Double, Double)] =
+    (0 until 8).map(k => (k, BandCellW * k * k, BandCellW * (k + 1) * (k + 1)))
+
+  /** Interval (band) join: classify every event's `value` into a
+    * non-equi band `[lo, hi)` and aggregate per band — the theta-join
+    * shape (IP-range lookup, price tiers, time-validity windows)
+    * that naive plans execute as BroadcastNestedLoopJoin, O(|fact| ·
+    * |bands|) comparisons per row.
+    *
+    * Scale path — GRID-CELL BUCKETING: overlay a unit grid of width
+    * `BandCellW`; each band explodes to the cells it overlaps (a
+    * tiny dim-side blow-up), each event computes its single cell in
+    * the map stage, and the join becomes a broadcast HASH equi-join
+    * on `cell` + a residual `lo <= value < hi` filter. Per-row work
+    * drops to the handful of bands sharing one cell — with 1M bands
+    * (real IP-geo tables) this is the difference between a scan per
+    * row and a hash probe; past the broadcast gate the same plan
+    * degrades to a shuffle hash join on `cell`, still never a
+    * nested loop. PlanInvariantsSpec pins BroadcastHashJoin and the
+    * absence of BroadcastNestedLoopJoin. */
+  val valueBandJoin: Q = Q("fraud_value_band_join",
+    s"""WITH bands(band_id, lo, hi) AS (VALUES ${
+        Bands.map { case (k, lo, hi) => s"($k, $lo, $hi)" }.mkString(", ")})
+       |SELECT band_id, lo, hi, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       |  COUNT(DISTINCT user_id) AS n_users
+       |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val cells = Bands.toDF("band_id", "lo", "hi")
+      .withColumn("cell", explode(sequence(
+        floor(col("lo") / BandCellW).cast("long"),
+        floor(col("hi") / BandCellW).cast("long"))))
+    Tables.events(s, dir)
+      .withColumn("cell", floor(col("value") / BandCellW).cast("long"))
+      .join(broadcast(cells), "cell")
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("band_id"))
+  }
+
   val all: Seq[Q] = Seq(
     dailyMetrics, scoredEvents, freshness, nullViolations, rateBound,
     timeseries, hourlyStats, recentTopK, featureProjection, typeBreakdown,
     kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, unpivotTypeDaily,
     valuePercentiles, valuePercentilesSketch, funnelCounts, propsVariant,
     timeseriesFilled, clickAttribution, valueStats, regressionStats, groupingSets,
-    dailyActivityFullOuter, slidingCounts)
+    dailyActivityFullOuter, slidingCounts, valueBandJoin)
 }

@@ -42,6 +42,12 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("band join: grid-cell bucketing yields a hash equi-join, never a nested loop") {
+    val plan = formatted(SparkEntry.queries("fraud_value_band_join")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("disjunctive join filter: per-side OR implications push to BOTH scans") {
     val plan = SparkEntry.queries("tpch_disjunctive_revenue")(spark, sf)
       .queryExecution.executedPlan.toString
