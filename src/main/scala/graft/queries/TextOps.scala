@@ -1523,10 +1523,21 @@ object TextOps {
     * boundary and diverge from greedy-leftmost fold semantics) and
     * lets DuckDB replay the identical rewrite. */
   val bpeTrain: Q = Q("text_bpe_train", bpeTrainOracle(BpeRounds)) { (s, dir) =>
-    val (vocab, _) = Curation.vocabStats(s, dir)
-    learnBpeMerges(s, vocab.select(col("tok").as("word"), col("c").as("freq")),
-      BpeRounds)
+    import s.implicits._
+    bpeMerges(s, dir).toDF("round", "lhs", "rhs", "pair_count")
   }
+
+  /** Learned merge sequence, memoized per (application, sf dir): the
+    * training and encode queries share one 16-round learn. */
+  private val mergeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, Long)]]
+
+  private[graft] def bpeMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    mergeCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val (vocab, _) = Curation.vocabStats(s, dir)
+      learnBpeMergesSeq(s, vocab.select(col("tok").as("word"), col("c").as("freq")),
+        BpeRounds)
+    })
 
   /** The iterative trainer: `vocab` is `(word, freq)`; returns the
     * merge table `(round, lhs, rhs, pair_count)`. Each round CUTS
@@ -1539,6 +1550,12 @@ object TextOps {
     * k-means/ALS). */
   private[graft] def learnBpeMerges(s: SparkSession, vocab: DataFrame,
                                     rounds: Int): DataFrame = {
+    import s.implicits._
+    learnBpeMergesSeq(s, vocab, rounds).toDF("round", "lhs", "rhs", "pair_count")
+  }
+
+  private[graft] def learnBpeMergesSeq(s: SparkSession, vocab: DataFrame,
+                                       rounds: Int): Seq[(Int, String, String, Long)] = {
     var state = vocab.select(col("word"), col("freq"),
         concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("st"))
       .localCheckpoint(true)
@@ -1566,15 +1583,22 @@ object TextOps {
       }
       r += 1
     }
-    import s.implicits._
-    merges.result().toDF("round", "lhs", "rhs", "pair_count")
+    merges.result()
   }
 
   /** The oracle replays the identical `rounds` merge rounds as
     * unrolled CTE blocks: per round, pair counts via a lead window
     * over the split state, the deterministic argmax, and the same
-    * boundary-preserving string rewrite. */
-  private def bpeTrainOracle(rounds: Int): String = {
+    * boundary-preserving string rewrite. [[bpeOracleCtes]] is the
+    * shared WITH-chain (through state `s<rounds>`), reused by the
+    * encode oracle below. */
+  private def bpeTrainOracle(rounds: Int): String =
+    bpeOracleCtes(rounds) + s"""
+      |SELECT round, l AS lhs, r AS rhs, c AS pair_count
+      |FROM (${(1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
+      |ORDER BY round""".stripMargin
+
+  private def bpeOracleCtes(rounds: Int): String = {
     val sb = new StringBuilder
     // state and merge CTEs are each referenced twice per round; without
     // MATERIALIZED the inliner expands the chain exponentially (2^rounds
@@ -1595,11 +1619,50 @@ object TextOps {
         |          replace(st, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS st
         |        FROM s$p, m$r m)""".stripMargin)
     }
-    sb.append(s"""
-      |SELECT round, l AS lhs, r AS rhs, c AS pair_count
-      |FROM (${(1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
-      |ORDER BY round""".stripMargin)
     sb.toString
+  }
+
+  // ---------------------------------------------------------------- bpe encode
+  /** Apply the learned merge table: segment every document with the
+    * trained tokenizer and report per-doc BPE token counts — the
+    * SERVING half of [[bpeTrain]] (what a token-budget planner and
+    * the pack stage consume).
+    *
+    * Scale shape: the merge table is collected once (16 rows,
+    * memoized with training via [[bpeMerges]]) and folded into the
+    * plan as LITERAL replace arguments — encoding the DISTINCT
+    * vocabulary is a pure codegen map over |vocab| rows with no
+    * per-row merge-table lookup; documents then join the encoded
+    * vocab by word under the [[maybeBroadcast]] size gate (the
+    * vocab outgrows broadcast at web scale → shuffle hash join) and
+    * one partial-agg groupBy rolls up per-doc counts. The corpus is
+    * never char-exploded: per-word work happens once per DISTINCT
+    * word, the frequency-weighted join fans it out. */
+  val bpeEncode: Q = Q("text_bpe_encode",
+    bpeOracleCtes(BpeRounds) + s""",
+      |enc AS (SELECT word, len(string_split(trim(st), '  ')) AS n_sym FROM s$BpeRounds),
+      |words AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word FROM documents)
+      |SELECT w.doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_tokens,
+      |  ROUND(CAST(MAX(w.n_chars) AS DOUBLE) / SUM(e.n_sym), 6) AS chars_per_bpe
+      |FROM words w JOIN enc e ON w.word = e.word
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val st0 = concat(lit("  "), regexp_replace(col("tok"), "(.)", "$1  "))
+    val stN = bpeMerges(s, dir).foldLeft(st0) { case (c, (_, l, r, _)) =>
+      call_function("replace", c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    val (vocab, nVocab) = Curation.vocabStats(s, dir)
+    val enc = vocab.select(col("tok").as("word"),
+      size(split(trim(stN), "  ")).cast("long").as("n_sym"))
+    tokenized(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_chars"), explode(col("w")).as("word"))
+      .join(maybeBroadcast(enc, nVocab * 64L), "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("n_sym")).cast("long").as("n_bpe_tokens"),
+        r6(max(col("n_chars")).cast("double") / sum(col("n_sym"))).as("chars_per_bpe"))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- line dedup
@@ -1750,7 +1813,7 @@ object TextOps {
 
   val all: Seq[Q] = Seq(chunkWindows, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
-    dedupKeep, dedupLines, dedupLinesPrefix, tokenBpe, bpeTrain, packSequences, dupRateSketch, topTokensSketch,
+    dedupKeep, dedupLines, dedupLinesPrefix, tokenBpe, bpeTrain, bpeEncode, packSequences, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
     tfidfTopK, curation, curationPack, decontaminate, decontaminateIncremental)

@@ -197,6 +197,23 @@ class CurationSpec extends SparkSpec {
       s"got $merges")
   }
 
+  test("BPE encode: per-doc symbol counts sit between words and chars, and merges compress") {
+    val enc = SparkEntry.queries("text_bpe_encode")(spark, sf)
+      .select($"doc_id", $"n_tokens", $"n_bpe_tokens").as[(Long, Long, Long)]
+      .collect().toSeq
+    val chars = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", length(regexp_replace($"text", " ", "")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(enc.nonEmpty)
+    enc.foreach { case (id, nTok, nBpe) =>
+      // every word is ≥ 1 symbol; no merge crosses a word boundary
+      assert(nBpe >= nTok, s"doc $id")
+      assert(nBpe <= chars(id), s"doc $id")
+    }
+    // 16 learned merges actually compress the corpus below char level
+    assert(enc.map(_._3).sum < enc.map(e => chars(e._1)).sum)
+  }
+
   test("mix weight defaults a digitless source to 0.5 instead of dropping it") {
     // regexp_extract on a source with no digits yields '' → null int
     // in Spark (silent row loss) but a Conversion Error in DuckDB;
