@@ -680,6 +680,48 @@ object FraudAnalytics {
     s.sql(groupingSetsSql)
   }
 
+  // ---------------------------------------------------------------- cohorts
+  /** Retention-cohort matrix: users grouped by first-activity day,
+    * counted on each later active day — the classic growth-analytics
+    * rollup (the dashboard the reference's Grafana panels
+    * approximate with per-day counts, `grafana/dashboards/
+    * predictions.json:18`).
+    *
+    * Scale shape: ONE shuffle on `user_id` builds the per-user
+    * activity summary — `collect_set(day)` partial-aggregates
+    * map-side and is bounded by the calendar (days in horizon), not
+    * by event volume — then the cell rollup is a second bounded
+    * aggregate on (cohort_day, offset); cohort sizes come from the
+    * offset-0 cell via a window over the tiny cell frame, no extra
+    * pass over events. No per-user join back to the fact table. */
+  val retentionCohorts: Q = Q("fraud_retention_cohorts",
+    """WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cells AS (
+      |  SELECT u.cohort_day, date_diff('day', u.cohort_day, a.day) AS day_offset,
+      |         COUNT(*) AS n_users
+      |  FROM a JOIN u USING (user_id) GROUP BY 1, 2)
+      |SELECT cohort_day, day_offset, n_users,
+      |  ROUND(CAST(n_users AS DOUBLE)
+      |        / MAX(CASE WHEN day_offset = 0 THEN n_users END)
+      |            OVER (PARTITION BY cohort_day), 6) AS retention
+      |FROM cells ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val cells = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"), collect_set(col("day")).as("days"))
+      .select(col("cohort_day"), explode(col("days")).as("day"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cohort_day"))
+    cells
+      .withColumn("retention",
+        r6(col("n_users").cast("double") /
+          max(when(col("day_offset") === 0, col("n_users"))).over(w)))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   // ---------------------------------------------------------------- band join
   /** Non-uniform value bands (quadratic widths — the shape of real
     * pricing/risk tiers) and the unit-grid width the interval join
@@ -736,5 +778,5 @@ object FraudAnalytics {
     kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, unpivotTypeDaily,
     valuePercentiles, valuePercentilesSketch, funnelCounts, propsVariant,
     timeseriesFilled, clickAttribution, valueStats, regressionStats, groupingSets,
-    dailyActivityFullOuter, slidingCounts, valueBandJoin)
+    dailyActivityFullOuter, slidingCounts, valueBandJoin, retentionCohorts)
 }

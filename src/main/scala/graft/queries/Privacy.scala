@@ -69,6 +69,21 @@ object Privacy {
       " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 250) || '.0.' || (doc_id % 100) ELSE '' END" +
       " || CASE WHEN doc_id % 7 = 0 THEN ' call +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
 
+  /** The per-doc scan+redact frame (unordered) — shared by the batch
+    * query and the streaming twin. */
+  private[graft] def redactFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        planted(col("text"), col("doc_id")).as("t"))
+      .withColumn("red", redacted(col("t")))
+      .select(
+        col("doc_id"), col("source"),
+        regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(Ipv4Re)).cast("long").as("n_ips"),
+        regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(col("red")).as("redacted_md5"),
+        (length(col("t")) - length(col("red"))).cast("long").as("bytes_removed"))
+
   val piiRedact: Q = Q("text_pii_redact",
     s"""WITH p AS (
        |  SELECT doc_id, source, ($plantSql) AS t FROM documents
@@ -87,18 +102,7 @@ object Privacy {
        |  md5(red) AS redacted_md5,
        |  CAST(length(t) - length(red) AS BIGINT) AS bytes_removed
        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        planted(col("text"), col("doc_id")).as("t"))
-      .withColumn("red", redacted(col("t")))
-    d.select(
-        col("doc_id"), col("source"),
-        regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_emails"),
-        regexp_count(col("t"), lit(Ipv4Re)).cast("long").as("n_ips"),
-        regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phones"),
-        md5(col("red")).as("redacted_md5"),
-        (length(col("t")) - length(col("red"))).cast("long").as("bytes_removed"))
-      .orderBy(col("doc_id"))
+    redactFrame(Tables.documents(s, dir)).orderBy(col("doc_id"))
   }
 
   /** Corpus-level privacy report: per-source PII density — the

@@ -288,6 +288,19 @@ object StreamingCuration {
       .orderBy(col("doc_id"), col("rep"))
   }
 
+  /** Streaming twin of `text_pii_redact` — the privacy scrub run
+    * continuously over arriving documents, the deployment shape a
+    * compliance pipeline actually wants (PII never rests unredacted
+    * past one micro-batch). Stateless per doc, so the same
+    * checkpoint+commit-log exactly-once story as
+    * [[streamChunkWindows]]; shares the batch oracle — redaction of
+    * a doc can never depend on how arrivals were sliced. */
+  val streamPiiRedact: Q = Q("stream_pii_redact",
+    graft.queries.Privacy.piiRedact.oracle.get) { (s, dir) =>
+    runStatelessTwin(s, dir, graft.queries.Privacy.redactFrame)
+      .orderBy(col("doc_id"))
+  }
+
   /** Run a STATELESS per-document transform as an `AvailableNow`
     * stream over the sf dir's documents table and read the sink
     * back. Stateless twins need no state store, watermark, or replay
@@ -317,5 +330,6 @@ object StreamingCuration {
     s.read.schema(frame.schema).parquet(out)
   }
 
-  val all: Seq[Q] = Seq(streamCurationPack, streamChunkWindows, streamMixEpochs)
+  val all: Seq[Q] = Seq(streamCurationPack, streamChunkWindows, streamMixEpochs,
+    streamPiiRedact)
 }

@@ -105,6 +105,16 @@ class QueriesSpec extends SparkSpec {
     assert(sparse.count() == 0) // seq ids are 0..max with no gaps
   }
 
+  test("retention cohorts: offset 0 is the full cohort, later cells never exceed it") {
+    val df = SparkEntry.queries("fraud_retention_cohorts")(spark, sf).cache()
+    assert(df.filter(col("day_offset") === 0 && col("retention") =!= 1.0).count() == 0)
+    assert(df.filter(col("retention") > 1.0 || col("day_offset") < 0).count() == 0)
+    // every user appears in exactly one cohort's offset-0 cell
+    val users = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(df.filter(col("day_offset") === 0).agg(sum(col("n_users"))).head.getLong(0) == users)
+  }
+
   test("set ops partition correctly: union = except ∪ intersect (disjointly)") {
     val u = SparkEntry.queries("tpch_set_union")(spark, sf).count()
     val e = SparkEntry.queries("tpch_set_except")(spark, sf).count()
