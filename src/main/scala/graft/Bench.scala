@@ -54,6 +54,12 @@ object Bench {
       },
       timedWarm("cache_warm_knn") {
         graft.queries.AnnCert.warmExactKnn(spark, sfDir)
+      },
+      timedWarm("cache_warm_bpe") {
+        // the 16-round merge learn shared by text_bpe_train/encode —
+        // iterative (one tiny job per round), so min-of-2 reps would
+        // otherwise hide its one-time cost entirely
+        graft.queries.TextOps.bpeMerges(spark, sfDir); ()
       })
     // sorted order: stable query sequence run-to-run so per-query
     // timings are comparable across rounds. Each query runs TWICE and
