@@ -680,6 +680,34 @@ object FraudAnalytics {
     s.sql(groupingSetsSql)
   }
 
+  // ---------------------------------------------------------------- anomalies
+  /** Per-type z-score outliers (|z| > 3) — the statistical anomaly
+    * flag next to the model-based fraud score. Two-pass shape: the
+    * per-type moment aggregate collapses to one row per event_type
+    * (a bounded, design-time cardinality — broadcast is safe at any
+    * data scale, unlike user- or key-scaled frames), then the flag
+    * is a map-side join + filter over the fact scan. No window over
+    * the full table, no second shuffle. */
+  val valueAnomalies: Q = Q("fraud_value_anomalies",
+    """WITH st AS (
+      |  SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sd
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.value,
+      |       ROUND((e.value - mu) / sd, 6) AS zscore
+      |FROM events e JOIN st USING (event_type)
+      |WHERE ABS((e.value - mu) / sd) > 3
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val events = Tables.events(s, dir)
+    val st = events.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    val z = (col("value") - col("mu")) / col("sd")
+    events.join(broadcast(st), "event_type")
+      .filter(abs(z) > 3)
+      .select(col("event_id"), col("event_type"), col("value"),
+        r6(z).as("zscore"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------- cohorts
   /** Retention-cohort matrix: users grouped by first-activity day,
     * counted on each later active day — the classic growth-analytics
@@ -778,5 +806,6 @@ object FraudAnalytics {
     kafkaRoundtrip, tzFormat, sessionize, pivotTypeDaily, unpivotTypeDaily,
     valuePercentiles, valuePercentilesSketch, funnelCounts, propsVariant,
     timeseriesFilled, clickAttribution, valueStats, regressionStats, groupingSets,
-    dailyActivityFullOuter, slidingCounts, valueBandJoin, retentionCohorts)
+    dailyActivityFullOuter, slidingCounts, valueBandJoin, retentionCohorts,
+    valueAnomalies)
 }

@@ -670,6 +670,56 @@ object Relational {
     s.sql(q17Sql)
   }
 
+  /** TPC-H Q4 shape: correlated EXISTS over the fact table (orders
+    * with at least one lineitem shipped > 80 days after the order
+    * date — the schema's analog of the commit/receipt lateness
+    * predicate). Catalyst plans the EXISTS as a LEFT SEMI hash join
+    * on l_orderkey — one pass over each table, never a per-order
+    * probe. Same string is the oracle. */
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT * FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 80 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val sqlQ4: Q = Q("tpch_sql_q4", q4Sql) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(q4Sql)
+  }
+
+  /** TPC-H Q21 shape: the hardest subquery pattern in the suite —
+    * correlated EXISTS (another supplier participated in the order)
+    * AND correlated NOT EXISTS (no other supplier shipped as late),
+    * adapted to this schema's columns: the "blamed" supplier is the
+    * sole last shipper of a multi-supplier finished order. Catalyst
+    * decorrelates the pair into a LEFT SEMI + LEFT ANTI join chain
+    * on l_orderkey — three scans, three hash joins, no nested
+    * re-scan per row. Same string is the oracle. */
+  private val q21Sql =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND EXISTS (
+      |    SELECT * FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT * FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate >= l1.l_shipdate)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  val sqlQ21: Q = Q("tpch_sql_q21", q21Sql) { (s, dir) =>
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(q21Sql)
+  }
+
   /** LATERAL correlated subquery through the SQL front end: per-row
     * top-2 orders via a correlated ORDER BY + LIMIT — the lateral
     * join surface (planned as a per-key limit, not a per-row
@@ -717,6 +767,6 @@ object Relational {
     topBalanceInactive, bigVolumeCustomers,
     topOrdersPerCustomer, runningRevenue, orderGaps, setUnion, setExcept,
     setIntersect, rollupPricing, cubeOrders, distinctCounts, approxDistinct,
-    keySkewReport, topOrders, latestOrderPerCustomer, sqlQ3, sqlQ17,
-    sqlLateralTopK, topKPerKeyOp)
+    keySkewReport, topOrders, latestOrderPerCustomer, sqlQ3, sqlQ4, sqlQ17,
+    sqlQ21, sqlLateralTopK, topKPerKeyOp)
 }

@@ -48,6 +48,13 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q21: correlated EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
+    val plan = formatted(SparkEntry.queries("tpch_sql_q21")(spark, sf))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("disjunctive join filter: per-side OR implications push to BOTH scans") {
     val plan = SparkEntry.queries("tpch_disjunctive_revenue")(spark, sf)
       .queryExecution.executedPlan.toString
