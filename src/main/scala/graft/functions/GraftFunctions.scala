@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.DoubleType
   *   graft_hashed_ngrams(w, k)      — sorted-distinct hashed word k-grams
   *   graft_token_profile(w)         — one-pass quality/lang-id token counts
   *   graft_token_hashes(w)          — per-token xxhash64 array
+  *   graft_bloom_agg(h, n, bits)    — mergeable BloomFilter aggregate
+  *   graft_bloom_contains(bf, h)    — BloomFilter membership probe
   *
   * Two wiring paths share these descriptions: [[register]] installs
   * them imperatively on a built session; [[graft.GraftExtensions]]
@@ -103,7 +105,27 @@ object GraftFunctions {
     (FunctionIdentifier("graft_token_hashes"),
       new ExpressionInfo(classOf[TokenHashes].getName, "graft_token_hashes"),
       (children: Seq[Expression]) => arity("graft_token_hashes", 1, children)(
-        TokenHashes(children.head))))
+        TokenHashes(children.head))),
+    // Spark ships a mergeable BloomFilter aggregate + probe for its
+    // internal runtime join filters but does not expose them to SQL;
+    // graft surfaces them for user-level semi-join reduction (the
+    // bloom-prefilter decontamination path). Args: (xxhash64 LONG,
+    // estimated items, num bits).
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => arity("graft_bloom_agg", 3, children) {
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2)).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) => arity("graft_bloom_contains", 2, children)(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1)))))
 
   /** Constant-int parameter handling shared by the parameterized
     * functions: accept any FOLDABLE int expression (1+1, CAST(2 AS

@@ -1420,6 +1420,48 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-prefiltered decontamination — IDENTICAL semantics (and
+    * oracle) to [[decontaminate]], different physical plan: the
+    * benchmark 8-gram set aggregates into a Spark
+    * `BloomFilterAggregate` sketch (surfaced as `graft_bloom_agg` —
+    * Spark keeps it internal for runtime join filters), a 1-row
+    * ~1 MB broadcast that prefilters the corpus-side gram stream
+    * map-side; only bloom-passed candidates reach the exact-confirm
+    * join, so false positives cannot leak into the output.
+    *
+    * THE scale move for decontamination: at 100 TB the corpus-side
+    * gram stream is the dominant cost, and the bloom probe turns the
+    * corpus×bench shuffle join into a scan-side filter that discards
+    * ~all non-contaminated grams before any exchange — the
+    * exact-confirm join's left side shrinks from |corpus grams| to
+    * |true hits| + ε·|corpus|. The no-false-negative guarantee (the
+    * output is exact, not approximate) is what makes the sketch safe
+    * to put in the correctness path. */
+  val decontaminateBloom: Q = Q("text_decontaminate_bloom",
+    decontaminate.oracle.get) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val grams = hashedGrams8(Tables.fanOut(Tables.documents(s, dir)))
+    val bench = grams.filter(col("doc_id") % 4 === 3).select(col("h")).distinct()
+    val train = grams.filter(col("doc_id") % 4 =!= 3)
+    // the sketch collects to the driver and re-enters the plan as a
+    // BINARY literal (the IVF-codebook pattern: KB-to-MB artifact,
+    // never the data) — `might_contain` requires a constant or
+    // scalar-subquery filter, not a joined column
+    val bf = bench.agg(expr("graft_bloom_agg(h, 1048576L, 8388608L)").as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val (_, _, postings) = hashedShinglesStats(s, dir)
+    val hits = train
+      .filter(call_function("graft_bloom_contains", lit(bf), col("h")))
+      .join(maybeBroadcast(bench, postings / 4 * 8), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"))
+      .filter(col("n_hit").cast("double") / col("n_grams") >= 0.5)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        r6(col("n_hit").cast("double") / col("n_grams")).as("overlap"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-training-doc 8-gram benchmark-overlap counts, filtered to
     * the ≥ 0.5 contaminated set — shared by [[decontaminate]] and the
     * curation pipeline's `contaminated` drop reason. Memoized +
@@ -1827,5 +1869,6 @@ object TextOps {
     dedupKeep, dedupLines, dedupLinesPrefix, tokenBpe, bpeTrain, bpeEncode, packSequences, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
-    tfidfTopK, curation, curationPack, decontaminate, decontaminateIncremental)
+    tfidfTopK, curation, curationPack, decontaminate, decontaminateIncremental,
+    decontaminateBloom)
 }

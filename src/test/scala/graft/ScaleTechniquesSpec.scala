@@ -15,6 +15,25 @@ import org.apache.spark.sql.functions._
 class ScaleTechniquesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bloom prefilter: zero false negatives, most non-hits discarded map-side") {
+    graft.functions.GraftFunctions.register(spark)
+    val grams = graft.queries.TextOps.hashedGrams8(
+      graft.sources.Tables.documents(spark, sf))
+    val bench = grams.filter(col("doc_id") % 4 === 3).select(col("h")).distinct()
+    val train = grams.filter(col("doc_id") % 4 =!= 3).cache()
+    val bf = bench.agg(expr("graft_bloom_agg(h, 1048576L, 8388608L)"))
+      .head.getAs[Array[Byte]](0)
+    val pass = call_function("graft_bloom_contains", lit(bf), col("h"))
+    // no false negatives: every true benchmark gram passes the probe
+    val missed = train.join(bench, Seq("h"), "left_semi").filter(!pass).count()
+    assert(missed == 0)
+    // the prefilter actually prunes: bloom-passed ≤ true hits + 5% fp slack
+    val trueHits = train.join(bench, Seq("h"), "left_semi").count()
+    val passed = train.filter(pass).count()
+    assert(passed <= trueHits + (train.count() * 0.05).toLong,
+      s"passed=$passed trueHits=$trueHits")
+  }
+
   test("bucketed join plans without an Exchange on either side") {
     // default warehouse (./spark-warehouse, gitignored) — the
     // warehouse dir is a static conf on the shared session. The
