@@ -24,7 +24,8 @@ object SparkEntry {
       graft.streaming.StreamingCuration.all ++ graft.streaming.StreamingMixPack.all ++
       graft.streaming.StreamingLineDedup.all ++
       graft.streaming.StreamingAnnIndex.all ++ graft.streaming.StreamingAnnServe.all ++
-      FraudModel.all ++ graft.ml.MlCert.all ++ Multimodal.all ++ graft.jobs.Jobs.all
+      FraudModel.all ++ graft.ml.MlCert.all ++ Multimodal.all ++ graft.jobs.Jobs.all ++
+      graft.sources.CowMerge.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
