@@ -670,6 +670,37 @@ object Relational {
     s.sql(q17Sql)
   }
 
+  /** The remaining rank-family window functions in one pass —
+    * percent_rank, cume_dist, ntile, nth_value over per-customer
+    * order sequences. One shuffle on the partition key; every
+    * function shares the single sorted window (Spark evaluates the
+    * frame once per partition). Restricted to custkey ≤ 50 to keep
+    * the result set reviewable; the predicate pushes to the scan. */
+  val windowRankSuite: Q = Q("tpch_window_rank_suite",
+    """SELECT o_custkey, o_orderkey,
+      |  ROUND(percent_rank() OVER w, 6) AS pr,
+      |  ROUND(cume_dist() OVER w, 6) AS cd,
+      |  ntile(4) OVER w AS quartile,
+      |  nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                   AND UNBOUNDED FOLLOWING) AS second_order
+      |FROM orders WHERE o_custkey <= 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        r6(percent_rank().over(w)).as("pr"),
+        r6(cume_dist().over(w)).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"))
+      .orderBy(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .drop("o_totalprice")
+  }
+
   /** TPC-H Q4 shape: correlated EXISTS over the fact table (orders
     * with at least one lineitem shipped > 80 days after the order
     * date — the schema's analog of the commit/receipt lateness
@@ -768,5 +799,5 @@ object Relational {
     topOrdersPerCustomer, runningRevenue, orderGaps, setUnion, setExcept,
     setIntersect, rollupPricing, cubeOrders, distinctCounts, approxDistinct,
     keySkewReport, topOrders, latestOrderPerCustomer, sqlQ3, sqlQ4, sqlQ17,
-    sqlQ21, sqlLateralTopK, topKPerKeyOp)
+    sqlQ21, sqlLateralTopK, topKPerKeyOp, windowRankSuite)
 }
