@@ -24,6 +24,7 @@ object SparkEntry {
       graft.streaming.StreamingCuration.all ++ graft.streaming.StreamingMixPack.all ++
       graft.streaming.StreamingLineDedup.all ++
       graft.streaming.StreamingAnnIndex.all ++ graft.streaming.StreamingAnnServe.all ++
+      graft.streaming.StreamingCowMerge.all ++
       FraudModel.all ++ graft.ml.MlCert.all ++ Multimodal.all ++ graft.jobs.Jobs.all ++
       graft.sources.CowMerge.all
 

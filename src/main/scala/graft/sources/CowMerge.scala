@@ -30,7 +30,7 @@ import org.apache.spark.sql.types.DecimalType
 object CowMerge {
 
   /** Per-(user, day) additive aggregates of an event slice. */
-  private def dailyAgg(events: DataFrame): DataFrame =
+  private[graft] def dailyAgg(events: DataFrame): DataFrame =
     events
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(
@@ -43,6 +43,12 @@ object CowMerge {
     * invariant meaningful: every earlier day's partition must come
     * through the merge byte-identical. Anchored to `max(ts)` via a
     * 1-row broadcast like every time predicate in the repo. */
+  private[graft] def lateSlice(events: DataFrame): DataFrame =
+    withLateFlag(events).filter(col("is_late")).drop("is_late", "hday")
+
+  private[graft] def baseSlice(events: DataFrame): DataFrame =
+    withLateFlag(events).filter(!col("is_late")).drop("is_late", "hday")
+
   private def withLateFlag(events: DataFrame): DataFrame = {
     val horizon = events.agg(max(to_date(col("ts"))).as("hday"))
     events.crossJoin(broadcast(horizon))
