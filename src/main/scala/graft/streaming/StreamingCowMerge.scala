@@ -141,7 +141,8 @@ object StreamingCowMerge {
     writeBase(s, dir, store)
     val late = CowMerge.lateSlice(Tables.events(s, dir))
     StreamingCuration.landOrderedSlicesOf(late, "event_id", in, slices)
-    val stream = s.readStream.schema(late.schema).parquet(in)
+    val stream = s.readStream.schema(late.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
       .writeStream
       .option("checkpointLocation", s"$scratch/ckpt")
       .trigger(Trigger.AvailableNow())
