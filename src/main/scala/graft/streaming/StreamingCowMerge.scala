@@ -132,9 +132,21 @@ object StreamingCowMerge {
       .flatMap { case (day, _) => readDay(s, store, day, Long.MaxValue) }
       .reduce(_ unionByName _)
 
+  /** TIME TRAVEL: the store exactly as it stood after batch
+    * `asOfBid` committed (-1 = the base load) — a pure read-side
+    * choice over the retained generations, no data movement. */
+  def readStoreAsOf(s: SparkSession, store: String, asOfBid: Long): DataFrame =
+    dayDirs(store)
+      .flatMap { case (day, _) => readDay(s, store, day, asOfBid + 1) }
+      .reduce(_ unionByName _)
+
   /** Run the late slice through an AvailableNow stream in `slices`
     * micro-batches, merging per batch; return the drained store. */
-  def run(s: SparkSession, dir: String, slices: Int): DataFrame = {
+  def run(s: SparkSession, dir: String, slices: Int): DataFrame =
+    readStore(s, runStore(s, dir, slices))
+
+  /** [[run]], returning the store path for as-of reads. */
+  def runStore(s: SparkSession, dir: String, slices: Int): String = {
     val scratch = Scratch.dir("graft-scow-").toString
     val store = s"$scratch/daily"
     val in = s"$scratch/in"
@@ -149,16 +161,70 @@ object StreamingCowMerge {
       .foreachBatch((batch: DataFrame, bid: Long) => mergeBatch(batch, bid, store))
       .start()
     stream.awaitTermination()
-    readStore(s, store)
+    store
   }
 
   val streamCowMerge: Q = Q("stream_cow_merge",
     CowMerge.cowMerge.oracle.get) { (s, dir) =>
+    // deliberately NOT memoized: the stream run IS this query
     run(s, dir, slices = 3)
       .select(col("user_id"), col("day"),
         col("n_events"), col("value_sum").cast("double").as("value_sum"))
       .orderBy(col("user_id"), col("day"))
   }
 
-  val all: Seq[Q] = Seq(streamCowMerge)
+  /** TIME TRAVEL over the retained generations: the store's totals
+    * AS OF each committed batch (-1 = base load, 0..2 = the three
+    * late micro-batches). Purely a read-side choice — no data is
+    * copied to serve historical versions; superseded generations ARE
+    * the history (what Delta/Iceberg call snapshot reads).
+    *
+    * Oracle-checkable because everything that defines a version is
+    * deterministic: the late slice is the horizon day's every-7th
+    * event, arrivals land as contiguous event_id ranges
+    * (`landOrderedSlicesOf`'s `lo + span·i/slices` floor arithmetic,
+    * replayed verbatim in SQL), and batch ids assign 0..slices-1 in
+    * mtime order. */
+  /** One drained store per session for the as-of readers — the
+    * build/stream cost is a [[streamCowMerge]] concern; time travel
+    * is about the read side. */
+  private val storeCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def sharedStore(s: SparkSession, dir: String): String =
+    storeCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir,
+      runStore(s, dir, slices = 3))
+
+  val timeTravel: Q = Q("store_time_travel",
+    """WITH h AS (SELECT MAX(CAST(ts AS DATE)) AS hday FROM events),
+      |late AS (SELECT e.* FROM events e, h
+      |         WHERE e.event_id % 7 = 0 AND CAST(e.ts AS DATE) = h.hday),
+      |b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM late),
+      |base AS (SELECT e.* FROM events e, h
+      |         WHERE NOT (e.event_id % 7 = 0 AND CAST(e.ts AS DATE) = h.hday)),
+      |vers(k) AS (VALUES (-1), (0), (1), (2)),
+      |states AS (
+      |  SELECT k, x.user_id, x.ts, x.value FROM vers, base x
+      |  UNION ALL
+      |  SELECT k, l.user_id, l.ts, l.value FROM vers, late l, b
+      |  WHERE k >= 0 AND l.event_id < b.lo + ((b.hi - b.lo + 1) * (k + 1)) // 3),
+      |agg AS (SELECT k, user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+      |               SUM(CAST(value AS DECIMAL(18,2))) AS v
+      |        FROM states GROUP BY 1, 2, 3)
+      |SELECT CAST(k AS BIGINT) AS as_of, COUNT(*) AS n_rows,
+      |       CAST(SUM(n) AS BIGINT) AS n_events,
+      |       CAST(SUM(v) AS DOUBLE) AS value_sum
+      |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val store = sharedStore(s, dir)
+    (-1L to 2L).map { k =>
+      readStoreAsOf(s, store, k)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("value_sum")).cast("double").as("value_sum"))
+        .select(lit(k).as("as_of"), col("n_rows"), col("n_events"),
+          col("value_sum"))
+    }.reduce(_ unionByName _).orderBy(col("as_of"))
+  }
+
+  val all: Seq[Q] = Seq(streamCowMerge, timeTravel)
 }
