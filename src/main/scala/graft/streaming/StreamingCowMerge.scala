@@ -82,6 +82,9 @@ object StreamingCowMerge {
   /** Bootstrap: the base store written as generation -1 per day. */
   def writeBase(s: SparkSession, dir: String, store: String): Unit = {
     CowMerge.dailyAgg(CowMerge.baseSlice(Tables.events(s, dir)))
+      // one decimal width across ALL generations (sum-of-decimal
+      // widens), so any set of gen dirs can be read in one scan
+      .withColumn("value_sum", col("value_sum").cast("decimal(18,2)"))
       .write.mode("overwrite").partitionBy("day").parquet(store)
     // restructure each day's files into gen--1/ with a done marker
     dayDirs(store).foreach { case (_, dayDir) =>
@@ -139,6 +142,14 @@ object StreamingCowMerge {
     dayDirs(store)
       .flatMap { case (day, _) => readDay(s, store, day, asOfBid + 1) }
       .reduce(_ unionByName _)
+
+  /** The as-of generation dirs as a flat path list — for readers
+    * that don't need the day column reconstructed (per-version
+    * totals), ONE multi-path scan instead of |days| subframes. */
+  private def genPathsAsOf(store: String, asOfBid: Long): Seq[String] =
+    dayDirs(store).flatMap { case (day, dayDir) =>
+      currentGen(dayDir, asOfBid + 1).map(g => s"$store/day=$day/$GenPrefix$g")
+    }
 
   /** Run the late slice through an AvailableNow stream in `slices`
     * micro-batches, merging per batch; return the drained store. */
@@ -217,7 +228,9 @@ object StreamingCowMerge {
       |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     val store = sharedStore(s, dir)
     (-1L to 2L).map { k =>
-      readStoreAsOf(s, store, k)
+      s.read.parquet(genPathsAsOf(store, k): _*)
+        .select(col("n_events").cast("long").as("n_events"),
+          col("value_sum").cast("decimal(18,2)").as("value_sum"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("n_events")).as("n_events"),
           sum(col("value_sum")).cast("double").as("value_sum"))
