@@ -151,6 +151,35 @@ object StreamingCowMerge {
       currentGen(dayDir, asOfBid + 1).map(g => s"$store/day=$day/$GenPrefix$g")
     }
 
+  /** GC: drop superseded generations, keeping the newest
+    * `keepLast` COMPLETE generations per day (time-travel horizon)
+    * plus any INCOMPLETE generation newer than the newest complete
+    * one (a writer may be mid-commit — same discipline as
+    * [[graft.sources.VersionedStore]]'s staging age-gate). Readers
+    * are never broken: the newest complete generation always
+    * survives. */
+  def gc(store: String, keepLast: Int = 1): Unit =
+    dayDirs(store).foreach { case (_, dayDir) =>
+      import scala.jdk.CollectionConverters._
+      val gens = scala.util.Using.resource(Files.list(dayDir)) { st =>
+        st.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith(GenPrefix))
+          .map(p => (p.getFileName.toString.stripPrefix(GenPrefix).toLong, p))
+          .toSeq.sortBy(-_._1)
+      }
+      val complete = gens.filter { case (_, p) => Files.exists(p.resolve(Done)) }
+      val newestComplete = complete.headOption.map(_._1).getOrElse(Long.MinValue)
+      val keep = complete.take(keepLast).map(_._1).toSet
+      gens.foreach { case (g, p) =>
+        val incompleteInFlight = !Files.exists(p.resolve(Done)) && g > newestComplete
+        if (!keep.contains(g) && !incompleteInFlight) {
+          scala.util.Using.resource(Files.walk(p)) { st =>
+            st.iterator().asScala.toSeq.reverse.foreach(f => Files.deleteIfExists(f))
+          }
+        }
+      }
+    }
+
   /** Run the late slice through an AvailableNow stream in `slices`
     * micro-batches, merging per batch; return the drained store. */
   def run(s: SparkSession, dir: String, slices: Int): DataFrame =

@@ -38,6 +38,29 @@ class StreamingCowMergeSpec extends SparkSpec {
     assert(first == direct)
   }
 
+  test("gc keeps the newest complete generation (reads unchanged) and in-flight writers") {
+    val store = StreamingCowMerge.runStore(spark, sf, slices = 3)
+    val before = snap(StreamingCowMerge.readStore(spark, store))
+    // an in-flight newer generation (no marker yet) must survive gc
+    val day = Tables.events(spark, sf)
+      .agg(max(to_date(col("ts")))).head.getDate(0).toString
+    val inflight = java.nio.file.Paths.get(store, s"day=$day", "gen-50")
+    java.nio.file.Files.createDirectories(inflight)
+    StreamingCowMerge.gc(store, keepLast = 1)
+    assert(java.nio.file.Files.isDirectory(inflight), "gc reclaimed an in-flight writer")
+    // superseded generations on the horizon day are gone
+    val horizonGens = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(store, s"day=$day"))) { st =>
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("gen-")).toSet
+      }
+    }
+    assert(horizonGens == Set("gen-2", "gen-50"), horizonGens.toString)
+    assert(snap(StreamingCowMerge.readStore(spark, store)) == before)
+  }
+
   test("a generation without its done marker is invisible to readers") {
     val store = Files.createTempDirectory("graft-scow-spec2-").toString + "/daily"
     StreamingCowMerge.writeBase(spark, sf, store)
