@@ -268,5 +268,46 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode)
+  /** Token-budget packing for media — the multimodal face of the
+    * corpus-assembly pack stage: each record costs
+    * `n_frames × 16` patch tokens (frame count = the same
+    * `max(1, bytes/32)` rule [[extractFeatures]] uses), and records
+    * pack greedily into 2048-token sequences per (format, shard).
+    *
+    * The SHARD (doc_id mod 4) is the parallel unit: packing needs a
+    * running prefix sum, which is a per-partition sort — sharding
+    * bounds every sort to |corpus|/shards and is how a 100 TB media
+    * pack actually runs (per format × shard, then sequences are
+    * globally unique via the shard prefix). Same plan family as
+    * `text_pack_sequences`, which partitions by source. */
+  val packBudget: Q = Q("mm_pack_budget",
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 4 AS shard,
+      |    greatest(1, octet_length(CAST(text AS BLOB)) // 32) * 16 AS media_tokens
+      |  FROM documents
+      |), o AS (
+      |  SELECT doc_id, shard, media_tokens,
+      |    COALESCE(SUM(media_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM t
+      |)
+      |SELECT shard, CAST(off // 2048 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_items, CAST(SUM(media_tokens) AS BIGINT) AS seq_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM o GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mediaTable(s, dir).toDF()
+      .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
+        (greatest(lit(1L), floor(length(col("payload")) / 32)) * 16)
+          .cast("long").as("media_tokens"))
+      .withColumn("off", coalesce(sum(col("media_tokens")).over(w), lit(0L)))
+      .groupBy(col("shard"), floor(col("off") / 2048).as("seq_id"))
+      .agg(count(lit(1)).as("n_items"), sum(col("media_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, packBudget)
 }
