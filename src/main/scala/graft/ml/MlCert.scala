@@ -95,7 +95,9 @@ object MlCert {
     (sr - np * (np + 1.0) / 2.0) / (np * (n - np))
   }
 
-  val trainEvalCert: Q = Q("ml_train_eval_cert",
+  /** The replayable labeled-events CTE chain (`f` → `lab` → `lab2`)
+    * shared by the certificate and the calibration query. */
+  private val labeledSql =
     """WITH f AS (
       |  SELECT event_id, value AS amount, ts,
       |    CAST((CAST(('0x' || substr(md5('items:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 + 1) AS DOUBLE) AS num_items,
@@ -115,7 +117,11 @@ object MlCert {
       |    CASE WHEN latent > CAST(1.2 AS DOUBLE) * (u - CAST(0.5 AS DOUBLE))
       |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS label
       |  FROM lab
-      |), te AS (SELECT * FROM lab2 WHERE bucket >= 75),
+      |)""".stripMargin
+
+  val trainEvalCert: Q = Q("ml_train_eval_cert",
+    labeledSql + """,
+      |te AS (SELECT * FROM lab2 WHERE bucket >= 75),
       |ranked AS (SELECT label, latent, row_number() OVER (ORDER BY latent) AS rn FROM te),
       |tied AS (SELECT label, AVG(rn) OVER (PARTITION BY latent) AS r FROM ranked)
       |SELECT (SELECT COUNT(*) FROM lab2) AS n_total,
@@ -164,5 +170,28 @@ object MlCert {
         col("model_auc_ge_085"), col("sketch_auc_within_bound"), col("closed_form_matches"))
   }
 
-  val all: Seq[Q] = Seq(trainEvalCert)
+  /** Calibration curve of the latent scorer against the replayable
+    * labels: fixed-width score bins × observed positive rate — the
+    * reliability diagram every production scorer publishes. Binning
+    * is on `latent`, which both engines compute BIT-IDENTICALLY
+    * (left-assoc double chain over md5 fractions), so floor() can
+    * never disagree at a bin edge; one partial-agg groupBy, no
+    * joins. */
+  val calibrationBins: Q = Q("ml_calibration_bins",
+    labeledSql + """
+      |SELECT CAST(least(greatest(floor((latent + CAST(3.0 AS DOUBLE)) * 2.0), 0), 15) AS BIGINT) AS bin,
+      |  COUNT(*) AS n,
+      |  ROUND(AVG(latent), 6) AS mean_latent,
+      |  ROUND(AVG(label), 6) AS label_rate
+      |FROM lab2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    labeledEvents(s, dir)
+      .groupBy(least(greatest(floor((col("latent") + lit(3.0)) * 2.0), lit(0)), lit(15))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("latent")), 6).as("mean_latent"),
+        round(avg(col("label")), 6).as("label_rate"))
+      .orderBy(col("bin"))
+  }
+
+  val all: Seq[Q] = Seq(trainEvalCert, calibrationBins)
 }

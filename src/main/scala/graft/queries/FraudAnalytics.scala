@@ -680,6 +680,65 @@ object FraudAnalytics {
     s.sql(groupingSetsSql)
   }
 
+  // ---------------------------------------------------------------- drift
+  /** Population-stability-index (PSI) drift monitor: the serving
+    * window's feature distributions vs the first-15-day baseline —
+    * the standard production-ML input-drift alarm (PSI > 0.2 ⇒
+    * retrain). Two bounded aggregates: per-(feature, bin, period)
+    * counts (map-side combined), then the PSI fold over ≤ 10 bins
+    * per feature via a window total — no joins, no full-table sort;
+    * the period anchor is the usual 1-row min(ts) broadcast. */
+  val featureDrift: Q = Q("ml_feature_drift",
+    """WITH h AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+      |e AS (SELECT value, hour(ts) AS hr,
+      |        CASE WHEN date_diff('day', d0, CAST(ts AS DATE)) < 15 THEN 0 ELSE 1 END AS period
+      |      FROM events, h),
+      |binned AS (
+      |  SELECT 'amount' AS feature, least(CAST(floor(value / 50) AS BIGINT), 9) AS bin, period FROM e
+      |  UNION ALL
+      |  SELECT 'hour' AS feature, CAST(hr // 3 AS BIGINT) AS bin, period FROM e),
+      |cnt AS (SELECT feature, bin,
+      |          SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS c0,
+      |          SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS c1
+      |        FROM binned GROUP BY 1, 2),
+      |w AS (SELECT feature, c0, c1,
+      |        SUM(c0) OVER (PARTITION BY feature) AS t0,
+      |        SUM(c1) OVER (PARTITION BY feature) AS t1 FROM cnt),
+      |p AS (SELECT feature,
+      |        greatest(CAST(c0 AS DOUBLE) / t0, 1e-6) AS p,
+      |        greatest(CAST(c1 AS DOUBLE) / t1, 1e-6) AS q, t0, t1 FROM w)
+      |SELECT feature, ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+      |  CAST(MAX(t0) AS BIGINT) AS n_base, CAST(MAX(t1) AS BIGINT) AS n_curr
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val events = Tables.events(s, dir)
+    val anchor = events.agg(min(to_date(col("ts"))).as("d0"))
+    val e = events.crossJoin(broadcast(anchor))
+      .select(col("value"), hour(col("ts")).as("hr"),
+        when(datediff(to_date(col("ts")), col("d0")) < 15, 0).otherwise(1).as("period"))
+    val binned =
+      e.select(lit("amount").as("feature"),
+          least(floor(col("value") / 50).cast("long"), lit(9L)).as("bin"), col("period"))
+        .unionByName(
+          e.select(lit("hour").as("feature"),
+            floor(col("hr") / 3).cast("long").as("bin"), col("period")))
+    val cnt = binned.groupBy(col("feature"), col("bin"))
+      .agg(sum(when(col("period") === 0, 1).otherwise(0)).as("c0"),
+        sum(when(col("period") === 1, 1).otherwise(0)).as("c1"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))
+    val p = cnt
+      .withColumn("t0", sum(col("c0")).over(wTot))
+      .withColumn("t1", sum(col("c1")).over(wTot))
+      .select(col("feature"),
+        greatest(col("c0").cast("double") / col("t0"), lit(1e-6)).as("p"),
+        greatest(col("c1").cast("double") / col("t1"), lit(1e-6)).as("q"),
+        col("t0"), col("t1"))
+    p.groupBy(col("feature"))
+      .agg(r6(sum((col("p") - col("q")) * log(col("p") / col("q")))).as("psi"),
+        max(col("t0")).cast("long").as("n_base"),
+        max(col("t1")).cast("long").as("n_curr"))
+      .orderBy(col("feature"))
+  }
+
   // ---------------------------------------------------------------- anomalies
   /** Per-type z-score outliers (|z| > 3) — the statistical anomaly
     * flag next to the model-based fraud score. Two-pass shape: the
@@ -807,5 +866,5 @@ object FraudAnalytics {
     valuePercentiles, valuePercentilesSketch, funnelCounts, propsVariant,
     timeseriesFilled, clickAttribution, valueStats, regressionStats, groupingSets,
     dailyActivityFullOuter, slidingCounts, valueBandJoin, retentionCohorts,
-    valueAnomalies)
+    valueAnomalies, featureDrift)
 }
