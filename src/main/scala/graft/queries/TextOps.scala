@@ -1864,9 +1864,116 @@ object TextOps {
       .withColumn("is_boiler", col("k") >= LineMinDocs))
   }
 
+  // ---------------------------------------------------------------- span dedup
+  /** Sliding-window width (tokens) for [[dedupSpans]]: any [[SpanW]]
+    * consecutive tokens shared verbatim between two documents mark
+    * every position they cover for removal. */
+  private[graft] val SpanW = 5
+
+  /** Per-doc sliding shingle starts `(doc_id, i, fp)` — one
+    * fingerprint at EVERY token offset (unlike [[lineSegments]]'
+    * aligned grid), so cross-doc repeats are caught regardless of
+    * alignment. Pure column program; no shuffle until aggregated. */
+  private[graft] def spanStarts(docs: DataFrame): DataFrame =
+    tokenized(docs)
+      .filter(size(col("w")) >= SpanW)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(w) - $SpanW),
+             |          k -> md5(array_join(slice(w, k + 1, $SpanW), ' ')))""".stripMargin)
+        ).as(Seq("i", "fp")))
+
+  /** Cross-doc duplicated shingle set + size, memoized per
+    * (application, sf dir) like [[boilerLines]]. */
+  private val spanDupCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)]
+
+  private def dupSpanFps(s: SparkSession, dir: String): (DataFrame, Long) =
+    spanDupCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val df = spanStarts(Tables.fanOut(Tables.documents(s, dir)))
+        .groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("fp")).withColumn("dup", lit(true))
+        .persist()
+      (df, df.count())
+    })
+
+  /** Maximal-span exact substring deduplication — the ExactSubstr
+    * filter of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022): any [[SpanW]]-token window
+    * appearing verbatim in ≥ 2 distinct documents marks every token
+    * position it covers, and overlapping/adjacent marked windows
+    * merge into maximal removed spans. Unlike [[dedupLines]]'
+    * aligned fixed segments this catches repeats at ANY offset, and
+    * removal is position-granular. Output: per-doc token count,
+    * removed-position count, MAXIMAL span count (gaps-and-islands
+    * over covered positions), and the md5 of the reassembled
+    * retained text.
+    *
+    * Scale shape: shingling is a shuffle-free map (one md5 per token
+    * position — the suffix-array build of the paper replaced by a
+    * fingerprint aggregate, the standard distributed reformulation);
+    * the duplicate test is ONE aggregate keyed by fingerprint
+    * (postings-bounded, never all-pairs); the mark-join keys on the
+    * fixed-width fp under the size gate (a web corpus's duplicated-
+    * window set grows with the crawl → degrades to a shuffle hash
+    * join); coverage expansion is a bounded ×[[SpanW]] explode of
+    * only the DUPLICATED starts; span merging + reassembly ride one
+    * per-doc window + reduction. */
+  val dedupSpans: Q = Q("text_dedup_spans",
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |toks AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) - 1 AS pos FROM tok),
+      |sh AS (SELECT doc_id, t.i, md5(array_to_string(list_slice(w, t.i + 1, t.i + $SpanW), ' ')) AS fp
+      |       FROM tok, UNNEST(generate_series(0, len(w) - $SpanW)) AS t(i)
+      |       WHERE len(w) >= $SpanW),
+      |dup AS (SELECT fp FROM sh GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT DISTINCT s.doc_id, t.pos
+      |        FROM sh s JOIN dup USING (fp),
+      |             UNNEST(generate_series(s.i, s.i + ${SpanW - 1})) AS t(pos)),
+      |m AS (SELECT t.doc_id, t.pos, t.tok, (c.pos IS NOT NULL) AS rm
+      |      FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+      |m2 AS (SELECT m.*, rm AND NOT COALESCE(LAG(rm) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS ss
+      |       FROM m)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(COUNT(*) FILTER (WHERE rm) AS BIGINT) AS n_removed,
+      |  CAST(COUNT(*) FILTER (WHERE ss) AS BIGINT) AS n_spans,
+      |  md5(COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT rm), '')) AS kept_fp
+      |FROM m2 GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val (dups, nDups) = dupSpanFps(s, dir)
+    spanDedupReport(Tables.documents(s, dir), dups, nDups)
+  }
+
+  /** The [[dedupSpans]] report for any documents frame against a
+    * duplicated-fingerprint set (exposed for the planted spec). */
+  private[graft] def spanDedupReport(docs: DataFrame, dups: DataFrame,
+                                     nDups: Long): DataFrame = {
+    val toks = tokenized(docs)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+    val covered = spanStarts(docs)
+      // ~56 B/row: 32-char hex fp + boolean + row overhead
+      .join(maybeBroadcast(dups, nDups * 56), Seq("fp"))
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + $SpanW - 1)")).as("pos"))
+      .distinct()
+      .withColumn("rm", lit(true))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks.join(covered, Seq("doc_id", "pos"), "left_outer")
+      .withColumn("rm", coalesce(col("rm"), lit(false)))
+      .withColumn("ss", col("rm") && !coalesce(lag(col("rm"), 1).over(w), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("ss"), 1L).otherwise(0L)).as("n_spans"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(!col("rm"), struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " ")).as("kept_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(chunkWindows, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
-    dedupKeep, dedupLines, dedupLinesPrefix, tokenBpe, bpeTrain, bpeEncode, packSequences, dupRateSketch, topTokensSketch,
+    dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, tokenBpe, bpeTrain, bpeEncode, packSequences, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
     tfidfTopK, curation, curationPack, decontaminate, decontaminateIncremental,

@@ -449,4 +449,44 @@ class DedupSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(out(1L)._5 == expect, "kept_fp must hash the reassembled retained text")
   }
+
+  test("span dedup merges overlapping dup windows into maximal spans at any offset") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // an 8-token run shared at UNALIGNED offsets (3 vs 6) → its four
+    // 5-token windows overlap into ONE maximal span of 8 positions;
+    // two disjoint 5-token runs shared by docs 5/6 → two spans each
+    val runA = "the quick brown fox jumps over the lazy".split(" ").toSeq
+    val runB = "pack my box with liquor".split(" ").toSeq
+    val runC = "waltz bad nymph for jugs".split(" ").toSeq
+    def ids(p: String, n: Int): Seq[String] = (0 until n).map(i => s"$p$i")
+    def mk(id: Long, toks: Seq[String]): (Long, String, String, String, Long) =
+      (id, toks.mkString(" "), "en", "s1", 0L)
+    val d1 = ids("a", 3) ++ runA ++ ids("a", 11).drop(3)
+    val d2 = ids("b", 6) ++ runA ++ ids("b", 10).drop(6)
+    val d3 = ids("c", 16)
+    val d4 = Seq("x", "y", "z") // below SpanW: no shingles, untouched
+    val d5 = ids("d", 2) ++ runB ++ ids("d", 5).drop(2) ++ runC ++ ids("d", 7).drop(5)
+    val d6 = ids("e", 1) ++ runB ++ ids("e", 4).drop(1) ++ runC ++ ids("e", 8).drop(4)
+    val docs = Seq(mk(1, d1), mk(2, d2), mk(3, d3), mk(4, d4), mk(5, d5), mk(6, d6))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dups = graft.queries.TextOps.spanStarts(docs)
+      .groupBy(col("fp"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("fp")).withColumn("dup", lit(true))
+    val out = graft.queries.TextOps.spanDedupReport(docs, dups, nDups = 6L)
+      .select($"doc_id", $"n_tokens", $"n_removed", $"n_spans", $"kept_fp")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 8 && out(1L)._4 == 1, s"doc1: ${out(1L)}")
+    assert(out(2L)._3 == 8 && out(2L)._4 == 1, s"doc2: ${out(2L)}")
+    assert(out(3L)._3 == 0 && out(3L)._4 == 0, s"clean doc: ${out(3L)}")
+    assert(out(4L)._2 == 3 && out(4L)._3 == 0, s"sub-window doc: ${out(4L)}")
+    assert(out(5L)._3 == 10 && out(5L)._4 == 2, s"doc5: ${out(5L)}")
+    assert(out(6L)._3 == 10 && out(6L)._4 == 2, s"doc6: ${out(6L)}")
+    // retained text of doc 1 is exactly its unique tokens, in order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(ids("a", 11).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1L)._5 == expect, "kept_fp must hash the reassembled retained text")
+  }
 }
