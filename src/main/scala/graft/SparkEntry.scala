@@ -18,7 +18,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     FraudAnalytics.all ++ Relational.all ++ TextOps.all ++ Privacy.all ++ DedupGraph.all ++
       Curation.all ++ Similarity.all ++
-      MinHashDedup.all ++ LshAnn.all ++ IvfAnn.all ++ PqAnn.all ++ AnnCert.all ++
+      MinHashDedup.all ++ LshAnn.all ++ IvfAnn.all ++ PqAnn.all ++ AnnCert.all ++ Kmeans.all ++
       AnnIndexStore.all ++ ScoringStream.all ++
       graft.streaming.ClickAttribution.all ++ graft.streaming.StreamingDedup.all ++
       graft.streaming.StreamingCuration.all ++ graft.streaming.StreamingMixPack.all ++

@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over the FULL embedding corpus — the
+  * scale path next to [[IvfAnn.trainCentroids]]'s bounded-sample
+  * training (which is the right IVF contract: a codebook needs only
+  * a sample). Clustering the whole corpus is its own first-class
+  * curation operator — SemDeDup (Abbas et al. 2023) prunes
+  * semantic duplicates per k-means cluster, and cluster-balanced
+  * sampling needs every vector's assignment — so the assignment
+  * pass must be distributed, not sample-local.
+  *
+  * Shape per Lloyd round (MLlib's own iteration discipline):
+  * assignment is a pure codegen map — an argmax over K inline fused
+  * cosines ([[graft.functions.CosineSim]]) against LITERAL
+  * centroids, no explode, no shuffle; the update is ONE partial-agg
+  * groupBy over (cluster, dim) — K·dim result rows, the only bytes
+  * that ever reach the driver (the next round's literals). The
+  * corpus is never collected; rounds cost 2 scans each at any
+  * scale.
+  *
+  * Everything is oracle-replayable: seeds are the first K vectors
+  * by vec_id, per-(vec, k) cosines round half-up at 1e-6 before the
+  * argmax (ties break to the lower k), and centroids are kept
+  * UN-NORMALIZED — the per-dim DECIMAL(28,6) sum, never divided by
+  * the cluster size. Cosine is scale-invariant, so the un-divided
+  * centroid scores identically; what it buys is exactness — the
+  * sum is an exact 6-dec decimal whose double cast both engines
+  * compute bit-identically (integer < 2^53 over 10^6), whereas a
+  * mean S/count lands EXACTLY on a 6-dec midpoint whenever the
+  * count divides into one (even counts do this systematically),
+  * and the two engines resolve that midpoint differently (Spark
+  * rounds the double's shortest decimal repr; DuckDB reconstructs
+  * via a 10^6 multiply) — a measured 1-ulp checksum flip at
+  * sf0.1. So DuckDB unrolls the rounds as CTEs and hash-matches
+  * cluster sizes, within-cluster mean cosine, and the per-cluster
+  * centroid checksum exactly.
+  */
+object Kmeans {
+
+  val K = 8
+  val Rounds = 2
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Embedding vectors as double arrays (exact float→double). */
+  private def vecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+  /** `struct(round6 cosine, -k)` argmax over the K literal
+    * centroids — max cosine, ties to the LOWER cluster id (the -k
+    * trick; `array(struct(...))` coercion renames fields to
+    * positional col1/col2, as in [[IvfAnn]]). */
+  private def best(v: Column, cents: Array[Array[Double]]): Column =
+    array_max(array(cents.zipWithIndex.toIndexedSeq.map { case (c, k) =>
+      struct(r6(call_function("graft_cosine", v, typedLit(c))), lit(-k))
+    }: _*))
+
+  private def bestK(v: Column, cents: Array[Array[Double]]): Column =
+    -best(v, cents).getField("col2")
+
+  /** Seed centroids: the first [[K]] vectors by vec_id —
+    * deterministic at any partitioning. */
+  private def seeds(vv: DataFrame): Array[Array[Double]] =
+    vv.filter(col("vec_id") < K).orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** One distributed Lloyd round: assign (codegen map), recompute
+    * per-(cluster, dim) un-normalized sums (one aggregate), collect
+    * K·dim doubles. A cluster that loses all members keeps its
+    * centroid — mirrored by the oracle's LEFT JOIN + COALESCE. */
+  private def lloydRound(vv: DataFrame,
+                         cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val sums = vv
+      .select(bestK(col("v"), cents).as("k"), posexplode(col("v")).as(Seq("d", "val")))
+      .groupBy(col("k"), col("d"))
+      .agg(sum(col("val").cast("decimal(28,6)")).cast("double").as("nv"))
+      .collect()
+    val next = cents.map(_.clone())
+    sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    next
+  }
+
+  /** Full training run: seeds → [[Rounds]] Lloyd rounds. */
+  def train(vv: DataFrame): Array[Array[Double]] =
+    (1 to Rounds).foldLeft(seeds(vv))((c, _) => lloydRound(vv, c))
+
+  /** Final per-cluster report under the trained centroids: size,
+    * within-cluster mean cosine (the inertia analog), and a
+    * decimal-summed centroid checksum. */
+  def report(spark: SparkSession, vv: DataFrame,
+             cents: Array[Array[Double]]): DataFrame = {
+    val b = best(col("v"), cents)
+    val stats = vv
+      .select((-b.getField("col2")).cast("long").as("k"), b.getField("col1").as("cos"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_vecs"),
+        r6(sum(col("cos").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("mean_cos"))
+    import spark.implicits._
+    val cdf = cents.zipWithIndex.toSeq
+      .flatMap { case (c, k) => c.map(v => (k.toLong, v)) }
+      .toDF("k", "val")
+    val sums = cdf.groupBy(col("k"))
+      .agg(r6(sum(col("val").cast("decimal(28,6)")).cast("double")).as("centroid_sum"))
+    sums.join(stats, Seq("k"), "left_outer")
+      .select(col("k"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("mean_cos"), lit(0.0)).as("mean_cos"), col("centroid_sum"))
+      .orderBy(col("k"))
+  }
+
+  /** One unrolled oracle round: cosines vs `cin`, argmax assignment,
+    * decimal per-dim sums, empty clusters keep their centroid. */
+  private def oracleRound(r: Int, cin: String): String =
+    s"""s$r AS (SELECT v.vec_id, c.k,
+       |         ROUND(SUM(v.val * c.val) / (SQRT(SUM(v.val * v.val)) * SQRT(SUM(c.val * c.val))), 6) AS cos
+       |       FROM dims v JOIN $cin c USING (d) GROUP BY 1, 2),
+       |a$r AS (SELECT vec_id, k FROM
+       |         (SELECT s$r.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, k) AS rn FROM s$r)
+       |       WHERE rn = 1),
+       |m$r AS (SELECT a.k, v.d,
+       |         CAST(SUM(CAST(v.val AS DECIMAL(28,6))) AS DOUBLE) AS val
+       |       FROM dims v JOIN a$r a USING (vec_id) GROUP BY 1, 2),
+       |c$r AS (SELECT c.k, c.d, COALESCE(m.val, c.val) AS val
+       |       FROM $cin c LEFT JOIN m$r m ON c.k = m.k AND c.d = m.d)""".stripMargin
+
+  val kmeansCert: Q = Q("sim_kmeans_cert",
+    s"""WITH dims AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+      |               CAST(unnest(embedding) AS DOUBLE) AS val
+      |             FROM embeddings),
+      |c0 AS (SELECT vec_id AS k, d, val FROM dims WHERE vec_id < $K),
+      |${(1 to Rounds).map(r => oracleRound(r, s"c${r - 1}")).mkString(",\n")},
+      |sf AS (SELECT v.vec_id, c.k,
+      |         ROUND(SUM(v.val * c.val) / (SQRT(SUM(v.val * v.val)) * SQRT(SUM(c.val * c.val))), 6) AS cos
+      |       FROM dims v JOIN c$Rounds c USING (d) GROUP BY 1, 2),
+      |af AS (SELECT vec_id, k, cos FROM
+      |         (SELECT sf.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, k) AS rn FROM sf)
+      |       WHERE rn = 1),
+      |st AS (SELECT k, COUNT(*) AS n_vecs,
+      |         ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cos
+      |       FROM af GROUP BY 1),
+      |cs AS (SELECT k, ROUND(CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE), 6) AS centroid_sum
+      |       FROM c$Rounds GROUP BY 1)
+      |SELECT cs.k, COALESCE(st.n_vecs, 0) AS n_vecs,
+      |  COALESCE(st.mean_cos, 0.0) AS mean_cos, cs.centroid_sum
+      |FROM cs LEFT JOIN st ON cs.k = st.k
+      |ORDER BY cs.k""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val vv = vecs(Tables.embeddings(s, dir)).persist()
+    try report(s, vv, train(vv))
+    finally vv.unpersist(blocking = false)
+  }
+
+  val all: Seq[Q] = Seq(kmeansCert)
+}

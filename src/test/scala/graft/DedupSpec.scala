@@ -489,4 +489,36 @@ class DedupSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(out(1L)._5 == expect, "kept_fp must hash the reassembled retained text")
   }
+
+  test("distributed Lloyd recovers planted clusters; ties break to the lowest seed") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 60 vectors in 3 orthogonal groups (vec_id mod 3), identical
+    // within a group — every vector scores cosine 1.0 against every
+    // same-group seed, so the assignment must take the LOWEST seed
+    // id of its group (seeds are vec_id 0..7): exactly clusters
+    // 0/1/2 survive with 20 members each, clusters 3..7 empty out
+    // but keep their seed centroid.
+    val dim = 64
+    def vec(g: Int): Array[Double] = {
+      val v = new Array[Double](dim)
+      v(g) = 1.0; v(30 + g) = 0.01; v
+    }
+    val vv = (0 until 60).map(i => (i.toLong, vec(i % 3))).toDF("vec_id", "v")
+    val cents = graft.queries.Kmeans.train(vv)
+    val rep = graft.queries.Kmeans.report(spark, vv, cents)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rep.values.map(_._2).sum == 60, "cluster sizes must partition the corpus")
+    for (k <- 0L to 2L) {
+      val (_, n, mc, cs) = rep(k)
+      assert(n == 20 && mc == 1.0, s"cluster $k: n=$n mean_cos=$mc")
+      // un-normalized centroid: 20 identical members -> 20*(1 + 0.01)
+      assert(math.abs(cs - 20.2) < 1e-9, s"cluster $k centroid_sum=$cs")
+    }
+    for (k <- 3L to 7L) {
+      val (_, n, _, cs) = rep(k)
+      assert(n == 0, s"cluster $k should be empty, n=$n")
+      assert(math.abs(cs - 1.01) < 1e-9, s"empty cluster keeps its seed, sum=$cs")
+    }
+  }
 }
