@@ -22,7 +22,7 @@ object SparkEntry {
       AnnIndexStore.all ++ ScoringStream.all ++
       graft.streaming.ClickAttribution.all ++ graft.streaming.StreamingDedup.all ++
       graft.streaming.StreamingCuration.all ++ graft.streaming.StreamingMixPack.all ++
-      graft.streaming.StreamingLineDedup.all ++
+      graft.streaming.StreamingLineDedup.all ++ graft.streaming.StreamingSpanDedup.all ++
       graft.streaming.StreamingAnnIndex.all ++ graft.streaming.StreamingAnnServe.all ++
       graft.streaming.StreamingCowMerge.all ++
       FraudModel.all ++ graft.ml.MlCert.all ++ Multimodal.all ++ graft.jobs.Jobs.all ++

@@ -1947,18 +1947,30 @@ object TextOps {
   /** The [[dedupSpans]] report for any documents frame against a
     * duplicated-fingerprint set (exposed for the planted spec). */
   private[graft] def spanDedupReport(docs: DataFrame, dups: DataFrame,
-                                     nDups: Long): DataFrame = {
-    val toks = tokenized(docs)
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
-    val covered = spanStarts(docs)
+                                     nDups: Long): DataFrame =
+    spanReport(docs, spanCovered(spanStarts(docs)
       // ~56 B/row: 32-char hex fp + boolean + row overhead
-      .join(maybeBroadcast(dups, nDups * 56), Seq("fp"))
+      .join(maybeBroadcast(dups, nDups * 56), Seq("fp"))))
+
+  /** Expand marked window starts `(doc_id, i, ...)` to the distinct
+    * token positions they cover — a bounded ×[[SpanW]] explode of
+    * only the duplicated starts. */
+  private[graft] def spanCovered(marked: DataFrame): DataFrame =
+    marked
       .select(col("doc_id"), explode(expr(s"sequence(i, i + $SpanW - 1)")).as("pos"))
       .distinct()
-      .withColumn("rm", lit(true))
+
+  /** Per-doc span-removal report given the covered-position frame —
+    * the shared tail of the whole-corpus, prefix, and streaming span
+    * dedup variants: mark each token position, merge covered runs
+    * into maximal spans (gaps-and-islands), reassemble the retained
+    * text. One per-doc window + reduction. */
+  private[graft] def spanReport(docs: DataFrame, covered: DataFrame): DataFrame = {
+    val toks = tokenized(docs)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    toks.join(covered, Seq("doc_id", "pos"), "left_outer")
+    toks.join(covered.withColumn("rm", lit(true)), Seq("doc_id", "pos"), "left_outer")
       .withColumn("rm", coalesce(col("rm"), lit(false)))
       .withColumn("ss", col("rm") && !coalesce(lag(col("rm"), 1).over(w), lit(false)))
       .groupBy(col("doc_id"))
@@ -1971,9 +1983,55 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PREFIX-semantics span dedup — the ExactSubstr filter as a
+    * streaming ingest applies it: a window in doc d is duplicated
+    * iff ≥ 2 distinct documents with doc_id ≤ d carry it, so the
+    * SECOND and later carriers lose the span while the first
+    * carrier keeps it — decided at arrival, never retracted
+    * (the [[dedupLinesPrefix]] discipline at threshold 2). The
+    * streaming twin ([[graft.streaming.StreamingSpanDedup]]) shares
+    * this oracle verbatim. */
+  val dedupSpansPrefix: Q = Q("text_dedup_spans_prefix",
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |toks AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) - 1 AS pos FROM tok),
+      |sh AS (SELECT doc_id, t.i, md5(array_to_string(list_slice(w, t.i + 1, t.i + $SpanW), ' ')) AS fp
+      |       FROM tok, UNNEST(generate_series(0, len(w) - $SpanW)) AS t(i)
+      |       WHERE len(w) >= $SpanW),
+      |f AS (SELECT DISTINCT fp, doc_id FROM sh),
+      |rk AS (SELECT fp, doc_id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS k FROM f),
+      |cov AS (SELECT DISTINCT s.doc_id, t.pos
+      |        FROM sh s JOIN rk r ON s.fp = r.fp AND s.doc_id = r.doc_id AND r.k >= 2,
+      |             UNNEST(generate_series(s.i, s.i + ${SpanW - 1})) AS t(pos)),
+      |m AS (SELECT t.doc_id, t.pos, t.tok, (c.pos IS NOT NULL) AS rm
+      |      FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+      |m2 AS (SELECT m.*, rm AND NOT COALESCE(LAG(rm) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS ss
+      |       FROM m)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(COUNT(*) FILTER (WHERE rm) AS BIGINT) AS n_removed,
+      |  CAST(COUNT(*) FILTER (WHERE ss) AS BIGINT) AS n_spans,
+      |  md5(COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT rm), '')) AS kept_fp
+      |FROM m2 GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    prefixSpanReport(Tables.documents(s, dir))
+  }
+
+  /** The [[dedupSpansPrefix]] transform over any documents frame:
+    * distinct (fp, doc) pairs + ONE window over fp for the prefix
+    * rank, duplicated starts expand to covered positions, shared
+    * report tail. */
+  private[graft] def prefixSpanReport(docs: DataFrame): DataFrame = {
+    val starts = spanStarts(docs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val rk = starts.select(col("fp"), col("doc_id")).distinct()
+      .withColumn("k", row_number().over(w))
+    spanReport(docs, spanCovered(
+      starts.join(rk.filter(col("k") >= 2).select(col("fp"), col("doc_id")),
+        Seq("fp", "doc_id"))))
+  }
+
   val all: Seq[Q] = Seq(chunkWindows, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
-    dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, tokenBpe, bpeTrain, bpeEncode, packSequences, dupRateSketch, topTokensSketch,
+    dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, packSequences, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
     tfidfTopK, curation, curationPack, decontaminate, decontaminateIncremental,

@@ -215,6 +215,16 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming span dedup equals the batch prefix reports across slicings") {
+    import graft.streaming.StreamingSpanDedup
+    val batchReports = graft.queries.TextOps.dedupSpansPrefix.fn(spark, sf).collect().toSeq
+    for (slices <- Seq(2, 4)) {
+      val streamed = StreamingSpanDedup.runSpanDedupStream(spark, sf, slices).collect().toSeq
+      assert(streamed == batchReports, s"slices=$slices report drift: " +
+        streamed.diff(batchReports).take(3))
+    }
+  }
+
   test("streaming mix-pack equals the batch manifest across slicings") {
     // the per-source running token offset must carry across
     // micro-batches exactly: any drift shifts every later sequence
