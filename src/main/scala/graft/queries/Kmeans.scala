@@ -90,6 +90,18 @@ object Kmeans {
   def train(vv: DataFrame): Array[Array[Double]] =
     (1 to Rounds).foldLeft(seeds(vv))((c, _) => lloydRound(vv, c))
 
+  /** Trained centroids over the corpus embeddings, memoized per
+    * (application, sf dir) — the certificate and the SemDeDup
+    * consumer share one training run per session. */
+  private val trainCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  def trained(s: SparkSession, dir: String): Array[Array[Double]] =
+    trainCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val vv = vecs(Tables.embeddings(s, dir)).persist()
+      try train(vv) finally vv.unpersist(blocking = false)
+    })
+
   /** Final per-cluster report under the trained centroids: size,
     * within-cluster mean cosine (the inertia analog), and a
     * decimal-summed centroid checksum. */
@@ -151,10 +163,71 @@ object Kmeans {
       |FROM cs LEFT JOIN st ON cs.k = st.k
       |ORDER BY cs.k""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    val vv = vecs(Tables.embeddings(s, dir)).persist()
-    try report(s, vv, train(vv))
-    finally vv.unpersist(blocking = false)
+    report(s, vecs(Tables.embeddings(s, dir)), trained(s, dir))
   }
 
-  val all: Seq[Q] = Seq(kmeansCert)
+  /** SemDeDup similarity threshold (the corpus's planted semantic
+    * near-dup regime — shared with `sim_dedup_semantic`). */
+  val Tau = 0.35
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication") — the algorithm
+    * the distributed k-means exists for: cluster the corpus, then
+    * WITHIN each cluster drop every vector that has an earlier
+    * (lower vec_id) cluster-mate with cosine ≥ [[Tau]]. The cluster
+    * is the blocking key, so the pairwise stage is
+    * Σ|cluster|²·K⁻¹-bounded, never corpus²; at web scale K grows
+    * with the corpus (the paper runs 11k clusters on LAION) so the
+    * per-cluster quadratic stays constant-bounded — exactly the
+    * shuffle-on-cluster + bounded-local-join shape this plan has.
+    * Keep-first (lowest id) replaces the paper's random keeper for
+    * determinism. Oracle replays the full pipeline — training
+    * rounds, assignment, within-cluster pairs — in one unrolled
+    * CTE chain. */
+  val semDedup: Q = Q("sim_semdedup",
+    s"""WITH dims AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+      |               CAST(unnest(embedding) AS DOUBLE) AS val
+      |             FROM embeddings),
+      |c0 AS (SELECT vec_id AS k, d, val FROM dims WHERE vec_id < $K),
+      |${(1 to Rounds).map(r => oracleRound(r, s"c${r - 1}")).mkString(",\n")},
+      |sf AS (SELECT v.vec_id, c.k,
+      |         ROUND(SUM(v.val * c.val) / (SQRT(SUM(v.val * v.val)) * SQRT(SUM(c.val * c.val))), 6) AS cos
+      |       FROM dims v JOIN c$Rounds c USING (d) GROUP BY 1, 2),
+      |af AS (SELECT vec_id, k FROM
+      |         (SELECT sf.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, k) AS rn FROM sf)
+      |       WHERE rn = 1),
+      |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+      |      FROM af a JOIN af b ON a.k = b.k AND a.vec_id < b.vec_id),
+      |pc AS (SELECT p.v1, p.v2,
+      |         ROUND(SUM(x.val * y.val) / (SQRT(SUM(x.val * x.val)) * SQRT(SUM(y.val * y.val))), 6) AS cos
+      |       FROM p JOIN dims x ON x.vec_id = p.v1
+      |              JOIN dims y ON y.vec_id = p.v2 AND y.d = x.d
+      |       GROUP BY 1, 2),
+      |dup AS (SELECT DISTINCT v2 AS vec_id FROM pc WHERE cos >= $Tau)
+      |SELECT a.vec_id, a.k AS cluster, (dup.vec_id IS NULL) AS is_kept
+      |FROM af a LEFT JOIN dup USING (vec_id)
+      |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val cents = trained(s, dir)
+    semDedupReport(vecs(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("v"), bestK(col("v"), cents).cast("long").as("cluster")))
+  }
+
+  /** The SemDeDup keep/drop report over an assigned frame
+    * `(vec_id, v, cluster)` — exposed for the planted spec. */
+  private[graft] def semDedupReport(assigned: DataFrame): DataFrame = {
+    val l = assigned.select(col("cluster").as("ck"), col("vec_id").as("v1"), col("v").as("x"))
+    val r = assigned.select(col("cluster").as("ck"), col("vec_id").as("v2"), col("v").as("y"))
+    val dup = l.join(r, Seq("ck"))
+      .filter(col("v1") < col("v2") &&
+        round(call_function("graft_cosine", col("x"), col("y")), 6) >= Tau)
+      .select(col("v2").as("vec_id")).distinct()
+      .withColumn("d", lit(true))
+    assigned.join(dup, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"), !coalesce(col("d"), lit(false)))
+      .toDF("vec_id", "cluster", "is_kept")
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[Q] = Seq(kmeansCert, semDedup)
 }

@@ -521,4 +521,25 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(cs - 1.01) < 1e-9, s"empty cluster keeps its seed, sum=$cs")
     }
   }
+
+  test("SemDeDup keeps the first of each in-cluster dup group; blocking is per cluster") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dim = 64
+    def vec(g: Int): Array[Double] = {
+      val v = new Array[Double](dim)
+      v(g) = 1.0; v(30 + g) = 0.01; v
+    }
+    // 30 vectors, identical within each of 3 clusters -> only the
+    // lowest vec_id of each cluster survives; vec 100 duplicates
+    // group 0 EXACTLY but sits in another cluster, so the blocking
+    // key must protect it
+    val assigned = ((0 until 30).map(i => (i.toLong, vec(i % 3), (i % 3).toLong)) :+
+      ((100L, vec(0), 5L))).toDF("vec_id", "v", "cluster")
+    val out = graft.queries.Kmeans.semDedupReport(assigned)
+      .as[(Long, Long, Boolean)].collect()
+    val kept = out.filter(_._3).map(_._1).toSet
+    assert(kept == Set(0L, 1L, 2L, 100L), s"kept=$kept")
+    assert(out.length == 31)
+  }
 }
