@@ -60,6 +60,15 @@ object Bench {
         // iterative (one tiny job per round), so min-of-2 reps would
         // otherwise hide its one-time cost entirely
         graft.queries.TextOps.bpeMerges(spark, sfDir); ()
+      },
+      timedWarm("cache_warm_span_dups") {
+        // the cross-doc duplicated-window set behind text_dedup_spans
+        graft.queries.TextOps.dupSpanFps(spark, sfDir); ()
+      },
+      timedWarm("cache_warm_kmeans") {
+        // the distributed Lloyd rounds shared by the k-means
+        // certificate and SemDeDup — iterative like the BPE learn
+        graft.queries.Kmeans.trained(spark, sfDir); ()
       })
     // sorted order: stable query sequence run-to-run so per-query
     // timings are comparable across rounds. Each query runs TWICE and

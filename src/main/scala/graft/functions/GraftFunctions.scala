@@ -98,6 +98,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[HashedNgrams].getName, "graft_hashed_ngrams"),
       (children: Seq[Expression]) => arity("graft_hashed_ngrams", 2, children)(
         HashedNgrams(children(0), foldableInt("graft_hashed_ngrams", children(1))))),
+    (FunctionIdentifier("graft_hashed_ngrams_pos"),
+      new ExpressionInfo(classOf[HashedNgramsPos].getName, "graft_hashed_ngrams_pos"),
+      (children: Seq[Expression]) => arity("graft_hashed_ngrams_pos", 2, children)(
+        HashedNgramsPos(children(0), foldableInt("graft_hashed_ngrams_pos", children(1))))),
     (FunctionIdentifier("graft_token_profile"),
       new ExpressionInfo(classOf[TokenProfile].getName, "graft_token_profile"),
       (children: Seq[Expression]) => arity("graft_token_profile", 1, children)(

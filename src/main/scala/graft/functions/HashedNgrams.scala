@@ -32,6 +32,36 @@ import org.apache.spark.sql.types._
   * needed a `size(w) >= width` pre-filter to avoid a descending
   * `sequence`; callers keep that filter for row-set parity).
   */
+/** POSITIONAL variant of [[HashedNgrams]]: per-offset hashed
+  * `width`-grams, `out[i] = xxhash64(hw[i], …, hw[i+width−1])`, no
+  * distinct, no sort — the span-dedup family needs the offset of
+  * every window (to expand covered positions), so the set form
+  * doesn't apply. Same token/combiner hashing as [[HashedNgrams]];
+  * `posexplode` over the result yields `(i, fp)` directly. */
+case class HashedNgramsPos(child: Expression, width: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) if width > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hashed_ngrams_pos needs (array<string>, width > 0), got ${other.catalogString}, width=$width")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashedNgrams.computePos(input.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = HashedNgrams.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $helper.computePos($a, $width);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedNgramsPos =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hashed_ngrams_pos"
+}
+
 case class HashedNgrams(child: Expression, width: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -135,5 +165,30 @@ object HashedNgrams {
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(g, k))
+  }
+
+  /** Positional kernel for [[HashedNgramsPos]] — the same hashing
+    * loop without the distinct/sort tail. */
+  def computePos(tokens: ArrayData, width: Int): ArrayData = {
+    val n = tokens.numElements()
+    val m = n - width + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hw = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hw(i) = if (tokens.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+      i += 1
+    }
+    val g = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 42L
+      var j = 0
+      while (j < width) { h = XXH64.hashLong(hw(i + j), h); j += 1 }
+      g(i) = h
+      i += 1
+    }
+    new GenericArrayData(g)
   }
 }

@@ -1873,22 +1873,29 @@ object TextOps {
   /** Per-doc sliding shingle starts `(doc_id, i, fp)` — one
     * fingerprint at EVERY token offset (unlike [[lineSegments]]'
     * aligned grid), so cross-doc repeats are caught regardless of
-    * alignment. Pure column program; no shuffle until aggregated. */
-  private[graft] def spanStarts(docs: DataFrame): DataFrame =
+    * alignment. The fingerprint is the positional
+    * [[graft.functions.HashedNgramsPos]] kernel — one primitive
+    * loop per row in WholeStageCodegen, 8-byte keys downstream, no
+    * window STRINGS ever built (the md5-of-joined-tokens first cut
+    * paid |tokens|·width string assembly; the fp is only an
+    * equality key, so the oracle's md5 formulation classifies
+    * windows identically — collisions at |windows|²/2⁶⁵,
+    * unobservable, same argument as [[hashedShingleArrays]]).
+    * Pure column program; no shuffle until aggregated. */
+  private[graft] def spanStarts(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     tokenized(docs)
       .filter(size(col("w")) >= SpanW)
       .select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, size(w) - $SpanW),
-             |          k -> md5(array_join(slice(w, k + 1, $SpanW), ' ')))""".stripMargin)
-        ).as(Seq("i", "fp")))
+        posexplode(expr(s"graft_hashed_ngrams_pos(w, $SpanW)")).as(Seq("i", "fp")))
+  }
 
   /** Cross-doc duplicated shingle set + size, memoized per
     * (application, sf dir) like [[boilerLines]]. */
   private val spanDupCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)]
 
-  private def dupSpanFps(s: SparkSession, dir: String): (DataFrame, Long) =
+  private[graft] def dupSpanFps(s: SparkSession, dir: String): (DataFrame, Long) =
     spanDupCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
       val df = spanStarts(Tables.fanOut(Tables.documents(s, dir)))
         .groupBy(col("fp"))
@@ -1949,8 +1956,8 @@ object TextOps {
   private[graft] def spanDedupReport(docs: DataFrame, dups: DataFrame,
                                      nDups: Long): DataFrame =
     spanReport(docs, spanCovered(spanStarts(docs)
-      // ~56 B/row: 32-char hex fp + boolean + row overhead
-      .join(maybeBroadcast(dups, nDups * 56), Seq("fp"))))
+      // ~24 B/row: 8-byte fp + boolean + row overhead
+      .join(maybeBroadcast(dups, nDups * 24), Seq("fp"))))
 
   /** Expand marked window starts `(doc_id, i, ...)` to the distinct
     * token positions they cover — a bounded ×[[SpanW]] explode of

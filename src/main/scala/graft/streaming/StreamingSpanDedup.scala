@@ -38,7 +38,7 @@ object StreamingSpanDedup {
     val store = new FrameStore(s"$scratch/store")
     store.promote(CountsName,
       store.register(spark, CountsName,
-        docs.filter(lit(false)).select(md5(col("text")).as("fp"))
+        docs.filter(lit(false)).select(xxhash64(col("text")).as("fp"))
           .withColumn("n_docs", lit(0L))
           .withColumn("batch_id", lit(-1L))))
     Env(s"$scratch/in", s"$scratch/reports", s"$scratch/ckpt", store, docs.schema)

@@ -224,6 +224,27 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("graft_hashed_ngrams_pos matches the HOF formulation positionally") {
+    GraftFunctions.register(spark)
+    val df = spark.range(300).selectExpr(
+      "transform(sequence(0L, id % 23), i -> concat('w', CAST(xxhash64(i * 11 + id) % 7 AS STRING))) AS w")
+    for (k <- Seq(3, 5)) {
+      val both = df.filter(expr(s"size(w) >= $k")).selectExpr(
+        s"graft_hashed_ngrams_pos(w, $k) AS native",
+        s"""transform(
+           |  sequence(0, size(w) - $k),
+           |  i -> xxhash64(${(0 until k).map(j => s"xxhash64(w[i+$j])").mkString(",")})) AS hof""".stripMargin)
+      assert(both.filter(expr("native <> hof")).count() == 0, s"width $k")
+    }
+    // fewer than width tokens -> empty array; positional = no dedup
+    val edge = spark.sql(
+      """SELECT graft_hashed_ngrams_pos(array('a', 'b'), 3) AS a,
+        |       graft_hashed_ngrams_pos(array('x', 'y', 'x', 'y'), 2) AS b""".stripMargin).head
+    assert(edge.getSeq[Any](0) == Seq.empty)
+    assert(edge.getSeq[Long](1).length == 3)
+    assert(edge.getSeq[Long](1)(0) == edge.getSeq[Long](1)(2), "repeat windows hash equal")
+  }
+
   test("graft_token_profile is bit-identical to the HOF count formulation") {
     GraftFunctions.register(spark)
     // random draws over a vocab that includes every marker word plus
