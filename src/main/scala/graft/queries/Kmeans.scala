@@ -229,5 +229,44 @@ object Kmeans {
       .orderBy(col("vec_id"))
   }
 
-  val all: Seq[Q] = Seq(kmeansCert, semDedup)
+  /** Per-cluster sample size for [[clusterSample]]. */
+  val SampleN = 32
+
+  /** Cluster-balanced sampling — the diversity-sampling step that
+    * follows corpus clustering: cap every k-means cluster at
+    * [[SampleN]] members, drawn by a content-stable md5 rank (the
+    * replayable-randomness device the split/cert family uses), so
+    * dominant clusters can't drown the mixture. Runs on the custom
+    * [[graft.plans.TopKPerKey]] operator — ONE shuffle on the
+    * cluster id, per-group bounded heaps, no full sort and no
+    * window materialization of the losers; at 100 TB the output is
+    * K·[[SampleN]] rows regardless of corpus size. */
+  val clusterSample: Q = Q("sim_cluster_sample",
+    s"""WITH dims AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+      |               CAST(unnest(embedding) AS DOUBLE) AS val
+      |             FROM embeddings),
+      |c0 AS (SELECT vec_id AS k, d, val FROM dims WHERE vec_id < $K),
+      |${(1 to Rounds).map(r => oracleRound(r, s"c${r - 1}")).mkString(",\n")},
+      |sf AS (SELECT v.vec_id, c.k,
+      |         ROUND(SUM(v.val * c.val) / (SQRT(SUM(v.val * v.val)) * SQRT(SUM(c.val * c.val))), 6) AS cos
+      |       FROM dims v JOIN c$Rounds c USING (d) GROUP BY 1, 2),
+      |af AS (SELECT vec_id, k FROM
+      |         (SELECT sf.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, k) AS rn FROM sf)
+      |       WHERE rn = 1),
+      |dr AS (SELECT vec_id, k AS cluster,
+      |         md5('sample:' || CAST(vec_id AS VARCHAR)) AS draw FROM af),
+      |rk AS (SELECT dr.*, ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY draw, vec_id) AS rn FROM dr)
+      |SELECT vec_id, cluster, draw FROM rk WHERE rn <= $SampleN
+      |ORDER BY cluster, draw, vec_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val cents = trained(s, dir)
+    val assigned = vecs(Tables.embeddings(s, dir))
+      .select(col("vec_id"), bestK(col("v"), cents).cast("long").as("cluster"))
+      .withColumn("draw", md5(concat(lit("sample:"), col("vec_id").cast("string"))))
+    graft.plans.TopKPerKey(assigned, keyCols = Seq("cluster"),
+        orderBy = Seq("draw" -> true, "vec_id" -> true), k = SampleN)
+      .orderBy(col("cluster"), col("draw"), col("vec_id"))
+  }
+
+  val all: Seq[Q] = Seq(kmeansCert, semDedup, clusterSample)
 }

@@ -196,4 +196,33 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("span dedup: gated broadcast mark-join, no cartesian") {
+    // same candidate discipline as line dedup at sliding-window
+    // granularity: the duplicated-window set rides the size gate and
+    // nothing in the plan may degrade to all-pairs
+    val plan = formatted(SparkEntry.queries("text_dedup_spans")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("k-means assignment is a literal-centroid map: no join before the update aggregate") {
+    // the certificate's final report runs assignment as pure
+    // row-local argmax over literal centroids — a join against a
+    // centroid table here would mean the coarse stage shuffles the
+    // corpus once per round
+    val plan = formatted(SparkEntry.queries("sim_kmeans_cert")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("graft_cosine"), plan)
+  }
+
+  test("SemDeDup pairs only within a cluster: equi-join on the blocking key") {
+    // the pairwise stage must be an equi-join on the cluster id
+    // (bounded by the largest cluster), never a cross product
+    val plan = formatted(SparkEntry.queries("sim_semdedup")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
