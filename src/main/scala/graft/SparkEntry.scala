@@ -25,7 +25,7 @@ object SparkEntry {
       graft.streaming.StreamingLineDedup.all ++ graft.streaming.StreamingSpanDedup.all ++
       graft.streaming.StreamingAnnIndex.all ++ graft.streaming.StreamingAnnServe.all ++
       graft.streaming.StreamingCowMerge.all ++
-      FraudModel.all ++ graft.ml.MlCert.all ++ Multimodal.all ++ graft.jobs.Jobs.all ++
+      FraudModel.all ++ graft.ml.MlCert.all ++ graft.ml.QualityModel.all ++ Multimodal.all ++ graft.jobs.Jobs.all ++
       graft.sources.CowMerge.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -111,4 +111,27 @@ class MlSpec extends SparkSpec {
     val b = graft.ml.MlCert.labeledEvents(spark, sf).select("event_id", "bucket", "label")
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
+
+  test("text_quality_model: cert booleans hold and the hashed-LR fit is deterministic") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+    import org.apache.spark.ml.feature.HashingTF
+    val row = graft.ml.QualityModel.qualityModelCert.fn(spark, sf).head()
+    assert(row.getAs[Long]("n_pos_test") > 0 && row.getAs[Long]("n_neg_test") > 0)
+    assert(row.getAs[Double]("bayes_auc_test") > 0.7)
+    assert(row.getAs[Boolean]("lr_auc_ge_gate"), "learned filter under the AUC gate")
+    // no RNG anywhere: hashing trick + zero-init LBFGS ⇒ refitting
+    // yields bit-identical coefficients (the hot-reload/registry
+    // story depends on retrains being reproducible)
+    val tr = graft.ml.QualityModel.labeledDocs(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("bucket") < 75).coalesce(1)
+    def fit() = new Pipeline().setStages(Array(
+        new HashingTF().setInputCol("w").setOutputCol("features")
+          .setNumFeatures(graft.ml.QualityModel.NumFeatures),
+        new LogisticRegression().setMaxIter(100).setLabelCol("label")))
+      .fit(tr).stages(1).asInstanceOf[LogisticRegressionModel]
+    val (m1, m2) = (fit(), fit())
+    assert(m1.coefficients == m2.coefficients && m1.intercept == m2.intercept,
+      "refit must be bit-identical")
+  }
 }
