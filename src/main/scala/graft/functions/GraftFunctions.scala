@@ -102,6 +102,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[HashedNgramsPos].getName, "graft_hashed_ngrams_pos"),
       (children: Seq[Expression]) => arity("graft_hashed_ngrams_pos", 2, children)(
         HashedNgramsPos(children(0), foldableInt("graft_hashed_ngrams_pos", children(1))))),
+    (FunctionIdentifier("graft_span_scrub"),
+      new ExpressionInfo(classOf[SpanScrub].getName, "graft_span_scrub"),
+      (children: Seq[Expression]) => arity("graft_span_scrub", 3, children)(
+        SpanScrub(children(0), children(1), foldableInt("graft_span_scrub", children(2))))),
     (FunctionIdentifier("graft_token_profile"),
       new ExpressionInfo(classOf[TokenProfile].getName, "graft_token_profile"),
       (children: Seq[Expression]) => arity("graft_token_profile", 1, children)(

@@ -1955,38 +1955,31 @@ object TextOps {
     * duplicated-fingerprint set (exposed for the planted spec). */
   private[graft] def spanDedupReport(docs: DataFrame, dups: DataFrame,
                                      nDups: Long): DataFrame =
-    spanReport(docs, spanCovered(spanStarts(docs)
+    spanReport(docs, spanStarts(docs)
       // ~24 B/row: 8-byte fp + boolean + row overhead
-      .join(maybeBroadcast(dups, nDups * 24), Seq("fp"))))
+      .join(maybeBroadcast(dups, nDups * 24), Seq("fp")))
 
-  /** Expand marked window starts `(doc_id, i, ...)` to the distinct
-    * token positions they cover — a bounded ×[[SpanW]] explode of
-    * only the duplicated starts. */
-  private[graft] def spanCovered(marked: DataFrame): DataFrame =
-    marked
-      .select(col("doc_id"), explode(expr(s"sequence(i, i + $SpanW - 1)")).as("pos"))
-      .distinct()
-
-  /** Per-doc span-removal report given the covered-position frame —
-    * the shared tail of the whole-corpus, prefix, and streaming span
-    * dedup variants: mark each token position, merge covered runs
-    * into maximal spans (gaps-and-islands), reassemble the retained
-    * text. One per-doc window + reduction. */
-  private[graft] def spanReport(docs: DataFrame, covered: DataFrame): DataFrame = {
-    val toks = tokenized(docs)
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    toks.join(covered.withColumn("rm", lit(true)), Seq("doc_id", "pos"), "left_outer")
-      .withColumn("rm", coalesce(col("rm"), lit(false)))
-      .withColumn("ss", col("rm") && !coalesce(lag(col("rm"), 1).over(w), lit(false)))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
-        sum(when(col("ss"), 1L).otherwise(0L)).as("n_spans"),
-        md5(array_join(transform(
-          array_sort(collect_list(when(!col("rm"), struct(col("pos"), col("tok"))))),
-          x => x.getField("tok")), " ")).as("kept_fp"))
+  /** Per-doc span-removal report given the marked duplicated starts
+    * `(doc_id, i, ...)` — the shared tail of the whole-corpus,
+    * prefix, and streaming span dedup variants. The duplicated
+    * starts (bounded by the corpus's duplicated windows, not its
+    * tokens) aggregate per doc, join the docs frame on doc_id, and
+    * the native [[graft.functions.SpanScrub]] kernel merges
+    * intervals, counts maximal spans, and reassembles the retained
+    * text in one row-local pass — the token stream itself never
+    * shuffles (the first cut paid three token-stream shuffles:
+    * covered-position distinct, the (doc, pos) mark-join, and the
+    * lag-window + collect_list reduction). */
+  private[graft] def spanReport(docs: DataFrame, marked: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val perDoc = marked.groupBy(col("doc_id")).agg(collect_list(col("i")).as("ss"))
+    tokenized(docs)
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        expr(s"graft_span_scrub(w, coalesce(ss, cast(array() as array<int>)), $SpanW)").as("sc"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("sc.n_removed").as("n_removed"), col("sc.n_spans").as("n_spans"),
+        md5(col("sc.kept")).as("kept_fp"))
       .orderBy(col("doc_id"))
   }
 
@@ -2031,9 +2024,9 @@ object TextOps {
       .partitionBy(col("fp")).orderBy(col("doc_id"))
     val rk = starts.select(col("fp"), col("doc_id")).distinct()
       .withColumn("k", row_number().over(w))
-    spanReport(docs, spanCovered(
+    spanReport(docs,
       starts.join(rk.filter(col("k") >= 2).select(col("fp"), col("doc_id")),
-        Seq("fp", "doc_id"))))
+        Seq("fp", "doc_id")))
   }
 
   val all: Seq[Q] = Seq(chunkWindows, tokenStats, quality, langId, fingerprint, dedupExact,

@@ -58,8 +58,7 @@ object StreamingSpanDedup {
       .join(base, Seq("fp"), "left_outer")
       .filter(col("k") + coalesce(col("base_n"), lit(0L)) >= 2)
       .select(col("fp"), col("doc_id"))
-    TextOps.spanReport(batch,
-        TextOps.spanCovered(starts.join(dup, Seq("fp", "doc_id"))))
+    TextOps.spanReport(batch, starts.join(dup, Seq("fp", "doc_id")))
       .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
     env.store.appendBatch(bs, CountsName,
       firsts.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))

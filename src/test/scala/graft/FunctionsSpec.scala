@@ -245,6 +245,25 @@ class FunctionsSpec extends SparkSpec {
     assert(edge.getSeq[Long](1)(0) == edge.getSeq[Long](1)(2), "repeat windows hash equal")
   }
 
+  test("graft_span_scrub merges intervals, counts maximal spans, reassembles kept text") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_span_scrub(array('a','b','c','d','e','f','g'), array(3, 1), 3) AS o1,
+        |       graft_span_scrub(array('a','b','c','d','e','f','g'), array(0, 4), 2) AS o2,
+        |       graft_span_scrub(array('a','b','c'), cast(array() as array<int>), 3) AS o3
+        |""".stripMargin).head()
+    // starts 1,3 (UNSORTED input) at width 3: [1..3] u [3..5] -> one
+    // merged span of 5; kept = endpoints
+    val o1 = r.getStruct(0)
+    assert((o1.getLong(0), o1.getLong(1), o1.getString(2)) == ((5L, 1L, "a g")), o1.toString)
+    // disjoint [0..1], [4..5] -> two spans
+    val o2 = r.getStruct(1)
+    assert((o2.getLong(0), o2.getLong(1), o2.getString(2)) == ((4L, 2L, "c d g")), o2.toString)
+    // no duplicated windows -> untouched text
+    val o3 = r.getStruct(2)
+    assert((o3.getLong(0), o3.getLong(1), o3.getString(2)) == ((0L, 0L, "a b c")), o3.toString)
+  }
+
   test("graft_token_profile is bit-identical to the HOF count formulation") {
     GraftFunctions.register(spark)
     // random draws over a vocab that includes every marker word plus
