@@ -234,6 +234,25 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("span dedup mark-join degrades past the size bound") {
+    // The duplicated-window set grows with the crawl; past the gate
+    // the mark-join must fall back to a shuffle strategy on the same
+    // 8-byte fingerprint key
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = graft.sources.Tables.documents(spark, sf)
+      val (dups, _) = graft.queries.TextOps.dupSpanFps(spark, sf)
+      def planWith(nDups: Long): String =
+        graft.queries.TextOps.spanDedupReport(docs, dups, nDups)
+          .queryExecution.executedPlan.toString
+      val under = planWith(4L) // 4 * 24 B: fits
+      val over = planWith(graft.queries.TextOps.BroadcastBytesLimit)
+      assert(under.contains("BroadcastHashJoin"), under)
+      assert(!over.contains("BroadcastHashJoin"), over)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("enrichment dim broadcast degrades past the size bound") {
     // The stream-static enrichment join's dim is per-USER state —
     // unbounded at scale — so ScoringStream.enrichDim routes the hint
