@@ -16,7 +16,7 @@ object SparkEntry {
 
   /** All registered engine queries, grouped by surface. */
   def registry: Seq[Q] =
-    FraudAnalytics.all ++ Relational.all ++ TextOps.all ++ Privacy.all ++ DedupGraph.all ++
+    FraudAnalytics.all ++ Relational.all ++ TextOps.all ++ Privacy.all ++ DedupGraph.all ++ PageRank.all ++
       Curation.all ++ Similarity.all ++
       MinHashDedup.all ++ LshAnn.all ++ IvfAnn.all ++ PqAnn.all ++ AnnCert.all ++ Kmeans.all ++
       AnnIndexStore.all ++ ScoringStream.all ++

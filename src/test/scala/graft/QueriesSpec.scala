@@ -124,4 +124,16 @@ class QueriesSpec extends SparkSpec {
     assert(u == building + e)
     assert(e + i == graft.sources.Tables.customer(spark, sf).filter(col("c_acctbal") > 5000.0).count())
   }
+
+  test("pagerank: one rank per nation, base floor, leaked-dangling mass bound") {
+    val out = SparkEntry.queries("graph_pagerank_nations")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nn = graft.sources.Tables.nation(spark, sf).count()
+    assert(out.size == nn, s"${out.size} ranks for $nn nations")
+    // every node receives at least the teleport base (0.15/N)
+    assert(out.values.forall(_ >= 0.15 / nn - 1e-9), out.toString)
+    // dangling mass only leaks: total never exceeds 1
+    val total = out.values.sum
+    assert(total > 0.15 && total <= 1.0 + 1e-6, s"total=$total")
+  }
 }
