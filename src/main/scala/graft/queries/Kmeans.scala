@@ -48,7 +48,7 @@ object Kmeans {
   private def r6(c: Column): Column = round(c, 6)
 
   /** Embedding vectors as double arrays (exact float→double). */
-  private def vecs(emb: DataFrame): DataFrame =
+  private[graft] def vecs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
 
@@ -184,6 +184,13 @@ object Kmeans {
     * determinism. Oracle replays the full pipeline — training
     * rounds, assignment, within-cluster pairs — in one unrolled
     * CTE chain. */
+  /** Assignment frame `(vec_id, v, cluster)` under literal
+    * centroids — shared by SemDeDup, cluster sampling, and the
+    * streaming twin. */
+  private[graft] def assign(vv: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    vv.select(col("vec_id"), col("v"),
+      bestK(col("v"), cents).cast("long").as("cluster"))
+
   val semDedup: Q = Q("sim_semdedup",
     s"""WITH dims AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
       |               CAST(unnest(embedding) AS DOUBLE) AS val
@@ -208,9 +215,7 @@ object Kmeans {
       |FROM af a LEFT JOIN dup USING (vec_id)
       |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    val cents = trained(s, dir)
-    semDedupReport(vecs(Tables.embeddings(s, dir))
-      .select(col("vec_id"), col("v"), bestK(col("v"), cents).cast("long").as("cluster")))
+    semDedupReport(assign(vecs(Tables.embeddings(s, dir)), trained(s, dir)))
   }
 
   /** The SemDeDup keep/drop report over an assigned frame

@@ -225,6 +225,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming semantic dedup equals the batch keep-first verdicts across slicings") {
+    // keep-first IS prefix semantics: removal depends only on
+    // lower-id cluster-mates, so ingest-ordered arrivals reproduce
+    // the batch verdicts at any slicing
+    import graft.streaming.StreamingSemDedup
+    val batchVerdicts = graft.queries.Kmeans.semDedup.fn(spark, sf).collect().toSeq
+    for (slices <- Seq(2, 4)) {
+      val streamed = StreamingSemDedup.runSemDedupStream(spark, sf, slices).collect().toSeq
+      assert(streamed == batchVerdicts, s"slices=$slices verdict drift: " +
+        streamed.diff(batchVerdicts).take(3))
+    }
+  }
+
   test("streaming mix-pack equals the batch manifest across slicings") {
     // the per-source running token offset must carry across
     // micro-batches exactly: any drift shifts every later sequence
