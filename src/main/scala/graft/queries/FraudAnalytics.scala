@@ -859,6 +859,48 @@ object FraudAnalytics {
       .orderBy(col("band_id"))
   }
 
+  // ---------------------------------------------------------------- SCD2
+  /** Slowly-changing-dimension TYPE 2 build — the warehouse pattern
+    * the COW-merge/time-travel store family doesn't cover: collapse
+    * each user's event stream into attribute VALIDITY INTERVALS.
+    * Every run of equal `event_type` per user becomes one dimension
+    * row with valid_from / valid_to (the next change's timestamp;
+    * NULL = open) / is_current, plus a version number. ONE shuffle
+    * on user_id — the change detector, the interval close, and the
+    * version number all ride the same (user, ts, event_id) window
+    * partitioning. */
+  val scd2Dimension: Q = Q("fraud_scd2_dimension",
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |              OR event_type <> lag(event_type) OVER w
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), c AS (SELECT * FROM o WHERE chg = 1),
+      |v AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |    lead(ts) OVER w2 AS valid_to,
+      |    ROW_NUMBER() OVER w2 AS version
+      |  FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+      |  valid_from, valid_to, (valid_to IS NULL) AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val c = Tables.events(s, dir)
+      .withColumn("prev", lag(col("event_type"), 1).over(win))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+    val win2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    c.select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(win2).as("valid_to"),
+        row_number().over(win2).cast("long").as("version"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val all: Seq[Q] = Seq(
     dailyMetrics, scoredEvents, freshness, nullViolations, rateBound,
     timeseries, hourlyStats, recentTopK, featureProjection, typeBreakdown,
@@ -866,5 +908,5 @@ object FraudAnalytics {
     valuePercentiles, valuePercentilesSketch, funnelCounts, propsVariant,
     timeseriesFilled, clickAttribution, valueStats, regressionStats, groupingSets,
     dailyActivityFullOuter, slidingCounts, valueBandJoin, retentionCohorts,
-    valueAnomalies, featureDrift)
+    valueAnomalies, featureDrift, scd2Dimension)
 }
