@@ -66,7 +66,7 @@ object Kmeans {
 
   /** Seed centroids: the first [[K]] vectors by vec_id —
     * deterministic at any partitioning. */
-  private def seeds(vv: DataFrame): Array[Array[Double]] =
+  private[graft] def seeds(vv: DataFrame): Array[Array[Double]] =
     vv.filter(col("vec_id") < K).orderBy(col("vec_id")).collect()
       .map(_.getSeq[Double](1).toArray)
 

@@ -238,6 +238,15 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming k-means update merges to identical sums across slicings") {
+    // decimal partials are associative and exact: any slicing of the
+    // arrivals must merge to the bit-identical per-cluster update
+    import graft.streaming.StreamingKmeansUpdate
+    val twoSlices = StreamingKmeansUpdate.runUpdateStream(spark, sf, 2).collect().toSeq
+    val fourSlices = StreamingKmeansUpdate.runUpdateStream(spark, sf, 4).collect().toSeq
+    assert(twoSlices == fourSlices, twoSlices.diff(fourSlices).take(3).toString)
+  }
+
   test("streaming mix-pack equals the batch manifest across slicings") {
     // the per-source running token offset must carry across
     // micro-batches exactly: any drift shifts every later sequence
