@@ -856,63 +856,6 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Temperature (α = 0.5) source rebalancing — the multilingual /
-    * multi-source mixing rule of mBERT/XLM-R: sample sources
-    * proportional to n_s^α so head sources shrink and the tail
-    * keeps its mass. α is pinned at 1/2 because `sqrt` is IEEE
-    * correctly-rounded in BOTH engines (a general `pow(x, α)` is
-    * libm-dependent and would not oracle-match bit-for-bit); the
-    * per-source weights round once at scale 6 and sum as exact
-    * decimals, every later step is arithmetic on bit-identical
-    * doubles, and membership is the md5-fraction draw — so the
-    * exact kept-document SET is oracle-checked, not just the
-    * rates. Keep-probability p_s = min(1, N·f_s / n_s): sources
-    * above their temperature share downsample, the rest pass
-    * through. Two tiny aggregates + a broadcast of |sources| rows +
-    * a stateless per-row draw — a scan at 100 TB. */
-  val sampleTemperature: Q = Q("text_sample_temperature",
-    """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
-      |w AS (SELECT source, n_docs,
-      |        CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w6 FROM c),
-      |tot AS (SELECT SUM(w6) AS ww, SUM(n_docs) AS nn FROM w),
-      |p AS (SELECT source, n_docs,
-      |        least(CAST(1.0 AS DOUBLE),
-      |              CAST(nn AS DOUBLE) * (CAST(w6 AS DOUBLE) / CAST(ww AS DOUBLE)) / n_docs) AS p
-      |      FROM w, tot),
-      |k AS (SELECT d.doc_id, d.source,
-      |        (CAST(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-      |          / CAST(4294967296.0 AS DOUBLE) < p.p) AS kept
-      |      FROM documents d JOIN p ON d.source = p.source)
-      |SELECT k.source, COUNT(*) AS n_docs,
-      |  CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
-      |  ROUND(MAX(p.p), 6) AS keep_rate,
-      |  md5(COALESCE(string_agg(CAST(k.doc_id AS VARCHAR), ',' ORDER BY k.doc_id)
-      |        FILTER (WHERE kept), '')) AS kept_fp
-      |FROM k JOIN p ON k.source = p.source
-      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val w = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .withColumn("w6", round(sqrt(col("n_docs").cast("double")), 6).cast("decimal(18,6)"))
-    val t = w.agg(sum(col("w6")).as("ww"), sum(col("n_docs")).as("nn")).head()
-    val (ww, nn) = (t.getDecimal(0), t.getLong(1))
-    val p = w.select(col("source"), col("n_docs"),
-      least(lit(1.0),
-        lit(nn.toDouble) * (col("w6").cast("double") / lit(ww.doubleValue())) / col("n_docs"))
-        .as("p"))
-    val frac = conv(substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 8),
-      16, 10).cast("long").cast("double") / lit(4294967296.0)
-    docs.join(broadcast(p), Seq("source"))
-      .withColumn("kept", frac < col("p"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        round(max(col("p")), 6).as("keep_rate"),
-        md5(array_join(transform(
-          array_sort(collect_list(when(col("kept"), col("doc_id")))),
-          x => x.cast("string")), ",")).as("kept_fp"))
-      .orderBy(col("source"))
-  }
-
   /** End-to-end corpus CURATION — the composed pipeline a
     * training-data run actually executes, as ONE declarative plan:
     * exact dedup (content-digest keeper) → near-dup removal (the
@@ -2089,7 +2032,7 @@ object TextOps {
   val all: Seq[Q] = Seq(chunkWindows, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
     dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, packSequences, dupRateSketch, topTokensSketch,
-    sampleStratified, sampleTemperature, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
+    sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
     tfidfTopK, curation, curationPack, decontaminate, decontaminateIncremental,
     decontaminateBloom)
