@@ -19,6 +19,20 @@ object Verify {
     GraftSession.attach(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Drop stale per-query dirs from a previous run of a DIFFERENT
+    // registry (a renamed or removed query would otherwise linger in
+    // the compare as a phantom rows-only entry)
+    val live = SparkEntry.queries.keySet
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !live.contains(f.getName))
+      .foreach { f =>
+        System.err.println(s"[verify] dropping stale output ${f.getName}")
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete(); ()
+        }
+        rm(f)
+      }
     // One retry per query: every registered query is deterministic, so
     // a second attempt can only fail the same way on a genuine defect —
     // but it absorbs transient environment hiccups (tmp-dir pressure,

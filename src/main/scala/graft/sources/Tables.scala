@@ -109,6 +109,9 @@ object Tables {
     * no matter how many executor threads exist. */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // file-count probe: cheap metadata (no RDD lineage materialization,
+    // which df.rdd.getNumPartitions would force on every call); at
+    // production scale a table has far more files than cores → no-op
+    if (df.inputFiles.length >= target) df else df.repartition(target)
   }
 }
