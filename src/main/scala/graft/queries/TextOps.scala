@@ -1749,7 +1749,7 @@ object TextOps {
   private def boilerLines(s: SparkSession, dir: String): (DataFrame, Long) =
     boilerCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
       val df = lineSegments(Tables.fanOut(Tables.documents(s, dir)))
-        .groupBy(md5(col("line")).as("fp"))
+        .groupBy(xxhash64(col("line")).as("fp"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= LineMinDocs)
         .select(col("fp")).withColumn("is_boiler", lit(true))
@@ -1768,12 +1768,15 @@ object TextOps {
     * Scale shape: segmentation is a shuffle-free map; the cross-doc
     * count is ONE aggregate keyed by the line fingerprint (never
     * all-pairs — candidates are bounded by total segments, exactly
-    * like a postings build); the mark-join keys on the fixed-width
-    * md5 rather than arbitrary-length line text, and broadcasts only
-    * under the size gate (a web corpus's boilerplate set grows with
-    * the crawl, so past the bound the join degrades to a shuffle on
-    * the same fixed-width key); reassembly is one groupBy(doc_id)
-    * whose collect is doc-bounded. */
+    * like a postings build); the mark-join keys on an 8-byte
+    * xxhash64 rather than arbitrary-length line text (the fp is only
+    * an equality key — the oracle's md5 formulation classifies lines
+    * identically, collisions unobservable as in
+    * [[hashedShingleArrays]]), and broadcasts only under the size
+    * gate (a web corpus's boilerplate set grows with the crawl, so
+    * past the bound the join degrades to a shuffle on the same
+    * fixed-width key); reassembly is one groupBy(doc_id) whose
+    * collect is doc-bounded. */
   val dedupLines: Q = Q("text_dedup_lines",
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS i FROM tok),
@@ -1799,9 +1802,9 @@ object TextOps {
   private[graft] def lineDedupReport(docs: DataFrame, boiler: DataFrame,
                                      nBoiler: Long): DataFrame =
     lineReport(lineSegments(docs)
-      .withColumn("fp", md5(col("line")))
-      // ~56 B/row: 32-char hex fp + boolean + row overhead
-      .join(maybeBroadcast(boiler, nBoiler * 56), Seq("fp"), "left_outer")
+      .withColumn("fp", xxhash64(col("line")))
+      // ~24 B/row: 8-byte fp + boolean + row overhead
+      .join(maybeBroadcast(boiler, nBoiler * 24), Seq("fp"), "left_outer")
       .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false))))
 
   /** Per-doc removal report over marked segments `(doc_id, seg_id,
@@ -1855,7 +1858,7 @@ object TextOps {
 
   /** The [[dedupLinesPrefix]] transform over any documents frame. */
   private[graft] def prefixLineReport(docs: DataFrame): DataFrame = {
-    val segs = lineSegments(docs).withColumn("fp", md5(col("line")))
+    val segs = lineSegments(docs).withColumn("fp", xxhash64(col("line")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp")).orderBy(col("doc_id"))
     val rk = segs.select(col("fp"), col("doc_id")).distinct()

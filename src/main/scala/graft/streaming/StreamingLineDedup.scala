@@ -44,7 +44,7 @@ object StreamingLineDedup {
     val store = new FrameStore(s"$scratch/store")
     store.promote(CountsName,
       store.register(spark, CountsName,
-        docs.filter(lit(false)).select(md5(col("text")).as("fp"))
+        docs.filter(lit(false)).select(xxhash64(col("text")).as("fp"))
           .withColumn("n_docs", lit(0L))
           .withColumn("batch_id", lit(-1L))))
     Env(s"$scratch/in", s"$scratch/reports", s"$scratch/ckpt", store, docs.schema)
@@ -52,7 +52,7 @@ object StreamingLineDedup {
 
   def processBatch(batch: DataFrame, batchId: Long, env: Env): Unit = {
     val bs = batch.sparkSession
-    val segs = TextOps.lineSegments(batch).withColumn("fp", md5(col("line"))).persist()
+    val segs = TextOps.lineSegments(batch).withColumn("fp", xxhash64(col("line"))).persist()
     val firsts = segs.select(col("fp"), col("doc_id")).distinct()
     val base = env.store.loadProduction(bs, CountsName)
       .getOrElse(sys.error("no production line counts"))

@@ -429,7 +429,7 @@ class DedupSpec extends SparkSpec {
       (4L, u.map("d" + _).mkString(" "), "en", "s1", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val segs = graft.queries.TextOps.lineSegments(docs)
-    val boilerSet = segs.groupBy(md5(col("line")).as("fp"))
+    val boilerSet = segs.groupBy(xxhash64(col("line")).as("fp"))
       .agg(org.apache.spark.sql.functions.countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= graft.queries.TextOps.LineMinDocs)
       .select(col("fp")).withColumn("is_boiler", lit(true))
