@@ -2032,7 +2032,61 @@ object TextOps {
         Seq("fp", "doc_id")))
   }
 
-  val all: Seq[Q] = Seq(chunkWindows, tokenStats, quality, langId, fingerprint, dedupExact,
+  // ---------------------------------------------------------------- fuzzy match
+  /** Fuzzy vocabulary matching — spell-variant detection by edit
+    * distance, the data-cleaning join naive plans run as |vocab|²
+    * Levenshtein evaluations. Candidates come from the SymSpell
+    * deletion-neighborhood (Garbe): every word keys on itself plus
+    * its 1-deletion variants, two words within edit distance 1
+    * necessarily share a key (substitution → same-position
+    * deletions collide; insert/delete → the shorter word IS a key
+    * of the longer), so candidate generation is an EQUI-JOIN on
+    * |vocab|·(len+1) keys and the exact `levenshtein` recheck runs
+    * only on collisions. The corpus vocabulary is typo-free by
+    * construction, so the signal is PLANTED (the PII/ANN-cert
+    * device): each ≥4-char word gets a deterministic md5-positioned
+    * single-deletion variant, and the oracle replays planting,
+    * neighborhood, and recheck — detected pairs hash-compare
+    * exactly. */
+  val fuzzyPairs: Q = Q("text_fuzzy_pairs",
+    """WITH real AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+      |pl0 AS (SELECT w,
+      |          CAST(CAST(('0x' || substr(md5('typo:' || w), 1, 8)) AS BIGINT) % length(w) AS INTEGER) AS p
+      |        FROM real WHERE length(w) >= 4),
+      |planted AS (SELECT substr(w, 1, p) || substr(w, p + 2, length(w)) AS w FROM pl0
+      |            EXCEPT SELECT w FROM real),
+      |words AS (SELECT w FROM real UNION SELECT w FROM planted),
+      |keys AS (SELECT w, unnest(list_distinct(list_append(
+      |           [substr(w, 1, i - 1) || substr(w, i + 1, length(w)) FOR i IN generate_series(1, length(w))],
+      |           w))) AS k
+      |         FROM words),
+      |cand AS (SELECT DISTINCT x.w AS w1, y.w AS w2
+      |         FROM keys x JOIN keys y ON x.k = y.k AND x.w < y.w)
+      |SELECT w1, w2, CAST(levenshtein(w1, w2) AS INTEGER) AS dist
+      |FROM cand WHERE levenshtein(w1, w2) <= 1
+      |ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+    val real = Curation.vocabStats(s, dir)._1.select(col("tok").as("w"))
+    val planted = real.filter(length(col("w")) >= 4)
+      .withColumn("p",
+        (conv(substring(md5(concat(lit("typo:"), col("w"))), 1, 8), 16, 10)
+          .cast("long") % length(col("w"))).cast("int"))
+      .select(expr("concat(substring(w, 1, p), substring(w, p + 2, length(w)))").as("w"))
+      .except(real)
+    val words = real.union(planted).distinct()
+    val keys = words.select(col("w"), explode(expr(
+      """array_distinct(concat(
+        |  transform(sequence(1, length(w)),
+        |            i -> concat(substring(w, 1, i - 1), substring(w, i + 1, length(w)))),
+        |  array(w)))""".stripMargin)).as("k"))
+    keys.as("x").join(keys.as("y"), Seq("k"))
+      .filter(col("x.w") < col("y.w"))
+      .select(col("x.w").as("w1"), col("y.w").as("w2")).distinct()
+      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+      .select(col("w1"), col("w2"), levenshtein(col("w1"), col("w2")).as("dist"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  val all: Seq[Q] = Seq(chunkWindows, fuzzyPairs, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
     dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, packSequences, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
