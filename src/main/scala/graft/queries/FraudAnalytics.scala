@@ -859,6 +859,42 @@ object FraudAnalytics {
       .orderBy(col("band_id"))
   }
 
+  // ---------------------------------------------------------------- DAU/WAU
+  /** Rolling active-user stickiness — DAU, trailing-7-day WAU, and
+    * the DAU/WAU ratio per day, the product-analytics staple the
+    * fixed sliding-window counts don't cover (WAU needs DISTINCT
+    * users across a moving range, not a sum). Scale shape: ONE
+    * distinct over (user, day) bounds everything by users·days (the
+    * 100 TB cost, and it partial-aggregates); each (user, day) then
+    * EXPLODES into the 7 window days it contributes to — a pure map,
+    * so the moving-range distinct becomes an ordinary equi-keyed
+    * aggregate (no range join, no nested loop, the window-explode
+    * dual of a sliding window); the final inner join back to
+    * observed days discards the phantom tail past the horizon. */
+  val activeUsers7d: Q = Q("fraud_active_users_7d",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |w0 AS (SELECT DISTINCT user_id, unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS wday
+      |       FROM ud),
+      |wau AS (SELECT CAST(wday AS DATE) AS day, COUNT(DISTINCT user_id) AS wau FROM w0 GROUP BY 1),
+      |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+      |SELECT d.day, d.dau, w.wau,
+      |  ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+      |FROM dau d JOIN wau w ON d.day = w.day
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   // ---------------------------------------------------------------- SCD2
   /** Slowly-changing-dimension TYPE 2 build — the warehouse pattern
     * the COW-merge/time-travel store family doesn't cover: collapse
@@ -908,5 +944,5 @@ object FraudAnalytics {
     valuePercentiles, valuePercentilesSketch, funnelCounts, propsVariant,
     timeseriesFilled, clickAttribution, valueStats, regressionStats, groupingSets,
     dailyActivityFullOuter, slidingCounts, valueBandJoin, retentionCohorts,
-    valueAnomalies, featureDrift, scd2Dimension)
+    valueAnomalies, featureDrift, scd2Dimension, activeUsers7d)
 }
