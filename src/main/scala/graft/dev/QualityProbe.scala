@@ -4,7 +4,6 @@ import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.feature.HashingTF
 import org.apache.spark.ml.functions.vector_to_array
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dev-only: print the quality-model cert frame + the raw LR AUC. */
@@ -23,15 +22,8 @@ object QualityProbe {
     val model = pipe.fit(tr.coalesce(1))
     val scored = model.transform(te)
       .withColumn("proba", vector_to_array(col("probability")).getItem(1))
-    def rankAuc(df: org.apache.spark.sql.DataFrame, score: String): Double = {
-      val tied = df.select(col("label"), col(score))
-        .withColumn("rn", row_number().over(Window.orderBy(col(score))))
-        .withColumn("r", avg(col("rn")).over(Window.partitionBy(col(score))))
-      val row = tied.agg(sum(when(col("label") === 1.0, col("r"))).as("sr"),
-        sum(col("label")).as("np"), count(lit(1)).as("n")).head()
-      (row.getDouble(0) - row.getDouble(1) * (row.getDouble(1) + 1.0) / 2.0) /
-        (row.getDouble(1) * (row.getLong(2) - row.getDouble(1)))
-    }
+    def rankAuc(df: org.apache.spark.sql.DataFrame, score: String): Double =
+      graft.ml.MlCert.rankAuc(df, score)
     println(f"LR_AUC ${rankAuc(scored, "proba")}%.4f BAYES_AUC ${rankAuc(te, "latent")}%.4f")
     spark.stop()
   }

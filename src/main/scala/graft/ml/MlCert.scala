@@ -45,16 +45,25 @@ import org.apache.spark.sql.functions._
   */
 object MlCert {
 
-  /** First `hexChars` of md5(prefix ++ event_id) as a long column —
-    * same replayable-hash scheme as [[graft.queries.Curation]]. */
-  private def hashLong(prefix: String, hexChars: Int) =
-    conv(substring(md5(concat(lit(prefix), col("event_id").cast("string"))), 1, hexChars),
+  /** First `hexChars` of md5(prefix ++ id) as a long column — same
+    * replayable-hash scheme as [[graft.queries.Curation]]. Shared
+    * with [[QualityModel]] (doc_id-keyed) so the certificates'
+    * exactness device has one definition. */
+  private[graft] def hashLong(prefix: String, hexChars: Int,
+                              id: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(prefix), id.cast("string"))), 1, hexChars),
       16, 10).cast("long")
+
+  private def hashLong(prefix: String, hexChars: Int): org.apache.spark.sql.Column =
+    hashLong(prefix, hexChars, col("event_id"))
 
   /** md5 fraction in [0,1): 8 hex chars / 2^32 — the divisor is a
     * power of two, so the double is exact and engine-independent. */
-  private def hashFrac(prefix: String) =
-    hashLong(prefix, 8).cast("double") / lit(4294967296.0)
+  private[graft] def hashFrac(prefix: String, id: org.apache.spark.sql.Column) =
+    hashLong(prefix, 8, id).cast("double") / lit(4294967296.0)
+
+  private def hashFrac(prefix: String): org.apache.spark.sql.Column =
+    hashFrac(prefix, col("event_id"))
 
   /** Deterministic labeled training table over `events`: features in
     * [[Scoring.FeatureOrder]] order, a linear latent score, a label
@@ -83,7 +92,7 @@ object MlCert {
     * scoring path — at scale the engine uses the one-pass
     * `graft_auc` histogram sketch, and this exact statistic is
     * precisely what pins that sketch's error bound below. */
-  private def rankAuc(scored: DataFrame, score: String): Double = {
+  private[graft] def rankAuc(scored: DataFrame, score: String): Double = {
     val tied = scored.select(col("label"), col(score))
       .withColumn("rn", row_number().over(Window.orderBy(col(score))))
       .withColumn("r", avg(col("rn")).over(Window.partitionBy(col(score))))

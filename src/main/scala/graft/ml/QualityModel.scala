@@ -7,7 +7,6 @@ import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.feature.HashingTF
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Learned document-quality classifier — the fasttext-style filter
@@ -44,15 +43,10 @@ object QualityModel {
     * regenerated corpus doesn't flake the certificate. */
   val AucGate = 0.7
 
-  private def hashLong(prefix: String, hexChars: Int) =
-    conv(substring(md5(concat(lit(prefix), col("doc_id").cast("string"))), 1, hexChars),
-      16, 10).cast("long")
-
-  private def hashFrac(prefix: String) =
-    hashLong(prefix, 8).cast("double") / lit(4294967296.0)
-
   /** Deterministic labeled documents: replayable latent + md5 noise
-    * label + md5 split bucket. */
+    * label + md5 split bucket — the hash device and the exact
+    * rank-AUC statistic are [[MlCert]]'s, shared so the
+    * certificates' exactness machinery has one definition. */
   def labeledDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).withColumn("w", split(col("text"), " "))
     val nt = size(col("w"))
@@ -60,25 +54,15 @@ object QualityModel {
       .cast("double") / nt
     val dr = size(array_distinct(col("w"))).cast("double") / nt
     docs
-      .withColumn("u", hashFrac("qlabel:"))
+      .withColumn("u", MlCert.hashFrac("qlabel:", col("doc_id")))
       .withColumn("latent",
         lit(0.02) * nt.cast("double") + lit(2.0) * sr + lit(1.0) * dr - lit(1.72))
       .withColumn("label", (col("latent") > lit(1.0) * (col("u") - lit(0.5))).cast("double"))
-      .withColumn("bucket", (hashLong("qsplit:", 4) % 100).cast("int"))
+      .withColumn("bucket", (MlCert.hashLong("qsplit:", 4, col("doc_id")) % 100).cast("int"))
   }
 
-  /** Exact tie-aware Mann-Whitney AUC (the [[MlCert]] statistic). */
-  private def rankAuc(scored: DataFrame, score: String): Double = {
-    val tied = scored.select(col("label"), col(score))
-      .withColumn("rn", row_number().over(Window.orderBy(col(score))))
-      .withColumn("r", avg(col("rn")).over(Window.partitionBy(col(score))))
-    val row = tied.agg(
-      sum(when(col("label") === 1.0, col("r"))).as("sr"),
-      sum(col("label")).as("np"),
-      count(lit(1)).as("n")).head()
-    val sr = row.getDouble(0); val np = row.getDouble(1); val n = row.getLong(2)
-    (sr - np * (np + 1.0) / 2.0) / (np * (n - np))
-  }
+  private def rankAuc(scored: DataFrame, score: String): Double =
+    MlCert.rankAuc(scored, score)
 
   private val labeledSql =
     """WITH t AS (

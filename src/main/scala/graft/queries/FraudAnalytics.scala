@@ -927,11 +927,9 @@ object FraudAnalytics {
     val c = Tables.events(s, dir)
       .withColumn("prev", lag(col("event_type"), 1).over(win))
       .filter(col("prev").isNull || col("event_type") =!= col("prev"))
-    val win2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     c.select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
-        lead(col("ts"), 1).over(win2).as("valid_to"),
-        row_number().over(win2).cast("long").as("version"))
+        lead(col("ts"), 1).over(win).as("valid_to"),
+        row_number().over(win).cast("long").as("version"))
       .select(col("user_id"), col("version"), col("event_type"),
         col("valid_from"), col("valid_to"), col("valid_to").isNull.as("is_current"))
       .orderBy(col("user_id"), col("version"))

@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   * rounds the double's shortest decimal repr; DuckDB reconstructs
   * via a 10^6 multiply) — a measured 1-ulp checksum flip at
   * sf0.1. So DuckDB unrolls the rounds as CTEs and hash-matches
-  * cluster sizes, within-cluster mean cosine, and the per-cluster
+  * cluster sizes, within-cluster cosine sums, and the per-cluster
   * centroid checksum exactly.
   */
 object Kmeans {
@@ -103,8 +103,11 @@ object Kmeans {
     })
 
   /** Final per-cluster report under the trained centroids: size,
-    * within-cluster mean cosine (the inertia analog), and a
-    * decimal-summed centroid checksum. */
+    * within-cluster cosine SUM (the inertia analog — summed, not
+    * averaged: dividing the exact 6-dec decimal sum by the cluster
+    * size would land exactly on a 6-dec midpoint for even counts,
+    * the same engine-divergent rounding the un-normalized centroids
+    * exist to avoid), and a decimal-summed centroid checksum. */
   def report(spark: SparkSession, vv: DataFrame,
              cents: Array[Array[Double]]): DataFrame = {
     val b = best(col("v"), cents)
@@ -112,8 +115,7 @@ object Kmeans {
       .select((-b.getField("col2")).cast("long").as("k"), b.getField("col1").as("cos"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_vecs"),
-        r6(sum(col("cos").cast("decimal(18,6)")).cast("double") / count(lit(1)))
-          .as("mean_cos"))
+        r6(sum(col("cos").cast("decimal(18,6)")).cast("double")).as("sum_cos"))
     import spark.implicits._
     val cdf = cents.zipWithIndex.toSeq
       .flatMap { case (c, k) => c.map(v => (k.toLong, v)) }
@@ -122,7 +124,7 @@ object Kmeans {
       .agg(r6(sum(col("val").cast("decimal(28,6)")).cast("double")).as("centroid_sum"))
     sums.join(stats, Seq("k"), "left_outer")
       .select(col("k"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
-        coalesce(col("mean_cos"), lit(0.0)).as("mean_cos"), col("centroid_sum"))
+        coalesce(col("sum_cos"), lit(0.0)).as("sum_cos"), col("centroid_sum"))
       .orderBy(col("k"))
   }
 
@@ -154,12 +156,12 @@ object Kmeans {
       |         (SELECT sf.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, k) AS rn FROM sf)
       |       WHERE rn = 1),
       |st AS (SELECT k, COUNT(*) AS n_vecs,
-      |         ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cos
+      |         ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_cos
       |       FROM af GROUP BY 1),
       |cs AS (SELECT k, ROUND(CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE), 6) AS centroid_sum
       |       FROM c$Rounds GROUP BY 1)
       |SELECT cs.k, COALESCE(st.n_vecs, 0) AS n_vecs,
-      |  COALESCE(st.mean_cos, 0.0) AS mean_cos, cs.centroid_sum
+      |  COALESCE(st.sum_cos, 0.0) AS sum_cos, cs.centroid_sum
       |FROM cs LEFT JOIN st ON cs.k = st.k
       |ORDER BY cs.k""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)

@@ -109,9 +109,11 @@ object Tables {
     * no matter how many executor threads exist. */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // file-count probe: cheap metadata (no RDD lineage materialization,
-    // which df.rdd.getNumPartitions would force on every call); at
-    // production scale a table has far more files than cores → no-op
-    if (df.inputFiles.length >= target) df else df.repartition(target)
+    // the probe builds the scan RDD to read its true partition count —
+    // a file-count probe would be cheaper but is NOT a proxy for it
+    // (the scan bin-packs small files into few partitions, exactly the
+    // case fanOut must widen). Every caller is a memoized session
+    // cache, so the lineage build is paid once per session.
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 }

@@ -511,7 +511,7 @@ class DedupSpec extends SparkSpec {
     assert(rep.values.map(_._2).sum == 60, "cluster sizes must partition the corpus")
     for (k <- 0L to 2L) {
       val (_, n, mc, cs) = rep(k)
-      assert(n == 20 && mc == 1.0, s"cluster $k: n=$n mean_cos=$mc")
+      assert(n == 20 && mc == 20.0, s"cluster $k: n=$n sum_cos=$mc")
       // un-normalized centroid: 20 identical members -> 20*(1 + 0.01)
       assert(math.abs(cs - 20.2) < 1e-9, s"cluster $k centroid_sum=$cs")
     }
