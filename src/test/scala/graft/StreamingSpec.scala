@@ -238,6 +238,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming SCD2 equals the batch dimension across slicings") {
+    // version boundaries depend only on earlier events (prefix
+    // semantics), so event-time-ordered arrivals must rebuild the
+    // batch dimension exactly: closed history + final open rows
+    import graft.streaming.StreamingScd2
+    val batchDim = graft.queries.FraudAnalytics.scd2Dimension.fn(spark, sf).collect().toSeq
+    for (slices <- Seq(2, 4)) {
+      val streamed = StreamingScd2.runScd2Stream(spark, sf, slices).collect().toSeq
+      assert(streamed == batchDim, s"slices=$slices dimension drift: " +
+        streamed.diff(batchDim).take(3))
+    }
+  }
+
   test("streaming k-means update merges to identical sums across slicings") {
     // decimal partials are associative and exact: any slicing of the
     // arrivals must merge to the bit-identical per-cluster update
