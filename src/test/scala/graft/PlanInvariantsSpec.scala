@@ -225,4 +225,19 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("fuzzy matching candidates come from the deletion-key equi-join, not all pairs") {
+    // SymSpell's whole point: distance-1 pairs collide on a deletion
+    // key, so the plan must never fall back to a vocab x vocab
+    // nested loop with a Levenshtein residual
+    val plan = formatted(SparkEntry.queries("text_fuzzy_pairs")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("DAU/WAU plans as equi-keyed aggregates: the window explode leaves no range join") {
+    val plan = formatted(SparkEntry.queries("fraud_active_users_7d")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
