@@ -251,6 +251,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming SCD2 replay is idempotent: re-processing a committed batch changes nothing") {
+    // at-least-once delivery: a foreachBatch retry re-runs a batch
+    // whose state append already committed — the provenance filter
+    // must recover pre-batch state and the history overwrite must
+    // land byte-equal, leaving the dimension unchanged
+    // NB: a foreachBatch retry can only re-run the LATEST batch —
+    // later batches commit only after the retry succeeds — so the
+    // replayed batch is the last slice, the one whose state append
+    // and history dir already exist
+    import graft.streaming.StreamingScd2
+    import graft.sources.Tables
+    val env = StreamingScd2.prepare(spark, sf)
+    graft.streaming.StreamingCuration.landOrderedSlicesOf(
+      Tables.events(spark, sf), "event_id", env.inDir, 2)
+    StreamingScd2.runPass(spark, env)
+    val before = StreamingScd2.dimension(spark, env).collect().toSeq
+    val files = new java.io.File(env.inDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified)
+    val replay = Tables.normalizeEvents(spark.read.parquet(files.last.toString))
+    StreamingScd2.processBatch(replay, batchId = 1L, env)
+    val after = StreamingScd2.dimension(spark, env).collect().toSeq
+    assert(after == before, s"replay drift: ${after.diff(before).take(3)}")
+  }
+
+  test("streaming SemDeDup replay is idempotent") {
+    import graft.streaming.StreamingSemDedup
+    import graft.sources.Tables
+    val env = StreamingSemDedup.prepare(spark, sf)
+    graft.streaming.StreamingCuration.landOrderedSlicesOf(
+      Tables.embeddings(spark, sf), "vec_id", env.inDir, 2)
+    StreamingSemDedup.runPass(spark, env)
+    def verdicts() = spark.read.parquet(env.outDir).drop("batch")
+      .orderBy(col("vec_id")).collect().toSeq
+    val before = verdicts()
+    // replay the LATEST batch (see the SCD2 replay note)
+    val files = new java.io.File(env.inDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified)
+    val replay = Tables.normalizeEmbeddings(spark.read.parquet(files.last.toString))
+    StreamingSemDedup.processBatch(replay, batchId = 1L, env)
+    assert(verdicts() == before, "re-processing the last batch must not change any verdict")
+  }
+
   test("streaming k-means update merges to identical sums across slicings") {
     // decimal partials are associative and exact: any slicing of the
     // arrivals must merge to the bit-identical per-cluster update
