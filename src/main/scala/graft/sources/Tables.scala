@@ -112,8 +112,10 @@ object Tables {
     // the probe builds the scan RDD to read its true partition count —
     // a file-count probe would be cheaper but is NOT a proxy for it
     // (the scan bin-packs small files into few partitions, exactly the
-    // case fanOut must widen). Every caller is a memoized session
-    // cache, so the lineage build is paid once per session.
+    // case fanOut must widen). The build is planning-time only (no
+    // job); the memoized-cache callers pay it once per session, the
+    // per-query callers (incremental/bloom decontamination, the
+    // direct dedup APIs) pay milliseconds per invocation.
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 }

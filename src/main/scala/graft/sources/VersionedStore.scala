@@ -276,19 +276,23 @@ final class FrameStore(root: String) extends VersionedStore(root) {
     * rewrite only predicate-touched partitions, which is this same
     * operation under a partition pruning filter. Returns the
     * promoted version. */
-  def deleteWhere(spark: SparkSession, name: String,
-                  predicate: org.apache.spark.sql.Column): Int = {
+  /** REWRITE the production frame through `f` and publish
+    * atomically — the general maintenance primitive behind
+    * [[deleteWhere]] and state-snapshot pruning (e.g. the SCD2
+    * twin's open-row set, which appends per-batch deltas and
+    * periodically collapses to the current row per key). Preserves
+    * the applied-batch watermark (same as compact): if a streaming
+    * appender also feeds this store, a rewrite that dropped the
+    * marker would reset lastAppliedBatch to None and an
+    * at-least-once replay would re-append an already-committed
+    * batch. */
+  def rewrite(spark: SparkSession, name: String)(f: DataFrame => DataFrame): Int = {
     val v = productionVersion(name)
-      .getOrElse(sys.error(s"no production frame $name to delete from"))
+      .getOrElse(sys.error(s"no production frame $name to rewrite"))
     val df = load(spark, name, v)
     val next = stageVersion(name) { staging =>
-      df.filter(!predicate).write.mode("overwrite")
+      f(df).write.mode("overwrite")
         .parquet(staging.resolve("data").toString)
-      // maintenance preserves the applied-batch watermark (same as
-      // compact): if a streaming appender also feeds this store, a
-      // deleteWhere that dropped the marker would reset
-      // lastAppliedBatch to None and an at-least-once replay would
-      // re-append an already-committed batch
       val marker = nameDir(name).resolve(s"v$v").resolve("BATCH")
       if (Files.exists(marker))
         Files.copy(marker, staging.resolve("BATCH"))
@@ -296,6 +300,10 @@ final class FrameStore(root: String) extends VersionedStore(root) {
     promote(name, next)
     next
   }
+
+  def deleteWhere(spark: SparkSession, name: String,
+                  predicate: org.apache.spark.sql.Column): Int =
+    rewrite(spark, name)(_.filter(!predicate))
 
   /** COMPACT the production frame: every [[appendBatch]] adds part
     * files, and after N micro-batches a scan opens N× the files it

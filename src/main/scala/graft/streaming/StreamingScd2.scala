@@ -18,7 +18,7 @@ import org.apache.spark.sql.streaming.Trigger
   * at any slicing — the batch oracle is shared verbatim and
   * StreamingSpec pins 2/4-slice parity.
   *
-  * Cross-batch state is ONE open row per touched user (type,
+  * Cross-batch state is the open row per touched user (type,
   * valid_from, origin event_id, version) in a [[FrameStore]] with
   * batch provenance: a batch merges its arrivals with the current
   * open rows (the open row sorts first — ordered arrival guarantees
@@ -26,8 +26,12 @@ import org.apache.spark.sql.streaming.Trigger
   * the same (ts, event_id) window as the batch query, APPENDS the
   * rows it closes to the immutable history sink, and appends the
   * new open rows to state; the current open row per user is the
-  * max-version row, and replays filter their own stamp. State is
-  * |users|-bounded, never |events|. */
+  * max-version row, and replays filter their own stamp. Appends
+  * accumulate one delta row per touched user per batch, so the
+  * watermark-preserving [[snapshotState]] periodically collapses
+  * state back to ≤ 2 rows per user (current + the last batch's
+  * replay anchor) — run here after the drain, every N batches in
+  * production. */
 object StreamingScd2 {
 
   val OpenName = "scd2_open"
@@ -54,6 +58,23 @@ object StreamingScd2 {
   private def openRows(state: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("version").desc)
     state.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Replay-safe state snapshot: collapse the per-batch open-row
+    * deltas, keeping per user the CURRENT row plus the newest row
+    * NOT stamped by the last applied batch. The second row is the
+    * replay anchor — an at-least-once retry of the last batch
+    * filters its own stamp out, and pruning the row it superseded
+    * would hand the retry a wrong (or missing) anchor and corrupt
+    * the recomputed history. Bounded at ≤ 2 rows per user. */
+  def snapshotState(spark: SparkSession, env: Env): Unit = {
+    val lastB = env.store.lastAppliedBatch(OpenName, Some(env.ckpt)).getOrElse(-1L)
+    env.store.rewrite(spark, OpenName) { df =>
+      val cur = openRows(df)
+      val anchor = openRows(df.filter(col("batch_id") =!= lastB))
+      cur.union(anchor).distinct()
+    }
+    ()
   }
 
   def processBatch(batch: DataFrame, batchId: Long, env: Env): Unit = {
@@ -127,7 +148,7 @@ object StreamingScd2 {
     StreamingCuration.landOrderedSlicesOf(
       Tables.events(spark, dir), "event_id", env.inDir, slices)
     runPass(spark, env)
-    env.store.compact(spark, OpenName)
+    snapshotState(spark, env)
     env.store.gc(OpenName, keep = 1)
     dimension(spark, env)
   }

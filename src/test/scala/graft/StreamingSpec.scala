@@ -266,6 +266,14 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.StreamingCuration.landOrderedSlicesOf(
       Tables.events(spark, sf), "event_id", env.inDir, 2)
     StreamingScd2.runPass(spark, env)
+    // snapshot FIRST: pruning must keep the last batch's replay
+    // anchors (the rows it superseded), or the retry below would
+    // recompute batch 1's history against wrong state. Bounded at
+    // <= 2 rows per user afterwards.
+    StreamingScd2.snapshotState(spark, env)
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    val stateRows = env.store.loadProduction(spark, StreamingScd2.OpenName).get.count()
+    assert(stateRows <= 2 * nUsers, s"snapshot left $stateRows rows for $nUsers users")
     val before = StreamingScd2.dimension(spark, env).collect().toSeq
     val files = new java.io.File(env.inDir).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified)
