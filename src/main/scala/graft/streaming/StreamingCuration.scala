@@ -90,6 +90,31 @@ object StreamingCuration {
   def landOrderedSlices(spark: SparkSession, inDir: String, dir: String, slices: Int): Unit =
     landOrderedSlicesOf(Tables.documents(spark, dir), "doc_id", inDir, slices)
 
+  /** Replay-safe snapshot for per-(fp, batch) COUNT state (the
+    * line/span dedup twins): rows not stamped by the last applied
+    * batch merge into ONE base row per fp at stamp −1 — never a
+    * real batchId, so base reads (`batch_id =!= B`) always include
+    * it and no replay ever filters it — while the last batch's own
+    * rows stay intact as its replay anchors (pruning the rows it
+    * superseded would hand an at-least-once retry wrong base
+    * counts — the [[StreamingScd2.snapshotState]] discipline).
+    * Collapses O(fps·batches) delta rows to O(fps) + the last
+    * batch's deltas; the watermark survives via
+    * [[graft.sources.VersionedStore.rewrite]]. */
+  def snapshotCounts(spark: SparkSession, store: FrameStore, name: String,
+                     ckpt: String): Unit = {
+    val lastB = store.lastAppliedBatch(name, Some(ckpt)).getOrElse(-1L)
+    store.rewrite(spark, name) { df =>
+      df.filter(col("batch_id") =!= lastB)
+        .groupBy(col("fp")).agg(sum(col("n_docs")).as("n_docs"))
+        .withColumn("batch_id", lit(-1L))
+        .select(col("fp"), col("n_docs"), col("batch_id"))
+        .union(df.filter(col("batch_id") === lastB)
+          .select(col("fp"), col("n_docs"), col("batch_id")))
+    }
+    ()
+  }
+
   /** Land ANY keyed frame as `slices` contiguous id-range files with
     * increasing mtimes — the ingest-ordered arrival layout every
     * streaming twin replays deterministically. */

@@ -97,7 +97,7 @@ object StreamingLineDedup {
     val env = prepare(spark, dir)
     StreamingCuration.landOrderedSlices(spark, env.inDir, dir, slices)
     runPass(spark, env)
-    env.store.compact(spark, CountsName)
+    StreamingCuration.snapshotCounts(spark, env.store, CountsName, env.ckpt)
     env.store.gc(CountsName, keep = 1)
     streamedReports(spark, env)
   }

@@ -86,7 +86,7 @@ object StreamingSpanDedup {
     val env = prepare(spark, dir)
     StreamingCuration.landOrderedSlices(spark, env.inDir, dir, slices)
     runPass(spark, env)
-    env.store.compact(spark, CountsName)
+    StreamingCuration.snapshotCounts(spark, env.store, CountsName, env.ckpt)
     env.store.gc(CountsName, keep = 1)
     spark.read.parquet(env.outDir).drop("batch").orderBy(col("doc_id"))
   }
