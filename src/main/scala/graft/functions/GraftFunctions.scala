@@ -106,6 +106,12 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SpanScrub].getName, "graft_span_scrub"),
       (children: Seq[Expression]) => arity("graft_span_scrub", 3, children)(
         SpanScrub(children(0), children(1), foldableInt("graft_span_scrub", children(2))))),
+    (FunctionIdentifier("graft_multi_scrub"),
+      new ExpressionInfo(classOf[MultiScrub].getName, "graft_multi_scrub"),
+      (children: Seq[Expression]) => arity("graft_multi_scrub", 5, children)(
+        MultiScrub(children(0), children(1), children(3),
+          foldableInt("graft_multi_scrub", children(2)),
+          foldableInt("graft_multi_scrub", children(4))))),
     (FunctionIdentifier("graft_token_profile"),
       new ExpressionInfo(classOf[TokenProfile].getName, "graft_token_profile"),
       (children: Seq[Expression]) => arity("graft_token_profile", 1, children)(

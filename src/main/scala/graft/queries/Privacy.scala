@@ -62,12 +62,32 @@ object Privacy {
   }
 
   // single-line: interpolated into stripMargin'd oracles, so embedded
-  // newlines would be margin-stripped a second time
-  private val plantSql =
-    "text" +
+  // newlines would be margin-stripped a second time. Parameterized on
+  // the base-text expression so the composed curation pipeline can
+  // plant onto its scrubbed kept-text instead of the raw column.
+  private[graft] def plantSqlOn(t: String): String =
+    t +
       " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END" +
       " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 250) || '.0.' || (doc_id % 100) ELSE '' END" +
       " || CASE WHEN doc_id % 7 = 0 THEN ' call +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+
+  private val plantSql = plantSqlOn("text")
+
+  /** The three chained redaction passes as DuckDB SQL over `t` —
+    * kept in lockstep with [[redacted]]. Single-line (see above). */
+  private[graft] def redactSqlOn(t: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($t," +
+      s" '$EmailRe', '<EMAIL>', 'g')," +
+      s" '$Ipv4Re', '<IP>', 'g')," +
+      s" '$PhoneRe', '<PHONE>', 'g')"
+
+  /** Total detected-PII count over `t` as DuckDB SQL — kept in
+    * lockstep with the three `regexp_count` columns in
+    * [[redactFrame]]. Single-line (see above). */
+  private[graft] def piiCountSqlOn(t: String): String =
+    s"(len(regexp_extract_all($t, '$EmailRe'))" +
+      s" + len(regexp_extract_all($t, '$Ipv4Re'))" +
+      s" + len(regexp_extract_all($t, '$PhoneRe')))"
 
   /** The per-doc scan+redact frame (unordered) — shared by the batch
     * query and the streaming twin. */

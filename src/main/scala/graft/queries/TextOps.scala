@@ -856,36 +856,32 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** End-to-end corpus CURATION — the composed pipeline a
-    * training-data run actually executes, as ONE declarative plan:
-    * exact dedup (content-digest keeper) → near-dup removal (the
-    * memoized PPJoin pair list) → language filter (marker-token ID)
-    * → quality threshold. Output is the per-document decision record
-    * (`drop_reason` NULL = retained), the audit artifact a curation
-    * run persists next to the retained corpus.
-    *
-    * Reasons are evaluated in priority order (exact_dup > near_dup >
-    * lang > low_quality), each reason computed independently over the
-    * full corpus — the set-subtraction semantics every reason list
-    * can be replayed from. Scale shape: one tokenize pass computes
-    * quality AND language signals per row (no join between them); the
-    * digest keeper is one shuffle on `md5(text)` (the exact-dedup
-    * shape); the near-dup drop list is the pair list both dedup
-    * queries already share, broadcast-gated the same way. */
-  val curation: Q = Q("text_curation",
-    """WITH tok AS (
-      |  SELECT doc_id, source, lang, md5(text) AS fp,
-      |         string_split(text, ' ') AS w
+  /** Shared CTE chain of the composed-curation oracle — the FULL
+    * published filter stack (CCNet / RefinedWeb / Dolma order) in one
+    * DuckDB program: exact dedup → near dedup → prefix line scrub →
+    * prefix span scrub → decontaminate → lang → quality → PII →
+    * (pack). The line/span masks are the PREFIX-semantics
+    * formulations of `text_dedup_lines_prefix` /
+    * `text_dedup_spans_prefix` verbatim (decided at arrival, never
+    * retracted), which is what makes the streaming twin share this
+    * oracle for any ingest-ordered slicing; both masks are computed
+    * over RAW token positions and applied as a UNION, so each stage's
+    * mask equals its standalone query's exactly (pinned in
+    * CurationStackSpec). */
+  private def curationOracleBody: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, source, lang, md5(text) AS fp, string_split(text, ' ') AS w
       |  FROM documents
-      |), words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
-      |sh0 AS (SELECT doc_id,
+      |), toks AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) - 1 AS pos FROM tok),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
+      |nsh0 AS (SELECT doc_id,
       |         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS s,
       |         lead(word, 2) OVER win AS w2
       |        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-      |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE w2 IS NOT NULL),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |nsh AS (SELECT DISTINCT doc_id, s FROM nsh0 WHERE w2 IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM nsh GROUP BY 1),
       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |          FROM nsh a JOIN nsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
       |neard AS (SELECT DISTINCT d2 FROM inter
       |          JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
       |          WHERE CAST(i AS DOUBLE) / ((x.n + y.n) - i) >= 0.5),
@@ -905,37 +901,116 @@ object TextOps {
       |           WHERE t.doc_id % 4 <> 3 GROUP BY 1
       |           HAVING CAST(COUNT(b.s8) AS DOUBLE) / COUNT(*) >= 0.5),
       |keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM tok GROUP BY 1),
-      |m AS (
-      |  SELECT doc_id, source, lang, fp,
-      |    len(w) AS n_tokens,
-      |    len(list_filter(w, x -> x = 'the' OR x = 'a')) AS n_stop,
-      |    len(list_distinct(w)) AS n_distinct,
-      |    len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of')) AS s_en,
-      |    len(list_filter(w, x -> x = 'der' OR x = 'die' OR x = 'das')) AS s_de,
-      |    len(list_filter(w, x -> x = 'le' OR x = 'la' OR x = 'les')) AS s_fr,
-      |    len(list_filter(w, x -> x = 'el' OR x = 'los' OR x = 'las')) AS s_es
-      |  FROM tok
-      |), sc AS (
-      |  SELECT doc_id, source, lang, fp, n_tokens,
-      |    ROUND(((CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0))
-      |      + (CAST(0.3 AS DOUBLE) * (1.0 - (CAST(n_stop AS DOUBLE) / n_tokens))))
-      |      + (CAST(0.3 AS DOUBLE) * (CAST(n_distinct AS DOUBLE) / n_tokens)), 6) AS quality_score,
+      |seg AS (SELECT doc_id, i // $LineLen AS seg_id,
+      |               string_agg(word, ' ' ORDER BY i) AS line
+      |        FROM (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS i FROM tok)
+      |        GROUP BY 1, 2),
+      |lf AS (SELECT DISTINCT md5(line) AS lfp, doc_id FROM seg),
+      |lrk AS (SELECT lfp, doc_id, ROW_NUMBER() OVER (PARTITION BY lfp ORDER BY doc_id) AS k FROM lf),
+      |boilseg AS (SELECT s.doc_id, s.seg_id
+      |            FROM seg s JOIN lrk r ON md5(s.line) = r.lfp AND s.doc_id = r.doc_id
+      |            WHERE r.k >= $LineMinDocs),
+      |ssh AS (SELECT doc_id, t.i, md5(array_to_string(list_slice(w, t.i + 1, t.i + $SpanW), ' ')) AS sfp
+      |       FROM tok, UNNEST(generate_series(0, len(w) - $SpanW)) AS t(i) WHERE len(w) >= $SpanW),
+      |sfd AS (SELECT DISTINCT sfp, doc_id FROM ssh),
+      |srk AS (SELECT sfp, doc_id, ROW_NUMBER() OVER (PARTITION BY sfp ORDER BY doc_id) AS k FROM sfd),
+      |scov AS (SELECT DISTINCT s.doc_id, t.pos
+      |        FROM ssh s JOIN srk r ON s.sfp = r.sfp AND s.doc_id = r.doc_id AND r.k >= 2,
+      |             UNNEST(generate_series(s.i, s.i + ${SpanW - 1})) AS t(pos)),
+      |m AS (SELECT t.doc_id, t.pos, t.tok,
+      |        (b.seg_id IS NOT NULL) AS line_rm, (c.pos IS NOT NULL) AS span_rm
+      |      FROM toks t
+      |      LEFT JOIN boilseg b ON t.doc_id = b.doc_id AND t.pos // $LineLen = b.seg_id
+      |      LEFT JOIN scov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+      |perdoc AS (SELECT doc_id,
+      |    COUNT(*) AS n_tokens,
+      |    CAST(COUNT(*) FILTER (WHERE line_rm) AS BIGINT) AS n_line_rm,
+      |    CAST(COUNT(*) FILTER (WHERE span_rm) AS BIGINT) AS n_span_rm,
+      |    CAST(COUNT(*) FILTER (WHERE line_rm OR span_rm) AS BIGINT) AS n_removed,
+      |    CAST(COUNT(*) FILTER (WHERE NOT (line_rm OR span_rm)) AS BIGINT) AS n_kept,
+      |    COUNT(*) FILTER (WHERE NOT (line_rm OR span_rm) AND tok IN ('the', 'a')) AS n_stop,
+      |    COUNT(DISTINCT tok) FILTER (WHERE NOT (line_rm OR span_rm)) AS n_distinct,
+      |    COUNT(*) FILTER (WHERE NOT (line_rm OR span_rm) AND tok IN ('the', 'a', 'of')) AS s_en,
+      |    COUNT(*) FILTER (WHERE NOT (line_rm OR span_rm) AND tok IN ('der', 'die', 'das')) AS s_de,
+      |    COUNT(*) FILTER (WHERE NOT (line_rm OR span_rm) AND tok IN ('le', 'la', 'les')) AS s_fr,
+      |    COUNT(*) FILTER (WHERE NOT (line_rm OR span_rm) AND tok IN ('el', 'los', 'las')) AS s_es,
+      |    COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT (line_rm OR span_rm)), '') AS kept_text
+      |  FROM m GROUP BY 1),
+      |sc AS (SELECT p.doc_id, t.source, t.lang, t.fp,
+      |    p.n_tokens, p.n_line_rm, p.n_span_rm, p.n_removed, p.n_kept, p.kept_text,
+      |    CASE WHEN p.n_kept > 0 THEN
+      |      ROUND(((CAST(0.4 AS DOUBLE) * least(CAST(p.n_kept AS DOUBLE) / 50.0, 1.0))
+      |        + (CAST(0.3 AS DOUBLE) * (1.0 - (CAST(p.n_stop AS DOUBLE) / p.n_kept))))
+      |        + (CAST(0.3 AS DOUBLE) * (CAST(p.n_distinct AS DOUBLE) / p.n_kept)), 6) END AS quality_score,
       |    CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
       |         WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
       |         WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
       |         WHEN s_es > 0 THEN 'es'
       |         ELSE 'und' END AS pred_lang
-      |  FROM m
-      |)
-      |SELECT sc.doc_id, sc.source, sc.lang, sc.pred_lang, sc.n_tokens, sc.quality_score,
-      |  CASE WHEN sc.doc_id <> k.keeper THEN 'exact_dup'
-      |       WHEN sc.doc_id IN (SELECT d2 FROM neard) THEN 'near_dup'
-      |       WHEN sc.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
-      |       WHEN sc.pred_lang <> 'en' THEN 'lang'
-      |       WHEN sc.quality_score < 0.7 THEN 'low_quality'
-      |       END AS drop_reason
-      |FROM sc JOIN keepers k ON sc.fp = k.fp
-      |ORDER BY sc.doc_id""".stripMargin) { (s, dir) =>
+      |  FROM perdoc p JOIN tok t USING (doc_id)),
+      |d AS (SELECT sc.*,
+      |    CASE WHEN sc.doc_id <> k.keeper THEN 'exact_dup'
+      |         WHEN sc.doc_id IN (SELECT d2 FROM neard) THEN 'near_dup'
+      |         WHEN 2 * sc.n_kept < sc.n_tokens THEN 'heavy_dup'
+      |         WHEN sc.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+      |         WHEN sc.pred_lang <> 'en' THEN 'lang'
+      |         WHEN sc.quality_score < 0.7 THEN 'low_quality'
+      |         END AS drop_reason
+      |  FROM sc JOIN keepers k ON sc.fp = k.fp),
+      |fin AS (SELECT d.*,
+      |    CASE WHEN drop_reason IS NULL THEN ${Privacy.plantSqlOn("kept_text")} END AS t0
+      |  FROM d),
+      |fin2 AS (SELECT fin.*,
+      |    CASE WHEN drop_reason IS NULL THEN ${Privacy.redactSqlOn("t0")} END AS red
+      |  FROM fin)""".stripMargin
+
+  /** End-to-end corpus CURATION — the composed pipeline a
+    * training-data run actually executes, now carrying the engine's
+    * FULL filter stack in the published order: exact dedup (content
+    * digest keeper) → near-dup removal (the memoized PPJoin pair
+    * list) → boilerplate LINE scrub + exact-substring SPAN scrub
+    * (prefix semantics, union of position masks — see below) →
+    * benchmark decontamination → language ID → quality threshold →
+    * PII plant+redact on the retained text. Output is the
+    * per-document decision record (`drop_reason` NULL = retained)
+    * with per-stage removal accounting and the final redacted text's
+    * fingerprint — the audit artifact a curation run persists next to
+    * the retained corpus.
+    *
+    * The two scrub stages use the PREFIX-semantics masks
+    * ([[dedupLinesPrefix]] / [[dedupSpansPrefix]] — a line/window is
+    * boilerplate/duplicated for doc d iff enough docs with doc_id ≤ d
+    * carry it), the only formulation a continuously-operated pipeline
+    * can decide at arrival without retraction, which is what lets the
+    * streaming twin share this oracle verbatim. Both masks are
+    * computed over RAW token positions and applied as a UNION in the
+    * native one-pass [[graft.functions.MultiScrub]] kernel, so each
+    * stage's mask equals its standalone query's exactly; language,
+    * quality, and the PII scan then run on the SCRUBBED token stream
+    * (the published order), while contamination keeps screening the
+    * RAW text — a doc carrying benchmark text is contaminated whether
+    * or not the scrub happened to cut the overlap. A doc losing ≥
+    * half its tokens to the union mask drops as `heavy_dup` (the
+    * RefinedWeb-style removal-fraction gate, exact in integers).
+    *
+    * Scale shape: one tokenize pass feeds every per-row signal; the
+    * digest keeper is one shuffle on `md5(text)`; line/span masks are
+    * postings-bounded rank windows (never all-pairs) whose mark-joins
+    * key on 8-byte fingerprints; the scrub + quality + lang + PII
+    * tail is ONE codegen map stage over the doc stream (the token
+    * stream never shuffles — [[MultiScrub]] + [[TokenProfile]] +
+    * regex redaction are all row-local); near-dup and contamination
+    * reuse their memoized session artifacts under the usual broadcast
+    * gates. */
+  val curation: Q = Q("text_curation",
+    curationOracleBody +
+      s"""
+      |SELECT doc_id, source, lang, pred_lang, n_tokens, n_line_rm, n_span_rm, n_removed,
+      |  n_kept AS n_tokens_kept, quality_score, drop_reason,
+      |  CASE WHEN drop_reason IS NULL THEN CAST(${Privacy.piiCountSqlOn("t0")} AS BIGINT) END AS n_pii,
+      |  CASE WHEN drop_reason IS NULL THEN CAST(len(string_split(red, ' ')) AS BIGINT) END AS final_tokens,
+      |  CASE WHEN drop_reason IS NULL THEN md5(red) END AS final_fp
+      |FROM fin2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
     curationDecisions(s, dir).orderBy(col("doc_id"))
   }
 
@@ -972,10 +1047,133 @@ object TextOps {
         .otherwise("und"))
   }
 
-  /** Per-doc decision frame behind [[curation]] / [[curationPack]]. */
-  private[queries] def curationDecisions(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = perDocQuality(Tables.documents(s, dir))
-    val keepers = Tables.documents(s, dir)
+  /** PREFIX boilerplate line mask `(doc_id, seg_id)` — the segments
+    * the composed pipeline's line stage removes, the exact
+    * [[dedupLinesPrefix]] rule: the k-th distinct carrier (ingest
+    * order) of a line with k ≥ [[LineMinDocs]] loses it. One rank
+    * window over the line-fp postings; 8-byte join keys. */
+  private[graft] def prefixBoilerSegs(docs: DataFrame): DataFrame = {
+    val segs = lineSegments(docs).withColumn("fp", xxhash64(col("line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val rk = segs.select(col("fp"), col("doc_id")).distinct()
+      .withColumn("k", row_number().over(w))
+      .filter(col("k") >= LineMinDocs).select(col("fp"), col("doc_id"))
+    segs.join(rk, Seq("fp", "doc_id")).select(col("doc_id"), col("seg_id"))
+  }
+
+  /** PREFIX duplicated span-start mask `(doc_id, i)` — the window
+    * offsets the composed pipeline's span stage removes, the exact
+    * [[dedupSpansPrefix]] rule at threshold 2 (second and later
+    * carriers lose the span). */
+  private[graft] def prefixDupStarts(docs: DataFrame): DataFrame = {
+    val starts = spanStarts(docs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val rk = starts.select(col("fp"), col("doc_id")).distinct()
+      .withColumn("k", row_number().over(w))
+      .filter(col("k") >= 2).select(col("fp"), col("doc_id"))
+    starts.join(rk, Seq("fp", "doc_id")).select(col("doc_id"), col("i"))
+  }
+
+  /** Per-doc SCRUBBED curation attributes — the union line+span
+    * scrub applied to the raw token stream, then quality and
+    * language-ID recomputed over the KEPT tokens: one
+    * [[graft.functions.MultiScrub]] + [[graft.functions.TokenProfile]]
+    * codegen pass per row after two postings-bounded mask joins.
+    * Shared by the batch pipeline (global prefix masks) and the
+    * streaming twin (masks = promoted state + in-batch rank). */
+  private[graft] def scrubbedQuality(docs: DataFrame, boilerSegs: DataFrame,
+                                     dupStarts: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val ls = boilerSegs.groupBy(col("doc_id"))
+      .agg(collect_list(col("seg_id").cast("int")).as("ls"))
+    val ss = dupStarts.groupBy(col("doc_id"))
+      .agg(collect_list(col("i").cast("int")).as("ss"))
+    val sc = tokenized(docs)
+      .join(ls, Seq("doc_id"), "left_outer")
+      .join(ss, Seq("doc_id"), "left_outer")
+      .withColumn("sc", expr(
+        s"graft_multi_scrub(w, coalesce(ss, cast(array() as array<int>)), $SpanW," +
+          s" coalesce(ls, cast(array() as array<int>)), $LineLen)"))
+      .withColumn("tp", expr("graft_token_profile(sc.kept)"))
+    val kept = col("tp").getItem(0)
+    val nStop = col("tp").getItem(1)
+    val nDistinct = col("tp").getItem(2)
+    sc.select(
+      col("doc_id"), col("source"), col("lang"), md5(col("text")).as("fp"),
+      size(col("w")).cast("long").as("n_tokens"),
+      col("sc.n_line_rm").as("n_line_rm"),
+      col("sc.n_span_rm").as("n_span_rm"),
+      col("sc.n_removed").as("n_removed"),
+      kept.as("n_tokens_kept"),
+      when(kept > 0,
+        r6((lit(0.4) * least(kept.cast("double") / lit(50.0), lit(1.0))
+          + lit(0.3) * (lit(1.0) - (nStop.cast("double") / kept)))
+          + lit(0.3) * (nDistinct.cast("double") / kept))).as("quality_score"),
+      array_join(col("sc.kept"), " ").as("kept_text"),
+      col("tp").getItem(3).as("s_en"), col("tp").getItem(4).as("s_de"),
+      col("tp").getItem(5).as("s_fr"), col("tp").getItem(6).as("s_es"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
+          && col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") && col("s_de") > 0, "de")
+        .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
+        .when(col("s_es") > 0, "es")
+        .otherwise("und"))
+      .drop("s_en", "s_de", "s_fr", "s_es")
+  }
+
+  /** The drop-reason cascade + the retained-docs PII tail over a
+    * marked per-doc frame (the [[scrubbedQuality]] columns plus
+    * `is_exact_dup`, `is_near_dup`, `is_contam`) — shared by the
+    * batch decisions and the streaming twin, which compute the three
+    * mark columns from their own artifacts. PII plants onto the
+    * scrubbed kept-text (the same deterministic plant as
+    * `text_pii_redact`) and redacts it; the final token count and
+    * content fingerprint are what the pack stage consumes. */
+  private[graft] def curationDecide(marked: DataFrame): DataFrame =
+    marked
+      .withColumn("drop_reason",
+        when(col("is_exact_dup"), "exact_dup")
+        .when(col("is_near_dup"), "near_dup")
+        .when(lit(2L) * col("n_tokens_kept") < col("n_tokens"), "heavy_dup")
+        .when(col("is_contam"), "contaminated")
+        .when(col("pred_lang") =!= "en", "lang")
+        .when(col("quality_score") < 0.7, "low_quality"))
+      .withColumn("t0", when(col("drop_reason").isNull,
+        Privacy.planted(col("kept_text"), col("doc_id"))))
+      .withColumn("red", when(col("drop_reason").isNull, Privacy.redacted(col("t0"))))
+      .select(col("doc_id"), col("source"), col("lang"), col("pred_lang"),
+        col("n_tokens"), col("n_line_rm"), col("n_span_rm"), col("n_removed"),
+        col("n_tokens_kept"), col("quality_score"), col("drop_reason"),
+        when(col("drop_reason").isNull,
+          (regexp_count(col("t0"), lit(Privacy.EmailRe))
+            + regexp_count(col("t0"), lit(Privacy.Ipv4Re))
+            + regexp_count(col("t0"), lit(Privacy.PhoneRe))).cast("long")).as("n_pii"),
+        when(col("drop_reason").isNull,
+          size(split(col("red"), " ")).cast("long")).as("final_tokens"),
+        when(col("drop_reason").isNull, md5(col("red"))).as("final_fp"))
+
+  /** Per-doc decision frame behind [[curation]] / [[curationPack]],
+    * memoized + persisted per (application, sf dir): both queries
+    * (and the consistency spec) replay the same composed stack, and
+    * the frame is corpus-row-bounded (one row per doc, no text
+    * columns except via the fingerprints). */
+  private val decisionsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[queries] def curationDecisions(s: SparkSession, dir: String): DataFrame =
+    decisionsCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val df = curationDecisionsCompute(s, dir).persist()
+      df.count()
+      df
+    })
+
+  private def curationDecisionsCompute(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val per = scrubbedQuality(docs, prefixBoilerSegs(docs), prefixDupStarts(docs))
+    val keepers = docs
       .groupBy(md5(col("text")).as("fp")).agg(min(col("doc_id")).as("keeper"))
     val pairs = nearDupPairs05(s, dir)
     val nearIds = pairs.select(col("d2").as("doc_id")).distinct()
@@ -984,109 +1182,43 @@ object TextOps {
     // same broadcast gate as the keeper filter in [[dedupKeep]]
     val near =
       if (pairs.count() * 16 <= BroadcastBytesLimit) broadcast(nearIds) else nearIds
-    // benchmark-contaminated docs — dropped after dups, before the
-    // language and quality gates, the order published pipelines run.
-    // The flagged list is tiny HERE, but corpus-proportional in the
-    // worst case (a widely-leaked benchmark), so it takes the same
-    // count gate as the near-dup drop list above: the aggregate is
+    // benchmark-contaminated docs — the flagged list is tiny HERE but
+    // corpus-proportional in the worst case (a widely-leaked
+    // benchmark), so it takes the same count gate; the aggregate is
     // already materialized ([[contaminationAgg]] persists + counts),
     // so the gate's count() is a cache read, not a job.
     val contam = maybeBroadcast(
       contaminationAgg(s, dir).select(col("doc_id")).withColumn("is_contam", lit(true)),
       contaminationAgg(s, dir).count() * 16)
-    perDoc
+    curationDecide(per
       .join(keepers, Seq("fp"))
       .join(near, Seq("doc_id"), "left_outer")
       .join(contam, Seq("doc_id"), "left_outer")
-      .withColumn("drop_reason",
-        when(col("doc_id") =!= col("keeper"), "exact_dup")
-        .when(col("is_near_dup"), "near_dup")
-        .when(col("is_contam"), "contaminated")
-        .when(col("pred_lang") =!= "en", "lang")
-        .when(col("quality_score") < 0.7, "low_quality"))
-      .select(col("doc_id"), col("source"), col("lang"), col("pred_lang"),
-        col("n_tokens"), col("quality_score"), col("drop_reason"))
+      .withColumn("is_exact_dup", col("doc_id") =!= col("keeper")))
   }
 
   /** The curated corpus PACKED into training sequences — the terminal
     * batch-assembly stage composed over [[curationDecisions]]: only
-    * retained documents (drop_reason NULL) flow into the same
+    * retained documents (drop_reason NULL) flow, at their FINAL
+    * (scrubbed + redacted) token counts, into the same
     * per-source-shard concat-then-chunk packing as
     * [[packSequences]]. One extra codegen filter between the two
     * plans — the pipeline composes without a landing step. */
   val curationPack: Q = Q("text_curation_pack",
-    """WITH tok AS (
-      |  SELECT doc_id, source, lang, md5(text) AS fp,
-      |         string_split(text, ' ') AS w
-      |  FROM documents
-      |), words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
-      |sh0 AS (SELECT doc_id,
-      |         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS s,
-      |         lead(word, 2) OVER win AS w2
-      |        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-      |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE w2 IS NOT NULL),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-      |neard AS (SELECT DISTINCT d2 FROM inter
-      |          JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
-      |          WHERE CAST(i AS DOUBLE) / ((x.n + y.n) - i) >= 0.5),
-      |g0 AS (SELECT doc_id, word,
-      |         lead(word, 1) OVER win AS w1, lead(word, 2) OVER win AS w2,
-      |         lead(word, 3) OVER win AS w3, lead(word, 4) OVER win AS w4,
-      |         lead(word, 5) OVER win AS w5, lead(word, 6) OVER win AS w6,
-      |         lead(word, 7) OVER win AS w7
-      |       FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-      |g AS (SELECT DISTINCT doc_id,
-      |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
-      |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS s8
-      |      FROM g0 WHERE w7 IS NOT NULL),
-      |gbench AS (SELECT DISTINCT s8 FROM g WHERE doc_id % 4 = 3),
-      |contam AS (SELECT t.doc_id
-      |           FROM g t LEFT JOIN gbench b ON t.s8 = b.s8
-      |           WHERE t.doc_id % 4 <> 3 GROUP BY 1
-      |           HAVING CAST(COUNT(b.s8) AS DOUBLE) / COUNT(*) >= 0.5),
-      |keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM tok GROUP BY 1),
-      |m AS (
-      |  SELECT doc_id, source, fp,
-      |    len(w) AS n_tokens,
-      |    len(list_filter(w, x -> x = 'the' OR x = 'a')) AS n_stop,
-      |    len(list_distinct(w)) AS n_distinct,
-      |    len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of')) AS s_en,
-      |    len(list_filter(w, x -> x = 'der' OR x = 'die' OR x = 'das')) AS s_de,
-      |    len(list_filter(w, x -> x = 'le' OR x = 'la' OR x = 'les')) AS s_fr,
-      |    len(list_filter(w, x -> x = 'el' OR x = 'los' OR x = 'las')) AS s_es
-      |  FROM tok
-      |), sc AS (
-      |  SELECT doc_id, source, fp, n_tokens,
-      |    ROUND(((CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0))
-      |      + (CAST(0.3 AS DOUBLE) * (1.0 - (CAST(n_stop AS DOUBLE) / n_tokens))))
-      |      + (CAST(0.3 AS DOUBLE) * (CAST(n_distinct AS DOUBLE) / n_tokens)), 6) AS quality_score,
-      |    CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
-      |         WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
-      |         WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
-      |         WHEN s_es > 0 THEN 'es'
-      |         ELSE 'und' END AS pred_lang
-      |  FROM m
-      |), kept AS (
-      |  SELECT sc.doc_id, sc.source, sc.n_tokens
-      |  FROM sc JOIN keepers k ON sc.fp = k.fp
-      |  WHERE sc.doc_id = k.keeper
-      |    AND sc.doc_id NOT IN (SELECT d2 FROM neard)
-      |    AND sc.doc_id NOT IN (SELECT doc_id FROM contam)
-      |    AND sc.pred_lang = 'en'
-      |    AND sc.quality_score >= 0.7
-      |), o AS (
-      |  SELECT source, doc_id, n_tokens,
-      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+    curationOracleBody +
+      """
+      |, o AS (
+      |  SELECT source, doc_id, CAST(len(string_split(red, ' ')) AS BIGINT) AS n_tokens,
+      |    COALESCE(SUM(len(string_split(red, ' '))) OVER (PARTITION BY source ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
-      |  FROM kept
+      |  FROM fin2 WHERE drop_reason IS NULL
       |)
       |SELECT source, CAST(start_off // 512 AS BIGINT) AS seq_id,
       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM o GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
-    packRetained(curationDecisions(s, dir).filter(col("drop_reason").isNull))
+    packRetained(curationDecisions(s, dir).filter(col("drop_reason").isNull)
+      .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens")))
   }
 
   /** The per-source concat-then-chunk packing over a retained-docs
@@ -1723,8 +1855,8 @@ object TextOps {
     * [[dedupLines]]: a "line" is a 4-token aligned window (the corpus
     * has no newlines — the structural analog of a physical line), and
     * a line present in ≥ 3 DISTINCT documents is boilerplate. */
-  private[graft] val LineLen = 4
-  private[graft] val LineMinDocs = 3
+  private[graft] final val LineLen = 4
+  private[graft] final val LineMinDocs = 3
 
   /** Per-doc aligned pseudo-line segments `(doc_id, seg_id, line,
     * n_tok)` — a pure column program (tokenize + transform + slice),
@@ -1871,7 +2003,7 @@ object TextOps {
   /** Sliding-window width (tokens) for [[dedupSpans]]: any [[SpanW]]
     * consecutive tokens shared verbatim between two documents mark
     * every position they cover for removal. */
-  private[graft] val SpanW = 5
+  private[graft] final val SpanW = 5
 
   /** Per-doc sliding shingle starts `(doc_id, i, fp)` — one
     * fingerprint at EVERY token offset (unlike [[lineSegments]]'
