@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   [n_tokens, n_stop, n_distinct, s_en, s_de, s_fr, s_es]
   *
   * Bit-identical to the HOF formulation in
-  * [[graft.queries.TextOps.perDocQuality]] (one `filter` lambda per
+  * [[graft.queries.TextOps.scrubbedQuality]] (one `filter` lambda per
   * marker set plus an `array_distinct`, i.e. 6+ boxed interpreted
   * passes per row — higher-order functions are CodegenFallback).
   * The marker sets are the engine's published lang-id/quality

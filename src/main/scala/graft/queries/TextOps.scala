@@ -1014,39 +1014,6 @@ object TextOps {
     curationDecisions(s, dir).orderBy(col("doc_id"))
   }
 
-  /** Stateless per-doc curation attributes — quality score, language
-    * guess, content fingerprint — shared by the batch pipeline and
-    * the streaming curation composition (the same expressions run per
-    * micro-batch there). */
-  private[graft] def perDocQuality(rawDocs: DataFrame): DataFrame = {
-    // all token counts come from the native one-pass
-    // graft_token_profile kernel (the HOF form paid 6+ interpreted
-    // boxed passes per row — one filter lambda per marker set plus
-    // array_distinct); count-equality with the HOF formulation is
-    // pinned in FunctionsSpec, so the derived doubles are
-    // bit-identical too
-    graft.functions.GraftFunctions.register(rawDocs.sparkSession)
-    val docs = tokenized(rawDocs).withColumn("tp", expr("graft_token_profile(w)"))
-    val nTokens   = col("tp").getItem(0)
-    val nStop     = col("tp").getItem(1)
-    val nDistinct = col("tp").getItem(2)
-    docs.select(
-      col("doc_id"), col("source"), col("lang"), md5(col("text")).as("fp"),
-      nTokens.as("n_tokens"),
-      r6((lit(0.4) * least(nTokens.cast("double") / lit(50.0), lit(1.0))
-        + lit(0.3) * (lit(1.0) - (nStop.cast("double") / nTokens)))
-        + lit(0.3) * (nDistinct.cast("double") / nTokens)).as("quality_score"),
-      col("tp").getItem(3).as("s_en"), col("tp").getItem(4).as("s_de"),
-      col("tp").getItem(5).as("s_fr"), col("tp").getItem(6).as("s_es"))
-      .withColumn("pred_lang",
-        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
-          && col("s_en") >= col("s_es") && col("s_en") > 0, "en")
-        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") && col("s_de") > 0, "de")
-        .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
-        .when(col("s_es") > 0, "es")
-        .otherwise("und"))
-  }
-
   /** PREFIX boilerplate line mask `(doc_id, seg_id)` — the segments
     * the composed pipeline's line stage removes, the exact
     * [[dedupLinesPrefix]] rule: the k-th distinct carrier (ingest

@@ -23,13 +23,19 @@ import org.apache.spark.sql.streaming.Trigger
   *     index ([[StreamingDedup.dedupBatchAgainstIndex]]): the doc on
   *     the later side of any J ≥ 0.5 pair is dropped, exactly the
   *     batch pipeline's d2 rule;
-  *  3. decontamination — 8-gram overlap vs the FIXED promoted
+  *  3. boilerplate LINE scrub + exact-substring SPAN scrub — PREFIX
+  *     semantics against per-(fp, batch) distinct-carrier count
+  *     states (the [[StreamingLineDedup]] / [[StreamingSpanDedup]]
+  *     artifacts), applied as a UNION position mask by the
+  *     [[graft.functions.MultiScrub]] kernel;
+  *  4. decontamination — 8-gram overlap vs the FIXED promoted
   *     benchmark gram index (benchmarks are known up front — the
   *     same artifact `text_decontaminate_incremental` screens
   *     against);
-  *  4. language + quality gates — stateless per-doc expressions
-  *     ([[TextOps.perDocQuality]], the identical columns the batch
-  *     pipeline computes).
+  *  5. language + quality gates recomputed over the SCRUBBED kept
+  *     tokens, then the PII plant+redact tail on retained docs —
+  *     all via the batch pipeline's own
+  *     [[TextOps.scrubbedQuality]] / [[TextOps.curationDecide]].
   *
   * Decisions land per batch; after the stream drains, the retained
   * corpus is packed by the same [[TextOps.packRetained]] the batch
@@ -49,6 +55,8 @@ object StreamingCuration {
 
   val ShingleIdx = "curation_shingles"
   val FpIdx = "curation_fps"
+  val LineCounts = "curation_line_counts"
+  val SpanCounts = "curation_span_counts"
 
   final case class Env(inDir: String, outDir: String, ckpt: String,
                        store: FrameStore, benchStore: FrameStore,
@@ -60,23 +68,47 @@ object StreamingCuration {
   def prepare(spark: SparkSession, dir: String): Env = {
     val tmp = Files.createTempDirectory("graft-stream-curation-").toString
     val docs = Tables.documents(spark, dir)
-    val none = docs.filter(lit(false))
     val store = new FrameStore(s"$tmp/store")
-    // every index row carries its appending batch's id (PROVENANCE):
-    // a replayed micro-batch recovers the exact earlier-batch state
-    // by filtering out rows stamped with its OWN batch id — keyed on
-    // provenance, not doc_id, so a doc_id legitimately re-delivered
-    // in a LATER batch keeps its genuine earlier row and is caught
-    // as an exact dup instead of escaping ([[processBatch]])
-    store.promote(ShingleIdx,
-      store.register(spark, ShingleIdx,
-        TextOps.hashedShingleArrays(none).withColumn("batch_id", lit(-1L))))
-    store.promote(FpIdx,
-      store.register(spark, FpIdx,
-        none.select(col("doc_id"), md5(col("text")).as("fp"))
-          .withColumn("batch_id", lit(-1L))))
+    seedState(spark, store, docs.filter(lit(false)), batchId = -1L)
     Env(s"$tmp/in", s"$tmp/decisions", s"$tmp/ckpt",
       store, TextOps.benchGramStore(spark, dir), docs.schema)
+  }
+
+  /** Register + promote the four curation state artifacts (fp index,
+    * shingle index, line-carrier counts, span-carrier counts) from a
+    * SEED documents frame — empty for a fresh stream world, or a
+    * pre-ingested corpus stamped with its batch id (the replay spec's
+    * mid-stream world). Every row carries its appending batch's id
+    * (PROVENANCE): a replayed micro-batch recovers the exact
+    * earlier-batch state by filtering out rows stamped with its OWN
+    * batch id — keyed on provenance, not doc_id, so a doc_id
+    * legitimately re-delivered in a LATER batch keeps its genuine
+    * earlier row and is caught as an exact dup instead of escaping
+    * ([[processBatch]]). */
+  def seedState(spark: SparkSession, store: FrameStore, seed: DataFrame,
+                batchId: Long): Unit = {
+    store.promote(ShingleIdx,
+      store.register(spark, ShingleIdx,
+        TextOps.hashedShingleArrays(seed).withColumn("batch_id", lit(batchId))))
+    store.promote(FpIdx,
+      store.register(spark, FpIdx,
+        seed.select(col("doc_id"), md5(col("text")).as("fp"))
+          .withColumn("batch_id", lit(batchId))))
+    // per-(fp, batch) distinct-doc-count state for the two scrub
+    // stages — the [[StreamingLineDedup]] / [[StreamingSpanDedup]]
+    // artifact shape, collapsed at drain by [[snapshotCounts]]
+    store.promote(LineCounts,
+      store.register(spark, LineCounts,
+        TextOps.lineSegments(seed).withColumn("fp", xxhash64(col("line")))
+          .select(col("fp"), col("doc_id")).distinct()
+          .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("batch_id", lit(batchId))))
+    store.promote(SpanCounts,
+      store.register(spark, SpanCounts,
+        TextOps.spanStarts(seed)
+          .select(col("fp"), col("doc_id")).distinct()
+          .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("batch_id", lit(batchId))))
   }
 
   /** Land the corpus as `slices` contiguous doc_id ranges, one file
@@ -177,7 +209,40 @@ object StreamingCuration {
     // expensive column op — computed ONCE, shared by the near-dup
     // join and the index append
     val batchHs = TextOps.hashedShingleArrays(docs).persist()
-    val perDoc = TextOps.perDocQuality(docs)
+    // line + span scrub masks, PREFIX semantics against the promoted
+    // count state: carriers so far = Σ n_docs over OTHER batches'
+    // stamps (replay-safe by provenance) + the in-batch rank; in
+    // ingest order this reproduces the batch oracle's global rank —
+    // the [[StreamingLineDedup]] / [[StreamingSpanDedup]] device,
+    // here feeding the composed stack instead of standalone reports
+    val wfp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val segs = TextOps.lineSegments(docs)
+      .withColumn("fp", xxhash64(col("line"))).persist()
+    val lineFirsts = segs.select(col("fp"), col("doc_id")).distinct()
+    val lineBase = env.store.loadProduction(bs, LineCounts)
+      .getOrElse(sys.error("no production line counts"))
+      .filter(col("batch_id") =!= batchId)
+      .groupBy(col("fp")).agg(sum(col("n_docs")).as("base_n"))
+    // no broadcast hint on either count state: both grow with the corpus
+    val boilSegs = segs.join(
+      lineFirsts.withColumn("k", row_number().over(wfp))
+        .join(lineBase, Seq("fp"), "left_outer")
+        .filter(col("k") + coalesce(col("base_n"), lit(0L)) >= TextOps.LineMinDocs)
+        .select(col("fp"), col("doc_id")),
+      Seq("fp", "doc_id")).select(col("doc_id"), col("seg_id"))
+    val starts = TextOps.spanStarts(docs).persist()
+    val spanFirsts = starts.select(col("fp"), col("doc_id")).distinct()
+    val spanBase = env.store.loadProduction(bs, SpanCounts)
+      .getOrElse(sys.error("no production span counts"))
+      .filter(col("batch_id") =!= batchId)
+      .groupBy(col("fp")).agg(sum(col("n_docs")).as("base_n"))
+    val dupStarts = starts.join(
+      spanFirsts.withColumn("k", row_number().over(wfp))
+        .join(spanBase, Seq("fp"), "left_outer")
+        .filter(col("k") + coalesce(col("base_n"), lit(0L)) >= 2)
+        .select(col("fp"), col("doc_id")),
+      Seq("fp", "doc_id")).select(col("doc_id"), col("i"))
+    val perDoc = TextOps.scrubbedQuality(docs, boilSegs, dupStarts)
     // 1. exact: promoted fp index = "seen in an earlier batch";
     //    replayed own-batch rows are dropped by PROVENANCE (their
     //    batch_id stamp — a filter, no shuffle, and exact even when a
@@ -212,17 +277,11 @@ object StreamingCuration {
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
       .filter(col("n_hit").cast("double") / col("n_grams") >= 0.5)
       .select(col("doc_id")).withColumn("is_contam", lit(true))
-    val decisions = exact
+    // 4.-8. the shared decision cascade + retained-docs PII tail —
+    //       the SAME code path the batch pipeline runs
+    val decisions = TextOps.curationDecide(exact
       .join(nearIds, Seq("doc_id"), "left_outer")
-      .join(contamIds, Seq("doc_id"), "left_outer")
-      .withColumn("drop_reason",
-        when(col("is_exact_dup"), "exact_dup")
-        .when(col("is_near_dup"), "near_dup")
-        .when(col("is_contam"), "contaminated")
-        .when(col("pred_lang") =!= "en", "lang")
-        .when(col("quality_score") < 0.7, "low_quality"))
-      .select(col("doc_id"), col("source"), col("lang"), col("pred_lang"),
-        col("n_tokens"), col("quality_score"), col("drop_reason"))
+      .join(contamIds, Seq("doc_id"), "left_outer"))
     decisions.write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
     // the indexes grow with EVERY doc (dropped docs still index —
     // the batch pipeline's pair list spans the whole corpus)
@@ -233,6 +292,16 @@ object StreamingCuration {
       docs.select(col("doc_id"), md5(col("text")).as("fp"))
         .withColumn("batch_id", lit(batchId)),
       batchId = Some(batchId), streamId = Some(env.ckpt))
+    env.store.appendBatch(bs, LineCounts,
+      lineFirsts.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("batch_id", lit(batchId)),
+      batchId = Some(batchId), streamId = Some(env.ckpt))
+    env.store.appendBatch(bs, SpanCounts,
+      spanFirsts.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("batch_id", lit(batchId)),
+      batchId = Some(batchId), streamId = Some(env.ckpt))
+    starts.unpersist()
+    segs.unpersist()
     batchHs.unpersist()
     docs.unpersist()
     ()
@@ -271,7 +340,14 @@ object StreamingCuration {
     env.store.compact(spark, FpIdx)
     env.store.gc(ShingleIdx, keep = 1)
     env.store.gc(FpIdx, keep = 1)
-    TextOps.packRetained(streamedDecisions(spark, env).filter(col("drop_reason").isNull))
+    // the two per-(fp, batch) count states collapse to one base row
+    // per fp + the last batch's replay anchors (snapshot discipline)
+    StreamingCuration.snapshotCounts(spark, env.store, LineCounts, env.ckpt)
+    StreamingCuration.snapshotCounts(spark, env.store, SpanCounts, env.ckpt)
+    env.store.gc(LineCounts, keep = 1)
+    env.store.gc(SpanCounts, keep = 1)
+    TextOps.packRetained(streamedDecisions(spark, env).filter(col("drop_reason").isNull)
+      .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens")))
   }
 
   /** Streaming twin of `text_curation_pack` — same oracle: the

@@ -140,7 +140,9 @@ class StreamingSpec extends SparkSpec {
           streamedDecisions.filter { case (k, v) => batchDecisions.get(k) != Some(v) }.take(5))
       val streamedPack = graft.queries.TextOps.packRetained(
         StreamingCuration.streamedDecisions(spark, env)
-          .filter(col("drop_reason").isNull)).collect().toSet
+          .filter(col("drop_reason").isNull)
+          .select(col("source"), col("doc_id"),
+            col("final_tokens").as("n_tokens"))).collect().toSet
       assert(streamedPack == batchPack, s"slices=$slices pack drift")
     }
   }
@@ -337,13 +339,8 @@ class StreamingSpec extends SparkSpec {
     val d1 = Seq((1L, text, "en", "s1", text.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val store = new FrameStore(s"$tmp/store")
-    store.promote(StreamingCuration.ShingleIdx,
-      store.register(spark, StreamingCuration.ShingleIdx,
-        TextOps.hashedShingleArrays(d1).withColumn("batch_id", lit(0L))))
-    store.promote(StreamingCuration.FpIdx,
-      store.register(spark, StreamingCuration.FpIdx,
-        d1.select(col("doc_id"), md5(col("text")).as("fp"))
-          .withColumn("batch_id", lit(0L))))
+    // seed all four state artifacts as if d1 arrived in batch 0
+    StreamingCuration.seedState(spark, store, d1, batchId = 0L)
     val env = StreamingCuration.Env(s"$tmp/in", s"$tmp/out", s"$tmp/ckpt",
       store, TextOps.benchGramStore(spark, sf), d1.schema)
     // batch 1 re-delivers the SAME doc_id with the same content
