@@ -847,9 +847,16 @@ object FraudAnalytics {
       .withColumn("cell", explode(sequence(
         floor(col("lo") / BandCellW).cast("long"),
         floor(col("hi") / BandCellW).cast("long"))))
+    // grid-cell rows = Σ cells per band, computable from the literal
+    // band table without a job; a 1M-band IP-geo dim can exceed the
+    // gate, where the same plan degrades to a shuffle hash join on
+    // `cell` (pinned in ScaleTechniquesSpec) — still never a loop
+    val nCells = Bands.map { case (_, lo, hi) =>
+      (math.floor(hi / BandCellW) - math.floor(lo / BandCellW)).toLong + 1L
+    }.sum
     Tables.events(s, dir)
       .withColumn("cell", floor(col("value") / BandCellW).cast("long"))
-      .join(broadcast(cells), "cell")
+      .join(TextOps.maybeBroadcast(cells, nCells * 40L), "cell")
       .filter(col("value") >= col("lo") && col("value") < col("hi"))
       .groupBy(col("band_id"), col("lo"), col("hi"))
       .agg(

@@ -275,4 +275,32 @@ class ScaleTechniquesSpec extends SparkSpec {
       assert(!over.contains("BroadcastHashJoin"), over)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("band-join grid dim degrades past the size bound") {
+    // The interval-join grid dim is band-table-scaled (a 1M-band
+    // IP-geo table outgrows the driver); past the gate the equi-join
+    // on `cell` must fall back to a shuffle strategy — and never a
+    // nested loop, whatever the strategy
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val events = graft.sources.Tables.events(spark, sf)
+      val cells = graft.queries.FraudAnalytics.Bands.toDF("band_id", "lo", "hi")
+        .withColumn("cell", explode(sequence(
+          floor(col("lo") / graft.queries.FraudAnalytics.BandCellW).cast("long"),
+          floor(col("hi") / graft.queries.FraudAnalytics.BandCellW).cast("long"))))
+      def planWith(estBytes: Long): String =
+        events.withColumn("cell",
+            floor(col("value") / graft.queries.FraudAnalytics.BandCellW).cast("long"))
+          .join(graft.queries.TextOps.maybeBroadcast(cells, estBytes), "cell")
+          .filter(col("value") >= col("lo") && col("value") < col("hi"))
+          .queryExecution.executedPlan.toString
+      val under = planWith(40L)
+      val over = planWith(graft.queries.TextOps.BroadcastBytesLimit + 1)
+      assert(under.contains("BroadcastHashJoin"), under)
+      assert(!over.contains("BroadcastHashJoin"), over)
+      assert(!over.contains("NestedLoop"), over)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
