@@ -829,6 +829,75 @@ object TextOps {
       .orderBy(col("source"), col("seq_id"))
   }
 
+  /** Deterministic training-order SHUFFLE — the global random order a
+    * training run actually consumes, derived from CONTENT, not RNG:
+    * each packed sequence gets an md5 sort key, the key's leading hex
+    * digit is its shard (a content-derived bucket — never Spark's
+    * sampled range boundaries, which vary run to run), and the
+    * emitted order is (shard, key) = the global md5 order, since the
+    * shard is a prefix of the key. `randomSplit`/`rand()` orders are
+    * partition-layout-dependent (per-partition RNG seeds); this order
+    * is bit-identical on any engine, any partitioning, any rerun —
+    * which is what makes a training run reproducible AND
+    * oracle-checkable.
+    *
+    * Scale shape: the rank window partitions by shard (hash exchange
+    * over 16 buckets here; a 100 TB run raises the prefix width so
+    * each shard is a few GB — the exchange stays balanced because
+    * md5 is uniform); the global offset of each shard comes from a
+    * shard-count aggregate (16 rows — the only single-partition
+    * window, bounded by shard count, never by data) joined back
+    * broadcast; the final display sort rides Spark's range-exchange
+    * sort, NEVER an Exchange SinglePartition over the data (pinned in
+    * PlanInvariantsSpec). */
+  val shuffleOrder: Q = Q("text_shuffle_order",
+    """WITH t AS (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+      |), o AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM t
+      |), p AS (
+      |  SELECT source, CAST(start_off // 512 AS BIGINT) AS seq_id,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+      |  FROM o GROUP BY 1, 2
+      |), k AS (
+      |  SELECT source, seq_id, seq_tokens,
+      |    md5('shuffle:' || source || ':' || CAST(seq_id AS VARCHAR)) AS sort_key
+      |  FROM p
+      |), k2 AS (
+      |  SELECT *, CAST(('0x' || substr(sort_key, 1, 1)) AS BIGINT) AS shard FROM k
+      |)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY sort_key) AS BIGINT) AS ord,
+      |  shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sort_key) AS BIGINT) AS pos,
+      |  sort_key, source, seq_id, seq_tokens
+      |FROM k2 ORDER BY ord""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val packed = packRetained(tokenized(Tables.documents(s, dir))
+      .select(col("source"), col("doc_id"), size(col("w")).cast("long").as("n_tokens")))
+    val keyed = packed.select(col("source"), col("seq_id"), col("seq_tokens"))
+      .withColumn("sort_key",
+        md5(concat(lit("shuffle:"), col("source"), lit(":"), col("seq_id").cast("string"))))
+      .withColumn("shard", conv(substring(col("sort_key"), 1, 1), 16, 10).cast("long"))
+    val withPos = keyed.withColumn("pos",
+      row_number().over(Window.partitionBy(col("shard")).orderBy(col("sort_key")))
+        .cast("long"))
+    // shard offsets: one row per shard (constant 16) — the prefix-sum
+    // window is bounded by the shard alphabet, not the data, and the
+    // join back is a fixed-size broadcast by construction
+    val off = withPos.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("shard"), col("offset"))
+    withPos.join(broadcast(off), Seq("shard"))
+      .select((col("offset") + col("pos")).as("ord"), col("shard"), col("pos"),
+        col("sort_key"), col("source"), col("seq_id"), col("seq_tokens"))
+      .orderBy(col("ord"))
+  }
+
   /** Deterministic stratified sampling by CONTENT HASH — the
     * reproducible subsampling a training-data pipeline needs: the
     * same document lands in the same split on every run, any engine,
@@ -2187,7 +2256,7 @@ object TextOps {
 
   val all: Seq[Q] = Seq(chunkWindows, fuzzyPairs, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
-    dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, packSequences, dupRateSketch, topTokensSketch,
+    dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, packSequences, shuffleOrder, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
     tfidfTopK, curation, curationPack, decontaminate, decontaminateIncremental,

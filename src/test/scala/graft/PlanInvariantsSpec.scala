@@ -105,6 +105,20 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("shuffle order ranks inside content shards; the data never single-partitions") {
+    // the per-sequence rank window must exchange on the md5-prefix
+    // shard (hashpartitioning), the global sort must be a RANGE
+    // exchange, and the only SinglePartition exchange allowed is the
+    // 16-row shard-offset prefix sum — never the sequence stream
+    // (the offsets side is recognizable as the one under the
+    // partial_count aggregate)
+    val plan = formatted(SparkEntry.queries("text_shuffle_order")(spark, sf))
+    assert(plan.contains("hashpartitioning(shard"), plan)
+    assert(plan.contains("rangepartitioning(ord"), plan)
+    val singles = """Exchange SinglePartition""".r.findAllIn(plan).size
+    assert(singles <= 1, s"$singles single-partition exchanges:\n$plan")
+  }
+
   test("containment dedup candidate generation never goes cartesian") {
     val plan = formatted(SparkEntry.queries("text_dedup_containment")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
