@@ -1199,7 +1199,7 @@ object TextOps {
   private val decisionsCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  private[queries] def curationDecisions(s: SparkSession, dir: String): DataFrame =
+  private[graft] def curationDecisions(s: SparkSession, dir: String): DataFrame =
     decisionsCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
       val df = curationDecisionsCompute(s, dir).persist()
       df.count()
