@@ -214,10 +214,10 @@ object Multimodal {
     decodePpm(ppmTable(s, dir)).orderBy(col("doc_id"))
   }
 
-  /** The decoder proper: `(doc_id, payload)` → header fields, byte
-    * accounting, per-channel stats. Derives every output from the
-    * payload column alone. */
-  def decodePpm(media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  /** Header parse shared by the decoder and the perceptual-hash
+    * dedup: `(doc_id, payload)` → magic/dims/maxval fields, header
+    * length, and the raw pixel string. Pure column program. */
+  def parsePpm(media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     media
       .withColumn("s", col("payload").cast("string"))
       .withColumn("p1", expr("split_part(s, chr(10), 1)"))
@@ -227,6 +227,12 @@ object Multimodal {
       .withColumn("h", expr("CAST(split_part(p2, ' ', 2) AS INT)"))
       .withColumn("hdr", expr("length(p1) + length(p2) + length(p3) + 3"))
       .withColumn("px", expr("substring(s, hdr + 1, 3*w*h)"))
+
+  /** The decoder proper: `(doc_id, payload)` → header fields, byte
+    * accounting, per-channel stats. Derives every output from the
+    * payload column alone. */
+  def decodePpm(media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    parsePpm(media)
       .select(col("doc_id"),
         (col("p1") === "P6").as("magic_ok"),
         col("w"), col("h"),
@@ -243,6 +249,121 @@ object Multimodal {
           .cast("int").as("min_px"),
         expr("array_max(transform(sequence(0, 3*w*h - 1), i -> ascii(substring(px, i + 1, 1))))")
           .cast("int").as("max_px"))
+
+  // ------------------------------------------------------------- image dedup
+  /** Per-pixel luminance (r+g+b — integer-exact, no float weights)
+    * of sampled grid pixel `p` over the pixel string `px`. */
+  private def lumSql(p: String): String =
+    s"(ascii(substring(px, 3*($p) + 1, 1)) + ascii(substring(px, 3*($p) + 2, 1))" +
+      s" + ascii(substring(px, 3*($p) + 3, 1)))"
+
+  // dHash grid sampling for bit b (0..47): row y = b/6 of 8, the
+  // comparison's left column x = b%6 of 7 — nearest-neighbor indices
+  // into the w×h pixel grid, integer-exact on any image size
+  private val gridP0 = "(((b div 6) * h) div 8) * w + (((b % 6) * w) div 7)"
+  private val gridP1 = "(((b div 6) * h) div 8) * w + ((((b % 6) + 1) * w) div 7)"
+
+  // the same grid/luminance program in DuckDB spelling, kept in
+  // lockstep with lumSql/gridP0/gridP1 above
+  private def duckLum(p: String): String =
+    s"(ord(substr(px, 3*($p) + 1, 1)) + ord(substr(px, 3*($p) + 2, 1))" +
+      s" + ord(substr(px, 3*($p) + 3, 1)))"
+  private val duckP0 = "(((b // 6) * h) // 8) * w + (((b % 6) * w) // 7)"
+  private val duckP1 = "(((b // 6) * h) // 8) * w + ((((b % 6) + 1) * w) // 7)"
+
+
+  /** Perceptual image DEDUPLICATION — the first operation every
+    * multimodal corpus pipeline (LAION-style) runs: a difference
+    * hash over the DECODED pixels, then banded Hamming candidate
+    * generation, then the exact Hamming recheck — the image analog
+    * of `text_dedup_simhash`.
+    *
+    * The hash is a 48-bit dHash: luminance (r+g+b, integer-exact) is
+    * sampled on a fixed 7×8 nearest-neighbor grid and each bit
+    * records whether the right neighbor outshines the left — robust
+    * to scale/brightness shifts, and 48 bits keep the value in a
+    * non-negative BIGINT on both engines (no sign-wrap gymnastics).
+    * Candidates: 4 bands × 12 bits — by pigeonhole two hashes within
+    * Hamming ≤ 3 agree on ≥ 1 full band, so candidate generation is
+    * an EQUI-JOIN on (band, value), never |corpus|² (the
+    * `text_dedup_simhash` banding argument verbatim); the exact
+    * `bit_count(xor)` recheck runs only on collisions. Near-identical
+    * images are PLANTED (the PII/fuzzy-pairs device): every 10th doc
+    * gets a twin with one perturbed pixel byte, and the oracle
+    * replays plant, decode, hash, banding, and recheck end-to-end.
+    *
+    * Scale shape: decode + hash are one codegen map pass over the
+    * payload column; the band join shuffles 4 fixed-width rows per
+    * image on an 8-byte-ish key (uniform under md5-like pixel
+    * diversity — a degenerate corpus of near-constant images skews a
+    * band bucket, the standard LSH caveat, and the recheck keeps the
+    * output exact regardless); the recheck is candidate-bounded. */
+  val imageDedup: Q = Q("mm_image_dedup",
+    s"""WITH geom AS (
+      |  SELECT doc_id, n_chars, n_chars % 8 + 4 AS w, n_chars % 6 + 3 AS h, text
+      |  FROM documents WHERE n_chars > 0
+      |), px0 AS (
+      |  SELECT doc_id, w, h,
+      |    substr(repeat(text, (3*w*h) // n_chars + 1), 1, 3*w*h) AS px
+      |  FROM geom
+      |), imgs AS (
+      |  SELECT doc_id, w, h, px FROM px0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, w, h,
+      |    chr((ord(substr(px, 1, 1)) + 7) % 128) || substr(px, 2) AS px
+      |  FROM px0 WHERE doc_id % 10 = 0
+      |), hs AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0, 48), b ->
+      |      CASE WHEN ${duckLum(duckP1)} > ${duckLum(duckP0)}
+      |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS dh
+      |  FROM imgs
+      |), bands AS (
+      |  SELECT doc_id, dh, i AS band, (dh >> (12*i)) & 4095 AS bv
+      |  FROM hs, range(0, 4) r(i)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.dh AS dh1, b.dh AS dh2
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |)
+      |SELECT d1, d2, CAST(bit_count(xor(dh1, dh2)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(dh1, dh2)) <= 3
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val parsed = parsePpm(ppmTable(s, dir))
+      .select(col("doc_id"), col("w"), col("h"), col("px"))
+    // planted near-identical twin: one pixel byte perturbed (stays
+    // ASCII so string `ascii` arithmetic agrees across engines)
+    val twins = parsed.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("w"), col("h"),
+        expr("concat(chr((ascii(substring(px, 1, 1)) + 7) % 128), substring(px, 2))")
+          .as("px"))
+    // localCheckpoint: the hash must compute ONCE per image — the
+    // 48-sample HOF expression would otherwise be inlined through the
+    // band explode and the self-join and re-evaluated per CANDIDATE
+    // row (measured 111 s at sf0.1; 8-byte rows checkpoint instead)
+    val hashed = parsed.unionByName(twins)
+      .select(col("doc_id"), expr(
+        s"""aggregate(sequence(0, 47), CAST(0 AS BIGINT),
+           |  (acc, b) -> acc + IF(${lumSql(gridP1)} > ${lumSql(gridP0)},
+           |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
+        .as("dh"))
+      .localCheckpoint()
+    val bands = hashed.select(col("doc_id"), col("dh"),
+      posexplode(expr(
+        "transform(sequence(0, 3), i -> shiftright(dh, 12*i) & CAST(4095 AS BIGINT))"))
+        .as(Seq("band", "bv")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.dh").as("dh1"), col("b.dh").as("dh2"))
+      .distinct()
+    cand.withColumn("hamming",
+        bit_count(col("dh1").bitwiseXOR(col("dh2"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
 
   /** Frame sampling over the payload: fixed-stride 64-byte windows
     * exploded to one row per frame with per-frame digests — the
@@ -309,5 +430,5 @@ object Multimodal {
       .orderBy(col("shard"), col("seq_id"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, packBudget)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, packBudget)
 }

@@ -66,4 +66,19 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getBoolean(0) && r.getInt(1) == 4 && r.getInt(2) == 3)
     assert(!r.getBoolean(3), "truncation not detected")
   }
+
+  test("image dedup finds every planted near-identical twin within Hamming 3") {
+    val pairs = Multimodal.imageDedup.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming")))
+    val twinPairs = pairs.filter { case (d1, d2, _) => d2 == d1 + 1000000L }
+    val expectedTwins = graft.sources.Tables.documents(spark, sf)
+      .filter(col("n_chars") > 0 && col("doc_id") % 10 === 0).count()
+    assert(twinPairs.length == expectedTwins,
+      s"${twinPairs.length} of $expectedTwins planted twins detected")
+    assert(twinPairs.forall(_._3 <= 3))
+    // perturbation must also be visible: some twin or corpus pair is
+    // near (0 < hamming <= 3), not just exact-hash collisions
+    assert(pairs.exists(p => p._3 > 0 && p._3 <= 3))
+    assert(pairs.forall(p => p._1 < p._2 && p._3 >= 0 && p._3 <= 3))
+  }
 }
