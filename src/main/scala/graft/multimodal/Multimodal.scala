@@ -250,6 +250,161 @@ object Multimodal {
         expr("array_max(transform(sequence(0, 3*w*h - 1), i -> ascii(substring(px, i + 1, 1))))")
           .cast("int").as("max_px"))
 
+  // ------------------------------------------------------------- audio decode
+  // Little-endian hex encoders for the WAV header fields — one
+  // spelling per engine (div vs //), kept in lockstep.
+  private def leHexSpark(e: String, n: Int): String =
+    (0 until n).map { k =>
+      val shift = if (k == 0) s"($e)" else s"(($e) div ${1L << (8 * k)})"
+      s"lpad(hex($shift % 256), 2, '0')"
+    }.mkString(", ")
+
+  private def leHexDuck(e: String, n: Int): String =
+    (0 until n).map { k =>
+      val shift = if (k == 0) s"($e)" else s"(($e) // ${1L << (8 * k)})"
+      s"lpad(hex($shift % 256), 2, '0')"
+    }.mkString(" || ")
+
+  /** Deterministic canonical WAV payloads: real RIFF/WAVE binaries —
+    * the 44-byte PCM header (8-bit samples, 8 kHz, mono for even
+    * doc_ids / stereo for odd) followed by `frames × channels`
+    * interleaved sample bytes cycled from the text (the [[ppmTable]]
+    * device for a SECOND self-describing modality). Built as a hex
+    * program + `unhex` so multi-byte little-endian header fields
+    * materialize exactly; the decoder below never looks at anything
+    * but the payload column. */
+  def wavTable(spark: SparkSession, dir: String) =
+    Tables.documents(spark, dir).filter(col("n_chars") > 0)
+      .withColumn("ch", (lit(1) + col("doc_id") % 2).cast("int"))
+      .withColumn("frames", col("n_chars").cast("int"))
+      .withColumn("hx", expr(s"""concat(
+        |  '52494646', ${leHexSpark("36 + frames * ch", 4)},
+        |  '57415645', '666D7420', ${leHexSpark("16", 4)},
+        |  ${leHexSpark("1", 2)}, ${leHexSpark("ch", 2)},
+        |  ${leHexSpark("8000", 4)}, ${leHexSpark("8000 * ch", 4)},
+        |  ${leHexSpark("ch", 2)}, ${leHexSpark("8", 2)},
+        |  '64617461', ${leHexSpark("frames * ch", 4)},
+        |  hex(substring(repeat(text, (frames * ch) div n_chars + 1), 1, frames * ch)))"""
+        .stripMargin))
+      .select(col("doc_id"), expr("unhex(hx)").as("payload"))
+
+  // byte p (1-based) of the payload, read from its hex image — the
+  // only byte-level primitive both engines share for arbitrary
+  // (non-UTF-8) binary, so the whole parse is hex-position arithmetic
+  private def byteAtSpark(p: String): String =
+    s"CAST(conv(substring(hx, 2*($p) - 1, 2), 16, 10) AS INT)"
+  private def byteAtDuck(p: String): String =
+    s"CAST(('0x' || substr(hx, 2*($p) - 1, 2)) AS INTEGER)"
+
+  /** A REAL second-modality decoder: parses the RIFF/WAVE/fmt/data
+    * chunks of a canonical PCM WAV (magic words, channel count,
+    * sample rate, bit depth, data size — all little-endian byte
+    * arithmetic over the payload's hex image) and computes
+    * per-channel peak + RMS and the clip duration, entirely in
+    * column expressions over the `binary` payload — the
+    * [[imageDecode]] pattern for audio, making "multimodal columns"
+    * mean more than one format. Scale shape: one codegen'd map pass,
+    * no shuffle, no UDF; per-row cost linear in payload bytes. */
+  val audioDecode: Q = Q("mm_audio_decode",
+    s"""WITH g AS (
+      |  SELECT doc_id, n_chars, CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+      |         n_chars AS frames, text
+      |  FROM documents WHERE n_chars > 0
+      |), e AS (
+      |  SELECT doc_id,
+      |    '52494646' || ${leHexDuck("36 + frames * ch", 4)} || '57415645'
+      |    || '666D7420' || ${leHexDuck("16", 4)} || ${leHexDuck("1", 2)} || ${leHexDuck("ch", 2)}
+      |    || ${leHexDuck("8000", 4)} || ${leHexDuck("8000 * ch", 4)}
+      |    || ${leHexDuck("ch", 2)} || ${leHexDuck("8", 2)}
+      |    || '64617461' || ${leHexDuck("frames * ch", 4)}
+      |    || hex(encode(substr(repeat(text, (frames * ch) // n_chars + 1), 1, frames * ch))) AS hx
+      |  FROM g
+      |), blobbed AS (
+      |  SELECT doc_id, hex(from_hex(hx)) AS hx FROM e
+      |), parsed AS (
+      |  SELECT doc_id, hx,
+      |    (substr(hx, 1, 8) = '52494646') AS riff_ok,
+      |    (substr(hx, 17, 8) = '57415645') AS wave_ok,
+      |    (${byteAtDuck("21")} + 256 * ${byteAtDuck("22")}) AS audio_format,
+      |    (${byteAtDuck("23")} + 256 * ${byteAtDuck("24")}) AS n_channels,
+      |    (${byteAtDuck("25")} + 256 * ${byteAtDuck("26")} + 65536 * ${byteAtDuck("27")}
+      |      + 16777216 * ${byteAtDuck("28")}) AS sample_rate,
+      |    (${byteAtDuck("35")} + 256 * ${byteAtDuck("36")}) AS bits,
+      |    (${byteAtDuck("41")} + 256 * ${byteAtDuck("42")} + 65536 * ${byteAtDuck("43")}
+      |      + 16777216 * ${byteAtDuck("44")}) AS data_size
+      |  FROM blobbed
+      |), stats AS (
+      |  SELECT doc_id, riff_ok, wave_ok, (audio_format = 1) AS fmt_pcm_ok,
+      |    n_channels, sample_rate, bits,
+      |    CAST(data_size AS BIGINT) AS data_size,
+      |    CAST(data_size // n_channels AS BIGINT) AS n_frames,
+      |    (length(hx) = 2 * (44 + data_size)) AS payload_complete,
+      |    CAST(list_max(list_transform(range(0, data_size // n_channels),
+      |      i -> ${byteAtDuck("45 + i * n_channels")})) AS INTEGER) AS peak_l,
+      |    ROUND(sqrt(list_sum(list_transform(range(0, data_size // n_channels),
+      |      i -> CAST(${byteAtDuck("45 + i * n_channels")} AS DOUBLE) ** 2))
+      |      / (data_size // n_channels)), 6) AS rms_l,
+      |    CASE WHEN n_channels = 2 THEN CAST(list_max(list_transform(range(0, data_size // 2),
+      |      i -> ${byteAtDuck("46 + i * 2")})) AS INTEGER) END AS peak_r,
+      |    CASE WHEN n_channels = 2 THEN ROUND(sqrt(list_sum(list_transform(range(0, data_size // 2),
+      |      i -> CAST(${byteAtDuck("46 + i * 2")} AS DOUBLE) ** 2))
+      |      / (data_size // 2)), 6) END AS rms_r
+      |  FROM parsed
+      |)
+      |SELECT doc_id, riff_ok, wave_ok, fmt_pcm_ok, n_channels, sample_rate, bits,
+      |  data_size, n_frames, payload_complete,
+      |  ROUND(CAST(n_frames AS DOUBLE) * 1000 / sample_rate, 6) AS duration_ms,
+      |  peak_l, rms_l, peak_r, rms_r
+      |FROM stats ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    decodeWav(wavTable(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** The WAV decoder proper: `(doc_id, payload)` → chunk magics,
+    * header fields, byte accounting, per-channel peak/RMS, duration.
+    * Derives everything from the payload column alone (via its hex
+    * image — see [[byteAtSpark]]). */
+  def decodeWav(media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    media
+      .withColumn("hx", hex(col("payload")))
+      .withColumn("riff_ok", expr("substring(hx, 1, 8) = '52494646'"))
+      .withColumn("wave_ok", expr("substring(hx, 17, 8) = '57415645'"))
+      .withColumn("audio_format", expr(s"${byteAtSpark("21")} + 256 * ${byteAtSpark("22")}"))
+      .withColumn("n_channels", expr(s"${byteAtSpark("23")} + 256 * ${byteAtSpark("24")}"))
+      .withColumn("sample_rate", expr(
+        s"${byteAtSpark("25")} + 256 * ${byteAtSpark("26")} + 65536 * ${byteAtSpark("27")}" +
+          s" + 16777216 * ${byteAtSpark("28")}"))
+      .withColumn("bits", expr(s"${byteAtSpark("35")} + 256 * ${byteAtSpark("36")}"))
+      .withColumn("data_size", expr(
+        s"${byteAtSpark("41")} + 256 * ${byteAtSpark("42")} + 65536 * ${byteAtSpark("43")}" +
+          s" + 16777216 * ${byteAtSpark("44")}").cast("long"))
+      .withColumn("n_frames", (col("data_size") / col("n_channels")).cast("long"))
+      .select(col("doc_id"), col("riff_ok"), col("wave_ok"),
+        (col("audio_format") === 1).as("fmt_pcm_ok"),
+        col("n_channels"), col("sample_rate"), col("bits"),
+        col("data_size"), col("n_frames"),
+        (length(col("hx")) === lit(2) * (lit(44) + col("data_size"))).as("payload_complete"),
+        round(col("n_frames").cast("double") * 1000 / col("sample_rate"), 6)
+          .as("duration_ms"),
+        expr(s"""array_max(transform(sequence(0, CAST(n_frames AS INT) - 1),
+          |  i -> ${byteAtSpark("45 + i * n_channels")}))""".stripMargin)
+          .cast("int").as("peak_l"),
+        expr(s"""ROUND(sqrt(aggregate(sequence(0, CAST(n_frames AS INT) - 1),
+          |  CAST(0 AS DOUBLE),
+          |  (a, i) -> a + CAST(${byteAtSpark("45 + i * n_channels")} AS DOUBLE)
+          |    * CAST(${byteAtSpark("45 + i * n_channels")} AS DOUBLE)) / n_frames), 6)"""
+          .stripMargin).as("rms_l"),
+        when(col("n_channels") === 2, expr(
+          s"""array_max(transform(sequence(0, CAST(data_size div 2 AS INT) - 1),
+             |  i -> ${byteAtSpark("46 + i * 2")}))""".stripMargin).cast("int"))
+          .as("peak_r"),
+        when(col("n_channels") === 2, expr(
+          s"""ROUND(sqrt(aggregate(sequence(0, CAST(data_size div 2 AS INT) - 1),
+             |  CAST(0 AS DOUBLE),
+             |  (a, i) -> a + CAST(${byteAtSpark("46 + i * 2")} AS DOUBLE)
+             |    * CAST(${byteAtSpark("46 + i * 2")} AS DOUBLE)) / (data_size div 2)), 6)"""
+            .stripMargin)).as("rms_r"))
+
+
   // ------------------------------------------------------------- image dedup
   /** Per-pixel luminance (r+g+b — integer-exact, no float weights)
     * of sampled grid pixel `p` over the pixel string `px`. */
@@ -430,5 +585,5 @@ object Multimodal {
       .orderBy(col("shard"), col("seq_id"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, packBudget)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, audioDecode, packBudget)
 }

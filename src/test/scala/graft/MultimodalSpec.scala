@@ -81,4 +81,33 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.exists(p => p._3 > 0 && p._3 <= 3))
     assert(pairs.forall(p => p._1 < p._2 && p._3 >= 0 && p._3 <= 3))
   }
+
+  test("WAV decoder recovers fields from an independently built binary") {
+    import spark.implicits._
+    // hand-assembled with java.nio (no engine encoder involved):
+    // 8-bit PCM, stereo, 8 kHz, 3 frames L=[10,20,30] R=[40,50,60]
+    val data = Array[Byte](10, 40, 20, 50, 30, 60)
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(2).putInt(8000).putInt(16000)
+      .putShort(2).putShort(8).put("data".getBytes("US-ASCII"))
+      .putInt(data.length).put(data)
+    val wav = Seq((7L, bb.array())).toDF("doc_id", "payload")
+    val r = Multimodal.decodeWav(wav).head()
+    assert(r.getAs[Boolean]("riff_ok") && r.getAs[Boolean]("wave_ok")
+      && r.getAs[Boolean]("fmt_pcm_ok") && r.getAs[Boolean]("payload_complete"))
+    assert(r.getAs[Int]("n_channels") == 2 && r.getAs[Int]("sample_rate") == 8000
+      && r.getAs[Int]("bits") == 8)
+    assert(r.getAs[Long]("data_size") == 6L && r.getAs[Long]("n_frames") == 3L)
+    assert(r.getAs[Int]("peak_l") == 30 && r.getAs[Int]("peak_r") == 60)
+    assert(math.abs(r.getAs[Double]("rms_l")
+      - BigDecimal(math.sqrt((100.0 + 400 + 900) / 3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    assert(math.abs(r.getAs[Double]("duration_ms") - 0.375) < 1e-12)
+    // a truncated clip must be flagged, not silently mis-decoded
+    val cut = Seq((8L, bb.array().dropRight(2))).toDF("doc_id", "payload")
+    assert(!Multimodal.decodeWav(cut).head().getAs[Boolean]("payload_complete"))
+  }
 }
