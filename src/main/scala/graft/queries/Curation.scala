@@ -294,10 +294,17 @@ object Curation {
       |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM o GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
+    mixPackManifest(Tables.documents(s, dir)).orderBy(col("source"), col("seq_id"))
+  }
+
+  /** The mix∘pack manifest transform of [[mixPack]] over any
+    * documents frame — also the artifact body the forget-propagation
+    * certificate rebuilds per affected source shard. */
+  private[graft] def mixPackManifest(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"), col("rep"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    mixFrame(Tables.documents(s, dir)
+    mixFrame(docs
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens")))
       .select(col("source"), col("doc_id"), col("rep"), col("n_tokens"))
@@ -306,9 +313,106 @@ object Curation {
       .agg(count(lit(1)).as("n_entries"), countDistinct(col("doc_id")).as("n_docs"),
         sum(col("n_tokens")).as("seq_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-      .orderBy(col("source"), col("seq_id"))
+  }
+
+  // --------------------------------------------------------------- pack forget
+  /** The mix∘pack manifest as a DuckDB subquery over a filtered
+    * documents set — shared by the before/after halves of the
+    * forget-propagation oracle. */
+  private def mixPackSql(where: String): String =
+    s"""(WITH w AS (
+       |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+       |    CAST(0.5 + 0.5 * (COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT), 0) % 4) AS DOUBLE)
+       |      AS weight,
+       |    CAST(('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+       |      / 16777216.0 AS u
+       |  FROM documents WHERE $where),
+       |r AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(FLOOR(weight) + CASE WHEN u < weight - FLOOR(weight) THEN 1 ELSE 0 END AS INT)
+       |      AS reps
+       |  FROM w),
+       |m AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         unnest(generate_series(0, reps - 1)) AS rep
+       |  FROM r),
+       |o AS (
+       |  SELECT source, doc_id, rep, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, rep
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+       |  FROM m)
+       |SELECT source, CAST(start_off // 512 AS BIGINT) AS seq_id
+       |FROM o GROUP BY 1, 2)""".stripMargin
+
+  /** One forget-lifecycle pack store per (application, sf dir). */
+  private val packForgetMemo =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.FrameStore]
+
+  private def forgottenPackStore(s: SparkSession, dir: String): graft.sources.FrameStore =
+    packForgetMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val store = new graft.sources.FrameStore(
+        java.nio.file.Files.createTempDirectory("graft-forget-pack-").toString)
+      store.promote("mix_pack",
+        store.register(s, "mix_pack", mixPackManifest(Tables.documents(s, dir))))
+      // the forget, PROPAGATED: deleting the doc's own manifest rows
+      // is not enough — removal shifts the running offsets of every
+      // later doc in its source shard, so the whole affected shard's
+      // sequences change. The rewrite keeps untouched sources' rows
+      // AS-IS (at 100 TB forgetting one doc recomputes one shard, not
+      // the corpus — the partition-pruned shape of CowMerge) and
+      // recomputes affected shards from the reduced corpus; gc makes
+      // the withdrawal durable on disk.
+      val affected = Tables.documents(s, dir)
+        .filter(col("doc_id") % 20 === 7).select(col("source")).distinct()
+      store.rewrite(s, "mix_pack") { df =>
+        df.join(broadcast(affected), Seq("source"), "left_anti")
+          .unionByName(mixPackManifest(
+            Tables.documents(s, dir).filter(col("doc_id") % 20 =!= 7)
+              .join(broadcast(affected), Seq("source"))))
+      }
+      store.gc("mix_pack", keep = 0)
+      store
+    })
+
+  /** Forget-propagation certificate for DERIVED artifacts — the
+    * right-to-be-forgotten half the postings/ANN certificates
+    * (`text_dedup_forget`, `sim_ann_forget`) don't cover: a packed
+    * training manifest BUILT FROM a forgotten doc must be
+    * invalidated, not just have the doc's rows dropped, because
+    * packing offsets shift. After the source-pruned rewrite + gc the
+    * promoted manifest must be ROW-IDENTICAL to a manifest rebuilt
+    * from scratch on the reduced corpus — a forgotten doc is
+    * indistinguishable from one never packed. Counts are
+    * oracle-recomputed; the equality boolean is TRUE in the oracle. */
+  val packForget: Q = Q("text_pack_forget",
+    s"""SELECT
+       |  (SELECT COUNT(*) FROM ${mixPackSql("1 = 1")} t) AS n_sequences_before,
+       |  (SELECT COUNT(*) FROM ${mixPackSql("doc_id % 20 <> 7")} t) AS n_sequences_after,
+       |  (SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 7) AS n_docs_forgotten,
+       |  (SELECT COUNT(DISTINCT source) FROM documents WHERE doc_id % 20 = 7)
+       |    AS n_sources_affected,
+       |  TRUE AS forget_equals_rebuild""".stripMargin) { (s, dir) =>
+    val before = mixPackManifest(Tables.documents(s, dir))
+    val after = forgottenPackStore(s, dir).loadProduction(s, "mix_pack")
+      .getOrElse(sys.error("no production forgotten pack manifest"))
+    // rebuild from scratch on the reduced corpus — the gold standard
+    val rebuilt = mixPackManifest(
+      Tables.documents(s, dir).filter(col("doc_id") % 20 =!= 7))
+    val cols = Seq("n_entries", "n_docs", "seq_tokens", "first_doc", "last_doc")
+    val diff = after.as("a").join(rebuilt.as("r"), Seq("source", "seq_id"), "full_outer")
+      .filter(!cols.map(c => col(s"a.$c") <=> col(s"r.$c")).reduce(_ && _))
+      .agg(count(lit(1)).as("n_diff"))
+    before.agg(count(lit(1)).as("n_sequences_before"))
+      .crossJoin(broadcast(after.agg(count(lit(1)).as("n_sequences_after"))))
+      .crossJoin(broadcast(Tables.documents(s, dir).filter(col("doc_id") % 20 === 7)
+        .agg(count(lit(1)).as("n_docs_forgotten"),
+          countDistinct(col("source")).as("n_sources_affected"))))
+      .crossJoin(broadcast(diff))
+      .select(col("n_sequences_before"), col("n_sequences_after"),
+        col("n_docs_forgotten"), col("n_sources_affected"),
+        (col("n_diff") === 0).as("forget_equals_rebuild"))
   }
 
   val all: Seq[Q] = Seq(splitAssign, sourceMix, lmScore, repetitionScore, epochMix,
-    mixPack)
+    mixPack, packForget)
 }

@@ -236,4 +236,28 @@ class CurationSpec extends SparkSpec {
     assert(emitted.filter(_._2 == "crawl7").forall(_._3 == 0.5 + 0.5 * (7 % 4)),
       "digit-bearing source weights unchanged")
   }
+
+  test("pack forget propagates offset shifts within the affected shard only") {
+    import spark.implicits._
+    // two sources; forgetting b's middle doc must shift b's later
+    // offsets (sequence membership changes), while a's manifest rows
+    // survive byte-identical — the partition-pruned propagation the
+    // text_pack_forget certificate rides. Weights: suffix 1 -> 1.0
+    // (every doc emitted exactly once), so offsets are plain sums.
+    def docs(ids: Seq[Long]) = ids.map { i =>
+      (i, Seq.fill(300)("tok").mkString(" "), "en", if (i < 100) "src1" else "osrc1", 300L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = docs(Seq(1L, 2L, 3L, 101L, 102L))
+    val reduced = full.filter($"doc_id" =!= 2L)
+    val before = Curation.mixPackManifest(full).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val after = Curation.mixPackManifest(reduced).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    // osrc1 (unaffected): identical sequences
+    assert(before.filter(_._1._1 == "osrc1") == after.filter(_._1._1 == "osrc1"))
+    // src1: doc 3 moved from offset 600 (seq 1) to 300 (seq 0) —
+    // its shard's manifest is NOT the before-manifest minus doc 2
+    assert(before(("src1", 1L)) == 300L && after(("src1", 0L)) == 600L)
+    assert(!after.contains(("src1", 1L)))
+  }
 }
