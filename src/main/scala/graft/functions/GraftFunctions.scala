@@ -112,6 +112,10 @@ object GraftFunctions {
         MultiScrub(children(0), children(1), children(3),
           foldableInt("graft_multi_scrub", children(2)),
           foldableInt("graft_multi_scrub", children(4))))),
+    (FunctionIdentifier("graft_ml_term_index"),
+      new ExpressionInfo(classOf[MlTermIndex].getName, "graft_ml_term_index"),
+      (children: Seq[Expression]) => arity("graft_ml_term_index", 2, children)(
+        MlTermIndex(children(0), foldableInt("graft_ml_term_index", children(1))))),
     (FunctionIdentifier("graft_token_profile"),
       new ExpressionInfo(classOf[TokenProfile].getName, "graft_token_profile"),
       (children: Seq[Expression]) => arity("graft_token_profile", 1, children)(

@@ -122,5 +122,88 @@ object QualityModel {
         round(col("bayes_auc_raw"), 6).as("bayes_auc_test"), col("lr_auc_ge_gate"))
   }
 
+  // ------------------------------------------------------- closed-form export
+  /** Fit the quality LR once per (application, sf dir) and export the
+    * CLOSED FORM: one `(idx, coef)` row per non-zero coefficient of
+    * the 4096-dim hashed space plus the intercept at idx −1 — the
+    * model as a FRAME, so inference is a join + aggregate with no
+    * MLlib at serving time (the [[FraudModel]] literal-arithmetic
+    * export, here as a versioned ARTIFACT because the hashed space is
+    * too wide to inline as literals). */
+  private val fitMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def closedForm(s: SparkSession, dir: String): DataFrame =
+    fitMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val tr = labeledDocs(s, dir).filter(col("bucket") < 75)
+      val pipe = new Pipeline().setStages(Array(
+        new HashingTF().setInputCol("w").setOutputCol("features")
+          .setNumFeatures(NumFeatures),
+        new LogisticRegression().setMaxIter(100).setLabelCol("label")))
+      val lr = pipe.fit(tr.coalesce(1)).stages.collectFirst {
+        case m: org.apache.spark.ml.classification.LogisticRegressionModel => m
+      }.get
+      import s.implicits._
+      val rows = lr.coefficients.toArray.toSeq.zipWithIndex
+        .collect { case (c, i) if c != 0.0 => (i, c) } :+ (-1, lr.intercept)
+      val df = rows.toDF("idx", "coef").persist()
+      df.count()
+      df
+    })
+
+  /** One promoted `quality_lr` model store per (application, sf dir)
+    * — the registry artifact the streaming gate re-resolves per
+    * batch (the `stream_ann_query` PRODUCTION discipline). */
+  private val storeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.FrameStore]
+
+  val ModelName = "quality_lr"
+
+  def productionStore(s: SparkSession, dir: String): graft.sources.FrameStore =
+    storeMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val store = new graft.sources.FrameStore(
+        java.nio.file.Files.createTempDirectory("graft-quality-lr-").toString)
+      store.promote(ModelName, store.register(s, ModelName, closedForm(s, dir)))
+      store
+    })
+
+  /** Closed-form scoring: proba per doc over a token-array column
+    * `toks` — term index = the trainer's OWN `HashingTF.indexOf`
+    * via the codegen'd [[graft.functions.MlTermIndex]] expression
+    * (Spark 3's HashingTF hashes with `hashUnsafeBytes2`, which SQL
+    * `hash()` does not — pinned bit-equal to the MLlib transform in
+    * QualityGateSpec), counts accumulate through the explode, the
+    * coef join is broadcast-bounded by the feature space (≤ 4097
+    * rows BY CONSTRUCTION — a hard cap, not a corpus-scaled
+    * estimate), and the sigmoid is one codegen expression. Returns
+    * `(doc_id, proba)`. */
+  def scoreClosedForm(docs: DataFrame, model: DataFrame): DataFrame = {
+    val coefs = model.filter(col("idx") >= 0)
+    val intercept = model.filter(col("idx") === -1)
+      .select(col("coef")).head().getDouble(0)
+    // margin accumulates in DECIMAL(38,18): addition is then
+    // order-independent (each addend rounds once at fixed scale), so
+    // batch and streaming runs produce the bit-identical proba a
+    // decisions-parity certificate needs — a double sum would vary in
+    // ULPs with aggregation order and could flip a gate at the
+    // threshold. Docs with no tokens (empty kept text) still score:
+    // left join back, margin 0 → sigmoid(intercept).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val margins = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("doc_id"),
+        expr(s"graft_ml_term_index(t, $NumFeatures)").as("idx"))
+      .join(broadcast(coefs), Seq("idx"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("coef"), lit(0.0))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 18))).as("margin"))
+    docs.select(col("doc_id")).distinct()
+      .join(margins, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) +
+          exp(-(coalesce(col("margin").cast("double"), lit(0.0)) + lit(intercept)))))
+          .as("proba"))
+  }
+
   val all: Seq[Q] = Seq(qualityModelCert)
 }

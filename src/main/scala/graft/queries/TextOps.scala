@@ -937,7 +937,7 @@ object TextOps {
     * over RAW token positions and applied as a UNION, so each stage's
     * mask equals its standalone query's exactly (pinned in
     * CurationStackSpec). */
-  private def curationOracleBody: String =
+  private[graft] def curationOracleBody: String =
     s"""WITH tok AS (
       |  SELECT doc_id, source, lang, md5(text) AS fp, string_split(text, ' ') AS w
       |  FROM documents
@@ -1169,6 +1169,13 @@ object TextOps {
     * `text_pii_redact`) and redacts it; the final token count and
     * content fingerprint are what the pack stage consumes. */
   private[graft] def curationDecide(marked: DataFrame): DataFrame =
+    curationDecideWith(marked, col("quality_score") < 0.7)
+
+  /** [[curationDecide]] with a pluggable quality predicate — the
+    * learned-gate variant swaps the heuristic threshold for the
+    * closed-form LR score without touching any other stage. */
+  private[graft] def curationDecideWith(marked: DataFrame,
+                                        lowQuality: Column): DataFrame =
     marked
       .withColumn("drop_reason",
         when(col("is_exact_dup"), "exact_dup")
@@ -1176,7 +1183,7 @@ object TextOps {
         .when(lit(2L) * col("n_tokens_kept") < col("n_tokens"), "heavy_dup")
         .when(col("is_contam"), "contaminated")
         .when(col("pred_lang") =!= "en", "lang")
-        .when(col("quality_score") < 0.7, "low_quality"))
+        .when(lowQuality, "low_quality"))
       .withColumn("t0", when(col("drop_reason").isNull,
         Privacy.planted(col("kept_text"), col("doc_id"))))
       .withColumn("red", when(col("drop_reason").isNull, Privacy.redacted(col("t0"))))
@@ -1206,31 +1213,59 @@ object TextOps {
       df
     })
 
-  private def curationDecisionsCompute(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val per = scrubbedQuality(docs, prefixBoilerSegs(docs), prefixDupStarts(docs))
-    val keepers = docs
-      .groupBy(md5(col("text")).as("fp")).agg(min(col("doc_id")).as("keeper"))
-    val pairs = nearDupPairs05(s, dir)
-    val nearIds = pairs.select(col("d2").as("doc_id")).distinct()
-      .withColumn("is_near_dup", lit(true))
-    // drop list bounded by the (already materialized) pair count —
-    // same broadcast gate as the keeper filter in [[dedupKeep]]
-    val near =
-      if (pairs.count() * 16 <= BroadcastBytesLimit) broadcast(nearIds) else nearIds
-    // benchmark-contaminated docs — the flagged list is tiny HERE but
-    // corpus-proportional in the worst case (a widely-leaked
-    // benchmark), so it takes the same count gate; the aggregate is
-    // already materialized ([[contaminationAgg]] persists + counts),
-    // so the gate's count() is a cache read, not a job.
-    val contam = maybeBroadcast(
-      contaminationAgg(s, dir).select(col("doc_id")).withColumn("is_contam", lit(true)),
-      contaminationAgg(s, dir).count() * 16)
-    curationDecide(per
-      .join(keepers, Seq("fp"))
-      .join(near, Seq("doc_id"), "left_outer")
-      .join(contam, Seq("doc_id"), "left_outer")
-      .withColumn("is_exact_dup", col("doc_id") =!= col("keeper")))
+  private def curationDecisionsCompute(s: SparkSession, dir: String): DataFrame =
+    curationDecide(curationMarked(s, dir))
+
+  /** The marked per-doc frame the decide cascade consumes (scrubbed
+    * attributes + the three artifact-derived mark columns), memoized
+    * + persisted per (application, sf dir): the flagship decisions,
+    * the learned-gate variant, and the consistency spec all replay
+    * the same masks/joins. */
+  private val markedCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[graft] def curationMarked(s: SparkSession, dir: String): DataFrame =
+    markedCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val docs = Tables.documents(s, dir)
+      val per = scrubbedQuality(docs, prefixBoilerSegs(docs), prefixDupStarts(docs))
+      val keepers = docs
+        .groupBy(md5(col("text")).as("fp")).agg(min(col("doc_id")).as("keeper"))
+      val pairs = nearDupPairs05(s, dir)
+      val nearIds = pairs.select(col("d2").as("doc_id")).distinct()
+        .withColumn("is_near_dup", lit(true))
+      // drop list bounded by the (already materialized) pair count —
+      // same broadcast gate as the keeper filter in [[dedupKeep]]
+      val near =
+        if (pairs.count() * 16 <= BroadcastBytesLimit) broadcast(nearIds) else nearIds
+      // benchmark-contaminated docs — the flagged list is tiny HERE but
+      // corpus-proportional in the worst case (a widely-leaked
+      // benchmark), so it takes the same count gate; the aggregate is
+      // already materialized ([[contaminationAgg]] persists + counts),
+      // so the gate's count() is a cache read, not a job.
+      val contam = maybeBroadcast(
+        contaminationAgg(s, dir).select(col("doc_id")).withColumn("is_contam", lit(true)),
+        contaminationAgg(s, dir).count() * 16)
+      val df = per
+        .join(keepers, Seq("fp"))
+        .join(near, Seq("doc_id"), "left_outer")
+        .join(contam, Seq("doc_id"), "left_outer")
+        .withColumn("is_exact_dup", col("doc_id") =!= col("keeper"))
+        .persist()
+      df.count()
+      df
+    })
+
+  /** The composed pipeline with the LEARNED quality gate: same
+    * cascade, but `low_quality` comes from the closed-form LR score
+    * over the SCRUBBED kept tokens (PRODUCTION model resolved from
+    * the [[graft.ml.QualityModel]] registry) instead of the
+    * heuristic threshold. */
+  private[graft] def curationLearnedDecisions(s: SparkSession, dir: String,
+      model: DataFrame): DataFrame = {
+    val marked = curationMarked(s, dir)
+    val proba = graft.ml.QualityModel.scoreClosedForm(
+      marked.select(col("doc_id"), split(col("kept_text"), " ").as("toks")), model)
+    curationDecideWith(marked.join(proba, Seq("doc_id")), col("proba") < 0.5)
   }
 
   /** The curated corpus PACKED into training sequences — the terminal

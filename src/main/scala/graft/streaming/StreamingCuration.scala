@@ -60,18 +60,20 @@ object StreamingCuration {
 
   final case class Env(inDir: String, outDir: String, ckpt: String,
                        store: FrameStore, benchStore: FrameStore,
-                       schema: org.apache.spark.sql.types.StructType)
+                       schema: org.apache.spark.sql.types.StructType,
+                       quality: Option[FrameStore] = None)
 
   /** Stream world: empty fp + shingle indexes (the whole corpus
     * arrives as the stream), the full benchmark gram artifact (fixed
     * external input), fresh dirs. */
-  def prepare(spark: SparkSession, dir: String): Env = {
+  def prepare(spark: SparkSession, dir: String,
+              quality: Option[FrameStore] = None): Env = {
     val tmp = Files.createTempDirectory("graft-stream-curation-").toString
     val docs = Tables.documents(spark, dir)
     val store = new FrameStore(s"$tmp/store")
     seedState(spark, store, docs.filter(lit(false)), batchId = -1L)
     Env(s"$tmp/in", s"$tmp/decisions", s"$tmp/ckpt",
-      store, TextOps.benchGramStore(spark, dir), docs.schema)
+      store, TextOps.benchGramStore(spark, dir), docs.schema, quality)
   }
 
   /** Register + promote the four curation state artifacts (fp index,
@@ -278,10 +280,24 @@ object StreamingCuration {
       .filter(col("n_hit").cast("double") / col("n_grams") >= 0.5)
       .select(col("doc_id")).withColumn("is_contam", lit(true))
     // 4.-8. the shared decision cascade + retained-docs PII tail —
-    //       the SAME code path the batch pipeline runs
-    val decisions = TextOps.curationDecide(exact
+    //       the SAME code path the batch pipeline runs. With a quality
+    //       store configured, the low_quality stage uses the LEARNED
+    //       closed-form LR score, re-resolving the PRODUCTION model
+    //       EVERY batch (the stream_ann_query discipline) so a
+    //       mid-stream promotion takes effect at the next batch.
+    val marked = exact
       .join(nearIds, Seq("doc_id"), "left_outer")
-      .join(contamIds, Seq("doc_id"), "left_outer"))
+      .join(contamIds, Seq("doc_id"), "left_outer")
+    val decisions = env.quality match {
+      case Some(qstore) =>
+        val model = qstore.loadProduction(bs, graft.ml.QualityModel.ModelName)
+          .getOrElse(sys.error("no production quality model"))
+        val proba = graft.ml.QualityModel.scoreClosedForm(
+          marked.select(col("doc_id"), split(col("kept_text"), " ").as("toks")), model)
+        TextOps.curationDecideWith(marked.join(proba, Seq("doc_id")),
+          col("proba") < 0.5)
+      case None => TextOps.curationDecide(marked)
+    }
     decisions.write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
     // the indexes grow with EVERY doc (dropped docs still index —
     // the batch pipeline's pair list spans the whole corpus)
@@ -358,6 +374,51 @@ object StreamingCuration {
     runCurationStream(s, dir)
   }
 
+  /** The streamed pipeline with the LEARNED quality gate, certified
+    * — the `stream_ann_query` discipline applied to curation: the
+    * closed-form LR artifact ([[graft.ml.QualityModel.closedForm]])
+    * is promoted in a registry store, EVERY micro-batch re-resolves
+    * the PRODUCTION version (a mid-stream promotion takes effect at
+    * the next batch — pinned in QualityGateSpec), and after the
+    * drain the streamed decisions must be row-identical to the batch
+    * learned pipeline run against the same model version. The oracle
+    * recomputes the gate-invariant facts exactly (corpus size, and
+    * the pre-quality drop count — identical under either quality
+    * scorer because `low_quality` is the LAST cascade stage) and
+    * emits the Spark-only parity facts as booleans. */
+  val streamCurationLearned: Q = Q("stream_curation_learned",
+    TextOps.curationOracleBody +
+      """
+      |SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |  CAST(COUNT(*) FILTER (WHERE drop_reason IS NOT NULL AND drop_reason <> 'low_quality') AS BIGINT)
+      |    AS n_dropped_pre_quality,
+      |  TRUE AS stream_equals_batch,
+      |  TRUE AS same_model_version
+      |FROM fin2""".stripMargin) { (s, dir) =>
+    val qstore = graft.ml.QualityModel.productionStore(s, dir)
+    val vBefore = qstore.productionVersion(graft.ml.QualityModel.ModelName)
+    val model = qstore.loadProduction(s, graft.ml.QualityModel.ModelName)
+      .getOrElse(sys.error("no production quality model"))
+    val batchDec = TextOps.curationLearnedDecisions(s, dir, model)
+    val env = prepare(s, dir, quality = Some(qstore))
+    addArrivalsOrdered(s, env, dir, slices = 3)
+    runPass(s, env)
+    val streamed = streamedDecisions(s, env)
+    val cmpCols = streamed.columns.filterNot(_ == "doc_id").toSeq
+    val diff = streamed.as("a").join(batchDec.as("r"), Seq("doc_id"), "full_outer")
+      .filter(!cmpCols.map(c => col(s"a.$c") <=> col(s"r.$c")).reduce(_ && _))
+      .agg(count(lit(1)).as("n_diff"))
+    val vAfter = qstore.productionVersion(graft.ml.QualityModel.ModelName)
+    Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(batchDec
+        .filter(col("drop_reason").isNotNull && col("drop_reason") =!= "low_quality")
+        .agg(count(lit(1)).as("n_dropped_pre_quality"))))
+      .crossJoin(broadcast(diff))
+      .select(col("n_docs"), col("n_dropped_pre_quality"),
+        (col("n_diff") === 0).as("stream_equals_batch"),
+        lit(vBefore.isDefined && vBefore == vAfter).as("same_model_version"))
+  }
+
   /** Streaming twin of `text_chunk_windows` — the chunker run as a
     * continuous map over arriving documents. Stateless (each doc's
     * chunks depend on that doc alone), so the exactly-once story is
@@ -431,6 +492,6 @@ object StreamingCuration {
     s.read.schema(frame.schema).parquet(out)
   }
 
-  val all: Seq[Q] = Seq(streamCurationPack, streamChunkWindows, streamMixEpochs,
-    streamPiiRedact)
+  val all: Seq[Q] = Seq(streamCurationPack, streamCurationLearned, streamChunkWindows,
+    streamMixEpochs, streamPiiRedact)
 }

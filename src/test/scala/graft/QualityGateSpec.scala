@@ -1,0 +1,92 @@
+package graft
+
+import graft.ml.QualityModel
+import graft.queries.TextOps
+import graft.streaming.StreamingCuration
+import org.apache.spark.sql.functions._
+
+/** The learned quality gate: closed-form export fidelity and the
+  * per-batch PRODUCTION re-resolve (hot reload) discipline. */
+class QualityGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("closed-form scoring equals the MLlib transform") {
+    // the exported (idx, coef) frame + SQL hash featurization must
+    // reproduce LogisticRegressionModel.transform's probability —
+    // same murmur3 seed-42 term indexing, same sigmoid; the only
+    // divergence allowed is the decimal-accumulated margin's
+    // last-ulp rounding
+    import org.apache.spark.ml.{Pipeline => MlPipeline}
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.HashingTF
+    import org.apache.spark.ml.functions.vector_to_array
+    val data = QualityModel.labeledDocs(spark, sf)
+    val tr = data.filter(col("bucket") < 75)
+    val pipe = new MlPipeline().setStages(Array(
+      new HashingTF().setInputCol("w").setOutputCol("features")
+        .setNumFeatures(QualityModel.NumFeatures),
+      new LogisticRegression().setMaxIter(100).setLabelCol("label")))
+    val mllib = pipe.fit(tr.coalesce(1)).transform(data)
+      .select(col("doc_id"), vector_to_array(col("probability")).getItem(1).as("p"))
+      .as[(Long, Double)].collect().toMap
+    val closed = QualityModel.scoreClosedForm(
+        data.select(col("doc_id"), col("w").as("toks")),
+        QualityModel.closedForm(spark, sf))
+      .as[(Long, Double)].collect().toMap
+    assert(closed.keySet == mllib.keySet)
+    val maxErr = closed.map { case (d, p) => math.abs(p - mllib(d)) }.max
+    assert(maxErr < 1e-9, s"closed-form drift $maxErr")
+  }
+
+  test("learned gate streams equal the batch learned pipeline across slicings") {
+    val qstore = QualityModel.productionStore(spark, sf)
+    val model = qstore.loadProduction(spark, QualityModel.ModelName).get
+    val batch = TextOps.curationLearnedDecisions(spark, sf, model)
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    for (slices <- Seq(2, 4)) {
+      val env = StreamingCuration.prepare(spark, sf, quality = Some(qstore))
+      StreamingCuration.addArrivalsOrdered(spark, env, sf, slices)
+      StreamingCuration.runPass(spark, env)
+      val streamed = StreamingCuration.streamedDecisions(spark, env)
+        .select("doc_id", "drop_reason").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(streamed == batch, s"slices=$slices learned decision drift: " +
+        streamed.filter { case (k, v) => batch.get(k) != Some(v) }.take(5))
+    }
+  }
+
+  test("a mid-stream promotion hot-reloads at the next batch") {
+    // pass 1 scores with the trained model; a SENTINEL v2 (intercept
+    // +10, no coefficients → proba ≈ 1 for every doc) promotes
+    // between passes; pass 2 (same checkpoint, new arrivals) must
+    // never drop low_quality again, without restarting the world
+    val trained = QualityModel.closedForm(spark, sf)
+    val qstore = new graft.sources.FrameStore(
+      java.nio.file.Files.createTempDirectory("graft-qgate-hot-").toString)
+    qstore.promote(QualityModel.ModelName,
+      qstore.register(spark, QualityModel.ModelName, trained))
+    val env = StreamingCuration.prepare(spark, sf, quality = Some(qstore))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val mid = docs.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+    StreamingCuration.landOrderedSlicesOf(
+      docs.filter(col("doc_id") < mid), "doc_id", env.inDir, 2)
+    StreamingCuration.runPass(spark, env)
+    val pass1 = StreamingCuration.streamedDecisions(spark, env)
+      .filter(col("drop_reason") === "low_quality").count()
+    assert(pass1 > 0, "trained model should drop some docs in pass 1")
+    qstore.promote(QualityModel.ModelName,
+      qstore.register(spark, QualityModel.ModelName,
+        Seq((-1, 10.0)).toDF("idx", "coef")))
+    StreamingCuration.landOrderedSlicesOf(
+      docs.filter(col("doc_id") >= mid), "doc_id", env.inDir, 2, tag = "b")
+    StreamingCuration.runPass(spark, env)
+    val pass2 = StreamingCuration.streamedDecisions(spark, env)
+      .filter(col("doc_id") >= mid && col("drop_reason") === "low_quality").count()
+    assert(pass2 == 0, s"$pass2 low_quality drops after the accept-all promotion")
+    // and pass-1 decisions are immutable history — still present
+    assert(StreamingCuration.streamedDecisions(spark, env)
+      .filter(col("doc_id") < mid && col("drop_reason") === "low_quality")
+      .count() == pass1)
+  }
+}
