@@ -23,12 +23,20 @@ object Verify {
     // registry (a renamed or removed query would otherwise linger in
     // the compare as a phantom rows-only entry)
     val live = SparkEntry.queries.keySet
+    // Only delete what THIS tool wrote: a stale dir must carry the
+    // parquet-commit marker a verify run leaves (_SUCCESS), and the
+    // recursive walk never follows symlinks — a mispointed outDir or
+    // a stray link must not let the cleanup reach unrelated data.
+    def verifyProduced(f: java.io.File): Boolean =
+      new java.io.File(f, "_SUCCESS").exists()
     Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !live.contains(f.getName))
+      .filter(f => f.isDirectory && !Files.isSymbolicLink(f.toPath)
+        && !live.contains(f.getName) && verifyProduced(f))
       .foreach { f =>
         System.err.println(s"[verify] dropping stale output ${f.getName}")
         def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          if (!Files.isSymbolicLink(x.toPath))
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
           x.delete(); ()
         }
         rm(f)

@@ -131,7 +131,7 @@ object QualityModel {
     * export, here as a versioned ARTIFACT because the hashed space is
     * too wide to inline as literals). */
   private val fitMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   def closedForm(s: SparkSession, dir: String): DataFrame =
     fitMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
@@ -155,7 +155,7 @@ object QualityModel {
     * — the registry artifact the streaming gate re-resolves per
     * batch (the `stream_ann_query` PRODUCTION discipline). */
   private val storeMemo =
-    scala.collection.concurrent.TrieMap.empty[String, graft.sources.FrameStore]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, graft.sources.FrameStore])
 
   val ModelName = "quality_lr"
 

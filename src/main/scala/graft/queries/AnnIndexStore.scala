@@ -203,7 +203,7 @@ object AnnIndexStore {
   /** One persisted index per (application, sf dir), built and
     * promoted on first use — bench reps and the roundtrip query reuse
     * the artifact instead of re-encoding the corpus. */
-  private val memo = scala.collection.concurrent.TrieMap.empty[String, AnnIndexStore]
+  private val memo = graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, AnnIndexStore])
 
   private[graft] def forDir(spark: SparkSession, dir: String): AnnIndexStore =
     memo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
@@ -259,7 +259,7 @@ object AnnIndexStore {
     * 4`), built once per (application, sf dir) — the batch append
     * certificate and its streaming twin both seed their stores from
     * this one training pass. */
-  private val baseIdxMemo = scala.collection.concurrent.TrieMap.empty[String, PqAnn.PqIndex]
+  private val baseIdxMemo = graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, PqAnn.PqIndex])
 
   private[graft] def baseIndex(spark: SparkSession, dir: String): PqAnn.PqIndex =
     baseIdxMemo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
@@ -280,7 +280,7 @@ object AnnIndexStore {
     * (application, sf dir): promote the base, then insert the
     * held-out 20% via [[AnnIndexStore.appendBatch]] — the
     * daily-arrivals lifecycle. */
-  private val appendMemo = scala.collection.concurrent.TrieMap.empty[String, AnnIndexStore]
+  private val appendMemo = graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, AnnIndexStore])
 
   private def appendedStore(spark: SparkSession, dir: String): AnnIndexStore =
     appendMemo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
@@ -337,7 +337,7 @@ object AnnIndexStore {
   /** One forgotten-from store per (application, sf dir): the shared
     * session index, re-registered into its OWN store (the roundtrip
     * artifact must stay intact), then `vec_id % 17 = 3` deleted. */
-  private val forgetMemo = scala.collection.concurrent.TrieMap.empty[String, AnnIndexStore]
+  private val forgetMemo = graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, AnnIndexStore])
 
   private def forgottenStore(spark: SparkSession, dir: String): AnnIndexStore =
     forgetMemo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {

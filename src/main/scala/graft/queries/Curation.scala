@@ -102,7 +102,7 @@ object Curation {
     * join, and memoizing means repeated runs (Bench reps) neither
     * recompute the aggregate nor leak persisted frames. */
   private val vocabCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)])
 
   private[graft] def vocabStats(s: SparkSession, dir: String): (DataFrame, Long) =
     vocabCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
@@ -346,7 +346,7 @@ object Curation {
 
   /** One forget-lifecycle pack store per (application, sf dir). */
   private val packForgetMemo =
-    scala.collection.concurrent.TrieMap.empty[String, graft.sources.FrameStore]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, graft.sources.FrameStore])
 
   private def forgottenPackStore(s: SparkSession, dir: String): graft.sources.FrameStore =
     packForgetMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {

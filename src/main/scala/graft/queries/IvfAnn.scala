@@ -120,7 +120,7 @@ object IvfAnn {
     * the scoring expression per iteration to average a few thousand
     * rows — the sample is the thing that's small by design here. */
   private val centCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]])
 
   def trainCentroids(emb: DataFrame, numLists: Int = NumLists): Array[Array[Double]] =
     // Memoized per (application, canonical input plan): sim_ann_ivf

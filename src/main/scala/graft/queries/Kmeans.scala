@@ -94,7 +94,7 @@ object Kmeans {
     * (application, sf dir) — the certificate and the SemDeDup
     * consumer share one training run per session. */
   private val trainCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]])
 
   def trained(s: SparkSession, dir: String): Array[Array[Double]] =
     trainCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {

@@ -208,7 +208,7 @@ object MinHashDedup {
     * consumers reuse the one materialized pair list instead of
     * accumulating fresh persisted copies per invocation. */
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
   private def memoized(key: String, s: SparkSession, dir: String)
       (build: => DataFrame): DataFrame =
     memo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir + "#" + key, build)

@@ -318,7 +318,7 @@ object PqAnn {
     * against the SAME artifact — and a corpus is encoded once per
     * session, the way a pipeline would land the codes as a table. */
   private val idxCache =
-    scala.collection.concurrent.TrieMap.empty[String, PqIndex]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, PqIndex])
 
   private[queries] def cachedIndex(s: org.apache.spark.sql.SparkSession,
                                    dir: String): PqIndex =

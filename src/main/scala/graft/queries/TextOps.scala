@@ -74,7 +74,7 @@ object TextOps {
     * postings come back from the same single job and feed the
     * broadcast-size gates downstream. */
   private val shCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long, Long)]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long, Long)])
 
   /** Returns (hashed-shingle frame, nDocs, total postings). */
   private[graft] def hashedShinglesStats(s: SparkSession, dir: String): (DataFrame, Long, Long) =
@@ -97,7 +97,7 @@ object TextOps {
     * design point this is the intermediate a pipeline would land as a
     * table; session-scoped persist is the local analog. */
   private val tcCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   /** Materialize the session-shared cached intermediates (hashed
     * shingles, token counts, the J ≥ 0.5 pair list) — Bench calls
@@ -268,7 +268,7 @@ object TextOps {
     * inverted-index join materializes once — the "materialized
     * intermediate" a production dedup pipeline would keep anyway. */
   private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   private[graft] def nearDupPairs05(s: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
@@ -541,7 +541,7 @@ object TextOps {
   }
 
   private val incrCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   /** Body of [[dedupIncremental]], memoized + persisted like
     * [[nearDupPairs05]] (the pair list is small; the prefix index is
@@ -683,7 +683,7 @@ object TextOps {
     * O(V²)-bounded but corpus-driven, so it must degrade to a
     * shuffle join at web scale exactly like the unigram vocab. */
   private val bgCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)])
 
   private def docBigrams(docs: DataFrame): DataFrame =
     tokenized(docs).filter(size(col("w")) >= 2)
@@ -1204,7 +1204,7 @@ object TextOps {
     * the frame is corpus-row-bounded (one row per doc, no text
     * columns except via the fingerprints). */
   private val decisionsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   private[graft] def curationDecisions(s: SparkSession, dir: String): DataFrame =
     decisionsCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
@@ -1222,7 +1222,7 @@ object TextOps {
     * the learned-gate variant, and the consistency spec all replay
     * the same masks/joins. */
   private val markedCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   private[graft] def curationMarked(s: SparkSession, dir: String): DataFrame =
     markedCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
@@ -1559,7 +1559,7 @@ object TextOps {
     * per batch, not a frame rebuilt per run. Memoized per
     * (application, sf dir). */
   private val benchGramMemo =
-    scala.collection.concurrent.TrieMap.empty[String, graft.sources.FrameStore]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, graft.sources.FrameStore])
 
   private[graft] def benchGramStore(s: SparkSession, dir: String): graft.sources.FrameStore =
     benchGramMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
@@ -1676,7 +1676,7 @@ object TextOps {
     * landing the gram postings as a table, which is what a 100 TB
     * pipeline would do instead. */
   private val contamCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   private[queries] def contaminationAgg(s: SparkSession, dir: String): DataFrame =
     contamCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
@@ -1775,7 +1775,7 @@ object TextOps {
   /** Learned merge sequence, memoized per (application, sf dir): the
     * training and encode queries share one 16-round learn. */
   private val mergeCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, Long)]]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, Long)]])
 
   private[graft] def bpeMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
     mergeCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
@@ -1947,7 +1947,7 @@ object TextOps {
     * the cross-doc count aggregate is paid once per session, and no
     * persisted frame leaks across Bench reps. */
   private val boilerCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)])
 
   private def boilerLines(s: SparkSession, dir: String): (DataFrame, Long) =
     boilerCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
@@ -2099,7 +2099,7 @@ object TextOps {
   /** Cross-doc duplicated shingle set + size, memoized per
     * (application, sf dir) like [[boilerLines]]. */
   private val spanDupCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)]
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)])
 
   private[graft] def dupSpanFps(s: SparkSession, dir: String): (DataFrame, Long) =
     spanDupCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {

@@ -105,7 +105,7 @@ object StreamingAnnIndex {
 
   /** One drained stream per (application, sf dir) — bench reps reuse
     * the artifact rather than re-running the stream. */
-  private val memo = scala.collection.concurrent.TrieMap.empty[String, AnnIndexStore]
+  private val memo = graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, AnnIndexStore])
 
   private def memoStore(s: SparkSession, dir: String): AnnIndexStore =
     memo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {

@@ -221,7 +221,7 @@ object StreamingDedup {
 
   /** One persisted full-corpus shingle index per (application, sf
     * dir) for the roundtrip certificate. */
-  private val corpusMemo = scala.collection.concurrent.TrieMap.empty[String, FrameStore]
+  private val corpusMemo = graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, FrameStore])
 
   private def corpusIndexStore(s: SparkSession, dir: String): FrameStore =
     corpusMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
@@ -280,7 +280,7 @@ object StreamingDedup {
   }
 
   /** One forget-lifecycle store per (application, sf dir). */
-  private val forgetMemo = scala.collection.concurrent.TrieMap.empty[String, FrameStore]
+  private val forgetMemo = graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, FrameStore])
 
   private def forgottenStore(s: SparkSession, dir: String): FrameStore =
     forgetMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {

@@ -130,16 +130,21 @@ object StreamingScd2 {
   /** Immutable closed history + the final open rows = the full
     * dimension, identical to the batch build. */
   def dimension(spark: SparkSession, env: Env): DataFrame = {
-    val closed = spark.read.parquet(env.outDir).drop("batch")
-      .withColumn("is_current", lit(false))
     val open = openRows(env.store.loadProduction(spark, OpenName)
         .getOrElse(sys.error("no scd2 open state")))
       .select(col("user_id"), col("version"), col("event_type"),
         col("valid_from"),
         lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current"))
-    closed.select(col("user_id"), col("version"), col("event_type"),
-        col("valid_from"), col("valid_to"), col("is_current"))
-      .union(open)
+    // an all-empty-batch stream never writes a batch dir: the
+    // dimension is then open rows only, not a read failure
+    val closed =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(env.outDir)))
+        spark.read.parquet(env.outDir).drop("batch")
+          .withColumn("is_current", lit(false))
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+      else open.filter(lit(false))
+    closed.union(open)
       .orderBy(col("user_id"), col("version"))
   }
 

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The bounded-session hook over the memoized per-dataset caches. */
+class SessionCachesSpec extends SparkSpec {
+
+  test("evict releases a dataset's memoized frames and allows rebuild") {
+    // warm a few representative caches for this dataset
+    val tc = graft.queries.TextOps.tokenCounts(spark, sf)
+    graft.queries.TextOps.nearDupPairs05(spark, sf)
+    assert(tc.storageLevel != StorageLevel.NONE, "tokenCounts should be persisted")
+    val dropped = SessionCaches.evict(spark, sf)
+    assert(dropped >= 2, s"expected >= 2 entries evicted, got $dropped")
+    assert(tc.storageLevel == StorageLevel.NONE, "evict must unpersist")
+    // second evict finds nothing for this dataset
+    assert(SessionCaches.evict(spark, sf) == 0)
+    // and the memo rebuilds transparently on next use
+    val again = graft.queries.TextOps.tokenCounts(spark, sf)
+    assert(again.agg(count(lit(1))).head().getLong(0) > 0)
+    assert(again.storageLevel != StorageLevel.NONE)
+  }
+
+  test("evict of one dataset leaves another dataset's entries warm") {
+    val a = graft.queries.TextOps.tokenCounts(spark, sf)
+    // register the same tables under a second dataset path alias
+    val other = java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(
+        java.nio.file.Files.createTempDirectory("graft-evict-").toString, "alias"),
+      java.nio.file.Paths.get(sf)).toString
+    val b = graft.queries.TextOps.tokenCounts(spark, other)
+    assert(SessionCaches.evict(spark, other) >= 1)
+    assert(b.storageLevel == StorageLevel.NONE)
+    assert(a.storageLevel != StorageLevel.NONE, "sibling dataset must stay warm")
+    SessionCaches.evict(spark, sf)
+    ()
+  }
+}

@@ -325,6 +325,18 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("scd2 dimension over an all-empty stream is open-rows-only, not a read failure") {
+    // every micro-batch skipped as empty → no batch dir ever written;
+    // dimension() must fall back to an empty closed frame instead of
+    // throwing PATH_NOT_FOUND on the unwritten outDir
+    import graft.streaming.StreamingScd2
+    val env = StreamingScd2.prepare(spark, sf)
+    val dim = StreamingScd2.dimension(spark, env)
+    assert(dim.count() == 0, "fresh world: no closed rows, empty open state")
+    assert(dim.columns.toSeq == Seq("user_id", "version", "event_type",
+      "valid_from", "valid_to", "is_current"))
+  }
+
   test("curation replay normalization is provenance-keyed: a re-delivered doc_id is an exact dup") {
     // a doc_id legitimately arriving AGAIN in a later batch must be
     // caught by the fp index (its earlier row is genuine state, not a
