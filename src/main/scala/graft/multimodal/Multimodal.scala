@@ -153,7 +153,12 @@ object Multimodal {
     * fixture; [[imageDecode]] below never looks at anything but the
     * payload column. */
   def ppmTable(spark: SparkSession, dir: String) =
-    Tables.documents(spark, dir).filter(col("n_chars") > 0)
+    ppmFrames(Tables.documents(spark, dir))
+
+  /** The PPM synthesis over any documents frame — shared by the
+    * batch queries and the streaming image-dedup twin. */
+  def ppmFrames(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(col("n_chars") > 0)
       .withColumn("w", (col("n_chars") % 8 + 4).cast("int"))
       .withColumn("h", (col("n_chars") % 6 + 3).cast("int"))
       .withColumn("px_src",
@@ -274,7 +279,12 @@ object Multimodal {
     * materialize exactly; the decoder below never looks at anything
     * but the payload column. */
   def wavTable(spark: SparkSession, dir: String) =
-    Tables.documents(spark, dir).filter(col("n_chars") > 0)
+    wavFrames(Tables.documents(spark, dir))
+
+  /** The WAV synthesis over any documents frame — shared by the
+    * batch query and the stateless streaming twin. */
+  def wavFrames(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(col("n_chars") > 0)
       .withColumn("ch", (lit(1) + col("doc_id") % 2).cast("int"))
       .withColumn("frames", col("n_chars").cast("int"))
       .withColumn("hx", expr(s"""concat(
@@ -484,7 +494,25 @@ object Multimodal {
       |SELECT d1, d2, CAST(bit_count(xor(dh1, dh2)) AS INTEGER) AS hamming
       |FROM cand WHERE bit_count(xor(dh1, dh2)) <= 3
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-    val parsed = parsePpm(ppmTable(s, dir))
+    val bands = imageBands(imageHashes(Tables.documents(s, dir)))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.dh").as("dh1"), col("b.dh").as("dh2"))
+      .distinct()
+    hammingPairs(cand).orderBy(col("d1"), col("d2"))
+  }
+
+  /** dHash-48 per image (incl. the planted perturbed twins) over any
+    * documents frame — shared by the batch dedup and the streaming
+    * twin. localCheckpoint: the hash must compute ONCE per image —
+    * the 48-sample HOF expression would otherwise be inlined through
+    * the band explode and the self-join and re-evaluated per
+    * CANDIDATE row (measured 111 s at sf0.1; 8-byte rows checkpoint
+    * instead). */
+  def imageHashes(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val parsed = parsePpm(ppmFrames(docs))
       .select(col("doc_id"), col("w"), col("h"), col("px"))
     // planted near-identical twin: one pixel byte perturbed (stays
     // ASCII so string `ascii` arithmetic agrees across engines)
@@ -492,33 +520,28 @@ object Multimodal {
       .select((col("doc_id") + 1000000L).as("doc_id"), col("w"), col("h"),
         expr("concat(chr((ascii(substring(px, 1, 1)) + 7) % 128), substring(px, 2))")
           .as("px"))
-    // localCheckpoint: the hash must compute ONCE per image — the
-    // 48-sample HOF expression would otherwise be inlined through the
-    // band explode and the self-join and re-evaluated per CANDIDATE
-    // row (measured 111 s at sf0.1; 8-byte rows checkpoint instead)
-    val hashed = parsed.unionByName(twins)
+    parsed.unionByName(twins)
       .select(col("doc_id"), expr(
         s"""aggregate(sequence(0, 47), CAST(0 AS BIGINT),
            |  (acc, b) -> acc + IF(${lumSql(gridP1)} > ${lumSql(gridP0)},
            |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
         .as("dh"))
       .localCheckpoint()
-    val bands = hashed.select(col("doc_id"), col("dh"),
+  }
+
+  /** The 4×12-bit band explode over `(doc_id, dh)`. */
+  def imageBands(hashed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    hashed.select(col("doc_id"), col("dh"),
       posexplode(expr(
         "transform(sequence(0, 3), i -> shiftright(dh, 12*i) & CAST(4095 AS BIGINT))"))
         .as(Seq("band", "bv")))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.dh").as("dh1"), col("b.dh").as("dh2"))
-      .distinct()
+
+  /** Exact Hamming recheck over candidate pairs `(d1, d2, dh1, dh2)`. */
+  def hammingPairs(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     cand.withColumn("hamming",
         bit_count(col("dh1").bitwiseXOR(col("dh2"))).cast("int"))
       .filter(col("hamming") <= 3)
       .select(col("d1"), col("d2"), col("hamming"))
-      .orderBy(col("d1"), col("d2"))
-  }
 
   /** Frame sampling over the payload: fixed-stride 64-byte windows
     * exploded to one row per frame with per-frame digests — the

@@ -321,11 +321,13 @@ class DedupSpec extends SparkSpec {
       && r.getAs[Double]("quality_score") >= 0.7
       && !nearIds.contains(r.getAs[Long]("doc_id"))
       && !contamIds.contains(r.getAs[Long]("doc_id"))))
-    // the pack conserves the kept corpus: same docs, same token mass
+    // the pack conserves the kept corpus: same docs, and the token
+    // mass of the FINAL text (scrub + PII plant/redact applied) —
+    // raw n_tokens would double-count what the line/span stages cut
     val pack = TextOps.curationPack.fn(spark, sf).collect()
     assert(pack.map(_.getAs[Long]("n_docs")).sum == kept.length)
     assert(pack.map(_.getAs[Long]("seq_tokens")).sum ==
-      kept.map(_.getAs[Long]("n_tokens")).sum)
+      kept.map(_.getAs[Long]("final_tokens")).sum)
   }
 
   test("decontamination equals a brute-force string-gram computation") {

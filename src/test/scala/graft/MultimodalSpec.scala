@@ -110,4 +110,16 @@ class MultimodalSpec extends SparkSpec {
     val cut = Seq((8L, bb.array().dropRight(2))).toDF("doc_id", "payload")
     assert(!Multimodal.decodeWav(cut).head().getAs[Boolean]("payload_complete"))
   }
+
+  test("streamed image dedup equals the batch pair list across slicings") {
+    val batch = Multimodal.imageDedup.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming"))).toSet
+    for (slices <- Seq(2, 5)) {
+      val streamed = graft.streaming.StreamingMedia
+        .runImageDedupStream(spark, sf, slices).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming"))).toSet
+      assert(streamed == batch, s"slices=$slices: extra=${(streamed -- batch).take(3)} " +
+        s"missing=${(batch -- streamed).take(3)}")
+    }
+  }
 }

@@ -119,6 +119,20 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(singles <= 1, s"$singles single-partition exchanges:\n$plan")
   }
 
+  test("image dedup candidates come from the band equi-join, never a nested loop") {
+    val plan = formatted(SparkEntry.queries("mm_image_dedup")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
+  test("audio decode is a pure map: no exchange before the presentation sort") {
+    // decode + per-channel stats must stay one shuffle-free pass; the
+    // only exchange allowed is the final ORDER BY's range exchange
+    val plan = formatted(SparkEntry.queries("mm_audio_decode")(spark, sf))
+    assert("""[+:]- Exchange""".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("containment dedup candidate generation never goes cartesian") {
     val plan = formatted(SparkEntry.queries("text_dedup_containment")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
