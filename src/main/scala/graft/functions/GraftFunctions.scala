@@ -18,6 +18,10 @@ import org.apache.spark.sql.types.DoubleType
   *   graft_auc(label, score)        — histogram AUC (aggregate)
   *   graft_freq_items(col, k)       — Misra-Gries heavy hitters (aggregate)
   *   graft_hashed_ngrams(w, k)      — sorted-distinct hashed word k-grams
+  *   graft_hashed_ngrams_pos(w, k)  — positional hashed k-grams (span dedup)
+  *   graft_span_scrub(w, ss, k)     — merge + scrub duplicated spans (one pass)
+  *   graft_multi_scrub(w, ss, k, ls, m) — union line+span scrub → kept tokens
+  *   graft_ml_term_index(t, n)      — MLlib HashingTF term index (closed-form LR)
   *   graft_token_profile(w)         — one-pass quality/lang-id token counts
   *   graft_token_hashes(w)          — per-token xxhash64 array
   *   graft_bloom_agg(h, n, bits)    — mergeable BloomFilter aggregate

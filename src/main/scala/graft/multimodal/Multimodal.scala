@@ -437,6 +437,37 @@ object Multimodal {
   private val duckP1 = "(((b // 6) * h) // 8) * w + ((((b % 6) + 1) * w) // 7)"
 
 
+  /** The banded-candidate CTE chain of the image-dedup oracle (no
+    * WITH prefix — the clusters oracle reuses it under RECURSIVE). */
+  private def imageOracleCtes: String =
+    s"""geom AS (
+      |  SELECT doc_id, n_chars, n_chars % 8 + 4 AS w, n_chars % 6 + 3 AS h, text
+      |  FROM documents WHERE n_chars > 0
+      |), px0 AS (
+      |  SELECT doc_id, w, h,
+      |    substr(repeat(text, (3*w*h) // n_chars + 1), 1, 3*w*h) AS px
+      |  FROM geom
+      |), imgs AS (
+      |  SELECT doc_id, w, h, px FROM px0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, w, h,
+      |    chr((ord(substr(px, 1, 1)) + 7) % 128) || substr(px, 2) AS px
+      |  FROM px0 WHERE doc_id % 10 = 0
+      |), hs AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0, 48), b ->
+      |      CASE WHEN ${duckLum(duckP1)} > ${duckLum(duckP0)}
+      |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS dh
+      |  FROM imgs
+      |), bands AS (
+      |  SELECT doc_id, dh, i AS band, (dh >> (12*i)) & 4095 AS bv
+      |  FROM hs, range(0, 4) r(i)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.dh AS dh1, b.dh AS dh2
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
   /** Perceptual image DEDUPLICATION — the first operation every
     * multimodal corpus pipeline (LAION-style) runs: a difference
     * hash over the DECODED pixels, then banded Hamming candidate
@@ -464,33 +495,7 @@ object Multimodal {
     * band bucket, the standard LSH caveat, and the recheck keeps the
     * output exact regardless); the recheck is candidate-bounded. */
   val imageDedup: Q = Q("mm_image_dedup",
-    s"""WITH geom AS (
-      |  SELECT doc_id, n_chars, n_chars % 8 + 4 AS w, n_chars % 6 + 3 AS h, text
-      |  FROM documents WHERE n_chars > 0
-      |), px0 AS (
-      |  SELECT doc_id, w, h,
-      |    substr(repeat(text, (3*w*h) // n_chars + 1), 1, 3*w*h) AS px
-      |  FROM geom
-      |), imgs AS (
-      |  SELECT doc_id, w, h, px FROM px0
-      |  UNION ALL
-      |  SELECT doc_id + 1000000, w, h,
-      |    chr((ord(substr(px, 1, 1)) + 7) % 128) || substr(px, 2) AS px
-      |  FROM px0 WHERE doc_id % 10 = 0
-      |), hs AS (
-      |  SELECT doc_id,
-      |    list_sum(list_transform(range(0, 48), b ->
-      |      CASE WHEN ${duckLum(duckP1)} > ${duckLum(duckP0)}
-      |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS dh
-      |  FROM imgs
-      |), bands AS (
-      |  SELECT doc_id, dh, i AS band, (dh >> (12*i)) & 4095 AS bv
-      |  FROM hs, range(0, 4) r(i)
-      |), cand AS (
-      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.dh AS dh1, b.dh AS dh2
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-      |)
+    "WITH " + imageOracleCtes + s"""
       |SELECT d1, d2, CAST(bit_count(xor(dh1, dh2)) AS INTEGER) AS hamming
       |FROM cand WHERE bit_count(xor(dh1, dh2)) <= 3
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
@@ -542,6 +547,46 @@ object Multimodal {
         bit_count(col("dh1").bitwiseXOR(col("dh2"))).cast("int"))
       .filter(col("hamming") <= 3)
       .select(col("d1"), col("d2"), col("hamming"))
+
+  /** Image dedup DECIDED: connected components over the near-dup
+    * pair graph, one min-id keeper per cluster — the retain/drop
+    * verdict a LAION-style pipeline derives from the pair list
+    * (detect → decide, completing the image family the way
+    * `text_dedup_clusters` completes text near-dup). Components come
+    * from the same pointer-jumping
+    * [[graft.queries.DedupGraph.connectedComponents]] (label-frame-
+    * only, O(log d) rounds — the 100 TB shape); the oracle closes
+    * the reachability transitively with a recursive CTE over the
+    * replayed pair list. */
+  val imageClusters: Q = Q("mm_image_clusters",
+    "WITH RECURSIVE " + imageOracleCtes + s"""
+      |, pairs AS (SELECT d1, d2 FROM cand WHERE bit_count(xor(dh1, dh2)) <= 3),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS v, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS v, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
+      |comp AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)
+      |SELECT c.doc_id, c.cluster_id, n.sz AS cluster_size,
+      |       (c.doc_id = c.cluster_id) AS is_keeper
+      |FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY 1) n USING (cluster_id)
+      |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val bands = imageBands(imageHashes(Tables.documents(s, dir)))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.dh").as("dh1"), col("b.dh").as("dh2"))
+      .distinct()
+    val cc = graft.queries.DedupGraph.connectedComponents(
+      hammingPairs(cand).select(col("d1"), col("d2")))
+    val sz = Window.partitionBy(col("cluster_id"))
+    cc.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(sz))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Frame sampling over the payload: fixed-stride 64-byte windows
     * exploded to one row per frame with per-frame digests — the
@@ -608,5 +653,5 @@ object Multimodal {
       .orderBy(col("shard"), col("seq_id"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, audioDecode, packBudget)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, packBudget)
 }

@@ -47,13 +47,13 @@ object DedupGraph {
     * propagate→groupBy frame is persisted before the pointer-jump
     * self-join reads it twice, and each round unpersists the
     * previous round's frames once the action is done. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 64): DataFrame =
     connectedComponentsWithRounds(pairs, maxIters)._1
 
   /** [[connectedComponents]] plus the number of rounds executed —
     * the observable the scale spec pins against the O(log d) bound
     * pointer jumping guarantees. */
-  def connectedComponentsWithRounds(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIters: Int = 64): (DataFrame, Int) = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist()
@@ -121,6 +121,14 @@ object DedupGraph {
       iter += 1
     }
     edges.unpersist()
+    // An exact operator must not hand back PARTIAL labels: the image
+    // pair graph needed 25 rounds where the text graphs need ~6, and
+    // a silently-unconverged result mislabels whole components (the
+    // round-12 mm_image_clusters sf0.1 incident). The defensive bound
+    // still exists — it just fails loudly instead of lying.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIters rounds")
     (labels, iter)
   }
 

@@ -20,6 +20,14 @@ class CurationSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("connected components refuse to return partial labels at the round bound") {
+    // diameter-9 chain, 1 round — must fail loudly, not mislabel
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("d1", "d2")
+    assertThrows[IllegalStateException] {
+      DedupGraph.connectedComponents(pairs, maxIters = 1).collect()
+    }
+  }
+
   test("connected components on an empty pair list returns an empty frame") {
     // a clean corpus (no near-dup pairs) is a legal input at some SF
     // or after upstream filtering — must converge empty, not NPE on
