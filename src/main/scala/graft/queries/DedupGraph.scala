@@ -18,17 +18,25 @@ import org.apache.spark.sql.functions._
   * the canonical keeper — so "dedup the corpus" is then a single
   * `filter(is_keeper)`.
   *
-  * Algorithm: iterative min-label propagation with per-round pointer
-  * jumping (label ← label's label), the alternating-contraction shape
-  * of Kiveris et al., "Connected Components in MapReduce and Beyond"
-  * (SOCC'14). Propagation alone converges in O(diameter) rounds;
-  * the jump step halves pointer chains each round, so convergence is
-  * O(log d) shuffles even on pathological chain graphs. Each round
-  * is two hash-partitioned equi-joins + a groupBy(min) on the label
-  * frame — |V| keys, never edges×labels materialized — and the loop
-  * checkpoints only the (tiny relative to the corpus) label frame.
-  * At 100 TB the label frame is |clustered docs| rows of two longs;
-  * the corpus text never enters the loop.
+  * Algorithm: HASH-TO-MIN (Rastogi et al., "Finding Connected
+  * Components in Map-Reduce in Logarithmic Rounds", ICDE'13 — the
+  * family Kiveris et al.'s SOCC'14 two-phase stars refine). Every
+  * round each center u takes m(u) = min over its neighborhood ∪
+  * itself — that IS the round's label frame — and then hands its
+  * WHOLE neighborhood to m(u) as new edges (m(u), b). The handoff is
+  * what plain label propagation lacks: propagation (with or without
+  * pointer jumping over the label chains) moves the min one edge-hop
+  * per round and is O(diameter) on frontier-shaped graphs — measured
+  * 25 rounds on the round-12 image-dHash graph, where the jump never
+  * fired because label chains were already flat — while the star
+  * handoff halves every path per round (same graph: 9 rounds, chain
+  * of diameter 9: 6). Each round is one groupBy(min) + one
+  * equi-join + a dedup on the evolving edge list; the loop
+  * checkpoints only the label and edge frames, both tiny relative to
+  * the corpus (edge growth is the algorithm's published
+  * O(|E| log n) transient bound). At 100 TB the label frame is
+  * |clustered docs| rows of two longs; the corpus text never enters
+  * the loop.
   *
   * Convergence is detected by an exact changed-count action per
   * round (labels only ever decrease, so changed == 0 is a fixpoint);
@@ -51,20 +59,30 @@ object DedupGraph {
     connectedComponentsWithRounds(pairs, maxIters)._1
 
   /** [[connectedComponents]] plus the number of rounds executed —
-    * the observable the scale spec pins against the O(log d) bound
-    * pointer jumping guarantees. */
+    * the observable the scale spec pins against the contraction
+    * bound.
+    *
+    * One Spark action per round: labels are per-node monotone
+    * nonincreasing, so the GLOBAL label sum strictly decreases iff
+    * any node changed — the same `agg` that materializes the round
+    * doubles as the convergence test (decimal-summed so the check
+    * survives id ranges whose sum would overflow a long). Invariants
+    * per round: every emitted edge stays inside one original
+    * component; every node keeps an edge to its current min (the
+    * (m(u), u) self-handoff), so per-node mins never increase; and a
+    * fixpoint forces one center per component — two adjacent centers
+    * r1 < r2 would drop r2's min next round — whose id is the
+    * component min, every member labeled with it. */
   def connectedComponentsWithRounds(pairs: DataFrame, maxIters: Int = 64): (DataFrame, Int) = {
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .persist()
+    val session = pairs.sparkSession
     // Round boundaries CUT the logical tree and the RDD lineage but
     // NOT via Dataset.localCheckpoint. Three failure modes bracket
     // this choice, all measured:
     //  - No cut at all (persist chain): each round's composed plan
-    //    references the previous round's tree ~8x (two self-joins +
-    //    propagate), so the LOGICAL tree size multiplies per round
-    //    and the analyzer's tree walks go exponential (measured:
-    //    round 0 = 2 s, round 1 = 30 s at sf0.1).
+    //    references the previous round's tree several times, so the
+    //    LOGICAL tree size multiplies per round and the analyzer's
+    //    tree walks go exponential (measured: round 0 = 2 s,
+    //    round 1 = 30 s at sf0.1).
     //  - Dataset.localCheckpoint: cuts the tree, but LogicalRDD
     //    INHERITS the origin plan's size ESTIMATE (originStats), and
     //    estimates multiply through the round's joins — the
@@ -77,15 +95,19 @@ object DedupGraph {
     //    the DEFAULT size estimate (constant per round, so stats
     //    stay bounded), the first action truncates the RDD lineage,
     //    and the ContextCleaner reclaims prior rounds. Costs one
-    //    row-conversion pass per round over the two-long label frame
-    //    — linear in |V|, negligible against the round's joins.
-    val session = pairs.sparkSession
+    //    row-conversion pass per round over the two-long frames —
+    //    linear in |V|+|E|, negligible against the round's joins.
     def cut(df: DataFrame): DataFrame = {
       val rdd = df.rdd // RDD[Row]; localCheckpoint truncates lineage
       rdd.localCheckpoint() // at the first action that computes it
       session.createDataFrame(rdd, df.schema)
     }
-    var labels = cut(edges.select(col("src").as("v")).distinct()
+    // symmetric edge list; every node also self-loops through the
+    // nodes frame so singout-free mins include the node itself
+    var cedges = cut(pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct())
+    var labels = cut(cedges.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v")))
     // coalesce: sum over an empty label frame is SQL NULL — a corpus
     // with zero near-dup pairs must converge to an empty result, not
@@ -97,35 +119,40 @@ object DedupGraph {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // min over self + neighbors' labels
-      val prop = edges.join(labels, col("src") === col("v"))
-        .select(col("dst").as("v"), col("lbl"))
-      val stepped = labels.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
-        .persist() // the self-join below reads it twice
-      // pointer jump: lbl <- lbl's lbl (labels only decrease, so this
-      // is always sound and short-circuits long chains)
-      def jump(df: DataFrame): DataFrame = df.as("a")
-        .join(df.select(col("v").as("pv"), col("lbl").as("plbl")).as("p"),
-          col("a.lbl") === col("pv"), "left")
-        .select(col("a.v").as("v"), coalesce(col("plbl"), col("a.lbl")).as("lbl"))
-      // ONE jump per round: a second jump was measured a strict loss
-      // on both real pair graphs (text 3-shingle, embedding-cosine) —
-      // their min-labeled frontiers self-point, so the extra
-      // self-join adds a shuffle per round without reducing rounds
-      val next = cut(jump(stepped))
-      val s = lblSum(next) // ONE action: materializes and checkpoints the round
-      stepped.unpersist()
-      labels = next
+      // neighborhood incl. self, per center
+      val withSelf = cedges
+        .union(labels.select(col("v").as("a"), col("v").as("b")))
+        .persist() // min + star emission both read it
+      // (a) per-center min — this IS the round's label frame
+      val m = withSelf.groupBy(col("a")).agg(min(col("b")).as("lbl"))
+      val nextLabels = cut(m.select(col("a").as("v"), col("lbl")))
+      // (b) hash-to-min star emission: every center hands its whole
+      //     neighborhood to its min — (m(u), b) for b ∈ N(u) ∪ {u} —
+      //     which is what creates the SHORTCUTS plain propagation
+      //     lacks (a path halves per round instead of advancing its
+      //     frontier one hop); symmetric closure + dedup keeps the
+      //     edge list canonical
+      val star = withSelf
+        .join(nextLabels.select(col("v").as("a"), col("lbl").as("ma")), Seq("a"))
+        .select(col("ma").as("a"), col("b"))
+        .filter(col("a") =!= col("b"))
+      val nextEdges = cut(star
+        .union(star.select(col("b").as("a"), col("a").as("b")))
+        .distinct())
+      val s = lblSum(nextLabels) // ONE action: materializes + checkpoints
+      nextEdges.count() // materialize before the parent unpersists
+      withSelf.unpersist()
+      labels = nextLabels
+      cedges = nextEdges
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
-    edges.unpersist()
-    // An exact operator must not hand back PARTIAL labels: the image
-    // pair graph needed 25 rounds where the text graphs need ~6, and
-    // a silently-unconverged result mislabels whole components (the
-    // round-12 mm_image_clusters sf0.1 incident). The defensive bound
-    // still exists — it just fails loudly instead of lying.
+    // An exact operator must not hand back PARTIAL labels: a
+    // silently-unconverged result mislabels whole components (the
+    // round-12 mm_image_clusters sf0.1 incident, under the previous
+    // diameter-bound propagation). The defensive bound still exists —
+    // it just fails loudly instead of lying.
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge within $maxIters rounds")

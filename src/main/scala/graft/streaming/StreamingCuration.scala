@@ -401,7 +401,10 @@ object StreamingCuration {
       .getOrElse(sys.error("no production quality model"))
     val batchDec = TextOps.curationLearnedDecisions(s, dir, model)
     val env = prepare(s, dir, quality = Some(qstore))
-    addArrivalsOrdered(s, env, dir, slices = 3)
+    // 2 slices: the cert's job is model-resolve + parity, not slicing
+    // robustness — QualityGateSpec separately pins 2- and 4-slice
+    // parity, so the gate entry doesn't pay a third full-stack batch
+    addArrivalsOrdered(s, env, dir, slices = 2)
     runPass(s, env)
     val streamed = streamedDecisions(s, env)
     val cmpCols = streamed.columns.filterNot(_ == "doc_id").toSeq

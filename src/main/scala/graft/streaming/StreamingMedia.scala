@@ -112,8 +112,14 @@ object StreamingMedia {
     * per-clip decode (the `stream_pii_redact` shape). */
   val streamAudioDecode: Q = Q("stream_audio_decode",
     Multimodal.audioDecode.oracle.get) { (s, dir) =>
+    // a micro-batch is one arrival file = ONE input split; the
+    // per-sample decode is the expensive part, so spread the batch
+    // across the session's shuffle width first (the
+    // StreamingCuration.processBatch discipline — without this the
+    // whole decode ran single-threaded: 28 s vs ~1 s at sf0.1)
     StreamingCuration.runStatelessTwin(s, dir,
-      docs => Multimodal.decodeWav(Multimodal.wavFrames(docs)))
+      docs => Multimodal.decodeWav(Multimodal.wavFrames(
+        docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions))))
       .orderBy(col("doc_id"))
   }
 
