@@ -588,6 +588,131 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------- audio dedup
+  // frame-k energy in the DuckDB oracle: sum of sample bytes in
+  // [k*n/49, (k+1)*n/49) over the decoded data string (empty frames
+  // sum to 0); the Spark side computes the same sums over a staged
+  // sample-value array (see audioHashes)
+  private def frameEDuck(k: String): String =
+    s"COALESCE(list_sum(list_transform(range((($k)*n)//49, ((($k)+1)*n)//49), " +
+      s"i -> ord(substr(ds, i + 1, 1)))), 0)"
+
+  /** The banded-candidate CTE chain of the audio-dedup oracle (no
+    * WITH prefix). */
+  private def audioOracleCtes: String =
+    s"""g AS (
+      |  SELECT doc_id, n_chars, CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+      |         n_chars AS frames, text
+      |  FROM documents WHERE n_chars > 0
+      |), e AS (
+      |  SELECT doc_id,
+      |    '52494646' || ${leHexDuck("36 + frames * ch", 4)} || '57415645'
+      |    || '666D7420' || ${leHexDuck("16", 4)} || ${leHexDuck("1", 2)} || ${leHexDuck("ch", 2)}
+      |    || ${leHexDuck("8000", 4)} || ${leHexDuck("8000 * ch", 4)}
+      |    || ${leHexDuck("ch", 2)} || ${leHexDuck("8", 2)}
+      |    || '64617461' || ${leHexDuck("frames * ch", 4)}
+      |    || hex(encode(substr(repeat(text, (frames * ch) // n_chars + 1), 1, frames * ch))) AS hx
+      |  FROM g
+      |), dsed AS (
+      |  SELECT doc_id,
+      |    ${byteAtDuck("41")} + 256 * ${byteAtDuck("42")} + 65536 * ${byteAtDuck("43")}
+      |      + 16777216 * ${byteAtDuck("44")} AS n,
+      |    decode(from_hex(substr(hx, 89, 2 * (length(hx) // 2 - 44)))) AS ds
+      |  FROM e
+      |), clips AS (
+      |  SELECT doc_id, n, ds FROM dsed
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, n,
+      |    chr((ord(substr(ds, 1, 1)) + 7) % 128) || substr(ds, 2) AS ds
+      |  FROM dsed WHERE doc_id % 10 = 0
+      |), hs AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0, 48), k ->
+      |      CASE WHEN ${frameEDuck("k + 1")} > ${frameEDuck("k")}
+      |           THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS ah
+      |  FROM clips
+      |), bands AS (
+      |  SELECT doc_id, ah, i AS band, (ah >> (12*i)) & 4095 AS bv
+      |  FROM hs, range(0, 4) r(i)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.ah AS ah1, b.ah AS ah2
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  /** Acoustic-fingerprint hash per clip (incl. the planted perturbed
+    * twins) over any documents frame: the DECODED sample stream is
+    * split into 49 equal frames, and bit k records whether frame
+    * k+1's energy exceeds frame k's — the sign-of-derivative
+    * signature the published audio fingerprints (Haitsma-Kalker
+    * style) reduce to, in integer-exact arithmetic. localCheckpoint
+    * for the same reason as [[imageHashes]]. */
+  def audioHashes(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = wavFrames(docs)
+      .withColumn("hx", hex(col("payload")))
+      .withColumn("n", expr(
+        s"${byteAtSpark("41")} + 256 * ${byteAtSpark("42")} + 65536 * ${byteAtSpark("43")}" +
+          s" + 16777216 * ${byteAtSpark("44")}"))
+      .withColumn("ds", expr("CAST(unhex(substring(hx, 89, 2 * n)) AS STRING)"))
+      .select(col("doc_id"), col("n"), col("ds"))
+    val twins = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("n"),
+        expr("concat(chr((ascii(substring(ds, 1, 1)) + 7) % 128), substring(ds, 2))")
+          .as("ds"))
+    // STAGED evaluation, one localCheckpoint per stage: HOFs are
+    // interpreted (no codegen CSE), so an expression referenced k
+    // times is EVALUATED k times — and positional substring over a
+    // string is O(position), so the naive per-bit frame sums were
+    // O(n²) per clip (measured 8.8 s at sf0.1). Staging makes each
+    // stage read the previous stage's ATTRIBUTE (free): bytes once
+    // (split, O(n)), the 49 frame energies once (slices over the
+    // value array), then the 48 comparison bits over the energy
+    // array. 1.6 s at sf0.1.
+    val vals = base.unionByName(twins)
+      .withColumn("vals", expr("transform(split(ds, ''), c -> CAST(ascii(c) AS BIGINT))"))
+      .select(col("doc_id"), col("n"), col("vals"))
+      .localCheckpoint()
+    val es = vals.select(col("doc_id"), expr(
+      s"""transform(sequence(0, 48), k ->
+         |  IF(((k * n) div 49) >= (((k + 1) * n) div 49), CAST(0 AS BIGINT),
+         |    aggregate(slice(vals, ((k * n) div 49) + 1,
+         |        (((k + 1) * n) div 49) - ((k * n) div 49)),
+         |      CAST(0 AS BIGINT), (a, x) -> a + x)))""".stripMargin).as("es"))
+      .localCheckpoint()
+    es.select(col("doc_id"), expr(
+      """aggregate(sequence(0, 47), CAST(0 AS BIGINT),
+        |  (acc, k) -> acc + IF(element_at(es, k + 2) > element_at(es, k + 1),
+        |    shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT)))""".stripMargin)
+      .as("ah"))
+      .localCheckpoint()
+  }
+
+  /** Acoustic near-duplicate detection — the audio face of
+    * [[imageDedup]]: band the 48-bit fingerprint 4×12 (pigeonhole
+    * for Hamming ≤ 3), equi-join candidates, exact recheck. Same
+    * scale shape and planted-twin certification as the image family;
+    * together with [[audioDecode]] this makes the second modality
+    * detect AND decide, not just parse. */
+  val audioDedup: Q = Q("mm_audio_dedup",
+    "WITH " + audioOracleCtes + s"""
+      |SELECT d1, d2, CAST(bit_count(xor(ah1, ah2)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(ah1, ah2)) <= 3
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val bands = audioBands(audioHashes(Tables.documents(s, dir)))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.dh").as("dh1"), col("b.dh").as("dh2"))
+      .distinct()
+    hammingPairs(cand).orderBy(col("d1"), col("d2"))
+  }
+
+  /** The 4×12-bit band explode over `(doc_id, ah)` — [[imageBands]]
+    * renamed through the shared column contract. */
+  def audioBands(hashed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    imageBands(hashed.select(col("doc_id"), col("ah").as("dh")))
+
   /** Frame sampling over the payload: fixed-stride 64-byte windows
     * exploded to one row per frame with per-frame digests — the
     * video-frame / audio-chunk extraction shape (the real decoder
@@ -653,5 +778,5 @@ object Multimodal {
       .orderBy(col("shard"), col("seq_id"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, packBudget)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, packBudget)
 }

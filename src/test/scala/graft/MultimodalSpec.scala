@@ -122,4 +122,16 @@ class MultimodalSpec extends SparkSpec {
         s"missing=${(batch -- streamed).take(3)}")
     }
   }
+
+  test("audio dedup finds every planted near-identical twin within Hamming 3") {
+    val pairs = Multimodal.audioDedup.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming")))
+    val twinPairs = pairs.filter { case (d1, d2, _) => d2 == d1 + 1000000L }
+    val expectedTwins = graft.sources.Tables.documents(spark, sf)
+      .filter(col("n_chars") > 0 && col("doc_id") % 10 === 0).count()
+    assert(twinPairs.length == expectedTwins,
+      s"${twinPairs.length} of $expectedTwins planted twins detected")
+    assert(twinPairs.forall(_._3 <= 3))
+    assert(pairs.forall(p => p._1 < p._2 && p._3 >= 0 && p._3 <= 3))
+  }
 }
