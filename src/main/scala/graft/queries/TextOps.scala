@@ -829,6 +829,41 @@ object TextOps {
       .orderBy(col("source"), col("seq_id"))
   }
 
+  /** Per-document PACK OFFSETS — the random-access index a training
+    * dataloader consumes next to the sequence manifest: where each
+    * doc starts inside its sequence, and whether it straddles a
+    * sequence boundary (the continuation case a loader must handle
+    * when a doc's tokens spill into the next 512-token window). Same
+    * single window as [[packSequences]] — the index and the manifest
+    * are two projections of one running sum, so a pipeline emits
+    * both in one pass. */
+  val packOffsets: Q = Q("text_pack_offsets",
+    """WITH t AS (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+      |), o AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM t
+      |)
+      |SELECT source, CAST(start_off // 512 AS BIGINT) AS seq_id, doc_id,
+      |  CAST(start_off % 512 AS BIGINT) AS offset_in_seq,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  (start_off // 512 <> (start_off + n_tokens - 1) // 512) AS is_split
+      |FROM o ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tokenized(Tables.documents(s, dir))
+      .select(col("source"), col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), floor(col("start_off") / 512).as("seq_id"), col("doc_id"),
+        (col("start_off") % 512).as("offset_in_seq"), col("n_tokens"),
+        (floor(col("start_off") / 512) =!=
+          floor((col("start_off") + col("n_tokens") - 1) / 512)).as("is_split"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Deterministic training-order SHUFFLE — the global random order a
     * training run actually consumes, derived from CONTENT, not RNG:
     * each packed sequence gets an md5 sort key, the key's leading hex
@@ -2291,7 +2326,7 @@ object TextOps {
 
   val all: Seq[Q] = Seq(chunkWindows, fuzzyPairs, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
-    dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, packSequences, shuffleOrder, dupRateSketch, topTokensSketch,
+    dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
     tfidfTopK, curation, curationPack, decontaminate, decontaminateIncremental,
