@@ -1327,6 +1327,64 @@ object TextOps {
       .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens")))
   }
 
+  /** The curated corpus EMITTED — not just the manifest: the actual
+    * training WINDOWS, identified by the md5 of each 512-token
+    * window's reassembled text. Retained docs' final (scrubbed +
+    * redacted) token streams concatenate per source shard in doc
+    * order; every token gets its global shard offset (pack running
+    * sum + in-doc position), windows cut at token 512·k REGARDLESS
+    * of doc boundaries (a doc straddling a boundary contributes to
+    * both windows — the `text_pack_offsets` is_split case), and each
+    * window hashes its ordered token text. This is the strongest
+    * end-to-end oracle the pipeline can have: DuckDB rebuilds every
+    * training window byte-for-byte through the whole composed stack.
+    *
+    * Scale shape: the only token-level shuffle is the final
+    * (source, window) aggregation — exactly the write pattern of the
+    * emission stage itself (each window is one output row/record);
+    * everything upstream rides the memoized decision artifacts and
+    * one per-source window. Window reassembly is bounded at 512
+    * tokens per group (the [[lineReport]] collect device). */
+  val curationEmit: Q = Q("text_curation_emit",
+    curationOracleBody +
+      """
+      |, ro AS (
+      |  SELECT source, doc_id, red,
+      |    COALESCE(SUM(len(string_split(red, ' '))) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM fin2 WHERE drop_reason IS NULL
+      |), rw AS (
+      |  SELECT source, start_off, unnest(string_split(red, ' ')) AS word,
+      |         generate_subscripts(string_split(red, ' '), 1) AS i
+      |  FROM ro
+      |)
+      |SELECT source, CAST((start_off + i - 1) // 512 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_tokens,
+      |  md5(string_agg(word, ' ' ORDER BY start_off + i - 1)) AS window_fp
+      |FROM rw GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val marked = curationMarked(s, dir)
+      .select(col("doc_id"), col("source"), col("kept_text"))
+    val retained = curationDecisions(s, dir)
+      .filter(col("drop_reason").isNull)
+      .select(col("doc_id"), col("final_tokens"))
+      .join(marked, Seq("doc_id"))
+      .withColumn("red", Privacy.redacted(Privacy.planted(col("kept_text"), col("doc_id"))))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    retained
+      .withColumn("start_off", coalesce(sum(col("final_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("start_off"),
+        posexplode(split(col("red"), " ")).as(Seq("i", "word")))
+      .select(col("source"), (col("start_off") + col("i")).as("pos"), col("word"))
+      .groupBy(col("source"), floor(col("pos") / 512).as("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ")).as("window_fp"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
   /** The per-source concat-then-chunk packing over a retained-docs
     * frame `(source, doc_id, n_tokens)` — shared by [[curationPack]]
     * and the streaming curation composition (which packs the landed
@@ -2329,6 +2387,6 @@ object TextOps {
     dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
-    tfidfTopK, curation, curationPack, decontaminate, decontaminateIncremental,
+    tfidfTopK, curation, curationPack, curationEmit, decontaminate, decontaminateIncremental,
     decontaminateBloom)
 }

@@ -120,4 +120,26 @@ class CurationStackSpec extends SparkSpec {
       .map(_.getAs[Long]("final_tokens")).sum
     assert(packed == finalSum, s"pack total $packed != decision total $finalSum")
   }
+
+  test("emitted windows are exactly 512 tokens except each shard's last") {
+    val rows = TextOps.curationEmit.fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("n_tokens")))
+    val bySource = rows.groupBy(_._1)
+    bySource.foreach { case (src, ws) =>
+      val lastSeq = ws.map(_._2).max
+      ws.foreach { case (_, seq, n) =>
+        if (seq != lastSeq) assert(n == 512L, s"$src window $seq has $n tokens")
+        else assert(n >= 1L && n <= 512L)
+      }
+      // windows are contiguous from 0
+      assert(ws.map(_._2).sorted.toSeq == (0L to lastSeq))
+    }
+    // total emitted tokens = the decision record's retained final mass
+    val total = rows.map(_._3).sum
+    val expected = decisions.values
+      .filter(_.getAs[String]("drop_reason") == null)
+      .map(_.getAs[Long]("final_tokens")).sum
+    assert(total == expected, s"emitted $total != retained $expected")
+  }
 }
