@@ -1115,7 +1115,7 @@ object TextOps {
       |  CASE WHEN drop_reason IS NULL THEN CAST(len(string_split(red, ' ')) AS BIGINT) END AS final_tokens,
       |  CASE WHEN drop_reason IS NULL THEN md5(red) END AS final_fp
       |FROM fin2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    curationDecisions(s, dir).orderBy(col("doc_id"))
+    curationDecisions(s, dir).drop("red").orderBy(col("doc_id"))
   }
 
   /** PREFIX boilerplate line mask `(doc_id, seg_id)` — the segments
@@ -1231,7 +1231,10 @@ object TextOps {
             + regexp_count(col("t0"), lit(Privacy.PhoneRe))).cast("long")).as("n_pii"),
         when(col("drop_reason").isNull,
           size(split(col("red"), " ")).cast("long")).as("final_tokens"),
-        when(col("drop_reason").isNull, md5(col("red"))).as("final_fp"))
+        when(col("drop_reason").isNull, md5(col("red"))).as("final_fp"),
+        // the final text itself (retained rows) — the emission stage's
+        // input; the decision-record queries drop it before the oracle
+        when(col("drop_reason").isNull, col("red")).as("red"))
 
   /** Per-doc decision frame behind [[curation]] / [[curationPack]],
     * memoized + persisted per (application, sf dir): both queries
@@ -1363,17 +1366,22 @@ object TextOps {
       |  md5(string_agg(word, ' ' ORDER BY start_off + i - 1)) AS window_fp
       |FROM rw GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val marked = curationMarked(s, dir)
-      .select(col("doc_id"), col("source"), col("kept_text"))
     val retained = curationDecisions(s, dir)
       .filter(col("drop_reason").isNull)
-      .select(col("doc_id"), col("final_tokens"))
-      .join(marked, Seq("doc_id"))
-      .withColumn("red", Privacy.redacted(Privacy.planted(col("kept_text"), col("doc_id"))))
+      .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    retained
-      .withColumn("start_off", coalesce(sum(col("final_tokens")).over(w), lit(0L)))
+    emitWindows(retained
+      .withColumn("start_off", coalesce(sum(col("final_tokens")).over(w), lit(0L))))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** Window cutting + hashing over positioned retained texts
+    * `(source, doc_id, red, start_off)` — shared by the batch emit
+    * and the streaming emission's per-batch cut (which feeds global
+    * offsets from its carry state instead of a corpus window). */
+  private[graft] def emitWindows(positioned: DataFrame): DataFrame =
+    positioned
       .select(col("source"), col("start_off"),
         posexplode(split(col("red"), " ")).as(Seq("i", "word")))
       .select(col("source"), (col("start_off") + col("i")).as("pos"), col("word"))
@@ -1382,8 +1390,6 @@ object TextOps {
         md5(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("word")))),
           x => x.getField("word")), " ")).as("window_fp"))
-      .orderBy(col("source"), col("seq_id"))
-  }
 
   /** The per-source concat-then-chunk packing over a retained-docs
     * frame `(source, doc_id, n_tokens)` — shared by [[curationPack]]

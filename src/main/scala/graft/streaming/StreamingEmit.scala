@@ -1,0 +1,167 @@
+package graft.streaming
+
+import graft.Q
+import graft.queries.TextOps
+import graft.sources.FrameStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The curation pipeline EMITTING CONTINUOUSLY — training windows
+  * leave the pipeline the moment they fill, instead of waiting for a
+  * drain-time pack: every micro-batch runs the full composed stack
+  * ([[StreamingCuration.processBatch]] — its decision record now
+  * carries the retained docs' final redacted text), then cuts
+  * 512-token windows from the per-source token stream against a
+  * CARRY state: `(source, done_off, carry_text)` — tokens already
+  * shipped in completed windows, plus the ≤ 511-token tail still
+  * waiting for its window to fill. Completed windows write
+  * immediately with their content hash; the tail carries forward;
+  * the drain flushes each source's final partial window.
+  *
+  * Because window boundaries are token-position facts of the
+  * retained stream (and arrivals land in ingest order), the emitted
+  * windows are IDENTICAL to the batch `text_curation_emit` for any
+  * slicing — the twin shares that oracle verbatim. Carry state rides
+  * the same provenance-stamped [[FrameStore]] lifecycle as every
+  * other cross-batch artifact (a replayed batch filters its own
+  * stamp and recuts the identical windows). */
+object StreamingEmit {
+
+  val CarryName = "emit_carry"
+
+  final case class Env(cur: StreamingCuration.Env, windowsDir: String)
+
+  def prepare(spark: SparkSession, dir: String): Env = {
+    val cur = StreamingCuration.prepare(spark, dir)
+    import spark.implicits._
+    cur.store.promote(CarryName,
+      cur.store.register(spark, CarryName,
+        Seq.empty[(String, Long, String)].toDF("source", "done_off", "carry_text")
+          .withColumn("batch_id", lit(-1L))))
+    Env(cur, cur.outDir + "-windows")
+  }
+
+  /** One micro-batch: full stack → retained texts → window cut
+    * against the carry. Idempotent like every twin: the decision
+    * write is overwrite-deterministic, the carry read filters this
+    * batch's own stamp, and both appends ride the batch watermark. */
+  def processBatch(batch: DataFrame, batchId: Long, env: Env): Unit = {
+    val bs = batch.sparkSession
+    StreamingCuration.processBatch(batch, batchId, env.cur)
+    val retained = bs.read.parquet(s"${env.cur.outDir}/batch=$batchId")
+      .filter(col("drop_reason").isNull)
+      .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
+    // LATEST state per source (appends accumulate one row per source
+    // per touching batch); this batch's own stamp filters out first
+    // so a replay recovers the exact pre-batch carry
+    val carry = latestCarry(env.cur.store.loadProduction(bs, CarryName)
+      .getOrElse(sys.error("no production emit carry"))
+      .filter(col("batch_id") =!= batchId))
+    // per-source positioned stream: the carry tail sits at done_off,
+    // batch docs follow at done_off + |carry| + in-batch prefix sum
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBatch = retained
+      .withColumn("batch_off", coalesce(sum(col("final_tokens")).over(w), lit(0L)))
+      .join(carry, Seq("source"), "left_outer")
+      .select(col("source"),
+        (coalesce(col("done_off"), lit(0L))
+          + when(col("carry_text").isNull || col("carry_text") === "", 0)
+            .otherwise(size(split(col("carry_text"), " ")))
+          + col("batch_off")).as("start_off"),
+        col("red"))
+    val carryRows = carry.filter(col("carry_text") =!= "")
+      .select(col("source"), col("done_off").as("start_off"),
+        col("carry_text").as("red"))
+    val positioned = carryRows.unionByName(inBatch).persist()
+    val totals = positioned
+      .groupBy(col("source"))
+      .agg(max(col("start_off") + size(split(col("red"), " "))).as("total_off"))
+    val windows = TextOps.emitWindows(positioned).persist()
+    // a window is COMPLETE when the stream has moved past its end
+    val complete = windows.join(totals, Seq("source"))
+      .filter((col("seq_id") + 1) * 512 <= col("total_off"))
+      .select(col("source"), col("seq_id"), col("n_tokens"), col("window_fp"))
+    complete.write.mode("overwrite").parquet(s"${env.windowsDir}/batch=$batchId")
+    // new carry: every token past the last complete boundary
+    val newCarry = positioned
+      .select(col("source"), col("start_off"),
+        posexplode(split(col("red"), " ")).as(Seq("i", "word")))
+      .select(col("source"), (col("start_off") + col("i")).as("pos"), col("word"))
+      .join(totals.select(col("source"),
+        (floor(col("total_off") / 512) * 512).as("new_done")), Seq("source"))
+      .filter(col("pos") >= col("new_done"))
+      .groupBy(col("source"), col("new_done"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("carry_text"))
+      .select(col("source"), col("new_done").as("done_off"), col("carry_text"))
+    // sources whose stream ended exactly on a boundary carry nothing —
+    // still record done_off so the next batch resumes at the boundary
+    val boundary = totals
+      .join(newCarry.select(col("source")), Seq("source"), "left_anti")
+      .select(col("source"),
+        (floor(col("total_off") / 512) * 512).as("done_off"),
+        lit("").as("carry_text"))
+    env.cur.store.appendBatch(bs, CarryName,
+      newCarry.unionByName(boundary).withColumn("batch_id", lit(batchId)),
+      batchId = Some(batchId), streamId = Some(env.cur.ckpt))
+    windows.unpersist()
+    positioned.unpersist()
+    ()
+  }
+
+  /** Newest carry row per source — the appends accumulate history
+    * (one row per source per touching batch, batch-stamped). */
+  private def latestCarry(rows: DataFrame): DataFrame =
+    rows.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("batch_id").desc)))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("done_off"), col("carry_text"))
+
+  def runPass(spark: SparkSession, env: Env): Unit = {
+    val q = spark.readStream.schema(env.cur.schema)
+      .option("maxFilesPerTrigger", 1).parquet(env.cur.inDir)
+      .writeStream
+      .option("checkpointLocation", env.cur.ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) processBatch(batch, batchId, env)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Drain: flush every source's final partial window from the carry
+    * and read the accumulated windows back, batch-oracle-shaped. */
+  def emittedWindows(spark: SparkSession, env: Env): DataFrame = {
+    val latest = latestCarry(env.cur.store.loadProduction(spark, CarryName)
+      .getOrElse(sys.error("no production emit carry")))
+      .filter(col("carry_text") =!= "")
+      .select(col("source"), col("done_off").as("start_off"),
+        col("carry_text").as("red"))
+    val flushed = TextOps.emitWindows(latest)
+    spark.read.parquet(env.windowsDir).drop("batch")
+      .unionByName(flushed)
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  def runEmitStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame = {
+    val env = prepare(spark, dir)
+    StreamingCuration.addArrivalsOrdered(spark, env.cur, dir, slices)
+    runPass(spark, env)
+    emittedWindows(spark, env)
+  }
+
+  /** Streaming twin of `text_curation_emit` — same oracle: the
+    * continuously-emitted window set must be byte-identical to the
+    * batch emission for any ingest-ordered slicing. */
+  val streamCurationEmit: Q = Q("stream_curation_emit",
+    TextOps.curationEmit.oracle.get) { (s, dir) =>
+    runEmitStream(s, dir)
+  }
+
+  val all: Seq[Q] = Seq(streamCurationEmit)
+}

@@ -325,6 +325,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("continuous emission ships identical windows for any slicing; batches only append") {
+    import graft.streaming.StreamingEmit
+    val batch = graft.queries.TextOps.curationEmit.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    for (slices <- Seq(2, 4)) {
+      val env = StreamingEmit.prepare(spark, sf)
+      graft.streaming.StreamingCuration.addArrivalsOrdered(spark, env.cur, sf, slices)
+      StreamingEmit.runPass(spark, env)
+      val streamed = StreamingEmit.emittedWindows(spark, env).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(streamed.toSet == batch, s"slices=$slices window drift: " +
+        s"extra=${(streamed.toSet -- batch).take(3)} missing=${(batch -- streamed.toSet).take(3)}")
+      // no window ever emitted twice (each completes in exactly one batch)
+      assert(streamed.length == streamed.toSet.size, "duplicate window emission")
+      // mid-stream batches emit ONLY full 512-token windows; partials
+      // appear once, from the drain flush
+      val partials = streamed.filter(_._3 < 512L)
+      assert(partials.map(_._1).distinct.length == partials.length)
+    }
+  }
+
   test("scd2 dimension over an all-empty stream is open-rows-only, not a read failure") {
     // every micro-batch skipped as empty → no batch dir ever written;
     // dimension() must fall back to an empty closed frame instead of
