@@ -346,6 +346,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("emission cold restart: a fresh pass resumes from the carry state") {
+    import graft.streaming.{StreamingCuration, StreamingEmit}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val mid = docs.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+    val env = StreamingEmit.prepare(spark, sf)
+    StreamingCuration.landOrderedSlicesOf(
+      docs.filter(col("doc_id") < mid), "doc_id", env.cur.inDir, 2)
+    StreamingEmit.runPass(spark, env) // stream dies here
+    StreamingCuration.landOrderedSlicesOf(
+      docs.filter(col("doc_id") >= mid), "doc_id", env.cur.inDir, 2, tag = "b")
+    StreamingEmit.runPass(spark, env) // fresh query, same checkpoint + carry
+    val streamed = StreamingEmit.emittedWindows(spark, env).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batch = graft.queries.TextOps.curationEmit.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed == batch, s"restart drift: extra=${(streamed -- batch).take(3)} " +
+      s"missing=${(batch -- streamed).take(3)}")
+  }
+
   test("scd2 dimension over an all-empty stream is open-rows-only, not a read failure") {
     // every micro-batch skipped as empty → no batch dir ever written;
     // dimension() must fall back to an empty closed frame instead of
