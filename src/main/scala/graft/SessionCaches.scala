@@ -29,21 +29,32 @@ object SessionCaches {
   }
 
   // Release whatever resources a memo value pins: persisted frames
-  // unpersist (tuples carry frames alongside their counts); plain
-  // values (arrays, stores over temp dirs, literal seqs) just drop.
+  // unpersist, and ANY Product (tuples, but also index case classes
+  // like PqIndex whose fields hold persisted frames) recurses through
+  // its fields — a value dropped from the memo without unpersisting
+  // would leave its blocks pinned in storage memory with no
+  // remaining handle, the opposite of eviction. Plain values
+  // (arrays, stores over temp dirs, literal seqs) just drop.
   private def release(v: Any): Unit = v match {
     case df: DataFrame => df.unpersist(); ()
-    case (a, b) => release(a); release(b)
-    case (a, b, c) => release(a); release(b); release(c)
+    case p: Product => p.productIterator.foreach(release)
+    case it: Iterable[_] => it.foreach(release)
     case _ => ()
   }
 
   /** Evict every registered memo entry for this session × dataset;
     * returns the number of entries dropped. Safe to call while other
-    * datasets' entries stay warm. */
+    * datasets' entries stay warm. Matches the exact `appId#dir` key,
+    * compound `appId#dir#<variant>` keys, and — best-effort — keys
+    * that embed the dataset path anywhere (plan-canonicalized memo
+    * keys carry the scan path inside the plan text). */
   def evict(spark: SparkSession, dir: String): Int = synchronized {
     val key = spark.sparkContext.applicationId + "#" + dir
-    registered.map(m => m.remove(key).map { v => release(v); 1 }.getOrElse(0)).sum
+    registered.map { m =>
+      val hits = m.keys.filter(k =>
+        k == key || k.startsWith(key + "#") || k.contains(dir)).toSeq
+      hits.flatMap(m.remove).map { v => release(v); 1 }.sum
+    }.sum
   }
 
   /** Evict everything — the end-of-session hook. */

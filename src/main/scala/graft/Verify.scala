@@ -23,12 +23,19 @@ object Verify {
     // registry (a renamed or removed query would otherwise linger in
     // the compare as a phantom rows-only entry)
     val live = SparkEntry.queries.keySet
-    // Only delete what THIS tool wrote: a stale dir must carry the
-    // parquet-commit marker a verify run leaves (_SUCCESS), and the
-    // recursive walk never follows symlinks — a mispointed outDir or
-    // a stray link must not let the cleanup reach unrelated data.
+    // Only delete what THIS tool wrote: a stale dir must look like a
+    // verify-produced parquet output — the commit marker (_SUCCESS),
+    // or, for a run that crashed mid-write (no marker yet), nothing
+    // but parquet part/metadata files inside — and the recursive walk
+    // never follows symlinks. A mispointed outDir or a stray link
+    // must not let the cleanup reach unrelated data, while a partial
+    // dir of a renamed query must not linger as a phantom entry.
     def verifyProduced(f: java.io.File): Boolean =
-      new java.io.File(f, "_SUCCESS").exists()
+      new java.io.File(f, "_SUCCESS").exists() || {
+        val names = Option(f.list()).getOrElse(Array.empty)
+        names.nonEmpty && names.forall(n =>
+          n.startsWith("part-") || n.startsWith("_") || n.startsWith("."))
+      }
     Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !Files.isSymbolicLink(f.toPath)
         && !live.contains(f.getName) && verifyProduced(f))

@@ -87,6 +87,24 @@ object QualityModel {
       |  FROM lab
       |)""".stripMargin
 
+  /** The LR fit on the md5-bucketed training split, memoized per
+    * (application, sf dir): the certificate and the closed-form
+    * export both consume it, so a session pays the 100-iteration
+    * LBFGS fit once, with one Pipeline definition. */
+  private val lrMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.ml.PipelineModel])
+
+  private def fittedPipeline(s: SparkSession, dir: String): org.apache.spark.ml.PipelineModel =
+    lrMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val tr = labeledDocs(s, dir).filter(col("bucket") < 75)
+      new Pipeline().setStages(Array(
+        new HashingTF().setInputCol("w").setOutputCol("features")
+          .setNumFeatures(NumFeatures),
+        new LogisticRegression().setMaxIter(100).setLabelCol("label")))
+        .fit(tr.coalesce(1))
+    })
+
   val qualityModelCert: Q = Q("text_quality_model",
     labeledSql + """,
       |te AS (SELECT * FROM lab2 WHERE bucket >= 75),
@@ -101,13 +119,8 @@ object QualityModel {
       |  TRUE AS lr_auc_ge_gate
       |FROM tied""".stripMargin) { (s, dir) =>
     val data = labeledDocs(s, dir).cache()
-    val tr = data.filter(col("bucket") < 75)
     val te = data.filter(col("bucket") >= 75)
-    val pipe = new Pipeline().setStages(Array(
-      new HashingTF().setInputCol("w").setOutputCol("features")
-        .setNumFeatures(NumFeatures),
-      new LogisticRegression().setMaxIter(100).setLabelCol("label")))
-    val model = pipe.fit(tr.coalesce(1))
+    val model = fittedPipeline(s, dir)
     val scoredTe = model.transform(te)
       .withColumn("proba", vector_to_array(col("probability")).getItem(1))
     val lrAuc = rankAuc(scoredTe, "proba")
@@ -135,12 +148,7 @@ object QualityModel {
 
   def closedForm(s: SparkSession, dir: String): DataFrame =
     fitMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
-      val tr = labeledDocs(s, dir).filter(col("bucket") < 75)
-      val pipe = new Pipeline().setStages(Array(
-        new HashingTF().setInputCol("w").setOutputCol("features")
-          .setNumFeatures(NumFeatures),
-        new LogisticRegression().setMaxIter(100).setLabelCol("label")))
-      val lr = pipe.fit(tr.coalesce(1)).stages.collectFirst {
+      val lr = fittedPipeline(s, dir).stages.collectFirst {
         case m: org.apache.spark.ml.classification.LogisticRegressionModel => m
       }.get
       import s.implicits._

@@ -500,12 +500,7 @@ object Multimodal {
       |FROM cand WHERE bit_count(xor(dh1, dh2)) <= 3
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     val bands = imageBands(imageHashes(Tables.documents(s, dir)))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.dh").as("dh1"), col("b.dh").as("dh2"))
-      .distinct()
+    val cand = bandCandidates(bands)
     hammingPairs(cand).orderBy(col("d1"), col("d2"))
   }
 
@@ -541,6 +536,18 @@ object Multimodal {
         "transform(sequence(0, 3), i -> shiftright(dh, 12*i) & CAST(4095 AS BIGINT))"))
         .as(Seq("band", "bv")))
 
+  /** Banded candidate pairs over `(doc_id, dh, band, bv)` rows: the
+    * equi-join on (band, value) with the d1 < d2 tie-break, deduped —
+    * shared by the image dedup, the cluster build, and the audio
+    * dedup so the candidate rule has exactly one definition. */
+  def bandCandidates(bands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.dh").as("dh1"), col("b.dh").as("dh2"))
+      .distinct()
+
   /** Exact Hamming recheck over candidate pairs `(d1, d2, dh1, dh2)`. */
   def hammingPairs(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     cand.withColumn("hamming",
@@ -573,12 +580,7 @@ object Multimodal {
       |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val bands = imageBands(imageHashes(Tables.documents(s, dir)))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.dh").as("dh1"), col("b.dh").as("dh2"))
-      .distinct()
+    val cand = bandCandidates(bands)
     val cc = graft.queries.DedupGraph.connectedComponents(
       hammingPairs(cand).select(col("d1"), col("d2")))
     val sz = Window.partitionBy(col("cluster_id"))
@@ -699,12 +701,7 @@ object Multimodal {
       |FROM cand WHERE bit_count(xor(ah1, ah2)) <= 3
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     val bands = audioBands(audioHashes(Tables.documents(s, dir)))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.dh").as("dh1"), col("b.dh").as("dh2"))
-      .distinct()
+    val cand = bandCandidates(bands)
     hammingPairs(cand).orderBy(col("d1"), col("d2"))
   }
 

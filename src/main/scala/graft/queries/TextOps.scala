@@ -1245,11 +1245,12 @@ object TextOps {
     graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   private[graft] def curationDecisions(s: SparkSession, dir: String): DataFrame =
-    decisionsCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
-      val df = curationDecisionsCompute(s, dir).persist()
-      df.count()
-      df
-    })
+    // memoized for plan reuse but NOT persisted: decide() is a pure
+    // row-local projection over the already-persisted marked frame,
+    // and persisting it too would hold a second text-bearing copy of
+    // the corpus (kept_text + red) in storage memory for no reuse win
+    decisionsCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir,
+      curationDecisionsCompute(s, dir))
 
   private def curationDecisionsCompute(s: SparkSession, dir: String): DataFrame =
     curationDecide(curationMarked(s, dir))

@@ -218,9 +218,21 @@ object StreamingCuration {
     // the [[StreamingLineDedup]] / [[StreamingSpanDedup]] device,
     // here feeding the composed stack instead of standalone reports
     val wfp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    // doc_ids already ingested (fp index rows of OTHER batches): a
+    // legitimately RE-DELIVERED doc_id must contribute NO new line/
+    // span carriers — its first delivery is already in the count
+    // state, and appending its fps again would fire the scrub mask
+    // one distinct carrier early for every doc sharing a line/window
+    // with it (batch parity break; spec-pinned below). Its own rank
+    // rows drop too: its carrier status lives entirely in the base.
+    val seenIds = env.store.loadProduction(bs, FpIdx)
+      .getOrElse(sys.error("no production fp index"))
+      .filter(col("batch_id") =!= batchId)
+      .select(col("doc_id")).distinct()
     val segs = TextOps.lineSegments(docs)
       .withColumn("fp", xxhash64(col("line"))).persist()
     val lineFirsts = segs.select(col("fp"), col("doc_id")).distinct()
+      .join(seenIds, Seq("doc_id"), "left_anti")
     val lineBase = env.store.loadProduction(bs, LineCounts)
       .getOrElse(sys.error("no production line counts"))
       .filter(col("batch_id") =!= batchId)
@@ -234,6 +246,7 @@ object StreamingCuration {
       Seq("fp", "doc_id")).select(col("doc_id"), col("seg_id"))
     val starts = TextOps.spanStarts(docs).persist()
     val spanFirsts = starts.select(col("fp"), col("doc_id")).distinct()
+      .join(seenIds, Seq("doc_id"), "left_anti")
     val spanBase = env.store.loadProduction(bs, SpanCounts)
       .getOrElse(sys.error("no production span counts"))
       .filter(col("batch_id") =!= batchId)

@@ -409,6 +409,20 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "drop_reason").collect()
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(dec2 == dec, "replayed batch must recompute identical decisions")
+    // and the re-delivery must NOT have double-counted the doc's
+    // line/span carriers: a later doc sharing doc 1's opening line
+    // sees 2 distinct carriers (seed + itself), below the 3-carrier
+    // boilerplate threshold — double-counting the re-delivery would
+    // have scrubbed it one carrier early
+    val sharedLine = text.split(" ").take(4).mkString(" ")
+    val d2 = Seq((2L, sharedLine + " " + (0 until 20).map(i => s"x$i").mkString(" "),
+        "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    StreamingCuration.processBatch(d2, batchId = 2L, env)
+    val row2 = spark.read.parquet(s"$tmp/out/batch=2")
+      .filter(col("doc_id") === 2L).head()
+    assert(row2.getAs[Long]("n_line_rm") == 0L,
+      s"re-delivered carrier double-counted: n_line_rm=${row2.getAs[Long]("n_line_rm")}")
   }
 
   test("shingle index roundtrip certificate: cold reload equals session build") {
