@@ -710,6 +710,36 @@ object Multimodal {
   def audioBands(hashed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     imageBands(hashed.select(col("doc_id"), col("ah").as("dh")))
 
+  /** Audio dedup DECIDED — [[imageClusters]] for the acoustic
+    * fingerprint family: connected components over the banded pair
+    * graph, one min-id keeper per cluster, recursive-CTE oracle.
+    * With [[audioDecode]] / [[audioDedup]] this makes the second
+    * modality parse, detect, AND decide, symmetrically with the
+    * image family. */
+  val audioClusters: Q = Q("mm_audio_clusters",
+    "WITH RECURSIVE " + audioOracleCtes + s"""
+      |, pairs AS (SELECT d1, d2 FROM cand WHERE bit_count(xor(ah1, ah2)) <= 3),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS v, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS v, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
+      |comp AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)
+      |SELECT c.doc_id, c.cluster_id, n.sz AS cluster_size,
+      |       (c.doc_id = c.cluster_id) AS is_keeper
+      |FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY 1) n USING (cluster_id)
+      |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cand = bandCandidates(audioBands(audioHashes(Tables.documents(s, dir))))
+    val cc = graft.queries.DedupGraph.connectedComponents(
+      hammingPairs(cand).select(col("d1"), col("d2")))
+    val sz = Window.partitionBy(col("cluster_id"))
+    cc.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(sz))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame sampling over the payload: fixed-stride 64-byte windows
     * exploded to one row per frame with per-frame digests — the
     * video-frame / audio-chunk extraction shape (the real decoder
@@ -775,5 +805,5 @@ object Multimodal {
       .orderBy(col("shard"), col("seq_id"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, packBudget)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, packBudget)
 }
