@@ -499,9 +499,7 @@ object Multimodal {
       |SELECT d1, d2, CAST(bit_count(xor(dh1, dh2)) AS INTEGER) AS hamming
       |FROM cand WHERE bit_count(xor(dh1, dh2)) <= 3
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-    val bands = imageBands(imageHashes(Tables.documents(s, dir)))
-    val cand = bandCandidates(bands)
-    hammingPairs(cand).orderBy(col("d1"), col("d2"))
+    imagePairs(s, dir).orderBy(col("d1"), col("d2"))
   }
 
   /** dHash-48 per image (incl. the planted perturbed twins) over any
@@ -548,6 +546,28 @@ object Multimodal {
         col("a.dh").as("dh1"), col("b.dh").as("dh2"))
       .distinct()
 
+  /** Corpus near-dup pair lists (image dHash / audio fingerprint),
+    * memoized + persisted per (application, sf dir) — the dedup
+    * query, the cluster build, and any downstream keeper filter all
+    * consume the same pair list, so the fingerprint pass and the
+    * band join run once per session (the nearDupPairs05 discipline). */
+  private val pairMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame])
+
+  private def memoPairs(s: SparkSession, dir: String, kind: String,
+                        bands: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pairMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir + "#" + kind, {
+      val df = hammingPairs(bandCandidates(bands)).persist()
+      df.count()
+      df
+    })
+
+  def imagePairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    memoPairs(s, dir, "image", imageBands(imageHashes(Tables.documents(s, dir))))
+
+  def audioPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    memoPairs(s, dir, "audio", audioBands(audioHashes(Tables.documents(s, dir))))
+
   /** Exact Hamming recheck over candidate pairs `(d1, d2, dh1, dh2)`. */
   def hammingPairs(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     cand.withColumn("hamming",
@@ -579,10 +599,8 @@ object Multimodal {
       |FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY 1) n USING (cluster_id)
       |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val bands = imageBands(imageHashes(Tables.documents(s, dir)))
-    val cand = bandCandidates(bands)
     val cc = graft.queries.DedupGraph.connectedComponents(
-      hammingPairs(cand).select(col("d1"), col("d2")))
+      imagePairs(s, dir).select(col("d1"), col("d2")))
     val sz = Window.partitionBy(col("cluster_id"))
     cc.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(sz))
@@ -700,9 +718,7 @@ object Multimodal {
       |SELECT d1, d2, CAST(bit_count(xor(ah1, ah2)) AS INTEGER) AS hamming
       |FROM cand WHERE bit_count(xor(ah1, ah2)) <= 3
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-    val bands = audioBands(audioHashes(Tables.documents(s, dir)))
-    val cand = bandCandidates(bands)
-    hammingPairs(cand).orderBy(col("d1"), col("d2"))
+    audioPairs(s, dir).orderBy(col("d1"), col("d2"))
   }
 
   /** The 4×12-bit band explode over `(doc_id, ah)` — [[imageBands]]
@@ -730,9 +746,8 @@ object Multimodal {
       |FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY 1) n USING (cluster_id)
       |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val cand = bandCandidates(audioBands(audioHashes(Tables.documents(s, dir))))
     val cc = graft.queries.DedupGraph.connectedComponents(
-      hammingPairs(cand).select(col("d1"), col("d2")))
+      audioPairs(s, dir).select(col("d1"), col("d2")))
     val sz = Window.partitionBy(col("cluster_id"))
     cc.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(sz))
