@@ -70,6 +70,13 @@ object Bench {
         // certificate and SemDeDup — iterative like the BPE learn
         graft.queries.Kmeans.trained(spark, sfDir); ()
       },
+      timedWarm("cache_warm_media_pairs") {
+        // the image/audio fingerprint + band-join pair lists shared
+        // by the media dedup and cluster queries
+        graft.multimodal.Multimodal.imagePairs(spark, sfDir)
+        graft.multimodal.Multimodal.audioPairs(spark, sfDir)
+        ()
+      },
       timedWarm("cache_warm_curation") {
         // the composed curation decision frame (full filter stack)
         // shared by text_curation and text_curation_pack — without
