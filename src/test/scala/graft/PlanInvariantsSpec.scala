@@ -133,6 +133,15 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("curation emit: no UDF break, no cartesian through the composed stack") {
+    // the end-to-end emission composes every stage; whatever the
+    // stack's shape, nothing may fall back to an interpreted UDF or
+    // a cartesian product on the way to the window aggregation
+    val plan = formatted(SparkEntry.queries("text_curation_emit")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("containment dedup candidate generation never goes cartesian") {
     val plan = formatted(SparkEntry.queries("text_dedup_containment")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
