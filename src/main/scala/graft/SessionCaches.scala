@@ -29,30 +29,60 @@ object SessionCaches {
   }
 
   // Release whatever resources a memo value pins: persisted frames
-  // unpersist, and ANY Product (tuples, but also index case classes
+  // unpersist; promoted artifact stores rooted in engine-created temp
+  // dirs delete their directory tree (a store dropped from the memo
+  // without cleanup would leak its artifacts on disk for the rest of
+  // a long multi-tenant session — the memo handle was the only
+  // reference); and ANY Product (tuples, but also index case classes
   // like PqIndex whose fields hold persisted frames) recurses through
   // its fields — a value dropped from the memo without unpersisting
   // would leave its blocks pinned in storage memory with no
   // remaining handle, the opposite of eviction. Plain values
-  // (arrays, stores over temp dirs, literal seqs) just drop.
+  // (arrays, literal seqs) just drop.
   private def release(v: Any): Unit = v match {
     case df: DataFrame => df.unpersist(); ()
+    case vs: graft.sources.VersionedStore =>
+      // only reap stores the engine itself rooted under the JVM temp
+      // dir — a store over real (caller-owned) data is never deleted
+      val tmp = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")).toAbsolutePath
+      val root = java.nio.file.Paths.get(vs.root).toAbsolutePath
+      if (root.startsWith(tmp) && root != tmp) deleteTree(root.toFile)
     case p: Product => p.productIterator.foreach(release)
     case it: Iterable[_] => it.foreach(release)
     case _ => ()
   }
 
+  private def deleteTree(f: java.io.File): Unit = {
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete(); ()
+  }
+
+  // a dataset-dir occurrence inside a memo key counts only when it is
+  // PATH-BOUNDED: not glued to further filename characters on either
+  // side ("/x/corpus" must not match inside "/x/corpus-v2" or
+  // "/data/x/corpus"), while genuine embeddings — "dir#variant" memo
+  // keys and scan paths in canonicalized plan text ("dir/t.parquet",
+  // "file:dir]") — stay matched because '#', '/', ':' and bracket
+  // delimiters are not filename characters
+  private def boundedRe(dir: String) =
+    ("(?<![A-Za-z0-9._\\-])" + java.util.regex.Pattern.quote(dir) +
+      "(?![A-Za-z0-9._\\-])").r
+
   /** Evict every registered memo entry for this session × dataset;
     * returns the number of entries dropped. Safe to call while other
     * datasets' entries stay warm. Matches the exact `appId#dir` key,
-    * compound `appId#dir#<variant>` keys, and — best-effort — keys
-    * that embed the dataset path anywhere (plan-canonicalized memo
-    * keys carry the scan path inside the plan text). */
+    * compound `appId#dir#<variant>` keys, and — best-effort —
+    * path-bounded occurrences of the dataset dir anywhere in the key
+    * (plan-canonicalized memo keys carry the scan path inside the
+    * plan text; sibling dirs sharing a prefix never cross-evict). */
   def evict(spark: SparkSession, dir: String): Int = synchronized {
     val key = spark.sparkContext.applicationId + "#" + dir
+    val re = boundedRe(dir)
     registered.map { m =>
       val hits = m.keys.filter(k =>
-        k == key || k.startsWith(key + "#") || k.contains(dir)).toSeq
+        k == key || k.startsWith(key + "#") || re.findFirstIn(k).isDefined).toSeq
       hits.flatMap(m.remove).map { v => release(v); 1 }.sum
     }.sum
   }

@@ -25,15 +25,17 @@ object Verify {
     val live = SparkEntry.queries.keySet
     // Only delete what THIS tool wrote: a stale dir must look like a
     // verify-produced parquet output — the commit marker (_SUCCESS),
-    // or, for a run that crashed mid-write (no marker yet), nothing
-    // but parquet part/metadata files inside — and the recursive walk
-    // never follows symlinks. A mispointed outDir or a stray link
-    // must not let the cleanup reach unrelated data, while a partial
-    // dir of a renamed query must not linger as a phantom entry.
+    // or, for a run that crashed mid-write (no marker yet), at least
+    // one actual parquet part file and nothing but part/metadata
+    // files beside it — and the recursive walk never follows
+    // symlinks. A mispointed outDir or a stray link must not let the
+    // cleanup reach unrelated data (a foreign dir holding only
+    // dot-files would otherwise qualify), while a partial dir of a
+    // renamed query must not linger as a phantom entry.
     def verifyProduced(f: java.io.File): Boolean =
       new java.io.File(f, "_SUCCESS").exists() || {
         val names = Option(f.list()).getOrElse(Array.empty)
-        names.nonEmpty && names.forall(n =>
+        names.exists(_.startsWith("part-")) && names.forall(n =>
           n.startsWith("part-") || n.startsWith("_") || n.startsWith("."))
       }
     Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)

@@ -187,8 +187,13 @@ object QualityModel {
     * `(doc_id, proba)`. */
   def scoreClosedForm(docs: DataFrame, model: DataFrame): DataFrame = {
     val coefs = model.filter(col("idx") >= 0)
+    // the intercept rides the plan as a broadcast 1-row anchor (idx
+    // −1 is exactly one row by construction) instead of a driver-side
+    // head(): scoring stays a SINGLE lazy plan, so the streaming
+    // learned gate pays zero extra Spark actions per micro-batch just
+    // to read a scalar
     val intercept = model.filter(col("idx") === -1)
-      .select(col("coef")).head().getDouble(0)
+      .select(col("coef").as("icept"))
     // margin accumulates in DECIMAL(38,18): addition is then
     // order-independent (each addend rounds once at fixed scale), so
     // batch and streaming runs produce the bit-identical proba a
@@ -207,9 +212,10 @@ object QualityModel {
         .cast(org.apache.spark.sql.types.DecimalType(38, 18))).as("margin"))
     docs.select(col("doc_id")).distinct()
       .join(margins, Seq("doc_id"), "left_outer")
+      .crossJoin(broadcast(intercept))
       .select(col("doc_id"),
         (lit(1.0) / (lit(1.0) +
-          exp(-(coalesce(col("margin").cast("double"), lit(0.0)) + lit(intercept)))))
+          exp(-(coalesce(col("margin").cast("double"), lit(0.0)) + col("icept")))))
           .as("proba"))
   }
 

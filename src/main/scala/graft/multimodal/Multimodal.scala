@@ -580,9 +580,11 @@ object Multimodal {
     * verdict a LAION-style pipeline derives from the pair list
     * (detect → decide, completing the image family the way
     * `text_dedup_clusters` completes text near-dup). Components come
-    * from the same pointer-jumping
-    * [[graft.queries.DedupGraph.connectedComponents]] (label-frame-
-    * only, O(log d) rounds — the 100 TB shape); the oracle closes
+    * from the shared HASH-TO-MIN
+    * [[graft.queries.DedupGraph.connectedComponents]] (star handoff,
+    * label-frame-only, O(log d) rounds — plain propagation was
+    * O(diameter) on exactly this frontier-shaped graph, 25 vs 9
+    * rounds measured); the oracle closes
     * the reachability transitively with a recursive CTE over the
     * replayed pair list. */
   val imageClusters: Q = Q("mm_image_clusters",

@@ -52,9 +52,9 @@ object DedupGraph {
     * any node changed — the same `agg` that materializes the round
     * doubles as the convergence test (decimal-summed so the check
     * survives id ranges whose sum would overflow a long). The
-    * propagate→groupBy frame is persisted before the pointer-jump
-    * self-join reads it twice, and each round unpersists the
-    * previous round's frames once the action is done. */
+    * neighborhood-with-self frame is persisted before the min
+    * aggregate and the star handoff read it twice, and each round
+    * unpersists the previous round's frame once the action is done. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 64): DataFrame =
     connectedComponentsWithRounds(pairs, maxIters)._1
 

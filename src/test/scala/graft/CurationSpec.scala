@@ -9,8 +9,8 @@ class CurationSpec extends SparkSpec {
 
   test("connected components label a chain graph in O(log d) rounds") {
     // 0-1-2-...-9 chain (diameter 9: plain propagation would need 9
-    // rounds; pointer jumping must close it in far fewer) plus a
-    // separate triangle and an isolated pair.
+    // rounds; the hash-to-min star handoff must close it in far
+    // fewer) plus a separate triangle and an isolated pair.
     val pairs = ((0L until 9L).map(i => (i, i + 1)) ++
       Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))).toDF("d1", "d2")
     val got = DedupGraph.connectedComponents(pairs, maxIters = 6)

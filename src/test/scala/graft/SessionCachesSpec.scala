@@ -36,4 +36,35 @@ class SessionCachesSpec extends SparkSpec {
     SessionCaches.evict(spark, sf)
     ()
   }
+
+  test("evict of a path-prefix sibling dir never cross-evicts (/x/corpus vs /x/corpus-v2)") {
+    import scala.collection.concurrent.TrieMap
+    val memo = SessionCaches.register(TrieMap.empty[String, String])
+    val app = spark.sparkContext.applicationId
+    memo.put(app + "#/x/corpus", "a")
+    memo.put(app + "#/x/corpus-v2", "b")
+    memo.put(app + "#/data/x/corpus", "c")
+    // plan-text style key embedding the path, bounded by delimiters
+    memo.put("plan:[file:/x/corpus/documents.parquet]", "d")
+    assert(SessionCaches.evict(spark, "/x/corpus") == 2,
+      "exact key + bounded plan-text key only")
+    assert(memo.keySet == Set(app + "#/x/corpus-v2", app + "#/data/x/corpus"),
+      "prefix-related sibling dirs must stay warm")
+    memo.clear()
+  }
+
+  test("evict deletes an engine-temp artifact store's directory, never a caller-owned root") {
+    import scala.collection.concurrent.TrieMap
+    val memo = SessionCaches.register(TrieMap.empty[String, graft.sources.FrameStore])
+    val app = spark.sparkContext.applicationId
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-evict-store-")
+    val store = new graft.sources.FrameStore(tmpRoot.toString)
+    import spark.implicits._
+    store.promote("x", store.register(spark, "x", Seq(1L).toDF("v")))
+    memo.put(app + "#/evict/store/ds", store)
+    assert(SessionCaches.evict(spark, "/evict/store/ds") == 1)
+    assert(!java.nio.file.Files.exists(tmpRoot),
+      "temp-rooted store dir must be reaped on eviction")
+    memo.clear()
+  }
 }
