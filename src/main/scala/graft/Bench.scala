@@ -83,6 +83,14 @@ object Bench {
         // this entry the one-time build lands on rep 1 of whichever
         // query runs first and min-of-2 hides it from the total
         graft.queries.TextOps.curationDecisions(spark, sfDir); ()
+      },
+      timedWarm("cache_warm_curation_stream") {
+        // the ONE consolidated curation stream pass whose artifacts
+        // feed all three operating-mode certificates
+        // (stream_curation_pack / _emit / _learned) — named here so
+        // the full-stack drain is attributed once instead of landing
+        // on whichever certificate runs first
+        graft.streaming.StreamingEmit.unifiedRun(spark, sfDir); ()
       })
     // sorted order: stable query sequence run-to-run so per-query
     // timings are comparable across rounds. Each query runs TWICE and

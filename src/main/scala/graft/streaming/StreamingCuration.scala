@@ -61,19 +61,35 @@ object StreamingCuration {
   final case class Env(inDir: String, outDir: String, ckpt: String,
                        store: FrameStore, benchStore: FrameStore,
                        schema: org.apache.spark.sql.types.StructType,
-                       quality: Option[FrameStore] = None)
+                       quality: Option[FrameStore] = None,
+                       shadow: Boolean = false) {
+    /** Where the SHADOW learned decisions land (see [[processBatch]]). */
+    def learnedOutDir: String = outDir + "-learned"
+  }
 
   /** Stream world: empty fp + shingle indexes (the whole corpus
     * arrives as the stream), the full benchmark gram artifact (fixed
-    * external input), fresh dirs. */
+    * external input), fresh dirs.
+    *
+    * `quality` configures the LEARNED gate; with `shadow = true` the
+    * MAIN decision path stays heuristic (so emit/pack artifacts keep
+    * the batch heuristic oracle) and the learned cascade writes to
+    * [[Env.learnedOutDir]] as a per-batch SHADOW record — the
+    * shadow-deployment shape a pipeline runs before switching gates,
+    * and what lets ONE stream pass certify all three curation modes
+    * (pack, emission, learned gate). Because `low_quality` is the
+    * LAST cascade stage and decisions never feed back into the
+    * fp/shingle/count state, the shadow record is row-identical to a
+    * learned-GATED stream's decisions (pinned in QualityGateSpec). */
   def prepare(spark: SparkSession, dir: String,
-              quality: Option[FrameStore] = None): Env = {
+              quality: Option[FrameStore] = None,
+              shadow: Boolean = false): Env = {
     val tmp = Files.createTempDirectory("graft-stream-curation-").toString
     val docs = Tables.documents(spark, dir)
     val store = new FrameStore(s"$tmp/store")
     seedState(spark, store, docs.filter(lit(false)), batchId = -1L)
     Env(s"$tmp/in", s"$tmp/decisions", s"$tmp/ckpt",
-      store, TextOps.benchGramStore(spark, dir), docs.schema, quality)
+      store, TextOps.benchGramStore(spark, dir), docs.schema, quality, shadow)
   }
 
   /** Register + promote the four curation state artifacts (fp index,
@@ -298,20 +314,34 @@ object StreamingCuration {
     //       closed-form LR score, re-resolving the PRODUCTION model
     //       EVERY batch (the stream_ann_query discipline) so a
     //       mid-stream promotion takes effect at the next batch.
-    val marked = exact
+    val markedRaw = exact
       .join(nearIds, Seq("doc_id"), "left_outer")
       .join(contamIds, Seq("doc_id"), "left_outer")
+    // shadow mode reads the marked frame twice (heuristic + learned
+    // cascades) — persist so the mask joins + token profile run once
+    val marked = if (env.shadow) markedRaw.persist() else markedRaw
+    def learnedDecisions(qstore: FrameStore): DataFrame = {
+      val model = qstore.loadProduction(bs, graft.ml.QualityModel.ModelName)
+        .getOrElse(sys.error("no production quality model"))
+      val proba = graft.ml.QualityModel.scoreClosedForm(
+        marked.select(col("doc_id"), split(col("kept_text"), " ").as("toks")), model)
+      TextOps.curationDecideWith(marked.join(proba, Seq("doc_id")),
+        col("proba") < 0.5)
+    }
     val decisions = env.quality match {
-      case Some(qstore) =>
-        val model = qstore.loadProduction(bs, graft.ml.QualityModel.ModelName)
-          .getOrElse(sys.error("no production quality model"))
-        val proba = graft.ml.QualityModel.scoreClosedForm(
-          marked.select(col("doc_id"), split(col("kept_text"), " ").as("toks")), model)
-        TextOps.curationDecideWith(marked.join(proba, Seq("doc_id")),
-          col("proba") < 0.5)
-      case None => TextOps.curationDecide(marked)
+      case Some(qstore) if !env.shadow => learnedDecisions(qstore)
+      case _ => TextOps.curationDecide(marked)
     }
     decisions.write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
+    // SHADOW learned record: same per-batch PRODUCTION re-resolve as
+    // the gated mode (a mid-stream promotion takes effect at the next
+    // batch), landed beside the heuristic decisions — overwrite-
+    // deterministic, so replays stay idempotent like the main write
+    if (env.shadow) env.quality.foreach { qstore =>
+      learnedDecisions(qstore).write.mode("overwrite")
+        .parquet(s"${env.learnedOutDir}/batch=$batchId")
+    }
+    if (env.shadow) marked.unpersist()
     // the indexes grow with EVERY doc (dropped docs still index —
     // the batch pipeline's pair list spans the whole corpus)
     env.store.appendBatch(bs, ShingleIdx,
@@ -381,10 +411,16 @@ object StreamingCuration {
 
   /** Streaming twin of `text_curation_pack` — same oracle: the
     * continuously-operated pipeline must pack exactly the sequences
-    * the batch pipeline packs. */
+    * the batch pipeline packs. Packs the landed decision records of
+    * the ONE consolidated stream pass ([[StreamingEmit.unifiedRun]])
+    * instead of draining its own stream; the standalone
+    * [[runCurationStream]] stays the spec surface for slicing
+    * robustness. */
   val streamCurationPack: Q = Q("stream_curation_pack",
     TextOps.curationPack.oracle.get) { (s, dir) =>
-    runCurationStream(s, dir)
+    TextOps.packRetained(StreamingEmit.unifiedRun(s, dir).decisions
+      .filter(col("drop_reason").isNull)
+      .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens")))
   }
 
   /** The streamed pipeline with the LEARNED quality gate, certified
@@ -408,23 +444,23 @@ object StreamingCuration {
       |  TRUE AS stream_equals_batch,
       |  TRUE AS same_model_version
       |FROM fin2""".stripMargin) { (s, dir) =>
+    // the streamed learned decisions come from the ONE consolidated
+    // pass's SHADOW record ([[StreamingEmit.unifiedRun]]) — identical
+    // rows to a learned-GATED stream (quality is the last cascade
+    // stage and decisions never feed back into state; pinned in
+    // QualityGateSpec), with the same per-batch PRODUCTION re-resolve.
+    // Hot-reload + slicing parity stay pinned on the standalone gated
+    // runner in QualityGateSpec.
+    val un = StreamingEmit.unifiedRun(s, dir)
     val qstore = graft.ml.QualityModel.productionStore(s, dir)
-    val vBefore = qstore.productionVersion(graft.ml.QualityModel.ModelName)
     val model = qstore.loadProduction(s, graft.ml.QualityModel.ModelName)
       .getOrElse(sys.error("no production quality model"))
     val batchDec = TextOps.curationLearnedDecisions(s, dir, model)
-    val env = prepare(s, dir, quality = Some(qstore))
-    // 2 slices: the cert's job is model-resolve + parity, not slicing
-    // robustness — QualityGateSpec separately pins 2- and 4-slice
-    // parity, so the gate entry doesn't pay a third full-stack batch
-    addArrivalsOrdered(s, env, dir, slices = 2)
-    runPass(s, env)
-    val streamed = streamedDecisions(s, env)
+    val streamed = un.learned
     val cmpCols = streamed.columns.filterNot(_ == "doc_id").toSeq
     val diff = streamed.as("a").join(batchDec.as("r"), Seq("doc_id"), "full_outer")
       .filter(!cmpCols.map(c => col(s"a.$c") <=> col(s"r.$c")).reduce(_ && _))
       .agg(count(lit(1)).as("n_diff"))
-    val vAfter = qstore.productionVersion(graft.ml.QualityModel.ModelName)
     Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(batchDec
         .filter(col("drop_reason").isNotNull && col("drop_reason") =!= "low_quality")
@@ -432,7 +468,7 @@ object StreamingCuration {
       .crossJoin(broadcast(diff))
       .select(col("n_docs"), col("n_dropped_pre_quality"),
         (col("n_diff") === 0).as("stream_equals_batch"),
-        lit(vBefore.isDefined && vBefore == vAfter).as("same_model_version"))
+        lit(un.sameModelVersion).as("same_model_version"))
   }
 
   /** Streaming twin of `text_chunk_windows` — the chunker run as a

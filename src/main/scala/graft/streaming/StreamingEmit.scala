@@ -33,8 +33,10 @@ object StreamingEmit {
 
   final case class Env(cur: StreamingCuration.Env, windowsDir: String)
 
-  def prepare(spark: SparkSession, dir: String): Env = {
-    val cur = StreamingCuration.prepare(spark, dir)
+  def prepare(spark: SparkSession, dir: String,
+              quality: Option[graft.sources.FrameStore] = None,
+              shadow: Boolean = false): Env = {
+    val cur = StreamingCuration.prepare(spark, dir, quality, shadow)
     import spark.implicits._
     cur.store.promote(CarryName,
       cur.store.register(spark, CarryName,
@@ -85,13 +87,18 @@ object StreamingEmit {
       .filter((col("seq_id") + 1) * 512 <= col("total_off"))
       .select(col("source"), col("seq_id"), col("n_tokens"), col("window_fp"))
     complete.write.mode("overwrite").parquet(s"${env.windowsDir}/batch=$batchId")
-    // new carry: every token past the last complete boundary
+    // new carry: every token past the last complete boundary. The
+    // explode is restricted to BOUNDARY-STRADDLING docs first (doc
+    // extent end past new_done) — only they can contribute carry
+    // tokens, so the recompute pays per-tail, not per-batch
     val newCarry = positioned
-      .select(col("source"), col("start_off"),
-        posexplode(split(col("red"), " ")).as(Seq("i", "word")))
-      .select(col("source"), (col("start_off") + col("i")).as("pos"), col("word"))
       .join(totals.select(col("source"),
         (floor(col("total_off") / 512) * 512).as("new_done")), Seq("source"))
+      .filter(col("start_off") + size(split(col("red"), " ")) > col("new_done"))
+      .select(col("source"), col("new_done"), col("start_off"),
+        posexplode(split(col("red"), " ")).as(Seq("i", "word")))
+      .select(col("source"), col("new_done"),
+        (col("start_off") + col("i")).as("pos"), col("word"))
       .filter(col("pos") >= col("new_done"))
       .groupBy(col("source"), col("new_done"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
@@ -158,12 +165,70 @@ object StreamingEmit {
     emittedWindows(spark, env)
   }
 
+  // ------------------------------------------------------------ unified pass
+  /** The artifacts of ONE consolidated curation stream run: emitted
+    * windows (heuristic gate — the batch emit oracle's semantics),
+    * the landed heuristic decision records (what the pack certificate
+    * packs), the SHADOW learned decision records (per-batch
+    * PRODUCTION re-resolve), and whether the promoted quality model
+    * stayed at one version across the run. */
+  final case class Unified(env: Env, windows: DataFrame, decisions: DataFrame,
+                           learned: DataFrame, sameModelVersion: Boolean)
+
+  private val unifiedMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, Unified])
+
+  /** ONE full-stack curation stream pass per (application, sf dir),
+    * memoized — the three operating-mode certificates
+    * (`stream_curation_pack` / `stream_curation_emit` /
+    * `stream_curation_learned`) all read ITS artifacts instead of
+    * each draining their own stream, so the bench executes the
+    * nine-stage stack once, not three times (~61 s → one run at
+    * sf0.1). The run is the emit stream configured with the learned
+    * gate in SHADOW mode: heuristic decisions drive emission and
+    * packing (their oracles replay the heuristic stack), while the
+    * shadow record certifies the learned gate with the identical
+    * per-batch re-resolve discipline (shadow ≡ gated decisions is
+    * pinned in QualityGateSpec; slicing robustness, restart, and
+    * hot-reload stay pinned on the standalone runners in
+    * StreamingSpec/QualityGateSpec at spec scale).
+    *
+    * Drain-time maintenance matches the old standalone pack runner:
+    * both index artifacts compact + gc, both count states snapshot —
+    * the consolidated pass certifies store lifecycle too. */
+  def unifiedRun(s: SparkSession, dir: String): Unified =
+    unifiedMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val qstore = graft.ml.QualityModel.productionStore(s, dir)
+      val vBefore = qstore.productionVersion(graft.ml.QualityModel.ModelName)
+      val env = prepare(s, dir, quality = Some(qstore), shadow = true)
+      StreamingCuration.addArrivalsOrdered(s, env.cur, dir, slices = 2)
+      runPass(s, env)
+      env.cur.store.compact(s, StreamingCuration.ShingleIdx)
+      env.cur.store.compact(s, StreamingCuration.FpIdx)
+      env.cur.store.gc(StreamingCuration.ShingleIdx, keep = 1)
+      env.cur.store.gc(StreamingCuration.FpIdx, keep = 1)
+      StreamingCuration.snapshotCounts(s, env.cur.store,
+        StreamingCuration.LineCounts, env.cur.ckpt)
+      StreamingCuration.snapshotCounts(s, env.cur.store,
+        StreamingCuration.SpanCounts, env.cur.ckpt)
+      env.cur.store.gc(StreamingCuration.LineCounts, keep = 1)
+      env.cur.store.gc(StreamingCuration.SpanCounts, keep = 1)
+      val vAfter = qstore.productionVersion(graft.ml.QualityModel.ModelName)
+      def pin(df: DataFrame): DataFrame = { val p = df.persist(); p.count(); p }
+      Unified(env,
+        windows = pin(emittedWindows(s, env)),
+        decisions = pin(StreamingCuration.streamedDecisions(s, env.cur)),
+        learned = pin(s.read.parquet(env.cur.learnedOutDir).drop("batch")),
+        sameModelVersion = vBefore.isDefined && vBefore == vAfter)
+    })
+
   /** Streaming twin of `text_curation_emit` — same oracle: the
     * continuously-emitted window set must be byte-identical to the
-    * batch emission for any ingest-ordered slicing. */
+    * batch emission for any ingest-ordered slicing. Reads the
+    * [[unifiedRun]] artifacts (one stream pass per session). */
   val streamCurationEmit: Q = Q("stream_curation_emit",
     TextOps.curationEmit.oracle.get) { (s, dir) =>
-    runEmitStream(s, dir)
+    unifiedRun(s, dir).windows
   }
 
   val all: Seq[Q] = Seq(streamCurationEmit)

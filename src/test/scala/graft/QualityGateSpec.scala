@@ -56,6 +56,38 @@ class QualityGateSpec extends SparkSpec {
     }
   }
 
+  test("shadow learned record equals the gated stream's decisions; main stays heuristic") {
+    // the consolidation contract: because low_quality is the LAST
+    // cascade stage and decisions never feed back into the
+    // fp/shingle/count state, a shadow run's learned record must be
+    // row-identical to a learned-GATED stream, while its MAIN
+    // decisions stay identical to the plain heuristic stream — the
+    // two facts that let ONE stream pass certify all three modes
+    val qstore = QualityModel.productionStore(spark, sf)
+    def decMap(df: org.apache.spark.sql.DataFrame): Map[Long, Option[String]] =
+      df.select("doc_id", "drop_reason").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // gated run (learned is the main gate)
+    val gated = StreamingCuration.prepare(spark, sf, quality = Some(qstore))
+    StreamingCuration.addArrivalsOrdered(spark, gated, sf, 2)
+    StreamingCuration.runPass(spark, gated)
+    val gatedDec = decMap(StreamingCuration.streamedDecisions(spark, gated))
+    // shadow run (heuristic main + learned shadow record)
+    val shadow = StreamingCuration.prepare(spark, sf, quality = Some(qstore), shadow = true)
+    StreamingCuration.addArrivalsOrdered(spark, shadow, sf, 2)
+    StreamingCuration.runPass(spark, shadow)
+    val shadowLearned = decMap(spark.read.parquet(shadow.learnedOutDir))
+    assert(shadowLearned == gatedDec, "shadow learned record must equal gated decisions: " +
+      shadowLearned.filter { case (k, v) => gatedDec.get(k) != Some(v) }.take(5))
+    // main decisions equal the plain heuristic stream's
+    val heur = StreamingCuration.prepare(spark, sf)
+    StreamingCuration.addArrivalsOrdered(spark, heur, sf, 2)
+    StreamingCuration.runPass(spark, heur)
+    assert(decMap(StreamingCuration.streamedDecisions(spark, shadow)) ==
+      decMap(StreamingCuration.streamedDecisions(spark, heur)),
+      "shadow main decisions must stay heuristic")
+  }
+
   test("a mid-stream promotion hot-reloads at the next batch") {
     // pass 1 scores with the trained model; a SENTINEL v2 (intercept
     // +10, no coefficients → proba ≈ 1 for every doc) promotes
