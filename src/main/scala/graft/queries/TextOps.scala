@@ -1350,18 +1350,7 @@ object TextOps {
     * one per-source window. Window reassembly is bounded at 512
     * tokens per group (the [[lineReport]] collect device). */
   val curationEmit: Q = Q("text_curation_emit",
-    curationOracleBody +
-      """
-      |, ro AS (
-      |  SELECT source, doc_id, red,
-      |    COALESCE(SUM(len(string_split(red, ' '))) OVER (PARTITION BY source ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
-      |  FROM fin2 WHERE drop_reason IS NULL
-      |), rw AS (
-      |  SELECT source, start_off, unnest(string_split(red, ' ')) AS word,
-      |         generate_subscripts(string_split(red, ' '), 1) AS i
-      |  FROM ro
-      |)
+    curationOracleBody + emitTokenCtes + """
       |SELECT source, CAST((start_off + i - 1) // 512 AS BIGINT) AS seq_id,
       |  COUNT(*) AS n_tokens,
       |  md5(string_agg(word, ' ' ORDER BY start_off + i - 1)) AS window_fp
@@ -1391,6 +1380,188 @@ object TextOps {
         md5(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("word")))),
           x => x.getField("word")), " ")).as("window_fp"))
+
+  /** The emission tokenizer's symbol table applied per word:
+    * `(word, j, id)` rows — word's j-th BPE symbol carries symbol id
+    * `id` — for every distinct word of the curated (retained,
+    * redacted) corpus, memoized + persisted per (application, sf
+    * dir). Symbol ids are CONTENT-DERIVED and portable: id =
+    * 0-based lexicographic rank of the symbol among the distinct
+    * symbols the segmented emission vocabulary uses — the vocab file
+    * a dataloader ships beside the shard, identical on any engine,
+    * any partitioning, any rerun.
+    *
+    * Scale shape: the distinct-word frame is vocab-bounded (words,
+    * not tokens); the symbol table is bounded by |alphabet| + merge
+    * rounds BY CONSTRUCTION (symbols are single characters or one of
+    * the ≤ rounds merged strings), so its rank window and the
+    * id-assignment join are broadcast-trivial at any corpus size;
+    * per-token work downstream joins words to this table under the
+    * usual size gate. */
+  private val emitSymCache =
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+
+  private[graft] def emitWordSyms(s: SparkSession, dir: String): DataFrame =
+    emitSymCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val words = curationDecisions(s, dir).filter(col("drop_reason").isNull)
+        .select(explode(split(col("red"), " ")).as("word")).distinct()
+      val seg = words.select(col("word"),
+        posexplode(bpeSegments(s, dir, col("word"))).as(Seq("j", "sym")))
+      // single-partition rank window: bounded by the SYMBOL alphabet
+      // (chars + merge rounds), never by the corpus
+      val symtab = seg.select(col("sym")).distinct()
+        .withColumn("id", (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("sym"))) - 1).cast("long"))
+      val df = seg.join(broadcast(symtab), Seq("sym"))
+        .select(col("word"), col("j").cast("long").as("j"), col("id"))
+        .persist()
+      df.count()
+      df
+    })
+
+  /** [[emitWindows]] extended with the TOKENIZED-ID face of each
+    * window: alongside the text fingerprint, every window also hashes
+    * its BPE token-ID sequence (each word's symbols in order, words
+    * in position order) — the actual dataloader contract a training
+    * run consumes. One extra word-keyed join against the (bounded)
+    * symbol table; n_tokens counts j = 0 rows so the text-window
+    * accounting is unchanged. */
+  private[graft] def emitWindowsIds(s: SparkSession, dir: String,
+                                    positioned: DataFrame): DataFrame = {
+    val syms = emitWordSyms(s, dir)
+    positioned
+      .select(col("source"), col("start_off"),
+        posexplode(split(col("red"), " ")).as(Seq("i", "word")))
+      .select(col("source"), (col("start_off") + col("i")).as("pos"), col("word"))
+      .join(maybeBroadcast(syms, syms.count() * 40L), Seq("word"))
+      .groupBy(col("source"), floor(col("pos") / 512).as("seq_id"))
+      .agg(
+        count(when(col("j") === 0, 1)).as("n_tokens"),
+        count(lit(1)).as("n_ids"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("j") === 0, struct(col("pos"), col("word"))))),
+          x => x.getField("word")), " ")).as("window_fp"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("j"), col("id")))),
+          x => x.getField("id").cast("string")), ",")).as("ids_fp"))
+  }
+
+  /** The `ro`/`rw` positioned-token CTEs of the emission oracles —
+    * shared by [[curationEmit]], the tokenized-ID emission, and the
+    * emission shuffle order. */
+  private def emitTokenCtes: String =
+    """
+      |, ro AS (
+      |  SELECT source, doc_id, red,
+      |    COALESCE(SUM(len(string_split(red, ' '))) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM fin2 WHERE drop_reason IS NULL
+      |), rw AS (
+      |  SELECT source, start_off, unnest(string_split(red, ' ')) AS word,
+      |         generate_subscripts(string_split(red, ' '), 1) AS i
+      |  FROM ro
+      |)""".stripMargin
+
+  /** Curated emission as TOKEN-ID windows — the dataloader contract:
+    * every 512-token window of the curated stream, identified by the
+    * md5 of its BPE token-ID sequence (the trained
+    * [[bpeTrain]] merges segment each emitted word; symbol ids come
+    * from the sorted symbol vocabulary — [[emitWordSyms]]). The
+    * oracle replays the ENTIRE program end to end: the nine-stage
+    * curation stack, the 16-round BPE train, the segmentation of the
+    * emission vocabulary (redaction markers and plant words included
+    * — OOV against the raw training vocab, segmented by the same
+    * merge fold), the sorted symbol-id assignment, and every
+    * window's id-sequence hash.
+    *
+    * Scale shape: identical to [[curationEmit]] plus one word-keyed
+    * join against the bounded symbol table (broadcast under the size
+    * gate); the only token-level shuffle remains the final
+    * (source, window) aggregation. */
+  val curationEmitIds: Q = Q("text_curation_emit_ids",
+    curationOracleBody + ",\n" + bpeOracleBody(BpeRounds) + emitTokenCtes + s""",
+      |dw AS (SELECT DISTINCT word FROM rw),
+      |d0 AS (SELECT word, '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS st FROM dw),
+      |${(1 to BpeRounds).map(r =>
+          s"d$r AS (SELECT word, replace(st, ' ' || m.l || '  ' || m.r || ' '," +
+            s" ' ' || m.l || m.r || ' ') AS st FROM d${r - 1}, m$r m)").mkString(",\n")},
+      |dsym AS (SELECT word, unnest(string_split(trim(st), '  ')) AS sym,
+      |         generate_subscripts(string_split(trim(st), '  '), 1) - 1 AS j FROM d$BpeRounds),
+      |symtab AS (SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+      |           FROM (SELECT DISTINCT sym FROM dsym)),
+      |wid AS (SELECT word, j, id FROM dsym JOIN symtab USING (sym)),
+      |idrows AS (SELECT source, start_off + i - 1 AS pos, j, id
+      |           FROM rw JOIN wid USING (word))
+      |SELECT source, CAST(pos // 512 AS BIGINT) AS seq_id,
+      |  CAST(COUNT(*) FILTER (WHERE j = 0) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_ids,
+      |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos, j)) AS ids_fp
+      |FROM idrows GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val retained = curationDecisions(s, dir)
+      .filter(col("drop_reason").isNull)
+      .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    emitWindowsIds(s, dir, retained
+      .withColumn("start_off", coalesce(sum(col("final_tokens")).over(w), lit(0L))))
+      .select(col("source"), col("seq_id"), col("n_tokens"), col("n_ids"), col("ids_fp"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** Deterministic training-order shuffle COMPOSED OVER THE CURATED
+    * EMISSION — the [[shuffleOrder]] md5 shard/rank/offset machinery
+    * keyed on each emitted window's content fingerprint, so the one
+    * artifact a training run reads in order (the curated window
+    * stream) is the one that HAS an order. Same scale shape as
+    * [[shuffleOrder]]: content-derived shards bound the rank windows,
+    * the 16-row shard-offset frame broadcasts back, and the display
+    * sort rides a range exchange (the existing exchange-discipline
+    * plan pin carries over). Ties (duplicate window content ⇒ equal
+    * sort keys) break on (source, seq_id) so the order is total on
+    * any engine. */
+  val curationShuffle: Q = Q("text_curation_shuffle",
+    curationOracleBody + emitTokenCtes + """,
+      |ew AS (
+      |  SELECT source, CAST((start_off + i - 1) // 512 AS BIGINT) AS seq_id,
+      |    COUNT(*) AS n_tokens,
+      |    md5(string_agg(word, ' ' ORDER BY start_off + i - 1)) AS window_fp
+      |  FROM rw GROUP BY 1, 2
+      |), k AS (
+      |  SELECT source, seq_id, n_tokens, window_fp,
+      |    md5('shuffle:' || window_fp) AS sort_key
+      |  FROM ew
+      |), k2 AS (
+      |  SELECT *, CAST(('0x' || substr(sort_key, 1, 1)) AS BIGINT) AS shard FROM k
+      |)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY sort_key, source, seq_id) AS BIGINT) AS ord,
+      |  shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sort_key, source, seq_id) AS BIGINT) AS pos,
+      |  sort_key, source, seq_id, n_tokens, window_fp
+      |FROM k2 ORDER BY ord""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val retained = curationDecisions(s, dir)
+      .filter(col("drop_reason").isNull)
+      .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keyed = emitWindows(retained
+      .withColumn("start_off", coalesce(sum(col("final_tokens")).over(w), lit(0L))))
+      .withColumn("sort_key", md5(concat(lit("shuffle:"), col("window_fp"))))
+      .withColumn("shard", conv(substring(col("sort_key"), 1, 1), 16, 10).cast("long"))
+    val withPos = keyed.withColumn("pos",
+      row_number().over(Window.partitionBy(col("shard"))
+        .orderBy(col("sort_key"), col("source"), col("seq_id"))).cast("long"))
+    val off = withPos.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("shard"), col("offset"))
+    withPos.join(broadcast(off), Seq("shard"))
+      .select((col("offset") + col("pos")).as("ord"), col("shard"), col("pos"),
+        col("sort_key"), col("source"), col("seq_id"), col("n_tokens"), col("window_fp"))
+      .orderBy(col("ord"))
+  }
 
   /** The per-source concat-then-chunk packing over a retained-docs
     * frame `(source, doc_id, n_tokens)` — shared by [[curationPack]]
@@ -1844,7 +2015,9 @@ object TextOps {
   /** Merge-learning rounds for [[bpeTrain]] — each round is one
     * aggregate over the distinct-word state, so the oracle unrolls
     * exactly this many CTE blocks. */
-  private[graft] val BpeRounds = 16
+  // final val: compile-time folded, so oracle strings interpolating it
+  // ABOVE this definition in object-init order still read 16, not 0
+  private[graft] final val BpeRounds = 16
 
   /** Learned BPE merge table over the corpus vocabulary — the
     * TRAINING half of byte-pair encoding ([[tokenBpe]] is the
@@ -1954,13 +2127,19 @@ object TextOps {
       |FROM (${(1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
       |ORDER BY round""".stripMargin
 
-  private def bpeOracleCtes(rounds: Int): String = {
+  private def bpeOracleCtes(rounds: Int): String =
+    "WITH " + bpeOracleBody(rounds)
+
+  /** The bpe-train CTE chain WITHOUT the `WITH` prefix, so it can be
+    * spliced into another oracle's WITH list (the tokenized-ID
+    * emission splices it after the curation chain). */
+  private def bpeOracleBody(rounds: Int): String = {
     val sb = new StringBuilder
     // state and merge CTEs are each referenced twice per round; without
     // MATERIALIZED the inliner expands the chain exponentially (2^rounds
     // scans of documents — observed as an fd-exhaustion failure)
     sb.append(
-      """WITH v AS MATERIALIZED (SELECT word, COUNT(*) AS freq
+      """v AS MATERIALIZED (SELECT word, COUNT(*) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
         |s0 AS MATERIALIZED (SELECT word, freq, '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS st FROM v)""".stripMargin)
     for (r <- 1 to rounds) {
@@ -1994,6 +2173,21 @@ object TextOps {
     * one partial-agg groupBy rolls up per-doc counts. The corpus is
     * never char-exploded: per-word work happens once per DISTINCT
     * word, the frequency-weighted join fans it out. */
+  /** The trained tokenizer applied to an arbitrary word column: the
+    * collected merge table folds into LITERAL boundary-preserving
+    * replaces over the double-space char expansion, then the symbol
+    * array — one codegen expression, applicable to ANY word (not
+    * just training-vocab members: OOV words simply stop at whatever
+    * merges match). Shared by [[bpeEncode]] and the tokenized-ID
+    * emission. */
+  private[graft] def bpeSegments(s: SparkSession, dir: String, word: Column): Column = {
+    val st0 = concat(lit("  "), regexp_replace(word, "(.)", "$1  "))
+    val stN = bpeMerges(s, dir).foldLeft(st0) { case (c, (_, l, r, _)) =>
+      call_function("replace", c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    split(trim(stN), "  ")
+  }
+
   val bpeEncode: Q = Q("text_bpe_encode",
     bpeOracleCtes(BpeRounds) + s""",
       |enc AS (SELECT word, len(string_split(trim(st), '  ')) AS n_sym FROM s$BpeRounds),
@@ -2003,13 +2197,9 @@ object TextOps {
       |  ROUND(CAST(MAX(w.n_chars) AS DOUBLE) / SUM(e.n_sym), 6) AS chars_per_bpe
       |FROM words w JOIN enc e ON w.word = e.word
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val st0 = concat(lit("  "), regexp_replace(col("tok"), "(.)", "$1  "))
-    val stN = bpeMerges(s, dir).foldLeft(st0) { case (c, (_, l, r, _)) =>
-      call_function("replace", c, lit(s" $l  $r "), lit(s" $l$r "))
-    }
     val (vocab, nVocab) = Curation.vocabStats(s, dir)
     val enc = vocab.select(col("tok").as("word"),
-      size(split(trim(stN), "  ")).cast("long").as("n_sym"))
+      size(bpeSegments(s, dir, col("tok"))).cast("long").as("n_sym"))
     tokenized(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_chars"), explode(col("w")).as("word"))
       .join(maybeBroadcast(enc, nVocab * 64L), "word")
@@ -2394,6 +2584,6 @@ object TextOps {
     dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
-    tfidfTopK, curation, curationPack, curationEmit, decontaminate, decontaminateIncremental,
-    decontaminateBloom)
+    tfidfTopK, curation, curationPack, curationEmit, curationEmitIds, curationShuffle,
+    decontaminate, decontaminateIncremental, decontaminateBloom)
 }

@@ -31,7 +31,7 @@ object StreamingEmit {
 
   val CarryName = "emit_carry"
 
-  final case class Env(cur: StreamingCuration.Env, windowsDir: String)
+  final case class Env(cur: StreamingCuration.Env, windowsDir: String, dir: String)
 
   def prepare(spark: SparkSession, dir: String,
               quality: Option[graft.sources.FrameStore] = None,
@@ -42,7 +42,7 @@ object StreamingEmit {
       cur.store.register(spark, CarryName,
         Seq.empty[(String, Long, String)].toDF("source", "done_off", "carry_text")
           .withColumn("batch_id", lit(-1L))))
-    Env(cur, cur.outDir + "-windows")
+    Env(cur, cur.outDir + "-windows", dir)
   }
 
   /** One micro-batch: full stack → retained texts → window cut
@@ -81,11 +81,15 @@ object StreamingEmit {
     val totals = positioned
       .groupBy(col("source"))
       .agg(max(col("start_off") + size(split(col("red"), " "))).as("total_off"))
-    val windows = TextOps.emitWindows(positioned).persist()
+    // both window faces cut together — text fingerprint and the
+    // tokenized-ID sequence hash (the symbol table is the fixed
+    // tokenizer artifact, memoized per session — one broadcast join)
+    val windows = TextOps.emitWindowsIds(bs, env.dir, positioned).persist()
     // a window is COMPLETE when the stream has moved past its end
     val complete = windows.join(totals, Seq("source"))
       .filter((col("seq_id") + 1) * 512 <= col("total_off"))
-      .select(col("source"), col("seq_id"), col("n_tokens"), col("window_fp"))
+      .select(col("source"), col("seq_id"), col("n_tokens"), col("n_ids"),
+        col("window_fp"), col("ids_fp"))
     complete.write.mode("overwrite").parquet(s"${env.windowsDir}/batch=$batchId")
     // new carry: every token past the last complete boundary. The
     // explode is restricted to BOUNDARY-STRADDLING docs first (doc
@@ -142,18 +146,24 @@ object StreamingEmit {
   }
 
   /** Drain: flush every source's final partial window from the carry
-    * and read the accumulated windows back, batch-oracle-shaped. */
-  def emittedWindows(spark: SparkSession, env: Env): DataFrame = {
+    * and read the accumulated windows back — BOTH window faces
+    * (text fingerprint + tokenized-ID hash). */
+  def allWindows(spark: SparkSession, env: Env): DataFrame = {
     val latest = latestCarry(env.cur.store.loadProduction(spark, CarryName)
       .getOrElse(sys.error("no production emit carry")))
       .filter(col("carry_text") =!= "")
       .select(col("source"), col("done_off").as("start_off"),
         col("carry_text").as("red"))
-    val flushed = TextOps.emitWindows(latest)
+    val flushed = TextOps.emitWindowsIds(spark, env.dir, latest)
     spark.read.parquet(env.windowsDir).drop("batch")
       .unionByName(flushed)
-      .orderBy(col("source"), col("seq_id"))
   }
+
+  /** [[allWindows]] in the batch `text_curation_emit` oracle shape. */
+  def emittedWindows(spark: SparkSession, env: Env): DataFrame =
+    allWindows(spark, env)
+      .select(col("source"), col("seq_id"), col("n_tokens"), col("window_fp"))
+      .orderBy(col("source"), col("seq_id"))
 
   // gate default 2 slices: slicing robustness + restart are pinned in
   // StreamingSpec (2/4 slices, two-pass resume), so the bench entry
@@ -216,7 +226,7 @@ object StreamingEmit {
       val vAfter = qstore.productionVersion(graft.ml.QualityModel.ModelName)
       def pin(df: DataFrame): DataFrame = { val p = df.persist(); p.count(); p }
       Unified(env,
-        windows = pin(emittedWindows(s, env)),
+        windows = pin(allWindows(s, env)),
         decisions = pin(StreamingCuration.streamedDecisions(s, env.cur)),
         learned = pin(s.read.parquet(env.cur.learnedOutDir).drop("batch")),
         sameModelVersion = vBefore.isDefined && vBefore == vAfter)
@@ -229,7 +239,21 @@ object StreamingEmit {
   val streamCurationEmit: Q = Q("stream_curation_emit",
     TextOps.curationEmit.oracle.get) { (s, dir) =>
     unifiedRun(s, dir).windows
+      .select(col("source"), col("seq_id"), col("n_tokens"), col("window_fp"))
+      .orderBy(col("source"), col("seq_id"))
   }
 
-  val all: Seq[Q] = Seq(streamCurationEmit)
+  /** Streaming twin of `text_curation_emit_ids` — same oracle: every
+    * continuously-shipped window's BPE token-ID hash must equal the
+    * batch emission's (windows carry both faces the moment they
+    * complete — the dataloader consumes ids, the audit trail keeps
+    * the text fingerprint). */
+  val streamCurationEmitIds: Q = Q("stream_curation_emit_ids",
+    TextOps.curationEmitIds.oracle.get) { (s, dir) =>
+    unifiedRun(s, dir).windows
+      .select(col("source"), col("seq_id"), col("n_tokens"), col("n_ids"), col("ids_fp"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  val all: Seq[Q] = Seq(streamCurationEmit, streamCurationEmitIds)
 }

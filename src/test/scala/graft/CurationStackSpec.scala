@@ -142,4 +142,22 @@ class CurationStackSpec extends SparkSpec {
       .map(_.getAs[Long]("final_tokens")).sum
     assert(total == expected, s"emitted $total != retained $expected")
   }
+
+  test("emission tokenizer is lossless and its id space is dense") {
+    import graft.queries.TextOps
+    // every emitted word (incl. OOV plant words and redaction
+    // markers) must reassemble exactly from its BPE symbols — a
+    // dropped or mangled symbol would silently corrupt the id stream
+    val emitted = TextOps.emitWordSyms(spark, sf) // (word, j, id)
+    val distinctWords = emitted.select("word").distinct()
+    val bad = distinctWords
+      .withColumn("re", concat_ws("", TextOps.bpeSegments(spark, sf, col("word"))))
+      .filter(col("re") =!= col("word")).count()
+    assert(bad == 0, s"$bad words fail to reassemble from their symbols")
+    // ids are the dense 0..N-1 lexicographic ranks of the symbol set
+    val stats = emitted.agg(min(col("id")), max(col("id")),
+      countDistinct(col("id"))).head()
+    assert(stats.getLong(0) == 0L)
+    assert(stats.getLong(1) == stats.getLong(2) - 1)
+  }
 }
