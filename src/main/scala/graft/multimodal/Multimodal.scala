@@ -757,6 +757,76 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------- cross-modal align
+  /** Cross-modal ALIGNMENT scoring — the LAION-style filter between
+    * dedup and packing: every media document pairs with its caption,
+    * both sides carry PRECOMPUTED encoder embeddings (the
+    * `embeddings` table keyed by reference id — exactly how
+    * img2dataset-era pipelines ship CLIP embeddings as columns next
+    * to the payloads), the pair scores CLIP-style cosine, and the
+    * corpus keeps pairs above the alignment threshold.
+    *
+    * Planted-misalignment device: the caption reference is the
+    * image's own embedding row for 9 of 10 docs (the caption encoder
+    * adds a deterministic one-coordinate perturbation, so aligned
+    * pairs score ≈ 0.999, not a degenerate exact 1.0) and a SWAPPED
+    * row for every doc_id % 10 = 7 (independent 64-dim vectors:
+    * |cos| ≤ ~0.31 measured across all SFs). The 0.9 threshold
+    * clears both classes with wide margin; the oracle replays
+    * pairing, perturbation, cosine, and the keep decision exactly.
+    *
+    * Scale shape: both embedding lookups are plain EQUI-joins on the
+    * reference id (the embedding store outgrows any broadcast at
+    * 100 TB — no hint; AQE may still broadcast at test SF); the only
+    * non-equi join is the broadcast 1-row corpus-count anchor; the
+    * cosine is the codegen [[graft.functions.CosineSim]] kernel in
+    * double element order, so the raw-threshold decision is
+    * bit-identical across engines. */
+  val captionAlign: Q = Q("mm_caption_align",
+    """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+      |p AS (SELECT doc_id, doc_id % n.n AS img_ref,
+      |        CASE WHEN doc_id % 10 = 7 THEN (doc_id * 31 + 7) % n.n
+      |             ELSE doc_id % n.n END AS cap_ref
+      |      FROM documents, n),
+      |z AS (SELECT p.doc_id, p.img_ref, p.cap_ref,
+      |        p.doc_id % len(ce.embedding) AS pj,
+      |        unnest(ie.embedding) AS a, unnest(ce.embedding) AS b,
+      |        generate_subscripts(ie.embedding, 1) AS i
+      |      FROM p JOIN embeddings ie ON ie.vec_id = p.img_ref
+      |             JOIN embeddings ce ON ce.vec_id = p.cap_ref),
+      |z2 AS (SELECT doc_id, img_ref, cap_ref, CAST(a AS DOUBLE) AS av,
+      |        CASE WHEN i - 1 = pj THEN CAST(b AS DOUBLE) * 1.1
+      |             ELSE CAST(b AS DOUBLE) END AS bv
+      |       FROM z),
+      |d AS (SELECT doc_id, img_ref, cap_ref,
+      |        SUM(av*bv) AS dot, SUM(av*av) AS na, SUM(bv*bv) AS nb
+      |      FROM z2 GROUP BY 1, 2, 3)
+      |SELECT doc_id, img_ref, cap_ref,
+      |  ROUND(dot/(sqrt(na)*sqrt(nb)), 6) AS cosine,
+      |  (dot/(sqrt(na)*sqrt(nb)) >= 0.9) AS keep
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val nRow = broadcast(emb.agg(count(lit(1)).as("n")))
+    val pairs = Tables.documents(s, dir).select(col("doc_id"))
+      .crossJoin(nRow)
+      .select(col("doc_id"), (col("doc_id") % col("n")).as("img_ref"),
+        when(col("doc_id") % 10 === 7, (col("doc_id") * 31 + 7) % col("n"))
+          .otherwise(col("doc_id") % col("n")).as("cap_ref"))
+    val img = emb.select(col("vec_id").as("img_ref"), col("embedding").as("img_e"))
+    val cap = emb.select(col("vec_id").as("cap_ref"), col("embedding").as("cap_e"))
+    pairs.join(img, Seq("img_ref")).join(cap, Seq("cap_ref"))
+      .withColumn("cap_p", expr(
+        """zip_with(cap_e, sequence(0, size(cap_e) - 1),
+          |  (x, j) -> IF(j = doc_id % size(cap_e),
+          |    CAST(x AS DOUBLE) * 1.1D, CAST(x AS DOUBLE)))""".stripMargin))
+      .withColumn("cos_raw", expr("graft_cosine(img_e, cap_p)"))
+      .select(col("doc_id"), col("img_ref"), col("cap_ref"),
+        round(col("cos_raw"), 6).as("cosine"),
+        (col("cos_raw") >= 0.9).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame sampling over the payload: fixed-stride 64-byte windows
     * exploded to one row per frame with per-frame digests — the
     * video-frame / audio-chunk extraction shape (the real decoder
@@ -822,5 +892,5 @@ object Multimodal {
       .orderBy(col("shard"), col("seq_id"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, packBudget)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, captionAlign, packBudget)
 }

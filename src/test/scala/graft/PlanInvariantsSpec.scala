@@ -133,6 +133,17 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("caption alignment: equi-join embedding lookups; only the 1-row anchor nests") {
+    // both encoder-embedding lookups must be hash equi-joins on the
+    // reference id (never a cartesian pairing); the single permitted
+    // nested-loop is the broadcast 1-row corpus-count anchor
+    val plan = formatted(SparkEntry.queries("mm_caption_align")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // formatted plans list each node twice (tree + detail) — count
+    // the numbered detail headers
+    assert("""\) BroadcastNestedLoopJoin""".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("curation emit: no UDF break, no cartesian through the composed stack") {
     // the end-to-end emission composes every stage; whatever the
     // stack's shape, nothing may fall back to an interpreted UDF or
