@@ -71,10 +71,11 @@ object Bench {
         graft.queries.Kmeans.trained(spark, sfDir); ()
       },
       timedWarm("cache_warm_media_pairs") {
-        // the image/audio fingerprint + band-join pair lists shared
-        // by the media dedup and cluster queries
+        // the image/audio/video fingerprint + band-join pair lists
+        // shared by the media dedup and cluster queries
         graft.multimodal.Multimodal.imagePairs(spark, sfDir)
         graft.multimodal.Multimodal.audioPairs(spark, sfDir)
+        graft.multimodal.Multimodal.videoPairs(spark, sfDir)
         ()
       },
       timedWarm("cache_warm_curation") {

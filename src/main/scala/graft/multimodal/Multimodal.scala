@@ -519,11 +519,7 @@ object Multimodal {
         expr("concat(chr((ascii(substring(px, 1, 1)) + 7) % 128), substring(px, 2))")
           .as("px"))
     parsed.unionByName(twins)
-      .select(col("doc_id"), expr(
-        s"""aggregate(sequence(0, 47), CAST(0 AS BIGINT),
-           |  (acc, b) -> acc + IF(${lumSql(gridP1)} > ${lumSql(gridP0)},
-           |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
-        .as("dh"))
+      .select(col("doc_id"), expr(dhashSparkExpr).as("dh"))
       .localCheckpoint()
   }
 
@@ -827,6 +823,195 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------- video dedup
+  // 48-bit rotate-left by r (0 ≤ r < 48), Spark and DuckDB spellings
+  // kept in lockstep: the temporal signature XORs each frame's dHash
+  // rotated by 5·frame_idx, so the SAME frames in a DIFFERENT order
+  // produce a different signature (order is part of the identity),
+  // while a small per-frame perceptual change stays a small signature
+  // change (rotation is a bit permutation; XOR of one changed frame
+  // preserves its Hamming distance)
+  private def rotSpark(e: String, r: Int): String =
+    if (r == 0) s"($e)"
+    else s"((shiftleft($e, $r) | shiftright($e, ${48 - r})) & 281474976710655)"
+  private def rotDuck(e: String, r: Int): String =
+    if (r == 0) s"($e)"
+    else s"((($e << $r) | ($e >> ${48 - r})) & 281474976710655)"
+
+  /** The 48-sample dHash program over `(px, w, h)` columns — shared
+    * verbatim by the single-image hash and the per-frame video hash. */
+  private val dhashSparkExpr: String =
+    s"""aggregate(sequence(0, 47), CAST(0 AS BIGINT),
+       |  (acc, b) -> acc + IF(${lumSql(gridP1)} > ${lumSql(gridP0)},
+       |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin
+
+  /** The banded-candidate CTE chain of the video-dedup oracle (no
+    * WITH prefix — the clusters oracle reuses it under RECURSIVE):
+    * replays frame synthesis (3 temporally-shifted PPM frames per
+    * doc), the planted frame-1 twin, per-frame dHash, the rotate-XOR
+    * temporal signature, and the 4×12 banding. */
+  private def videoOracleCtes: String =
+    s"""geom AS (
+      |  SELECT doc_id, n_chars, n_chars % 8 + 4 AS w, n_chars % 6 + 3 AS h, text
+      |  FROM documents WHERE n_chars > 0
+      |), fr AS (
+      |  SELECT doc_id, w, h, f,
+      |    substr(repeat(text, (3*w*h) // n_chars + 2), f + 1, 3*w*h) AS px
+      |  FROM geom, range(0, 3) r(f)
+      |), fr2 AS (
+      |  SELECT doc_id, w, h, f, px FROM fr
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, w, h, f,
+      |    CASE WHEN f = 1 THEN chr((ord(substr(px, 1, 1)) + 7) % 128) || substr(px, 2)
+      |         ELSE px END AS px
+      |  FROM fr WHERE doc_id % 10 = 0
+      |), fdh AS (
+      |  SELECT doc_id, f,
+      |    list_sum(list_transform(range(0, 48), b ->
+      |      CASE WHEN ${duckLum(duckP1)} > ${duckLum(duckP0)}
+      |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS dh
+      |  FROM fr2
+      |), piv AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN f = 0 THEN dh END) AS dh0,
+      |    MAX(CASE WHEN f = 1 THEN dh END) AS dh1,
+      |    MAX(CASE WHEN f = 2 THEN dh END) AS dh2
+      |  FROM fdh GROUP BY 1
+      |), hs AS (
+      |  SELECT doc_id,
+      |    xor(xor(${rotDuck("dh0", 0)}, ${rotDuck("dh1", 5)}), ${rotDuck("dh2", 10)}) AS dh
+      |  FROM piv
+      |), bands AS (
+      |  SELECT doc_id, dh, i AS band, (dh >> (12*i)) & 4095 AS bv
+      |  FROM hs, range(0, 4) r(i)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.dh AS dh1, b.dh AS dh2
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  /** Deterministic fixed-format VIDEO payloads: 3 concatenated PPM
+    * P6 frames per doc, frame f's pixels = the text byte stream
+    * shifted by f (a panning clip) — the [[ppmTable]] device extended
+    * to a frame SEQUENCE, so the container is self-describing and the
+    * decoder below reads nothing but the payload column. */
+  def videoTable(spark: SparkSession, dir: String) =
+    videoFrames(Tables.documents(spark, dir))
+
+  def videoFrames(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(col("n_chars") > 0)
+      .withColumn("w", (col("n_chars") % 8 + 4).cast("int"))
+      .withColumn("h", (col("n_chars") % 6 + 3).cast("int"))
+      .withColumn("rep", expr("repeat(text, 3*w*h div n_chars + 2)"))
+      .select(col("doc_id"), expr(
+        """CAST(concat_ws('', transform(sequence(0, 2), f ->
+          |  concat('P6', chr(10), w, ' ', h, chr(10), '255', chr(10),
+          |         substring(rep, f + 1, 3*w*h)))) AS BINARY)""".stripMargin)
+        .as("payload"))
+
+  /** Temporal signature per video (incl. the planted frame-1 twins)
+    * over any documents frame: parse the 3-frame container (frame
+    * length = shared header + 3·w·h, so slicing is pure offset
+    * arithmetic), dHash each frame's pixels with the image grid, and
+    * chain the frame hashes with rotate-XOR — frame ORDER is part of
+    * the signature, a one-frame perceptual change stays Hamming-small
+    * (the property banding needs). Staged localCheckpoints for the
+    * same interpreted-HOF reasons as [[imageHashes]]. */
+  def videoHashes(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val frames = videoFramePx(videoFrames(docs))
+    val twins = frames.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("w"), col("h"), col("f"),
+        when(col("f") === 1,
+          expr("concat(chr((ascii(substring(px, 1, 1)) + 7) % 128), substring(px, 2))"))
+          .otherwise(col("px")).as("px"))
+    chainSignature(frames.unionByName(twins))
+  }
+
+  /** Container parse over `(doc_id, payload)`: frame length = shared
+    * header + 3·w·h, so slicing the 3 frames is pure offset
+    * arithmetic over the decoded string — one row per (doc, frame)
+    * with its pixel block. */
+  private def videoFramePx(media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    media
+      .withColumn("s", col("payload").cast("string"))
+      .withColumn("p1", expr("split_part(s, chr(10), 1)"))
+      .withColumn("p2", expr("split_part(s, chr(10), 2)"))
+      .withColumn("p3", expr("split_part(s, chr(10), 3)"))
+      .withColumn("w", expr("CAST(split_part(p2, ' ', 1) AS INT)"))
+      .withColumn("h", expr("CAST(split_part(p2, ' ', 2) AS INT)"))
+      .withColumn("hdr", expr("length(p1) + length(p2) + length(p3) + 3"))
+      .select(col("doc_id"), col("w"), col("h"), col("hdr"), col("s"),
+        explode(expr("sequence(0, 2)")).as("f"))
+      .select(col("doc_id"), col("w"), col("h"), col("f"),
+        expr("substring(s, f * (hdr + 3*w*h) + hdr + 1, 3*w*h)").as("px"))
+
+  /** Per-frame dHash → rotate-XOR chain over `(doc_id, w, h, f, px)`
+    * rows. Staged localCheckpoints ([[imageHashes]] reasons). */
+  private def chainSignature(frames: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val fdh = frames
+      .select(col("doc_id"), col("f"), expr(dhashSparkExpr).as("dh"))
+      .localCheckpoint()
+    fdh.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("f") === 0, col("dh"))).as("dh0"),
+        max(when(col("f") === 1, col("dh"))).as("dh1"),
+        max(when(col("f") === 2, col("dh"))).as("dh2"))
+      .select(col("doc_id"), expr(
+        s"${rotSpark("dh0", 0)} ^ ${rotSpark("dh1", 5)} ^ ${rotSpark("dh2", 10)}")
+        .as("dh"))
+      .localCheckpoint()
+  }
+
+  /** Parse + temporal signature over raw `(doc_id, payload)` video
+    * containers — the decoder-facing entry (the spec feeds
+    * hand-assembled containers through it). */
+  def videoSignaturesOfPayloads(media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    chainSignature(videoFramePx(media))
+
+  def videoPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    memoPairs(s, dir, "video", imageBands(videoHashes(Tables.documents(s, dir))))
+
+  /** Video near-duplicate detection — the THIRD modality face of the
+    * banded-fingerprint contract: temporal rotate-XOR signature,
+    * 4×12 banding, exact Hamming recheck, planted frame-perturbed
+    * twins replayed end to end by the oracle. Same scale shape as
+    * [[imageDedup]]/[[audioDedup]] (decode + hash are a map pass; the
+    * band join ships 4 fixed-width rows per clip). */
+  val videoDedup: Q = Q("mm_video_dedup",
+    "WITH " + videoOracleCtes + s"""
+      |SELECT d1, d2, CAST(bit_count(xor(dh1, dh2)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(dh1, dh2)) <= 3
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    videoPairs(s, dir).orderBy(col("d1"), col("d2"))
+  }
+
+  /** Video dedup DECIDED — [[imageClusters]] for the temporal
+    * signature family: hash-to-min connected components over the
+    * banded pair graph, min-id keeper, recursive-CTE oracle. The
+    * third modality now parses, detects, AND decides. */
+  val videoClusters: Q = Q("mm_video_clusters",
+    "WITH RECURSIVE " + videoOracleCtes + s"""
+      |, pairs AS (SELECT d1, d2 FROM cand WHERE bit_count(xor(dh1, dh2)) <= 3),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS v, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS v, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
+      |comp AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)
+      |SELECT c.doc_id, c.cluster_id, n.sz AS cluster_size,
+      |       (c.doc_id = c.cluster_id) AS is_keeper
+      |FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY 1) n USING (cluster_id)
+      |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cc = graft.queries.DedupGraph.connectedComponents(
+      videoPairs(s, dir).select(col("d1"), col("d2")))
+    val sz = Window.partitionBy(col("cluster_id"))
+    cc.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(sz))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame sampling over the payload: fixed-stride 64-byte windows
     * exploded to one row per frame with per-frame digests — the
     * video-frame / audio-chunk extraction shape (the real decoder
@@ -892,5 +1077,5 @@ object Multimodal {
       .orderBy(col("shard"), col("seq_id"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, captionAlign, packBudget)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDedup, videoClusters, captionAlign, packBudget)
 }

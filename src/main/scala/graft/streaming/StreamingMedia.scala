@@ -124,6 +124,10 @@ object StreamingMedia {
     runDedupStream(spark, dir,
       docs => Multimodal.audioBands(Multimodal.audioHashes(docs)), slices)
 
+  def runVideoDedupStream(spark: SparkSession, dir: String, slices: Int = 2): DataFrame =
+    runDedupStream(spark, dir,
+      docs => Multimodal.imageBands(Multimodal.videoHashes(docs)), slices)
+
   /** Streaming twin of `mm_image_dedup` — same oracle. */
   val streamImageDedup: Q = Q("stream_image_dedup",
     Multimodal.imageDedup.oracle.get) { (s, dir) =>
@@ -136,6 +140,14 @@ object StreamingMedia {
   val streamAudioDedup: Q = Q("stream_audio_dedup",
     Multimodal.audioDedup.oracle.get) { (s, dir) =>
     runAudioDedupStream(s, dir)
+  }
+
+  /** Streaming twin of `mm_video_dedup` — same oracle and the same
+    * shared incremental band-index machinery: the third modality's
+    * temporal signature rides the banded contract unchanged. */
+  val streamVideoDedup: Q = Q("stream_video_dedup",
+    Multimodal.videoDedup.oracle.get) { (s, dir) =>
+    runVideoDedupStream(s, dir)
   }
 
   /** Streaming twin of `mm_audio_decode` — same oracle; stateless
@@ -153,5 +165,5 @@ object StreamingMedia {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(streamImageDedup, streamAudioDedup, streamAudioDecode)
+  val all: Seq[Q] = Seq(streamImageDedup, streamAudioDedup, streamVideoDedup, streamAudioDecode)
 }

@@ -134,4 +134,50 @@ class MultimodalSpec extends SparkSpec {
     assert(twinPairs.forall(_._3 <= 3))
     assert(pairs.forall(p => p._1 < p._2 && p._3 >= 0 && p._3 <= 3))
   }
+
+  test("video dedup finds every planted frame-perturbed twin within Hamming 3") {
+    val pairs = Multimodal.videoDedup.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming")))
+    val twinPairs = pairs.filter { case (d1, d2, _) => d2 == d1 + 1000000L }
+    val expectedTwins = graft.sources.Tables.documents(spark, sf)
+      .filter(col("n_chars") > 0 && col("doc_id") % 10 === 0).count()
+    assert(twinPairs.length == expectedTwins,
+      s"${twinPairs.length} of $expectedTwins planted twins detected")
+    assert(twinPairs.forall(_._3 <= 3))
+    assert(pairs.forall(p => p._1 < p._2 && p._3 >= 0 && p._3 <= 3))
+  }
+
+  test("video temporal signature depends on frame ORDER, not just frame content") {
+    import spark.implicits._
+    // two 3-frame clips built from raw frame pixels directly: same
+    // frame multiset, different order, must hash differently — the
+    // rotate-XOR chain makes order part of the identity (a plain XOR
+    // of frame hashes would collapse them)
+    def clip(frames: Seq[String], w: Int, h: Int): Array[Byte] =
+      frames.map(px => s"P6\n$w $h\n255\n$px").mkString("").getBytes("US-ASCII")
+    val w = 4; val h = 3
+    val fa = "a" * (3 * w * h)
+    val fb = ("ab" * (3 * w * h)).take(3 * w * h)
+    val fc = ("xyz" * (3 * w * h)).take(3 * w * h)
+    val docs = Seq(
+      (1L, clip(Seq(fa, fb, fc), w, h)),
+      (2L, clip(Seq(fb, fa, fc), w, h)))
+      .toDF("doc_id", "payload")
+    val sigs = Multimodal.videoSignaturesOfPayloads(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) != sigs(2L),
+      s"frame order must change the temporal signature: ${sigs(1L)}")
+  }
+
+  test("streamed video dedup equals the batch pair list across slicings") {
+    val batch = Multimodal.videoDedup.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming"))).toSet
+    for (slices <- Seq(2, 5)) {
+      val streamed = graft.streaming.StreamingMedia
+        .runVideoDedupStream(spark, sf, slices).collect()
+        .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming"))).toSet
+      assert(streamed == batch, s"slices=$slices: extra=${(streamed -- batch).take(3)} " +
+        s"missing=${(batch -- streamed).take(3)}")
+    }
+  }
 }
