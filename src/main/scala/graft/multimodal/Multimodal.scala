@@ -801,10 +801,19 @@ object Multimodal {
       |  ROUND(dot/(sqrt(na)*sqrt(nb)), 6) AS cosine,
       |  (dot/(sqrt(na)*sqrt(nb)) >= 0.9) AS keep
       |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    graft.functions.GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, dir)
+    alignScores(Tables.documents(s, dir), Tables.embeddings(s, dir))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The alignment scoring as a frame transform over `(docs, emb)` —
+    * shared by the batch query and the stateless streaming twin
+    * (each micro-batch scores its arrivals against the static
+    * embedding store: stream-static equi-joins). */
+  def alignScores(docs: org.apache.spark.sql.DataFrame,
+                  emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val nRow = broadcast(emb.agg(count(lit(1)).as("n")))
-    val pairs = Tables.documents(s, dir).select(col("doc_id"))
+    val pairs = docs.select(col("doc_id"))
       .crossJoin(nRow)
       .select(col("doc_id"), (col("doc_id") % col("n")).as("img_ref"),
         when(col("doc_id") % 10 === 7, (col("doc_id") * 31 + 7) % col("n"))
@@ -820,7 +829,6 @@ object Multimodal {
       .select(col("doc_id"), col("img_ref"), col("cap_ref"),
         round(col("cos_raw"), 6).as("cosine"),
         (col("cos_raw") >= 0.9).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   // ------------------------------------------------------------- video dedup

@@ -1545,8 +1545,17 @@ object TextOps {
       .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val keyed = emitWindows(retained
-      .withColumn("start_off", coalesce(sum(col("final_tokens")).over(w), lit(0L))))
+    shuffleRankWindows(emitWindows(retained
+      .withColumn("start_off", coalesce(sum(col("final_tokens")).over(w), lit(0L)))))
+  }
+
+  /** The window-keyed shuffle-rank program over
+    * `(source, seq_id, n_tokens, window_fp)` — shared by the batch
+    * composition and the streaming drain (which ranks the landed
+    * window artifact of the consolidated stream pass). */
+  private[graft] def shuffleRankWindows(windows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = windows
       .withColumn("sort_key", md5(concat(lit("shuffle:"), col("window_fp"))))
       .withColumn("shard", conv(substring(col("sort_key"), 1, 1), 16, 10).cast("long"))
     val withPos = keyed.withColumn("pos",

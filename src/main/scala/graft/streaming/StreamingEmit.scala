@@ -255,5 +255,16 @@ object StreamingEmit {
       .orderBy(col("source"), col("seq_id"))
   }
 
-  val all: Seq[Q] = Seq(streamCurationEmit, streamCurationEmitIds)
+  /** Streaming twin of `text_curation_shuffle` — same oracle: the
+    * training order assigned at DRAIN over the continuously-landed
+    * window artifact (order is a whole-corpus fact, so a streaming
+    * job assigns it when the shard closes — the natural place in a
+    * continuous pipeline) must equal the batch composition's. */
+  val streamCurationShuffle: Q = Q("stream_curation_shuffle",
+    TextOps.curationShuffle.oracle.get) { (s, dir) =>
+    TextOps.shuffleRankWindows(unifiedRun(s, dir).windows
+      .select(col("source"), col("seq_id"), col("n_tokens"), col("window_fp")))
+  }
+
+  val all: Seq[Q] = Seq(streamCurationEmit, streamCurationEmitIds, streamCurationShuffle)
 }

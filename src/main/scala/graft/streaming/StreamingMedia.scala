@@ -150,6 +150,18 @@ object StreamingMedia {
     runVideoDedupStream(s, dir)
   }
 
+  /** Streaming twin of `mm_caption_align` — same oracle: the
+    * alignment filter operated continuously. Stateless per doc (each
+    * pair's score depends on that doc + the STATIC embedding store),
+    * so it rides the checkpoint+commit-log exactly-once story; the
+    * per-batch plan is the batch query's stream-static equi-joins. */
+  val streamCaptionAlign: Q = Q("stream_caption_align",
+    Multimodal.captionAlign.oracle.get) { (s, dir) =>
+    StreamingCuration.runStatelessTwin(s, dir,
+      docs => Multimodal.alignScores(docs, Tables.embeddings(s, dir)))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming twin of `mm_audio_decode` — same oracle; stateless
     * per-clip decode (the `stream_pii_redact` shape). */
   val streamAudioDecode: Q = Q("stream_audio_decode",
@@ -165,5 +177,6 @@ object StreamingMedia {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(streamImageDedup, streamAudioDedup, streamVideoDedup, streamAudioDecode)
+  val all: Seq[Q] = Seq(streamImageDedup, streamAudioDedup, streamVideoDedup,
+    streamCaptionAlign, streamAudioDecode)
 }
