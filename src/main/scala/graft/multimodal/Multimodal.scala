@@ -951,7 +951,44 @@ object Multimodal {
       .select(col("doc_id"), col("w"), col("h"), col("hdr"), col("s"),
         explode(expr("sequence(0, 2)")).as("f"))
       .select(col("doc_id"), col("w"), col("h"), col("f"),
-        expr("substring(s, f * (hdr + 3*w*h) + hdr + 1, 3*w*h)").as("px"))
+        expr("substring(s, f * (hdr + 3*w*h) + hdr + 1, 3*w*h)").as("px"),
+        expr("substring(s, f * (hdr + 3*w*h) + 1, 2) = 'P6'").as("magic_ok"),
+        (length(col("s")) === lit(3) * (col("hdr") + expr("3*w*h"))).as("container_complete"))
+
+  /** Per-FRAME video decode (`mm_video_decode`) — the third modality
+    * PARSES like the first two: every frame's header magic validated
+    * at its computed offset, container byte accounting, and
+    * integer-exact per-frame luminance mass + mean — one codegen map
+    * pass over the payload column, no shuffle before the
+    * presentation sort ([[imageDecode]]'s shape per frame). */
+  val videoDecode: Q = Q("mm_video_decode",
+    s"""WITH geom AS (
+      |  SELECT doc_id, n_chars, n_chars % 8 + 4 AS w, n_chars % 6 + 3 AS h, text
+      |  FROM documents WHERE n_chars > 0
+      |), fr AS (
+      |  SELECT doc_id, w, h, f,
+      |    substr(repeat(text, (3*w*h) // n_chars + 2), f + 1, 3*w*h) AS px
+      |  FROM geom, range(0, 3) r(f)
+      |)
+      |SELECT doc_id, f AS frame_idx, TRUE AS magic_ok, TRUE AS container_complete,
+      |  CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+      |  CAST(w*h AS INTEGER) AS n_pixels,
+      |  CAST(list_sum(list_transform(range(1, 3*w*h + 1), i -> ord(substr(px, i, 1)))) AS BIGINT)
+      |    AS lum_sum,
+      |  ROUND(list_sum(list_transform(range(1, 3*w*h + 1), i -> ord(substr(px, i, 1))))
+      |        / CAST(3*w*h AS DOUBLE), 6) AS mean_byte
+      |FROM fr ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    videoFramePx(videoTable(s, dir))
+      .select(col("doc_id"), col("f").cast("long").as("frame_idx"),
+        col("magic_ok"), col("container_complete"), col("w"), col("h"),
+        expr("w*h").as("n_pixels"),
+        expr("""aggregate(transform(split(px, ''), c -> CAST(ascii(c) AS BIGINT)),
+               |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin).as("lum_sum"),
+        expr("""ROUND(aggregate(transform(split(px, ''), c -> CAST(ascii(c) AS BIGINT)),
+               |  CAST(0 AS BIGINT), (a, x) -> a + x) / CAST(3*w*h AS DOUBLE), 6)""".stripMargin)
+          .as("mean_byte"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
 
   /** Per-frame dHash → rotate-XOR chain over `(doc_id, w, h, f, px)`
     * rows. Staged localCheckpoints ([[imageHashes]] reasons). */
@@ -1085,5 +1122,61 @@ object Multimodal {
       .orderBy(col("shard"), col("seq_id"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDedup, videoClusters, captionAlign, packBudget)
+  /** The alignment filter COMPOSED into the media pack — what a
+    * LAION-style pipeline actually ships: only pairs that pass the
+    * cosine gate flow, at their patch-token costs, into the
+    * per-(shard) greedy 2048-token packing. Same plan family as
+    * [[packBudget]] with one extra equi-join against the keep set
+    * (corpus-scaled — no broadcast hint); the oracle replays
+    * alignment scoring AND packing end to end, so a single flipped
+    * keep decision shifts every later sequence boundary in its shard
+    * and fails the hash. */
+  val alignedPack: Q = Q("mm_aligned_pack",
+    """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+      |p AS (SELECT doc_id, doc_id % n.n AS img_ref,
+      |        CASE WHEN doc_id % 10 = 7 THEN (doc_id * 31 + 7) % n.n
+      |             ELSE doc_id % n.n END AS cap_ref
+      |      FROM documents, n),
+      |z AS (SELECT p.doc_id,
+      |        p.doc_id % len(ce.embedding) AS pj,
+      |        unnest(ie.embedding) AS a, unnest(ce.embedding) AS b,
+      |        generate_subscripts(ie.embedding, 1) AS i
+      |      FROM p JOIN embeddings ie ON ie.vec_id = p.img_ref
+      |             JOIN embeddings ce ON ce.vec_id = p.cap_ref),
+      |z2 AS (SELECT doc_id, CAST(a AS DOUBLE) AS av,
+      |        CASE WHEN i - 1 = pj THEN CAST(b AS DOUBLE) * 1.1
+      |             ELSE CAST(b AS DOUBLE) END AS bv
+      |       FROM z),
+      |d AS (SELECT doc_id, SUM(av*bv) AS dot, SUM(av*av) AS na, SUM(bv*bv) AS nb
+      |      FROM z2 GROUP BY 1),
+      |keepset AS (SELECT doc_id FROM d WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.9),
+      |t AS (SELECT doc_id, doc_id % 4 AS shard,
+      |        greatest(1, octet_length(CAST(text AS BLOB)) // 32) * 16 AS media_tokens
+      |      FROM documents WHERE doc_id IN (SELECT doc_id FROM keepset)),
+      |o AS (SELECT doc_id, shard, media_tokens,
+      |        COALESCE(SUM(media_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM t)
+      |SELECT shard, CAST(off // 2048 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_items, CAST(SUM(media_tokens) AS BIGINT) AS seq_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM o GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val kept = alignScores(Tables.documents(s, dir), Tables.embeddings(s, dir))
+      .filter(col("keep")).select(col("doc_id"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mediaTable(s, dir).toDF()
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
+        (greatest(lit(1L), floor(length(col("payload")) / 32)) * 16)
+          .cast("long").as("media_tokens"))
+      .withColumn("off", coalesce(sum(col("media_tokens")).over(w), lit(0L)))
+      .groupBy(col("shard"), floor(col("off") / 2048).as("seq_id"))
+      .agg(count(lit(1)).as("n_items"), sum(col("media_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget)
 }
