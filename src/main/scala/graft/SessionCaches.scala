@@ -16,6 +16,15 @@ import scala.collection.concurrent.TrieMap
   * never needs this (one dataset per JVM); a multi-tenant deployment
   * calls it from its dataset-lifecycle hook.
   */
+/** A memoized value whose on-disk footprint spans engine-created
+  * temp directories beyond any [[graft.sources.VersionedStore]] it
+  * holds (landed stream outputs, arrival files, checkpoints):
+  * [[SessionCaches.evict]] deletes each declared root — if it lies
+  * under the JVM temp dir — when the entry drops. */
+trait Reapable {
+  def reapRoots: Seq[String]
+}
+
 object SessionCaches {
 
   private val registered =
@@ -41,16 +50,24 @@ object SessionCaches {
   // (arrays, literal seqs) just drop.
   private def release(v: Any): Unit = v match {
     case df: DataFrame => df.unpersist(); ()
-    case vs: graft.sources.VersionedStore =>
-      // only reap stores the engine itself rooted under the JVM temp
-      // dir — a store over real (caller-owned) data is never deleted
-      val tmp = java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp")).toAbsolutePath
-      val root = java.nio.file.Paths.get(vs.root).toAbsolutePath
-      if (root.startsWith(tmp) && root != tmp) deleteTree(root.toFile)
+    case vs: graft.sources.VersionedStore => reapTempRoot(vs.root)
+    case r: Reapable =>
+      r.reapRoots.foreach(reapTempRoot)
+      // a Reapable composite (the unified stream artifacts) still
+      // recurses so held frames unpersist and held stores reap
+      r match { case p: Product => p.productIterator.foreach(release); case _ => () }
     case p: Product => p.productIterator.foreach(release)
     case it: Iterable[_] => it.foreach(release)
     case _ => ()
+  }
+
+  // only reap paths the engine itself rooted under the JVM temp dir —
+  // caller-owned data outside it is never deleted
+  private def reapTempRoot(path: String): Unit = {
+    val tmp = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp")).toAbsolutePath
+    val root = java.nio.file.Paths.get(path).toAbsolutePath
+    if (root.startsWith(tmp) && root != tmp) deleteTree(root.toFile)
   }
 
   private def deleteTree(f: java.io.File): Unit = {

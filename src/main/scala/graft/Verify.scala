@@ -26,17 +26,19 @@ object Verify {
     // Only delete what THIS tool wrote: a stale dir must look like a
     // verify-produced parquet output — the commit marker (_SUCCESS),
     // or, for a run that crashed mid-write (no marker yet), at least
-    // one actual parquet part file and nothing but part/metadata
-    // files beside it — and the recursive walk never follows
-    // symlinks. A mispointed outDir or a stray link must not let the
-    // cleanup reach unrelated data (a foreign dir holding only
-    // dot-files would otherwise qualify), while a partial dir of a
-    // renamed query must not linger as a phantom entry.
+    // one parquet part file or Spark staging entry (part-*/_temporary)
+    // and nothing but part/metadata files beside it — and the
+    // recursive walk never follows symlinks. A mispointed outDir or a
+    // stray link must not let the cleanup reach unrelated data (a
+    // foreign dir holding only dot-files does NOT qualify), while a
+    // partial dir of a renamed query — even one killed before its
+    // first part file landed — must not linger as a phantom entry.
     def verifyProduced(f: java.io.File): Boolean =
       new java.io.File(f, "_SUCCESS").exists() || {
         val names = Option(f.list()).getOrElse(Array.empty)
-        names.exists(_.startsWith("part-")) && names.forall(n =>
-          n.startsWith("part-") || n.startsWith("_") || n.startsWith("."))
+        names.exists(n => n.startsWith("part-") || n.startsWith("_")) &&
+          names.forall(n =>
+            n.startsWith("part-") || n.startsWith("_") || n.startsWith("."))
       }
     Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !Files.isSymbolicLink(f.toPath)

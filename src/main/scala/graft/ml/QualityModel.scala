@@ -187,13 +187,16 @@ object QualityModel {
     * `(doc_id, proba)`. */
   def scoreClosedForm(docs: DataFrame, model: DataFrame): DataFrame = {
     val coefs = model.filter(col("idx") >= 0)
-    // the intercept rides the plan as a broadcast 1-row anchor (idx
-    // −1 is exactly one row by construction) instead of a driver-side
-    // head(): scoring stays a SINGLE lazy plan, so the streaming
-    // learned gate pays zero extra Spark actions per micro-batch just
-    // to read a scalar
+    // the intercept rides the plan as a broadcast 1-row anchor
+    // instead of a driver-side head(): scoring stays a SINGLE lazy
+    // plan, so the streaming learned gate pays zero extra Spark
+    // actions per micro-batch just to read a scalar. A GLOBAL
+    // aggregate (not a bare filter) so the anchor is ALWAYS exactly
+    // one row: a corrupt artifact missing its idx = -1 row yields a
+    // NULL intercept — which the projection below turns into a loud
+    // per-row error, never a silently empty score frame.
     val intercept = model.filter(col("idx") === -1)
-      .select(col("coef").as("icept"))
+      .agg(first(col("coef")).as("icept"))
     // margin accumulates in DECIMAL(38,18): addition is then
     // order-independent (each addend rounds once at fixed scale), so
     // batch and streaming runs produce the bit-identical proba a
@@ -215,7 +218,10 @@ object QualityModel {
       .crossJoin(broadcast(intercept))
       .select(col("doc_id"),
         (lit(1.0) / (lit(1.0) +
-          exp(-(coalesce(col("margin").cast("double"), lit(0.0)) + col("icept")))))
+          exp(-(coalesce(col("margin").cast("double"), lit(0.0))
+            + when(col("icept").isNotNull, col("icept"))
+              .otherwise(raise_error(
+                lit("quality model artifact has no intercept row (idx = -1)")))))))
           .as("proba"))
   }
 

@@ -909,27 +909,40 @@ object TextOps {
       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sort_key) AS BIGINT) AS pos,
       |  sort_key, source, seq_id, seq_tokens
       |FROM k2 ORDER BY ord""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val packed = packRetained(tokenized(Tables.documents(s, dir))
       .select(col("source"), col("doc_id"), size(col("w")).cast("long").as("n_tokens")))
-    val keyed = packed.select(col("source"), col("seq_id"), col("seq_tokens"))
-      .withColumn("sort_key",
-        md5(concat(lit("shuffle:"), col("source"), lit(":"), col("seq_id").cast("string"))))
+    shuffleRankCore(
+      packed.select(col("source"), col("seq_id"), col("seq_tokens"))
+        .withColumn("sort_key",
+          md5(concat(lit("shuffle:"), col("source"), lit(":"), col("seq_id").cast("string")))),
+      out = Seq(col("source"), col("seq_id"), col("seq_tokens")))
+  }
+
+  /** The shard/rank/offset machinery shared by [[shuffleOrder]] and
+    * [[shuffleRankWindows]]: `keyed` carries an md5 `sort_key`; the
+    * key's leading hex digit is its content-derived shard, per-shard
+    * ranks ride a hash-partitioned window, shard offsets come from a
+    * 16-row prefix sum joined back broadcast (the prefix-sum window
+    * is bounded by the shard alphabet, not the data), and the display
+    * sort rides a range exchange. The tie columns make the order
+    * total when sort keys can collide (duplicate window content);
+    * with unique keys they change nothing. */
+  private def shuffleRankCore(keyed: DataFrame, out: Seq[Column],
+                              tie: Seq[Column] = Seq(col("source"), col("seq_id"))): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sharded = keyed
       .withColumn("shard", conv(substring(col("sort_key"), 1, 1), 16, 10).cast("long"))
-    val withPos = keyed.withColumn("pos",
-      row_number().over(Window.partitionBy(col("shard")).orderBy(col("sort_key")))
-        .cast("long"))
-    // shard offsets: one row per shard (constant 16) — the prefix-sum
-    // window is bounded by the shard alphabet, not the data, and the
-    // join back is a fixed-size broadcast by construction
+    val withPos = sharded.withColumn("pos",
+      row_number().over(Window.partitionBy(col("shard"))
+        .orderBy(col("sort_key") +: tie: _*)).cast("long"))
     val off = withPos.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
       .withColumn("offset", coalesce(sum(col("cnt")).over(
         Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col("shard"), col("offset"))
     withPos.join(broadcast(off), Seq("shard"))
-      .select((col("offset") + col("pos")).as("ord"), col("shard"), col("pos"),
-        col("sort_key"), col("source"), col("seq_id"), col("seq_tokens"))
+      .select((col("offset") + col("pos")).as("ord") +: col("shard") +: col("pos") +:
+        col("sort_key") +: out: _*)
       .orderBy(col("ord"))
   }
 
@@ -1399,9 +1412,13 @@ object TextOps {
     * per-token work downstream joins words to this table under the
     * usual size gate. */
   private val emitSymCache =
-    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    graft.SessionCaches.register(
+      scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)])
 
-  private[graft] def emitWordSyms(s: SparkSession, dir: String): DataFrame =
+  /** The memoized symbol table with its row count — the count feeds
+    * the broadcast size gate without paying a Spark action per call
+    * (per streaming micro-batch, notably). */
+  private[graft] def emitWordSymsStats(s: SparkSession, dir: String): (DataFrame, Long) =
     emitSymCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
       val words = curationDecisions(s, dir).filter(col("drop_reason").isNull)
         .select(explode(split(col("red"), " ")).as("word")).distinct()
@@ -1415,9 +1432,11 @@ object TextOps {
       val df = seg.join(broadcast(symtab), Seq("sym"))
         .select(col("word"), col("j").cast("long").as("j"), col("id"))
         .persist()
-      df.count()
-      df
+      (df, df.count())
     })
+
+  private[graft] def emitWordSyms(s: SparkSession, dir: String): DataFrame =
+    emitWordSymsStats(s, dir)._1
 
   /** [[emitWindows]] extended with the TOKENIZED-ID face of each
     * window: alongside the text fingerprint, every window also hashes
@@ -1428,12 +1447,23 @@ object TextOps {
     * accounting is unchanged. */
   private[graft] def emitWindowsIds(s: SparkSession, dir: String,
                                     positioned: DataFrame): DataFrame = {
-    val syms = emitWordSyms(s, dir)
+    val (syms, nSyms) = emitWordSymsStats(s, dir)
+    // LEFT join: a word outside the tokenizer vocabulary must fail
+    // LOUDLY (raise_error), never silently vanish from the window —
+    // an inner join would drop it from BOTH faces (text fingerprint
+    // included) and disguise a stream/batch divergence as a
+    // confusing fingerprint mismatch
     positioned
       .select(col("source"), col("start_off"),
         posexplode(split(col("red"), " ")).as(Seq("i", "word")))
       .select(col("source"), (col("start_off") + col("i")).as("pos"), col("word"))
-      .join(maybeBroadcast(syms, syms.count() * 40L), Seq("word"))
+      .join(maybeBroadcast(syms, nSyms * 40L), Seq("word"), "left_outer")
+      .select(col("source"), col("pos"), col("word"),
+        coalesce(col("j"), lit(0L)).as("j"),
+        when(col("id").isNotNull, col("id"))
+          .otherwise(raise_error(concat(
+            lit("emission word missing from tokenizer vocabulary: "), col("word"))))
+          .as("id"))
       .groupBy(col("source"), floor(col("pos") / 512).as("seq_id"))
       .agg(
         count(when(col("j") === 0, 1)).as("n_tokens"),
@@ -1553,24 +1583,10 @@ object TextOps {
     * `(source, seq_id, n_tokens, window_fp)` — shared by the batch
     * composition and the streaming drain (which ranks the landed
     * window artifact of the consolidated stream pass). */
-  private[graft] def shuffleRankWindows(windows: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val keyed = windows
-      .withColumn("sort_key", md5(concat(lit("shuffle:"), col("window_fp"))))
-      .withColumn("shard", conv(substring(col("sort_key"), 1, 1), 16, 10).cast("long"))
-    val withPos = keyed.withColumn("pos",
-      row_number().over(Window.partitionBy(col("shard"))
-        .orderBy(col("sort_key"), col("source"), col("seq_id"))).cast("long"))
-    val off = withPos.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
-      .withColumn("offset", coalesce(sum(col("cnt")).over(
-        Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("shard"), col("offset"))
-    withPos.join(broadcast(off), Seq("shard"))
-      .select((col("offset") + col("pos")).as("ord"), col("shard"), col("pos"),
-        col("sort_key"), col("source"), col("seq_id"), col("n_tokens"), col("window_fp"))
-      .orderBy(col("ord"))
-  }
+  private[graft] def shuffleRankWindows(windows: DataFrame): DataFrame =
+    shuffleRankCore(
+      windows.withColumn("sort_key", md5(concat(lit("shuffle:"), col("window_fp")))),
+      out = Seq(col("source"), col("seq_id"), col("n_tokens"), col("window_fp")))
 
   /** The per-source concat-then-chunk packing over a retained-docs
     * frame `(source, doc_id, n_tokens)` — shared by [[curationPack]]

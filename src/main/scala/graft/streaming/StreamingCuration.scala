@@ -62,9 +62,14 @@ object StreamingCuration {
                        store: FrameStore, benchStore: FrameStore,
                        schema: org.apache.spark.sql.types.StructType,
                        quality: Option[FrameStore] = None,
-                       shadow: Boolean = false) {
+                       shadow: Boolean = false) extends graft.Reapable {
     /** Where the SHADOW learned decisions land (see [[processBatch]]). */
     def learnedOutDir: String = outDir + "-learned"
+    /** Eviction reaps the whole stream world (arrivals, decisions,
+      * shadow record, windows, checkpoint, store) — everything lives
+      * under the one temp dir [[prepare]] created. */
+    def reapRoots: Seq[String] =
+      Seq(java.nio.file.Paths.get(outDir).getParent.toString)
   }
 
   /** Stream world: empty fp + shingle indexes (the whole corpus
@@ -385,37 +390,14 @@ object StreamingCuration {
   def streamedDecisions(spark: SparkSession, env: Env): DataFrame =
     spark.read.parquet(env.outDir).drop("batch")
 
-  /** Full loop: prepare, land the corpus in `slices` ordered
-    * arrivals, drain the stream, pack the retained corpus. */
-  def runCurationStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame = {
-    val env = prepare(spark, dir)
-    addArrivalsOrdered(spark, env, dir, slices)
-    runPass(spark, env)
-    // drain-time maintenance, same as the ANN stream: the per-batch
-    // appends fragment both index artifacts (one file set per batch);
-    // compact them back and retire superseded versions so the next
-    // operating window starts from a consolidated promoted state
-    env.store.compact(spark, ShingleIdx)
-    env.store.compact(spark, FpIdx)
-    env.store.gc(ShingleIdx, keep = 1)
-    env.store.gc(FpIdx, keep = 1)
-    // the two per-(fp, batch) count states collapse to one base row
-    // per fp + the last batch's replay anchors (snapshot discipline)
-    StreamingCuration.snapshotCounts(spark, env.store, LineCounts, env.ckpt)
-    StreamingCuration.snapshotCounts(spark, env.store, SpanCounts, env.ckpt)
-    env.store.gc(LineCounts, keep = 1)
-    env.store.gc(SpanCounts, keep = 1)
-    TextOps.packRetained(streamedDecisions(spark, env).filter(col("drop_reason").isNull)
-      .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens")))
-  }
-
   /** Streaming twin of `text_curation_pack` — same oracle: the
     * continuously-operated pipeline must pack exactly the sequences
     * the batch pipeline packs. Packs the landed decision records of
     * the ONE consolidated stream pass ([[StreamingEmit.unifiedRun]])
-    * instead of draining its own stream; the standalone
-    * [[runCurationStream]] stays the spec surface for slicing
-    * robustness. */
+    * instead of draining its own stream; slicing robustness stays
+    * pinned in StreamingSpec, which drives
+    * [[prepare]]/[[addArrivalsOrdered]]/[[runPass]] directly at
+    * 2/3/5 slices. */
   val streamCurationPack: Q = Q("stream_curation_pack",
     TextOps.curationPack.oracle.get) { (s, dir) =>
     TextOps.packRetained(StreamingEmit.unifiedRun(s, dir).decisions
@@ -452,10 +434,10 @@ object StreamingCuration {
     // Hot-reload + slicing parity stay pinned on the standalone gated
     // runner in QualityGateSpec.
     val un = StreamingEmit.unifiedRun(s, dir)
-    val qstore = graft.ml.QualityModel.productionStore(s, dir)
-    val model = qstore.loadProduction(s, graft.ml.QualityModel.ModelName)
-      .getOrElse(sys.error("no production quality model"))
-    val batchDec = TextOps.curationLearnedDecisions(s, dir, model)
+    // batch twin scores with the MODEL THE STREAM USED (pinned in the
+    // unified artifacts) — re-resolving production here would open a
+    // drift window between the memoized run and this certificate
+    val batchDec = TextOps.curationLearnedDecisions(s, dir, un.qmodel)
     val streamed = un.learned
     val cmpCols = streamed.columns.filterNot(_ == "doc_id").toSeq
     val diff = streamed.as("a").join(batchDec.as("r"), Seq("doc_id"), "full_outer")

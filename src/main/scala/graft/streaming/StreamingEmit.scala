@@ -165,16 +165,6 @@ object StreamingEmit {
       .select(col("source"), col("seq_id"), col("n_tokens"), col("window_fp"))
       .orderBy(col("source"), col("seq_id"))
 
-  // gate default 2 slices: slicing robustness + restart are pinned in
-  // StreamingSpec (2/4 slices, two-pass resume), so the bench entry
-  // pays carry semantics once, not a third full-stack batch
-  def runEmitStream(spark: SparkSession, dir: String, slices: Int = 2): DataFrame = {
-    val env = prepare(spark, dir)
-    StreamingCuration.addArrivalsOrdered(spark, env.cur, dir, slices)
-    runPass(spark, env)
-    emittedWindows(spark, env)
-  }
-
   // ------------------------------------------------------------ unified pass
   /** The artifacts of ONE consolidated curation stream run: emitted
     * windows (heuristic gate — the batch emit oracle's semantics),
@@ -183,7 +173,8 @@ object StreamingEmit {
     * PRODUCTION re-resolve), and whether the promoted quality model
     * stayed at one version across the run. */
   final case class Unified(env: Env, windows: DataFrame, decisions: DataFrame,
-                           learned: DataFrame, sameModelVersion: Boolean)
+                           learned: DataFrame, qmodel: DataFrame,
+                           sameModelVersion: Boolean)
 
   private val unifiedMemo = graft.SessionCaches.register(
     scala.collection.concurrent.TrieMap.empty[String, Unified])
@@ -229,6 +220,12 @@ object StreamingEmit {
         windows = pin(allWindows(s, env)),
         decisions = pin(StreamingCuration.streamedDecisions(s, env.cur)),
         learned = pin(s.read.parquet(env.cur.learnedOutDir).drop("batch")),
+        // the model THIS run resolved, pinned with the artifacts: the
+        // learned certificate's batch twin must score with the same
+        // model the stream used, even if a promotion lands between
+        // the (possibly much earlier, memoized) run and the cert
+        qmodel = pin(qstore.loadProduction(s, graft.ml.QualityModel.ModelName)
+          .getOrElse(sys.error("no production quality model"))),
         sameModelVersion = vBefore.isDefined && vBefore == vAfter)
     })
 

@@ -67,4 +67,20 @@ class SessionCachesSpec extends SparkSpec {
       "temp-rooted store dir must be reaped on eviction")
     memo.clear()
   }
+
+  test("evict reaps a Reapable composite's declared temp roots") {
+    import scala.collection.concurrent.TrieMap
+    case class Fake(root: String) extends Reapable {
+      def reapRoots: Seq[String] = Seq(root)
+    }
+    val memo = SessionCaches.register(TrieMap.empty[String, Fake])
+    val app = spark.sparkContext.applicationId
+    val tmp = java.nio.file.Files.createTempDirectory("graft-reap-")
+    java.nio.file.Files.writeString(tmp.resolve("landed.parquet"), "x")
+    memo.put(app + "#/reap/ds", Fake(tmp.toString))
+    assert(SessionCaches.evict(spark, "/reap/ds") == 1)
+    assert(!java.nio.file.Files.exists(tmp),
+      "a Reapable's declared roots must be deleted on eviction")
+    memo.clear()
+  }
 }
