@@ -1368,15 +1368,22 @@ object TextOps {
       |  COUNT(*) AS n_tokens,
       |  md5(string_agg(word, ' ' ORDER BY start_off + i - 1)) AS window_fp
       |FROM rw GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val retained = curationDecisions(s, dir)
+    emitWindowsOfRetained(curationDecisions(s, dir)
       .filter(col("drop_reason").isNull)
-      .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
+      .select(col("source"), col("doc_id"), col("red"), col("final_tokens")))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** Position + cut the 512-token windows of a retained-docs frame
+    * `(source, doc_id, red, final_tokens)` — shared by the batch
+    * emission and the emit-forget lifecycle (which recuts affected
+    * source shards from the reduced retained set). */
+  private[graft] def emitWindowsOfRetained(retained: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     emitWindows(retained
       .withColumn("start_off", coalesce(sum(col("final_tokens")).over(w), lit(0L))))
-      .orderBy(col("source"), col("seq_id"))
   }
 
   /** Window cutting + hashing over positioned retained texts
@@ -1537,6 +1544,95 @@ object TextOps {
       .withColumn("start_off", coalesce(sum(col("final_tokens")).over(w), lit(0L))))
       .select(col("source"), col("seq_id"), col("n_tokens"), col("n_ids"), col("ids_fp"))
       .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** One forget-lifecycle emission store per (application, sf dir):
+    * promotes the full window artifact, then propagates a withdrawal
+    * (docs with doc_id % 20 = 7) — the rewrite keeps untouched
+    * sources' windows AS-IS and recuts affected shards from the
+    * reduced retained set (emission offsets are per-source running
+    * sums, so the recut is exactly shard-local — the partition-pruned
+    * CowMerge shape; at 100 TB forgetting one doc recuts one shard,
+    * not the corpus); gc makes the withdrawal durable. The decision
+    * RECORD stays immutable history — this is content withdrawal
+    * from the derived training artifact, the `text_pack_forget`
+    * contract applied to the windows a dataloader actually reads. */
+  private val emitForgetMemo =
+    graft.SessionCaches.register(
+      scala.collection.concurrent.TrieMap.empty[String, graft.sources.FrameStore])
+
+  private def forgottenEmitStore(s: SparkSession, dir: String): graft.sources.FrameStore =
+    emitForgetMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val retained = curationDecisions(s, dir).filter(col("drop_reason").isNull)
+        .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
+      val store = new graft.sources.FrameStore(
+        java.nio.file.Files.createTempDirectory("graft-forget-emit-").toString)
+      store.promote("emit_windows",
+        store.register(s, "emit_windows", emitWindowsOfRetained(retained)))
+      val affected = retained.filter(col("doc_id") % 20 === 7)
+        .select(col("source")).distinct()
+      store.rewrite(s, "emit_windows") { df =>
+        df.join(broadcast(affected), Seq("source"), "left_anti")
+          .unionByName(emitWindowsOfRetained(
+            retained.filter(col("doc_id") % 20 =!= 7)
+              .join(broadcast(affected), Seq("source"))))
+      }
+      store.gc("emit_windows", keep = 0)
+      store
+    })
+
+  /** Forget propagation to the EMITTED TRAINING WINDOWS — the
+    * right-to-be-forgotten contract on the artifact a training run
+    * actually consumes: withdrawing a retained doc's content must
+    * invalidate every window built from it AND every later window in
+    * its source shard (token offsets shift), not just delete rows.
+    * After the shard-pruned rewrite + gc, the promoted window set
+    * must be ROW-IDENTICAL to windows recut from scratch on the
+    * reduced retained set — a forgotten doc's text is gone from every
+    * window fingerprint. Counts are oracle-recomputed through the
+    * full curation stack; the equality boolean is TRUE in the
+    * oracle. */
+  val emitForget: Q = Q("text_emit_forget",
+    curationOracleBody + emitTokenCtes + """,
+      |ewb AS (SELECT source, CAST((start_off + i - 1) // 512 AS BIGINT) AS seq_id
+      |        FROM rw GROUP BY 1, 2),
+      |ro2 AS (
+      |  SELECT source, doc_id, red,
+      |    COALESCE(SUM(len(string_split(red, ' '))) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM fin2 WHERE drop_reason IS NULL AND doc_id % 20 <> 7
+      |), rw2 AS (
+      |  SELECT source, start_off, unnest(string_split(red, ' ')) AS word,
+      |         generate_subscripts(string_split(red, ' '), 1) AS i
+      |  FROM ro2
+      |), ewa AS (SELECT source, CAST((start_off + i - 1) // 512 AS BIGINT) AS seq_id
+      |           FROM rw2 GROUP BY 1, 2)
+      |SELECT
+      |  (SELECT COUNT(*) FROM ewb) AS n_windows_before,
+      |  (SELECT COUNT(*) FROM ewa) AS n_windows_after,
+      |  (SELECT COUNT(*) FROM fin2 WHERE drop_reason IS NULL AND doc_id % 20 = 7)
+      |    AS n_docs_forgotten,
+      |  (SELECT COUNT(DISTINCT source) FROM fin2 WHERE drop_reason IS NULL AND doc_id % 20 = 7)
+      |    AS n_sources_affected,
+      |  TRUE AS forget_equals_rebuild""".stripMargin) { (s, dir) =>
+    val retained = curationDecisions(s, dir).filter(col("drop_reason").isNull)
+      .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
+    val after = forgottenEmitStore(s, dir).loadProduction(s, "emit_windows")
+      .getOrElse(sys.error("no production forgotten emission windows"))
+    val rebuilt = emitWindowsOfRetained(retained.filter(col("doc_id") % 20 =!= 7))
+    val cols = Seq("n_tokens", "window_fp")
+    val diff = after.as("a").join(rebuilt.as("r"), Seq("source", "seq_id"), "full_outer")
+      .filter(!cols.map(c => col(s"a.$c") <=> col(s"r.$c")).reduce(_ && _))
+      .agg(count(lit(1)).as("n_diff"))
+    val forgotten = retained.filter(col("doc_id") % 20 === 7)
+    emitWindowsOfRetained(retained).agg(count(lit(1)).as("n_windows_before"))
+      .crossJoin(broadcast(rebuilt.agg(count(lit(1)).as("n_windows_after"))))
+      .crossJoin(broadcast(forgotten.agg(count(lit(1)).as("n_docs_forgotten"),
+        countDistinct(col("source")).as("n_sources_affected"))))
+      .crossJoin(broadcast(diff))
+      .select(col("n_windows_before"), col("n_windows_after"),
+        col("n_docs_forgotten"), col("n_sources_affected"),
+        (col("n_diff") === 0).as("forget_equals_rebuild"))
   }
 
   /** Deterministic training-order shuffle COMPOSED OVER THE CURATED
@@ -2610,5 +2706,5 @@ object TextOps {
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
     tfidfTopK, curation, curationPack, curationEmit, curationEmitIds, curationShuffle,
-    decontaminate, decontaminateIncremental, decontaminateBloom)
+    emitForget, decontaminate, decontaminateIncremental, decontaminateBloom)
 }
