@@ -927,6 +927,7 @@ object Multimodal {
     * same interpreted-HOF reasons as [[imageHashes]]. */
   def videoHashes(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val frames = videoFramePx(videoFrames(docs))
+      .select(col("doc_id"), col("w"), col("h"), col("f"), col("px"))
     val twins = frames.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("w"), col("h"), col("f"),
         when(col("f") === 1,

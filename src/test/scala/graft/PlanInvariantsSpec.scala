@@ -125,6 +125,19 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop"), plan)
   }
 
+  test("video dedup candidates come from the band equi-join, never a nested loop") {
+    val plan = formatted(SparkEntry.queries("mm_video_dedup")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
+  test("tokenized-ID emission: no UDF break, no cartesian, symbol join stays hash/broadcast") {
+    val plan = formatted(SparkEntry.queries("text_curation_emit_ids")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
   test("audio decode is a pure map: no exchange before the presentation sort") {
     // decode + per-channel stats must stay one shuffle-free pass; the
     // only exchange allowed is the final ORDER BY's range exchange
