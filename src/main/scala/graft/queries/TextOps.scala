@@ -2332,6 +2332,38 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer FERTILITY by source — the per-domain health metric a
+    * pipeline publishes beside its trained tokenizer (chars per BPE
+    * token and tokens per word vary by domain; a domain whose
+    * fertility degrades is under-represented in the training vocab).
+    * One frequency-weighted join of the corpus words against the
+    * |vocab|-bounded encoded table (the [[bpeEncode]] shape), then a
+    * low-cardinality source rollup; ratios are exact-integer sums
+    * divided once at the report boundary. */
+  val bpeFertility: Q = Q("text_bpe_fertility",
+    bpeOracleCtes(BpeRounds) + s""",
+      |enc AS (SELECT word, len(string_split(trim(st), '  ')) AS n_sym FROM s$BpeRounds),
+      |dwords AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+      |SELECT source, COUNT(*) AS n_words,
+      |  CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_tokens,
+      |  ROUND(SUM(len(w.word)) / CAST(SUM(e.n_sym) AS DOUBLE), 6) AS chars_per_token,
+      |  ROUND(SUM(e.n_sym) / CAST(COUNT(*) AS DOUBLE), 6) AS tokens_per_word
+      |FROM dwords w JOIN enc e ON w.word = e.word
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val (vocab, nVocab) = Curation.vocabStats(s, dir)
+    val enc = vocab.select(col("tok").as("word"),
+      size(bpeSegments(s, dir, col("tok"))).cast("long").as("n_sym"))
+    tokenized(Tables.documents(s, dir))
+      .select(col("source"), explode(col("w")).as("word"))
+      .join(maybeBroadcast(enc, nVocab * 64L), "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).cast("long").as("n_bpe_tokens"),
+        r6(sum(length(col("word"))) / sum(col("n_sym")).cast("double")).as("chars_per_token"),
+        r6(sum(col("n_sym")) / count(lit(1)).cast("double")).as("tokens_per_word"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- line dedup
   /** Segment length (tokens) and cross-doc threshold for
     * [[dedupLines]]: a "line" is a 4-token aligned window (the corpus
@@ -2702,7 +2734,7 @@ object TextOps {
 
   val all: Seq[Q] = Seq(chunkWindows, fuzzyPairs, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
-    dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
+    dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, bpeFertility, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
     tfidfTopK, curation, curationPack, curationEmit, curationEmitIds, curationShuffle,

@@ -88,6 +88,38 @@ class QualityGateSpec extends SparkSpec {
       "shadow main decisions must stay heuristic")
   }
 
+  test("shadow emit stream resumes from checkpoint: all artifacts complete across two passes") {
+    // the consolidated pass's restart story: kill after the first
+    // half, resume on the same checkpoint + promoted state — the
+    // learned shadow record, the heuristic decisions, AND the emitted
+    // windows must all complete exactly
+    import graft.streaming.{StreamingCuration, StreamingEmit}
+    val qstore = QualityModel.productionStore(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val mid = docs.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+    val env = StreamingEmit.prepare(spark, sf, quality = Some(qstore), shadow = true)
+    StreamingCuration.landOrderedSlicesOf(
+      docs.filter(col("doc_id") < mid), "doc_id", env.cur.inDir, 2)
+    StreamingEmit.runPass(spark, env) // stream dies here
+    StreamingCuration.landOrderedSlicesOf(
+      docs.filter(col("doc_id") >= mid), "doc_id", env.cur.inDir, 2, tag = "b")
+    StreamingEmit.runPass(spark, env) // fresh query, same checkpoint + carry
+    val model = qstore.loadProduction(spark, QualityModel.ModelName).get
+    val batchLearned = TextOps.curationLearnedDecisions(spark, sf, model)
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val streamedLearned = spark.read.parquet(env.cur.learnedOutDir)
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(streamedLearned == batchLearned, "learned shadow record drift after restart: " +
+      streamedLearned.filter { case (k, v) => batchLearned.get(k) != Some(v) }.take(5))
+    val batchWindows = TextOps.curationEmit.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val streamedWindows = StreamingEmit.emittedWindows(spark, env).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamedWindows == batchWindows, "window drift after restart")
+  }
+
   test("a mid-stream promotion hot-reloads at the next batch") {
     // pass 1 scores with the trained model; a SENTINEL v2 (intercept
     // +10, no coefficients → proba ≈ 1 for every doc) promotes
