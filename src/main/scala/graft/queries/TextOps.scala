@@ -1320,6 +1320,71 @@ object TextOps {
     curationDecideWith(marked.join(proba, Seq("doc_id")), col("proba") < 0.5)
   }
 
+  /** Per-source DATA CARD — the datasheet a curated-corpus release
+    * publishes (Datasheets-for-Datasets / Dolma-style): for each
+    * source, docs in/kept, token retention through the scrub stages,
+    * drop counts by reason in the cascade's own taxonomy, PII
+    * redaction volume, and mean kept quality. A pure rollup of the
+    * memoized [[curationDecisions]] record — one hash aggregate on
+    * the low-cardinality source key, so the card is free once the
+    * pipeline has run (at 100 TB it rides the same pass that writes
+    * the decisions; no second corpus scan). Scrub counts are
+    * computed BEFORE the document-level drop cascade, so
+    * tokens_scrubbed includes tokens scrubbed from docs that were
+    * later dropped; mean quality sums in DECIMAL(18,6) and divides
+    * once at the report boundary (order-independent addition). */
+  val dataCard: Q = Q("text_data_card",
+    curationOracleBody + s""",
+      |rec AS (SELECT source, n_tokens, n_removed, quality_score, drop_reason,
+      |    CASE WHEN drop_reason IS NULL THEN CAST(${graft.queries.Privacy.piiCountSqlOn("t0")} AS BIGINT) END AS n_pii,
+      |    CASE WHEN drop_reason IS NULL THEN CAST(len(string_split(red, ' ')) AS BIGINT) END AS final_tokens
+      |  FROM fin2)
+      |SELECT source,
+      |  COUNT(*) AS docs_in,
+      |  CAST(COUNT(*) FILTER (WHERE drop_reason IS NULL) AS BIGINT) AS docs_kept,
+      |  ROUND(COUNT(*) FILTER (WHERE drop_reason IS NULL) / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_in,
+      |  CAST(SUM(n_removed) AS BIGINT) AS tokens_scrubbed,
+      |  CAST(COALESCE(SUM(final_tokens), 0) AS BIGINT) AS tokens_final,
+      |  ROUND(COALESCE(SUM(final_tokens), 0) / CAST(SUM(n_tokens) AS DOUBLE), 6) AS token_keep_rate,
+      |  CAST(COALESCE(SUM(n_pii), 0) AS BIGINT) AS pii_redactions,
+      |  CAST(COUNT(*) FILTER (WHERE drop_reason = 'exact_dup') AS BIGINT) AS n_exact_dup,
+      |  CAST(COUNT(*) FILTER (WHERE drop_reason = 'near_dup') AS BIGINT) AS n_near_dup,
+      |  CAST(COUNT(*) FILTER (WHERE drop_reason = 'heavy_dup') AS BIGINT) AS n_heavy_dup,
+      |  CAST(COUNT(*) FILTER (WHERE drop_reason = 'contaminated') AS BIGINT) AS n_contaminated,
+      |  CAST(COUNT(*) FILTER (WHERE drop_reason = 'lang') AS BIGINT) AS n_lang,
+      |  CAST(COUNT(*) FILTER (WHERE drop_reason = 'low_quality') AS BIGINT) AS n_low_quality,
+      |  CASE WHEN COUNT(*) FILTER (WHERE drop_reason IS NULL) > 0 THEN
+      |    ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) FILTER (WHERE drop_reason IS NULL) AS DOUBLE)
+      |      / COUNT(*) FILTER (WHERE drop_reason IS NULL), 6) END AS avg_quality_kept
+      |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val kept = col("drop_reason").isNull
+    val keptN = count(when(kept, 1))
+    curationDecisions(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs_in"),
+        keptN.as("docs_kept"),
+        r6(keptN / count(lit(1)).cast("double")).as("keep_rate"),
+        sum(col("n_tokens")).cast("long").as("tokens_in"),
+        sum(col("n_removed")).cast("long").as("tokens_scrubbed"),
+        coalesce(sum(col("final_tokens")), lit(0L)).cast("long").as("tokens_final"),
+        r6(coalesce(sum(col("final_tokens")), lit(0L)).cast("double")
+          / sum(col("n_tokens")).cast("double")).as("token_keep_rate"),
+        coalesce(sum(col("n_pii")), lit(0L)).cast("long").as("pii_redactions"),
+        count(when(col("drop_reason") === "exact_dup", 1)).as("n_exact_dup"),
+        count(when(col("drop_reason") === "near_dup", 1)).as("n_near_dup"),
+        count(when(col("drop_reason") === "heavy_dup", 1)).as("n_heavy_dup"),
+        count(when(col("drop_reason") === "contaminated", 1)).as("n_contaminated"),
+        count(when(col("drop_reason") === "lang", 1)).as("n_lang"),
+        count(when(col("drop_reason") === "low_quality", 1)).as("n_low_quality"),
+        when(keptN > 0,
+          r6(sum(when(kept, col("quality_score"))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
+            / keptN.cast("double"))).as("avg_quality_kept"))
+      .orderBy(col("source"))
+  }
+
   /** The curated corpus PACKED into training sequences — the terminal
     * batch-assembly stage composed over [[curationDecisions]]: only
     * retained documents (drop_reason NULL) flow, at their FINAL
@@ -2737,6 +2802,6 @@ object TextOps {
     dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, bpeFertility, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
-    tfidfTopK, curation, curationPack, curationEmit, curationEmitIds, curationShuffle,
+    tfidfTopK, curation, dataCard, curationPack, curationEmit, curationEmitIds, curationShuffle,
     emitForget, decontaminate, decontaminateIncremental, decontaminateBloom)
 }

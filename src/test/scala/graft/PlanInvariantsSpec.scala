@@ -166,6 +166,29 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("data card is a free rollup: reuses the cached decision record, no join above it") {
+    // the datasheet must ride the pass that already produced the
+    // decisions — a join or second corpus scan above the cached
+    // record would mean the card re-derives the pipeline
+    val plan = formatted(SparkEntry.queries("text_data_card")(spark, sf))
+    assert(plan.contains("InMemoryTableScan"), plan)
+    // formatted explain expands the cached pipeline inside
+    // InMemoryRelation; the card's own plan is everything ABOVE it
+    val above = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    assert(!above.contains("Join"), above)
+    assert("Exchange".r.findAllIn(above).size <= 2, above) // agg + presentation sort only
+  }
+
+  test("fertility report joins the vocab-bounded encoded table by broadcast") {
+    // the corpus word stream stays shuffle-free until the source
+    // rollup: the |vocab|-bounded BPE-encoded side broadcasts, never
+    // a sort-merge on the word key
+    val plan = formatted(SparkEntry.queries("text_bpe_fertility")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("containment dedup candidate generation never goes cartesian") {
     val plan = formatted(SparkEntry.queries("text_dedup_containment")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
