@@ -275,5 +275,72 @@ object Kmeans {
       .orderBy(col("cluster"), col("draw"), col("vec_id"))
   }
 
-  val all: Seq[Q] = Seq(kmeansCert, semDedup, clusterSample)
+  /** Prune fraction for [[prototypesPrune]]. */
+  val PruneFrac = 0.25
+
+  /** Prototypicality PRUNING — the data-selection step of Sorscher
+    * et al. '22 ("Beyond neural scaling laws"): within each k-means
+    * cluster, the vectors MOST similar to their centroid are the
+    * easy/redundant examples; prune the top [[PruneFrac]] by
+    * cosine-to-centroid rank (ties by vec_id). The per-cluster exact
+    * rank selection is computed WITHOUT a per-cluster sort — with
+    * K=8 a `Window.partitionBy(cluster)` over the corpus would put
+    * 1/8th of 100 TB in one task. Instead: cosines are already
+    * 6-dec quantized (the engine's parity contract), so a
+    * (cluster, cos) count histogram is EXACT and bounded by 2M·K
+    * rows regardless of corpus size; the cumulative histogram finds
+    * each cluster's cutoff cosine + the residual quota, and only the
+    * boundary group (cos == cutoff) pays a vec_id rank. One corpus
+    * shuffle for the histogram, tiny windows after. */
+  val prototypesPrune: Q = Q("sim_prototypes_prune",
+    s"""WITH dims AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+      |               CAST(unnest(embedding) AS DOUBLE) AS val
+      |             FROM embeddings),
+      |c0 AS (SELECT vec_id AS k, d, val FROM dims WHERE vec_id < $K),
+      |${(1 to Rounds).map(r => oracleRound(r, s"c${r - 1}")).mkString(",\n")},
+      |sf AS (SELECT v.vec_id, c.k,
+      |         ROUND(SUM(v.val * c.val) / (SQRT(SUM(v.val * v.val)) * SQRT(SUM(c.val * c.val))), 6) AS cos
+      |       FROM dims v JOIN c$Rounds c USING (d) GROUP BY 1, 2),
+      |af AS (SELECT vec_id, k, cos FROM
+      |         (SELECT sf.*, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, k) AS rn FROM sf)
+      |       WHERE rn = 1),
+      |rk AS (SELECT vec_id, k AS cluster, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY k ORDER BY cos DESC, vec_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY k) AS n
+      |       FROM af)
+      |SELECT vec_id, cluster, cos, rn <= CAST(CEIL($PruneFrac * n) AS BIGINT) AS pruned
+      |FROM rk ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val cents = trained(s, dir)
+    val b = best(col("v"), cents)
+    val assigned = vecs(Tables.embeddings(s, dir))
+      .select(col("vec_id"), (-b.getField("col2")).cast("long").as("cluster"),
+        b.getField("col1").as("cos"))
+    val wC = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    // cumulative histogram, highest cosine first: the first bin whose
+    // running count crosses the cluster quota carries the cutoff
+    val hist = assigned.groupBy(col("cluster"), col("cos")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wC.orderBy(col("cos").desc)))
+      .withColumn("quota", ceil(lit(PruneFrac) * sum(col("c")).over(wC)).cast("long"))
+    val cut = hist.filter(col("cum") >= col("quota"))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("cos"), col("c"), col("cum"), col("quota"))).as("x"))
+      .select(col("cluster"), col("x.cos").as("cut_cos"),
+        (col("x.quota") - (col("x.cum") - col("x.c"))).as("boundary_take"))
+    // only the boundary bin's members rank by vec_id for the residual
+    // quota — everything strictly above the cutoff is pruned outright
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("vec_id"))
+    val boundary = assigned.join(broadcast(cut), Seq("cluster"))
+      .filter(col("cos") === col("cut_cos"))
+      .withColumn("brk", row_number().over(wB))
+      .select(col("vec_id"), (col("brk") <= col("boundary_take")).as("bpruned"))
+    assigned.join(broadcast(cut), Seq("cluster"))
+      .join(boundary, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"), col("cos"),
+        (col("cos") > col("cut_cos") || coalesce(col("bpruned"), lit(false))).as("pruned"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[Q] = Seq(kmeansCert, semDedup, clusterSample, prototypesPrune)
 }

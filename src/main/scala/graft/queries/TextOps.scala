@@ -1358,9 +1358,17 @@ object TextOps {
       |    ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) FILTER (WHERE drop_reason IS NULL) AS DOUBLE)
       |      / COUNT(*) FILTER (WHERE drop_reason IS NULL), 6) END AS avg_quality_kept
       |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    dataCardOf(curationDecisions(s, dir))
+  }
+
+  /** The [[dataCard]] rollup over any decision-record frame (the
+    * batch pipeline's or the consolidated stream's landed records —
+    * the card is a content-determined fact of the decisions, so both
+    * share the oracle verbatim). */
+  private[graft] def dataCardOf(decisions: DataFrame): DataFrame = {
     val kept = col("drop_reason").isNull
     val keptN = count(when(kept, 1))
-    curationDecisions(s, dir)
+    decisions
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("docs_in"),

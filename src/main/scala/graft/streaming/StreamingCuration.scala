@@ -405,6 +405,18 @@ object StreamingCuration {
       .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens")))
   }
 
+  /** Streaming twin of `text_data_card` — same oracle: the datasheet
+    * is a content-determined rollup of the decision records, so the
+    * continuously-landed records of the ONE consolidated pass
+    * ([[StreamingEmit.unifiedRun]]) must produce the byte-identical
+    * card. In production this is the card a long-running curation
+    * service publishes per release cut, straight off the landed
+    * decisions — no batch replay. */
+  val streamDataCard: Q = Q("stream_data_card",
+    TextOps.dataCard.oracle.get) { (s, dir) =>
+    TextOps.dataCardOf(StreamingEmit.unifiedRun(s, dir).decisions)
+  }
+
   /** The streamed pipeline with the LEARNED quality gate, certified
     * — the `stream_ann_query` discipline applied to curation: the
     * closed-form LR artifact ([[graft.ml.QualityModel.closedForm]])
@@ -526,6 +538,6 @@ object StreamingCuration {
     s.read.schema(frame.schema).parquet(out)
   }
 
-  val all: Seq[Q] = Seq(streamCurationPack, streamCurationLearned, streamChunkWindows,
-    streamMixEpochs, streamPiiRedact)
+  val all: Seq[Q] = Seq(streamCurationPack, streamCurationLearned, streamDataCard,
+    streamChunkWindows, streamMixEpochs, streamPiiRedact)
 }

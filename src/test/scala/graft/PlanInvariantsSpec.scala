@@ -302,6 +302,16 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(plan.contains("graft_cosine"), plan)
   }
 
+  test("prototypicality prune: 8-row cutoff frame broadcasts, no cartesian") {
+    // the rank selection must ride the (cluster, cos) histogram — the
+    // cutoff frame is K rows and joins back by broadcast; a cartesian
+    // or a non-broadcast cutoff join would mean the histogram device
+    // degraded to all-pairs or a corpus-wide sort path
+    val plan = formatted(SparkEntry.queries("sim_prototypes_prune")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("SemDeDup pairs only within a cluster: equi-join on the blocking key") {
     // the pairwise stage must be an equi-join on the cluster id
     // (bounded by the largest cluster), never a cross product
