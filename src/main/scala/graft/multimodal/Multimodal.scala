@@ -558,11 +558,32 @@ object Multimodal {
       df
     })
 
+  /** Corpus fingerprint frames, memoized per (application, sf dir,
+    * modality): the hash pass (decode + staged HOF evaluation) is
+    * each modality's most expensive column op — the pair build and
+    * the data card share ONE pass. The hash functions already
+    * localCheckpoint, so the memo hands out the materialized rows. */
+  private val hashMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame])
+
+  private def memoHashes(s: SparkSession, dir: String, kind: String,
+                         mk: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    hashMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir + "#" + kind, mk)
+
+  def imageHashesOf(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    memoHashes(s, dir, "image", imageHashes(Tables.documents(s, dir)))
+
+  def audioHashesOf(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    memoHashes(s, dir, "audio", audioHashes(Tables.documents(s, dir)))
+
+  def videoHashesOf(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    memoHashes(s, dir, "video", videoHashes(Tables.documents(s, dir)))
+
   def imagePairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    memoPairs(s, dir, "image", imageBands(imageHashes(Tables.documents(s, dir))))
+    memoPairs(s, dir, "image", imageBands(imageHashesOf(s, dir)))
 
   def audioPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    memoPairs(s, dir, "audio", audioBands(audioHashes(Tables.documents(s, dir))))
+    memoPairs(s, dir, "audio", audioBands(audioHashesOf(s, dir)))
 
   /** Exact Hamming recheck over candidate pairs `(d1, d2, dh1, dh2)`. */
   def hammingPairs(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -1015,7 +1036,7 @@ object Multimodal {
     chainSignature(videoFramePx(media))
 
   def videoPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    memoPairs(s, dir, "video", imageBands(videoHashes(Tables.documents(s, dir))))
+    memoPairs(s, dir, "video", imageBands(videoHashesOf(s, dir)))
 
   /** Video near-duplicate detection — the THIRD modality face of the
     * banded-fingerprint contract: temporal rotate-XOR signature,
@@ -1179,5 +1200,57 @@ object Multimodal {
       .orderBy(col("shard"), col("seq_id"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget)
+  /** One modality row of [[mediaCard]] from the memoized fingerprint
+    * and pair frames — counting actions over already-persisted rows,
+    * so the card is free once any dedup in the family has run. */
+  private def cardRow(modality: String, hashes: org.apache.spark.sql.DataFrame,
+                      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val inDup = pairs.select(col("d1").as("id"))
+      .unionByName(pairs.select(col("d2").as("id")))
+      .distinct().agg(count(lit(1)).as("n_items_in_dup"))
+    hashes.agg(count(lit(1)).as("n_items"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_dup_pairs")))
+      .crossJoin(inDup)
+      .select(lit(modality).as("modality"), col("n_items"), col("n_dup_pairs"),
+        col("n_items_in_dup"),
+        round(col("n_items_in_dup") / col("n_items").cast("double"), 6).as("dup_rate"))
+  }
+
+  /** The per-modality section of the oracle card: each modality's own
+    * CTE chain replays fingerprints + banded pairs inside a derived
+    * table (names like `hs`/`cand` collide across modalities, so each
+    * gets its own WITH scope). */
+  private def cardSectionSql(modality: String, ctes: String, h: String): String =
+    // no stripMargin HERE: the interpolated CTE fragments contain `||`
+    // concatenations at line starts, which a second margin strip would
+    // truncate to a single `|`
+    "SELECT * FROM (\nWITH " + ctes + ",\n" +
+      s"p AS (SELECT d1, d2 FROM cand WHERE bit_count(xor(${h}1, ${h}2)) <= 3),\n" +
+      "ids AS (SELECT COUNT(DISTINCT id) AS n FROM (SELECT d1 AS id FROM p UNION ALL SELECT d2 FROM p))\n" +
+      s"SELECT '$modality' AS modality,\n" +
+      "  (SELECT COUNT(*) FROM hs) AS n_items,\n" +
+      "  (SELECT COUNT(*) FROM p) AS n_dup_pairs,\n" +
+      "  (SELECT n FROM ids) AS n_items_in_dup,\n" +
+      "  ROUND((SELECT n FROM ids) / CAST((SELECT COUNT(*) FROM hs) AS DOUBLE), 6) AS dup_rate\n)"
+
+  /** Media DATA CARD — the datasheet rollup for the multimodal side
+    * (the [[graft.queries.TextOps.dataCard]] twin): per modality, the
+    * fingerprinted item count (including the planted perturbed
+    * twins), near-duplicate pair volume, distinct items implicated,
+    * and the dup rate. All four facts come off the memoized
+    * fingerprint/pair frames, so the card costs four counting actions
+    * per modality once any dedup in the family has run — at 100 TB it
+    * rides the dedup pass, never a second decode of the corpus. */
+  val mediaCard: Q = Q("mm_data_card",
+    Seq(cardSectionSql("image", imageOracleCtes, "dh"),
+        cardSectionSql("audio", audioOracleCtes, "ah"),
+        cardSectionSql("video", videoOracleCtes, "dh"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY modality")) { (s, dir) =>
+    cardRow("image", imageHashesOf(s, dir), imagePairs(s, dir))
+      .unionByName(cardRow("audio", audioHashesOf(s, dir), audioPairs(s, dir)))
+      .unionByName(cardRow("video", videoHashesOf(s, dir), videoPairs(s, dir)))
+      .orderBy(col("modality"))
+  }
+
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mediaCard)
 }
