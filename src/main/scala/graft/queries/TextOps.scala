@@ -1447,6 +1447,49 @@ object TextOps {
       .orderBy(col("source"), col("seq_id"))
   }
 
+  /** Per-window DOCUMENT-BOUNDARY manifest for the emitted training
+    * windows — the attention-mask contract: a dataloader that packs
+    * multiple documents into one 512-token window must mask
+    * cross-document attention, so every window ships the
+    * window-local offsets where a new document starts (position 0
+    * is an implicit segment start when the previous doc straddles
+    * in; windows with no boundary — a long doc's interior — are
+    * absent and read as full-attention continuation). Boundaries
+    * derive from the SAME per-source running token offsets the
+    * emission cuts on, so the manifest needs only the doc-level
+    * decision record — one row per retained doc, never a token
+    * explode; the per-source window is the emission family's
+    * established shape (source count is fixed and small; at 100 TB
+    * the running sum shards by source exactly like the pack). */
+  val curationEmitBounds: Q = Q("text_emit_doc_bounds",
+    curationOracleBody + emitTokenCtes + """
+      |SELECT source, CAST(start_off // 512 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_docs_started,
+      |  md5(string_agg(CAST(start_off % 512 AS VARCHAR), ',' ORDER BY start_off)) AS bounds_fp
+      |FROM ro GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
+    emitBoundsOf(curationDecisions(s, dir))
+  }
+
+  /** The [[curationEmitBounds]] manifest over any decision-record
+    * frame — like [[dataCardOf]], a content-determined fact of the
+    * decisions, shared verbatim by the batch query and the
+    * consolidated stream's twin. */
+  private[graft] def emitBoundsOf(decisions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    decisions.filter(col("drop_reason").isNull)
+      .select(col("source"), col("doc_id"), col("final_tokens"))
+      .withColumn("start_off", coalesce(sum(col("final_tokens")).over(w), lit(0L)))
+      .groupBy(col("source"), floor(col("start_off") / 512).cast("long").as("seq_id"))
+      .agg(count(lit(1)).as("n_docs_started"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("start_off"),
+            (col("start_off") % 512).cast("string").as("local")))),
+          x => x.getField("local")), ",")).as("bounds_fp"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
   /** Position + cut the 512-token windows of a retained-docs frame
     * `(source, doc_id, red, final_tokens)` — shared by the batch
     * emission and the emit-forget lifecycle (which recuts affected
@@ -2810,6 +2853,6 @@ object TextOps {
     dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, bpeFertility, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
-    tfidfTopK, curation, dataCard, curationPack, curationEmit, curationEmitIds, curationShuffle,
+    tfidfTopK, curation, dataCard, curationPack, curationEmit, curationEmitIds, curationEmitBounds, curationShuffle,
     emitForget, decontaminate, decontaminateIncremental, decontaminateBloom)
 }

@@ -417,6 +417,16 @@ object StreamingCuration {
     TextOps.dataCardOf(StreamingEmit.unifiedRun(s, dir).decisions)
   }
 
+  /** Streaming twin of `text_emit_doc_bounds` — same oracle: the
+    * attention-mask manifest is a content-determined fact of the
+    * decision records, so the consolidated pass's landed records
+    * must yield the byte-identical per-window boundary list the
+    * batch emission publishes beside its shards. */
+  val streamEmitBounds: Q = Q("stream_emit_doc_bounds",
+    TextOps.curationEmitBounds.oracle.get) { (s, dir) =>
+    TextOps.emitBoundsOf(StreamingEmit.unifiedRun(s, dir).decisions)
+  }
+
   /** The streamed pipeline with the LEARNED quality gate, certified
     * — the `stream_ann_query` discipline applied to curation: the
     * closed-form LR artifact ([[graft.ml.QualityModel.closedForm]])
@@ -539,5 +549,5 @@ object StreamingCuration {
   }
 
   val all: Seq[Q] = Seq(streamCurationPack, streamCurationLearned, streamDataCard,
-    streamChunkWindows, streamMixEpochs, streamPiiRedact)
+    streamEmitBounds, streamChunkWindows, streamMixEpochs, streamPiiRedact)
 }

@@ -143,6 +143,26 @@ class CurationStackSpec extends SparkSpec {
     assert(total == expected, s"emitted $total != retained $expected")
   }
 
+  test("boundary manifest is consistent with the emission: windows subset, doc mass, offset range") {
+    val bounds = TextOps.curationEmitBounds.fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("n_docs_started")))
+    val emitted = TextOps.curationEmit.fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq_id"))).toSet
+    // every manifest window exists in the emission
+    bounds.foreach { case (src, seq, _) =>
+      assert(emitted.contains((src, seq)), s"manifest window ($src, $seq) not emitted")
+    }
+    // every retained doc starts in exactly one window
+    val started = bounds.map(_._3).sum
+    val retained = decisions.values.count(_.getAs[String]("drop_reason") == null)
+    assert(started == retained.toLong, s"doc starts $started != retained $retained")
+    // a window fits at most 512 doc starts (1 token minimum per doc)
+    bounds.foreach { case (src, seq, n) =>
+      assert(n >= 1L && n <= 512L, s"($src, $seq) claims $n starts")
+    }
+  }
+
   test("emission tokenizer is lossless and its id space is dense") {
     import graft.queries.TextOps
     // every emitted word (incl. OOV plant words and redaction
