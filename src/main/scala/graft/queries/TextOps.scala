@@ -1553,7 +1553,7 @@ object TextOps {
         .withColumn("id", (row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("sym"))) - 1).cast("long"))
       val df = seg.join(broadcast(symtab), Seq("sym"))
-        .select(col("word"), col("j").cast("long").as("j"), col("id"))
+        .select(col("word"), col("j").cast("long").as("j"), col("id"), col("sym"))
         .persist()
       (df, df.count())
     })
@@ -1660,6 +1660,40 @@ object TextOps {
       .withColumn("start_off", coalesce(sum(col("final_tokens")).over(w), lit(0L))))
       .select(col("source"), col("seq_id"), col("n_tokens"), col("n_ids"), col("ids_fp"))
       .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** Token-ID FREQUENCY table of the emitted training stream — the
+    * unigram distribution a tokenizer release ships (it drives vocab
+    * pruning and under-trained-token audits). Computed
+    * frequency-weighted: the only corpus-scaled op is the word-count
+    * aggregate over the retained redacted stream (map-side combine
+    * on a vocab-bounded key), then the counts join the
+    * |vocab|·symbols-per-word bounded segment table and roll up by
+    * id — at 100 TB no per-token symbol explode ever happens, the
+    * token mass rides the word counts. Oracle replays curation, BPE
+    * train, segmentation, sorted symbol ids, and the weighted sum. */
+  val emitIdFreq: Q = Q("text_emit_id_freq",
+    curationOracleBody + ",\n" + bpeOracleBody(BpeRounds) + emitTokenCtes + s""",
+      |dw AS (SELECT DISTINCT word FROM rw),
+      |d0 AS (SELECT word, '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS st FROM dw),
+      |${(1 to BpeRounds).map(r =>
+          s"d$r AS (SELECT word, replace(st, ' ' || m.l || '  ' || m.r || ' '," +
+            s" ' ' || m.l || m.r || ' ') AS st FROM d${r - 1}, m$r m)").mkString(",\n")},
+      |dsym AS (SELECT word, unnest(string_split(trim(st), '  ')) AS sym FROM d$BpeRounds),
+      |symtab AS (SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+      |           FROM (SELECT DISTINCT sym FROM dsym)),
+      |wc AS (SELECT word, COUNT(*) AS wc FROM rw GROUP BY 1)
+      |SELECT t.id, d.sym, CAST(SUM(c.wc) AS BIGINT) AS n_occurrences
+      |FROM dsym d JOIN symtab t USING (sym) JOIN wc c USING (word)
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val wc = curationDecisions(s, dir).filter(col("drop_reason").isNull)
+      .select(explode(split(col("red"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val (syms, nSyms) = emitWordSymsStats(s, dir)
+    wc.join(maybeBroadcast(syms, nSyms * 48L), Seq("word"))
+      .groupBy(col("id"), col("sym"))
+      .agg(sum(col("wc")).cast("long").as("n_occurrences"))
+      .orderBy(col("id"))
   }
 
   /** One forget-lifecycle emission store per (application, sf dir):
@@ -2853,6 +2887,6 @@ object TextOps {
     dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, bpeFertility, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
-    tfidfTopK, curation, dataCard, curationPack, curationEmit, curationEmitIds, curationEmitBounds, curationShuffle,
+    tfidfTopK, curation, dataCard, curationPack, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle,
     emitForget, decontaminate, decontaminateIncremental, decontaminateBloom)
 }

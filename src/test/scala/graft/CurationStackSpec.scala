@@ -163,6 +163,18 @@ class CurationStackSpec extends SparkSpec {
     }
   }
 
+  test("id-frequency table conserves the emitted token-ID mass") {
+    // the frequency report is computed word-count-weighted (never a
+    // per-token explode); its total must equal the id mass the
+    // windows actually ship — a weighting bug would break exactly
+    // this conservation
+    val freqTotal = TextOps.emitIdFreq.fn(spark, sf)
+      .agg(sum($"n_occurrences")).as[Long].head()
+    val emittedIds = TextOps.curationEmitIds.fn(spark, sf)
+      .agg(sum($"n_ids")).as[Long].head()
+    assert(freqTotal == emittedIds, s"freq mass $freqTotal != emitted ids $emittedIds")
+  }
+
   test("emission tokenizer is lossless and its id space is dense") {
     import graft.queries.TextOps
     // every emitted word (incl. OOV plant words and redaction
