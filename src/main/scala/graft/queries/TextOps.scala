@@ -1686,7 +1686,17 @@ object TextOps {
       |SELECT t.id, d.sym, CAST(SUM(c.wc) AS BIGINT) AS n_occurrences
       |FROM dsym d JOIN symtab t USING (sym) JOIN wc c USING (word)
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val wc = curationDecisions(s, dir).filter(col("drop_reason").isNull)
+    emitIdFreqOf(s, dir, curationDecisions(s, dir))
+  }
+
+  /** The [[emitIdFreq]] rollup over any decision-record frame. The
+    * symbol table is the RELEASE artifact (built once from the
+    * certified decisions — streamed ≡ batch decisions is its own
+    * oracle row), so the continuous twin weighs its landed records
+    * against the same table. */
+  private[graft] def emitIdFreqOf(s: SparkSession, dir: String,
+                                  decisions: DataFrame): DataFrame = {
+    val wc = decisions.filter(col("drop_reason").isNull)
       .select(explode(split(col("red"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
     val (syms, nSyms) = emitWordSymsStats(s, dir)

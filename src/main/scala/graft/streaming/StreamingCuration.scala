@@ -427,6 +427,15 @@ object StreamingCuration {
     TextOps.emitBoundsOf(StreamingEmit.unifiedRun(s, dir).decisions)
   }
 
+  /** Streaming twin of `text_emit_id_freq` — same oracle: the
+    * continuous id-frequency monitor a long-running emission service
+    * publishes, weighed from the consolidated pass's landed records
+    * against the release symbol table. */
+  val streamEmitIdFreq: Q = Q("stream_emit_id_freq",
+    TextOps.emitIdFreq.oracle.get) { (s, dir) =>
+    TextOps.emitIdFreqOf(s, dir, StreamingEmit.unifiedRun(s, dir).decisions)
+  }
+
   /** The streamed pipeline with the LEARNED quality gate, certified
     * — the `stream_ann_query` discipline applied to curation: the
     * closed-form LR artifact ([[graft.ml.QualityModel.closedForm]])
@@ -549,5 +558,5 @@ object StreamingCuration {
   }
 
   val all: Seq[Q] = Seq(streamCurationPack, streamCurationLearned, streamDataCard,
-    streamEmitBounds, streamChunkWindows, streamMixEpochs, streamPiiRedact)
+    streamEmitBounds, streamEmitIdFreq, streamChunkWindows, streamMixEpochs, streamPiiRedact)
 }
