@@ -1331,8 +1331,10 @@ object TextOps {
     * the decisions; no second corpus scan). Scrub counts are
     * computed BEFORE the document-level drop cascade, so
     * tokens_scrubbed includes tokens scrubbed from docs that were
-    * later dropped; mean quality sums in DECIMAL(18,6) and divides
-    * once at the report boundary (order-independent addition). */
+    * later dropped; kept quality is published as the un-normalized
+    * DECIMAL(18,6) sum (order-independent addition; dividing by an
+    * even kept count would land on 6-dec midpoints the two engines
+    * round differently — consumers divide by docs_kept). */
   val dataCard: Q = Q("text_data_card",
     curationOracleBody + s""",
       |rec AS (SELECT source, n_tokens, n_removed, quality_score, drop_reason,
@@ -1354,9 +1356,8 @@ object TextOps {
       |  CAST(COUNT(*) FILTER (WHERE drop_reason = 'contaminated') AS BIGINT) AS n_contaminated,
       |  CAST(COUNT(*) FILTER (WHERE drop_reason = 'lang') AS BIGINT) AS n_lang,
       |  CAST(COUNT(*) FILTER (WHERE drop_reason = 'low_quality') AS BIGINT) AS n_low_quality,
-      |  CASE WHEN COUNT(*) FILTER (WHERE drop_reason IS NULL) > 0 THEN
-      |    ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) FILTER (WHERE drop_reason IS NULL) AS DOUBLE)
-      |      / COUNT(*) FILTER (WHERE drop_reason IS NULL), 6) END AS avg_quality_kept
+      |  ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) FILTER (WHERE drop_reason IS NULL) AS DOUBLE), 6)
+      |    AS sum_quality_kept
       |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     dataCardOf(curationDecisions(s, dir))
   }
@@ -1386,10 +1387,13 @@ object TextOps {
         count(when(col("drop_reason") === "contaminated", 1)).as("n_contaminated"),
         count(when(col("drop_reason") === "lang", 1)).as("n_lang"),
         count(when(col("drop_reason") === "low_quality", 1)).as("n_low_quality"),
-        when(keptN > 0,
-          r6(sum(when(kept, col("quality_score"))
-              .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
-            / keptN.cast("double"))).as("avg_quality_kept"))
+        // SUMMED, not averaged: the exact decimal sum divided by an
+        // even kept count lands on 6-dec midpoints the two engines
+        // round differently (the kmeans sum_cos rule) — consumers
+        // divide by docs_kept themselves
+        r6(sum(when(kept, col("quality_score"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double"))
+          .as("sum_quality_kept"))
       .orderBy(col("source"))
   }
 
@@ -1580,7 +1584,7 @@ object TextOps {
       .select(col("source"), col("start_off"),
         posexplode(split(col("red"), " ")).as(Seq("i", "word")))
       .select(col("source"), (col("start_off") + col("i")).as("pos"), col("word"))
-      .join(maybeBroadcast(syms, nSyms * 40L), Seq("word"), "left_outer")
+      .join(maybeBroadcast(syms, nSyms * 48L), Seq("word"), "left_outer")
       .select(col("source"), col("pos"), col("word"),
         coalesce(col("j"), lit(0L)).as("j"),
         when(col("id").isNotNull, col("id"))
@@ -1700,7 +1704,15 @@ object TextOps {
       .select(explode(split(col("red"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
     val (syms, nSyms) = emitWordSymsStats(s, dir)
-    wc.join(maybeBroadcast(syms, nSyms * 48L), Seq("word"))
+    // LEFT join + raise: a word outside the release vocabulary must
+    // fail LOUDLY (the emitWindowsIds contract) — an inner join would
+    // silently under-count and disguise a stream/batch divergence
+    wc.join(maybeBroadcast(syms, nSyms * 48L), Seq("word"), "left_outer")
+      .select(col("wc"), col("sym"),
+        when(col("id").isNotNull, col("id"))
+          .otherwise(raise_error(concat(
+            lit("frequency word missing from tokenizer vocabulary: "), col("word"))))
+          .as("id"))
       .groupBy(col("id"), col("sym"))
       .agg(sum(col("wc")).cast("long").as("n_occurrences"))
       .orderBy(col("id"))
@@ -2469,18 +2481,30 @@ object TextOps {
     split(trim(stN), "  ")
   }
 
+  /** The ONE definition of the |vocab|-bounded encoded table —
+    * `(word, n_sym)`: each vocabulary word's BPE symbol count under
+    * the trained merges — shared (Scala AND oracle CTE) by
+    * [[bpeEncode]] and [[bpeFertility]] so the encoding can never
+    * silently diverge between the two reports. */
+  private def bpeEncOracleCte: String =
+    s"enc AS (SELECT word, len(string_split(trim(st), '  ')) AS n_sym FROM s$BpeRounds)"
+
+  private def bpeEncodedVocab(s: SparkSession, dir: String): (DataFrame, Long) = {
+    val (vocab, nVocab) = Curation.vocabStats(s, dir)
+    (vocab.select(col("tok").as("word"),
+      size(bpeSegments(s, dir, col("tok"))).cast("long").as("n_sym")), nVocab)
+  }
+
   val bpeEncode: Q = Q("text_bpe_encode",
     bpeOracleCtes(BpeRounds) + s""",
-      |enc AS (SELECT word, len(string_split(trim(st), '  ')) AS n_sym FROM s$BpeRounds),
+      |$bpeEncOracleCte,
       |words AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word FROM documents)
       |SELECT w.doc_id, COUNT(*) AS n_tokens,
       |  CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_tokens,
       |  ROUND(CAST(MAX(w.n_chars) AS DOUBLE) / SUM(e.n_sym), 6) AS chars_per_bpe
       |FROM words w JOIN enc e ON w.word = e.word
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val (vocab, nVocab) = Curation.vocabStats(s, dir)
-    val enc = vocab.select(col("tok").as("word"),
-      size(bpeSegments(s, dir, col("tok"))).cast("long").as("n_sym"))
+    val (enc, nVocab) = bpeEncodedVocab(s, dir)
     tokenized(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_chars"), explode(col("w")).as("word"))
       .join(maybeBroadcast(enc, nVocab * 64L), "word")
@@ -2502,7 +2526,7 @@ object TextOps {
     * divided once at the report boundary. */
   val bpeFertility: Q = Q("text_bpe_fertility",
     bpeOracleCtes(BpeRounds) + s""",
-      |enc AS (SELECT word, len(string_split(trim(st), '  ')) AS n_sym FROM s$BpeRounds),
+      |$bpeEncOracleCte,
       |dwords AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
       |SELECT source, COUNT(*) AS n_words,
       |  CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_tokens,
@@ -2510,9 +2534,7 @@ object TextOps {
       |  ROUND(SUM(e.n_sym) / CAST(COUNT(*) AS DOUBLE), 6) AS tokens_per_word
       |FROM dwords w JOIN enc e ON w.word = e.word
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val (vocab, nVocab) = Curation.vocabStats(s, dir)
-    val enc = vocab.select(col("tok").as("word"),
-      size(bpeSegments(s, dir, col("tok"))).cast("long").as("n_sym"))
+    val (enc, nVocab) = bpeEncodedVocab(s, dir)
     tokenized(Tables.documents(s, dir))
       .select(col("source"), explode(col("w")).as("word"))
       .join(maybeBroadcast(enc, nVocab * 64L), "word")

@@ -174,6 +174,7 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"), plan)
     // formatted explain expands the cached pipeline inside
     // InMemoryRelation; the card's own plan is everything ABOVE it
+    assert(plan.contains("InMemoryRelation"), plan) // guard the substring below
     val above = plan.substring(0, plan.indexOf("InMemoryRelation"))
     assert(!above.contains("Join"), above)
     assert("Exchange".r.findAllIn(above).size <= 2, above) // agg + presentation sort only
