@@ -1397,6 +1397,33 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Quality-score HISTOGRAM over the decision record — the
+    * threshold-calibration artifact: the distribution you inspect
+    * (alongside the learned gate's probabilities) before moving the
+    * 0.7 cutoff, bucketed at 0.05. Buckets are exact on both
+    * engines: quality_score is already 6-dec rounded, `score * 20`
+    * is the same double everywhere, and floor of the same double
+    * agrees — the bucket edge `lo` divides the integer bucket once
+    * at the report boundary. Docs with no kept tokens (no score;
+    * they drop as heavy_dup) are excluded. Another free rollup of
+    * the cached decisions — one hash aggregate on ≤21 keys. */
+  val qualityHist: Q = Q("text_quality_hist",
+    curationOracleBody + """
+      |SELECT CAST(FLOOR(quality_score * 20) AS BIGINT) AS bucket,
+      |  ROUND(CAST(FLOOR(quality_score * 20) AS BIGINT) / 20.0, 6) AS lo,
+      |  COUNT(*) AS n_docs,
+      |  CAST(COUNT(*) FILTER (WHERE drop_reason IS NULL) AS BIGINT) AS n_kept
+      |FROM fin2 WHERE quality_score IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
+    curationDecisions(s, dir).filter(col("quality_score").isNotNull)
+      .groupBy(floor(col("quality_score") * 20).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("drop_reason").isNull, 1)).as("n_kept"))
+      .select(col("bucket"), r6(col("bucket") / lit(20.0)).as("lo"),
+        col("n_docs"), col("n_kept"))
+      .orderBy(col("bucket"))
+  }
+
   /** The curated corpus PACKED into training sequences — the terminal
     * batch-assembly stage composed over [[curationDecisions]]: only
     * retained documents (drop_reason NULL) flow, at their FINAL
@@ -2919,6 +2946,6 @@ object TextOps {
     dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, bpeFertility, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
     sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
-    tfidfTopK, curation, dataCard, curationPack, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle,
+    tfidfTopK, curation, dataCard, qualityHist, curationPack, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle,
     emitForget, decontaminate, decontaminateIncremental, decontaminateBloom)
 }
