@@ -1415,14 +1415,19 @@ object TextOps {
       |  CAST(COUNT(*) FILTER (WHERE drop_reason IS NULL) AS BIGINT) AS n_kept
       |FROM fin2 WHERE quality_score IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
-    curationDecisions(s, dir).filter(col("quality_score").isNotNull)
+    qualityHistOf(curationDecisions(s, dir))
+  }
+
+  /** The [[qualityHist]] rollup over any decision-record frame —
+    * shared with the consolidated stream's twin. */
+  private[graft] def qualityHistOf(decisions: DataFrame): DataFrame =
+    decisions.filter(col("quality_score").isNotNull)
       .groupBy(floor(col("quality_score") * 20).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("drop_reason").isNull, 1)).as("n_kept"))
       .select(col("bucket"), r6(col("bucket") / lit(20.0)).as("lo"),
         col("n_docs"), col("n_kept"))
       .orderBy(col("bucket"))
-  }
 
   /** The curated corpus PACKED into training sequences — the terminal
     * batch-assembly stage composed over [[curationDecisions]]: only

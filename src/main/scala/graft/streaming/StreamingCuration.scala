@@ -427,6 +427,14 @@ object StreamingCuration {
     TextOps.emitBoundsOf(StreamingEmit.unifiedRun(s, dir).decisions)
   }
 
+  /** Streaming twin of `text_quality_hist` — same oracle: the
+    * threshold-calibration histogram computed continuously off the
+    * consolidated pass's landed decision records. */
+  val streamQualityHist: Q = Q("stream_quality_hist",
+    TextOps.qualityHist.oracle.get) { (s, dir) =>
+    TextOps.qualityHistOf(StreamingEmit.unifiedRun(s, dir).decisions)
+  }
+
   /** Streaming twin of `text_emit_id_freq` — same oracle: the
     * continuous id-frequency monitor a long-running emission service
     * publishes, weighed from the consolidated pass's landed records
@@ -558,5 +566,6 @@ object StreamingCuration {
   }
 
   val all: Seq[Q] = Seq(streamCurationPack, streamCurationLearned, streamDataCard,
-    streamEmitBounds, streamEmitIdFreq, streamChunkWindows, streamMixEpochs, streamPiiRedact)
+    streamEmitBounds, streamEmitIdFreq, streamQualityHist, streamChunkWindows,
+    streamMixEpochs, streamPiiRedact)
 }
