@@ -38,26 +38,36 @@ object SessionCaches {
   }
 
   // Release whatever resources a memo value pins: persisted frames
-  // unpersist; promoted artifact stores rooted in engine-created temp
-  // dirs delete their directory tree (a store dropped from the memo
-  // without cleanup would leak its artifacts on disk for the rest of
-  // a long multi-tenant session — the memo handle was the only
-  // reference); and ANY Product (tuples, but also index case classes
-  // like PqIndex whose fields hold persisted frames) recurses through
-  // its fields — a value dropped from the memo without unpersisting
-  // would leave its blocks pinned in storage memory with no
-  // remaining handle, the opposite of eviction. Plain values
-  // (arrays, literal seqs) just drop.
+  // unpersist; promoted artifact stores delete their directory tree
+  // ONLY when the entry explicitly owns them — the store IS the memo
+  // value, or its root is declared in Reapable.reapRoots. A
+  // VersionedStore merely *reached* through Product field recursion
+  // (a composite holding Env.benchStore or the shared
+  // quality/production stores) is NOT reaped: such stores can be
+  // shared across memo entries, and deleting their root on one
+  // entry's eviction would orphan artifacts another live entry still
+  // hands out. Products (tuples, index case classes like PqIndex)
+  // recurse so held frames unpersist; a value dropped from the memo
+  // without unpersisting would leave its blocks pinned in storage
+  // memory with no remaining handle. Plain values just drop.
   private def release(v: Any): Unit = v match {
-    case df: DataFrame => df.unpersist(); ()
+    // owned store: the memo value is the store itself
     case vs: graft.sources.VersionedStore => reapTempRoot(vs.root)
+    case other => releaseShared(other)
+  }
+
+  // recursion path: unpersist frames, reap declared roots, but never
+  // reap a store discovered through a field (shared-store safety)
+  private def releaseShared(v: Any): Unit = v match {
+    case df: DataFrame => df.unpersist(); ()
+    case _: graft.sources.VersionedStore => () // shared — owner reaps
     case r: Reapable =>
       r.reapRoots.foreach(reapTempRoot)
       // a Reapable composite (the unified stream artifacts) still
-      // recurses so held frames unpersist and held stores reap
-      r match { case p: Product => p.productIterator.foreach(release); case _ => () }
-    case p: Product => p.productIterator.foreach(release)
-    case it: Iterable[_] => it.foreach(release)
+      // recurses so held frames unpersist
+      r match { case p: Product => p.productIterator.foreach(releaseShared); case _ => () }
+    case p: Product => p.productIterator.foreach(releaseShared)
+    case it: Iterable[_] => it.foreach(releaseShared)
     case _ => ()
   }
 

@@ -33,13 +33,22 @@ object Verify {
     // foreign dir holding only dot-files does NOT qualify), while a
     // partial dir of a renamed query — even one killed before its
     // first part file landed — must not linger as a phantom entry.
-    def verifyProduced(f: java.io.File): Boolean =
+    def verifyProduced(f: java.io.File): Boolean = {
+      // Spark's own write-protocol names — an arbitrary '_'-prefixed
+      // file (e.g. a foreign dir's _notes.md) must NOT qualify, so
+      // the positive evidence is a part file or a KNOWN marker.
+      def sparkMarker(n: String): Boolean =
+        n == "_SUCCESS" || n == "_temporary" || n == "_metadata" ||
+          n == "_common_metadata" || n.startsWith("_committed") ||
+          n.startsWith("_started")
       new java.io.File(f, "_SUCCESS").exists() || {
         val names = Option(f.list()).getOrElse(Array.empty)
-        names.exists(n => n.startsWith("part-") || n.startsWith("_")) &&
+        names.exists(n => n.startsWith("part-") || sparkMarker(n)) &&
           names.forall(n =>
-            n.startsWith("part-") || n.startsWith("_") || n.startsWith("."))
+            n.startsWith("part-") || sparkMarker(n) ||
+              n.startsWith(".") || n.endsWith(".crc"))
       }
+    }
     Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && !Files.isSymbolicLink(f.toPath)
         && !live.contains(f.getName) && verifyProduced(f))

@@ -802,7 +802,10 @@ object Multimodal {
   val captionAlign: Q = Q("mm_caption_align",
     """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
       |p AS (SELECT doc_id, doc_id % n.n AS img_ref,
-      |        CASE WHEN doc_id % 10 = 7 THEN (doc_id * 31 + 7) % n.n
+      |        CASE WHEN doc_id % 10 = 7 THEN
+      |          CASE WHEN (doc_id * 31 + 7) % n.n = doc_id % n.n
+      |               THEN ((doc_id * 31 + 7) % n.n + 1) % n.n
+      |               ELSE (doc_id * 31 + 7) % n.n END
       |             ELSE doc_id % n.n END AS cap_ref
       |      FROM documents, n),
       |z AS (SELECT p.doc_id, p.img_ref, p.cap_ref,
@@ -834,10 +837,18 @@ object Multimodal {
                   emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val nRow = broadcast(emb.agg(count(lit(1)).as("n")))
+    // planted misalignment for doc_id % 10 = 7 — GUARDED: when the
+    // swapped ref lands back on img_ref (30·doc_id + 7 ≡ 0 mod n, a
+    // congruence that hits at some corpus sizes and would score the
+    // "misaligned" plant ~0.999), step one vector over so every
+    // plant genuinely differs from its image embedding
+    val swapped = (col("doc_id") * 31 + 7) % col("n")
     val pairs = docs.select(col("doc_id"))
       .crossJoin(nRow)
       .select(col("doc_id"), (col("doc_id") % col("n")).as("img_ref"),
-        when(col("doc_id") % 10 === 7, (col("doc_id") * 31 + 7) % col("n"))
+        when(col("doc_id") % 10 === 7,
+          when(swapped === col("doc_id") % col("n"), (swapped + 1) % col("n"))
+            .otherwise(swapped))
           .otherwise(col("doc_id") % col("n")).as("cap_ref"))
     val img = emb.select(col("vec_id").as("img_ref"), col("embedding").as("img_e"))
     val cap = emb.select(col("vec_id").as("cap_ref"), col("embedding").as("cap_e"))
@@ -1156,7 +1167,10 @@ object Multimodal {
   val alignedPack: Q = Q("mm_aligned_pack",
     """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
       |p AS (SELECT doc_id, doc_id % n.n AS img_ref,
-      |        CASE WHEN doc_id % 10 = 7 THEN (doc_id * 31 + 7) % n.n
+      |        CASE WHEN doc_id % 10 = 7 THEN
+      |          CASE WHEN (doc_id * 31 + 7) % n.n = doc_id % n.n
+      |               THEN ((doc_id * 31 + 7) % n.n + 1) % n.n
+      |               ELSE (doc_id * 31 + 7) % n.n END
       |             ELSE doc_id % n.n END AS cap_ref
       |      FROM documents, n),
       |z AS (SELECT p.doc_id,

@@ -102,6 +102,27 @@ object Kmeans {
       try train(vv) finally vv.unpersist(blocking = false)
     })
 
+  /** Per-vector (vec_id, cluster, cos) assignment frame under the
+    * trained centroids, PERSISTED and memoized per (application, sf
+    * dir): [[prototypesPrune]] consumes it three times (histogram
+    * build, boundary-bin rank, final projection) — without the
+    * persist each consumer re-pays the full embeddings scan plus K
+    * fused cosines per vector. Session eviction unpersists via
+    * [[graft.SessionCaches]]. */
+  private val assignedCache =
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+
+  private def assignedFrame(s: SparkSession, dir: String): DataFrame =
+    assignedCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val b = best(col("v"), trained(s, dir))
+      val df = vecs(Tables.embeddings(s, dir))
+        .select(col("vec_id"), (-b.getField("col2")).cast("long").as("cluster"),
+          b.getField("col1").as("cos"))
+        .persist()
+      df.count()
+      df
+    })
+
   /** Final per-cluster report under the trained centroids: size,
     * within-cluster cosine SUM (the inertia analog — summed, not
     * averaged: dividing the exact 6-dec decimal sum by the cluster
@@ -311,11 +332,7 @@ object Kmeans {
       |SELECT vec_id, cluster, cos, rn <= CAST(CEIL($PruneFrac * n) AS BIGINT) AS pruned
       |FROM rk ORDER BY vec_id""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    val cents = trained(s, dir)
-    val b = best(col("v"), cents)
-    val assigned = vecs(Tables.embeddings(s, dir))
-      .select(col("vec_id"), (-b.getField("col2")).cast("long").as("cluster"),
-        b.getField("col1").as("cos"))
+    val assigned = assignedFrame(s, dir)
     val wC = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
     // cumulative histogram, highest cosine first: the first bin whose
     // running count crosses the cluster quota carries the cutoff

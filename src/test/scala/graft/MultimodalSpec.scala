@@ -180,4 +180,30 @@ class MultimodalSpec extends SparkSpec {
         s"missing=${(batch -- streamed).take(3)}")
     }
   }
+
+  test("caption-align planted misalignments never collapse onto the image ref") {
+    import spark.implicits._
+    // degenerate congruence: with n = 37 embeddings, doc_id 297 has
+    // (297*31 + 7) % 37 == 297 % 37 — the UNGUARDED swap would pair
+    // the "misaligned" plant with its own image embedding and score
+    // ~0.999; the guard must step one vector over
+    assert((297L * 31 + 7) % 37 == 297 % 37 && 297 % 10 == 7)
+    val emb37 = graft.sources.Tables.embeddings(spark, sf).filter(col("vec_id") < 37)
+    val docs = Seq(297L, 7L, 17L).toDF("doc_id")
+    val rows = Multimodal.alignScores(docs, emb37).collect()
+    rows.filter(_.getAs[Long]("doc_id") % 10 == 7).foreach { r =>
+      assert(r.getAs[Long]("cap_ref") != r.getAs[Long]("img_ref"),
+        s"plant collapsed: $r")
+    }
+    // and on the real corpus every plant lands below the 0.9 gate
+    val corpus = Multimodal.alignScores(
+      graft.sources.Tables.documents(spark, sf),
+      graft.sources.Tables.embeddings(spark, sf))
+      .filter(col("doc_id") % 10 === 7).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("cap_ref") != r.getAs[Long]("img_ref"))
+      assert(!r.getAs[Boolean]("keep"), s"plant kept: $r")
+    }
+  }
 }
