@@ -301,14 +301,13 @@ object Curation {
     * documents frame — also the artifact body the forget-propagation
     * certificate rebuilds per affected source shard. */
   private[graft] def mixPackManifest(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"), col("rep"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    mixFrame(docs
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens")))
-      .select(col("source"), col("doc_id"), col("rep"), col("n_tokens"))
-      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    TextOps.sourcePrefixSum(
+      mixFrame(docs
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")))
+        .select(col("source"), col("doc_id"), col("rep").cast("long").as("rep"),
+          col("n_tokens")),
+      col("n_tokens"), order = Seq(col("doc_id"), col("rep")))
       .groupBy(col("source"), floor(col("start_off") / 512).as("seq_id"))
       .agg(count(lit(1)).as("n_entries"), countDistinct(col("doc_id")).as("n_docs"),
         sum(col("n_tokens")).as("seq_tokens"),

@@ -794,16 +794,79 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Sub-shard fan-out of the per-source running sums below. */
+  private[graft] final val PackSubShards = 16
+
+  /** Scale-safe EXCLUSIVE per-source prefix sum ordered by doc_id —
+    * the one primitive under the whole pack/emit/shuffle/forget
+    * family. Adds `start_off` = Σ value over same-source rows with
+    * smaller doc_id.
+    *
+    * A bare `Window.partitionBy(source).orderBy(doc_id)` sorts each
+    * source's ENTIRE doc list in one task — fine when sources are
+    * ingest shards, a scale-killer when one crawl dominates the
+    * corpus (the common case). This is the two-level prefix-sum
+    * device of [[shuffleOrder]]'s `shuffleRankCore` applied under
+    * the source key: the sub-shard is a RANGE bucket of doc_id
+    * (`⌊doc_id·16/(max_id+1)⌋` off a 1-row broadcast max anchor) —
+    * range, not hash, because only a bucket MONOTONE in the sort
+    * order lets per-bucket totals compose into an ordered running
+    * sum (a hash bucket's contribution to a later doc's offset would
+    * depend on the doc, not just the bucket). Level 1 runs the local
+    * exclusive sum per (source, sub-shard) — each window task holds
+    * ≤ 1/16 of a source (doc_ids are dense ingest sequence numbers,
+    * so range buckets are balanced; a 100 TB run widens the fan-out
+    * constant). Level 2 is a (source, sub-shard)-bounded totals
+    * frame — ≤ 16·|sources| rows regardless of corpus size — whose
+    * own exclusive sum rides a per-source window over ≤ 16 rows and
+    * joins back BROADCAST. Offsets are arithmetic, not layout:
+    * results are bit-identical to the single-window form, so every
+    * oracle keeps the plain `SUM() OVER (PARTITION BY source ORDER
+    * BY doc_id)` spelling. */
+  private[graft] def sourcePrefixSum(df: DataFrame, value: Column,
+                                     order: Seq[Column] = Seq(col("doc_id"))): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchor = broadcast(df.agg(max(col("doc_id")).as("graft_max_id")))
+    // floor over double is weakly monotone in doc_id, which is all
+    // bucketing needs (ties collapse into one bucket harmlessly);
+    // doc_id leads every `order` this family uses, so a doc_id-range
+    // bucket is monotone in the full lexicographic order too
+    // Cost shape: the ONE corpus-width shuffle is the local window's
+    // (source, sub) exchange — the payload columns (e.g. the redacted
+    // text) ride only there. The totals branch re-reads the pruned
+    // (source, doc_id, value) columns and map-side partial-aggregates
+    // before its exchange, so it ships ≤ 16·|sources| rows per input
+    // partition — a second SCAN of three narrow columns, never a
+    // second corpus shuffle.
+    val sub = df.crossJoin(anchor)
+      .withColumn("graft_sub",
+        floor(col("doc_id") * PackSubShards / (col("graft_max_id") + 1)).cast("long"))
+      .drop("graft_max_id")
+    val wLocal = Window.partitionBy(col("source"), col("graft_sub"))
+      .orderBy(order: _*).rowsBetween(Window.unboundedPreceding, -1)
+    val wSub = Window.partitionBy(col("source")).orderBy(col("graft_sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sub.groupBy(col("source"), col("graft_sub"))
+      .agg(sum(value).as("graft_tot"))
+      .withColumn("graft_sub_off",
+        coalesce(sum(col("graft_tot")).over(wSub), lit(0L)))
+      .select(col("source"), col("graft_sub"), col("graft_sub_off"))
+    sub
+      .withColumn("graft_local_off", coalesce(sum(value).over(wLocal), lit(0L)))
+      .join(broadcast(offs), Seq("source", "graft_sub"))
+      .withColumn("start_off", col("graft_sub_off") + col("graft_local_off"))
+      .drop("graft_sub", "graft_local_off", "graft_sub_off")
+  }
+
   /** Sequence packing — the batch-assembly op that concatenates
     * documents (in a deterministic order) and cuts fixed-token-budget
     * training sequences: each doc lands in the sequence holding its
     * starting offset (`floor(prev_cumsum / budget)`), the standard
     * concat-then-chunk packing. Packing is PER SOURCE SHARD
-    * (`PARTITION BY source`), the way a real pipeline packs within an
-    * ingest shard — the running sum parallelizes across shards
-    * instead of forcing one global ordered pass, so the shape holds
-    * at 100 TB (shard count scales with the corpus; a global ORDER BY
-    * would not). Pure integer window arithmetic → oracle-exact. */
+    * (`PARTITION BY source`) and, under each source, per doc_id-range
+    * SUB-SHARD ([[sourcePrefixSum]]) — the way a real pipeline packs
+    * within an ingest shard, without betting the wall-clock on shard
+    * balance. Pure integer window arithmetic → oracle-exact. */
   val packSequences: Q = Q("text_pack_sequences",
     """WITH t AS (
       |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
@@ -817,12 +880,10 @@ object TextOps {
       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM o GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    tokenized(Tables.documents(s, dir))
-      .select(col("source"), col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
-      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    sourcePrefixSum(
+      tokenized(Tables.documents(s, dir))
+        .select(col("source"), col("doc_id"), size(col("w")).cast("long").as("n_tokens")),
+      col("n_tokens"))
       .groupBy(col("source"), floor(col("start_off") / 512).as("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -851,12 +912,10 @@ object TextOps {
       |  CAST(n_tokens AS BIGINT) AS n_tokens,
       |  (start_off // 512 <> (start_off + n_tokens - 1) // 512) AS is_split
       |FROM o ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    tokenized(Tables.documents(s, dir))
-      .select(col("source"), col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
-      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    sourcePrefixSum(
+      tokenized(Tables.documents(s, dir))
+        .select(col("source"), col("doc_id"), size(col("w")).cast("long").as("n_tokens")),
+      col("n_tokens"))
       .select(col("source"), floor(col("start_off") / 512).as("seq_id"), col("doc_id"),
         (col("start_off") % 512).as("offset_in_seq"), col("n_tokens"),
         (floor(col("start_off") / 512) =!=
@@ -1511,12 +1570,10 @@ object TextOps {
     * decisions, shared verbatim by the batch query and the
     * consolidated stream's twin. */
   private[graft] def emitBoundsOf(decisions: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    decisions.filter(col("drop_reason").isNull)
-      .select(col("source"), col("doc_id"), col("final_tokens"))
-      .withColumn("start_off", coalesce(sum(col("final_tokens")).over(w), lit(0L)))
+    sourcePrefixSum(
+      decisions.filter(col("drop_reason").isNull)
+        .select(col("source"), col("doc_id"), col("final_tokens")),
+      col("final_tokens"))
       .groupBy(col("source"), floor(col("start_off") / 512).cast("long").as("seq_id"))
       .agg(count(lit(1)).as("n_docs_started"),
         md5(array_join(transform(
@@ -1530,13 +1587,8 @@ object TextOps {
     * `(source, doc_id, red, final_tokens)` — shared by the batch
     * emission and the emit-forget lifecycle (which recuts affected
     * source shards from the reduced retained set). */
-  private[graft] def emitWindowsOfRetained(retained: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    emitWindows(retained
-      .withColumn("start_off", coalesce(sum(col("final_tokens")).over(w), lit(0L))))
-  }
+  private[graft] def emitWindowsOfRetained(retained: DataFrame): DataFrame =
+    emitWindows(sourcePrefixSum(retained, col("final_tokens")))
 
   /** Window cutting + hashing over positioned retained texts
     * `(source, doc_id, red, start_off)` — shared by the batch emit
@@ -1686,14 +1738,10 @@ object TextOps {
       |  COUNT(*) AS n_ids,
       |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos, j)) AS ids_fp
       |FROM idrows GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val retained = curationDecisions(s, dir)
       .filter(col("drop_reason").isNull)
       .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    emitWindowsIds(s, dir, retained
-      .withColumn("start_off", coalesce(sum(col("final_tokens")).over(w), lit(0L))))
+    emitWindowsIds(s, dir, sourcePrefixSum(retained, col("final_tokens")))
       .select(col("source"), col("seq_id"), col("n_tokens"), col("n_ids"), col("ids_fp"))
       .orderBy(col("source"), col("seq_id"))
   }
@@ -1869,14 +1917,10 @@ object TextOps {
       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sort_key, source, seq_id) AS BIGINT) AS pos,
       |  sort_key, source, seq_id, n_tokens, window_fp
       |FROM k2 ORDER BY ord""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val retained = curationDecisions(s, dir)
       .filter(col("drop_reason").isNull)
       .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    shuffleRankWindows(emitWindows(retained
-      .withColumn("start_off", coalesce(sum(col("final_tokens")).over(w), lit(0L)))))
+    shuffleRankWindows(emitWindows(sourcePrefixSum(retained, col("final_tokens"))))
   }
 
   /** The window-keyed shuffle-rank program over
@@ -1893,12 +1937,9 @@ object TextOps {
     * and the streaming curation composition (which packs the landed
     * retained corpus after the stream drains). */
   private[graft] def packRetained(retained: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    retained
-      .select(col("source"), col("doc_id"), col("n_tokens"))
-      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    sourcePrefixSum(
+      retained.select(col("source"), col("doc_id"), col("n_tokens")),
+      col("n_tokens"))
       .groupBy(col("source"), floor(col("start_off") / 512).as("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))

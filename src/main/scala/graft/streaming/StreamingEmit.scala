@@ -63,10 +63,10 @@ object StreamingEmit {
       .filter(col("batch_id") =!= batchId))
     // per-source positioned stream: the carry tail sits at done_off,
     // batch docs follow at done_off + |carry| + in-batch prefix sum
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val inBatch = retained
-      .withColumn("batch_off", coalesce(sum(col("final_tokens")).over(w), lit(0L)))
+    // (sub-sharded like the batch family — a micro-batch dominated by
+    // one source must not serialize its window either)
+    val inBatch = TextOps.sourcePrefixSum(retained, col("final_tokens"))
+      .withColumnRenamed("start_off", "batch_off")
       .join(carry, Seq("source"), "left_outer")
       .select(col("source"),
         (coalesce(col("done_off"), lit(0L))

@@ -81,10 +81,9 @@ object StreamingMixPack {
       .getOrElse(sys.error("no production mix offsets"))
       .filter(col("batch_id") =!= batchId)
       .groupBy(col("source")).agg(sum(col("batch_tokens")).as("base_off"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"), col("rep"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    mixed
-      .withColumn("in_batch_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    graft.queries.TextOps.sourcePrefixSum(mixed, col("n_tokens"),
+        order = Seq(col("doc_id"), col("rep")))
+      .withColumnRenamed("start_off", "in_batch_off")
       // per-SOURCE state is broadcast-bounded by construction (one row
       // per source), unlike per-user or per-doc frames
       .join(broadcast(base), Seq("source"), "left_outer")

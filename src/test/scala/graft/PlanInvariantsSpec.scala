@@ -92,16 +92,38 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
 
-  test("sequence packing aggregates on the window's partitioning (one data shuffle)") {
-    // groupBy(source, seq_id) must ride the window's hash(source)
-    // partitioning: exchanges = one for the window + one for the
-    // final ORDER BY presentation sort, nothing else. (Count tree
-    // nodes only — the formatted detail section repeats each name.)
-    // text_mix_pack composes the shuffle-free epoch mix in front of
-    // the same packing scheme, so it must keep the identical bound.
-    for (q <- Seq("text_pack_sequences", "text_mix_pack")) {
+  test("sequence packing sub-shards the per-source running sum (bounded window tasks)") {
+    // the prefix sum must partition on (source, graft_sub) — a bare
+    // per-source window would sort one dominant source's whole doc
+    // list in a single task at scale. The extra exchanges the
+    // two-level device introduces are all BOUNDED: the two 1-row max
+    // anchors, the ≤16·|sources| partial-aggregated totals, its
+    // per-source ≤16-row offset window, final agg + presentation
+    // sort. Only the local window's exchange carries corpus rows.
+    // mix_pack gets one more: the epoch-mix expansion's own agg
+    for ((q, maxEx) <- Seq("text_pack_sequences" -> 7, "text_mix_pack" -> 8)) {
       val plan = formatted(SparkEntry.queries(q)(spark, sf))
-      assert("""[+:]- Exchange""".r.findAllIn(plan).size <= 2, s"$q:\n$plan")
+      assert(plan.contains(", graft_sub"), s"$q lost the sub-shard:\n$plan")
+      assert(!plan.matches("(?s).*windowspecdefinition\\(source#\\d+, doc_id#.*"),
+        s"$q: bare per-source window:\n$plan")
+      assert("""[+:]- Exchange""".r.findAllIn(plan).size <= maxEx, s"$q:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      // the only nested loops are the broadcast 1-row max anchors
+      assert("""\) BroadcastNestedLoopJoin""".r.findAllIn(plan).size <= 2, s"$q:\n$plan")
+    }
+  }
+
+  test("no emission-family query windows on bare source (the 100 TB skew contract)") {
+    // every pack/emit/shuffle offset derives from sourcePrefixSum's
+    // doc_id-range sub-shard; a refactor reintroducing
+    // Window.partitionBy(source).orderBy(doc_id) would serialize a
+    // dominant source into one window task
+    for (q <- Seq("text_pack_offsets", "text_emit_doc_bounds",
+      "text_curation_emit", "text_curation_emit_ids",
+      "text_curation_shuffle", "text_curation_pack", "text_shuffle_order")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.matches("(?s).*windowspecdefinition\\(source#\\d+, doc_id#.*"),
+        s"$q: bare per-source window:\n$plan")
     }
   }
 
@@ -135,7 +157,9 @@ class PlanInvariantsSpec extends SparkSpec {
     val plan = formatted(SparkEntry.queries("text_curation_emit_ids")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
-    assert(!plan.contains("NestedLoop"), plan)
+    // the only nested loops are the sub-sharded prefix sum's
+    // broadcast 1-row max anchors (one per branch)
+    assert("""\) BroadcastNestedLoopJoin""".r.findAllIn(plan).size <= 2, plan)
   }
 
   test("audio decode is a pure map: no exchange before the presentation sort") {

@@ -172,6 +172,35 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("single-source corpus: sub-sharded prefix sum spreads the one source over 16 tasks") {
+    // The adversarial shape the bare per-source window dies on: EVERY
+    // doc in one source (one crawl dominating a corpus). The
+    // two-level sourcePrefixSum must (a) equal the brute-force
+    // single-window running sum exactly, and (b) spread the source
+    // across all 16 doc_id-range sub-shards so no window task holds
+    // more than ~1/16 of it.
+    val n = 4096L
+    val docs = spark.range(0, n)
+      .select(col("id").as("doc_id"), lit("the_one_crawl").as("source"),
+        (col("id") % 37 + 1).as("n_tokens"))
+    val got = graft.queries.TextOps.sourcePrefixSum(docs, col("n_tokens"))
+      .select(col("doc_id"), col("start_off"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force on the driver: exclusive prefix sum in doc_id order
+    var acc = 0L
+    (0L until n).foreach { d =>
+      assert(got(d) == acc, s"doc $d: got ${got(d)} want $acc")
+      acc += d % 37 + 1
+    }
+    // the sub-shard key spreads the single source across the full
+    // 16-bucket alphabet with balanced range buckets (dense ids)
+    val subs = docs
+      .withColumn("sub", floor(col("doc_id") * graft.queries.TextOps.PackSubShards / lit(n)))
+      .groupBy("sub").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(subs.keySet == (0L until 16L).toSet, subs.toString)
+    assert(subs.values.max <= n / 16 + 1, subs.toString)
+  }
+
   test("connected components close a 1000x pair graph within the log-round bound") {
     // Synthetic graph ~3 orders of magnitude past the corpus pair
     // list: 50 chains of 500 vertices (diameter 499 — the adversarial
