@@ -37,10 +37,23 @@ object Bench {
     // bench as one opaque number, so a regression in a single cache
     // was invisible — per-cache entries keep the sum identical while
     // naming what the warm pays for.
-    def timedWarm(name: String)(f: => Unit): (String, Double) = {
-      val t0 = System.nanoTime()
+    // Host-noise attribution (three rounds of phantom-regression
+    // narrative — text_source_mix, cache_warm_knn, stream_audio_decode
+    // — re-argued the shared-VM story without data): every timed entry
+    // also records the JVM GC time spent inside it and the 1-minute
+    // system load average sampled at its start, so a 2x swing on
+    // byte-identical code can be attributed (load spike / GC storm)
+    // from the bench record itself instead of ad-hoc reruns.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    def loadAvg(): Double = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    final case class Entry(name: String, sec: Double, gcMsDelta: Long, load: Double)
+    def timedWarm(name: String)(f: => Unit): Entry = {
+      val load0 = loadAvg(); val gc0 = gcMs(); val t0 = System.nanoTime()
       warmup(f)
-      name -> (System.nanoTime() - t0) / 1e9
+      Entry(name, (System.nanoTime() - t0) / 1e9, gcMs() - gc0, load0)
     }
     val warmShared = Seq(
       timedWarm("cache_warm_shingles") {
@@ -85,6 +98,12 @@ object Bench {
         // query runs first and min-of-2 hides it from the total
         graft.queries.TextOps.curationDecisions(spark, sfDir); ()
       },
+      timedWarm("cache_warm_media_forget") {
+        // the image-dedup stream + takedown world behind the
+        // mm_dedup_forget certificate — one drain per session,
+        // attributed here instead of vanishing into rep 1's min
+        graft.streaming.StreamingMedia.forgottenImageEnv(spark, sfDir); ()
+      },
       timedWarm("cache_warm_curation_stream") {
         // the ONE consolidated curation stream pass whose artifacts
         // feed all three operating-mode certificates
@@ -101,31 +120,48 @@ object Bench {
     // and the min of two back-to-back reps is robust to a spike
     // landing on either one while staying comparable round-to-round.
     val results = warmShared ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val load0 = loadAvg()
+      // gc is attributed to the WHOLE entry (both reps): the min-rep
+      // timing filters load spikes, but GC cost is real work the entry
+      // caused regardless of which rep it surfaced in.
+      val gc0 = gcMs()
       val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> reps.min
+      Entry(name, reps.min, gcMs() - gc0, load0)
     }
-    val total = results.map(_._2).sum
+    val total = results.map(_.sec).sum
     // Locale-pinned decimal format: f"" uses the JVM default locale,
     // and a comma-decimal locale (de_DE, ...) would emit 68,008 and
     // break the one-line JSON contract.
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def d2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def fmt(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + d3(v) }.mkString("{", ",", "}")
     // Full per-query detail goes to STDERR: the driver that consumes
     // the stdout line keeps only the last ~2000 chars of output, and
     // 80+ query timings don't fit — a longer line loses its head
     // (including "metric") to the truncation and never parses.
-    System.err.println(s"""[bench-detail] ${fmt(results)}""")
+    System.err.println(s"""[bench-detail] ${fmt(results.map(e => e.name -> e.sec))}""")
+    // Per-entry noise attribution record: gc_ms = JVM GC time inside
+    // the entry (both reps), load = 1-min system load at entry start.
+    System.err.println("[bench-gc] " + results.map { e =>
+      "\"" + e.name + "\":{\"gc_ms\":" + e.gcMsDelta + ",\"load\":" + d2(e.load) + "}"
+    }.mkString("{", ",", "}"))
     // The ONE stdout JSON line, capped so line + sbt's trailing
     // "[success] ..." stays inside the consumer's tail window: the
     // slowest queries first (the ones worth grading), the rest summed
     // into "queries_other" so the map still totals to "value".
-    val byCost = results.sortBy(-_._2)
-    val prefix = s"""{"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir","queries_total":${results.size},"queries":"""
+    val byCost = results.map(e => e.name -> e.sec).sortBy(-_._2)
+    // Aggregate noise fields on the ONE stdout line (the per-entry
+    // breakdown lives on the [bench-gc] stderr line): total GC ms
+    // across the run and the load average at start/end bracket the
+    // host conditions this total was measured under.
+    val gcTotal = results.map(_.gcMsDelta).sum
+    val loadEnd = loadAvg()
+    val prefix = s"""{"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir","gc_ms":$gcTotal,"load_start":${d2(results.headOption.map(_.load).getOrElse(loadEnd))},"load_end":${d2(loadEnd)},"queries_total":${results.size},"queries":"""
     val budget = 1600 - prefix.length
     val (kept, keptLen) = byCost.foldLeft((Vector.empty[(String, Double)], 0)) {
       case ((acc, len), (k, v)) =>

@@ -20,7 +20,18 @@ import scala.collection.concurrent.TrieMap
   * temp directories beyond any [[graft.sources.VersionedStore]] it
   * holds (landed stream outputs, arrival files, checkpoints):
   * [[SessionCaches.evict]] deletes each declared root — if it lies
-  * under the JVM temp dir — when the entry drops. */
+  * under the JVM temp dir — when the entry drops.
+  *
+  * OWNERSHIP CONTRACT (load-bearing, convention-enforced): eviction
+  * never reaps a `VersionedStore` discovered through Product field
+  * recursion — field-held stores can be SHARED across memo entries
+  * (`Env.benchStore`, the quality registry), and reaping one entry's
+  * copy would orphan another's. Therefore any composite memo value
+  * that OWNS a store (the store's directory should die with the
+  * entry) MUST either be the store itself or extend this trait and
+  * list the store's root (or an ancestor) in [[reapRoots]] — a
+  * non-Reapable composite holding an owned store silently leaks its
+  * on-disk tree on eviction. */
 trait Reapable {
   def reapRoots: Seq[String]
 }

@@ -27,6 +27,7 @@ object SparkEntry {
       graft.streaming.StreamingScd2.all ++
       graft.streaming.StreamingAnnIndex.all ++ graft.streaming.StreamingAnnServe.all ++
       graft.streaming.StreamingCowMerge.all ++ graft.streaming.StreamingMedia.all ++ graft.streaming.StreamingEmit.all ++
+      graft.streaming.StreamingMmEmit.all ++
       FraudModel.all ++ graft.ml.MlCert.all ++ graft.ml.QualityModel.all ++ Multimodal.all ++ graft.jobs.Jobs.all ++
       graft.sources.CowMerge.all
 

@@ -438,11 +438,14 @@ object Multimodal {
 
 
   /** The banded-candidate CTE chain of the image-dedup oracle (no
-    * WITH prefix — the clusters oracle reuses it under RECURSIVE). */
-  private def imageOracleCtes: String =
+    * WITH prefix — the clusters oracle reuses it under RECURSIVE;
+    * the forget certificate re-instantiates it with a reduced-corpus
+    * `where` — a takedown's "never ingested" rebuild). */
+  private def imageOracleCtes: String = imageOracleCtes("1 = 1")
+  private def imageOracleCtes(where: String): String =
     s"""geom AS (
       |  SELECT doc_id, n_chars, n_chars % 8 + 4 AS w, n_chars % 6 + 3 AS h, text
-      |  FROM documents WHERE n_chars > 0
+      |  FROM documents WHERE n_chars > 0 AND ($where)
       |), px0 AS (
       |  SELECT doc_id, w, h,
       |    substr(repeat(text, (3*w*h) // n_chars + 1), 1, 3*w*h) AS px
@@ -467,6 +470,17 @@ object Multimodal {
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
       |)""".stripMargin
+
+  /** Scalar-subquery forms of the image pipeline counts for the
+    * forget certificate: `(WITH … SELECT c)` derived tables the
+    * oracle instantiates twice (full and reduced corpus) without CTE
+    * name collisions (the mm_data_card WITH-inside-derived-table
+    * device). */
+  private[graft] def imagePostingsCountSql(where: String): String =
+    "(WITH " + imageOracleCtes(where) + "\nSELECT COUNT(*) AS c FROM bands)"
+  private[graft] def imagePairsCountSql(where: String): String =
+    "(WITH " + imageOracleCtes(where) +
+      "\nSELECT COUNT(*) AS c FROM cand WHERE bit_count(xor(dh1, dh2)) <= 3)"
 
   /** Perceptual image DEDUPLICATION — the first operation every
     * multimodal corpus pipeline (LAION-style) runs: a difference
@@ -863,6 +877,174 @@ object Multimodal {
         (col("cos_raw") >= 0.9).as("keep"))
   }
 
+  // ------------------------------------------------------- video-caption align
+  /** VIDEO-caption alignment — [[captionAlign]]'s gate for the third
+    * modality: a clip's embedding is FRAME-POOLED (the element-wise
+    * sum of its 3 frames' reference embeddings — cosine is
+    * scale-invariant, so the sum IS the mean, with no division to
+    * round), the caption encoder pools the same refs with the
+    * one-coordinate perturbation, and the pair keeps above the same
+    * 0.9 threshold. Planted misalignment (doc_id % 10 = 7): the
+    * caption pools a SWAPPED ref window, guarded to stay fully
+    * DISJOINT from the clip's 3-ref window (an overlap of 2 of 3
+    * frames would score ~2/3 and crowd the threshold — the
+    * [[alignScores]] congruence guard, widened to a window).
+    *
+    * Scale shape: six plain EQUI-joins on the reference id (no hint —
+    * the embedding store outgrows broadcast), frame pooling is
+    * fixed-order `zip_with` array arithmetic (left-assoc double adds,
+    * bit-identical across engines — no per-dim aggregate whose sum
+    * order could wiggle a 6-dec rounding), cosine is the codegen
+    * [[graft.functions.CosineSim]] kernel. */
+  val videoAlign: Q = Q("mm_video_align",
+    """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+      |p0 AS (SELECT doc_id, n.n AS n, doc_id % n.n AS vb,
+      |         (doc_id * 31 + 7) % n.n AS raw
+      |       FROM documents, n),
+      |p AS (SELECT doc_id, n, vb,
+      |        CASE WHEN doc_id % 10 = 7 THEN
+      |          CASE WHEN ((raw - vb + n) % n) < 3 OR ((raw - vb + n) % n) > n - 3
+      |               THEN (vb + 3) % n ELSE raw END
+      |             ELSE vb END AS cb
+      |      FROM p0),
+      |j AS (SELECT p.doc_id, p.vb, p.cb,
+      |        e0.embedding AS v0, e1.embedding AS v1, e2.embedding AS v2,
+      |        f0.embedding AS c0, f1.embedding AS c1, f2.embedding AS c2
+      |      FROM p JOIN embeddings e0 ON e0.vec_id = p.vb
+      |             JOIN embeddings e1 ON e1.vec_id = (p.vb + 1) % p.n
+      |             JOIN embeddings e2 ON e2.vec_id = (p.vb + 2) % p.n
+      |             JOIN embeddings f0 ON f0.vec_id = p.cb
+      |             JOIN embeddings f1 ON f1.vec_id = (p.cb + 1) % p.n
+      |             JOIN embeddings f2 ON f2.vec_id = (p.cb + 2) % p.n),
+      |z AS (SELECT doc_id, vb, cb, doc_id % len(v0) AS pj,
+      |        unnest(list_transform(range(1, len(v0) + 1), i ->
+      |          (CAST(v0[i] AS DOUBLE) + CAST(v1[i] AS DOUBLE)) + CAST(v2[i] AS DOUBLE))) AS a,
+      |        unnest(list_transform(range(1, len(c0) + 1), i ->
+      |          (CAST(c0[i] AS DOUBLE) + CAST(c1[i] AS DOUBLE)) + CAST(c2[i] AS DOUBLE))) AS b,
+      |        generate_subscripts(v0, 1) AS i
+      |      FROM j),
+      |z2 AS (SELECT doc_id, vb, cb, a AS av,
+      |        CASE WHEN i - 1 = pj THEN b * 1.1 ELSE b END AS bv
+      |       FROM z),
+      |d AS (SELECT doc_id, vb, cb,
+      |        SUM(av*bv) AS dot, SUM(av*av) AS na, SUM(bv*bv) AS nb
+      |      FROM z2 GROUP BY 1, 2, 3)
+      |SELECT doc_id, vb AS vid_ref, cb AS cap_ref,
+      |  ROUND(dot/(sqrt(na)*sqrt(nb)), 6) AS cosine,
+      |  (dot/(sqrt(na)*sqrt(nb)) >= 0.9) AS keep
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    videoAlignScores(Tables.documents(s, dir), Tables.embeddings(s, dir))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The video-alignment scoring as a frame transform — shared by
+    * the batch query and the gated video pack below. */
+  def videoAlignScores(docs: org.apache.spark.sql.DataFrame,
+                       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val nRow = broadcast(emb.agg(count(lit(1)).as("n")))
+    val vb = col("doc_id") % col("n")
+    val raw = (col("doc_id") * 31 + 7) % col("n")
+    val dist = (raw - vb + col("n")) % col("n")
+    val pairs = docs.select(col("doc_id"))
+      .crossJoin(nRow)
+      .select(col("doc_id"), col("n"), vb.as("vb"),
+        when(col("doc_id") % 10 === 7,
+          when(dist < 3 || dist > col("n") - 3, (vb + 3) % col("n")).otherwise(raw))
+          .otherwise(vb).as("cb"))
+    def ref(alias: String, key: org.apache.spark.sql.Column) =
+      emb.select(col("vec_id").as(alias + "_id"), col("embedding").as(alias)) -> key
+    val joined = Seq(
+      ref("v0", col("vb")), ref("v1", (col("vb") + 1) % col("n")),
+      ref("v2", (col("vb") + 2) % col("n")),
+      ref("c0", col("cb")), ref("c1", (col("cb") + 1) % col("n")),
+      ref("c2", (col("cb") + 2) % col("n")))
+      .foldLeft(pairs) { case (acc, (e, key)) =>
+        val alias = e.columns.head.stripSuffix("_id")
+        acc.join(e, e(alias + "_id") === key).drop(alias + "_id")
+      }
+    joined
+      .withColumn("vp", expr(
+        """zip_with(zip_with(v0, v1,
+          |  (x, y) -> CAST(x AS DOUBLE) + CAST(y AS DOUBLE)), v2,
+          |  (x, y) -> x + CAST(y AS DOUBLE))""".stripMargin))
+      .withColumn("cp0", expr(
+        """zip_with(zip_with(c0, c1,
+          |  (x, y) -> CAST(x AS DOUBLE) + CAST(y AS DOUBLE)), c2,
+          |  (x, y) -> x + CAST(y AS DOUBLE))""".stripMargin))
+      .withColumn("cp", expr(
+        """zip_with(cp0, sequence(0, size(cp0) - 1),
+          |  (x, j) -> IF(j = doc_id % size(cp0), x * 1.1D, x))""".stripMargin))
+      .withColumn("cos_raw", expr("graft_cosine(vp, cp)"))
+      .select(col("doc_id"), col("vb").as("vid_ref"), col("cb").as("cap_ref"),
+        round(col("cos_raw"), 6).as("cosine"),
+        (col("cos_raw") >= 0.9).as("keep"))
+  }
+
+  /** The video-alignment gate COMPOSED into the media pack — the
+    * aligned video records flowing into the [[alignedPack]] assembly:
+    * kept clips cost a FIXED 3 frames × 16 = 48 patch tokens (the
+    * container is 3 frames by construction) and pack greedily into
+    * the same per-(doc_id % 4 shard) 2048-token sequences. */
+  val videoAlignedPack: Q = Q("mm_video_aligned_pack",
+    """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+      |p0 AS (SELECT doc_id, n.n AS n, doc_id % n.n AS vb,
+      |         (doc_id * 31 + 7) % n.n AS raw
+      |       FROM documents, n),
+      |p AS (SELECT doc_id, n, vb,
+      |        CASE WHEN doc_id % 10 = 7 THEN
+      |          CASE WHEN ((raw - vb + n) % n) < 3 OR ((raw - vb + n) % n) > n - 3
+      |               THEN (vb + 3) % n ELSE raw END
+      |             ELSE vb END AS cb
+      |      FROM p0),
+      |j AS (SELECT p.doc_id,
+      |        e0.embedding AS v0, e1.embedding AS v1, e2.embedding AS v2,
+      |        f0.embedding AS c0, f1.embedding AS c1, f2.embedding AS c2
+      |      FROM p JOIN embeddings e0 ON e0.vec_id = p.vb
+      |             JOIN embeddings e1 ON e1.vec_id = (p.vb + 1) % p.n
+      |             JOIN embeddings e2 ON e2.vec_id = (p.vb + 2) % p.n
+      |             JOIN embeddings f0 ON f0.vec_id = p.cb
+      |             JOIN embeddings f1 ON f1.vec_id = (p.cb + 1) % p.n
+      |             JOIN embeddings f2 ON f2.vec_id = (p.cb + 2) % p.n),
+      |z AS (SELECT doc_id, doc_id % len(v0) AS pj,
+      |        unnest(list_transform(range(1, len(v0) + 1), i ->
+      |          (CAST(v0[i] AS DOUBLE) + CAST(v1[i] AS DOUBLE)) + CAST(v2[i] AS DOUBLE))) AS a,
+      |        unnest(list_transform(range(1, len(c0) + 1), i ->
+      |          (CAST(c0[i] AS DOUBLE) + CAST(c1[i] AS DOUBLE)) + CAST(c2[i] AS DOUBLE))) AS b,
+      |        generate_subscripts(v0, 1) AS i
+      |      FROM j),
+      |z2 AS (SELECT doc_id, a AS av,
+      |        CASE WHEN i - 1 = pj THEN b * 1.1 ELSE b END AS bv
+      |       FROM z),
+      |d AS (SELECT doc_id, SUM(av*bv) AS dot, SUM(av*av) AS na, SUM(bv*bv) AS nb
+      |      FROM z2 GROUP BY 1),
+      |keepset AS (SELECT doc_id FROM d WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.9),
+      |t AS (SELECT doc_id, doc_id % 4 AS shard, 48 AS media_tokens
+      |      FROM documents WHERE doc_id IN (SELECT doc_id FROM keepset)),
+      |o AS (SELECT doc_id, shard, media_tokens,
+      |        COALESCE(SUM(media_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM t)
+      |SELECT shard, CAST(off // 2048 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_items, CAST(SUM(media_tokens) AS BIGINT) AS seq_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM o GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val kept = videoAlignScores(Tables.documents(s, dir), Tables.embeddings(s, dir))
+      .filter(col("keep")).select(col("doc_id"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
+        lit(48L).as("media_tokens"))
+      .withColumn("off", coalesce(sum(col("media_tokens")).over(w), lit(0L)))
+      .groupBy(col("shard"), floor(col("off") / 2048).as("seq_id"))
+      .agg(count(lit(1)).as("n_items"), sum(col("media_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
   // ------------------------------------------------------------- video dedup
   // 48-bit rotate-left by r (0 ≤ r < 48), Spark and DuckDB spellings
   // kept in lockstep: the temporal signature XORs each frame's dHash
@@ -1214,6 +1396,234 @@ object Multimodal {
       .orderBy(col("shard"), col("seq_id"))
   }
 
+  // ------------------------------------------------ interleaved mm emission
+  /** The alignment-gated keep set as a spliceable oracle CTE chain
+    * (no `WITH` prefix) — the [[alignedPack]] replay shared by the
+    * interleaved emission oracle. */
+  private[graft] val alignKeepCtes: String =
+    """n AS (SELECT COUNT(*) AS n FROM embeddings),
+      |p AS (SELECT doc_id, doc_id % n.n AS img_ref,
+      |        CASE WHEN doc_id % 10 = 7 THEN
+      |          CASE WHEN (doc_id * 31 + 7) % n.n = doc_id % n.n
+      |               THEN ((doc_id * 31 + 7) % n.n + 1) % n.n
+      |               ELSE (doc_id * 31 + 7) % n.n END
+      |             ELSE doc_id % n.n END AS cap_ref
+      |      FROM documents, n),
+      |z AS (SELECT p.doc_id,
+      |        p.doc_id % len(ce.embedding) AS pj,
+      |        unnest(ie.embedding) AS a, unnest(ce.embedding) AS b,
+      |        generate_subscripts(ie.embedding, 1) AS i
+      |      FROM p JOIN embeddings ie ON ie.vec_id = p.img_ref
+      |             JOIN embeddings ce ON ce.vec_id = p.cap_ref),
+      |z2 AS (SELECT doc_id, CAST(a AS DOUBLE) AS av,
+      |        CASE WHEN i - 1 = pj THEN CAST(b AS DOUBLE) * 1.1
+      |             ELSE CAST(b AS DOUBLE) END AS bv
+      |       FROM z),
+      |dal AS (SELECT doc_id, SUM(av*bv) AS dot, SUM(av*av) AS na, SUM(bv*bv) AS nb
+      |      FROM z2 GROUP BY 1),
+      |keepset AS (SELECT doc_id FROM dal WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.9)""".stripMargin
+
+  /** Aligned media-caption docs with their interleaving costs:
+    * `(doc_id, shard, media_tokens, text)` — the alignment gate
+    * composed with the media patch-token cost rule. */
+  private[graft] def mmEmitDocs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    mmEmitDocsOf(Tables.documents(s, dir), Tables.embeddings(s, dir))
+
+  /** [[mmEmitDocs]] over any documents frame — shared with the
+    * streaming twin's per-micro-batch gate (stream-static equi-joins
+    * against the fixed embedding store). The payload cost reads the
+    * text's own bytes ([[mediaTable]]'s payload IS the utf-8 text). */
+  private[graft] def mmEmitDocsOf(docs: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val kept = alignScores(docs, emb).filter(col("keep")).select(col("doc_id"))
+    docs.join(kept, Seq("doc_id"))
+      .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
+        (greatest(lit(1L), floor(length(col("text").cast("binary")) / 32)) * 16)
+          .cast("long").as("media_tokens"),
+        col("text"))
+  }
+
+  /** Caption tokenizer symbol table `(word, j, id)` over the ALIGNED
+    * caption vocabulary, memoized + persisted per (application, sf
+    * dir) — the release artifact the interleaved dataloader ships:
+    * the SAME trained BPE merges as the text emission
+    * ([[graft.queries.TextOps.bpeSegments]]), segmenting this
+    * corpus's caption vocabulary, with content-derived sorted-rank
+    * symbol ids. Bounded by |alphabet| + merge rounds like every
+    * symbol table in the family. */
+  private val mmSymCache = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap
+      .empty[String, (org.apache.spark.sql.DataFrame, Long)])
+
+  private[graft] def mmCaptionSymsStats(s: SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Long) =
+    mmSymCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val words = mmEmitDocs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word")).distinct()
+      val seg = words.select(col("word"),
+        posexplode(graft.queries.TextOps.bpeSegments(s, dir, col("word")))
+          .as(Seq("j", "sym")))
+      val symtab = seg.select(col("sym")).distinct()
+        .withColumn("id", (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("sym"))) - 1).cast("long"))
+      val df = seg.join(broadcast(symtab), Seq("sym"))
+        .select(col("word"), col("j").cast("long").as("j"), col("id"))
+        .persist()
+      (df, df.count())
+    })
+
+  /** Aligned docs POSITIONED on the interleaved token stream,
+    * memoized + persisted: per-doc cost = media patch block + caption
+    * id count, offsets via the two-level per-shard prefix sum
+    * ([[graft.queries.TextOps.sourcePrefixSum]] with the shard as the
+    * partition key — the prefix-sum upstream here carries a
+    * vocab-keyed join, so the frame persists rather than re-paying it
+    * per prefix-sum branch). */
+  private val mmPosCache = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame])
+
+  private[graft] def mmEmitPositioned(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    mmPosCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val df = mmPositionOf(s, dir, mmEmitDocs(s, dir)).persist()
+      df.count()
+      df
+    })
+
+  /** Position any `(doc_id, shard, media_tokens, text)` aligned-docs
+    * frame on the interleaved stream — shared by the batch query
+    * (whole corpus) and the streaming twin's per-batch placement
+    * (micro-batch + carried base offsets). */
+  private[graft] def mmPositionOf(s: SparkSession, dir: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (syms, _) = mmCaptionSymsStats(s, dir)
+    val nsymPerWord = syms.groupBy(col("word")).agg(count(lit(1)).as("nsym"))
+    // LEFT join + loud raise: a caption word outside the release
+    // vocabulary must fail, never silently shrink a window
+    val nIds = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(nsymPerWord), Seq("word"), "left_outer")
+      .select(col("doc_id"),
+        when(col("nsym").isNotNull, col("nsym"))
+          .otherwise(raise_error(concat(
+            lit("caption word missing from mm tokenizer vocabulary: "), col("word"))))
+          .as("nsym"))
+      .groupBy(col("doc_id")).agg(sum(col("nsym")).as("n_cap_ids"))
+    graft.queries.TextOps.sourcePrefixSum(
+      docs.join(nIds, Seq("doc_id"))
+        .select(col("shard").as("source"), col("doc_id"), col("media_tokens"),
+          col("text"), (col("media_tokens") + col("n_cap_ids")).as("tot")),
+      col("tot"))
+      .withColumnRenamed("source", "shard")
+      .select(col("shard"), col("doc_id"), col("start_off"),
+        col("media_tokens"), col("text"), col("tot"))
+  }
+
+  /** Cut the interleaved 2048-token windows of a positioned
+    * aligned-docs frame: each doc contributes its media patch block
+    * (`media_tokens` opaque patch tokens, spelled `P`) immediately
+    * followed by its caption's BPE token-IDs; windows cut at token
+    * 2048·k REGARDLESS of doc/modality boundaries and hash their
+    * ordered token sequence — the multimodal dataloader contract,
+    * the direct analog of the text emission's
+    * [[graft.queries.TextOps.emitWindowsIds]].
+    *
+    * Scale shape: the patch explode is arithmetic (no payload bytes
+    * ride past the cost column); caption ids join the bounded symbol
+    * table broadcast; the in-doc id rank is a per-DOC window (≤
+    * caption length rows per partition — bounded, skew-free); the
+    * only corpus-width shuffles are that doc-keyed exchange and the
+    * final (shard, window) aggregation, the emission family's
+    * established shape. */
+  private[graft] def mmEmitWindows(s: SparkSession, dir: String,
+      positioned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (syms, nSyms) = mmCaptionSymsStats(s, dir)
+    val patches = positioned
+      .select(col("shard"), col("start_off"),
+        explode(sequence(lit(0L), col("media_tokens") - 1)).as("k"))
+      .select(col("shard"), (col("start_off") + col("k")).as("pos"),
+        lit("P").as("tok"))
+    val capIds = positioned
+      .select(col("shard"), col("doc_id"),
+        (col("start_off") + col("media_tokens")).as("cap_off"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "word")))
+      .join(graft.queries.TextOps.maybeBroadcast(syms, nSyms * 48L),
+        Seq("word"), "left_outer")
+      .select(col("shard"), col("doc_id"), col("cap_off"), col("i"), col("j"),
+        when(col("id").isNotNull, col("id"))
+          .otherwise(raise_error(concat(
+            lit("caption word missing from mm tokenizer vocabulary: "), col("word"))))
+          .as("id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("i"), col("j"))) - 1)
+      .select(col("shard"), (col("cap_off") + col("rk")).as("pos"),
+        col("id").cast("string").as("tok"))
+    patches.unionByName(capIds)
+      .groupBy(col("shard"), floor(col("pos") / 2048).cast("long").as("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("tok") === "P", 1)).as("n_patch"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), ",")).as("window_fp"))
+  }
+
+  /** The INTERLEAVED image-text training emission — the multimodal
+    * dataloader contract: alignment-gated media-caption pairs flow,
+    * in (shard, doc_id) order, onto one token stream per shard —
+    * each doc's media patch block (n_frames × 16 opaque patch
+    * tokens, the [[packBudget]] cost rule) immediately followed by
+    * its caption's BPE token-IDs — and 2048-token windows cut at
+    * fixed boundaries, identified by the hash of their ordered token
+    * sequence. Composes [[alignedPack]]'s gate with the text
+    * emission's tokenizer machinery one level up, exactly as
+    * `text_curation_emit_ids` composes curation with BPE.
+    *
+    * The oracle replays the ENTIRE program: alignment scoring → keep
+    * set → patch-token costs → the 16-round BPE train → caption
+    * segmentation + sorted symbol ids → per-shard offsets → every
+    * window's interleaved token hash. */
+  val mmEmitIds: Q = Q("mm_curation_emit_ids",
+    "WITH " + alignKeepCtes + ",\n"
+      + graft.queries.TextOps.bpeOracleBody(graft.queries.TextOps.BpeRounds) + s""",
+      |t AS (SELECT doc_id, doc_id % 4 AS shard,
+      |        greatest(1, octet_length(CAST(text AS BLOB)) // 32) * 16 AS m, text
+      |      FROM documents WHERE doc_id IN (SELECT doc_id FROM keepset)),
+      |cw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |              generate_subscripts(string_split(text, ' '), 1) AS i FROM t),
+      |dw AS (SELECT DISTINCT word FROM cw),
+      |d0 AS (SELECT word, '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS st FROM dw),
+      |${(1 to graft.queries.TextOps.BpeRounds).map(r =>
+          s"d$r AS (SELECT word, replace(st, ' ' || m.l || '  ' || m.r || ' '," +
+            s" ' ' || m.l || m.r || ' ') AS st FROM d${r - 1}, m$r m)").mkString(",\n")},
+      |dsym AS (SELECT word, unnest(string_split(trim(st), '  ')) AS sym,
+      |         generate_subscripts(string_split(trim(st), '  '), 1) - 1 AS j
+      |         FROM d${graft.queries.TextOps.BpeRounds}),
+      |symtab AS (SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+      |           FROM (SELECT DISTINCT sym FROM dsym)),
+      |wid AS (SELECT word, j, id FROM dsym JOIN symtab USING (sym)),
+      |cid AS (SELECT c.doc_id, c.i, w.j, w.id FROM cw c JOIN wid w USING (word)),
+      |clen AS (SELECT doc_id, COUNT(*) AS c FROM cid GROUP BY 1),
+      |cost AS (SELECT t.doc_id, t.shard, t.m, t.m + l.c AS tot
+      |         FROM t JOIN clen l USING (doc_id)),
+      |o AS (SELECT doc_id, shard, m, tot,
+      |        COALESCE(SUM(tot) OVER (PARTITION BY shard ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM cost),
+      |prow AS (SELECT shard, off + k - 1 AS pos, 'P' AS tok
+      |         FROM (SELECT shard, off, unnest(generate_series(1, m)) AS k FROM o)),
+      |crow AS (SELECT o.shard,
+      |           o.off + o.m + ROW_NUMBER() OVER (PARTITION BY c.doc_id ORDER BY c.i, c.j) - 1 AS pos,
+      |           CAST(c.id AS VARCHAR) AS tok
+      |         FROM cid c JOIN o ON o.doc_id = c.doc_id),
+      |ar AS (SELECT * FROM prow UNION ALL SELECT * FROM crow)
+      |SELECT shard, CAST(pos // 2048 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_tokens,
+      |  CAST(COUNT(*) FILTER (WHERE tok = 'P') AS BIGINT) AS n_patch,
+      |  md5(string_agg(tok, ',' ORDER BY pos)) AS window_fp
+      |FROM ar GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin) { (s, dir) =>
+    mmEmitWindows(s, dir, mmEmitPositioned(s, dir))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
   /** One modality row of [[mediaCard]] from the memoized fingerprint
     * and pair frames — counting actions over already-persisted rows,
     * so the card is free once any dedup in the family has run. */
@@ -1266,5 +1676,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mediaCard)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, videoAlign, videoAlignedPack, mediaCard)
 }

@@ -263,10 +263,14 @@ object Curation {
     * different sequences). Output is the per-sequence manifest:
     * entries, distinct docs, token mass, offset span.
     *
-    * Scale shape: the mix is the shuffle-free map above; packing adds
-    * exactly ONE shuffle (hash on source for the window) and the
-    * aggregation reuses that partitioning — same plan family as
-    * text_pack_sequences, pinned there by PlanInvariantsSpec. */
+    * Scale shape: the mix is the shuffle-free map above; packing
+    * rides the (source, graft_sub) two-level prefix sum
+    * ([[TextOps.sourcePrefixSum]]): the replica stream exchanges on
+    * the sub-sharded key for the local window, the bounded
+    * (source, sub) totals frame re-aggregates and joins back
+    * broadcast — a BOUNDED number of exchanges (≤ 8), none of them a
+    * per-source serialization, pinned by PlanInvariantsSpec's
+    * no-bare-source-window + exchange-bound invariants. */
   val mixPack: Q = Q("text_mix_pack",
     """WITH w AS (
       |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,

@@ -822,10 +822,27 @@ object TextOps {
     * joins back BROADCAST. Offsets are arithmetic, not layout:
     * results are bit-identical to the single-window form, so every
     * oracle keeps the plain `SUM() OVER (PARTITION BY source ORDER
-    * BY doc_id)` spelling. */
+    * BY doc_id)` spelling.
+    *
+    * COST: the input lineage evaluates THREE times (max-id anchor,
+    * the local-window branch, the totals branch) — the anchor and
+    * totals branches prune to three narrow columns, so against a
+    * parquet-backed or persisted upstream the re-reads are cheap
+    * scans; a caller whose upstream is an EXPENSIVE unpersisted
+    * computation (per-row tokenization, a wide join) should persist
+    * or localCheckpoint the pruned `(source, doc_id, value, …)`
+    * projection before calling, or the upstream re-pays per branch.
+    *
+    * `order` MUST lead with `doc_id`: the sub-shard is a doc_id
+    * RANGE bucket, which is monotone in the window order only when
+    * doc_id is the primary sort key — any other leading column would
+    * compose bucket totals in the wrong order and produce silently
+    * wrong offsets (asserted below). */
   private[graft] def sourcePrefixSum(df: DataFrame, value: Column,
                                      order: Seq[Column] = Seq(col("doc_id"))): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(order.headOption.exists(_.toString == "doc_id"),
+      s"sourcePrefixSum order must lead with doc_id (the range-bucket key); got $order")
     val anchor = broadcast(df.agg(max(col("doc_id")).as("graft_max_id")))
     // floor over double is weakly monotone in doc_id, which is all
     // bucketing needs (ties collapse into one bucket harmlessly);
@@ -1690,7 +1707,7 @@ object TextOps {
   /** The `ro`/`rw` positioned-token CTEs of the emission oracles —
     * shared by [[curationEmit]], the tokenized-ID emission, and the
     * emission shuffle order. */
-  private def emitTokenCtes: String =
+  private[graft] def emitTokenCtes: String =
     """
       |, ro AS (
       |  SELECT source, doc_id, red,
@@ -2499,7 +2516,7 @@ object TextOps {
   /** The bpe-train CTE chain WITHOUT the `WITH` prefix, so it can be
     * spliced into another oracle's WITH list (the tokenized-ID
     * emission splices it after the curation chain). */
-  private def bpeOracleBody(rounds: Int): String = {
+  private[graft] def bpeOracleBody(rounds: Int): String = {
     val sb = new StringBuilder
     // state and merge CTEs are each referenced twice per round; without
     // MATERIALIZED the inliner expands the chain exponentially (2^rounds
@@ -2546,9 +2563,19 @@ object TextOps {
     * just training-vocab members: OOV words simply stop at whatever
     * merges match). Shared by [[bpeEncode]] and the tokenized-ID
     * emission. */
-  private[graft] def bpeSegments(s: SparkSession, dir: String, word: Column): Column = {
+  private[graft] def bpeSegments(s: SparkSession, dir: String, word: Column): Column =
+    bpeSegmentsWith(bpeMerges(s, dir), word)
+
+  /** The literal-folded encode over ANY merge table — the fold is one
+    * chained-replace column expression whose depth equals the merge
+    * count, so it scales to production vocab sizes as a compile-time
+    * program, not a per-row table lookup (demonstrated at 256 merges
+    * in BpeScaleSpec; the 16-merge release fold keeps the DuckDB
+    * oracle anchor). */
+  private[graft] def bpeSegmentsWith(merges: Seq[(Int, String, String, Long)],
+                                     word: Column): Column = {
     val st0 = concat(lit("  "), regexp_replace(word, "(.)", "$1  "))
-    val stN = bpeMerges(s, dir).foldLeft(st0) { case (c, (_, l, r, _)) =>
+    val stN = merges.foldLeft(st0) { case (c, (_, l, r, _)) =>
       call_function("replace", c, lit(s" $l  $r "), lit(s" $l$r "))
     }
     split(trim(stN), "  ")

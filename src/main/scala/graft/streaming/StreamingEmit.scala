@@ -30,18 +30,28 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingEmit {
 
   val CarryName = "emit_carry"
+  /** Carry state of the GATED window stream (PRODUCTION-model
+    * decisions drive the cut) — same shape, independent offsets. */
+  val CarryGatedName = "emit_carry_gated"
 
-  final case class Env(cur: StreamingCuration.Env, windowsDir: String, dir: String)
+  final case class Env(cur: StreamingCuration.Env, windowsDir: String, dir: String) {
+    /** Where the GATED (learned-decision-driven) windows land. */
+    def gatedWindowsDir: String = windowsDir + "-gated"
+  }
 
   def prepare(spark: SparkSession, dir: String,
               quality: Option[graft.sources.FrameStore] = None,
               shadow: Boolean = false): Env = {
     val cur = StreamingCuration.prepare(spark, dir, quality, shadow)
     import spark.implicits._
+    def emptyCarry() =
+      Seq.empty[(String, Long, String)].toDF("source", "done_off", "carry_text")
+        .withColumn("batch_id", lit(-1L))
     cur.store.promote(CarryName,
-      cur.store.register(spark, CarryName,
-        Seq.empty[(String, Long, String)].toDF("source", "done_off", "carry_text")
-          .withColumn("batch_id", lit(-1L))))
+      cur.store.register(spark, CarryName, emptyCarry()))
+    if (quality.isDefined && shadow)
+      cur.store.promote(CarryGatedName,
+        cur.store.register(spark, CarryGatedName, emptyCarry()))
     Env(cur, cur.outDir + "-windows", dir)
   }
 
@@ -55,11 +65,44 @@ object StreamingEmit {
     val retained = bs.read.parquet(s"${env.cur.outDir}/batch=$batchId")
       .filter(col("drop_reason").isNull)
       .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
+    // heuristic-gated stream: both window faces (text fingerprint +
+    // tokenized-ID hash — the symbol table is the fixed tokenizer
+    // artifact, memoized per session, one broadcast join)
+    cutAgainstCarry(bs, env, batchId, retained, CarryName, env.windowsDir,
+      p => TextOps.emitWindowsIds(bs, env.dir, p),
+      Seq("n_tokens", "n_ids", "window_fp", "ids_fp"))
+    // GATED stream: the PRODUCTION quality model's decisions drive a
+    // second window cut — the post-rollout operating mode, running
+    // beside the heuristic face in the SAME pass (the expensive
+    // nine-stage stack is shared; only the cut repeats). Text face
+    // only: the release symbol table is trained on the heuristic
+    // corpus, and a learned-KEPT flip doc could carry words outside
+    // it — the gated certificate pins the gate composition, the ids
+    // face stays certified on the heuristic emission.
+    if (env.cur.shadow) env.cur.quality.foreach { _ =>
+      val gatedRetained = bs.read.parquet(s"${env.cur.learnedOutDir}/batch=$batchId")
+        .filter(col("drop_reason").isNull)
+        .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
+      cutAgainstCarry(bs, env, batchId, gatedRetained, CarryGatedName,
+        env.gatedWindowsDir, TextOps.emitWindows, Seq("n_tokens", "window_fp"))
+    }
+    ()
+  }
+
+  /** Cut one micro-batch's windows for ONE gate face against its
+    * carry state: position the batch's retained texts after the
+    * carry, cut via `cut`, write the COMPLETE windows, append the new
+    * carry. Idempotent like every twin: the window write is
+    * overwrite-deterministic, the carry read filters this batch's own
+    * stamp, and the append rides the batch watermark. */
+  private def cutAgainstCarry(bs: SparkSession, env: Env, batchId: Long,
+      retained: DataFrame, carryName: String, windowsDir: String,
+      cut: DataFrame => DataFrame, faceCols: Seq[String]): Unit = {
     // LATEST state per source (appends accumulate one row per source
     // per touching batch); this batch's own stamp filters out first
     // so a replay recovers the exact pre-batch carry
-    val carry = latestCarry(env.cur.store.loadProduction(bs, CarryName)
-      .getOrElse(sys.error("no production emit carry"))
+    val carry = latestCarry(env.cur.store.loadProduction(bs, carryName)
+      .getOrElse(sys.error(s"no production $carryName"))
       .filter(col("batch_id") =!= batchId))
     // per-source positioned stream: the carry tail sits at done_off,
     // batch docs follow at done_off + |carry| + in-batch prefix sum
@@ -81,16 +124,12 @@ object StreamingEmit {
     val totals = positioned
       .groupBy(col("source"))
       .agg(max(col("start_off") + size(split(col("red"), " "))).as("total_off"))
-    // both window faces cut together — text fingerprint and the
-    // tokenized-ID sequence hash (the symbol table is the fixed
-    // tokenizer artifact, memoized per session — one broadcast join)
-    val windows = TextOps.emitWindowsIds(bs, env.dir, positioned).persist()
+    val windows = cut(positioned).persist()
     // a window is COMPLETE when the stream has moved past its end
     val complete = windows.join(totals, Seq("source"))
       .filter((col("seq_id") + 1) * 512 <= col("total_off"))
-      .select(col("source"), col("seq_id"), col("n_tokens"), col("n_ids"),
-        col("window_fp"), col("ids_fp"))
-    complete.write.mode("overwrite").parquet(s"${env.windowsDir}/batch=$batchId")
+      .select(col("source") +: col("seq_id") +: faceCols.map(col): _*)
+    complete.write.mode("overwrite").parquet(s"$windowsDir/batch=$batchId")
     // new carry: every token past the last complete boundary. The
     // explode is restricted to BOUNDARY-STRADDLING docs first (doc
     // extent end past new_done) — only they can contribute carry
@@ -115,7 +154,7 @@ object StreamingEmit {
       .select(col("source"),
         (floor(col("total_off") / 512) * 512).as("done_off"),
         lit("").as("carry_text"))
-    env.cur.store.appendBatch(bs, CarryName,
+    env.cur.store.appendBatch(bs, carryName,
       newCarry.unionByName(boundary).withColumn("batch_id", lit(batchId)),
       batchId = Some(batchId), streamId = Some(env.cur.ckpt))
     windows.unpersist()
@@ -165,6 +204,19 @@ object StreamingEmit {
       .select(col("source"), col("seq_id"), col("n_tokens"), col("window_fp"))
       .orderBy(col("source"), col("seq_id"))
 
+  /** Drain of the GATED window stream (text face): flush each
+    * source's final partial from the gated carry, union the
+    * continuously-completed gated windows. */
+  def allGatedWindows(spark: SparkSession, env: Env): DataFrame = {
+    val latest = latestCarry(env.cur.store.loadProduction(spark, CarryGatedName)
+      .getOrElse(sys.error("no production gated emit carry")))
+      .filter(col("carry_text") =!= "")
+      .select(col("source"), col("done_off").as("start_off"),
+        col("carry_text").as("red"))
+    spark.read.parquet(env.gatedWindowsDir).drop("batch")
+      .unionByName(TextOps.emitWindows(latest))
+  }
+
   // ------------------------------------------------------------ unified pass
   /** The artifacts of ONE consolidated curation stream run: emitted
     * windows (heuristic gate — the batch emit oracle's semantics),
@@ -173,8 +225,8 @@ object StreamingEmit {
     * PRODUCTION re-resolve), and whether the promoted quality model
     * stayed at one version across the run. */
   final case class Unified(env: Env, windows: DataFrame, decisions: DataFrame,
-                           learned: DataFrame, qmodel: DataFrame,
-                           sameModelVersion: Boolean)
+                           learned: DataFrame, gatedWindows: DataFrame,
+                           qmodel: DataFrame, sameModelVersion: Boolean)
 
   private val unifiedMemo = graft.SessionCaches.register(
     scala.collection.concurrent.TrieMap.empty[String, Unified])
@@ -182,15 +234,15 @@ object StreamingEmit {
   /** ONE full-stack curation stream pass per (application, sf dir),
     * memoized — the three operating-mode certificates
     * (`stream_curation_pack` / `stream_curation_emit` /
-    * `stream_curation_learned`) all read ITS artifacts instead of
-    * each draining their own stream, so the bench executes the
-    * nine-stage stack once, not three times (~61 s → one run at
-    * sf0.1). The run is the emit stream configured with the learned
-    * gate in SHADOW mode: heuristic decisions drive emission and
-    * packing (their oracles replay the heuristic stack), while the
-    * shadow record certifies the learned gate with the identical
-    * per-batch re-resolve discipline (shadow ≡ gated decisions is
-    * pinned in QualityGateSpec; slicing robustness, restart, and
+    * `stream_curation_learned` / `stream_curation_gated`) all read
+    * ITS artifacts instead of each draining their own stream, so the
+    * bench executes the nine-stage stack once, not four times. The
+    * run cuts BOTH gate faces per batch: the heuristic face drives
+    * the legacy emission/pack artifacts (their oracles replay the
+    * heuristic stack), and the GATED face is a second live window
+    * stream driven by the PRODUCTION model's per-batch re-resolved
+    * decisions — the post-rollout operating mode, certified by
+    * `stream_curation_gated` (slicing robustness, restart, and
     * hot-reload stay pinned on the standalone runners in
     * StreamingSpec/QualityGateSpec at spec scale).
     *
@@ -220,6 +272,7 @@ object StreamingEmit {
         windows = pin(allWindows(s, env)),
         decisions = pin(StreamingCuration.streamedDecisions(s, env.cur)),
         learned = pin(s.read.parquet(env.cur.learnedOutDir).drop("batch")),
+        gatedWindows = pin(allGatedWindows(s, env)),
         // the model THIS run resolved, pinned with the artifacts: the
         // learned certificate's batch twin must score with the same
         // model the stream used, even if a promotion lands between
@@ -263,5 +316,117 @@ object StreamingEmit {
       .select(col("source"), col("seq_id"), col("n_tokens"), col("window_fp")))
   }
 
-  val all: Seq[Q] = Seq(streamCurationEmit, streamCurationEmitIds, streamCurationShuffle)
+  /** The learned quality gate flipped ACTIVE — the second half of the
+    * shadow rollout: the PRODUCTION model's decisions DRIVE a live
+    * window emission (and the pack manifest), with the heuristic face
+    * demoted to the audit record. Certified with the
+    * `stream_curation_learned` device — the oracle recomputes the
+    * gate-invariant facts exactly (heuristic window count through the
+    * full emission replay; heuristic low-quality drop count) and pins
+    * the Spark-only parity facts as booleans:
+    *
+    *  - `stream_equals_batch`: the continuously-gated window stream ≡
+    *    a batch recut from the learned decisions under the SAME model
+    *    version the stream resolved;
+    *  - `flips_only_quality`: every doc where the two gates disagree
+    *    flips between retained and `low_quality` — the cascade's
+    *    earlier stages are gate-invariant by construction;
+    *  - `diverges_at_first_flip`: per source, the FIRST window where
+    *    the gated emission differs from the heuristic emission is
+    *    exactly the window holding that source's first flip doc
+    *    (windows before it are byte-identical), and sources diverge
+    *    iff they have flips — emitted windows differ from the
+    *    heuristic set exactly on quality-flip docs;
+    *  - `gated_pack_equals_batch`: the pack manifest built from the
+    *    streamed learned decisions ≡ the batch learned pack — the
+    *    gate drives packing too.
+    *
+    * Scale shape: rides the ONE consolidated stream pass (the gated
+    * cut shares the nine-stage stack; only the window cut repeats)
+    * plus decision-record rollups and two bounded window joins. */
+  val streamCurationGated: Q = Q("stream_curation_gated",
+    TextOps.curationOracleBody + TextOps.emitTokenCtes + """
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM (
+      |     SELECT DISTINCT source, (start_off + i - 1) // 512 FROM rw) t) AS BIGINT)
+      |    AS n_windows_heuristic,
+      |  CAST((SELECT COUNT(*) FILTER (WHERE drop_reason = 'low_quality') FROM fin2) AS BIGINT)
+      |    AS n_low_quality_heuristic,
+      |  TRUE AS stream_equals_batch,
+      |  TRUE AS flips_only_quality,
+      |  TRUE AS diverges_at_first_flip,
+      |  TRUE AS gated_pack_equals_batch""".stripMargin) { (s, dir) =>
+    val un = unifiedRun(s, dir)
+    // batch twin scores with the MODEL THE STREAM USED (pinned in the
+    // unified artifacts) — the stream_curation_learned discipline
+    val batchLearned = TextOps.curationLearnedDecisions(s, dir, un.qmodel)
+    val gatedRetained = batchLearned.filter(col("drop_reason").isNull)
+      .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
+    val batchGated = TextOps.emitWindowsOfRetained(gatedRetained)
+    val sg = un.gatedWindows
+    val sameFace =
+      col("a.n_tokens") <=> col("b.n_tokens") && col("a.window_fp") <=> col("b.window_fp")
+    val parityDiff = sg.as("a")
+      .join(batchGated.as("b"), Seq("source", "seq_id"), "full_outer")
+      .filter(!sameFace).agg(count(lit(1)).as("n_parity_diff"))
+    // flip docs: where the heuristic and learned cascades disagree —
+    // all must flip between retained and low_quality
+    val flips = un.decisions.select(col("doc_id"), col("source"), col("drop_reason").as("h"))
+      .join(batchLearned.select(col("doc_id"), col("drop_reason").as("l")), Seq("doc_id"))
+      .filter(!(col("h") <=> col("l")))
+    val nonQuality = flips.filter(
+      !((col("h").isNull || col("h") === "low_quality")
+        && (col("l").isNull || col("l") === "low_quality")))
+      .agg(count(lit(1)).as("n_flip_nonquality"))
+    // per-source FIRST divergent window between the two emissions
+    val heur = un.windows.select(col("source"), col("seq_id"),
+      col("n_tokens"), col("window_fp"))
+    val divSeq = heur.as("a").join(sg.as("b"), Seq("source", "seq_id"), "full_outer")
+      .filter(!sameFace)
+      .groupBy(col("source")).agg(min(col("seq_id")).as("div_seq"))
+    // per-source FIRST flip window: each flip doc's offset in the
+    // stream that RETAINS it (prefixes before the first flip are the
+    // same retained sequence in both streams, so offsets agree there)
+    val hOff = TextOps.sourcePrefixSum(
+      un.decisions.filter(col("drop_reason").isNull)
+        .select(col("source"), col("doc_id"), col("final_tokens")),
+      col("final_tokens"))
+    val gOff = TextOps.sourcePrefixSum(
+      gatedRetained.select(col("source"), col("doc_id"), col("final_tokens")),
+      col("final_tokens"))
+    val flipSeq = flips.filter(col("h").isNull)
+      .join(hOff.select(col("doc_id"), col("start_off")), Seq("doc_id"))
+      .unionByName(flips.filter(col("l").isNull)
+        .join(gOff.select(col("doc_id"), col("start_off")), Seq("doc_id")))
+      .groupBy(col("source"))
+      .agg(min(floor(col("start_off") / 512)).as("flip_seq"))
+    val srcMismatch = divSeq.join(flipSeq, Seq("source"), "full_outer")
+      .filter(!(col("div_seq") <=> col("flip_seq")))
+      .agg(count(lit(1)).as("n_src_mismatch"))
+    // the gate drives PACKING too: manifest from the streamed learned
+    // decisions ≡ the batch learned pack
+    def packOf(dec: DataFrame) = TextOps.packRetained(
+      dec.filter(col("drop_reason").isNull)
+        .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens")))
+    val packCols = Seq("n_docs", "seq_tokens", "first_doc", "last_doc")
+    val packDiff = packOf(un.learned).as("a")
+      .join(packOf(batchLearned).as("b"), Seq("source", "seq_id"), "full_outer")
+      .filter(!packCols.map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _))
+      .agg(count(lit(1)).as("n_pack_diff"))
+    un.windows.agg(count(lit(1)).as("n_windows_heuristic"))
+      .crossJoin(broadcast(un.decisions.filter(col("drop_reason") === "low_quality")
+        .agg(count(lit(1)).as("n_low_quality_heuristic"))))
+      .crossJoin(broadcast(parityDiff))
+      .crossJoin(broadcast(nonQuality))
+      .crossJoin(broadcast(srcMismatch))
+      .crossJoin(broadcast(packDiff))
+      .select(col("n_windows_heuristic"), col("n_low_quality_heuristic"),
+        (col("n_parity_diff") === 0).as("stream_equals_batch"),
+        (col("n_flip_nonquality") === 0).as("flips_only_quality"),
+        (col("n_src_mismatch") === 0).as("diverges_at_first_flip"),
+        (col("n_pack_diff") === 0).as("gated_pack_equals_batch"))
+  }
+
+  val all: Seq[Q] = Seq(streamCurationEmit, streamCurationEmitIds,
+    streamCurationShuffle, streamCurationGated)
 }

@@ -181,6 +181,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("media forget: a forgotten clip is indistinguishable from never-ingested (audio, shared contract)") {
+    // mm_dedup_forget certifies the image modality end-to-end at the
+    // gate; the takedown path is modality-blind (the banded-index
+    // contract), pinned here on AUDIO: ingest the stream, snapshot
+    // the pair list, forget, and both promoted artifacts must equal
+    // rebuilds on the reduced media set — with no trace of the
+    // forgotten ids anywhere.
+    import graft.streaming.{StreamingCuration, StreamingMedia}
+    import graft.multimodal.Multimodal
+    def takedown(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (id % 20 === 7) || ((id - 1000000L) % 20 === 7)
+    val env = StreamingMedia.prepare(spark, sf,
+      docs => Multimodal.audioBands(Multimodal.audioHashes(docs)))
+    StreamingCuration.landOrderedSlices(spark, env.inDir, sf, 2)
+    StreamingMedia.runPass(spark, env)
+    env.store.promote(StreamingMedia.PairsName,
+      env.store.register(spark, StreamingMedia.PairsName,
+        spark.read.parquet(env.outDir).drop("batch")))
+    StreamingMedia.forgetMedia(spark, env, StreamingMedia.PairsName, takedown)
+    val postings = env.store.loadProduction(spark, StreamingMedia.BandIdx).get
+    val pairs = env.store.loadProduction(spark, StreamingMedia.PairsName).get
+    assert(postings.filter(takedown(col("doc_id"))).count() == 0)
+    assert(pairs.filter(takedown(col("d1")) || takedown(col("d2"))).count() == 0)
+    val reduced = graft.sources.Tables.documents(spark, sf)
+      .filter(!takedown(col("doc_id")))
+    val rebuiltBands = Multimodal.audioBands(Multimodal.audioHashes(reduced))
+    def bandSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Long)] =
+      df.select(col("doc_id"), col("dh"), col("band").cast("int"), col("bv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(bandSet(postings) == bandSet(rebuiltBands),
+      "post-forget postings must equal a rebuild on the reduced set")
+    val rebuiltPairs = Multimodal.hammingPairs(Multimodal.bandCandidates(rebuiltBands))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == rebuiltPairs,
+      "post-forget pair list must equal a rebuild on the reduced set")
+  }
+
   test("caption-align planted misalignments never collapse onto the image ref") {
     import spark.implicits._
     // degenerate congruence: with n = 37 embeddings, doc_id 297 has

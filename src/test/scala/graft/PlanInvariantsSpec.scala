@@ -162,6 +162,31 @@ class PlanInvariantsSpec extends SparkSpec {
     assert("""\) BroadcastNestedLoopJoin""".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("interleaved mm emission: no UDF break, no bare-shard window, bounded anchors") {
+    val plan = formatted(SparkEntry.queries("mm_curation_emit_ids")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    // the per-shard offsets ride the (shard, graft_sub) two-level
+    // prefix sum — a bare per-shard running sum would serialize a
+    // shard's whole interleaved stream into one window task
+    assert(!plan.matches("(?s).*windowspecdefinition\\(source#\\d+, doc_id#.*")
+      && !plan.matches("(?s).*windowspecdefinition\\(shard#\\d+, doc_id#.*"),
+      s"bare per-shard window:\n$plan")
+    // nested loops are only the broadcast 1-row anchors (the align
+    // gate's corpus count + the prefix sum's max-id anchors)
+    assert(!plan.contains(") NestedLoopJoin"), plan)
+  }
+
+  test("video alignment: six embedding lookups stay equi-joins; only the 1-row anchor nests") {
+    val plan = formatted(SparkEntry.queries("mm_video_align")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // formatted explain prints each node twice (tree + detail): one
+    // BroadcastNestedLoopJoin node — the broadcast 1-row corpus-count
+    // anchor — appears as ≤ 2 text occurrences
+    assert("""\+\- BroadcastNestedLoopJoin""".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("audio decode is a pure map: no exchange before the presentation sort") {
     // decode + per-channel stats must stay one shuffle-free pass; the
     // only exchange allowed is the final ORDER BY's range exchange

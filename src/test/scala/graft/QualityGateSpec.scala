@@ -120,6 +120,58 @@ class QualityGateSpec extends SparkSpec {
     assert(streamedWindows == batchWindows, "window drift after restart")
   }
 
+  test("gated emission: a mid-stream promotion changes subsequent batches' windows only") {
+    // the ACTIVE learned gate drives a live window cut
+    // (stream_curation_gated's machinery): promote the trained model,
+    // emit the first half; promote an accept-all sentinel; emit the
+    // second half. Pass-1's completed gated windows are immutable
+    // history; the drained gated stream must equal a batch recut from
+    // the landed (mixed-model) learned decisions — the gate flip
+    // takes effect at the next batch and ONLY there.
+    import graft.streaming.{StreamingCuration, StreamingEmit}
+    val trained = QualityModel.closedForm(spark, sf)
+    val qstore = new graft.sources.FrameStore(
+      java.nio.file.Files.createTempDirectory("graft-qgate-emit-hot-").toString)
+    qstore.promote(QualityModel.ModelName,
+      qstore.register(spark, QualityModel.ModelName, trained))
+    val env = StreamingEmit.prepare(spark, sf, quality = Some(qstore), shadow = true)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val mid = docs.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+    StreamingCuration.landOrderedSlicesOf(
+      docs.filter(col("doc_id") < mid), "doc_id", env.cur.inDir, 2)
+    StreamingEmit.runPass(spark, env)
+    def winSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, String)] =
+      df.select("source", "seq_id", "n_tokens", "window_fp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val gatedHalf1 = winSet(spark.read.parquet(env.gatedWindowsDir))
+    val drops1 = spark.read.parquet(env.cur.learnedOutDir)
+      .filter(col("drop_reason") === "low_quality").count()
+    assert(drops1 > 0, "trained model should gate some docs in pass 1")
+    qstore.promote(QualityModel.ModelName,
+      qstore.register(spark, QualityModel.ModelName,
+        Seq((-1, 10.0)).toDF("idx", "coef")))
+    StreamingCuration.landOrderedSlicesOf(
+      docs.filter(col("doc_id") >= mid), "doc_id", env.cur.inDir, 2, tag = "b")
+    StreamingEmit.runPass(spark, env)
+    // pass-1 windows are immutable history under the promotion
+    val afterPass1Windows = winSet(spark.read.parquet(env.gatedWindowsDir)
+      .filter(col("batch") <= 1))
+    assert(afterPass1Windows == gatedHalf1,
+      "a promotion must not rewrite already-emitted gated windows")
+    // accept-all sentinel gates nothing in pass 2
+    assert(spark.read.parquet(env.cur.learnedOutDir)
+      .filter(col("doc_id") >= mid && col("drop_reason") === "low_quality")
+      .count() == 0)
+    // the drained gated stream ≡ batch recut from the landed
+    // (mixed-model) learned decision record
+    val recut = winSet(TextOps.emitWindowsOfRetained(
+      spark.read.parquet(env.cur.learnedOutDir)
+        .filter(col("drop_reason").isNull)
+        .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))))
+    assert(winSet(StreamingEmit.allGatedWindows(spark, env)) == recut,
+      "gated windows must equal the recut of the landed learned decisions")
+  }
+
   test("a mid-stream promotion hot-reloads at the next batch") {
     // pass 1 scores with the trained model; a SENTINEL v2 (intercept
     // +10, no coefficients → proba ≈ 1 for every doc) promotes
