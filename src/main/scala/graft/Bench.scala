@@ -98,6 +98,11 @@ object Bench {
         // query runs first and min-of-2 hides it from the total
         graft.queries.TextOps.curationDecisions(spark, sfDir); ()
       },
+      timedWarm("cache_warm_mm_emit_stream") {
+        // the ONE interleaved-emission stream pass whose drained
+        // entries feed both mm streaming twins (windows + bounds)
+        graft.streaming.StreamingMmEmit.streamedEntries(spark, sfDir); ()
+      },
       timedWarm("cache_warm_media_forget") {
         // the image-dedup stream + takedown world behind the
         // mm_dedup_forget certificate — one drain per session,

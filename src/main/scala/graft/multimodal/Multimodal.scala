@@ -1399,16 +1399,18 @@ object Multimodal {
   // ------------------------------------------------ interleaved mm emission
   /** The alignment-gated keep set as a spliceable oracle CTE chain
     * (no `WITH` prefix) — the [[alignedPack]] replay shared by the
-    * interleaved emission oracle. */
-  private[graft] val alignKeepCtes: String =
-    """n AS (SELECT COUNT(*) AS n FROM embeddings),
+    * interleaved emission oracles; `where` restricts the document
+    * set (the forget certificate's reduced-corpus rebuild). */
+  private[graft] def alignKeepCtes: String = alignKeepCtes("1 = 1")
+  private[graft] def alignKeepCtes(where: String): String =
+    s"""n AS (SELECT COUNT(*) AS n FROM embeddings),
       |p AS (SELECT doc_id, doc_id % n.n AS img_ref,
       |        CASE WHEN doc_id % 10 = 7 THEN
       |          CASE WHEN (doc_id * 31 + 7) % n.n = doc_id % n.n
       |               THEN ((doc_id * 31 + 7) % n.n + 1) % n.n
       |               ELSE (doc_id * 31 + 7) % n.n END
       |             ELSE doc_id % n.n END AS cap_ref
-      |      FROM documents, n),
+      |      FROM documents, n WHERE ($where)),
       |z AS (SELECT p.doc_id,
       |        p.doc_id % len(ce.embedding) AS pj,
       |        unnest(ie.embedding) AS a, unnest(ce.embedding) AS b,
@@ -1443,14 +1445,18 @@ object Multimodal {
         col("text"))
   }
 
-  /** Caption tokenizer symbol table `(word, j, id)` over the ALIGNED
-    * caption vocabulary, memoized + persisted per (application, sf
-    * dir) — the release artifact the interleaved dataloader ships:
-    * the SAME trained BPE merges as the text emission
-    * ([[graft.queries.TextOps.bpeSegments]]), segmenting this
-    * corpus's caption vocabulary, with content-derived sorted-rank
-    * symbol ids. Bounded by |alphabet| + merge rounds like every
-    * symbol table in the family. */
+  /** Caption tokenizer symbol table `(word, j, id)` over the FULL
+    * raw caption vocabulary, memoized + persisted per (application,
+    * sf dir) — the release artifact the interleaved dataloader
+    * ships: the SAME trained BPE merges as the text emission
+    * ([[graft.queries.TextOps.bpeSegments]]), segmenting the whole
+    * corpus's caption vocabulary (pre-gate, like the merges
+    * themselves), with content-derived sorted-rank symbol ids.
+    * GATE-INDEPENDENT by construction: any gated/forgotten SUBSET of
+    * captions is covered, so the alignment gate, a takedown, or a
+    * gate flip can never surface an OOV or shift the id space.
+    * Bounded by |alphabet| + merge rounds like every symbol table in
+    * the family. */
   private val mmSymCache = graft.SessionCaches.register(
     scala.collection.concurrent.TrieMap
       .empty[String, (org.apache.spark.sql.DataFrame, Long)])
@@ -1458,7 +1464,7 @@ object Multimodal {
   private[graft] def mmCaptionSymsStats(s: SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, Long) =
     mmSymCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
-      val words = mmEmitDocs(s, dir)
+      val words = Tables.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("word")).distinct()
       val seg = words.select(col("word"),
         posexplode(graft.queries.TextOps.bpeSegments(s, dir, col("word")))
@@ -1467,7 +1473,7 @@ object Multimodal {
         .withColumn("id", (row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("sym"))) - 1).cast("long"))
       val df = seg.join(broadcast(symtab), Seq("sym"))
-        .select(col("word"), col("j").cast("long").as("j"), col("id"))
+        .select(col("word"), col("j").cast("long").as("j"), col("id"), col("sym"))
         .persist()
       (df, df.count())
     })
@@ -1581,15 +1587,22 @@ object Multimodal {
     * set → patch-token costs → the 16-round BPE train → caption
     * segmentation + sorted symbol ids → per-shard offsets → every
     * window's interleaved token hash. */
-  val mmEmitIds: Q = Q("mm_curation_emit_ids",
-    "WITH " + alignKeepCtes + ",\n"
-      + graft.queries.TextOps.bpeOracleBody(graft.queries.TextOps.BpeRounds) + s""",
+  /** The interleaved-emission oracle CTE chain through the positioned
+    * `o` frame (alignment gate → patch costs → BPE train → caption
+    * segmentation + sorted ids → per-shard offsets) — shared by the
+    * window emission, the boundary manifest, and the forget
+    * certificate (which re-instantiates it with a reduced-corpus
+    * `where`). Takes the full `WITH` prefix. */
+  private[graft] def mmEmitOracleCtes(where: String): String =
+    "WITH " + alignKeepCtes(where) + ",\n" +
+      graft.queries.TextOps.bpeOracleBody(graft.queries.TextOps.BpeRounds) + s""",
       |t AS (SELECT doc_id, doc_id % 4 AS shard,
       |        greatest(1, octet_length(CAST(text AS BLOB)) // 32) * 16 AS m, text
       |      FROM documents WHERE doc_id IN (SELECT doc_id FROM keepset)),
       |cw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
       |              generate_subscripts(string_split(text, ' '), 1) AS i FROM t),
-      |dw AS (SELECT DISTINCT word FROM cw),
+      |dw AS (SELECT DISTINCT word FROM
+      |         (SELECT unnest(string_split(text, ' ')) AS word FROM documents)),
       |d0 AS (SELECT word, '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS st FROM dw),
       |${(1 to graft.queries.TextOps.BpeRounds).map(r =>
           s"d$r AS (SELECT word, replace(st, ' ' || m.l || '  ' || m.r || ' '," +
@@ -1607,7 +1620,11 @@ object Multimodal {
       |o AS (SELECT doc_id, shard, m, tot,
       |        COALESCE(SUM(tot) OVER (PARTITION BY shard ORDER BY doc_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-      |      FROM cost),
+      |      FROM cost)""".stripMargin
+
+  /** The window-face tail over [[mmEmitOracleCtes]]'s `o`/`cid`. */
+  private[graft] def mmEmitWindowTail: String =
+    """,
       |prow AS (SELECT shard, off + k - 1 AS pos, 'P' AS tok
       |         FROM (SELECT shard, off, unnest(generate_series(1, m)) AS k FROM o)),
       |crow AS (SELECT o.shard,
@@ -1619,9 +1636,172 @@ object Multimodal {
       |  COUNT(*) AS n_tokens,
       |  CAST(COUNT(*) FILTER (WHERE tok = 'P') AS BIGINT) AS n_patch,
       |  md5(string_agg(tok, ',' ORDER BY pos)) AS window_fp
-      |FROM ar GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin) { (s, dir) =>
+      |FROM ar GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin
+
+  val mmEmitIds: Q = Q("mm_curation_emit_ids",
+    mmEmitOracleCtes("1 = 1") + mmEmitWindowTail) { (s, dir) =>
     mmEmitWindows(s, dir, mmEmitPositioned(s, dir))
       .orderBy(col("shard"), col("seq_id"))
+  }
+
+  /** Per-window DOC-BOUNDARY manifest for the interleaved emission —
+    * the attention/modality-mask contract one level up from
+    * `text_emit_doc_bounds`: every window ships the window-local
+    * offsets where a new media-caption RECORD starts (each record =
+    * patch block + caption ids), so a multimodal dataloader can mask
+    * cross-record attention and locate patch-block starts. Derives
+    * from the positioned doc frame alone — one row per kept record,
+    * never a token explode (the [[mmEmitIds]] oracle's `o` frame
+    * without its `prow`/`crow` tail). */
+  val mmEmitBounds: Q = Q("mm_emit_doc_bounds",
+    mmEmitOracleCtes("1 = 1") + """
+      |SELECT shard, CAST(off // 2048 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_docs_started,
+      |  md5(string_agg(CAST(off % 2048 AS VARCHAR), ',' ORDER BY off)) AS bounds_fp
+      |FROM o GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin) { (s, dir) =>
+    mmEmitBoundsOf(mmEmitPositioned(s, dir))
+  }
+
+  /** The [[mmEmitBounds]] rollup over any positioned frame — shared
+    * by the batch query and the streaming twin's drained entries. */
+  private[graft] def mmEmitBoundsOf(positioned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    positioned
+      .groupBy(col("shard"), floor(col("start_off") / 2048).cast("long").as("seq_id"))
+      .agg(count(lit(1)).as("n_docs_started"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("start_off"),
+            (col("start_off") % 2048).cast("string").as("local")))),
+          x => x.getField("local")), ",")).as("bounds_fp"))
+      .orderBy(col("shard"), col("seq_id"))
+
+  /** Token-ID FREQUENCY table of the interleaved emission — the
+    * unigram distribution the multimodal release ships beside its
+    * shards: every caption symbol id's occurrence mass across the
+    * kept records, plus the patch-token row (id −1, the opaque
+    * `P` mass — Σ media patch tokens). Frequency-weighted like
+    * `text_emit_id_freq`: the only corpus-scaled op is the kept-
+    * caption word count (map-side combine on a vocab-bounded key);
+    * the mass then rides the bounded symbol table — no per-token
+    * explode at any corpus size. */
+  val mmEmitIdFreq: Q = Q("mm_emit_id_freq",
+    mmEmitOracleCtes("1 = 1") + """,
+      |wc AS (SELECT word, COUNT(*) AS wc FROM cw GROUP BY 1),
+      |idm AS (SELECT st.id, d.sym, CAST(SUM(c.wc) AS BIGINT) AS n_occurrences
+      |        FROM dsym d JOIN symtab st USING (sym) JOIN wc c USING (word)
+      |        GROUP BY 1, 2)
+      |SELECT * FROM (
+      |  SELECT CAST(-1 AS BIGINT) AS id, 'P' AS sym,
+      |         CAST((SELECT SUM(m) FROM t) AS BIGINT) AS n_occurrences
+      |  UNION ALL
+      |  SELECT id, sym, n_occurrences FROM idm)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    mmEmitIdFreqOf(s, dir, mmEmitPositioned(s, dir))
+  }
+
+  /** The [[mmEmitIdFreq]] rollup over any positioned frame — shared
+    * by the batch query and the streaming twin's drained entries. */
+  private[graft] def mmEmitIdFreqOf(s: SparkSession, dir: String,
+      positioned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (syms, nSyms) = mmCaptionSymsStats(s, dir)
+    val wc = positioned.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val idm = wc
+      .join(graft.queries.TextOps.maybeBroadcast(syms, nSyms * 48L),
+        Seq("word"), "left_outer")
+      .select(col("wc"), col("sym"),
+        when(col("id").isNotNull, col("id"))
+          .otherwise(raise_error(concat(
+            lit("caption word missing from mm tokenizer vocabulary: "), col("word"))))
+          .as("id"))
+      .groupBy(col("id"), col("sym"))
+      .agg(sum(col("wc")).cast("long").as("n_occurrences"))
+    positioned.agg(sum(col("media_tokens")).cast("long").as("n_occurrences"))
+      .select(lit(-1L).as("id"), lit("P").as("sym"), col("n_occurrences"))
+      .unionByName(idm)
+      .orderBy(col("id"))
+  }
+
+  /** A corpus state's interleaved emission as a parenthesized derived
+    * table (the WITH-inside-derived-table device) — the forget
+    * certificate instantiates it for both corpus states. */
+  private def mmEmitWindowsSql(where: String): String =
+    "(" + mmEmitOracleCtes(where) + mmEmitWindowTail + ")"
+
+  /** One forget-lifecycle window store per (application, sf dir). */
+  private val mmForgetMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.FrameStore])
+
+  /** The interleaved-emission takedown: every 20th doc ≡ 8 — a
+    * residue whose docs are NON-plants (always alignment-kept), so
+    * the forget genuinely reshapes windows; and 8 mod 4 = 0, so
+    * exactly ONE shard is affected — the partition-pruned recompute
+    * shape (`text_pack_forget`'s CowMerge argument). */
+  private def mmForgotten(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    id % 20 === 8
+
+  private def forgottenMmWindowsStore(s: SparkSession, dir: String): graft.sources.FrameStore =
+    mmForgetMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val store = new graft.sources.FrameStore(
+        java.nio.file.Files.createTempDirectory("graft-forget-mm-emit-").toString)
+      store.promote("mm_windows",
+        store.register(s, "mm_windows",
+          mmEmitWindows(s, dir, mmEmitPositioned(s, dir))))
+      // the forget, PROPAGATED: removal shifts every later record's
+      // offsets IN ITS SHARD, so the whole affected shard recuts from
+      // the reduced aligned set — untouched shards' rows stay AS-IS
+      // (at 100 TB a takedown recomputes one shard, not the corpus).
+      // The release symbol table is gate- and corpus-subset-
+      // independent (full raw vocab), so untouched shards' id
+      // sequences cannot drift under the rewrite.
+      val affected = Tables.documents(s, dir).filter(mmForgotten(col("doc_id")))
+        .select((col("doc_id") % 4).as("shard")).distinct()
+      val reduced = mmEmitDocsOf(
+        Tables.documents(s, dir).filter(!mmForgotten(col("doc_id"))),
+        Tables.embeddings(s, dir))
+      store.rewrite(s, "mm_windows") { df =>
+        df.join(broadcast(affected), Seq("shard"), "left_anti")
+          .unionByName(mmEmitWindows(s, dir, mmPositionOf(s, dir, reduced))
+            .join(broadcast(affected), Seq("shard")))
+      }
+      store.gc("mm_windows", keep = 0)
+      store
+    })
+
+  /** Forget-propagation certificate for the INTERLEAVED emission —
+    * `text_pack_forget`'s device one modality level up: a takedown of
+    * a media-caption record invalidates every window shaped by it
+    * (offsets shift through its shard), so after the affected-shard
+    * rewrite + gc the promoted windows must be ROW-IDENTICAL to an
+    * emission rebuilt from scratch on the reduced corpus. Counts are
+    * oracle-recomputed through the FULL interleaved replay on both
+    * corpus states; the equality boolean is TRUE in the oracle. */
+  val mmEmitForget: Q = Q("mm_emit_forget",
+    s"""SELECT
+       |  (SELECT COUNT(*) FROM ${mmEmitWindowsSql("1 = 1")} t) AS n_windows_before,
+       |  (SELECT COUNT(*) FROM ${mmEmitWindowsSql("doc_id % 20 <> 8")} t) AS n_windows_after,
+       |  (SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 8) AS n_docs_forgotten,
+       |  (SELECT COUNT(DISTINCT doc_id % 4) FROM documents WHERE doc_id % 20 = 8)
+       |    AS n_shards_affected,
+       |  TRUE AS forget_equals_rebuild""".stripMargin) { (s, dir) =>
+    val before = mmEmitWindows(s, dir, mmEmitPositioned(s, dir))
+    val after = forgottenMmWindowsStore(s, dir).loadProduction(s, "mm_windows")
+      .getOrElse(sys.error("no production forgotten mm windows"))
+    val rebuilt = mmEmitWindows(s, dir, mmPositionOf(s, dir,
+      mmEmitDocsOf(Tables.documents(s, dir).filter(!mmForgotten(col("doc_id"))),
+        Tables.embeddings(s, dir))))
+    val cols = Seq("n_tokens", "n_patch", "window_fp")
+    val diff = after.as("a").join(rebuilt.as("r"), Seq("shard", "seq_id"), "full_outer")
+      .filter(!cols.map(c => col(s"a.$c") <=> col(s"r.$c")).reduce(_ && _))
+      .agg(count(lit(1)).as("n_diff"))
+    before.agg(count(lit(1)).as("n_windows_before"))
+      .crossJoin(broadcast(after.agg(count(lit(1)).as("n_windows_after"))))
+      .crossJoin(broadcast(Tables.documents(s, dir).filter(mmForgotten(col("doc_id")))
+        .agg(count(lit(1)).as("n_docs_forgotten"),
+          countDistinct(col("doc_id") % 4).as("n_shards_affected"))))
+      .crossJoin(broadcast(diff))
+      .select(col("n_windows_before"), col("n_windows_after"),
+        col("n_docs_forgotten"), col("n_shards_affected"),
+        (col("n_diff") === 0).as("forget_equals_rebuild"))
   }
 
   /** One modality row of [[mediaCard]] from the memoized fingerprint
@@ -1676,5 +1856,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, videoAlign, videoAlignedPack, mediaCard)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, mediaCard)
 }

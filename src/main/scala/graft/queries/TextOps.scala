@@ -1396,6 +1396,26 @@ object TextOps {
     curationDecideWith(marked.join(proba, Seq("doc_id")), col("proba") < 0.5)
   }
 
+  /** [[curationLearnedDecisions]] memoized + persisted per
+    * (application, sf dir) — the gated certificate references the
+    * batch learned record from four consumers (retained recut, flip
+    * set, offsets, pack) and the learned certificate from two; an
+    * unpersisted frame re-pays the closed-form scoring + PII tail per
+    * consumer per rep (measured 16.6 s on the gated certificate at
+    * sf0.1). Keyed on the session dataset only: within a session the
+    * callers all pin the SAME production model version (the unified
+    * pass's qmodel), so the key needs no model component. */
+  private val learnedDecisionsCache =
+    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+
+  private[graft] def curationLearnedDecisionsCached(s: SparkSession, dir: String,
+      model: DataFrame): DataFrame =
+    learnedDecisionsCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val df = curationLearnedDecisions(s, dir, model).persist()
+      df.count()
+      df
+    })
+
   /** Per-source DATA CARD — the datasheet a curated-corpus release
     * publishes (Datasheets-for-Datasets / Dolma-style): for each
     * source, docs in/kept, token retention through the scrub stages,
@@ -1666,6 +1686,34 @@ object TextOps {
   private[graft] def emitWordSyms(s: SparkSession, dir: String): DataFrame =
     emitWordSymsStats(s, dir)._1
 
+  /** Symbol table over the PRE-QUALITY retained vocabulary — the
+    * release artifact of the GATED deployment: the vocab is fixed
+    * BEFORE the quality gate (quality is the cascade's last stage, so
+    * every retained set under ANY quality scorer — heuristic,
+    * learned, or a mid-stream promotion's sentinel — is a subset),
+    * which makes the gated ids face OOV-proof under gate flips and
+    * keeps the id space stable across model promotions. Same
+    * segmentation + sorted-rank rule as [[emitWordSymsStats]]. */
+  private val gatedSymCache =
+    graft.SessionCaches.register(
+      scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)])
+
+  private[graft] def preQualityWordSymsStats(s: SparkSession, dir: String): (DataFrame, Long) =
+    gatedSymCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val words = curationDecideWith(curationMarked(s, dir), lit(false))
+        .filter(col("drop_reason").isNull)
+        .select(explode(split(col("red"), " ")).as("word")).distinct()
+      val seg = words.select(col("word"),
+        posexplode(bpeSegments(s, dir, col("word"))).as(Seq("j", "sym")))
+      val symtab = seg.select(col("sym")).distinct()
+        .withColumn("id", (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("sym"))) - 1).cast("long"))
+      val df = seg.join(broadcast(symtab), Seq("sym"))
+        .select(col("word"), col("j").cast("long").as("j"), col("id"), col("sym"))
+        .persist()
+      (df, df.count())
+    })
+
   /** [[emitWindows]] extended with the TOKENIZED-ID face of each
     * window: alongside the text fingerprint, every window also hashes
     * its BPE token-ID sequence (each word's symbols in order, words
@@ -1674,8 +1722,15 @@ object TextOps {
     * symbol table; n_tokens counts j = 0 rows so the text-window
     * accounting is unchanged. */
   private[graft] def emitWindowsIds(s: SparkSession, dir: String,
-                                    positioned: DataFrame): DataFrame = {
-    val (syms, nSyms) = emitWordSymsStats(s, dir)
+                                    positioned: DataFrame): DataFrame =
+    emitWindowsIdsWith(emitWordSymsStats(s, dir), positioned)
+
+  /** [[emitWindowsIds]] against an explicit symbol table — the gated
+    * emission cuts with the pre-quality release table instead of the
+    * heuristic-corpus one. */
+  private[graft] def emitWindowsIdsWith(symsStats: (DataFrame, Long),
+                                        positioned: DataFrame): DataFrame = {
+    val (syms, nSyms) = symsStats
     // LEFT join: a word outside the tokenizer vocabulary must fail
     // LOUDLY (raise_error), never silently vanish from the window —
     // an inner join would drop it from BOTH faces (text fingerprint

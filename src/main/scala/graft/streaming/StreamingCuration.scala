@@ -476,7 +476,7 @@ object StreamingCuration {
     // batch twin scores with the MODEL THE STREAM USED (pinned in the
     // unified artifacts) — re-resolving production here would open a
     // drift window between the memoized run and this certificate
-    val batchDec = TextOps.curationLearnedDecisions(s, dir, un.qmodel)
+    val batchDec = TextOps.curationLearnedDecisionsCached(s, dir, un.qmodel)
     val streamed = un.learned
     val cmpCols = streamed.columns.filterNot(_ == "doc_id").toSeq
     val diff = streamed.as("a").join(batchDec.as("r"), Seq("doc_id"), "full_outer")

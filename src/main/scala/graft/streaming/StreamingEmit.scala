@@ -74,17 +74,19 @@ object StreamingEmit {
     // GATED stream: the PRODUCTION quality model's decisions drive a
     // second window cut — the post-rollout operating mode, running
     // beside the heuristic face in the SAME pass (the expensive
-    // nine-stage stack is shared; only the cut repeats). Text face
-    // only: the release symbol table is trained on the heuristic
-    // corpus, and a learned-KEPT flip doc could carry words outside
-    // it — the gated certificate pins the gate composition, the ids
-    // face stays certified on the heuristic emission.
+    // nine-stage stack is shared; only the cut repeats). BOTH faces:
+    // the ids face cuts against the PRE-QUALITY release symbol table
+    // ([[TextOps.preQualityWordSymsStats]] — vocab fixed before the
+    // quality gate, so any gated subset under any promoted model is
+    // covered and the id space never shifts under a gate flip).
     if (env.cur.shadow) env.cur.quality.foreach { _ =>
       val gatedRetained = bs.read.parquet(s"${env.cur.learnedOutDir}/batch=$batchId")
         .filter(col("drop_reason").isNull)
         .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
       cutAgainstCarry(bs, env, batchId, gatedRetained, CarryGatedName,
-        env.gatedWindowsDir, TextOps.emitWindows, Seq("n_tokens", "window_fp"))
+        env.gatedWindowsDir,
+        p => TextOps.emitWindowsIdsWith(TextOps.preQualityWordSymsStats(bs, env.dir), p),
+        Seq("n_tokens", "n_ids", "window_fp", "ids_fp"))
     }
     ()
   }
@@ -204,7 +206,7 @@ object StreamingEmit {
       .select(col("source"), col("seq_id"), col("n_tokens"), col("window_fp"))
       .orderBy(col("source"), col("seq_id"))
 
-  /** Drain of the GATED window stream (text face): flush each
+  /** Drain of the GATED window stream (both faces): flush each
     * source's final partial from the gated carry, union the
     * continuously-completed gated windows. */
   def allGatedWindows(spark: SparkSession, env: Env): DataFrame = {
@@ -214,7 +216,8 @@ object StreamingEmit {
       .select(col("source"), col("done_off").as("start_off"),
         col("carry_text").as("red"))
     spark.read.parquet(env.gatedWindowsDir).drop("batch")
-      .unionByName(TextOps.emitWindows(latest))
+      .unionByName(TextOps.emitWindowsIdsWith(
+        TextOps.preQualityWordSymsStats(spark, env.dir), latest))
   }
 
   // ------------------------------------------------------------ unified pass
@@ -327,7 +330,10 @@ object StreamingEmit {
     *
     *  - `stream_equals_batch`: the continuously-gated window stream ≡
     *    a batch recut from the learned decisions under the SAME model
-    *    version the stream resolved;
+    *    version the stream resolved — BOTH faces (text fingerprint
+    *    AND the token-ID hash against the pre-quality release symbol
+    *    table, [[TextOps.preQualityWordSymsStats]] — the gated
+    *    deployment ships the full dataloader contract);
     *  - `flips_only_quality`: every doc where the two gates disagree
     *    flips between retained and `low_quality` — the cascade's
     *    earlier stages are gate-invariant by construction;
@@ -359,16 +365,22 @@ object StreamingEmit {
     val un = unifiedRun(s, dir)
     // batch twin scores with the MODEL THE STREAM USED (pinned in the
     // unified artifacts) — the stream_curation_learned discipline
-    val batchLearned = TextOps.curationLearnedDecisions(s, dir, un.qmodel)
+    val batchLearned = TextOps.curationLearnedDecisionsCached(s, dir, un.qmodel)
     val gatedRetained = batchLearned.filter(col("drop_reason").isNull)
       .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
-    val batchGated = TextOps.emitWindowsOfRetained(gatedRetained)
+    // batch recut of BOTH faces, against the same pre-quality release
+    // symbol table the gated stream cuts with
+    val batchGated = TextOps.emitWindowsIdsWith(
+      TextOps.preQualityWordSymsStats(s, dir),
+      TextOps.sourcePrefixSum(gatedRetained, col("final_tokens")))
     val sg = un.gatedWindows
     val sameFace =
       col("a.n_tokens") <=> col("b.n_tokens") && col("a.window_fp") <=> col("b.window_fp")
+    val bothFaces = sameFace &&
+      col("a.n_ids") <=> col("b.n_ids") && col("a.ids_fp") <=> col("b.ids_fp")
     val parityDiff = sg.as("a")
       .join(batchGated.as("b"), Seq("source", "seq_id"), "full_outer")
-      .filter(!sameFace).agg(count(lit(1)).as("n_parity_diff"))
+      .filter(!bothFaces).agg(count(lit(1)).as("n_parity_diff"))
     // flip docs: where the heuristic and learned cascades disagree —
     // all must flip between retained and low_quality
     val flips = un.decisions.select(col("doc_id"), col("source"), col("drop_reason").as("h"))

@@ -281,6 +281,19 @@ object StreamingMedia {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming twin of `mm_video_align` — same oracle: the video
+    * alignment gate operated continuously. Stateless per clip (each
+    * pair's frame-pooled score depends on that doc + the STATIC
+    * embedding store), so it rides the checkpoint+commit-log
+    * exactly-once story like [[streamCaptionAlign]]; the per-batch
+    * plan is the batch query's six stream-static equi-joins. */
+  val streamVideoAlign: Q = Q("stream_video_align",
+    Multimodal.videoAlign.oracle.get) { (s, dir) =>
+    StreamingCuration.runStatelessTwin(s, dir,
+      docs => Multimodal.videoAlignScores(docs, Tables.embeddings(s, dir)))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming twin of `mm_audio_decode` — same oracle; stateless
     * per-clip decode (the `stream_pii_redact` shape). */
   val streamAudioDecode: Q = Q("stream_audio_decode",
@@ -297,5 +310,5 @@ object StreamingMedia {
   }
 
   val all: Seq[Q] = Seq(streamImageDedup, streamAudioDedup, streamVideoDedup,
-    streamCaptionAlign, streamAudioDecode, mmDedupForget)
+    streamCaptionAlign, streamVideoAlign, streamAudioDecode, mmDedupForget)
 }

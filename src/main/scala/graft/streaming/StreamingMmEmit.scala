@@ -90,18 +90,34 @@ object StreamingMmEmit {
   }
 
   /** Full loop: prepare, land the corpus in `slices` ordered
-    * arrivals, drain, cut the windows over the accumulated positioned
-    * entries (positions are global via the carried base, so the ONE
-    * shared window-cut aggregate reproduces the batch emission). */
+    * arrivals, drain, return the accumulated positioned entries
+    * (positions are global via the carried base, so the shared
+    * window-cut / bounds aggregates reproduce the batch emission).
+    * Driven directly by the slicing-parity spec; the gate twins read
+    * the memoized single pass below. */
   def runMmEmitStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame = {
     val env = prepare(spark, dir)
     StreamingCuration.landOrderedSlices(spark, env.inDir, dir, slices)
     runPass(spark, env)
     env.store.compact(spark, OffsetsName)
     env.store.gc(OffsetsName, keep = 1)
-    Multimodal.mmEmitWindows(spark, dir,
-      spark.read.parquet(env.outDir).drop("batch"))
+    spark.read.parquet(env.outDir).drop("batch")
   }
+
+  private val entriesMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+
+  /** ONE interleaved-emission stream pass per (application, sf dir),
+    * memoized — both streaming twins (windows + boundary manifest)
+    * read its drained positioned entries instead of each draining
+    * their own stream (the unifiedRun consolidation rule; attributed
+    * by the `cache_warm_mm_emit_stream` bench entry). */
+  def streamedEntries(spark: SparkSession, dir: String): DataFrame =
+    entriesMemo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
+      val df = runMmEmitStream(spark, dir).persist()
+      df.count()
+      df
+    })
 
   /** Streaming twin of `mm_curation_emit_ids` — same oracle: the
     * continuously-assembled interleaved training stream must cut
@@ -109,8 +125,28 @@ object StreamingMmEmit {
     * ordered slicing. */
   val streamMmEmitIds: Q = Q("stream_mm_emit_ids",
     Multimodal.mmEmitIds.oracle.get) { (s, dir) =>
-    runMmEmitStream(s, dir).orderBy(col("shard"), col("seq_id"))
+    Multimodal.mmEmitWindows(s, dir, streamedEntries(s, dir))
+      .orderBy(col("shard"), col("seq_id"))
   }
 
-  val all: Seq[Q] = Seq(streamMmEmitIds)
+  /** Streaming twin of `mm_emit_doc_bounds` — same oracle: the
+    * record-boundary manifest is a content-determined rollup of the
+    * positioned entries, so the continuously-landed entries must
+    * yield the byte-identical manifest the batch emission publishes
+    * beside its shards. */
+  val streamMmEmitBounds: Q = Q("stream_mm_emit_bounds",
+    Multimodal.mmEmitBounds.oracle.get) { (s, dir) =>
+    Multimodal.mmEmitBoundsOf(streamedEntries(s, dir))
+  }
+
+  /** Streaming twin of `mm_emit_id_freq` — same oracle: the id
+    * distribution a continuously-publishing multimodal release
+    * monitors, weighed from the drained entries against the same
+    * gate-independent symbol table. */
+  val streamMmEmitIdFreq: Q = Q("stream_mm_emit_id_freq",
+    Multimodal.mmEmitIdFreq.oracle.get) { (s, dir) =>
+    Multimodal.mmEmitIdFreqOf(s, dir, streamedEntries(s, dir))
+  }
+
+  val all: Seq[Q] = Seq(streamMmEmitIds, streamMmEmitBounds, streamMmEmitIdFreq)
 }
