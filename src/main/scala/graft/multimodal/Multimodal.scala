@@ -788,6 +788,59 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ----------------------------------------------------- cross-modal dedup
+  /** CROSS-MODAL joint deduplication — the decision a LAION-style
+    * pipeline actually makes: a record is a duplicate if ANY of its
+    * modalities matches (image dHash, audio fingerprint, video
+    * temporal signature, or caption text at J ≥ 0.5 — exact text dups
+    * included at J = 1), so the cluster graph is the UNION of the
+    * four per-modality pair lists, components by the shared
+    * hash-to-min CC, one min-id keeper per joint cluster. Catches
+    * exactly the records single-modality dedup misses: same image
+    * re-captioned, same caption re-rendered.
+    *
+    * Scale shape: all four pair lists are the memoized banded/
+    * prefix-filtered artifacts (no new corpus pass, no all-pairs
+    * anywhere); the CC runs on the union edge list in O(log d)
+    * rounds and THROWS at its bound. The oracle replays all four
+    * pipelines as colliding-name-proof derived tables (the
+    * mm_data_card device) and closes reachability transitively. */
+  val jointDedup: Q = Q("mm_joint_dedup",
+    "WITH RECURSIVE pairs AS (\n" +
+      "SELECT d1, d2 FROM (WITH " + imageOracleCtes +
+        "\nSELECT d1, d2 FROM cand WHERE bit_count(xor(dh1, dh2)) <= 3) ti\n" +
+      "UNION\nSELECT d1, d2 FROM (WITH " + audioOracleCtes +
+        "\nSELECT d1, d2 FROM cand WHERE bit_count(xor(ah1, ah2)) <= 3) ta\n" +
+      "UNION\nSELECT d1, d2 FROM (WITH " + videoOracleCtes +
+        "\nSELECT d1, d2 FROM cand WHERE bit_count(xor(dh1, dh2)) <= 3) tv\n" +
+      "UNION\nSELECT d1, d2 FROM (WITH " + graft.queries.TextOps.nearPairOracleCtes +
+        "\nSELECT d1, d2 FROM np) tt\n" +
+      ")," + """
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS v, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS v, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
+      |comp AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)
+      |SELECT c.doc_id, c.cluster_id, n.sz AS cluster_size,
+      |       (c.doc_id = c.cluster_id) AS is_keeper
+      |FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY 1) n USING (cluster_id)
+      |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val pairs = imagePairs(s, dir).select(col("d1"), col("d2"))
+      .unionByName(audioPairs(s, dir).select(col("d1"), col("d2")))
+      .unionByName(videoPairs(s, dir).select(col("d1"), col("d2")))
+      .unionByName(graft.queries.TextOps.nearDupPairs05(s, dir)
+        .select(col("d1"), col("d2")))
+      .distinct()
+    val cc = graft.queries.DedupGraph.connectedComponents(pairs)
+    val sz = Window.partitionBy(col("cluster_id"))
+    cc.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(sz))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------- cross-modal align
   /** Cross-modal ALIGNMENT scoring — the LAION-style filter between
     * dedup and packing: every media document pairs with its caption,
@@ -1856,5 +1909,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, mediaCard)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, jointDedup, mediaCard)
 }

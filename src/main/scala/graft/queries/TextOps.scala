@@ -365,6 +365,65 @@ object TextOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** The exact J ≥ 0.5 near-pair list as a spliceable oracle CTE
+    * chain ending in `np(d1, d2)` — shared by the split-leakage audit
+    * and the cross-modal joint dedup (identical texts share all
+    * shingles, so exact duplicates appear at J = 1: the chain covers
+    * both dup classes). */
+  private[graft] def nearPairOracleCtes: String =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
+      |sh0 AS (SELECT doc_id,
+      |         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS s,
+      |         lead(word, 2) OVER win AS w2
+      |        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE w2 IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |np AS (SELECT d1, d2 FROM inter JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+      |       WHERE CAST(i AS DOUBLE) / ((x.n + y.n) - i) >= 0.5)""".stripMargin
+
+  /** Train/validation LEAKAGE AUDIT — the data-hygiene check every
+    * training run needs before trusting its eval: under the standard
+    * content-hash split (md5 bucket, val = top 10%), report every VAL
+    * document that has a duplicate in TRAIN — near-dups at J ≥ 0.5,
+    * which at J = 1 includes exact duplicates — with its train-dup
+    * count and smallest offending partner. A leaked val doc's eval
+    * loss is memorization, not generalization; the actionable output
+    * is exactly this drop list.
+    *
+    * Scale shape: rides the memoized pair list (the materialized
+    * intermediate every dedup consumer shares) + two id-keyed
+    * equi-joins against the split frame (corpus-scaled — no broadcast
+    * hint) + one group on the val id. The split is the same portable
+    * md5 bucket as `text_sample_stratified`, so the oracle replays
+    * split, pairs, and the report exactly. */
+  val splitLeakage: Q = Q("text_split_leakage",
+    "WITH " + nearPairOracleCtes + """,
+      |b AS (SELECT doc_id,
+      |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+      |          AS bucket
+      |      FROM documents),
+      |e AS (SELECT d1 AS v, d2 AS t FROM np UNION ALL SELECT d2 AS v, d1 AS t FROM np)
+      |SELECT e.v AS doc_id, COUNT(*) AS n_train_dups, MIN(e.t) AS min_train_partner
+      |FROM e JOIN b bv ON bv.doc_id = e.v JOIN b bt ON bt.doc_id = e.t
+      |WHERE bv.bucket >= 90 AND bt.bucket < 90
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+    val b = Tables.documents(s, dir).select(col("doc_id"), bucket.as("bucket"))
+    val p = nearDupPairs05(s, dir).select(col("d1"), col("d2"))
+    val e = p.select(col("d1").as("v"), col("d2").as("t"))
+      .unionByName(p.select(col("d2").as("v"), col("d1").as("t")))
+    e.join(b.filter(col("bucket") >= 90).select(col("doc_id").as("v")), Seq("v"))
+      .join(b.filter(col("bucket") < 90).select(col("doc_id").as("t")), Seq("t"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n_train_dups"), min(col("t")).as("min_train_partner"))
+      .select(col("v").as("doc_id"), col("n_train_dups"), col("min_train_partner"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit rolling-hash fingerprints via the native codegen'd
     * [[graft.functions.RollingHash]] expression, registered as a SQL
     * function. Fully oracle-checked: the hash is a plain polynomial
@@ -3072,7 +3131,7 @@ object TextOps {
   val all: Seq[Q] = Seq(chunkWindows, fuzzyPairs, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
     dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, bpeFertility, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
-    sampleStratified, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
+    sampleStratified, splitLeakage, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
     tfidfTopK, curation, dataCard, qualityHist, curationPack, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle,
     emitForget, decontaminate, decontaminateIncremental, decontaminateBloom)

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan invariants for headline queries — the shapes that
   * must survive a 100× scale-up, pinned so a refactor can't silently
@@ -185,6 +186,32 @@ class PlanInvariantsSpec extends SparkSpec {
     // anchor — appears as ≤ 2 text occurrences
     assert("""\+\- BroadcastNestedLoopJoin""".r.findAllIn(plan).size <= 1, plan)
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("split leakage audit: id-keyed equi-joins over the memoized pair list, no cartesian") {
+    val plan = formatted(SparkEntry.queries("text_split_leakage")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("NestedLoopJoin"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("joint dedup unions the four memoized pair lists: no new corpus pass, no cartesian") {
+    // the final frame sits above the CC's lineage-cut label frame, so
+    // the pin runs on the EDGE UNION the CC consumes: all four pair
+    // lists must come from persisted memos (InMemoryTableScan — no
+    // fingerprint or shingle pass re-runs) with no cartesian anywhere
+    import graft.multimodal.Multimodal
+    val pairs = Multimodal.imagePairs(spark, sf).select(col("d1"), col("d2"))
+      .unionByName(Multimodal.audioPairs(spark, sf).select(col("d1"), col("d2")))
+      .unionByName(Multimodal.videoPairs(spark, sf).select(col("d1"), col("d2")))
+      .unionByName(graft.queries.TextOps.nearDupPairs05(spark, sf)
+        .select(col("d1"), col("d2")))
+      .distinct()
+    val plan = formatted(pairs)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("InMemoryTableScan"), plan)
+    val out = formatted(SparkEntry.queries("mm_joint_dedup")(spark, sf))
+    assert(!out.contains("CartesianProduct"), out)
   }
 
   test("audio decode is a pure map: no exchange before the presentation sort") {
