@@ -103,6 +103,15 @@ object Bench {
         // entries feed both mm streaming twins (windows + bounds)
         graft.streaming.StreamingMmEmit.streamedEntries(spark, sfDir); ()
       },
+      timedWarm("cache_warm_emit_forget") {
+        // the text emission forget world (store + lineage-cut
+        // before/rebuilt artifacts) behind text_emit_forget
+        graft.queries.TextOps.warmEmitForget(spark, sfDir)
+      },
+      timedWarm("cache_warm_mm_emit_forget") {
+        // the interleaved-emission forget world behind mm_emit_forget
+        graft.multimodal.Multimodal.warmMmEmitForget(spark, sfDir)
+      },
       timedWarm("cache_warm_media_forget") {
         // the image-dedup stream + takedown world behind the
         // mm_dedup_forget certificate — one drain per session,
