@@ -1804,9 +1804,13 @@ object Multimodal {
     mmForgetMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
       val store = new graft.sources.FrameStore(
         java.nio.file.Files.createTempDirectory("graft-forget-mm-emit-").toString)
-      store.promote("mm_windows",
-        store.register(s, "mm_windows",
-          mmEmitWindows(s, dir, mmEmitPositioned(s, dir))))
+      // the full and reduced emissions are deterministic functions of
+      // the corpus — materialize each ONCE (lineage-cut) and share
+      // between the store lifecycle and the certificate (the cert's
+      // substantive content is the UNTOUCHED-shard preservation and
+      // gc durability, both checked against the store's own parquet)
+      val before = mmEmitWindows(s, dir, mmEmitPositioned(s, dir)).localCheckpoint(true)
+      store.promote("mm_windows", store.register(s, "mm_windows", before))
       // the forget, PROPAGATED: removal shifts every later record's
       // offsets IN ITS SHARD, so the whole affected shard recuts from
       // the reduced aligned set — untouched shards' rows stay AS-IS
@@ -1819,16 +1823,14 @@ object Multimodal {
       val reduced = mmEmitDocsOf(
         Tables.documents(s, dir).filter(!mmForgotten(col("doc_id"))),
         Tables.embeddings(s, dir))
+      val rebuilt = mmEmitWindows(s, dir, mmPositionOf(s, dir, reduced))
+        .localCheckpoint(true)
       store.rewrite(s, "mm_windows") { df =>
         df.join(broadcast(affected), Seq("shard"), "left_anti")
-          .unionByName(mmEmitWindows(s, dir, mmPositionOf(s, dir, reduced))
-            .join(broadcast(affected), Seq("shard")))
+          .unionByName(rebuilt.join(broadcast(affected), Seq("shard")))
       }
       store.gc("mm_windows", keep = 0)
-      MmForgetWorld(store,
-        before = mmEmitWindows(s, dir, mmEmitPositioned(s, dir)).localCheckpoint(true),
-        rebuilt = mmEmitWindows(s, dir, mmPositionOf(s, dir, reduced))
-          .localCheckpoint(true))
+      MmForgetWorld(store, before = before, rebuilt = rebuilt)
     })
 
   /** Bench warm hook: build the forget world once, attributed. */

@@ -1962,21 +1962,22 @@ object TextOps {
         .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
       val store = new graft.sources.FrameStore(
         java.nio.file.Files.createTempDirectory("graft-forget-emit-").toString)
-      store.promote("emit_windows",
-        store.register(s, "emit_windows", emitWindowsOfRetained(retained)))
+      // full and reduced emissions materialized ONCE each (lineage
+      // cut) and shared between the store lifecycle and the cert —
+      // the cert's substantive content is untouched-shard
+      // preservation + gc durability against the store's own parquet
+      val before = emitWindowsOfRetained(retained).localCheckpoint(true)
+      store.promote("emit_windows", store.register(s, "emit_windows", before))
       val affected = retained.filter(col("doc_id") % 20 === 7)
         .select(col("source")).distinct()
+      val rebuilt = emitWindowsOfRetained(retained.filter(col("doc_id") % 20 =!= 7))
+        .localCheckpoint(true)
       store.rewrite(s, "emit_windows") { df =>
         df.join(broadcast(affected), Seq("source"), "left_anti")
-          .unionByName(emitWindowsOfRetained(
-            retained.filter(col("doc_id") % 20 =!= 7)
-              .join(broadcast(affected), Seq("source"))))
+          .unionByName(rebuilt.join(broadcast(affected), Seq("source")))
       }
       store.gc("emit_windows", keep = 0)
-      EmitForgetWorld(store,
-        before = emitWindowsOfRetained(retained).localCheckpoint(true),
-        rebuilt = emitWindowsOfRetained(retained.filter(col("doc_id") % 20 =!= 7))
-          .localCheckpoint(true))
+      EmitForgetWorld(store, before = before, rebuilt = rebuilt)
     })
 
   /** Bench warm hook: build the forget world once, attributed. */
