@@ -999,7 +999,13 @@ object Multimodal {
     val vb = col("doc_id") % col("n")
     val raw = (col("doc_id") * 31 + 7) % col("n")
     val dist = (raw - vb + col("n")) % col("n")
+    // the corpus parquet is one input split at test SFs, and the six
+    // broadcast lookups + pooling + cosine would whole-stage into
+    // that ONE task (measured 1.8 s single-task at sf0.1) — spread
+    // the id stream across the session width first; at cluster scale
+    // the scan has many splits and the exchange coalesces away
     val pairs = docs.select(col("doc_id"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .crossJoin(nRow)
       .select(col("doc_id"), col("n"), vb.as("vb"),
         when(col("doc_id") % 10 === 7,
