@@ -48,7 +48,11 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMs(): Long =
       ManagementFactory.getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
-    def loadAvg(): Double = ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // getSystemLoadAverage returns -1.0 where the platform exposes no
+    // load average; clamp so the record never emits a negative "load"
+    // that downstream attribution could misread as a real value.
+    def loadAvg(): Double =
+      math.max(0.0, ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage)
     final case class Entry(name: String, sec: Double, gcMsDelta: Long, load: Double)
     def timedWarm(name: String)(f: => Unit): Entry = {
       val load0 = loadAvg(); val gc0 = gcMs(); val t0 = System.nanoTime()
@@ -102,6 +106,11 @@ object Bench {
         // the ONE interleaved-emission stream pass whose drained
         // entries feed both mm streaming twins (windows + bounds)
         graft.streaming.StreamingMmEmit.streamedEntries(spark, sfDir); ()
+      },
+      timedWarm("cache_warm_pack_forget") {
+        // the mix∘pack forget world (store + lineage-cut
+        // before/rebuilt manifests) behind text_pack_forget
+        graft.queries.Curation.warmPackForget(spark, sfDir)
       },
       timedWarm("cache_warm_emit_forget") {
         // the text emission forget world (store + lineage-cut
@@ -168,22 +177,32 @@ object Bench {
     // "[success] ..." stays inside the consumer's tail window: the
     // slowest queries first (the ones worth grading), the rest summed
     // into "queries_other" so the map still totals to "value".
-    val byCost = results.map(e => e.name -> e.sec).sortBy(-_._2)
-    // Aggregate noise fields on the ONE stdout line (the per-entry
-    // breakdown lives on the [bench-gc] stderr line): total GC ms
+    val byCost = results.sortBy(-_.sec)
+    // Aggregate noise fields on the ONE stdout line: total GC ms
     // across the run and the load average at start/end bracket the
-    // host conditions this total was measured under.
+    // host conditions this total was measured under. Per-entry
+    // attribution rides INSIDE the kept "queries" map — each kept
+    // entry is [sec, gc_ms, load] — so the judged artifact carries
+    // gc/load for exactly the slowest entries (the ones worth
+    // grading) without blowing the consumer's ~2000-char tail window;
+    // the full 230+-entry breakdown stays on the [bench-gc] stderr
+    // line for in-session diagnosis.
     val gcTotal = results.map(_.gcMsDelta).sum
     val loadEnd = loadAvg()
     val prefix = s"""{"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir","gc_ms":$gcTotal,"load_start":${d2(results.headOption.map(_.load).getOrElse(loadEnd))},"load_end":${d2(loadEnd)},"queries_total":${results.size},"queries":"""
     val budget = 1600 - prefix.length
-    val (kept, keptLen) = byCost.foldLeft((Vector.empty[(String, Double)], 0)) {
-      case ((acc, len), (k, v)) =>
-        val entryLen = k.length + 12 // "name":12.345, with quotes+comma
-        if (len + entryLen <= budget) (acc :+ (k -> v), len + entryLen) else (acc, len)
+    def entryJson(e: Entry): String =
+      "\"" + e.name + "\":[" + d3(e.sec) + "," + e.gcMsDelta + "," + d2(e.load) + "]"
+    val (kept, keptJson, _) = byCost.foldLeft(
+        (Vector.empty[Entry], Vector.empty[String], 0)) {
+      case ((acc, js, len), e) =>
+        val j = entryJson(e)
+        if (len + j.length + 1 <= budget) (acc :+ e, js :+ j, len + j.length + 1)
+        else (acc, js, len)
     }
-    val other = total - kept.map(_._2).sum
-    val qs = fmt(kept :+ ("queries_other" -> other))
+    val other = total - kept.map(_.sec).sum
+    val qs = (keptJson :+ ("\"queries_other\":[" + d3(other) + ",0,0.00]"))
+      .mkString("{", ",", "}")
     println(prefix + qs + "}")
     spark.stop()
   }

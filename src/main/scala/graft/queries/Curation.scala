@@ -347,35 +347,58 @@ object Curation {
        |SELECT source, CAST(start_off // 512 AS BIGINT) AS seq_id
        |FROM o GROUP BY 1, 2)""".stripMargin
 
-  /** One forget-lifecycle pack store per (application, sf dir). */
-  private val packForgetMemo =
-    graft.SessionCaches.register(scala.collection.concurrent.TrieMap.empty[String, graft.sources.FrameStore])
+  /** One forget-lifecycle pack world per (application, sf dir). The
+    * memo value owns its store — declared via the [[graft.Reapable]]
+    * contract so eviction reaps the on-disk tree; `before`/`rebuilt`
+    * are lineage-cut certificate artifacts (the full and reduced
+    * manifests are content-determined — recomputing them per bench
+    * rep re-paid the whole mix∘pack lineage twice per run, the same
+    * per-rep re-analysis cost the emission forget worlds shed). */
+  private final case class PackForgetWorld(store: graft.sources.FrameStore,
+      before: DataFrame, rebuilt: DataFrame) extends graft.Reapable {
+    def reapRoots: Seq[String] = Seq(store.root)
+  }
 
-  private def forgottenPackStore(s: SparkSession, dir: String): graft.sources.FrameStore =
+  private val packForgetMemo =
+    graft.SessionCaches.register(
+      scala.collection.concurrent.TrieMap.empty[String, PackForgetWorld])
+
+  private def forgottenPackWorld(s: SparkSession, dir: String): PackForgetWorld =
     packForgetMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
       val store = new graft.sources.FrameStore(
         java.nio.file.Files.createTempDirectory("graft-forget-pack-").toString)
-      store.promote("mix_pack",
-        store.register(s, "mix_pack", mixPackManifest(Tables.documents(s, dir))))
+      // full and reduced manifests materialized ONCE each (lineage
+      // cut) and shared between the store lifecycle and the cert —
+      // the cert's substantive content is untouched-shard
+      // preservation + gc durability against the store's own parquet
+      val before = mixPackManifest(Tables.documents(s, dir)).localCheckpoint(true)
+      store.promote("mix_pack", store.register(s, "mix_pack", before))
       // the forget, PROPAGATED: deleting the doc's own manifest rows
       // is not enough — removal shifts the running offsets of every
       // later doc in its source shard, so the whole affected shard's
       // sequences change. The rewrite keeps untouched sources' rows
       // AS-IS (at 100 TB forgetting one doc recomputes one shard, not
       // the corpus — the partition-pruned shape of CowMerge) and
-      // recomputes affected shards from the reduced corpus; gc makes
-      // the withdrawal durable on disk.
+      // recomputes affected shards from the reduced corpus (per-source
+      // prefix sums make the manifest shard-local, so restricting the
+      // reduced manifest to affected sources ≡ rebuilding just those
+      // shards); gc makes the withdrawal durable on disk.
       val affected = Tables.documents(s, dir)
         .filter(col("doc_id") % 20 === 7).select(col("source")).distinct()
+      val rebuilt = mixPackManifest(
+        Tables.documents(s, dir).filter(col("doc_id") % 20 =!= 7)).localCheckpoint(true)
       store.rewrite(s, "mix_pack") { df =>
         df.join(broadcast(affected), Seq("source"), "left_anti")
-          .unionByName(mixPackManifest(
-            Tables.documents(s, dir).filter(col("doc_id") % 20 =!= 7)
-              .join(broadcast(affected), Seq("source"))))
+          .unionByName(rebuilt.join(broadcast(affected), Seq("source")))
       }
       store.gc("mix_pack", keep = 0)
-      store
+      PackForgetWorld(store, before = before, rebuilt = rebuilt)
     })
+
+  /** Bench warm hook: build the forget world once, attributed. */
+  private[graft] def warmPackForget(s: SparkSession, dir: String): Unit = {
+    forgottenPackWorld(s, dir); ()
+  }
 
   /** Forget-propagation certificate for DERIVED artifacts — the
     * right-to-be-forgotten half the postings/ANN certificates
@@ -395,12 +418,12 @@ object Curation {
        |  (SELECT COUNT(DISTINCT source) FROM documents WHERE doc_id % 20 = 7)
        |    AS n_sources_affected,
        |  TRUE AS forget_equals_rebuild""".stripMargin) { (s, dir) =>
-    val before = mixPackManifest(Tables.documents(s, dir))
-    val after = forgottenPackStore(s, dir).loadProduction(s, "mix_pack")
+    val world = forgottenPackWorld(s, dir)
+    val before = world.before
+    val after = world.store.loadProduction(s, "mix_pack")
       .getOrElse(sys.error("no production forgotten pack manifest"))
-    // rebuild from scratch on the reduced corpus — the gold standard
-    val rebuilt = mixPackManifest(
-      Tables.documents(s, dir).filter(col("doc_id") % 20 =!= 7))
+    // rebuilt from scratch on the reduced corpus — the gold standard
+    val rebuilt = world.rebuilt
     val cols = Seq("n_entries", "n_docs", "seq_tokens", "first_doc", "last_doc")
     val diff = after.as("a").join(rebuilt.as("r"), Seq("source", "seq_id"), "full_outer")
       .filter(!cols.map(c => col(s"a.$c") <=> col(s"r.$c")).reduce(_ && _))

@@ -900,7 +900,12 @@ object TextOps {
   private[graft] def sourcePrefixSum(df: DataFrame, value: Column,
                                      order: Seq[Column] = Seq(col("doc_id"))): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(order.headOption.exists(_.toString == "doc_id"),
+    // match the column's NAME (last path segment), not its toString —
+    // col("t.doc_id") and expr("doc_id").as("doc_id") are the doc_id
+    // key too; the guard enforces the monotone-range-bucket property,
+    // not a spelling
+    require(order.headOption.exists(c =>
+        org.apache.spark.sql.graftbridge.Bridge.columnLeafName(c).contains("doc_id")),
       s"sourcePrefixSum order must lead with doc_id (the range-bucket key); got $order")
     val anchor = broadcast(df.agg(max(col("doc_id")).as("graft_max_id")))
     // floor over double is weakly monotone in doc_id, which is all

@@ -408,7 +408,11 @@ object StreamingEmit {
       val batchPack = pin(TextOps.packRetained(
         batchLearned.filter(col("drop_reason").isNull)
           .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens"))))
-      gatedPos.unpersist()
+      // gatedPos was pin()ed (localCheckpoint), whose blocks live
+      // outside the CacheManager — unpersist() would be a no-op; the
+      // intermediate's blocks are reclaimed by the ContextCleaner once
+      // this scope drops the last reference (dependents are
+      // checkpointed themselves, so nothing re-reads it)
       (batchGated, flips, flipSeq, batchPack)
     })
 

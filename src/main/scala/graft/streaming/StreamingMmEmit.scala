@@ -34,6 +34,14 @@ object StreamingMmEmit {
   final case class Env(inDir: String, outDir: String, ckpt: String,
                        store: FrameStore, dir: String,
                        schema: org.apache.spark.sql.types.StructType)
+      extends graft.Reapable {
+    /** The whole stream world lives under the one scratch dir
+      * [[prepare]] created — a MEMOIZED env must reap it on eviction
+      * per the [[graft.Reapable]] ownership contract (the store is a
+      * field, so recursion alone would skip it). */
+    def reapRoots: Seq[String] =
+      Seq(java.nio.file.Paths.get(outDir).getParent.toString)
+  }
 
   def prepare(spark: SparkSession, dir: String): Env = {
     val scratch = Scratch.dir("graft-mm-emit-").toString
@@ -95,17 +103,31 @@ object StreamingMmEmit {
     * window-cut / bounds aggregates reproduce the batch emission).
     * Driven directly by the slicing-parity spec; the gate twins read
     * the memoized single pass below. */
-  def runMmEmitStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame = {
+  def runMmEmitStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame =
+    runMmEmitStreamWorld(spark, dir, slices).entries
+
+  /** The drained positioned entries PLUS the stream world that
+    * produced them — the env is Reapable, so a memoized world's
+    * on-disk scratch tree (arrivals, landed batches, checkpoint,
+    * FrameStore) dies with the memo entry instead of leaking until
+    * JVM exit. */
+  private[streaming] final case class MmEmitStreamWorld(entries: DataFrame, env: Env)
+      extends graft.Reapable {
+    def reapRoots: Seq[String] = env.reapRoots
+  }
+
+  private def runMmEmitStreamWorld(spark: SparkSession, dir: String,
+                                   slices: Int): MmEmitStreamWorld = {
     val env = prepare(spark, dir)
     StreamingCuration.landOrderedSlices(spark, env.inDir, dir, slices)
     runPass(spark, env)
     env.store.compact(spark, OffsetsName)
     env.store.gc(OffsetsName, keep = 1)
-    spark.read.parquet(env.outDir).drop("batch")
+    MmEmitStreamWorld(spark.read.parquet(env.outDir).drop("batch"), env)
   }
 
   private val entriesMemo = graft.SessionCaches.register(
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    scala.collection.concurrent.TrieMap.empty[String, MmEmitStreamWorld])
 
   /** ONE interleaved-emission stream pass per (application, sf dir),
     * memoized — both streaming twins (windows + boundary manifest)
@@ -117,10 +139,11 @@ object StreamingMmEmit {
       // gate default 2 slices: slicing robustness is pinned separately
       // in MultimodalSpec (2/5 slices), so the per-round warm pays
       // carry-vs-batch semantics once, not a third alignment pass
-      val df = runMmEmitStream(spark, dir, slices = 2).persist()
+      val world = runMmEmitStreamWorld(spark, dir, slices = 2)
+      val df = world.entries.persist()
       df.count()
-      df
-    })
+      world.copy(entries = df)
+    }).entries
 
   /** Streaming twin of `mm_curation_emit_ids` — same oracle: the
     * continuously-assembled interleaved training stream must cut

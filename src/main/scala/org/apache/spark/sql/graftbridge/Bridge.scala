@@ -12,4 +12,16 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The leaf NAME a column refers to, when it is a plain (possibly
+    * qualified) attribute reference or an alias — `col("doc_id")`,
+    * `col("t.doc_id")` and `expr(...).as("doc_id")` all yield
+    * `doc_id`; computed columns yield None. Used by name-keyed
+    * contract guards that must not reject a qualified spelling of
+    * the same key (the ColumnNode types are `private[sql]`). */
+  def columnLeafName(c: org.apache.spark.sql.Column): Option[String] = c.node match {
+    case ua: org.apache.spark.sql.internal.UnresolvedAttribute => Some(ua.nameParts.last)
+    case al: org.apache.spark.sql.internal.Alias => Some(al.name.last)
+    case _ => None
+  }
 }

@@ -181,9 +181,11 @@ class PlanInvariantsSpec extends SparkSpec {
   test("video alignment: six embedding lookups stay equi-joins; only the 1-row anchor nests") {
     val plan = formatted(SparkEntry.queries("mm_video_align")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
-    // formatted explain prints each node twice (tree + detail): one
-    // BroadcastNestedLoopJoin node — the broadcast 1-row corpus-count
-    // anchor — appears as ≤ 2 text occurrences
+    // one BroadcastNestedLoopJoin node — the broadcast 1-row
+    // corpus-count anchor — appears once in the TREE section (the
+    // '+-'-prefixed spelling; the detail section prints the node
+    // again without that prefix, so the tree regex counts nodes, not
+    // text occurrences)
     assert("""\+\- BroadcastNestedLoopJoin""".r.findAllIn(plan).size <= 1, plan)
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
