@@ -107,6 +107,11 @@ object Bench {
         // entries feed both mm streaming twins (windows + bounds)
         graft.streaming.StreamingMmEmit.streamedEntries(spark, sfDir); ()
       },
+      timedWarm("cache_warm_trimodal") {
+        // the three alignment gates + the positioned trimodal record
+        // stream shared by mm_trimodal_pack / mm_trimodal_emit_ids
+        graft.multimodal.Multimodal.warmTrimodal(spark, sfDir)
+      },
       timedWarm("cache_warm_pack_forget") {
         // the mix∘pack forget world (store + lineage-cut
         // before/rebuilt manifests) behind text_pack_forget

@@ -1110,6 +1110,429 @@ object Multimodal {
       .orderBy(col("shard"), col("seq_id"))
   }
 
+  // ------------------------------------------------------ audio-caption align
+  /** AUDIO-transcript alignment — the gate that completes the
+    * three-modality training mix: a clip's embedding is pooled from
+    * its 2 SAMPLE-WINDOW reference embeddings (the [[videoAlign]]
+    * frame-pooling device, window = 2 — speech encoders pool
+    * per-window acoustic embeddings the same way video encoders pool
+    * frames), the transcript encoder pools the same refs with the
+    * one-coordinate perturbation, and the pair keeps above the same
+    * 0.9 threshold. Planted misalignment at doc_id % 10 = 3 — a
+    * DIFFERENT residue from the image/video plants (% 10 = 7) so the
+    * three modality keep sets genuinely differ: a cross-gate mixup
+    * (audio records gated by the image decision, …) flips the
+    * trimodal manifest below and fails its hash. The swapped ref
+    * window (37·doc_id + 11) is guarded to stay fully DISJOINT from
+    * the clip's 2-ref window (the [[videoAlignScores]] congruence
+    * guard at window 2).
+    *
+    * Scale shape: four plain EQUI-joins on the reference id (no
+    * hint — the embedding store outgrows broadcast), window pooling
+    * is a single `zip_with` double add (bit-identical across
+    * engines), cosine is the codegen [[graft.functions.CosineSim]]
+    * kernel. */
+  val audioAlign: Q = Q("mm_audio_align",
+    """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+      |p0 AS (SELECT doc_id, n.n AS n, doc_id % n.n AS ab,
+      |         (doc_id * 37 + 11) % n.n AS raw
+      |       FROM documents, n),
+      |p AS (SELECT doc_id, n, ab,
+      |        CASE WHEN doc_id % 10 = 3 THEN
+      |          CASE WHEN ((raw - ab + n) % n) < 2 OR ((raw - ab + n) % n) > n - 2
+      |               THEN (ab + 2) % n ELSE raw END
+      |             ELSE ab END AS cb
+      |      FROM p0),
+      |j AS (SELECT p.doc_id, p.ab, p.cb,
+      |        e0.embedding AS a0, e1.embedding AS a1,
+      |        f0.embedding AS c0, f1.embedding AS c1
+      |      FROM p JOIN embeddings e0 ON e0.vec_id = p.ab
+      |             JOIN embeddings e1 ON e1.vec_id = (p.ab + 1) % p.n
+      |             JOIN embeddings f0 ON f0.vec_id = p.cb
+      |             JOIN embeddings f1 ON f1.vec_id = (p.cb + 1) % p.n),
+      |z AS (SELECT doc_id, ab, cb, doc_id % len(a0) AS pj,
+      |        unnest(list_transform(range(1, len(a0) + 1), i ->
+      |          CAST(a0[i] AS DOUBLE) + CAST(a1[i] AS DOUBLE))) AS a,
+      |        unnest(list_transform(range(1, len(c0) + 1), i ->
+      |          CAST(c0[i] AS DOUBLE) + CAST(c1[i] AS DOUBLE))) AS b,
+      |        generate_subscripts(a0, 1) AS i
+      |      FROM j),
+      |z2 AS (SELECT doc_id, ab, cb, a AS av,
+      |        CASE WHEN i - 1 = pj THEN b * 1.1 ELSE b END AS bv
+      |       FROM z),
+      |d AS (SELECT doc_id, ab, cb,
+      |        SUM(av*bv) AS dot, SUM(av*av) AS na, SUM(bv*bv) AS nb
+      |      FROM z2 GROUP BY 1, 2, 3)
+      |SELECT doc_id, ab AS aud_ref, cb AS cap_ref,
+      |  ROUND(dot/(sqrt(na)*sqrt(nb)), 6) AS cosine,
+      |  (dot/(sqrt(na)*sqrt(nb)) >= 0.9) AS keep
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    audioAlignScores(Tables.documents(s, dir), Tables.embeddings(s, dir))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The audio-alignment scoring as a frame transform — shared by
+    * the batch query, the stateless streaming twin, and the trimodal
+    * pack/emission below. */
+  def audioAlignScores(docs: org.apache.spark.sql.DataFrame,
+                       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val nRow = broadcast(emb.agg(count(lit(1)).as("n")))
+    val ab = col("doc_id") % col("n")
+    val raw = (col("doc_id") * 37 + 11) % col("n")
+    val dist = (raw - ab + col("n")) % col("n")
+    // the corpus parquet is one input split at test SFs — spread the
+    // id stream across the session width before the four lookups +
+    // pooling whole-stage into one task (the videoAlignScores fix;
+    // at cluster scale AQE coalesces the exchange away)
+    val pairs = docs.select(col("doc_id"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .crossJoin(nRow)
+      .select(col("doc_id"), col("n"), ab.as("ab"),
+        when(col("doc_id") % 10 === 3,
+          when(dist < 2 || dist > col("n") - 2, (ab + 2) % col("n")).otherwise(raw))
+          .otherwise(ab).as("cb"))
+    def ref(alias: String, key: org.apache.spark.sql.Column) =
+      emb.select(col("vec_id").as(alias + "_id"), col("embedding").as(alias)) -> key
+    val joined = Seq(
+      ref("a0", col("ab")), ref("a1", (col("ab") + 1) % col("n")),
+      ref("c0", col("cb")), ref("c1", (col("cb") + 1) % col("n")))
+      .foldLeft(pairs) { case (acc, (e, key)) =>
+        val alias = e.columns.head.stripSuffix("_id")
+        acc.join(e, e(alias + "_id") === key).drop(alias + "_id")
+      }
+    joined
+      .withColumn("ap", expr(
+        "zip_with(a0, a1, (x, y) -> CAST(x AS DOUBLE) + CAST(y AS DOUBLE))"))
+      .withColumn("cp0", expr(
+        "zip_with(c0, c1, (x, y) -> CAST(x AS DOUBLE) + CAST(y AS DOUBLE))"))
+      .withColumn("cp", expr(
+        """zip_with(cp0, sequence(0, size(cp0) - 1),
+          |  (x, j) -> IF(j = doc_id % size(cp0), x * 1.1D, x))""".stripMargin))
+      .withColumn("cos_raw", expr("graft_cosine(ap, cp)"))
+      .select(col("doc_id"), col("ab").as("aud_ref"), col("cb").as("cap_ref"),
+        round(col("cos_raw"), 6).as("cosine"),
+        (col("cos_raw") >= 0.9).as("keep"))
+  }
+
+  // ------------------------------------------------------------ trimodal pack
+  /** The VIDEO keep set as a spliceable oracle CTE chain (no `WITH`
+    * prefix; assumes `n` is defined) — [[videoAlign]]'s gate with
+    * `v`-prefixed names so it composes with [[alignKeepCtes]] and
+    * [[audioKeepCtes]] in one oracle. */
+  private def videoKeepCtes: String =
+    """vp0 AS (SELECT doc_id, n.n AS n, doc_id % n.n AS vb,
+      |          (doc_id * 31 + 7) % n.n AS raw
+      |        FROM documents, n),
+      |vp AS (SELECT doc_id, n, vb,
+      |         CASE WHEN doc_id % 10 = 7 THEN
+      |           CASE WHEN ((raw - vb + n) % n) < 3 OR ((raw - vb + n) % n) > n - 3
+      |                THEN (vb + 3) % n ELSE raw END
+      |              ELSE vb END AS cb
+      |       FROM vp0),
+      |vj AS (SELECT vp.doc_id,
+      |         e0.embedding AS v0, e1.embedding AS v1, e2.embedding AS v2,
+      |         f0.embedding AS c0, f1.embedding AS c1, f2.embedding AS c2
+      |       FROM vp JOIN embeddings e0 ON e0.vec_id = vp.vb
+      |               JOIN embeddings e1 ON e1.vec_id = (vp.vb + 1) % vp.n
+      |               JOIN embeddings e2 ON e2.vec_id = (vp.vb + 2) % vp.n
+      |               JOIN embeddings f0 ON f0.vec_id = vp.cb
+      |               JOIN embeddings f1 ON f1.vec_id = (vp.cb + 1) % vp.n
+      |               JOIN embeddings f2 ON f2.vec_id = (vp.cb + 2) % vp.n),
+      |vz AS (SELECT doc_id, doc_id % len(v0) AS pj,
+      |         unnest(list_transform(range(1, len(v0) + 1), i ->
+      |           (CAST(v0[i] AS DOUBLE) + CAST(v1[i] AS DOUBLE)) + CAST(v2[i] AS DOUBLE))) AS a,
+      |         unnest(list_transform(range(1, len(c0) + 1), i ->
+      |           (CAST(c0[i] AS DOUBLE) + CAST(c1[i] AS DOUBLE)) + CAST(c2[i] AS DOUBLE))) AS b,
+      |         generate_subscripts(v0, 1) AS i
+      |       FROM vj),
+      |vz2 AS (SELECT doc_id, a AS av,
+      |          CASE WHEN i - 1 = pj THEN b * 1.1 ELSE b END AS bv
+      |        FROM vz),
+      |vd AS (SELECT doc_id, SUM(av*bv) AS dot, SUM(av*av) AS na, SUM(bv*bv) AS nb
+      |       FROM vz2 GROUP BY 1),
+      |vkeep AS (SELECT doc_id FROM vd WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.9)""".stripMargin
+
+  /** The AUDIO keep set as a spliceable oracle CTE chain (no `WITH`
+    * prefix; assumes `n`) — [[audioAlign]]'s gate, `a`-prefixed. */
+  private def audioKeepCtes: String =
+    """ap0 AS (SELECT doc_id, n.n AS n, doc_id % n.n AS ab,
+      |          (doc_id * 37 + 11) % n.n AS raw
+      |        FROM documents, n),
+      |ap AS (SELECT doc_id, n, ab,
+      |         CASE WHEN doc_id % 10 = 3 THEN
+      |           CASE WHEN ((raw - ab + n) % n) < 2 OR ((raw - ab + n) % n) > n - 2
+      |                THEN (ab + 2) % n ELSE raw END
+      |              ELSE ab END AS cb
+      |       FROM ap0),
+      |aj AS (SELECT ap.doc_id,
+      |         e0.embedding AS a0, e1.embedding AS a1,
+      |         f0.embedding AS c0, f1.embedding AS c1
+      |       FROM ap JOIN embeddings e0 ON e0.vec_id = ap.ab
+      |               JOIN embeddings e1 ON e1.vec_id = (ap.ab + 1) % ap.n
+      |               JOIN embeddings f0 ON f0.vec_id = ap.cb
+      |               JOIN embeddings f1 ON f1.vec_id = (ap.cb + 1) % ap.n),
+      |az AS (SELECT doc_id, doc_id % len(a0) AS pj,
+      |         unnest(list_transform(range(1, len(a0) + 1), i ->
+      |           CAST(a0[i] AS DOUBLE) + CAST(a1[i] AS DOUBLE))) AS a,
+      |         unnest(list_transform(range(1, len(c0) + 1), i ->
+      |           CAST(c0[i] AS DOUBLE) + CAST(c1[i] AS DOUBLE))) AS b,
+      |         generate_subscripts(a0, 1) AS i
+      |       FROM aj),
+      |az2 AS (SELECT doc_id, a AS av,
+      |          CASE WHEN i - 1 = pj THEN b * 1.1 ELSE b END AS bv
+      |        FROM az),
+      |ad AS (SELECT doc_id, SUM(av*bv) AS dot, SUM(av*av) AS na, SUM(bv*bv) AS nb
+      |       FROM az2 GROUP BY 1),
+      |akeep AS (SELECT doc_id FROM ad WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.9)""".stripMargin
+
+  /** THE THREE-MODALITY TRAINING MIX — image, audio and video records
+    * each pass their OWN alignment gate ([[captionAlign]],
+    * [[audioAlign]], [[videoAlign]]) and the union packs greedily into
+    * the per-(doc_id % 4 shard) 2048-token sequences at per-modality
+    * patch costs (image: bytes/32 × 16 frames; audio: 2 windows × 16;
+    * video: 3 frames × 16), records ordered (doc_id, modality rank)
+    * within a shard. The three plant residues differ (image/video
+    * % 10 = 7, audio % 10 = 3), so every modality contributes a
+    * DIFFERENT kept subset — routing any record family through the
+    * wrong gate changes item counts and shifts every later sequence
+    * boundary in its shard, failing the hash.
+    *
+    * Scale shape: three alignment gates are pure equi-join programs
+    * (4–6 embedding lookups each, no broadcast hint), the union is
+    * width-bounded (one row per kept record, no payloads), and the
+    * packing prefix sum is the two-level
+    * [[graft.queries.TextOps.sourcePrefixSum]] — no bare 4-partition
+    * shard window at 100 TB. */
+  val trimodalPack: Q = Q("mm_trimodal_pack",
+    "WITH " + alignKeepCtes + ",\n" + videoKeepCtes + ",\n" + audioKeepCtes + """,
+      |ti AS (SELECT doc_id, doc_id % 4 AS shard, 0 AS mrank, 'image' AS modality,
+      |         greatest(1, octet_length(CAST(text AS BLOB)) // 32) * 16 AS mt
+      |       FROM documents WHERE doc_id IN (SELECT doc_id FROM keepset)),
+      |ta AS (SELECT doc_id, doc_id % 4 AS shard, 1 AS mrank, 'audio' AS modality, 32 AS mt
+      |       FROM documents WHERE doc_id IN (SELECT doc_id FROM akeep)),
+      |tv AS (SELECT doc_id, doc_id % 4 AS shard, 2 AS mrank, 'video' AS modality, 48 AS mt
+      |       FROM documents WHERE doc_id IN (SELECT doc_id FROM vkeep)),
+      |u AS (SELECT * FROM ti UNION ALL SELECT * FROM ta UNION ALL SELECT * FROM tv),
+      |uo AS (SELECT doc_id, shard, modality, mt,
+      |         COALESCE(SUM(mt) OVER (PARTITION BY shard ORDER BY doc_id, mrank
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |       FROM u)
+      |SELECT shard, CAST(off // 2048 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_items,
+      |  COUNT(*) FILTER (WHERE modality = 'image') AS n_image,
+      |  COUNT(*) FILTER (WHERE modality = 'audio') AS n_audio,
+      |  COUNT(*) FILTER (WHERE modality = 'video') AS n_video,
+      |  CAST(SUM(mt) AS BIGINT) AS seq_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM uo GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin) { (s, dir) =>
+    trimodalRecords(s, dir)
+      .groupBy(col("shard"), floor(col("start_off") / 2048).cast("long").as("seq_id"))
+      .agg(count(lit(1)).as("n_items"),
+        count(when(col("modality") === "image", 1)).as("n_image"),
+        count(when(col("modality") === "audio", 1)).as("n_audio"),
+        count(when(col("modality") === "video", 1)).as("n_video"),
+        sum(col("mt")).cast("long").as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  /** The GATED trimodal record union `(doc_id, shard, mrank,
+    * modality, mt, text)` — each record family filtered by its own
+    * alignment gate — memoized + persisted per (application, sf dir):
+    * the three alignment programs are paid once and shared by the
+    * pack manifest and the trimodal emission (which prefix-sum
+    * DIFFERENT costs over the same record stream: patch-only vs
+    * patch + transcript ids). */
+  private val trimodalGatedMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame])
+
+  private[graft] def trimodalGated(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    trimodalGatedMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      def recs(keep: org.apache.spark.sql.DataFrame, mrank: Int, modality: String,
+               cost: org.apache.spark.sql.Column) =
+        docs.join(keep, Seq("doc_id"))
+          .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
+            lit(mrank).as("mrank"), lit(modality).as("modality"),
+            cost.cast("long").as("mt"), col("text"))
+      val u = recs(alignScores(docs, emb).filter(col("keep")).select(col("doc_id")),
+          0, "image",
+          greatest(lit(1L), floor(length(col("text").cast("binary")) / 32)) * 16)
+        .unionByName(recs(
+          audioAlignScores(docs, emb).filter(col("keep")).select(col("doc_id")),
+          1, "audio", lit(32L)))
+        .unionByName(recs(
+          videoAlignScores(docs, emb).filter(col("keep")).select(col("doc_id")),
+          2, "video", lit(48L)))
+        .persist()
+      u.count()
+      u
+    })
+
+  /** The pack-positioned trimodal record stream `(shard, doc_id,
+    * mrank, modality, mt, start_off)` — patch costs only. */
+  private[graft] def trimodalRecords(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.queries.TextOps.sourcePrefixSum(
+      trimodalGated(s, dir).select(col("shard").as("source"), col("doc_id"),
+        col("mrank"), col("modality"), col("mt")),
+      col("mt"), order = Seq(col("doc_id"), col("mrank")))
+      .withColumnRenamed("source", "shard")
+      .select(col("shard"), col("doc_id"), col("mrank"), col("modality"),
+        col("mt"), col("start_off"))
+
+  // -------------------------------------------------------- trimodal emission
+  /** The THREE-MODALITY INTERLEAVED EMISSION — the speech-text mix
+    * [[mmEmitIds]] couldn't assemble: every gated record (image,
+    * audio, video — each through its OWN alignment gate) contributes
+    * its patch block (`mt` opaque patch tokens) immediately followed
+    * by its caption/transcript's BPE token-IDs, records land in
+    * (doc_id, modality-rank) order on one token stream per shard, and
+    * 2048-token windows cut at fixed boundaries, identified by the
+    * hash of their ordered token sequence. A doc kept by two gates
+    * emits its transcript twice — once per modality record — exactly
+    * the repeated-caption layout interleaved training mixes ship.
+    *
+    * Scale shape: [[mmEmitWindows]]'s — the patch explode is
+    * arithmetic, transcript ids join the bounded symbol table under
+    * the broadcast gate, the in-record id rank is a per-RECORD window
+    * (≤ caption length rows), offsets are the two-level prefix sum;
+    * the gate union is paid once via [[trimodalGated]].
+    *
+    * The oracle replays the ENTIRE program: three alignment gates →
+    * per-modality keep sets → patch costs → the 16-round BPE train →
+    * transcript segmentation + sorted symbol ids → per-shard
+    * record offsets → every window's interleaved token hash. */
+  val trimodalEmitIds: Q = Q("mm_trimodal_emit_ids",
+    "WITH " + alignKeepCtes + ",\n" + videoKeepCtes + ",\n" + audioKeepCtes + ",\n" +
+      graft.queries.TextOps.bpeOracleBody(graft.queries.TextOps.BpeRounds) + s""",
+      |tti AS (SELECT doc_id, doc_id % 4 AS shard, 0 AS mrank,
+      |          greatest(1, octet_length(CAST(text AS BLOB)) // 32) * 16 AS m, text
+      |        FROM documents WHERE doc_id IN (SELECT doc_id FROM keepset)),
+      |tta AS (SELECT doc_id, doc_id % 4 AS shard, 1 AS mrank, 32 AS m, text
+      |        FROM documents WHERE doc_id IN (SELECT doc_id FROM akeep)),
+      |ttv AS (SELECT doc_id, doc_id % 4 AS shard, 2 AS mrank, 48 AS m, text
+      |        FROM documents WHERE doc_id IN (SELECT doc_id FROM vkeep)),
+      |tu AS (SELECT * FROM tti UNION ALL SELECT * FROM tta UNION ALL SELECT * FROM ttv),
+      |cw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |              generate_subscripts(string_split(text, ' '), 1) AS i
+      |       FROM (SELECT DISTINCT doc_id, text FROM tu)),
+      |dw AS (SELECT DISTINCT word FROM
+      |         (SELECT unnest(string_split(text, ' ')) AS word FROM documents)),
+      |d0 AS (SELECT word, '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS st FROM dw),
+      |${(1 to graft.queries.TextOps.BpeRounds).map(r =>
+          s"d$r AS (SELECT word, replace(st, ' ' || m.l || '  ' || m.r || ' '," +
+            s" ' ' || m.l || m.r || ' ') AS st FROM d${r - 1}, m$r m)").mkString(",\n")},
+      |dsym AS (SELECT word, unnest(string_split(trim(st), '  ')) AS sym,
+      |         generate_subscripts(string_split(trim(st), '  '), 1) - 1 AS j
+      |         FROM d${graft.queries.TextOps.BpeRounds}),
+      |symtab AS (SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+      |           FROM (SELECT DISTINCT sym FROM dsym)),
+      |wid AS (SELECT word, j, id FROM dsym JOIN symtab USING (sym)),
+      |cid AS (SELECT c.doc_id, c.i, w.j, w.id FROM cw c JOIN wid w USING (word)),
+      |clen AS (SELECT doc_id, COUNT(*) AS c FROM cid GROUP BY 1),
+      |cost AS (SELECT t.doc_id, t.shard, t.mrank, t.m, t.m + l.c AS tot
+      |         FROM tu t JOIN clen l USING (doc_id)),
+      |o AS (SELECT doc_id, shard, mrank, m, tot,
+      |        COALESCE(SUM(tot) OVER (PARTITION BY shard ORDER BY doc_id, mrank
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM cost),
+      |prow AS (SELECT shard, off + k - 1 AS pos, 'P' AS tok
+      |         FROM (SELECT shard, off, unnest(generate_series(1, m)) AS k FROM o)),
+      |crow AS (SELECT o.shard,
+      |           o.off + o.m + ROW_NUMBER() OVER (PARTITION BY c.doc_id, o.mrank
+      |             ORDER BY c.i, c.j) - 1 AS pos,
+      |           CAST(c.id AS VARCHAR) AS tok
+      |         FROM cid c JOIN o ON o.doc_id = c.doc_id),
+      |ar AS (SELECT * FROM prow UNION ALL SELECT * FROM crow)
+      |SELECT shard, CAST(pos // 2048 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_tokens,
+      |  CAST(COUNT(*) FILTER (WHERE tok = 'P') AS BIGINT) AS n_patch,
+      |  md5(string_agg(tok, ',' ORDER BY pos)) AS window_fp
+      |FROM ar GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin) { (s, dir) =>
+    trimodalEmitWindows(s, dir).orderBy(col("shard"), col("seq_id"))
+  }
+
+  /** Position + window-cut the trimodal record stream: tot = patch
+    * block + transcript id count, offsets via the two-level prefix
+    * sum over (doc_id, mrank); then the [[mmEmitWindows]] cut with a
+    * per-RECORD (doc_id, mrank) id rank. */
+  /** The emission-positioned trimodal record stream, memoized +
+    * persisted: the prefix-sum upstream carries the vocab-keyed
+    * transcript-length join, which [[graft.queries.TextOps.sourcePrefixSum]]'s
+    * three branches would otherwise re-pay per bench rep (the
+    * [[mmEmitPositioned]] rationale). */
+  private val trimodalPosMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame])
+
+  private[graft] def trimodalPositioned(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    trimodalPosMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val (syms, _) = mmCaptionSymsStats(s, dir)
+      val gated = trimodalGated(s, dir)
+      val nsymPerWord = syms.groupBy(col("word")).agg(count(lit(1)).as("nsym"))
+      // one transcript length per DOC (records of a doc share the
+      // caption) — LEFT join + loud raise, the emission family contract
+      val nIds = gated.select(col("doc_id"), col("text")).distinct()
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .join(broadcast(nsymPerWord), Seq("word"), "left_outer")
+        .select(col("doc_id"),
+          when(col("nsym").isNotNull, col("nsym"))
+            .otherwise(raise_error(concat(
+              lit("transcript word missing from mm tokenizer vocabulary: "), col("word"))))
+            .as("nsym"))
+        .groupBy(col("doc_id")).agg(sum(col("nsym")).as("n_cap_ids"))
+      val df = graft.queries.TextOps.sourcePrefixSum(
+        gated.join(nIds, Seq("doc_id"))
+          .select(col("shard").as("source"), col("doc_id"), col("mrank"),
+            col("mt"), col("text"), (col("mt") + col("n_cap_ids")).as("tot")),
+        col("tot"), order = Seq(col("doc_id"), col("mrank")))
+        .withColumnRenamed("source", "shard")
+        .persist()
+      df.count()
+      df
+    })
+
+  /** Bench warm hook: pay the three alignment gates + the positioned
+    * emission frame once, attributed. */
+  private[graft] def warmTrimodal(s: SparkSession, dir: String): Unit = {
+    trimodalPositioned(s, dir); ()
+  }
+
+  private[graft] def trimodalEmitWindows(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (syms, nSyms) = mmCaptionSymsStats(s, dir)
+    val positioned = trimodalPositioned(s, dir)
+    val patches = positioned
+      .select(col("shard"), col("start_off"),
+        explode(sequence(lit(0L), col("mt") - 1)).as("k"))
+      .select(col("shard"), (col("start_off") + col("k")).as("pos"),
+        lit("P").as("tok"))
+    val capIds = positioned
+      .select(col("shard"), col("doc_id"), col("mrank"),
+        (col("start_off") + col("mt")).as("cap_off"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "word")))
+      .join(graft.queries.TextOps.maybeBroadcast(syms, nSyms * 48L),
+        Seq("word"), "left_outer")
+      .select(col("shard"), col("doc_id"), col("mrank"), col("cap_off"),
+        col("i"), col("j"),
+        when(col("id").isNotNull, col("id"))
+          .otherwise(raise_error(concat(
+            lit("transcript word missing from mm tokenizer vocabulary: "), col("word"))))
+          .as("id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"), col("mrank")).orderBy(col("i"), col("j"))) - 1)
+      .select(col("shard"), (col("cap_off") + col("rk")).as("pos"),
+        col("id").cast("string").as("tok"))
+    patches.unionByName(capIds)
+      .groupBy(col("shard"), floor(col("pos") / 2048).cast("long").as("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("tok") === "P", 1)).as("n_patch"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), ",")).as("window_fp"))
+  }
+
   // ------------------------------------------------------------- video dedup
   // 48-bit rotate-left by r (0 ≤ r < 48), Spark and DuckDB spellings
   // kept in lockstep: the temporal signature XORs each frame's dHash
@@ -1938,5 +2361,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, jointDedup, mediaCard)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, jointDedup, mediaCard)
 }

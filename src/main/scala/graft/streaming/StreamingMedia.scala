@@ -294,6 +294,20 @@ object StreamingMedia {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming twin of `mm_audio_align` — same oracle: the audio
+    * alignment gate operated continuously, completing the
+    * three-modality continuous gate family. Stateless per clip (each
+    * pair's window-pooled score depends on that doc + the STATIC
+    * embedding store), so it rides the checkpoint+commit-log
+    * exactly-once story like [[streamCaptionAlign]]; the per-batch
+    * plan is the batch query's four stream-static equi-joins. */
+  val streamAudioAlign: Q = Q("stream_audio_align",
+    Multimodal.audioAlign.oracle.get) { (s, dir) =>
+    StreamingCuration.runStatelessTwin(s, dir,
+      docs => Multimodal.audioAlignScores(docs, Tables.embeddings(s, dir)))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming twin of `mm_audio_decode` — same oracle; stateless
     * per-clip decode (the `stream_pii_redact` shape). */
   val streamAudioDecode: Q = Q("stream_audio_decode",
@@ -310,5 +324,6 @@ object StreamingMedia {
   }
 
   val all: Seq[Q] = Seq(streamImageDedup, streamAudioDedup, streamVideoDedup,
-    streamCaptionAlign, streamVideoAlign, streamAudioDecode, mmDedupForget)
+    streamCaptionAlign, streamVideoAlign, streamAudioAlign, streamAudioDecode,
+    mmDedupForget)
 }

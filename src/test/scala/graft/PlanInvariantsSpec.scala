@@ -190,6 +190,26 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("audio alignment: four embedding lookups stay equi-joins; only the 1-row anchor nests") {
+    val plan = formatted(SparkEntry.queries("mm_audio_align")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // one BroadcastNestedLoopJoin node — the broadcast 1-row
+    // corpus-count anchor — appears once in the TREE section
+    assert("""\+\- BroadcastNestedLoopJoin""".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("trimodal emission: no UDF break, no bare-shard window, no cartesian") {
+    val plan = formatted(SparkEntry.queries("mm_trimodal_emit_ids")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    // record offsets ride the (shard, graft_sub) two-level prefix sum
+    assert(!plan.matches("(?s).*windowspecdefinition\\(source#\\d+, doc_id#.*")
+      && !plan.matches("(?s).*windowspecdefinition\\(shard#\\d+, doc_id#.*"),
+      s"bare per-shard window:\n$plan")
+    assert(!plan.contains(") NestedLoopJoin"), plan)
+  }
+
   test("split leakage audit: id-keyed equi-joins over the memoized pair list, no cartesian") {
     val plan = formatted(SparkEntry.queries("text_split_leakage")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
