@@ -112,6 +112,11 @@ object Bench {
         // stream shared by mm_trimodal_pack / mm_trimodal_emit_ids
         graft.multimodal.Multimodal.warmTrimodal(spark, sfDir)
       },
+      timedWarm("cache_warm_joint_forget") {
+        // the joint-dedup takedown world (two CC passes over the
+        // unioned pair lists + store lifecycle) behind mm_joint_dedup_forget
+        graft.multimodal.Multimodal.warmJointForget(spark, sfDir)
+      },
       timedWarm("cache_warm_pack_forget") {
         // the mix∘pack forget world (store + lineage-cut
         // before/rebuilt manifests) behind text_pack_forget

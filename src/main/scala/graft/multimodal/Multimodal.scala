@@ -657,12 +657,14 @@ object Multimodal {
       s"i -> ord(substr(ds, i + 1, 1)))), 0)"
 
   /** The banded-candidate CTE chain of the audio-dedup oracle (no
-    * WITH prefix). */
-  private def audioOracleCtes: String =
+    * WITH prefix); `where` restricts the document set (the joint
+    * forget certificate's reduced-corpus rebuild). */
+  private def audioOracleCtes: String = audioOracleCtes("1 = 1")
+  private def audioOracleCtes(where: String): String =
     s"""g AS (
       |  SELECT doc_id, n_chars, CAST(1 + doc_id % 2 AS INTEGER) AS ch,
       |         n_chars AS frames, text
-      |  FROM documents WHERE n_chars > 0
+      |  FROM documents WHERE n_chars > 0 AND ($where)
       |), e AS (
       |  SELECT doc_id,
       |    '52494646' || ${leHexDuck("36 + frames * ch", 4)} || '57415645'
@@ -832,18 +834,184 @@ object Multimodal {
       |       (c.doc_id = c.cluster_id) AS is_keeper
       |FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY 1) n USING (cluster_id)
       |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val pairs = imagePairs(s, dir).select(col("d1"), col("d2"))
+    jointClustersOf(jointPairsUnion(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** The ANY-modality duplicate edge list: union of the four memoized
+    * pair lists — shared by [[jointDedup]] and the joint forget
+    * world. */
+  private def jointPairsUnion(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    imagePairs(s, dir).select(col("d1"), col("d2"))
       .unionByName(audioPairs(s, dir).select(col("d1"), col("d2")))
       .unionByName(videoPairs(s, dir).select(col("d1"), col("d2")))
       .unionByName(graft.queries.TextOps.nearDupPairs05(s, dir)
         .select(col("d1"), col("d2")))
       .distinct()
+
+  /** Hash-to-min CC over an edge list → the joint cluster decision
+    * frame `(doc_id, cluster_id, cluster_size, is_keeper)`. */
+  private def jointClustersOf(pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cc = graft.queries.DedupGraph.connectedComponents(pairs)
     val sz = Window.partitionBy(col("cluster_id"))
     cc.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(sz))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+  }
+
+  /** One joint-dedup forget world per (application, sf dir): the
+    * promoted joint cluster artifact, a withdrawal (docs with
+    * doc_id % 20 = 8 — the media-forget takedown family; none are
+    * planted-twin parents, so the twin set is untouched), and the
+    * post-forget recompute through the store lifecycle. Unlike the
+    * pack/emission forgets there is NO shard locality to preserve:
+    * cluster labels are global min-ids and a withdrawal can split any
+    * cluster the doc BRIDGED or promote a new keeper wherever it led
+    * one — the local step is the EDGE prune (pair predicates are
+    * pairwise, so pruning the forgotten doc's edges from the memoized
+    * lists IS the reduced-corpus edge list), and the honest global
+    * step is the CC recompute over pruned edges: O(|edges| log d),
+    * edges ≪ corpus at 100 TB. */
+  private final case class JointForgetWorld(store: graft.sources.FrameStore,
+      after: org.apache.spark.sql.DataFrame) extends graft.Reapable {
+    def reapRoots: Seq[String] = Seq(store.root)
+  }
+
+  private val jointForgetMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, JointForgetWorld])
+
+  private def jointForgetWorld(s: SparkSession, dir: String): JointForgetWorld =
+    jointForgetMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val pairs = jointPairsUnion(s, dir)
+      val store = new graft.sources.FrameStore(
+        java.nio.file.Files.createTempDirectory("graft-forget-joint-").toString)
+      val full = jointClustersOf(pairs).localCheckpoint(true)
+      store.promote("joint_clusters", store.register(s, "joint_clusters", full))
+      // twin ids are parent+1e6 with 1e6 ≡ 0 (mod 20), so the residue
+      // filter also withdraws a forgotten parent's twin — vacuously
+      // here (no % 20 = 8 doc is a twin parent), structurally in
+      // general
+      val pruned = pairs.filter(col("d1") % 20 =!= 8 && col("d2") % 20 =!= 8)
+      val after = jointClustersOf(pruned).localCheckpoint(true)
+      store.rewrite(s, "joint_clusters")(_ => after)
+      store.gc("joint_clusters", keep = 0)
+      JointForgetWorld(store, after)
+    })
+
+  /** Bench warm hook: build the joint forget world once, attributed. */
+  private[graft] def warmJointForget(s: SparkSession, dir: String): Unit = {
+    jointForgetWorld(s, dir); ()
+  }
+
+  /** FORGET THROUGH THE JOINT DECISION — the takedown contract on
+    * [[jointDedup]]'s output: withdrawing a doc must re-derive the
+    * ANY-modality cluster decision as if the doc was never ingested —
+    * a forgotten KEEPER's cluster promotes a new min-id keeper (never
+    * resurrects the dup), a forgotten BRIDGE splits its cluster, and
+    * the forgotten doc appears in no cluster. The promoted post-forget
+    * artifact is hash-compared row-by-row against the ORACLE's
+    * rebuild-from-scratch on the reduced corpus (DuckDB replays all
+    * four fingerprint pipelines + transitive reachability over
+    * `documents WHERE doc_id % 20 <> 8`) — an independent engine's
+    * never-ingested gold standard, not a Spark-side replay. Probed
+    * non-vacuous at every SF: 2 / 2 / 9 forgotten keepers promote a
+    * surviving min-id. */
+  val jointDedupForget: Q = Q("mm_joint_dedup_forget",
+    "WITH RECURSIVE pairs AS (\n" +
+      "SELECT d1, d2 FROM (WITH " + imageOracleCtes("doc_id % 20 <> 8") +
+        "\nSELECT d1, d2 FROM cand WHERE bit_count(xor(dh1, dh2)) <= 3) ti\n" +
+      "UNION\nSELECT d1, d2 FROM (WITH " + audioOracleCtes("doc_id % 20 <> 8") +
+        "\nSELECT d1, d2 FROM cand WHERE bit_count(xor(ah1, ah2)) <= 3) ta\n" +
+      "UNION\nSELECT d1, d2 FROM (WITH " + videoOracleCtes("doc_id % 20 <> 8") +
+        "\nSELECT d1, d2 FROM cand WHERE bit_count(xor(dh1, dh2)) <= 3) tv\n" +
+      "UNION\nSELECT d1, d2 FROM (WITH " +
+        graft.queries.TextOps.nearPairOracleCtes("doc_id % 20 <> 8") +
+        "\nSELECT d1, d2 FROM np) tt\n" +
+      ")," + """
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS v, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS v, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
+      |comp AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)
+      |SELECT c.doc_id, c.cluster_id, n.sz AS cluster_size,
+      |       (c.doc_id = c.cluster_id) AS is_keeper
+      |FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY 1) n USING (cluster_id)
+      |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+    jointForgetWorld(s, dir).store.loadProduction(s, "joint_clusters")
+      .getOrElse(sys.error("no production post-forget joint clusters"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CROSS-MODAL train/val LEAKAGE AUDIT — `text_split_leakage`
+    * generalized to ANY-modality duplication: under the standard
+    * md5-bucket content split (val = top 10%), report every VAL
+    * record whose image dHash, audio fingerprint, video temporal
+    * signature, OR caption text (J ≥ 0.5) has a train-side duplicate
+    * — with its distinct train-partner count, smallest partner, and
+    * the per-modality breakdown. A val record whose IMAGE already
+    * sits in train is memorization bait even when its caption is
+    * fresh; the text-only audit misses exactly these (measured: 121
+    * image-leaked vs 34 text-leaked val docs at sf0.1). Planted
+    * perturbed twins (+1e6 ids) are synthetic certification devices,
+    * not corpus records — both split joins are inner on real doc_ids,
+    * so twin pairs drop structurally.
+    *
+    * Scale shape: rides the four MEMOIZED pair lists (no new corpus
+    * or fingerprint pass) + two id-keyed equi-joins against the
+    * split frame (corpus-scaled — no broadcast hint) + one group on
+    * the val id. The oracle replays all four pipelines as
+    * colliding-name-proof derived tables (the [[jointDedup]] device)
+    * plus the split and the report. */
+  val mmSplitLeakage: Q = Q("mm_split_leakage",
+    "WITH p AS (\n" +
+      "SELECT 'image' AS m, d1, d2 FROM (WITH " + imageOracleCtes +
+        "\nSELECT d1, d2 FROM cand WHERE bit_count(xor(dh1, dh2)) <= 3) ti\n" +
+      "UNION ALL SELECT 'audio' AS m, d1, d2 FROM (WITH " + audioOracleCtes +
+        "\nSELECT d1, d2 FROM cand WHERE bit_count(xor(ah1, ah2)) <= 3) ta\n" +
+      "UNION ALL SELECT 'video' AS m, d1, d2 FROM (WITH " + videoOracleCtes +
+        "\nSELECT d1, d2 FROM cand WHERE bit_count(xor(dh1, dh2)) <= 3) tv\n" +
+      "UNION ALL SELECT 'text' AS m, d1, d2 FROM (WITH " +
+        graft.queries.TextOps.nearPairOracleCtes +
+        "\nSELECT d1, d2 FROM np) tt\n" +
+      ")," + """
+      |pr AS (SELECT m, d1, d2 FROM p WHERE d1 < 1000000 AND d2 < 1000000),
+      |b AS (SELECT doc_id,
+      |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+      |          AS bucket
+      |      FROM documents),
+      |e AS (SELECT m, d1 AS v, d2 AS t FROM pr UNION ALL SELECT m, d2 AS v, d1 AS t FROM pr),
+      |l AS (SELECT e.m, e.v, e.t
+      |      FROM e JOIN b bv ON bv.doc_id = e.v JOIN b bt ON bt.doc_id = e.t
+      |      WHERE bv.bucket >= 90 AND bt.bucket < 90)
+      |SELECT v AS doc_id, COUNT(DISTINCT t) AS n_train_dups, MIN(t) AS min_train_partner,
+      |  COUNT(DISTINCT t) FILTER (WHERE m = 'image') AS n_image,
+      |  COUNT(DISTINCT t) FILTER (WHERE m = 'audio') AS n_audio,
+      |  COUNT(DISTINCT t) FILTER (WHERE m = 'video') AS n_video,
+      |  COUNT(DISTINCT t) FILTER (WHERE m = 'text') AS n_text
+      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    def tag(df: org.apache.spark.sql.DataFrame, m: String) =
+      df.select(lit(m).as("m"), col("d1"), col("d2"))
+    val pr = tag(imagePairs(s, dir), "image")
+      .unionByName(tag(audioPairs(s, dir), "audio"))
+      .unionByName(tag(videoPairs(s, dir), "video"))
+      .unionByName(tag(graft.queries.TextOps.nearDupPairs05(s, dir), "text"))
+      .filter(col("d1") < 1000000 && col("d2") < 1000000)
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+    val b = Tables.documents(s, dir).select(col("doc_id"), bucket.as("bucket"))
+    val e = pr.select(col("m"), col("d1").as("v"), col("d2").as("t"))
+      .unionByName(pr.select(col("m"), col("d2").as("v"), col("d1").as("t")))
+    e.join(b.filter(col("bucket") >= 90).select(col("doc_id").as("v")), Seq("v"))
+      .join(b.filter(col("bucket") < 90).select(col("doc_id").as("t")), Seq("t"))
+      .groupBy(col("v"))
+      .agg(countDistinct(col("t")).as("n_train_dups"), min(col("t")).as("min_train_partner"),
+        countDistinct(when(col("m") === "image", col("t"))).as("n_image"),
+        countDistinct(when(col("m") === "audio", col("t"))).as("n_audio"),
+        countDistinct(when(col("m") === "video", col("t"))).as("n_video"),
+        countDistinct(when(col("m") === "text", col("t"))).as("n_text"))
+      .select(col("v").as("doc_id"), col("n_train_dups"), col("min_train_partner"),
+        col("n_image"), col("n_audio"), col("n_video"), col("n_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -1560,10 +1728,11 @@ object Multimodal {
     * replays frame synthesis (3 temporally-shifted PPM frames per
     * doc), the planted frame-1 twin, per-frame dHash, the rotate-XOR
     * temporal signature, and the 4×12 banding. */
-  private def videoOracleCtes: String =
+  private def videoOracleCtes: String = videoOracleCtes("1 = 1")
+  private def videoOracleCtes(where: String): String =
     s"""geom AS (
       |  SELECT doc_id, n_chars, n_chars % 8 + 4 AS w, n_chars % 6 + 3 AS h, text
-      |  FROM documents WHERE n_chars > 0
+      |  FROM documents WHERE n_chars > 0 AND ($where)
       |), fr AS (
       |  SELECT doc_id, w, h, f,
       |    substr(repeat(text, (3*w*h) // n_chars + 2), f + 1, 3*w*h) AS px
@@ -2361,5 +2530,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, jointDedup, mediaCard)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard)
 }

@@ -370,8 +370,9 @@ object TextOps {
     * and the cross-modal joint dedup (identical texts share all
     * shingles, so exact duplicates appear at J = 1: the chain covers
     * both dup classes). */
-  private[graft] def nearPairOracleCtes: String =
-    """tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private[graft] def nearPairOracleCtes: String = nearPairOracleCtes("1 = 1")
+  private[graft] def nearPairOracleCtes(where: String): String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE ($where)),
       |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
       |sh0 AS (SELECT doc_id,
       |         word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win AS s,

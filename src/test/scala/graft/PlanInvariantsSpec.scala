@@ -217,6 +217,13 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("cross-modal leakage audit: id-keyed equi-joins over the memoized pair lists, no cartesian") {
+    val plan = formatted(SparkEntry.queries("mm_split_leakage")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("NestedLoopJoin"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("joint dedup unions the four memoized pair lists: no new corpus pass, no cartesian") {
     // the final frame sits above the CC's lineage-cut label frame, so
     // the pin runs on the EDGE UNION the CC consumes: all four pair
