@@ -103,8 +103,10 @@ object Bench {
         graft.queries.TextOps.curationDecisions(spark, sfDir); ()
       },
       timedWarm("cache_warm_mm_emit_stream") {
-        // the ONE interleaved-emission stream pass whose drained
-        // entries feed both mm streaming twins (windows + bounds)
+        // the ONE interleaved-emission stream pass (BOTH gate faces:
+        // alignment-only + PRODUCTION-model-gated records per batch)
+        // whose drained artifacts feed the mm streaming twins and the
+        // gated certificate
         graft.streaming.StreamingMmEmit.streamedEntries(spark, sfDir); ()
       },
       timedWarm("cache_warm_trimodal") {

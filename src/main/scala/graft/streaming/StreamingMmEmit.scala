@@ -30,11 +30,18 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingMmEmit {
 
   val OffsetsName = "mm_emit_offsets"
+  /** Offset state of the GATED record stream (PRODUCTION-model
+    * caption decisions drive placement) — same shape, independent
+    * totals. */
+  val GatedOffsetsName = "mm_emit_offsets_gated"
 
   final case class Env(inDir: String, outDir: String, ckpt: String,
                        store: FrameStore, dir: String,
-                       schema: org.apache.spark.sql.types.StructType)
+                       schema: org.apache.spark.sql.types.StructType,
+                       quality: Option[FrameStore] = None)
       extends graft.Reapable {
+    /** Where the GATED (learned-decision-driven) entries land. */
+    def gatedOutDir: String = outDir + "-gated"
     /** The whole stream world lives under the one scratch dir
       * [[prepare]] created — a MEMOIZED env must reap it on eviction
       * per the [[graft.Reapable]] ownership contract (the store is a
@@ -43,29 +50,57 @@ object StreamingMmEmit {
       Seq(java.nio.file.Paths.get(outDir).getParent.toString)
   }
 
-  def prepare(spark: SparkSession, dir: String): Env = {
+  def prepare(spark: SparkSession, dir: String,
+              quality: Option[FrameStore] = None): Env = {
     val scratch = Scratch.dir("graft-mm-emit-").toString
     val docs = Tables.documents(spark, dir)
     val store = new FrameStore(s"$scratch/store")
-    store.promote(OffsetsName,
-      store.register(spark, OffsetsName,
-        docs.filter(lit(false)).select((col("doc_id") % 4).as("shard"))
-          .withColumn("batch_tokens", lit(0L))
-          .withColumn("batch_id", lit(-1L))))
-    Env(s"$scratch/in", s"$scratch/entries", s"$scratch/ckpt", store, dir, docs.schema)
+    def emptyOffsets() =
+      docs.filter(lit(false)).select((col("doc_id") % 4).as("shard"))
+        .withColumn("batch_tokens", lit(0L))
+        .withColumn("batch_id", lit(-1L))
+    store.promote(OffsetsName, store.register(spark, OffsetsName, emptyOffsets()))
+    if (quality.isDefined)
+      store.promote(GatedOffsetsName,
+        store.register(spark, GatedOffsetsName, emptyOffsets()))
+    Env(s"$scratch/in", s"$scratch/entries", s"$scratch/ckpt", store, dir,
+      docs.schema, quality)
   }
 
   /** One micro-batch: gate, price, place at base + in-batch offsets,
     * land the positioned entries batchId-deterministically, extend
-    * the per-shard totals. IDEMPOTENT under at-least-once replay —
-    * own rows filtered by provenance, append skipped by the
-    * identity-checked watermark. */
+    * the per-shard totals. With a quality store configured, a SECOND
+    * live record stream places only the records the PRODUCTION
+    * model's per-batch re-resolved caption decision keeps (the
+    * [[StreamingEmit]] gated-face discipline one modality up — a
+    * mid-stream promotion takes effect at the next batch). IDEMPOTENT
+    * under at-least-once replay — own rows filtered by provenance,
+    * appends skipped by the identity-checked watermark. */
   def processBatch(batch: DataFrame, batchId: Long, env: Env): Unit = {
     val bs = batch.sparkSession
-    val placedRaw = Multimodal.mmPositionOf(bs, env.dir,
-      Multimodal.mmEmitDocsOf(batch, Tables.embeddings(bs, env.dir))).persist()
-    val base = env.store.loadProduction(bs, OffsetsName)
-      .getOrElse(sys.error("no production mm emit offsets"))
+    val aligned = Multimodal.mmEmitDocsOf(batch, Tables.embeddings(bs, env.dir))
+      .persist() // both faces read it: alignment scores run once per batch
+    placeFace(bs, env, batchId, aligned, OffsetsName, env.outDir)
+    env.quality.foreach { qstore =>
+      val model = qstore.loadProduction(bs, graft.ml.QualityModel.ModelName)
+        .getOrElse(sys.error("no production quality model"))
+      val keep = graft.ml.QualityModel.scoreClosedForm(
+        aligned.select(col("doc_id"), split(col("text"), " ").as("toks")), model)
+        .filter(col("proba") >= 0.5).select(col("doc_id"))
+      placeFace(bs, env, batchId, aligned.join(keep, Seq("doc_id")),
+        GatedOffsetsName, env.gatedOutDir)
+    }
+    aligned.unpersist()
+    ()
+  }
+
+  /** Position + land one gate face's records for one micro-batch
+    * against its own offset state. */
+  private def placeFace(bs: SparkSession, env: Env, batchId: Long,
+      docs: DataFrame, offsetsName: String, outDir: String): Unit = {
+    val placedRaw = Multimodal.mmPositionOf(bs, env.dir, docs).persist()
+    val base = env.store.loadProduction(bs, offsetsName)
+      .getOrElse(sys.error(s"no production $offsetsName"))
       .filter(col("batch_id") =!= batchId)
       .groupBy(col("shard")).agg(sum(col("batch_tokens")).as("base_off"))
     placedRaw
@@ -74,8 +109,8 @@ object StreamingMmEmit {
       .select(col("shard"), col("doc_id"),
         (col("start_off") + coalesce(col("base_off"), lit(0L))).as("start_off"),
         col("media_tokens"), col("text"))
-      .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
-    env.store.appendBatch(bs, OffsetsName,
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    env.store.appendBatch(bs, offsetsName,
       placedRaw.groupBy(col("shard")).agg(sum(col("tot")).as("batch_tokens"))
         .withColumn("batch_id", lit(batchId)),
       batchId = Some(batchId), streamId = Some(env.ckpt))
@@ -104,46 +139,76 @@ object StreamingMmEmit {
     * Driven directly by the slicing-parity spec; the gate twins read
     * the memoized single pass below. */
   def runMmEmitStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame =
-    runMmEmitStreamWorld(spark, dir, slices).entries
+    runMmEmitStreamWorld(spark, dir, slices, quality = None).entries
 
-  /** The drained positioned entries PLUS the stream world that
-    * produced them — the env is Reapable, so a memoized world's
-    * on-disk scratch tree (arrivals, landed batches, checkpoint,
-    * FrameStore) dies with the memo entry instead of leaking until
-    * JVM exit. */
-  private[streaming] final case class MmEmitStreamWorld(entries: DataFrame, env: Env)
+  /** The drained positioned entries (both gate faces) PLUS the stream
+    * world that produced them — the env is Reapable, so a memoized
+    * world's on-disk scratch tree (arrivals, landed batches,
+    * checkpoint, FrameStore) dies with the memo entry instead of
+    * leaking until JVM exit. `gated`/`qmodel` are set when the run
+    * carried a quality store (the consolidated per-session pass
+    * does): the gated record stream and the model version it
+    * resolved, pinned together for the certificate. */
+  private[streaming] final case class MmEmitStreamWorld(entries: DataFrame, env: Env,
+      gated: Option[DataFrame] = None, qmodel: Option[DataFrame] = None)
       extends graft.Reapable {
     def reapRoots: Seq[String] = env.reapRoots
   }
 
-  private def runMmEmitStreamWorld(spark: SparkSession, dir: String,
-                                   slices: Int): MmEmitStreamWorld = {
-    val env = prepare(spark, dir)
+  private def runMmEmitStreamWorld(spark: SparkSession, dir: String, slices: Int,
+      quality: Option[FrameStore]): MmEmitStreamWorld = {
+    val vBefore = quality.map(_.productionVersion(graft.ml.QualityModel.ModelName))
+    val env = prepare(spark, dir, quality)
     StreamingCuration.landOrderedSlices(spark, env.inDir, dir, slices)
     runPass(spark, env)
     env.store.compact(spark, OffsetsName)
     env.store.gc(OffsetsName, keep = 1)
-    MmEmitStreamWorld(spark.read.parquet(env.outDir).drop("batch"), env)
+    quality.foreach { _ =>
+      env.store.compact(spark, GatedOffsetsName)
+      env.store.gc(GatedOffsetsName, keep = 1)
+    }
+    // the model THIS run resolved, pinned with the artifacts: a
+    // promotion landing between the (memoized) run and the cert must
+    // not change the batch twin's gate (the unifiedRun rule) — and
+    // the memoized world never spans a promotion, asserted here
+    val qmodel = quality.map { qs =>
+      require(vBefore.flatten == qs.productionVersion(graft.ml.QualityModel.ModelName),
+        "quality model promoted during the memoized mm emission pass")
+      qs.loadProduction(spark, graft.ml.QualityModel.ModelName)
+        .getOrElse(sys.error("no production quality model")).localCheckpoint(true)
+    }
+    MmEmitStreamWorld(spark.read.parquet(env.outDir).drop("batch"), env,
+      gated = quality.map(_ => spark.read.parquet(env.gatedOutDir).drop("batch")),
+      qmodel = qmodel)
   }
 
   private val entriesMemo = graft.SessionCaches.register(
     scala.collection.concurrent.TrieMap.empty[String, MmEmitStreamWorld])
 
   /** ONE interleaved-emission stream pass per (application, sf dir),
-    * memoized — both streaming twins (windows + boundary manifest)
-    * read its drained positioned entries instead of each draining
-    * their own stream (the unifiedRun consolidation rule; attributed
-    * by the `cache_warm_mm_emit_stream` bench entry). */
-  def streamedEntries(spark: SparkSession, dir: String): DataFrame =
+    * memoized — the streaming twins (windows + boundary manifest) and
+    * the gated certificate all read its drained artifacts instead of
+    * each draining their own stream (the unifiedRun consolidation
+    * rule; attributed by the `cache_warm_mm_emit_stream` bench
+    * entry). The pass runs with the PRODUCTION quality store, so it
+    * places BOTH faces per micro-batch: the alignment-only stream
+    * (the batch emit oracle's semantics) and the model-gated stream. */
+  private def streamedWorld(spark: SparkSession, dir: String): MmEmitStreamWorld =
     entriesMemo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
       // gate default 2 slices: slicing robustness is pinned separately
       // in MultimodalSpec (2/5 slices), so the per-round warm pays
       // carry-vs-batch semantics once, not a third alignment pass
-      val world = runMmEmitStreamWorld(spark, dir, slices = 2)
+      val world = runMmEmitStreamWorld(spark, dir, slices = 2,
+        quality = Some(graft.ml.QualityModel.productionStore(spark, dir)))
       val df = world.entries.persist()
       df.count()
-      world.copy(entries = df)
-    }).entries
+      val g = world.gated.map(_.persist())
+      g.foreach(_.count())
+      world.copy(entries = df, gated = g)
+    })
+
+  def streamedEntries(spark: SparkSession, dir: String): DataFrame =
+    streamedWorld(spark, dir).entries
 
   /** Streaming twin of `mm_curation_emit_ids` — same oracle: the
     * continuously-assembled interleaved training stream must cut
@@ -174,5 +239,117 @@ object StreamingMmEmit {
     Multimodal.mmEmitIdFreqOf(s, dir, streamedEntries(s, dir))
   }
 
-  val all: Seq[Q] = Seq(streamMmEmitIds, streamMmEmitBounds, streamMmEmitIdFreq)
+  /** The gated certificate's pinned artifacts — streamed-side window
+    * cuts and batch-side recut/flip frames are content-determined
+    * release artifacts, memoized + lineage-cut once per session (the
+    * text gate's gatedCertArtifacts rule): per bench rep the
+    * certificate pays only the comparison joins. */
+  private val gatedCertMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap
+      .empty[String, (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)])
+
+  /** `(streamedGatedWindows, streamedAlignedWindows, batchGated,
+    * expected, flipSeq)`. */
+  private def gatedCertArtifacts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    gatedCertMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val world = streamedWorld(s, dir)
+      def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+      val sg = pin(Multimodal.mmEmitWindows(s, dir,
+        world.gated.getOrElse(sys.error("mm emission pass ran without a quality store"))))
+      val sa = pin(Multimodal.mmEmitWindows(s, dir, world.entries))
+      // batch twin gates with the MODEL THE STREAM USED (pinned in
+      // the world) — the stream_curation_learned rule
+      val qmodel = world.qmodel.get
+      val aligned = Multimodal.mmEmitDocs(s, dir)
+      val keepIds = graft.ml.QualityModel.scoreClosedForm(
+        aligned.select(col("doc_id"), split(col("text"), " ").as("toks")), qmodel)
+        .filter(col("proba") >= 0.5).select(col("doc_id"))
+      val batchGated = pin(Multimodal.mmEmitWindows(s, dir,
+        Multimodal.mmPositionOf(s, dir, aligned.join(keepIds, Seq("doc_id")))))
+      // expected per-record decision under the pinned model
+      val expected = pin(aligned.select(col("doc_id"))
+        .join(keepIds.withColumn("k", lit(true)), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("k"), lit(false)).as("expected_keep")))
+      // per-shard FIRST flip window: each dropped record's window
+      // index in the stream that RETAINS it (the aligned stream —
+      // prefixes before the first drop are identical in both streams)
+      val flipSeq = pin(Multimodal.mmEmitPositioned(s, dir)
+        .join(expected.filter(!col("expected_keep")).select(col("doc_id")), Seq("doc_id"))
+        .groupBy(col("shard")).agg(min(floor(col("start_off") / 2048)).as("flip_seq")))
+      (sg, sa, batchGated, expected, flipSeq)
+    })
+
+  /** THE LEARNED GATE DRIVING THE MULTIMODAL EMISSION — the text
+    * gate's active-deployment certificate one modality up
+    * (`stream_curation_gated`'s device): the PRODUCTION quality
+    * model's per-batch re-resolved CAPTION decisions drive a second
+    * live interleaved record stream beside the alignment-only face,
+    * and the certificate pins:
+    *
+    *  - `stream_equals_batch`: the continuously-placed gated windows
+    *    ≡ a batch recut from (aligned ∧ model-keep) under the SAME
+    *    model version the stream resolved — cut against the
+    *    gate-independent full-vocabulary symbol table
+    *    ([[Multimodal.mmCaptionSymsStats]]), so no promotion can
+    *    shift the id space;
+    *  - `flips_only_quality`: the gated stream's record set differs
+    *    from the aligned set exactly on model-dropped captions —
+    *    never adds a record, never drops a model-kept one;
+    *  - `diverges_at_first_flip`: per shard, the first window where
+    *    the gated emission differs from the aligned emission is the
+    *    window holding that shard's first dropped record (windows
+    *    before it are byte-identical), and shards diverge iff they
+    *    have drops.
+    *
+    * The oracle recomputes the gate-invariant facts exactly (aligned
+    * record count and window count through the full emission replay
+    * — alignment gate, BPE train, segmentation, offsets) and pins
+    * the Spark-only parity facts as booleans. Probed non-vacuous at
+    * every SF: 213 / 240 / 2346 model-dropped aligned captions
+    * across all 4 shards. */
+  val streamMmEmitGated: Q = Q("stream_mm_emit_gated",
+    Multimodal.mmEmitOracleCtes("1 = 1") + """
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM o) AS BIGINT) AS n_aligned_records,
+      |  (SELECT CAST(SUM((t + 2047) // 2048) AS BIGINT)
+      |     FROM (SELECT shard, SUM(tot) AS t FROM o GROUP BY 1))
+      |    AS n_windows_aligned,
+      |  TRUE AS stream_equals_batch,
+      |  TRUE AS flips_only_quality,
+      |  TRUE AS diverges_at_first_flip""".stripMargin) { (s, dir) =>
+    val world = streamedWorld(s, dir)
+    val (sg, sa, batchGated, expected, flipSeq) = gatedCertArtifacts(s, dir)
+    val sameWindow = col("a.n_tokens") <=> col("b.n_tokens") &&
+      col("a.n_patch") <=> col("b.n_patch") && col("a.window_fp") <=> col("b.window_fp")
+    val parityDiff = sg.as("a")
+      .join(batchGated.as("b"), Seq("shard", "seq_id"), "full_outer")
+      .filter(!sameWindow).agg(count(lit(1)).as("n_parity_diff"))
+    // record-set parity: gated stream ≡ aligned ∧ model-keep (fresh
+    // each run — the operating side)
+    val streamedIds = world.gated.get.select(col("doc_id")).distinct()
+      .withColumn("in_stream", lit(true))
+    val flipBad = expected.join(streamedIds, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("expected_keep"), lit(false))
+        =!= coalesce(col("in_stream"), lit(false)))
+      .agg(count(lit(1)).as("n_flip_bad"))
+    val divSeq = sa.as("a").join(sg.as("b"), Seq("shard", "seq_id"), "full_outer")
+      .filter(!sameWindow)
+      .groupBy(col("shard")).agg(min(col("seq_id")).as("div_seq"))
+    val srcMismatch = divSeq.join(flipSeq, Seq("shard"), "full_outer")
+      .filter(!(col("div_seq") <=> col("flip_seq")))
+      .agg(count(lit(1)).as("n_src_mismatch"))
+    expected.agg(count(lit(1)).as("n_aligned_records"))
+      .crossJoin(broadcast(sa.agg(count(lit(1)).as("n_windows_aligned"))))
+      .crossJoin(broadcast(parityDiff))
+      .crossJoin(broadcast(flipBad))
+      .crossJoin(broadcast(srcMismatch))
+      .select(col("n_aligned_records"), col("n_windows_aligned"),
+        (col("n_parity_diff") === 0).as("stream_equals_batch"),
+        (col("n_flip_bad") === 0).as("flips_only_quality"),
+        (col("n_src_mismatch") === 0).as("diverges_at_first_flip"))
+  }
+
+  val all: Seq[Q] = Seq(streamMmEmitIds, streamMmEmitBounds, streamMmEmitIdFreq,
+    streamMmEmitGated)
 }

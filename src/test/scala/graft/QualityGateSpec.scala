@@ -205,4 +205,67 @@ class QualityGateSpec extends SparkSpec {
       .filter(col("doc_id") < mid && col("drop_reason") === "low_quality")
       .count() == pass1)
   }
+
+  test("gated mm emission: a mid-stream promotion changes subsequent batches' records only") {
+    // the learned gate driving the INTERLEAVED multimodal emission
+    // (stream_mm_emit_gated's machinery): promote the trained model,
+    // stream the first half; promote an accept-all sentinel; stream
+    // the second half. Pass-1's landed gated records are immutable
+    // history; the drained gated record stream must cut the same
+    // windows as a batch recut from the landed (mixed-model) gated
+    // record set — the gate flip takes effect at the next batch and
+    // ONLY there.
+    import graft.streaming.StreamingMmEmit
+    import graft.multimodal.Multimodal
+    val trained = QualityModel.closedForm(spark, sf)
+    val qstore = new graft.sources.FrameStore(
+      java.nio.file.Files.createTempDirectory("graft-qgate-mm-hot-").toString)
+    qstore.promote(QualityModel.ModelName,
+      qstore.register(spark, QualityModel.ModelName, trained))
+    val env = StreamingMmEmit.prepare(spark, sf, quality = Some(qstore))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val mid = docs.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+    StreamingCuration.landOrderedSlicesOf(
+      docs.filter(col("doc_id") < mid), "doc_id", env.inDir, 2)
+    StreamingMmEmit.runPass(spark, env)
+    def entrySet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("shard", "doc_id", "start_off").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gatedHalf1 = entrySet(spark.read.parquet(env.gatedOutDir))
+    val alignedHalf1 = entrySet(spark.read.parquet(env.outDir))
+    assert(gatedHalf1.size < alignedHalf1.size,
+      "trained model should gate some aligned records in pass 1")
+    qstore.promote(QualityModel.ModelName,
+      qstore.register(spark, QualityModel.ModelName,
+        Seq((-1, 10.0)).toDF("idx", "coef")))
+    StreamingCuration.landOrderedSlicesOf(
+      docs.filter(col("doc_id") >= mid), "doc_id", env.inDir, 2, tag = "b")
+    StreamingMmEmit.runPass(spark, env)
+    // pass-1 gated records are immutable history under the promotion
+    val maxPass1Batch = 1L
+    assert(entrySet(spark.read.parquet(env.gatedOutDir)
+      .filter(col("batch") <= maxPass1Batch)) == gatedHalf1,
+      "a promotion must not rewrite already-landed gated records")
+    // accept-all sentinel gates nothing in pass 2: every aligned
+    // second-half record lands on the gated stream too
+    val aligned2 = spark.read.parquet(env.outDir)
+      .filter(col("doc_id") >= mid).select("doc_id").distinct().count()
+    val gated2 = spark.read.parquet(env.gatedOutDir)
+      .filter(col("doc_id") >= mid).select("doc_id").distinct().count()
+    assert(gated2 == aligned2, s"sentinel pass gated $gated2 of $aligned2 aligned records")
+    // drained gated windows ≡ batch recut from the landed
+    // (mixed-model) gated record set: per-shard arrivals are doc_id-
+    // ordered, so continuous placement ≡ the batch prefix sum over
+    // the union record set
+    val gatedEntries = spark.read.parquet(env.gatedOutDir).drop("batch")
+    val recut = Multimodal.mmEmitWindows(spark, sf, Multimodal.mmPositionOf(spark, sf,
+      Multimodal.mmEmitDocs(spark, sf)
+        .join(gatedEntries.select(col("doc_id")).distinct(), Seq("doc_id"))))
+    def winSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, String)] =
+      df.select("shard", "seq_id", "n_tokens", "n_patch", "window_fp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+    assert(winSet(Multimodal.mmEmitWindows(spark, sf, gatedEntries)) == winSet(recut),
+      "gated windows must equal the recut of the landed gated record set")
+  }
 }
