@@ -78,6 +78,12 @@ object Bench {
         // otherwise hide its one-time cost entirely
         graft.queries.TextOps.bpeMerges(spark, sfDir); ()
       },
+      timedWarm("cache_warm_bpe256") {
+        // the 256-round bigram-unit release train behind
+        // text_bpe_release256 — iterative (one tiny job per round),
+        // so min-of-2 reps would otherwise hide it in rep 1
+        graft.queries.TextOps.bigramMerges(spark, sfDir); ()
+      },
       timedWarm("cache_warm_span_dups") {
         // the cross-doc duplicated-window set behind text_dedup_spans
         graft.queries.TextOps.dupSpanFps(spark, sfDir); ()
@@ -108,6 +114,11 @@ object Bench {
         // whose drained artifacts feed the mm streaming twins and the
         // gated certificate
         graft.streaming.StreamingMmEmit.streamedEntries(spark, sfDir); ()
+      },
+      timedWarm("cache_warm_trimodal_stream") {
+        // the ONE continuous trimodal emission pass (three alignment
+        // gates per micro-batch) behind stream_trimodal_emit_ids
+        graft.streaming.StreamingMmEmit.streamedTrimodalEntries(spark, sfDir); ()
       },
       timedWarm("cache_warm_trimodal") {
         // the three alignment gates + the positioned trimodal record

@@ -1517,27 +1517,33 @@ object Multimodal {
 
   private[graft] def trimodalGated(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     trimodalGatedMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
-      val docs = Tables.documents(s, dir)
-      val emb = Tables.embeddings(s, dir)
-      def recs(keep: org.apache.spark.sql.DataFrame, mrank: Int, modality: String,
-               cost: org.apache.spark.sql.Column) =
-        docs.join(keep, Seq("doc_id"))
-          .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
-            lit(mrank).as("mrank"), lit(modality).as("modality"),
-            cost.cast("long").as("mt"), col("text"))
-      val u = recs(alignScores(docs, emb).filter(col("keep")).select(col("doc_id")),
-          0, "image",
-          greatest(lit(1L), floor(length(col("text").cast("binary")) / 32)) * 16)
-        .unionByName(recs(
-          audioAlignScores(docs, emb).filter(col("keep")).select(col("doc_id")),
-          1, "audio", lit(32L)))
-        .unionByName(recs(
-          videoAlignScores(docs, emb).filter(col("keep")).select(col("doc_id")),
-          2, "video", lit(48L)))
+      val u = trimodalGatedOf(Tables.documents(s, dir), Tables.embeddings(s, dir))
         .persist()
       u.count()
       u
     })
+
+  /** [[trimodalGated]] over any documents frame — shared with the
+    * streaming twin's per-micro-batch gates (stream-static equi-joins
+    * against the fixed embedding store). */
+  private[graft] def trimodalGatedOf(docs: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def recs(keep: org.apache.spark.sql.DataFrame, mrank: Int, modality: String,
+             cost: org.apache.spark.sql.Column) =
+      docs.join(keep, Seq("doc_id"))
+        .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
+          lit(mrank).as("mrank"), lit(modality).as("modality"),
+          cost.cast("long").as("mt"), col("text"))
+    recs(alignScores(docs, emb).filter(col("keep")).select(col("doc_id")),
+        0, "image",
+        greatest(lit(1L), floor(length(col("text").cast("binary")) / 32)) * 16)
+      .unionByName(recs(
+        audioAlignScores(docs, emb).filter(col("keep")).select(col("doc_id")),
+        1, "audio", lit(32L)))
+      .unionByName(recs(
+        videoAlignScores(docs, emb).filter(col("keep")).select(col("doc_id")),
+        2, "video", lit(48L)))
+  }
 
   /** The pack-positioned trimodal record stream `(shard, doc_id,
     * mrank, modality, mt, start_off)` — patch costs only. */
@@ -1636,30 +1642,37 @@ object Multimodal {
 
   private[graft] def trimodalPositioned(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     trimodalPosMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
-      val (syms, _) = mmCaptionSymsStats(s, dir)
-      val gated = trimodalGated(s, dir)
-      val nsymPerWord = syms.groupBy(col("word")).agg(count(lit(1)).as("nsym"))
-      // one transcript length per DOC (records of a doc share the
-      // caption) — LEFT join + loud raise, the emission family contract
-      val nIds = gated.select(col("doc_id"), col("text")).distinct()
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .join(broadcast(nsymPerWord), Seq("word"), "left_outer")
-        .select(col("doc_id"),
-          when(col("nsym").isNotNull, col("nsym"))
-            .otherwise(raise_error(concat(
-              lit("transcript word missing from mm tokenizer vocabulary: "), col("word"))))
-            .as("nsym"))
-        .groupBy(col("doc_id")).agg(sum(col("nsym")).as("n_cap_ids"))
-      val df = graft.queries.TextOps.sourcePrefixSum(
-        gated.join(nIds, Seq("doc_id"))
-          .select(col("shard").as("source"), col("doc_id"), col("mrank"),
-            col("mt"), col("text"), (col("mt") + col("n_cap_ids")).as("tot")),
-        col("tot"), order = Seq(col("doc_id"), col("mrank")))
-        .withColumnRenamed("source", "shard")
-        .persist()
+      val df = trimodalPositionOf(s, dir, trimodalGated(s, dir)).persist()
       df.count()
       df
     })
+
+  /** Position any gated trimodal record frame on the interleaved
+    * stream (tot = patch block + transcript id count) — shared by the
+    * batch memo and the streaming twin's per-batch placement. */
+  private[graft] def trimodalPositionOf(s: SparkSession, dir: String,
+      gated: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (syms, _) = mmCaptionSymsStats(s, dir)
+    val nsymPerWord = syms.groupBy(col("word")).agg(count(lit(1)).as("nsym"))
+    // one transcript length per DOC (records of a doc share the
+    // caption) — LEFT join + loud raise, the emission family contract
+    val nIds = gated.select(col("doc_id"), col("text")).distinct()
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(nsymPerWord), Seq("word"), "left_outer")
+      .select(col("doc_id"),
+        when(col("nsym").isNotNull, col("nsym"))
+          .otherwise(raise_error(concat(
+            lit("transcript word missing from mm tokenizer vocabulary: "), col("word"))))
+          .as("nsym"))
+      .groupBy(col("doc_id")).agg(sum(col("nsym")).as("n_cap_ids"))
+    graft.queries.TextOps.sourcePrefixSum(
+      gated.join(nIds, Seq("doc_id"))
+        .select(col("shard").as("source"), col("doc_id"), col("mrank"),
+          col("modality"), col("mt"), col("text"),
+          (col("mt") + col("n_cap_ids")).as("tot")),
+      col("tot"), order = Seq(col("doc_id"), col("mrank")))
+      .withColumnRenamed("source", "shard")
+  }
 
   /** Bench warm hook: pay the three alignment gates + the positioned
     * emission frame once, attributed. */
@@ -1667,10 +1680,15 @@ object Multimodal {
     trimodalPositioned(s, dir); ()
   }
 
-  private[graft] def trimodalEmitWindows(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def trimodalEmitWindows(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    trimodalEmitWindowsOf(s, dir, trimodalPositioned(s, dir))
+
+  /** The trimodal window cut over any positioned record frame —
+    * shared by the batch query and the streaming twin's drain. */
+  private[graft] def trimodalEmitWindowsOf(s: SparkSession, dir: String,
+      positioned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (syms, nSyms) = mmCaptionSymsStats(s, dir)
-    val positioned = trimodalPositioned(s, dir)
     val patches = positioned
       .select(col("shard"), col("start_off"),
         explode(sequence(lit(0L), col("mt") - 1)).as("k"))

@@ -2658,15 +2658,20 @@ object TextOps {
   /** The bpe-train CTE chain WITHOUT the `WITH` prefix, so it can be
     * spliced into another oracle's WITH list (the tokenized-ID
     * emission splices it after the curation chain). */
-  private[graft] def bpeOracleBody(rounds: Int): String = {
+  private[graft] def bpeOracleBody(rounds: Int): String =
+    """v AS MATERIALIZED (SELECT word, COUNT(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
+      |s0 AS MATERIALIZED (SELECT word, freq, '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS st FROM v)""".stripMargin +
+      bpeOracleRounds(rounds)
+
+  /** The per-round train CTEs alone (assumes `v(word, freq)` and `s0`
+    * are defined) — shared by the corpus-word seed above and the
+    * bigram-unit release certificate's seed. */
+  private[graft] def bpeOracleRounds(rounds: Int): String = {
     val sb = new StringBuilder
     // state and merge CTEs are each referenced twice per round; without
     // MATERIALIZED the inliner expands the chain exponentially (2^rounds
     // scans of documents — observed as an fd-exhaustion failure)
-    sb.append(
-      """v AS MATERIALIZED (SELECT word, COUNT(*) AS freq
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY 1),
-        |s0 AS MATERIALIZED (SELECT word, freq, '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS st FROM v)""".stripMargin)
     for (r <- 1 to rounds) {
       val p = r - 1
       sb.append(s""",
@@ -2786,6 +2791,123 @@ object TextOps {
         r6(sum(length(col("word"))) / sum(col("n_sym")).cast("double")).as("chars_per_token"),
         r6(sum(col("n_sym")) / count(lit(1)).cast("double")).as("tokens_per_word"))
       .orderBy(col("source"))
+  }
+
+  // ------------------------------------------------------------ bpe at scale
+  /** Production-scale merge count for the bigram-unit release table. */
+  final val ReleaseRounds = 256
+
+  /** Corpus word-BIGRAM vocabulary `(word, freq)` with joiner `_` —
+    * the SentencePiece-style unit that lets the trainer sustain
+    * [[ReleaseRounds]] merges past the 31-word corpus vocabulary
+    * ceiling. One per-doc lead window (bounded by doc length,
+    * skew-free) + one vocab rollup; memoized + persisted. */
+  private val bigramVocabCache = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)])
+
+  private[graft] def bigramVocabStats(s: SparkSession, dir: String): (DataFrame, Long) =
+    bigramVocabCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "t")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val df = toks.withColumn("t2", lead(col("t"), 1).over(w))
+        .filter(col("t2").isNotNull)
+        .select(concat(col("t"), lit("_"), col("t2")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).cast("long").as("freq"))
+        .persist()
+      (df, df.count())
+    })
+
+  /** The [[ReleaseRounds]]-merge bigram-unit release table, memoized
+    * — the SAME parameterized trainer the 16-merge oracle anchor
+    * runs ([[learnBpeMergesSeq]]), at production depth. */
+  private val bigMergesCache = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, Long)]])
+
+  private[graft] def bigramMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    bigMergesCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val (bv, n) = bigramVocabStats(s, dir)
+      learnBpeMergesSeq(s, bv, ReleaseRounds, vocabRows = n)
+    })
+
+  /** THE 256-MERGE RELEASE TABLE, ORACLE-GATED — closing the
+    * 16-merge-anchor question: the corpus word vocabulary (31 words)
+    * genuinely cannot sustain more word-unit merges, so the release
+    * tokenizer trains at word-BIGRAM granularity where 256 merges are
+    * real, and this certificate bridges it to the DuckDB oracle the
+    * only way an unrolled 256-CTE oracle never could:
+    *
+    *  - the oracle INDEPENDENTLY TRAINS rounds 1..16 on the same
+    *    bigram units and the row carries the full 16-merge prefix as
+    *    a string — hash equality pins the 256-run's prefix to an
+    *    independent engine's train (BpeScaleSpec B2's round-prefix
+    *    determinism spans the remaining 240 rounds);
+    *  - the oracle recomputes the exact corpus facts: unit count,
+    *    char mass, and the 16-merge token mass (its round-16 train
+    *    state IS the segmentation);
+    *  - the Spark-only scale facts ride as pinned booleans: lossless
+    *    reassembly over the whole unit vocabulary at 256 merges,
+    *    strict compression past the anchor (m256 < m16), and the
+    *    |alphabet| + rounds symbol-table bound with dense sorted-rank
+    *    ids (the emission family's broadcast-gate argument at
+    *    production depth).
+    *
+    * The word-unit 16-merge table stays the emission family's anchor
+    * (its oracles replay train → segmentation → windows end-to-end
+    * exactly); this row is the certified scale path beside it. */
+  val bpeRelease256: Q = Q("text_bpe_release256",
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+      |              generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
+      |big0 AS (SELECT t, lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS t2 FROM toks),
+      |v AS MATERIALIZED (SELECT t || '_' || t2 AS word, COUNT(*) AS freq
+      |     FROM big0 WHERE t2 IS NOT NULL GROUP BY 1),
+      |s0 AS MATERIALIZED (SELECT word, freq, '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS st FROM v)"""
+      .stripMargin + bpeOracleRounds(16) + s""",
+      |ms AS (SELECT string_agg(l || ' ' || r || ' ' || CAST(c AS VARCHAR), '|' ORDER BY round) AS p
+      |       FROM (${(1 to 16).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")}))
+      |SELECT
+      |  (SELECT COUNT(*) FROM v) AS n_units,
+      |  (SELECT CAST(SUM(freq * length(word)) AS BIGINT) FROM v) AS char_mass,
+      |  (SELECT CAST(SUM(freq * len(string_split(trim(st), '  '))) AS BIGINT) FROM s16)
+      |    AS mass16,
+      |  CAST($ReleaseRounds AS INT) AS n_merges,
+      |  (SELECT p FROM ms) AS merges_prefix16,
+      |  TRUE AS lossless_256,
+      |  TRUE AS compresses_past_16,
+      |  TRUE AS symtab_bounded_dense""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val (bv, _) = bigramVocabStats(s, dir)
+    val m = bigramMerges(s, dir)
+    val m16 = m.take(16)
+    val prefixStr = m16.map { case (_, l, r, c) => s"$l $r $c" }.mkString("|")
+    val seg = bv.select(col("word"), col("freq"),
+      bpeSegmentsWith(m, col("word")).as("syms"))
+    val massAgg = seg.agg(
+      sum(col("freq") * size(col("syms"))).cast("long").as("m256"),
+      count(when(concat_ws("", col("syms")) =!= col("word"), 1)).as("n_lossy"))
+    val symtab = seg.select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("id", (row_number().over(Window.orderBy(col("sym"))) - 1).cast("long"))
+    val symAgg = symtab.agg(count(lit(1)).as("n_syms"),
+      min(col("id")).as("id_min"), max(col("id")).as("id_max"))
+    val alphaAgg = bv.select(explode(split(col("word"), "")).as("ch")).distinct()
+      .agg(count(lit(1)).as("n_alpha"))
+    bv.agg(count(lit(1)).as("n_units"),
+        sum(col("freq") * length(col("word"))).cast("long").as("char_mass"))
+      .crossJoin(broadcast(bv.select(
+          (col("freq") * size(bpeSegmentsWith(m16, col("word")))).as("mm"))
+        .agg(sum(col("mm")).cast("long").as("mass16"))))
+      .crossJoin(broadcast(massAgg))
+      .crossJoin(broadcast(symAgg))
+      .crossJoin(broadcast(alphaAgg))
+      .select(col("n_units"), col("char_mass"), col("mass16"),
+        lit(ReleaseRounds).cast("int").as("n_merges"),
+        lit(prefixStr).as("merges_prefix16"),
+        (col("n_lossy") === 0).as("lossless_256"),
+        (col("m256") < col("mass16")).as("compresses_past_16"),
+        (col("n_syms") <= col("n_alpha") + ReleaseRounds
+          && col("id_min") === 0 && col("id_max") === col("n_syms") - 1)
+          .as("symtab_bounded_dense"))
   }
 
   // ---------------------------------------------------------------- line dedup
@@ -3158,7 +3280,7 @@ object TextOps {
 
   val all: Seq[Q] = Seq(chunkWindows, fuzzyPairs, tokenStats, quality, langId, fingerprint, dedupExact,
     dedupNear, dedupContainment, dedupIncremental, fingerprint64, wordCount,
-    dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, bpeFertility, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
+    dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, bpeFertility, bpeRelease256, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
     sampleStratified, splitLeakage, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
     tfidfTopK, curation, dataCard, qualityHist, curationPack, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle,

@@ -22,23 +22,14 @@ import org.apache.spark.sql.functions._
 class BpeScaleSpec extends SparkSpec {
   import spark.implicits._
 
-  private val BigRounds = 256
+  private val BigRounds = TextOps.ReleaseRounds
 
-  /** Corpus word-bigram vocabulary `(word, freq)`. */
-  private lazy val bigramVocab = {
-    val toks = graft.sources.Tables.documents(spark, sf)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "t")))
-    toks.as("a").join(toks.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.i") + 1 === col("b.i"))
-      .select(concat(col("a.t"), lit("_"), col("b.t")).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("freq"))
-      .persist()
-  }
+  /** The SHARED release artifacts `text_bpe_release256` ships — the
+    * suite certifies exactly the memoized table the oracle-gated
+    * certificate exposes, not a private retrain. */
+  private lazy val bigramVocab = TextOps.bigramVocabStats(spark, sf)._1
 
-  private lazy val merges256 =
-    TextOps.learnBpeMergesSeq(spark, bigramVocab, BigRounds,
-      vocabRows = bigramVocab.count())
+  private lazy val merges256 = TextOps.bigramMerges(spark, sf)
 
   test("B1: 256-round train sustains 256 genuine merges (no early exhaustion)") {
     assert(bigramVocab.count() >= 256,

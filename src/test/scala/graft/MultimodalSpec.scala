@@ -195,6 +195,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("continuous trimodal emission equals the batch three-gate window cut across slicings") {
+    import graft.streaming.StreamingMmEmit
+    import graft.multimodal.Multimodal
+    val batch = Multimodal.trimodalEmitIds.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    for (slices <- Seq(2, 5)) {
+      val streamed = Multimodal.trimodalEmitWindowsOf(spark, sf,
+          StreamingMmEmit.runTrimodalStream(spark, sf, slices))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+      assert(streamed == batch, s"slices=$slices trimodal window drift")
+    }
+  }
+
   test("media forget: a forgotten clip is indistinguishable from never-ingested (audio, shared contract)") {
     // mm_dedup_forget certifies the image modality end-to-end at the
     // gate; the takedown path is modality-blind (the banded-index
