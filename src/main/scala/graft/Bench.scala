@@ -125,6 +125,11 @@ object Bench {
         // stream shared by mm_trimodal_pack / mm_trimodal_emit_ids
         graft.multimodal.Multimodal.warmTrimodal(spark, sfDir)
       },
+      timedWarm("cache_warm_trimodal_forget") {
+        // the trimodal-emission forget world (store + lineage-cut
+        // before/rebuilt windows) behind mm_trimodal_forget
+        graft.multimodal.Multimodal.warmTrimodalForget(spark, sfDir)
+      },
       timedWarm("cache_warm_joint_forget") {
         // the joint-dedup takedown world (two CC passes over the
         // unioned pair lists + store lifecycle) behind mm_joint_dedup_forget

@@ -1388,10 +1388,11 @@ object Multimodal {
     * prefix; assumes `n` is defined) — [[videoAlign]]'s gate with
     * `v`-prefixed names so it composes with [[alignKeepCtes]] and
     * [[audioKeepCtes]] in one oracle. */
-  private def videoKeepCtes: String =
-    """vp0 AS (SELECT doc_id, n.n AS n, doc_id % n.n AS vb,
+  private def videoKeepCtes: String = videoKeepCtes("1 = 1")
+  private def videoKeepCtes(where: String): String =
+    s"""vp0 AS (SELECT doc_id, n.n AS n, doc_id % n.n AS vb,
       |          (doc_id * 31 + 7) % n.n AS raw
-      |        FROM documents, n),
+      |        FROM documents, n WHERE ($where)),
       |vp AS (SELECT doc_id, n, vb,
       |         CASE WHEN doc_id % 10 = 7 THEN
       |           CASE WHEN ((raw - vb + n) % n) < 3 OR ((raw - vb + n) % n) > n - 3
@@ -1423,10 +1424,11 @@ object Multimodal {
 
   /** The AUDIO keep set as a spliceable oracle CTE chain (no `WITH`
     * prefix; assumes `n`) — [[audioAlign]]'s gate, `a`-prefixed. */
-  private def audioKeepCtes: String =
-    """ap0 AS (SELECT doc_id, n.n AS n, doc_id % n.n AS ab,
+  private def audioKeepCtes: String = audioKeepCtes("1 = 1")
+  private def audioKeepCtes(where: String): String =
+    s"""ap0 AS (SELECT doc_id, n.n AS n, doc_id % n.n AS ab,
       |          (doc_id * 37 + 11) % n.n AS raw
-      |        FROM documents, n),
+      |        FROM documents, n WHERE ($where)),
       |ap AS (SELECT doc_id, n, ab,
       |         CASE WHEN doc_id % 10 = 3 THEN
       |           CASE WHEN ((raw - ab + n) % n) < 2 OR ((raw - ab + n) % n) > n - 2
@@ -1578,8 +1580,19 @@ object Multimodal {
     * per-modality keep sets → patch costs → the 16-round BPE train →
     * transcript segmentation + sorted symbol ids → per-shard
     * record offsets → every window's interleaved token hash. */
-  val trimodalEmitIds: Q = Q("mm_trimodal_emit_ids",
-    "WITH " + alignKeepCtes + ",\n" + videoKeepCtes + ",\n" + audioKeepCtes + ",\n" +
+  /** The trimodal-emission oracle chain through the positioned `o`
+    * frame (three alignment gates → per-modality keep sets → patch
+    * costs → the 16-round BPE train → transcript segmentation +
+    * sorted ids → per-shard record offsets) — shared by the window
+    * emission and the forget certificate (which re-instantiates it
+    * with a reduced-corpus `where`). The BPE train and symbol table
+    * read the FULL corpus regardless of `where` — the release
+    * tokenizer is a fixed artifact, so a takedown never shifts the id
+    * space (the gate-independent-symbol-table rule). Takes the full
+    * `WITH` prefix. */
+  private[graft] def trimodalEmitOracleCtes(where: String): String =
+    "WITH " + alignKeepCtes(where) + ",\n" + videoKeepCtes(where) + ",\n" +
+      audioKeepCtes(where) + ",\n" +
       graft.queries.TextOps.bpeOracleBody(graft.queries.TextOps.BpeRounds) + s""",
       |tti AS (SELECT doc_id, doc_id % 4 AS shard, 0 AS mrank,
       |          greatest(1, octet_length(CAST(text AS BLOB)) // 32) * 16 AS m, text
@@ -1611,7 +1624,11 @@ object Multimodal {
       |o AS (SELECT doc_id, shard, mrank, m, tot,
       |        COALESCE(SUM(tot) OVER (PARTITION BY shard ORDER BY doc_id, mrank
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-      |      FROM cost),
+      |      FROM cost)""".stripMargin
+
+  /** The window-face tail over [[trimodalEmitOracleCtes]]'s `o`/`cid`. */
+  private[graft] def trimodalEmitWindowTail: String =
+    """,
       |prow AS (SELECT shard, off + k - 1 AS pos, 'P' AS tok
       |         FROM (SELECT shard, off, unnest(generate_series(1, m)) AS k FROM o)),
       |crow AS (SELECT o.shard,
@@ -1624,7 +1641,10 @@ object Multimodal {
       |  COUNT(*) AS n_tokens,
       |  CAST(COUNT(*) FILTER (WHERE tok = 'P') AS BIGINT) AS n_patch,
       |  md5(string_agg(tok, ',' ORDER BY pos)) AS window_fp
-      |FROM ar GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin) { (s, dir) =>
+      |FROM ar GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin
+
+  val trimodalEmitIds: Q = Q("mm_trimodal_emit_ids",
+    trimodalEmitOracleCtes("1 = 1") + trimodalEmitWindowTail) { (s, dir) =>
     trimodalEmitWindows(s, dir).orderBy(col("shard"), col("seq_id"))
   }
 
@@ -1717,6 +1737,97 @@ object Multimodal {
         md5(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok")), ",")).as("window_fp"))
+  }
+
+  // --------------------------------------------------------- trimodal forget
+  /** One trimodal-emission forget world per (application, sf dir):
+    * promotes the full three-modality window artifact, then
+    * propagates a withdrawal (docs with doc_id % 20 = 8 — the media
+    * takedown family; all such ids are ≡ 0 mod 4, so exactly ONE of
+    * the four shards is affected and the other three are preserved
+    * AS-IS, the partition-pruned CowMerge shape: at 100 TB forgetting
+    * one doc recuts one shard, not the release). The memo value owns
+    * its store (Reapable); `before`/`rebuilt` are lineage-cut
+    * certificate artifacts. The symbol table stays the FULL-corpus
+    * release artifact, so the recut rows stay comparable to untouched
+    * rows (the gate-independent-symbol-table rule). */
+  private final case class TrimodalForgetWorld(store: graft.sources.FrameStore,
+      before: org.apache.spark.sql.DataFrame, rebuilt: org.apache.spark.sql.DataFrame)
+      extends graft.Reapable {
+    def reapRoots: Seq[String] = Seq(store.root)
+  }
+
+  private val trimodalForgetMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, TrimodalForgetWorld])
+
+  private def forgottenTrimodalWorld(s: SparkSession, dir: String): TrimodalForgetWorld =
+    trimodalForgetMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val gated = trimodalGated(s, dir)
+      val store = new graft.sources.FrameStore(
+        java.nio.file.Files.createTempDirectory("graft-forget-trimodal-").toString)
+      val before = trimodalEmitWindows(s, dir).localCheckpoint(true)
+      store.promote("trimodal_windows",
+        store.register(s, "trimodal_windows", before))
+      // the gates are per-doc facts, so filtering the gated record
+      // union IS re-gating the reduced corpus (keep sets are pairwise
+      // in no one else's docs); removal shifts every later record's
+      // offset in its shard, so affected shards recut wholesale
+      val affected = gated.filter(col("doc_id") % 20 === 8)
+        .select(col("shard")).distinct()
+      val rebuilt = trimodalEmitWindowsOf(s, dir, trimodalPositionOf(s, dir,
+        gated.filter(col("doc_id") % 20 =!= 8))).localCheckpoint(true)
+      store.rewrite(s, "trimodal_windows") { df =>
+        df.join(broadcast(affected), Seq("shard"), "left_anti")
+          .unionByName(rebuilt.join(broadcast(affected), Seq("shard")))
+      }
+      store.gc("trimodal_windows", keep = 0)
+      TrimodalForgetWorld(store, before = before, rebuilt = rebuilt)
+    })
+
+  /** Bench warm hook: build the forget world once, attributed. */
+  private[graft] def warmTrimodalForget(s: SparkSession, dir: String): Unit = {
+    forgottenTrimodalWorld(s, dir); ()
+  }
+
+  /** FORGET THROUGH THE THREE-MODALITY RELEASE — the
+    * right-to-be-forgotten contract on the artifact a multimodal
+    * training run actually reads: withdrawing a doc's content must
+    * invalidate every trimodal window built from ANY of its modality
+    * records AND every later window in its shard (record offsets
+    * shift), not just delete rows. After the shard-pruned rewrite +
+    * gc, the promoted window set must be ROW-IDENTICAL to windows
+    * recut from scratch on the reduced record set. The oracle
+    * recomputes the before/after window counts through the FULL
+    * three-gate + BPE emission replay at both corpus states; the
+    * equality boolean is TRUE in the oracle. */
+  val trimodalForget: Q = Q("mm_trimodal_forget",
+    "SELECT\n" +
+      "  (SELECT CAST(SUM((t + 2047) // 2048) AS BIGINT) FROM (SELECT shard, SUM(tot) AS t FROM (" +
+      trimodalEmitOracleCtes("1 = 1") + "\nSELECT shard, tot FROM o) bo GROUP BY 1) bt)" +
+      " AS n_windows_before,\n" +
+      "  (SELECT CAST(SUM((t + 2047) // 2048) AS BIGINT) FROM (SELECT shard, SUM(tot) AS t FROM (" +
+      trimodalEmitOracleCtes("doc_id % 20 <> 8") + "\nSELECT shard, tot FROM o) ao GROUP BY 1) at2)" +
+      " AS n_windows_after,\n" +
+      "  (SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 8) AS n_docs_forgotten,\n" +
+      "  (SELECT COUNT(DISTINCT doc_id % 4) FROM documents WHERE doc_id % 20 = 8) AS n_shards_affected,\n" +
+      "  TRUE AS forget_equals_rebuild") { (s, dir) =>
+    val world = forgottenTrimodalWorld(s, dir)
+    val after = world.store.loadProduction(s, "trimodal_windows")
+      .getOrElse(sys.error("no production post-forget trimodal windows"))
+    val rebuilt = world.rebuilt
+    val cols = Seq("n_tokens", "n_patch", "window_fp")
+    val diff = after.as("a").join(rebuilt.as("r"), Seq("shard", "seq_id"), "full_outer")
+      .filter(!cols.map(c => col(s"a.$c") <=> col(s"r.$c")).reduce(_ && _))
+      .agg(count(lit(1)).as("n_diff"))
+    world.before.agg(count(lit(1)).as("n_windows_before"))
+      .crossJoin(broadcast(rebuilt.agg(count(lit(1)).as("n_windows_after"))))
+      .crossJoin(broadcast(Tables.documents(s, dir).filter(col("doc_id") % 20 === 8)
+        .agg(count(lit(1)).as("n_docs_forgotten"),
+          countDistinct(col("doc_id") % 4).as("n_shards_affected"))))
+      .crossJoin(broadcast(diff))
+      .select(col("n_windows_before"), col("n_windows_after"),
+        col("n_docs_forgotten"), col("n_shards_affected"),
+        (col("n_diff") === 0).as("forget_equals_rebuild"))
   }
 
   // ------------------------------------------------------------- video dedup
@@ -2175,12 +2286,20 @@ object Multimodal {
     * (whole corpus) and the streaming twin's per-batch placement
     * (micro-batch + carried base offsets). */
   private[graft] def mmPositionOf(s: SparkSession, dir: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    mmPositionWithLens(docs, mmCapLensOf(s, dir, docs))
+
+  /** Per-doc caption token-ID count against the release symbol table
+    * — LEFT join + loud raise: a caption word outside the release
+    * vocabulary must fail, never silently shrink a window. Split out
+    * so a two-face streaming batch (aligned + gated) pays the vocab
+    * join ONCE and positions each face against the shared lens
+    * frame. */
+  private[graft] def mmCapLensOf(s: SparkSession, dir: String,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val (syms, _) = mmCaptionSymsStats(s, dir)
     val nsymPerWord = syms.groupBy(col("word")).agg(count(lit(1)).as("nsym"))
-    // LEFT join + loud raise: a caption word outside the release
-    // vocabulary must fail, never silently shrink a window
-    val nIds = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .join(broadcast(nsymPerWord), Seq("word"), "left_outer")
       .select(col("doc_id"),
         when(col("nsym").isNotNull, col("nsym"))
@@ -2188,15 +2307,20 @@ object Multimodal {
             lit("caption word missing from mm tokenizer vocabulary: "), col("word"))))
           .as("nsym"))
       .groupBy(col("doc_id")).agg(sum(col("nsym")).as("n_cap_ids"))
+  }
+
+  /** Position an aligned-docs frame against a precomputed lens frame
+    * (`(doc_id, n_cap_ids)` covering at least `docs`' ids). */
+  private[graft] def mmPositionWithLens(docs: org.apache.spark.sql.DataFrame,
+      lens: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     graft.queries.TextOps.sourcePrefixSum(
-      docs.join(nIds, Seq("doc_id"))
+      docs.join(lens, Seq("doc_id"))
         .select(col("shard").as("source"), col("doc_id"), col("media_tokens"),
           col("text"), (col("media_tokens") + col("n_cap_ids")).as("tot")),
       col("tot"))
       .withColumnRenamed("source", "shard")
       .select(col("shard"), col("doc_id"), col("start_off"),
         col("media_tokens"), col("text"), col("tot"))
-  }
 
   /** Cut the interleaved 2048-token windows of a positioned
     * aligned-docs frame: each doc contributes its media patch block
@@ -2548,5 +2672,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalForget, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard)
 }

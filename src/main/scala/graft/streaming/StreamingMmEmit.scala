@@ -80,16 +80,20 @@ object StreamingMmEmit {
     val bs = batch.sparkSession
     val aligned = Multimodal.mmEmitDocsOf(batch, Tables.embeddings(bs, env.dir))
       .persist() // both faces read it: alignment scores run once per batch
-    placeFace(bs, env, batchId, aligned, OffsetsName, env.outDir)
+    // caption lens paid ONCE per batch — the gated face's records are
+    // a subset of the aligned ids, so both positionings share it
+    val lens = Multimodal.mmCapLensOf(bs, env.dir, aligned).persist()
+    placeFace(bs, env, batchId, aligned, lens, OffsetsName, env.outDir)
     env.quality.foreach { qstore =>
       val model = qstore.loadProduction(bs, graft.ml.QualityModel.ModelName)
         .getOrElse(sys.error("no production quality model"))
       val keep = graft.ml.QualityModel.scoreClosedForm(
         aligned.select(col("doc_id"), split(col("text"), " ").as("toks")), model)
         .filter(col("proba") >= 0.5).select(col("doc_id"))
-      placeFace(bs, env, batchId, aligned.join(keep, Seq("doc_id")),
+      placeFace(bs, env, batchId, aligned.join(keep, Seq("doc_id")), lens,
         GatedOffsetsName, env.gatedOutDir)
     }
+    lens.unpersist()
     aligned.unpersist()
     ()
   }
@@ -97,8 +101,8 @@ object StreamingMmEmit {
   /** Position + land one gate face's records for one micro-batch
     * against its own offset state. */
   private def placeFace(bs: SparkSession, env: Env, batchId: Long,
-      docs: DataFrame, offsetsName: String, outDir: String): Unit = {
-    val placedRaw = Multimodal.mmPositionOf(bs, env.dir, docs).persist()
+      docs: DataFrame, lens: DataFrame, offsetsName: String, outDir: String): Unit = {
+    val placedRaw = Multimodal.mmPositionWithLens(docs, lens).persist()
     val base = env.store.loadProduction(bs, offsetsName)
       .getOrElse(sys.error(s"no production $offsetsName"))
       .filter(col("batch_id") =!= batchId)
