@@ -1547,6 +1547,48 @@ object Multimodal {
         2, "video", lit(48L)))
   }
 
+  /** TRIMODAL RELEASE CARD — the decision-record rollup published
+    * beside the three-modality mix: per modality, how many records
+    * its alignment gate kept, how many docs it dropped, and the patch
+    * mass flowing into the pack — the per-modality health row a
+    * multimodal release ships (a gate whose drop rate jumps is a
+    * regression alarm). Rides the memoized gated union (no new gate
+    * pass); the oracle replays all three gates and the rollup. */
+  val trimodalCard: Q = Q("mm_trimodal_card",
+    "WITH " + alignKeepCtes + ",\n" + videoKeepCtes + ",\n" + audioKeepCtes + """,
+      |ti AS (SELECT doc_id, 'image' AS modality,
+      |         greatest(1, octet_length(CAST(text AS BLOB)) // 32) * 16 AS mt
+      |       FROM documents WHERE doc_id IN (SELECT doc_id FROM keepset)),
+      |ta AS (SELECT doc_id, 'audio' AS modality, 32 AS mt
+      |       FROM documents WHERE doc_id IN (SELECT doc_id FROM akeep)),
+      |tv AS (SELECT doc_id, 'video' AS modality, 48 AS mt
+      |       FROM documents WHERE doc_id IN (SELECT doc_id FROM vkeep)),
+      |u AS (SELECT * FROM ti UNION ALL SELECT * FROM ta UNION ALL SELECT * FROM tv),
+      |tot AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT modality, COUNT(*) AS n_records,
+      |  CAST(tot.n - COUNT(*) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(mt) AS BIGINT) AS patch_mass
+      |FROM u, tot GROUP BY 1, tot.n ORDER BY 1""".stripMargin) { (s, dir) =>
+    trimodalCardOf(s, dir, trimodalGated(s, dir))
+  }
+
+  /** The [[trimodalCard]] rollup over any gated trimodal record frame
+    * — shared by the batch query and the consolidated-stream twin
+    * (which reads the drained continuous entries, so the card a
+    * continuously-publishing release monitors is the same oracle-
+    * checked fact). */
+  private[graft] def trimodalCardOf(s: SparkSession, dir: String,
+      records: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val total = broadcast(Tables.documents(s, dir).agg(count(lit(1)).as("n")))
+    records
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_records"), sum(col("mt")).cast("long").as("patch_mass"))
+      .crossJoin(total)
+      .select(col("modality"), col("n_records"),
+        (col("n") - col("n_records")).cast("long").as("n_dropped"), col("patch_mass"))
+      .orderBy(col("modality"))
+  }
+
   /** The pack-positioned trimodal record stream `(shard, doc_id,
     * mrank, modality, mt, start_off)` — patch costs only. */
   private[graft] def trimodalRecords(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
@@ -2672,5 +2714,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalForget, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard)
 }

@@ -349,6 +349,15 @@ object StreamingMmEmit {
       .orderBy(col("shard"), col("seq_id"))
   }
 
+  /** Streaming twin of `mm_trimodal_card` — same oracle: the
+    * per-modality release card is a content-determined rollup of the
+    * gated record stream, so the continuously-landed records must
+    * publish the byte-identical card. */
+  val streamTrimodalCard: Q = Q("stream_trimodal_card",
+    Multimodal.trimodalCard.oracle.get) { (s, dir) =>
+    Multimodal.trimodalCardOf(s, dir, streamedTrimodalEntries(s, dir))
+  }
+
   /** The gated certificate's pinned artifacts — streamed-side window
     * cuts and batch-side recut/flip frames are content-determined
     * release artifacts, memoized + lineage-cut once per session (the
@@ -461,5 +470,5 @@ object StreamingMmEmit {
   }
 
   val all: Seq[Q] = Seq(streamMmEmitIds, streamMmEmitBounds, streamMmEmitIdFreq,
-    streamMmEmitGated, streamTrimodalEmitIds)
+    streamMmEmitGated, streamTrimodalEmitIds, streamTrimodalCard)
 }
