@@ -1713,12 +1713,18 @@ object Multimodal {
     * stream (tot = patch block + transcript id count) — shared by the
     * batch memo and the streaming twin's per-batch placement. */
   private[graft] def trimodalPositionOf(s: SparkSession, dir: String,
+      gated: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    trimodalPositionWithLens(gated, trimodalCapLensOf(s, dir, gated))
+
+  /** One transcript length per DOC (records of a doc share the
+    * caption) — LEFT join + loud raise, the emission family contract.
+    * Split out so a two-face streaming batch pays the vocab join
+    * once. */
+  private[graft] def trimodalCapLensOf(s: SparkSession, dir: String,
       gated: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val (syms, _) = mmCaptionSymsStats(s, dir)
     val nsymPerWord = syms.groupBy(col("word")).agg(count(lit(1)).as("nsym"))
-    // one transcript length per DOC (records of a doc share the
-    // caption) — LEFT join + loud raise, the emission family contract
-    val nIds = gated.select(col("doc_id"), col("text")).distinct()
+    gated.select(col("doc_id"), col("text")).distinct()
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .join(broadcast(nsymPerWord), Seq("word"), "left_outer")
       .select(col("doc_id"),
@@ -1727,14 +1733,19 @@ object Multimodal {
             lit("transcript word missing from mm tokenizer vocabulary: "), col("word"))))
           .as("nsym"))
       .groupBy(col("doc_id")).agg(sum(col("nsym")).as("n_cap_ids"))
+  }
+
+  /** Position a gated trimodal record frame against a precomputed
+    * lens frame (`(doc_id, n_cap_ids)` covering at least its ids). */
+  private[graft] def trimodalPositionWithLens(gated: org.apache.spark.sql.DataFrame,
+      lens: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     graft.queries.TextOps.sourcePrefixSum(
-      gated.join(nIds, Seq("doc_id"))
+      gated.join(lens, Seq("doc_id"))
         .select(col("shard").as("source"), col("doc_id"), col("mrank"),
           col("modality"), col("mt"), col("text"),
           (col("mt") + col("n_cap_ids")).as("tot")),
       col("tot"), order = Seq(col("doc_id"), col("mrank")))
       .withColumnRenamed("source", "shard")
-  }
 
   /** Bench warm hook: pay the three alignment gates + the positioned
     * emission frame once, attributed. */

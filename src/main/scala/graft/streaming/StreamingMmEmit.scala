@@ -245,38 +245,74 @@ object StreamingMmEmit {
 
   // --------------------------------------------------------- trimodal stream
   val TrimodalOffsetsName = "mm_trimodal_offsets"
+  /** Offset state of the GATED trimodal record stream. */
+  val TrimodalGatedOffsetsName = "mm_trimodal_offsets_gated"
 
   /** Stream world for the CONTINUOUS trimodal emission: same
     * scratch-tree shape as the interleaved mm stream, its own
-    * per-shard combined-token-total artifact. */
-  def prepareTrimodal(spark: SparkSession, dir: String): Env = {
+    * per-shard combined-token-total artifact (plus a gated one when a
+    * quality store is configured). */
+  def prepareTrimodal(spark: SparkSession, dir: String,
+                      quality: Option[FrameStore] = None): Env = {
     val scratch = Scratch.dir("graft-trimodal-emit-").toString
     val docs = Tables.documents(spark, dir)
     val store = new FrameStore(s"$scratch/store")
+    def emptyOffsets() =
+      docs.filter(lit(false)).select((col("doc_id") % 4).as("shard"))
+        .withColumn("batch_tokens", lit(0L))
+        .withColumn("batch_id", lit(-1L))
     store.promote(TrimodalOffsetsName,
-      store.register(spark, TrimodalOffsetsName,
-        docs.filter(lit(false)).select((col("doc_id") % 4).as("shard"))
-          .withColumn("batch_tokens", lit(0L))
-          .withColumn("batch_id", lit(-1L))))
-    Env(s"$scratch/in", s"$scratch/entries", s"$scratch/ckpt", store, dir, docs.schema)
+      store.register(spark, TrimodalOffsetsName, emptyOffsets()))
+    if (quality.isDefined)
+      store.promote(TrimodalGatedOffsetsName,
+        store.register(spark, TrimodalGatedOffsetsName, emptyOffsets()))
+    Env(s"$scratch/in", s"$scratch/entries", s"$scratch/ckpt", store, dir,
+      docs.schema, quality)
   }
 
   /** One trimodal micro-batch: ALL THREE alignment gates against the
     * static embedding store, per-modality record pricing, placement
     * at base + in-batch (doc_id, modality-rank) prefix sum — the
     * [[processBatch]] offset-carry discipline over the three-family
-    * record union. Because arrivals land in doc_id order and every
-    * record of a doc rides its doc's batch, per-batch placements
-    * concatenate into the batch query's per-shard record order, so
-    * the drained windows are EXACTLY the batch trimodal emission for
-    * any slicing — the twin shares `mm_trimodal_emit_ids`'s oracle
-    * verbatim. */
+    * record union. With a quality store configured, a SECOND live
+    * record stream places only the records whose TRANSCRIPT the
+    * PRODUCTION model's per-batch re-resolved decision keeps (a
+    * dropped caption removes ALL of its doc's modality records — the
+    * caption is the shared half of every pair). Because arrivals land
+    * in doc_id order and every record of a doc rides its doc's batch,
+    * per-batch placements concatenate into the batch query's
+    * per-shard record order, so the drained windows are EXACTLY the
+    * batch trimodal emission for any slicing — the twin shares
+    * `mm_trimodal_emit_ids`'s oracle verbatim. */
   def processTrimodalBatch(batch: DataFrame, batchId: Long, env: Env): Unit = {
     val bs = batch.sparkSession
-    val placedRaw = Multimodal.trimodalPositionOf(bs, env.dir,
-      Multimodal.trimodalGatedOf(batch, Tables.embeddings(bs, env.dir))).persist()
-    val base = env.store.loadProduction(bs, TrimodalOffsetsName)
-      .getOrElse(sys.error(s"no production $TrimodalOffsetsName"))
+    val gated = Multimodal.trimodalGatedOf(batch, Tables.embeddings(bs, env.dir))
+      .persist() // both faces read it: the three gates run once per batch
+    val lens = Multimodal.trimodalCapLensOf(bs, env.dir, gated).persist()
+    placeTrimodalFace(bs, env, batchId, gated, lens,
+      TrimodalOffsetsName, env.outDir)
+    env.quality.foreach { qstore =>
+      val model = qstore.loadProduction(bs, graft.ml.QualityModel.ModelName)
+        .getOrElse(sys.error("no production quality model"))
+      val keep = graft.ml.QualityModel.scoreClosedForm(
+        gated.select(col("doc_id"), col("text")).distinct()
+          .select(col("doc_id"), split(col("text"), " ").as("toks")), model)
+        .filter(col("proba") >= 0.5).select(col("doc_id"))
+      placeTrimodalFace(bs, env, batchId, gated.join(keep, Seq("doc_id")), lens,
+        TrimodalGatedOffsetsName, env.gatedOutDir)
+    }
+    lens.unpersist()
+    gated.unpersist()
+    ()
+  }
+
+  /** Position + land one trimodal gate face's records for one
+    * micro-batch against its own offset state. */
+  private def placeTrimodalFace(bs: SparkSession, env: Env, batchId: Long,
+      recs: DataFrame, lens: DataFrame, offsetsName: String, outDir: String): Unit = {
+    val placedRaw = Multimodal.trimodalPositionWithLens(recs, lens).persist()
+    val base = env.store.loadProduction(bs, offsetsName)
+      .getOrElse(sys.error(s"no production $offsetsName"))
       .filter(col("batch_id") =!= batchId)
       .groupBy(col("shard")).agg(sum(col("batch_tokens")).as("base_off"))
     placedRaw
@@ -285,8 +321,8 @@ object StreamingMmEmit {
       .select(col("shard"), col("doc_id"), col("mrank"), col("modality"),
         col("mt"), col("text"),
         (col("start_off") + coalesce(col("base_off"), lit(0L))).as("start_off"))
-      .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
-    env.store.appendBatch(bs, TrimodalOffsetsName,
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    env.store.appendBatch(bs, offsetsName,
       placedRaw.groupBy(col("shard")).agg(sum(col("tot")).as("batch_tokens"))
         .withColumn("batch_id", lit(batchId)),
       batchId = Some(batchId), streamId = Some(env.ckpt))
@@ -324,18 +360,33 @@ object StreamingMmEmit {
     scala.collection.concurrent.TrieMap.empty[String, MmEmitStreamWorld])
 
   /** ONE trimodal stream pass per (application, sf dir), memoized —
-    * attributed by the `cache_warm_trimodal_stream` bench entry. */
-  def streamedTrimodalEntries(spark: SparkSession, dir: String): DataFrame =
+    * attributed by the `cache_warm_trimodal_stream` bench entry. Runs
+    * with the PRODUCTION quality store, so it places BOTH faces per
+    * micro-batch (the consolidated-pass rule). */
+  private def streamedTrimodalWorld(spark: SparkSession, dir: String): MmEmitStreamWorld =
     trimodalEntriesMemo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
-      val env = prepareTrimodal(spark, dir)
+      val qstore = graft.ml.QualityModel.productionStore(spark, dir)
+      val vBefore = qstore.productionVersion(graft.ml.QualityModel.ModelName)
+      val env = prepareTrimodal(spark, dir, quality = Some(qstore))
       StreamingCuration.landOrderedSlices(spark, env.inDir, dir, 2)
       runTrimodalPass(spark, env)
       env.store.compact(spark, TrimodalOffsetsName)
       env.store.gc(TrimodalOffsetsName, keep = 1)
+      env.store.compact(spark, TrimodalGatedOffsetsName)
+      env.store.gc(TrimodalGatedOffsetsName, keep = 1)
+      require(vBefore == qstore.productionVersion(graft.ml.QualityModel.ModelName),
+        "quality model promoted during the memoized trimodal emission pass")
       val df = spark.read.parquet(env.outDir).drop("batch").persist()
       df.count()
-      MmEmitStreamWorld(df, env)
-    }).entries
+      val g = spark.read.parquet(env.gatedOutDir).drop("batch").persist()
+      g.count()
+      MmEmitStreamWorld(df, env, gated = Some(g),
+        qmodel = Some(qstore.loadProduction(spark, graft.ml.QualityModel.ModelName)
+          .getOrElse(sys.error("no production quality model")).localCheckpoint(true)))
+    })
+
+  def streamedTrimodalEntries(spark: SparkSession, dir: String): DataFrame =
+    streamedTrimodalWorld(spark, dir).entries
 
   /** Streaming twin of `mm_trimodal_emit_ids` — same oracle: the
     * continuously-assembled THREE-MODALITY training stream must cut
@@ -347,6 +398,95 @@ object StreamingMmEmit {
     Multimodal.trimodalEmitIds.oracle.get) { (s, dir) =>
     Multimodal.trimodalEmitWindowsOf(s, dir, streamedTrimodalEntries(s, dir))
       .orderBy(col("shard"), col("seq_id"))
+  }
+
+  /** The trimodal gated certificate's pinned artifacts
+    * ([[gatedCertArtifacts]]'s shape one level up):
+    * `(streamedGatedWindows, streamedWindows, batchGated, expected,
+    * flipSeq)`. */
+  private val trimodalGatedCertMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap
+      .empty[String, (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)])
+
+  private def trimodalGatedCertArtifacts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    trimodalGatedCertMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val world = streamedTrimodalWorld(s, dir)
+      def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+      val sg = pin(Multimodal.trimodalEmitWindowsOf(s, dir,
+        world.gated.getOrElse(sys.error("trimodal pass ran without a quality store"))))
+      val sa = pin(Multimodal.trimodalEmitWindowsOf(s, dir, world.entries))
+      val qmodel = world.qmodel.get
+      val gated = Multimodal.trimodalGated(s, dir)
+      val docsWithRecords = gated.select(col("doc_id"), col("text")).distinct()
+      val keepIds = graft.ml.QualityModel.scoreClosedForm(
+        docsWithRecords.select(col("doc_id"), split(col("text"), " ").as("toks")), qmodel)
+        .filter(col("proba") >= 0.5).select(col("doc_id"))
+      val batchGated = pin(Multimodal.trimodalEmitWindowsOf(s, dir,
+        Multimodal.trimodalPositionOf(s, dir, gated.join(keepIds, Seq("doc_id")))))
+      // expected per-DOC decision under the pinned model (a doc's
+      // records all keep or all drop — the caption is shared)
+      val expected = pin(docsWithRecords.select(col("doc_id"))
+        .join(keepIds.withColumn("k", lit(true)), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("k"), lit(false)).as("expected_keep")))
+      // per-shard FIRST flip window: the dropped doc's FIRST record
+      // offset in the stream that retains it (the ungated stream)
+      val flipSeq = pin(Multimodal.trimodalPositioned(s, dir)
+        .join(expected.filter(!col("expected_keep")).select(col("doc_id")), Seq("doc_id"))
+        .groupBy(col("shard")).agg(min(floor(col("start_off") / 2048)).as("flip_seq")))
+      (sg, sa, batchGated, expected, flipSeq)
+    })
+
+  /** THE LEARNED GATE DRIVING THE THREE-MODALITY RELEASE — the
+    * [[streamMmEmitGated]] certificate one level up: the PRODUCTION
+    * model's per-batch re-resolved TRANSCRIPT decisions drive a
+    * second live trimodal record stream (a dropped caption removes
+    * all of its doc's modality records), and the certificate pins
+    * gated stream ≡ batch recut under the pinned model version,
+    * flips-only-quality on the per-doc record set, and per-shard
+    * first-divergence at the first dropped doc's record window. The
+    * oracle recomputes the gate-invariant aligned record and window
+    * counts through the full three-gate + BPE emission replay. The
+    * mid-stream-promotion mechanics are the [[processBatch]] gated
+    * face's, pinned at spec scale in QualityGateSpec. */
+  val streamTrimodalGated: Q = Q("stream_trimodal_gated",
+    Multimodal.trimodalEmitOracleCtes("1 = 1") + """
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM o) AS BIGINT) AS n_records,
+      |  (SELECT CAST(SUM((t + 2047) // 2048) AS BIGINT)
+      |     FROM (SELECT shard, SUM(tot) AS t FROM o GROUP BY 1))
+      |    AS n_windows,
+      |  TRUE AS stream_equals_batch,
+      |  TRUE AS flips_only_quality,
+      |  TRUE AS diverges_at_first_flip""".stripMargin) { (s, dir) =>
+    val world = streamedTrimodalWorld(s, dir)
+    val (sg, sa, batchGated, expected, flipSeq) = trimodalGatedCertArtifacts(s, dir)
+    val sameWindow = col("a.n_tokens") <=> col("b.n_tokens") &&
+      col("a.n_patch") <=> col("b.n_patch") && col("a.window_fp") <=> col("b.window_fp")
+    val parityDiff = sg.as("a")
+      .join(batchGated.as("b"), Seq("shard", "seq_id"), "full_outer")
+      .filter(!sameWindow).agg(count(lit(1)).as("n_parity_diff"))
+    val streamedIds = world.gated.get.select(col("doc_id")).distinct()
+      .withColumn("in_stream", lit(true))
+    val flipBad = expected.join(streamedIds, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("expected_keep"), lit(false))
+        =!= coalesce(col("in_stream"), lit(false)))
+      .agg(count(lit(1)).as("n_flip_bad"))
+    val divSeq = sa.as("a").join(sg.as("b"), Seq("shard", "seq_id"), "full_outer")
+      .filter(!sameWindow)
+      .groupBy(col("shard")).agg(min(col("seq_id")).as("div_seq"))
+    val srcMismatch = divSeq.join(flipSeq, Seq("shard"), "full_outer")
+      .filter(!(col("div_seq") <=> col("flip_seq")))
+      .agg(count(lit(1)).as("n_src_mismatch"))
+    world.entries.agg(count(lit(1)).as("n_records"))
+      .crossJoin(broadcast(sa.agg(count(lit(1)).as("n_windows"))))
+      .crossJoin(broadcast(parityDiff))
+      .crossJoin(broadcast(flipBad))
+      .crossJoin(broadcast(srcMismatch))
+      .select(col("n_records"), col("n_windows"),
+        (col("n_parity_diff") === 0).as("stream_equals_batch"),
+        (col("n_flip_bad") === 0).as("flips_only_quality"),
+        (col("n_src_mismatch") === 0).as("diverges_at_first_flip"))
   }
 
   /** Streaming twin of `mm_trimodal_card` — same oracle: the
@@ -470,5 +610,5 @@ object StreamingMmEmit {
   }
 
   val all: Seq[Q] = Seq(streamMmEmitIds, streamMmEmitBounds, streamMmEmitIdFreq,
-    streamMmEmitGated, streamTrimodalEmitIds, streamTrimodalCard)
+    streamMmEmitGated, streamTrimodalEmitIds, streamTrimodalGated, streamTrimodalCard)
 }
