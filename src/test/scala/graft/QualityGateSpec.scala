@@ -268,4 +268,60 @@ class QualityGateSpec extends SparkSpec {
     assert(winSet(Multimodal.mmEmitWindows(spark, sf, gatedEntries)) == winSet(recut),
       "gated windows must equal the recut of the landed gated record set")
   }
+
+  test("gated trimodal emission: a mid-stream promotion changes subsequent batches' records only") {
+    // the learned gate driving the THREE-MODALITY record stream
+    // (stream_trimodal_gated's machinery): same promotion contract as
+    // the mm pin — pass-1 landed gated records are immutable, the
+    // accept-all sentinel gates nothing afterward, and the drained
+    // gated stream cuts the same windows as a batch recut from the
+    // landed (mixed-model) gated record set.
+    import graft.streaming.StreamingMmEmit
+    import graft.multimodal.Multimodal
+    val trained = QualityModel.closedForm(spark, sf)
+    val qstore = new graft.sources.FrameStore(
+      java.nio.file.Files.createTempDirectory("graft-qgate-tri-hot-").toString)
+    qstore.promote(QualityModel.ModelName,
+      qstore.register(spark, QualityModel.ModelName, trained))
+    val env = StreamingMmEmit.prepareTrimodal(spark, sf, quality = Some(qstore))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val mid = docs.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+    StreamingCuration.landOrderedSlicesOf(
+      docs.filter(col("doc_id") < mid), "doc_id", env.inDir, 2)
+    StreamingMmEmit.runTrimodalPass(spark, env)
+    def recSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Long)] =
+      df.select("shard", "doc_id", "mrank", "start_off").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val gatedHalf1 = recSet(spark.read.parquet(env.gatedOutDir))
+    val allHalf1 = recSet(spark.read.parquet(env.outDir))
+    assert(gatedHalf1.size < allHalf1.size,
+      "trained model should gate some records in pass 1")
+    qstore.promote(QualityModel.ModelName,
+      qstore.register(spark, QualityModel.ModelName,
+        Seq((-1, 10.0)).toDF("idx", "coef")))
+    StreamingCuration.landOrderedSlicesOf(
+      docs.filter(col("doc_id") >= mid), "doc_id", env.inDir, 2, tag = "b")
+    StreamingMmEmit.runTrimodalPass(spark, env)
+    assert(recSet(spark.read.parquet(env.gatedOutDir).filter(col("batch") <= 1))
+      == gatedHalf1, "a promotion must not rewrite already-landed gated records")
+    // accept-all sentinel gates nothing in pass 2
+    val all2 = spark.read.parquet(env.outDir)
+      .filter(col("doc_id") >= mid).select("doc_id", "mrank").distinct().count()
+    val gated2 = spark.read.parquet(env.gatedOutDir)
+      .filter(col("doc_id") >= mid).select("doc_id", "mrank").distinct().count()
+    assert(gated2 == all2, s"sentinel pass gated $gated2 of $all2 records")
+    // drained gated windows ≡ batch recut from the landed gated docs
+    val gatedEntries = spark.read.parquet(env.gatedOutDir).drop("batch")
+    val recut = Multimodal.trimodalEmitWindowsOf(spark, sf,
+      Multimodal.trimodalPositionOf(spark, sf,
+        Multimodal.trimodalGated(spark, sf)
+          .join(gatedEntries.select(col("doc_id")).distinct(), Seq("doc_id"))))
+    def winSet2(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, String)] =
+      df.select("shard", "seq_id", "n_tokens", "n_patch", "window_fp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+    assert(winSet2(Multimodal.trimodalEmitWindowsOf(spark, sf, gatedEntries))
+      == winSet2(recut),
+      "gated trimodal windows must equal the recut of the landed record set")
+  }
 }
