@@ -1668,8 +1668,10 @@ object Multimodal {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
       |      FROM cost)""".stripMargin
 
-  /** The window-face tail over [[trimodalEmitOracleCtes]]'s `o`/`cid`. */
-  private[graft] def trimodalEmitWindowTail: String =
+  /** The interleaved token-row CTEs over [[trimodalEmitOracleCtes]]'s
+    * `o`/`cid` (no final SELECT) — shared by the window emission and
+    * the shuffle order. */
+  private def trimodalEmitRowCtes: String =
     """,
       |prow AS (SELECT shard, off + k - 1 AS pos, 'P' AS tok
       |         FROM (SELECT shard, off, unnest(generate_series(1, m)) AS k FROM o)),
@@ -1678,7 +1680,11 @@ object Multimodal {
       |             ORDER BY c.i, c.j) - 1 AS pos,
       |           CAST(c.id AS VARCHAR) AS tok
       |         FROM cid c JOIN o ON o.doc_id = c.doc_id),
-      |ar AS (SELECT * FROM prow UNION ALL SELECT * FROM crow)
+      |ar AS (SELECT * FROM prow UNION ALL SELECT * FROM crow)""".stripMargin
+
+  /** The window-face tail over [[trimodalEmitOracleCtes]]'s `o`/`cid`. */
+  private[graft] def trimodalEmitWindowTail: String =
+    trimodalEmitRowCtes + """
       |SELECT shard, CAST(pos // 2048 AS BIGINT) AS seq_id,
       |  COUNT(*) AS n_tokens,
       |  CAST(COUNT(*) FILTER (WHERE tok = 'P') AS BIGINT) AS n_patch,
@@ -1688,6 +1694,34 @@ object Multimodal {
   val trimodalEmitIds: Q = Q("mm_trimodal_emit_ids",
     trimodalEmitOracleCtes("1 = 1") + trimodalEmitWindowTail) { (s, dir) =>
     trimodalEmitWindows(s, dir).orderBy(col("shard"), col("seq_id"))
+  }
+
+  /** Deterministic training-order shuffle over the TRIMODAL release —
+    * [[graft.queries.TextOps.curationShuffle]]'s md5
+    * shard/rank/offset machinery keyed on each trimodal window's
+    * content fingerprint: the artifact an interleaved multimodal run
+    * reads in order is the one that HAS an order. Same scale shape:
+    * content-derived rank shards bound the rank windows, the 16-row
+    * shard-offset frame broadcasts back; ties (duplicate window
+    * content) break on (data_shard, seq_id) so the order is total on
+    * any engine. The emission's own shard key is renamed
+    * `data_shard` — `shard` is the rank shard, as in the text
+    * family. */
+  val trimodalShuffle: Q = Q("mm_trimodal_shuffle",
+    trimodalEmitOracleCtes("1 = 1") + trimodalEmitRowCtes + """,
+      |ew AS (SELECT shard AS data_shard, CAST(pos // 2048 AS BIGINT) AS seq_id,
+      |         COUNT(*) AS n_tokens,
+      |         CAST(COUNT(*) FILTER (WHERE tok = 'P') AS BIGINT) AS n_patch,
+      |         md5(string_agg(tok, ',' ORDER BY pos)) AS window_fp
+      |       FROM ar GROUP BY 1, 2),
+      |k AS (SELECT *, md5('shuffle:' || window_fp) AS sort_key FROM ew),
+      |k2 AS (SELECT *, CAST(('0x' || substr(sort_key, 1, 1)) AS BIGINT) AS shard FROM k)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY sort_key, data_shard, seq_id) AS BIGINT) AS ord,
+      |  shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sort_key, data_shard, seq_id) AS BIGINT) AS pos,
+      |  sort_key, data_shard, seq_id, n_tokens, n_patch, window_fp
+      |FROM k2 ORDER BY ord""".stripMargin) { (s, dir) =>
+    graft.queries.TextOps.shuffleRankTrimodal(trimodalEmitWindows(s, dir))
   }
 
   /** Position + window-cut the trimodal record stream: tot = patch
@@ -2725,5 +2759,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalShuffle, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard)
 }

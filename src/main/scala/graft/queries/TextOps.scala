@@ -2091,6 +2091,17 @@ object TextOps {
       windows.withColumn("sort_key", md5(concat(lit("shuffle:"), col("window_fp")))),
       out = Seq(col("source"), col("seq_id"), col("n_tokens"), col("window_fp")))
 
+  /** The shuffle-rank program over TRIMODAL windows `(shard, seq_id,
+    * n_tokens, n_patch, window_fp)` — the emission's own shard key
+    * renames to `data_shard` (the rank machinery owns `shard`). */
+  private[graft] def shuffleRankTrimodal(windows: DataFrame): DataFrame =
+    shuffleRankCore(
+      windows.withColumnRenamed("shard", "data_shard")
+        .withColumn("sort_key", md5(concat(lit("shuffle:"), col("window_fp")))),
+      out = Seq(col("data_shard"), col("seq_id"), col("n_tokens"),
+        col("n_patch"), col("window_fp")),
+      tie = Seq(col("data_shard"), col("seq_id")))
+
   /** The per-source concat-then-chunk packing over a retained-docs
     * frame `(source, doc_id, n_tokens)` — shared by [[curationPack]]
     * and the streaming curation composition (which packs the landed

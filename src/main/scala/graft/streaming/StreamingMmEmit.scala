@@ -489,6 +489,17 @@ object StreamingMmEmit {
         (col("n_src_mismatch") === 0).as("diverges_at_first_flip"))
   }
 
+  /** Streaming twin of `mm_trimodal_shuffle` — same oracle: the
+    * training order assigned at DRAIN over the continuously-landed
+    * trimodal record stream (order is a whole-release fact, so a
+    * continuous job assigns it when the shard closes) must equal the
+    * batch composition's. */
+  val streamTrimodalShuffle: Q = Q("stream_trimodal_shuffle",
+    Multimodal.trimodalShuffle.oracle.get) { (s, dir) =>
+    graft.queries.TextOps.shuffleRankTrimodal(
+      Multimodal.trimodalEmitWindowsOf(s, dir, streamedTrimodalEntries(s, dir)))
+  }
+
   /** Streaming twin of `mm_trimodal_card` — same oracle: the
     * per-modality release card is a content-determined rollup of the
     * gated record stream, so the continuously-landed records must
@@ -610,5 +621,6 @@ object StreamingMmEmit {
   }
 
   val all: Seq[Q] = Seq(streamMmEmitIds, streamMmEmitBounds, streamMmEmitIdFreq,
-    streamMmEmitGated, streamTrimodalEmitIds, streamTrimodalGated, streamTrimodalCard)
+    streamMmEmitGated, streamTrimodalEmitIds, streamTrimodalGated,
+    streamTrimodalShuffle, streamTrimodalCard)
 }
