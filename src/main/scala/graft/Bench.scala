@@ -117,8 +117,9 @@ object Bench {
       },
       timedWarm("cache_warm_trimodal_stream") {
         // the ONE continuous trimodal emission pass (three alignment
-        // gates per micro-batch) behind stream_trimodal_emit_ids
-        graft.streaming.StreamingMmEmit.streamedTrimodalEntries(spark, sfDir); ()
+        // gates per micro-batch, BOTH gate faces) + the lineage-cut
+        // drained window artifact its twins and certificates share
+        graft.streaming.StreamingMmEmit.warmTrimodalStream(spark, sfDir)
       },
       timedWarm("cache_warm_trimodal") {
         // the three alignment gates + the positioned trimodal record

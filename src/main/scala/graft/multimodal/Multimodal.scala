@@ -1781,14 +1781,25 @@ object Multimodal {
       col("tot"), order = Seq(col("doc_id"), col("mrank")))
       .withColumnRenamed("source", "shard")
 
-  /** Bench warm hook: pay the three alignment gates + the positioned
-    * emission frame once, attributed. */
+  /** Bench warm hook: pay the three alignment gates, the positioned
+    * emission frame, and the lineage-cut window artifact once,
+    * attributed. */
   private[graft] def warmTrimodal(s: SparkSession, dir: String): Unit = {
-    trimodalPositioned(s, dir); ()
+    trimodalEmitWindows(s, dir); ()
   }
 
+  /** The batch trimodal window artifact, memoized + LINEAGE-CUT: the
+    * emission query, the shuffle order, and the stream certificates'
+    * batch sides all consume it — without the cut each rep re-pays
+    * the patch explode + transcript-id cut (measured 8.6 s on the
+    * shuffle at sf0.1; the rank program itself is ~0.5 s). */
+  private val trimodalWinMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame])
+
   private[graft] def trimodalEmitWindows(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    trimodalEmitWindowsOf(s, dir, trimodalPositioned(s, dir))
+    trimodalWinMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      trimodalEmitWindowsOf(s, dir, trimodalPositioned(s, dir)).localCheckpoint(true)
+    })
 
   /** The trimodal window cut over any positioned record frame —
     * shared by the batch query and the streaming twin's drain. */
