@@ -49,10 +49,14 @@ object Bench {
     def gcMs(): Long =
       ManagementFactory.getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     // getSystemLoadAverage returns -1.0 where the platform exposes no
-    // load average; clamp so the record never emits a negative "load"
-    // that downstream attribution could misread as a real value.
+    // load average. Preserve that sentinel verbatim (documented
+    // meaning: load < 0 ⇒ metric unavailable on this host, NOT an
+    // idle host) so downstream attribution can distinguish
+    // "unavailable" from "genuinely idle" — clamping to 0.0 folded
+    // the two cases together. Any other negative value is impossible
+    // per the MXBean contract.
     def loadAvg(): Double =
-      math.max(0.0, ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage)
+      ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     final case class Entry(name: String, sec: Double, gcMsDelta: Long, load: Double)
     def timedWarm(name: String)(f: => Unit): Entry = {
       val load0 = loadAvg(); val gc0 = gcMs(); val t0 = System.nanoTime()

@@ -29,6 +29,33 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Planted perturbed-twin ids are parent doc_id + this offset (one
+    * byte perturbed — the near-dup certification device; compile-time
+    * constant so oracle SQL interpolation is init-order-safe). */
+  final val TwinOffset = 1000000L
+  /** The media-forget takedown family: docs with
+    * doc_id % [[TakedownMod]] == [[TakedownResidue]] are withdrawn by
+    * the joint/trimodal/emission forget worlds and their oracles. */
+  final val TakedownMod = 20L
+  final val TakedownResidue = 8L
+  // Load-bearing coupling, asserted at construction (not left to the
+  // oracle diff): the forget worlds' edge/record prunes test the
+  // takedown residue on BOTH endpoint ids, relying on a planted twin
+  // (parent + TwinOffset) sharing its parent's residue class so a
+  // forgotten parent's twin is withdrawn by the same predicate.
+  // Changing either constant incompatibly must fail loudly HERE.
+  require(TwinOffset % TakedownMod == 0,
+    s"TwinOffset ($TwinOffset) must be ≡ 0 (mod TakedownMod=$TakedownMod): " +
+      "a planted twin must share its parent's takedown residue or the " +
+      "forget worlds' pruned-edges ≡ reduced-corpus equivalence breaks")
+  // The twin-plant residue (doc_id % 10 == 0 docs get a twin) and the
+  // takedown residue must not collide: TakedownResidue ∉ {0} (mod 10)
+  // keeps "no takedown doc is a twin parent" true, so the twin set is
+  // untouched by a takedown and forget certificates stay comparable
+  // against untouched planted rows.
+  require(TakedownResidue % 10 != 0,
+    "takedown residue collides with the twin-parent plant (doc_id % 10 = 0)")
+
   final case class MediaRecord(
       doc_id: Long,
       payload: Array[Byte],
@@ -535,7 +562,7 @@ object Multimodal {
     // planted near-identical twin: one pixel byte perturbed (stays
     // ASCII so string `ascii` arithmetic agrees across engines)
     val twins = parsed.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("w"), col("h"),
+      .select((col("doc_id") + TwinOffset).as("doc_id"), col("w"), col("h"),
         expr("concat(chr((ascii(substring(px, 1, 1)) + 7) % 128), substring(px, 2))")
           .as("px"))
     parsed.unionByName(twins)
@@ -717,7 +744,7 @@ object Multimodal {
       .withColumn("ds", expr("CAST(unhex(substring(hx, 89, 2 * n)) AS STRING)"))
       .select(col("doc_id"), col("n"), col("ds"))
     val twins = base.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("n"),
+      .select((col("doc_id") + TwinOffset).as("doc_id"), col("n"),
         expr("concat(chr((ascii(substring(ds, 1, 1)) + 7) % 128), substring(ds, 2))")
           .as("ds"))
     // STAGED evaluation, one localCheckpoint per stage: HOFs are
@@ -887,11 +914,14 @@ object Multimodal {
         java.nio.file.Files.createTempDirectory("graft-forget-joint-").toString)
       val full = jointClustersOf(pairs).localCheckpoint(true)
       store.promote("joint_clusters", store.register(s, "joint_clusters", full))
-      // twin ids are parent+1e6 with 1e6 ≡ 0 (mod 20), so the residue
-      // filter also withdraws a forgotten parent's twin — vacuously
-      // here (no % 20 = 8 doc is a twin parent), structurally in
-      // general
-      val pruned = pairs.filter(col("d1") % 20 =!= 8 && col("d2") % 20 =!= 8)
+      // twin ids are parent+TwinOffset with TwinOffset ≡ 0 (mod
+      // TakedownMod) — asserted at object construction beside the
+      // constants — so the residue filter also withdraws a forgotten
+      // parent's twin: vacuously here (no takedown doc is a twin
+      // parent, also asserted), structurally in general
+      val pruned = pairs.filter(
+        col("d1") % TakedownMod =!= TakedownResidue &&
+          col("d2") % TakedownMod =!= TakedownResidue)
       val after = jointClustersOf(pruned).localCheckpoint(true)
       store.rewrite(s, "joint_clusters")(_ => after)
       store.gc("joint_clusters", keep = 0)
@@ -996,7 +1026,7 @@ object Multimodal {
       .unionByName(tag(audioPairs(s, dir), "audio"))
       .unionByName(tag(videoPairs(s, dir), "video"))
       .unionByName(tag(graft.queries.TextOps.nearDupPairs05(s, dir), "text"))
-      .filter(col("d1") < 1000000 && col("d2") < 1000000)
+      .filter(col("d1") < TwinOffset && col("d2") < TwinOffset)
     val bucket = expr(
       "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
     val b = Tables.documents(s, dir).select(col("doc_id"), bucket.as("bucket"))
@@ -2027,7 +2057,7 @@ object Multimodal {
     val frames = videoFramePx(videoFrames(docs))
       .select(col("doc_id"), col("w"), col("h"), col("f"), col("px"))
     val twins = frames.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("w"), col("h"), col("f"),
+      .select((col("doc_id") + TwinOffset).as("doc_id"), col("w"), col("h"), col("f"),
         when(col("f") === 1,
           expr("concat(chr((ascii(substring(px, 1, 1)) + 7) % 128), substring(px, 2))"))
           .otherwise(col("px")).as("px"))

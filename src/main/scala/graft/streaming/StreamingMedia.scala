@@ -176,7 +176,7 @@ object StreamingMedia {
     * and 1e6 ≡ 0 mod 20, so no twin id is ≡ 7 — but the clause is
     * what a production takedown must include). */
   private def takedown(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (id % 20 === 7) || ((id - 1000000L) % 20 === 7)
+    (id % 20 === 7) || ((id - graft.multimodal.Multimodal.TwinOffset) % 20 === 7)
 
   private val forgetMemo = graft.SessionCaches.register(
     scala.collection.concurrent.TrieMap.empty[String, Env])

@@ -142,8 +142,30 @@ object StreamingMmEmit {
     * window-cut / bounds aggregates reproduce the batch emission).
     * Driven directly by the slicing-parity spec; the gate twins read
     * the memoized single pass below. */
-  def runMmEmitStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame =
-    runMmEmitStreamWorld(spark, dir, slices, quality = None).entries
+  def runMmEmitStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame = {
+    val world = runMmEmitStreamWorld(spark, dir, slices, quality = None)
+    trackAdhoc(spark, world.env)
+    world.entries
+  }
+
+  /** Ad-hoc (non-memoized) stream envs: the spec-facing slicing entry
+    * points ([[runMmEmitStream]], [[runTrimodalStream]]) build a
+    * fresh scratch world per call — MultimodalSpec alone runs 2- and
+    * 5-slice passes — so without tracking, each call leaks a full
+    * corpus copy (arrivals + landed batches + checkpoint + store) on
+    * disk for the JVM lifetime. Registering each env here puts the
+    * tree under the SessionCaches eviction lifecycle like the
+    * memoized worlds. Keyed by checkpoint path (unique per call) so
+    * repeated runs accumulate entries rather than silently orphaning
+    * the previous tree on overwrite. */
+  private val adhocEnvs = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, Env])
+
+  private def trackAdhoc(spark: SparkSession, env: Env): Unit = {
+    adhocEnvs.put(
+      spark.sparkContext.applicationId + "#" + env.dir + "#adhoc#" + env.ckpt, env)
+    ()
+  }
 
   /** The drained positioned entries (both gate faces) PLUS the stream
     * world that produced them — the env is Reapable, so a memoized
@@ -349,6 +371,7 @@ object StreamingMmEmit {
     * arrivals, drain, return the accumulated positioned records. */
   def runTrimodalStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame = {
     val env = prepareTrimodal(spark, dir)
+    trackAdhoc(spark, env)
     StreamingCuration.landOrderedSlices(spark, env.inDir, dir, slices)
     runTrimodalPass(spark, env)
     env.store.compact(spark, TrimodalOffsetsName)
@@ -448,8 +471,13 @@ object StreamingMmEmit {
         .join(keepIds.withColumn("k", lit(true)), Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("k"), lit(false)).as("expected_keep")))
       // per-shard FIRST flip window: the dropped doc's FIRST record
-      // offset in the stream that retains it (the ungated stream)
-      val flipSeq = pin(Multimodal.trimodalPositioned(s, dir)
+      // offset in the STREAM that retains it — derived from the
+      // streamed ungated entries (not the batch-positioned frame) so
+      // the first-divergence leg is self-contained on the stream
+      // side: a stream/batch parity regression fails
+      // stream_equals_batch directly instead of misattributing a
+      // secondary diverges_at_first_flip signal
+      val flipSeq = pin(world.entries
         .join(expected.filter(!col("expected_keep")).select(col("doc_id")), Seq("doc_id"))
         .groupBy(col("shard")).agg(min(floor(col("start_off") / 2048)).as("flip_seq")))
       (sg, sa, batchGated, expected, flipSeq)
@@ -559,9 +587,13 @@ object StreamingMmEmit {
         .join(keepIds.withColumn("k", lit(true)), Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("k"), lit(false)).as("expected_keep")))
       // per-shard FIRST flip window: each dropped record's window
-      // index in the stream that RETAINS it (the aligned stream —
-      // prefixes before the first drop are identical in both streams)
-      val flipSeq = pin(Multimodal.mmEmitPositioned(s, dir)
+      // index in the stream that RETAINS it (the aligned STREAMED
+      // entries, not the batch-positioned frame — prefixes before the
+      // first drop are identical in both streams, and sourcing the
+      // flip offsets stream-side keeps the first-divergence leg
+      // self-contained: a stream/batch parity regression fails
+      // stream_equals_batch, not this leg)
+      val flipSeq = pin(world.entries
         .join(expected.filter(!col("expected_keep")).select(col("doc_id")), Seq("doc_id"))
         .groupBy(col("shard")).agg(min(floor(col("start_off") / 2048)).as("flip_seq")))
       (sg, sa, batchGated, expected, flipSeq)
