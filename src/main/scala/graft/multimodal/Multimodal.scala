@@ -1786,17 +1786,9 @@ object Multimodal {
     * once. */
   private[graft] def trimodalCapLensOf(s: SparkSession, dir: String,
       gated: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val (syms, _) = mmCaptionSymsStats(s, dir)
-    val nsymPerWord = syms.groupBy(col("word")).agg(count(lit(1)).as("nsym"))
-    gated.select(col("doc_id"), col("text")).distinct()
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .join(broadcast(nsymPerWord), Seq("word"), "left_outer")
-      .select(col("doc_id"),
-        when(col("nsym").isNotNull, col("nsym"))
-          .otherwise(raise_error(concat(
-            lit("transcript word missing from mm tokenizer vocabulary: "), col("word"))))
-          .as("nsym"))
-      .groupBy(col("doc_id")).agg(sum(col("nsym")).as("n_cap_ids"))
+    val (nsymPerWord, nWords) = mmVocabLensStats(s, dir)
+    capIdLensSized(gated.select(col("doc_id"), col("text")).distinct(),
+      nsymPerWord, nWords * 16L, "transcript")
   }
 
   /** Position a gated trimodal record frame against a precomputed
@@ -2392,6 +2384,46 @@ object Multimodal {
       (df, df.count())
     })
 
+  /** The per-word symbol-COUNT lens `(word, nsym)` over the release
+    * vocabulary, plus its exact row count, memoized + persisted:
+    * every caption/transcript length computation joins it — per
+    * MICRO-BATCH in both gated mm streams — so the groupBy is paid
+    * once per session and the join side's size is KNOWN for the
+    * broadcast gate below. */
+  private val mmVocabLensCache = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap
+      .empty[String, (org.apache.spark.sql.DataFrame, Long)])
+
+  private[graft] def mmVocabLensStats(s: SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Long) =
+    mmVocabLensCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val (syms, _) = mmCaptionSymsStats(s, dir)
+      val df = syms.groupBy(col("word")).agg(count(lit(1)).as("nsym")).persist()
+      (df, df.count())
+    })
+
+  /** Per-doc caption/transcript token-ID count against a vocabulary
+    * lens frame, broadcast-GATED ([[graft.queries.TextOps.maybeBroadcast]]):
+    * the per-word frame grows with the corpus VOCABULARY, so a hard
+    * broadcast here is a 100× driver-OOM hazard — and this join runs
+    * per micro-batch in both gated mm streams. Under the size bound
+    * the hint applies; above it the plan degrades to a shuffle join
+    * on the same key (pinned in ScaleTechniquesSpec). LEFT join +
+    * loud raise: a word outside the release vocabulary must fail,
+    * never silently shrink a window. */
+  private[graft] def capIdLensSized(docs: org.apache.spark.sql.DataFrame,
+      nsymPerWord: org.apache.spark.sql.DataFrame, estBytes: Long,
+      kind: String): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(graft.queries.TextOps.maybeBroadcast(nsymPerWord, estBytes),
+        Seq("word"), "left_outer")
+      .select(col("doc_id"),
+        when(col("nsym").isNotNull, col("nsym"))
+          .otherwise(raise_error(concat(
+            lit(s"$kind word missing from mm tokenizer vocabulary: "), col("word"))))
+          .as("nsym"))
+      .groupBy(col("doc_id")).agg(sum(col("nsym")).as("n_cap_ids"))
+
   /** Aligned docs POSITIONED on the interleaved token stream,
     * memoized + persisted: per-doc cost = media patch block + caption
     * id count, offsets via the two-level per-shard prefix sum
@@ -2425,16 +2457,8 @@ object Multimodal {
     * frame. */
   private[graft] def mmCapLensOf(s: SparkSession, dir: String,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val (syms, _) = mmCaptionSymsStats(s, dir)
-    val nsymPerWord = syms.groupBy(col("word")).agg(count(lit(1)).as("nsym"))
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .join(broadcast(nsymPerWord), Seq("word"), "left_outer")
-      .select(col("doc_id"),
-        when(col("nsym").isNotNull, col("nsym"))
-          .otherwise(raise_error(concat(
-            lit("caption word missing from mm tokenizer vocabulary: "), col("word"))))
-          .as("nsym"))
-      .groupBy(col("doc_id")).agg(sum(col("nsym")).as("n_cap_ids"))
+    val (nsymPerWord, nWords) = mmVocabLensStats(s, dir)
+    capIdLensSized(docs, nsymPerWord, nWords * 16L, "caption")
   }
 
   /** Position an aligned-docs frame against a precomputed lens frame

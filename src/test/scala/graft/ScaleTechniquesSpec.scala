@@ -263,6 +263,35 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("cap-lens vocabulary join degrades past the size bound") {
+    // The mm caption/transcript length lens joins the per-word
+    // symbol-count frame PER MICRO-BATCH in both gated mm streams;
+    // the frame grows with the corpus vocabulary, so it routes
+    // through the same gate: hint under the bound, shuffle join above
+    // it — a hard broadcast here was the one remaining 100× driver-
+    // OOM hazard on a hot path.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (nsymPerWord, nWords) =
+        graft.multimodal.Multimodal.mmVocabLensStats(spark, sf)
+      val docs = graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text"))
+      def planWith(estBytes: Long): String =
+        graft.multimodal.Multimodal
+          .capIdLensSized(docs, nsymPerWord, estBytes, "caption")
+          .queryExecution.executedPlan.toString
+      val under = planWith(nWords * 16L) // real local estimate: fits
+      val over = planWith(graft.queries.TextOps.BroadcastBytesLimit + 1)
+      // match on the join KEY: the lens frame's own cached lineage
+      // prints a nested BroadcastHashJoin [sym…] inside its
+      // InMemoryRelation text, so a bare substring check would see a
+      // broadcast that isn't this join's
+      assert(under.contains("BroadcastHashJoin [word"), under)
+      assert(!over.contains("BroadcastHashJoin [word"), over)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("span dedup mark-join degrades past the size bound") {
     // The duplicated-window set grows with the crawl; past the gate
     // the mark-join must fall back to a shuffle strategy on the same
