@@ -1859,6 +1859,76 @@ object Multimodal {
           x => x.getField("tok")), ",")).as("window_fp"))
   }
 
+  /** Per-window RECORD-BOUNDARY manifest for the TRIMODAL release —
+    * the attention/modality-mask contract over the three-family
+    * record stream ([[mmEmitBounds]] one modality up): every window
+    * ships the window-local offsets where a new (doc, modality)
+    * RECORD starts plus the modality-rank sequence at those starts,
+    * so a trimodal dataloader can mask cross-record attention and
+    * locate each patch block's family WITHOUT decoding tokens.
+    * Derives from the positioned record frame alone — one row per
+    * kept record, never a token explode (the [[trimodalEmitIds]]
+    * oracle's `o` frame without its token tail). */
+  val trimodalBounds: Q = Q("mm_trimodal_doc_bounds",
+    trimodalEmitOracleCtes("1 = 1") + """
+      |SELECT shard, CAST(off // 2048 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_records_started,
+      |  md5(string_agg(CAST(off % 2048 AS VARCHAR), ',' ORDER BY off)) AS bounds_fp,
+      |  md5(string_agg(CAST(mrank AS VARCHAR), ',' ORDER BY off)) AS mrank_fp
+      |FROM o GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin) { (s, dir) =>
+    trimodalBoundsOf(trimodalPositioned(s, dir))
+  }
+
+  /** The [[trimodalBounds]] rollup over any positioned record frame —
+    * shared by the batch query and the streaming twin's drained
+    * entries. */
+  private[graft] def trimodalBoundsOf(positioned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    positioned
+      .groupBy(col("shard"), floor(col("start_off") / 2048).cast("long").as("seq_id"))
+      .agg(count(lit(1)).as("n_records_started"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("start_off"),
+            (col("start_off") % 2048).cast("string").as("local")))),
+          x => x.getField("local")), ",")).as("bounds_fp"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("start_off"),
+            col("mrank").cast("string").as("mr")))),
+          x => x.getField("mr")), ",")).as("mrank_fp"))
+      .orderBy(col("shard"), col("seq_id"))
+
+  /** Token-ID FREQUENCY table of the TRIMODAL release — the unigram
+    * distribution shipped beside the three-modality shards, with the
+    * patch-token row at id −1 carrying the combined image/audio/video
+    * patch mass. A doc kept by k gates ships its transcript k times
+    * (once per record), and the frequency table weighs it k times —
+    * the repeated-transcript layout the windows actually cut.
+    * Frequency-weighted like [[mmEmitIdFreq]]: per-record word count
+    * with map-side combine on a vocab-bounded key, mass rides the
+    * bounded symbol table — no per-token explode at any corpus
+    * size. */
+  val trimodalIdFreq: Q = Q("mm_trimodal_id_freq",
+    trimodalEmitOracleCtes("1 = 1") + """,
+      |nrec AS (SELECT doc_id, COUNT(*) AS nr FROM o GROUP BY 1),
+      |wc AS (SELECT word, SUM(nr) AS wc FROM cw JOIN nrec USING (doc_id) GROUP BY 1),
+      |idm AS (SELECT st.id, d.sym, CAST(SUM(c.wc) AS BIGINT) AS n_occurrences
+      |        FROM dsym d JOIN symtab st USING (sym) JOIN wc c USING (word)
+      |        GROUP BY 1, 2)
+      |SELECT * FROM (
+      |  SELECT CAST(-1 AS BIGINT) AS id, 'P' AS sym,
+      |         CAST((SELECT SUM(m) FROM o) AS BIGINT) AS n_occurrences
+      |  UNION ALL
+      |  SELECT id, sym, n_occurrences FROM idm)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    trimodalIdFreqOf(s, dir, trimodalPositioned(s, dir))
+  }
+
+  /** The [[trimodalIdFreq]] rollup over any positioned record frame —
+    * shared by the batch query and the streaming twin's drained
+    * entries. */
+  private[graft] def trimodalIdFreqOf(s: SparkSession, dir: String,
+      positioned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    idFreqOverRecords(s, dir, positioned, col("mt"), "transcript")
+
   // --------------------------------------------------------- trimodal forget
   /** One trimodal-emission forget world per (application, sf dir):
     * promotes the full three-modality window artifact, then
@@ -2652,9 +2722,21 @@ object Multimodal {
   /** The [[mmEmitIdFreq]] rollup over any positioned frame — shared
     * by the batch query and the streaming twin's drained entries. */
   private[graft] def mmEmitIdFreqOf(s: SparkSession, dir: String,
-      positioned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      positioned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    idFreqOverRecords(s, dir, positioned, col("media_tokens"), "caption")
+
+  /** The id-frequency rollup over any RECORD frame carrying `text`
+    * plus a patch-token count column — shared by the interleaved
+    * (caption) and trimodal (transcript) releases and their stream
+    * twins. Frequency-weighted: the only corpus-scaled op is the
+    * per-record word count (map-side combine on a vocab-bounded key);
+    * exploding `text` once per RECORD row is exactly the repeated-
+    * transcript weighting the emission ships. */
+  private[graft] def idFreqOverRecords(s: SparkSession, dir: String,
+      records: org.apache.spark.sql.DataFrame, patchTokens: org.apache.spark.sql.Column,
+      kind: String): org.apache.spark.sql.DataFrame = {
     val (syms, nSyms) = mmCaptionSymsStats(s, dir)
-    val wc = positioned.select(explode(split(col("text"), " ")).as("word"))
+    val wc = records.select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
     val idm = wc
       .join(graft.queries.TextOps.maybeBroadcast(syms, nSyms * 48L),
@@ -2662,11 +2744,11 @@ object Multimodal {
       .select(col("wc"), col("sym"),
         when(col("id").isNotNull, col("id"))
           .otherwise(raise_error(concat(
-            lit("caption word missing from mm tokenizer vocabulary: "), col("word"))))
+            lit(s"$kind word missing from mm tokenizer vocabulary: "), col("word"))))
           .as("id"))
       .groupBy(col("id"), col("sym"))
       .agg(sum(col("wc")).cast("long").as("n_occurrences"))
-    positioned.agg(sum(col("media_tokens")).cast("long").as("n_occurrences"))
+    records.agg(sum(patchTokens).cast("long").as("n_occurrences"))
       .select(lit(-1L).as("id"), lit("P").as("sym"), col("n_occurrences"))
       .unionByName(idm)
       .orderBy(col("id"))
@@ -2824,5 +2906,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalShuffle, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, trimodalIdFreq, trimodalShuffle, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard)
 }

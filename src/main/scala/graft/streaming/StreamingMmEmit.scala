@@ -535,6 +535,25 @@ object StreamingMmEmit {
         (col("n_src_mismatch") === 0).as("diverges_at_first_flip"))
   }
 
+  /** Streaming twin of `mm_trimodal_doc_bounds` — same oracle: the
+    * record-boundary/modality-mask manifest is a content-determined
+    * rollup of the positioned records, so the continuously-landed
+    * entries must publish the byte-identical manifest beside the
+    * drained shards. */
+  val streamTrimodalBounds: Q = Q("stream_trimodal_doc_bounds",
+    Multimodal.trimodalBounds.oracle.get) { (s, dir) =>
+    Multimodal.trimodalBoundsOf(streamedTrimodalEntries(s, dir))
+  }
+
+  /** Streaming twin of `mm_trimodal_id_freq` — same oracle: the
+    * unigram distribution a continuously-publishing trimodal release
+    * monitors, weighed from the drained entries against the same
+    * gate-independent symbol table. */
+  val streamTrimodalIdFreq: Q = Q("stream_trimodal_id_freq",
+    Multimodal.trimodalIdFreq.oracle.get) { (s, dir) =>
+    Multimodal.trimodalIdFreqOf(s, dir, streamedTrimodalEntries(s, dir))
+  }
+
   /** Streaming twin of `mm_trimodal_shuffle` — same oracle: the
     * training order assigned at DRAIN over the continuously-landed
     * trimodal record stream (order is a whole-release fact, so a
@@ -670,6 +689,7 @@ object StreamingMmEmit {
   }
 
   val all: Seq[Q] = Seq(streamMmEmitIds, streamMmEmitBounds, streamMmEmitIdFreq,
-    streamMmEmitGated, streamTrimodalEmitIds, streamTrimodalGated,
+    streamMmEmitGated, streamTrimodalEmitIds, streamTrimodalBounds,
+    streamTrimodalIdFreq, streamTrimodalGated,
     streamTrimodalShuffle, streamTrimodalCard)
 }

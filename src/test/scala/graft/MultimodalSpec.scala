@@ -209,6 +209,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("trimodal dataloader contract is consistent with the emission (bounds + id-freq conservation)") {
+    // the boundary manifest and the unigram table are rollups of the
+    // SAME positioned record frame the windows cut from — pin the
+    // conservation laws a weighting or offset bug would break:
+    //  - every manifest window exists in the emission, and record
+    //    starts sum to the gated record count;
+    //  - Σ id mass (id ≥ 0) = Σ window tokens − Σ window patches, and
+    //    the patch row (id −1) = Σ window patches exactly.
+    val windows = Multimodal.trimodalEmitIds.fn(spark, sf).collect()
+    val winSet = windows.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_id"))).toSet
+    val bounds = Multimodal.trimodalBounds.fn(spark, sf).collect()
+    bounds.foreach { r =>
+      val k = (r.getAs[Long]("shard"), r.getAs[Long]("seq_id"))
+      assert(winSet.contains(k), s"manifest window $k not emitted")
+    }
+    val nStarts = bounds.map(_.getAs[Long]("n_records_started")).sum
+    val nRecords = Multimodal.trimodalCard.fn(spark, sf).collect()
+      .map(_.getAs[Long]("n_records")).sum
+    assert(nStarts == nRecords, s"record starts $nStarts != gated records $nRecords")
+    val freq = Multimodal.trimodalIdFreq.fn(spark, sf).collect()
+    val patchMass = freq.filter(_.getAs[Long]("id") == -1L)
+      .map(_.getAs[Long]("n_occurrences")).sum
+    val idMass = freq.filter(_.getAs[Long]("id") >= 0L)
+      .map(_.getAs[Long]("n_occurrences")).sum
+    val winTokens = windows.map(_.getAs[Long]("n_tokens")).sum
+    val winPatch = windows.map(_.getAs[Long]("n_patch")).sum
+    assert(patchMass == winPatch, s"patch row $patchMass != window patch mass $winPatch")
+    assert(idMass == winTokens - winPatch,
+      s"id mass $idMass != shipped ids ${winTokens - winPatch}")
+  }
+
   test("media forget: a forgotten clip is indistinguishable from never-ingested (audio, shared contract)") {
     // mm_dedup_forget certifies the image modality end-to-end at the
     // gate; the takedown path is modality-blind (the banded-index
