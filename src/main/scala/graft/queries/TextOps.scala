@@ -2594,61 +2594,138 @@ object TextOps {
     })
 
   /** The iterative trainer: `vocab` is `(word, freq)`; returns the
-    * merge table `(round, lhs, rhs, pair_count)`. Each round CUTS
-    * LINEAGE with an eager localCheckpoint — persist alone keeps the
-    * full logical plan, and `rounds` nested rewrites over a cached
-    * aggregate blow plan rendering up quadratically (observed as a
-    * driver OOM in explain-string generation). On a cluster with a
-    * checkpoint dir, `checkpoint` is the durable equivalent — the
-    * standard iterative-algorithm discipline (same as MLlib's
-    * k-means/ALS). */
+    * merge table `(round, lhs, rhs, pair_count)`. */
   private[graft] def learnBpeMerges(s: SparkSession, vocab: DataFrame,
                                     rounds: Int): DataFrame = {
     import s.implicits._
     learnBpeMergesSeq(s, vocab, rounds).toDF("round", "lhs", "rhs", "pair_count")
   }
 
-  /** `vocabRows` (when known, e.g. from the memoized vocabStats
-    * count) sizes the loop state's partitioning: the distinct-word
-    * state is usually orders of magnitude smaller than the corpus,
-    * and running 16 rounds of 32-task stages over a 100-row frame is
-    * pure scheduling overhead (measured 5.2 s → ~1.5 s at sf0.1).
-    * One partition per 64k words keeps a web-scale vocab parallel. */
+  /** State-frame bound for the iterative trainer: the highest-
+    * frequency units kept in driver memory across the merge rounds
+    * (≤ 64k words × avg word length — a few MB). */
+  private[graft] final val BpeStateBound = 65536
+
+  /** Iterative BPE merge learner over a BOUNDED state frame — the
+    * [[graft.queries.Kmeans]] discipline (corpus-scaled aggregation
+    * distributed, bounded model state on the driver) applied to the
+    * 256-round release trainer:
+    *
+    *  - the unit vocabulary arrives ALREADY aggregated (the
+    *    corpus-scaled word/bigram count is a distributed map-side-
+    *    combine groupBy upstream); the trainer cuts the
+    *    [[BpeStateBound]] highest-frequency units via a
+    *    TakeOrderedAndProject (freq desc, word — deterministic at
+    *    any partitioning, never a global sort) and iterates ALL
+    *    rounds over that bounded frame in driver memory — 256
+    *    in-memory rounds instead of 256 scheduled multi-job Spark
+    *    stages over a tiny frame (the pre-r17 shape: ~30 s of pure
+    *    scheduling at sf0.1);
+    *  - EXACTNESS BOUND (the [[graft.functions.FreqItemsSketch]]
+    *    Misra-Gries pattern): a pair occurring only in the excluded
+    *    tail has true count ≤ E, the tail's total adjacent-pair
+    *    mass (one distributed aggregate, skipped when the memoized
+    *    vocab count proves nothing was cut). The trainer REQUIRES
+    *    E strictly below the smallest selected merge count — if the
+    *    floor could have outranked any selection, it THROWS rather
+    *    than return a silently-approximate table (the bounded-
+    *    operator contract). Order-exactness among kept pairs is
+    *    pinned by the oracle-trained 16-round prefix
+    *    (`text_bpe_release256`) and the round-prefix determinism
+    *    spec (BpeScaleSpec B2);
+    *  - tie-breaks replicate the engine/oracle order exactly:
+    *    (count desc, lhs, rhs) with UNSIGNED UTF-8 byte comparison
+    *    (Spark's binary string order), and the merge rewrite is the
+    *    same left-to-right non-overlapping token scan the
+    *    boundary-preserving string replace performed.
+    *
+    * `vocabRows` (when known from a memoized count) lets the trainer
+    * skip the tail-mass aggregate when the whole vocab provably fits
+    * under the bound. */
   private[graft] def learnBpeMergesSeq(s: SparkSession, vocab: DataFrame,
                                        rounds: Int,
                                        vocabRows: Long = -1L): Seq[(Int, String, String, Long)] = {
-    val sized =
-      if (vocabRows < 0) vocab
-      else vocab.repartition(math.max(1,
-        math.min(s.sparkContext.defaultParallelism, (vocabRows / 65536L).toInt + 1)))
-    var state = sized.select(col("word"), col("freq"),
-        concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("st"))
-      .localCheckpoint(true)
+    val ranked = vocab.select(col("word").cast("string").as("word"),
+      col("freq").cast("long").as("freq"))
+    val kept: Array[(String, Long)] =
+      ranked.orderBy(col("freq").desc, col("word")).limit(BpeStateBound)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exclPairMass: Long =
+      if ((vocabRows >= 0 && vocabRows <= BpeStateBound) || kept.length < BpeStateBound) 0L
+      else {
+        val total = ranked
+          .agg(sum(col("freq") * (length(col("word")) - 1)).cast("long")).head.getLong(0)
+        val keptMass = kept.iterator.map { case (w, f) =>
+          f * math.max(0, w.codePointCount(0, w.length) - 1) }.sum
+        total - keptMass
+      }
+    // unsigned UTF-8 byte order — Spark's (and DuckDB's) binary
+    // string comparison, NOT Java's UTF-16 compareTo
+    def u8lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    var state: Array[(Array[String], Long)] = kept.map { case (w, f) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), f)
+    }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var done = false
     while (r <= rounds && !done) {
-      val toks = state.select(col("freq"), split(trim(col("st")), "  ").as("ts"))
-        .filter(size(col("ts")) >= 2)
-      val top = toks.select(col("freq"), explode(expr(
-          """transform(sequence(1, size(ts) - 1),
-            |  j -> struct(element_at(ts, j) as l, element_at(ts, j + 1) as r))""".stripMargin))
-          .as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("c"))
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty) done = true
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      state.foreach { case (ts, f) =>
+        var j = 0
+        while (j < ts.length - 1) {
+          val k = (ts(j), ts(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) done = true
       else {
-        val (l, rr, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        var best: ((String, String), Long) = null
+        counts.foreach { e =>
+          if (best == null ||
+              e._2 > best._2 ||
+              (e._2 == best._2 && (u8lt(e._1._1, best._1._1) ||
+                (e._1._1 == best._1._1 && u8lt(e._1._2, best._1._2)))))
+            best = e
+        }
+        val ((l, rr), c) = best
         merges += ((r, l, rr, c))
-        state = state.withColumn("st",
-          call_function("replace", col("st"), lit(s" $l  $rr "), lit(s" $l$rr ")))
-          .localCheckpoint(true)
+        state = state.map { case (ts, f) =>
+          if (ts.length < 2) (ts, f)
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[String](ts.length)
+            var j = 0
+            while (j < ts.length) {
+              if (j < ts.length - 1 && ts(j) == l && ts(j + 1) == rr) {
+                out += l + rr; j += 2
+              } else { out += ts(j); j += 1 }
+            }
+            (out.toArray, f)
+          }
+        }
       }
       r += 1
     }
-    merges.result()
+    val out = merges.result()
+    if (out.nonEmpty && exclPairMass > 0) {
+      val minSelected = out.iterator.map(_._4).min
+      require(exclPairMass < minSelected,
+        s"BPE state floor unsafe: excluded-tail pair mass $exclPairMass >= " +
+          s"smallest selected merge count $minSelected — raise BpeStateBound " +
+          s"(${BpeStateBound}) or train on the full vocabulary")
+    }
+    out
   }
 
   /** The oracle replays the identical `rounds` merge rounds as
