@@ -112,18 +112,20 @@ object Bench {
         // query runs first and min-of-2 hides it from the total
         graft.queries.TextOps.curationDecisions(spark, sfDir); ()
       },
-      timedWarm("cache_warm_mm_emit_stream") {
-        // the ONE interleaved-emission stream pass (BOTH gate faces:
-        // alignment-only + PRODUCTION-model-gated records per batch)
-        // whose drained artifacts feed the mm streaming twins and the
-        // gated certificate
-        graft.streaming.StreamingMmEmit.streamedEntries(spark, sfDir); ()
-      },
       timedWarm("cache_warm_trimodal_stream") {
-        // the ONE continuous trimodal emission pass (three alignment
-        // gates per micro-batch, BOTH gate faces) + the lineage-cut
-        // drained window artifact its twins and certificates share
+        // the ONE consolidated continuous emission pass: three
+        // alignment gates per micro-batch, ALL FOUR faces placed
+        // (trimodal + bimodal projection, each aligned + model-gated)
+        // + the lineage-cut drained trimodal window artifact — r17
+        // folded the separate bimodal pass into this one, so it runs
+        // FIRST and owns the drain cost
         graft.streaming.StreamingMmEmit.warmTrimodalStream(spark, sfDir)
+      },
+      timedWarm("cache_warm_mm_emit_stream") {
+        // the bimodal stream artifacts — since r17 a residual read of
+        // the consolidated pass's mrank=0 projection faces (the pass
+        // itself is attributed above)
+        graft.streaming.StreamingMmEmit.streamedEntries(spark, sfDir); ()
       },
       timedWarm("cache_warm_trimodal") {
         // the three alignment gates + the positioned trimodal record
@@ -134,6 +136,12 @@ object Bench {
         // the trimodal-emission forget world (store + lineage-cut
         // before/rebuilt windows) behind mm_trimodal_forget
         graft.multimodal.Multimodal.warmTrimodalForget(spark, sfDir)
+      },
+      timedWarm("cache_warm_trimodal_stream_forget") {
+        // the LIVE-takedown world behind stream_trimodal_forget:
+        // phase-1 drain, mid-stream shard-pruned recut + registry
+        // promotion, phase-2 resume drain, pinned window cuts
+        graft.streaming.StreamingMmEmit.warmTrimodalStreamForget(spark, sfDir)
       },
       timedWarm("cache_warm_joint_forget") {
         // the joint-dedup takedown world (two CC passes over the

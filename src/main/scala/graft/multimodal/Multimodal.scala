@@ -1979,6 +1979,13 @@ object Multimodal {
     forgottenTrimodalWorld(s, dir); ()
   }
 
+  /** The batch forget world's recut-from-reduced-corpus window
+    * artifact — the gold standard the LIVE-stream takedown's drained
+    * union must equal ([[graft.streaming.StreamingMmEmit]]'s
+    * `stream_trimodal_forget`). */
+  private[graft] def trimodalForgetRebuilt(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    forgottenTrimodalWorld(s, dir).rebuilt
+
   /** FORGET THROUGH THE THREE-MODALITY RELEASE — the
     * right-to-be-forgotten contract on the artifact a multimodal
     * training run actually reads: withdrawing a doc's content must

@@ -42,6 +42,11 @@ object StreamingMmEmit {
       extends graft.Reapable {
     /** Where the GATED (learned-decision-driven) entries land. */
     def gatedOutDir: String = outDir + "-gated"
+    /** Where the consolidated trimodal pass lands its BIMODAL
+      * (interleaved image-caption) projection faces — the mrank=0
+      * records positioned against their own offset state. */
+    def mmOutDir: String = outDir + "-mm"
+    def mmGatedOutDir: String = outDir + "-mm-gated"
     /** The whole stream world lives under the one scratch dir
       * [[prepare]] created — a MEMOIZED env must reap it on eviction
       * per the [[graft.Reapable]] ownership contract (the store is a
@@ -211,26 +216,24 @@ object StreamingMmEmit {
   private val entriesMemo = graft.SessionCaches.register(
     scala.collection.concurrent.TrieMap.empty[String, MmEmitStreamWorld])
 
-  /** ONE interleaved-emission stream pass per (application, sf dir),
-    * memoized — the streaming twins (windows + boundary manifest) and
-    * the gated certificate all read its drained artifacts instead of
-    * each draining their own stream (the unifiedRun consolidation
-    * rule; attributed by the `cache_warm_mm_emit_stream` bench
-    * entry). The pass runs with the PRODUCTION quality store, so it
-    * places BOTH faces per micro-batch: the alignment-only stream
-    * (the batch emit oracle's semantics) and the model-gated stream. */
+  /** The interleaved-emission stream artifacts per (application, sf
+    * dir), memoized — the streaming twins (windows + boundary
+    * manifest) and the gated certificate all read them. Since r17
+    * the bimodal stream IS the consolidated trimodal pass's mrank=0
+    * projection faces ([[processTrimodalBatch]]): ONE continuous pass
+    * computes the three alignment gates once per micro-batch and
+    * places all four faces, where a separate bimodal pass previously
+    * re-ran the image gate over the whole corpus. The standalone
+    * bimodal machinery ([[runMmEmitStream]]) remains the
+    * slicing-parity spec's harness. */
   private def streamedWorld(spark: SparkSession, dir: String): MmEmitStreamWorld =
     entriesMemo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
-      // gate default 2 slices: slicing robustness is pinned separately
-      // in MultimodalSpec (2/5 slices), so the per-round warm pays
-      // carry-vs-batch semantics once, not a third alignment pass
-      val world = runMmEmitStreamWorld(spark, dir, slices = 2,
-        quality = Some(graft.ml.QualityModel.productionStore(spark, dir)))
-      val df = world.entries.persist()
+      val tri = streamedTrimodalWorld(spark, dir)
+      val df = spark.read.parquet(tri.env.mmOutDir).drop("batch").persist()
       df.count()
-      val g = world.gated.map(_.persist())
-      g.foreach(_.count())
-      world.copy(entries = df, gated = g)
+      val g = spark.read.parquet(tri.env.mmGatedOutDir).drop("batch").persist()
+      g.count()
+      MmEmitStreamWorld(df, tri.env, gated = Some(g), qmodel = tri.qmodel)
     })
 
   def streamedEntries(spark: SparkSession, dir: String): DataFrame =
@@ -269,6 +272,9 @@ object StreamingMmEmit {
   val TrimodalOffsetsName = "mm_trimodal_offsets"
   /** Offset state of the GATED trimodal record stream. */
   val TrimodalGatedOffsetsName = "mm_trimodal_offsets_gated"
+  /** The takedown registry a LIVE trimodal stream honors: ids on the
+    * production list are filtered from every later micro-batch. */
+  val TrimodalTakedownsName = "trimodal_takedowns"
 
   /** Stream world for the CONTINUOUS trimodal emission: same
     * scratch-tree shape as the interleaved mm stream, its own
@@ -285,9 +291,15 @@ object StreamingMmEmit {
         .withColumn("batch_id", lit(-1L))
     store.promote(TrimodalOffsetsName,
       store.register(spark, TrimodalOffsetsName, emptyOffsets()))
-    if (quality.isDefined)
+    // the consolidated pass also places the bimodal projection face
+    // against its own offset state (same store, distinct names)
+    store.promote(OffsetsName, store.register(spark, OffsetsName, emptyOffsets()))
+    if (quality.isDefined) {
       store.promote(TrimodalGatedOffsetsName,
         store.register(spark, TrimodalGatedOffsetsName, emptyOffsets()))
+      store.promote(GatedOffsetsName,
+        store.register(spark, GatedOffsetsName, emptyOffsets()))
+    }
     Env(s"$scratch/in", s"$scratch/entries", s"$scratch/ckpt", store, dir,
       docs.schema, quality)
   }
@@ -308,20 +320,44 @@ object StreamingMmEmit {
     * `mm_trimodal_emit_ids`'s oracle verbatim. */
   def processTrimodalBatch(batch: DataFrame, batchId: Long, env: Env): Unit = {
     val bs = batch.sparkSession
-    val gated = Multimodal.trimodalGatedOf(batch, Tables.embeddings(bs, env.dir))
-      .persist() // both faces read it: the three gates run once per batch
+    // honor the takedown registry when this world maintains one: a
+    // doc on the PRODUCTION list is never ingested by later batches
+    // (the post-forget arrivals contract — re-resolved per batch like
+    // the quality model, so a takedown landing mid-stream takes
+    // effect at the next micro-batch; absent registry = no-op). The
+    // list is id-only and bounded by withdrawals, not the corpus;
+    // AQE picks the join strategy at runtime.
+    val live = env.store.loadProduction(bs, TrimodalTakedownsName)
+      .map(td => batch.join(td.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      .getOrElse(batch)
+    val gated = Multimodal.trimodalGatedOf(live, Tables.embeddings(bs, env.dir))
+      .persist() // ALL faces read it: the three gates run once per batch
     val lens = Multimodal.trimodalCapLensOf(bs, env.dir, gated).persist()
     placeTrimodalFace(bs, env, batchId, gated, lens,
       TrimodalOffsetsName, env.outDir)
+    // the BIMODAL (interleaved image-caption) emission is the
+    // mrank=0 projection of the same gated union — the consolidated
+    // pass places it against its own offset state instead of a
+    // second continuous pass re-running the image gate (r17: the
+    // gates were computed twice per corpus before this)
+    val mmAligned = gated.filter(col("mrank") === 0)
+      .select(col("doc_id"), col("shard"), col("mt").as("media_tokens"), col("text"))
+    placeFace(bs, env, batchId, mmAligned, lens, OffsetsName, env.mmOutDir)
     env.quality.foreach { qstore =>
       val model = qstore.loadProduction(bs, graft.ml.QualityModel.ModelName)
         .getOrElse(sys.error("no production quality model"))
+      // ONE per-doc transcript decision drives both gated faces (the
+      // caption is the shared half of every record family)
       val keep = graft.ml.QualityModel.scoreClosedForm(
         gated.select(col("doc_id"), col("text")).distinct()
           .select(col("doc_id"), split(col("text"), " ").as("toks")), model)
-        .filter(col("proba") >= 0.5).select(col("doc_id"))
+        .filter(col("proba") >= 0.5).select(col("doc_id")).persist()
       placeTrimodalFace(bs, env, batchId, gated.join(keep, Seq("doc_id")), lens,
         TrimodalGatedOffsetsName, env.gatedOutDir)
+      placeFace(bs, env, batchId, mmAligned.join(keep, Seq("doc_id")), lens,
+        GatedOffsetsName, env.mmGatedOutDir)
+      keep.unpersist()
+      ()
     }
     lens.unpersist()
     gated.unpersist()
@@ -340,8 +376,11 @@ object StreamingMmEmit {
     placedRaw
       // per-SHARD state is 4 rows by construction — broadcast-bounded
       .join(broadcast(base), Seq("shard"), "left_outer")
+      // `tot` (patch block + transcript ids) rides along so a
+      // mid-stream takedown can recut a shard from the landed record
+      // stream alone, without re-paying the vocab lens join
       .select(col("shard"), col("doc_id"), col("mrank"), col("modality"),
-        col("mt"), col("text"),
+        col("mt"), col("tot"), col("text"),
         (col("start_off") + coalesce(col("base_off"), lit(0L))).as("start_off"))
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     env.store.appendBatch(bs, offsetsName,
@@ -397,6 +436,10 @@ object StreamingMmEmit {
       env.store.gc(TrimodalOffsetsName, keep = 1)
       env.store.compact(spark, TrimodalGatedOffsetsName)
       env.store.gc(TrimodalGatedOffsetsName, keep = 1)
+      env.store.compact(spark, OffsetsName)
+      env.store.gc(OffsetsName, keep = 1)
+      env.store.compact(spark, GatedOffsetsName)
+      env.store.gc(GatedOffsetsName, keep = 1)
       require(vBefore == qstore.productionVersion(graft.ml.QualityModel.ModelName),
         "quality model promoted during the memoized trimodal emission pass")
       val df = spark.read.parquet(env.outDir).drop("batch").persist()
@@ -688,8 +731,213 @@ object StreamingMmEmit {
         (col("n_src_mismatch") === 0).as("diverges_at_first_flip"))
   }
 
+  // ------------------------------------------------- live-stream takedown
+  /** The MID-STREAM takedown applied to a running trimodal emission:
+    *
+    *  1. the withdrawal ids are PROMOTED as the takedown registry —
+    *     every later micro-batch anti-joins the production list, so
+    *     post-forget arrivals of a withdrawn doc are never ingested
+    *     (the [[processTrimodalBatch]] per-batch re-resolve, the
+    *     model-gate discipline applied to withdrawals);
+    *  2. the landed record stream is recut SHARD-PRUNED: only shards
+    *     holding a withdrawn record are touched — their kept records
+    *     re-derive offsets through the SAME two-level sub-sharded
+    *     prefix sum that placed them (arrivals are doc_id-ordered, so
+    *     shard order is (doc_id, mrank)); untouched shards' landed
+    *     batches are preserved byte-for-byte (at 100 TB a takedown
+    *     recuts ONE shard, never the release — the CowMerge shape);
+    *  3. the offset-carry state drops the forgotten mass via the
+    *     watermark-preserving [[graft.sources.VersionedStore.rewrite]],
+    *     so the CONTINUING stream places post-forget records exactly
+    *     at the recut prefix's end.
+    *
+    * The recut reads `tot` off the landed records themselves — no
+    * re-gating, no vocab lens re-join: the takedown's cost is the
+    * affected shard's record stream, not the corpus. */
+  private[graft] def applyTrimodalStreamForget(s: SparkSession, env: Env): Unit = {
+    import graft.multimodal.Multimodal.{TakedownMod, TakedownResidue}
+    def forgotten(id: org.apache.spark.sql.Column) =
+      id % TakedownMod === TakedownResidue
+    env.store.promote(TrimodalTakedownsName,
+      env.store.register(s, TrimodalTakedownsName,
+        Tables.documents(s, env.dir).filter(forgotten(col("doc_id")))
+          .select(col("doc_id"))))
+    // partition discovery types `batch` as int — pin it long so the
+    // collected ids and the offset-state union stay type-stable
+    val landed = s.read.parquet(env.outDir)
+      .withColumn("batch", col("batch").cast("long"))
+    val affected = landed.filter(forgotten(col("doc_id")))
+      .select(col("shard")).distinct().collect().map(_.getLong(0)).toSeq
+    if (affected.nonEmpty) {
+      val kept = landed.filter(col("shard").isin(affected: _*))
+        .filter(!forgotten(col("doc_id")))
+      val recut = graft.queries.TextOps.sourcePrefixSum(
+        kept.select(col("shard").as("source"), col("batch"), col("doc_id"),
+          col("mrank"), col("modality"), col("mt"), col("tot"), col("text")),
+        col("tot"), order = Seq(col("doc_id"), col("mrank")))
+        .withColumnRenamed("source", "shard")
+      // pinned BEFORE the batch dirs it read from are overwritten
+      val replacement = landed.filter(!col("shard").isin(affected: _*))
+        .unionByName(recut.select(landed.columns.map(col): _*))
+        .localCheckpoint(true)
+      val batches = replacement.select(col("batch")).distinct()
+        .collect().map(_.getLong(0))
+      batches.foreach { b =>
+        replacement.filter(col("batch") === b).drop("batch")
+          .write.mode("overwrite").parquet(s"${env.outDir}/batch=$b")
+      }
+      env.store.rewrite(s, TrimodalOffsetsName) { old =>
+        old.filter(!col("shard").isin(affected: _*))
+          .unionByName(replacement.filter(col("shard").isin(affected: _*))
+            .groupBy(col("shard"), col("batch").as("batch_id"))
+            .agg(sum(col("tot")).cast("long").as("batch_tokens"))
+            .select(old.columns.map(col): _*))
+      }
+      env.store.gc(TrimodalOffsetsName, keep = 1)
+    }
+    ()
+  }
+
+  /** One LIVE-takedown stream world per (application, sf dir): half
+    * the corpus arrives and ships, the phase-1 query dies, the
+    * takedown lands against the QUIESCED artifacts, and a FRESH query
+    * resumes on the same checkpoint to ingest the rest — the
+    * kill/resume boundary deliberately brackets the forget. Owns its
+    * scratch tree (Reapable) and pins the certificate's comparison
+    * frames lineage-cut. */
+  private[streaming] final case class TrimodalStreamForgetWorld(env: Env,
+      preEntries: DataFrame, postRewriteEntries: DataFrame,
+      preWindows: DataFrame, entries: DataFrame, finalWindows: DataFrame,
+      affectedShards: Seq[Long]) extends graft.Reapable {
+    def reapRoots: Seq[String] = env.reapRoots
+  }
+
+  private val triForgetStreamMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, TrimodalStreamForgetWorld])
+
+  private[graft] def trimodalStreamForgetWorld(s: SparkSession,
+      dir: String): TrimodalStreamForgetWorld =
+    triForgetStreamMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      import graft.multimodal.Multimodal.{TakedownMod, TakedownResidue}
+      val docs = Tables.documents(s, dir)
+      val mid = docs.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+      val env = prepareTrimodal(s, dir)
+      StreamingCuration.landOrderedSlicesOf(
+        docs.filter(col("doc_id") < mid), "doc_id", env.inDir, 2)
+      runTrimodalPass(s, env) // phase-1 query dies here
+      val pre = s.read.parquet(env.outDir).localCheckpoint(true)
+      applyTrimodalStreamForget(s, env) // the takedown lands mid-stream
+      val post = s.read.parquet(env.outDir).localCheckpoint(true)
+      StreamingCuration.landOrderedSlicesOf(
+        docs.filter(col("doc_id") >= mid), "doc_id", env.inDir, 2, tag = "b")
+      runTrimodalPass(s, env) // fresh query, same checkpoint + carry
+      env.store.compact(s, TrimodalOffsetsName)
+      env.store.gc(TrimodalOffsetsName, keep = 1)
+      val fin = s.read.parquet(env.outDir).drop("batch").localCheckpoint(true)
+      val affected = pre
+        .filter(col("doc_id") % TakedownMod === TakedownResidue)
+        .select(col("shard")).distinct().collect().map(_.getLong(0)).toSeq
+      TrimodalStreamForgetWorld(env,
+        preEntries = pre, postRewriteEntries = post,
+        preWindows = Multimodal.trimodalEmitWindowsOf(s, dir, pre.drop("batch"))
+          .localCheckpoint(true),
+        entries = fin,
+        finalWindows = Multimodal.trimodalEmitWindowsOf(s, dir, fin)
+          .localCheckpoint(true),
+        affectedShards = affected)
+    })
+
+  /** Bench warm hook: the two-phase drain + mid-stream rewrite,
+    * attributed once. */
+  private[graft] def warmTrimodalStreamForget(s: SparkSession, dir: String): Unit = {
+    trimodalStreamForgetWorld(s, dir); ()
+  }
+
+  /** TAKEDOWN AGAINST THE LIVE STREAM — the right-to-be-forgotten
+    * contract while the release is still ACCRETING: a withdrawal
+    * lands between micro-batches of the continuous trimodal emission,
+    * and the certificate pins the three facts an operator must hold
+    * simultaneously:
+    *
+    *  - `drain_equals_batch_rebuild`: the drained union (recut
+    *    phase-1 prefix + post-forget continuation) is ROW-IDENTICAL
+    *    to the batch forget world's recut-from-reduced-corpus window
+    *    artifact — a doc withdrawn mid-stream is indistinguishable
+    *    from one never ingested, even though half the release shipped
+    *    before the takedown existed;
+    *  - `preforget_windows_immutable`: every COMPLETE window shipped
+    *    before the forget in an untouched shard — and, in affected
+    *    shards, before the shard's first withdrawn record — survives
+    *    byte-identical in the final release (shipped windows are
+    *    immutable facts; the recut may only change windows at or
+    *    after the first withdrawal);
+    *  - `untouched_shards_preserved`: the mid-stream rewrite touched
+    *    ONLY the affected shards' landed batches (the shard-pruned
+    *    CowMerge claim, asserted on the records themselves).
+    *
+    * The oracle recomputes the reduced-corpus window count through
+    * the FULL three-gate + BPE emission replay, plus the withdrawal
+    * counts; parity facts ride as pinned booleans. The kill/resume
+    * boundary deliberately brackets the forget (phase-1 query dies,
+    * takedown lands, fresh query resumes) — re-asserted with an
+    * idle wake-up in MultimodalSpec. */
+  val streamTrimodalForget: Q = Q("stream_trimodal_forget",
+    "SELECT\n" +
+      "  (SELECT CAST(SUM((t + 2047) // 2048) AS BIGINT) FROM (SELECT shard, SUM(tot) AS t FROM (" +
+      Multimodal.trimodalEmitOracleCtes("doc_id % 20 <> 8") +
+      "\nSELECT shard, tot FROM o) ao GROUP BY 1) at2) AS n_windows_after,\n" +
+      "  (SELECT COUNT(*) FROM documents WHERE doc_id % 20 = 8) AS n_docs_forgotten,\n" +
+      "  (SELECT COUNT(DISTINCT doc_id % 4) FROM documents WHERE doc_id % 20 = 8) AS n_shards_affected,\n" +
+      "  TRUE AS drain_equals_batch_rebuild,\n" +
+      "  TRUE AS preforget_windows_immutable,\n" +
+      "  TRUE AS untouched_shards_preserved") { (s, dir) =>
+    import graft.multimodal.Multimodal.{TakedownMod, TakedownResidue}
+    val world = trimodalStreamForgetWorld(s, dir)
+    val sameWindow = col("a.n_tokens") <=> col("b.n_tokens") &&
+      col("a.n_patch") <=> col("b.n_patch") && col("a.window_fp") <=> col("b.window_fp")
+    val drainDiff = world.finalWindows.as("a")
+      .join(Multimodal.trimodalForgetRebuilt(s, dir).as("b"),
+        Seq("shard", "seq_id"), "full_outer")
+      .filter(!sameWindow).agg(count(lit(1)).as("n_drain_diff"))
+    // per-affected-shard first withdrawn record's window in the
+    // PRE-forget stream — complete windows strictly before it (and
+    // every complete window of untouched shards) must survive
+    val flip = world.preEntries
+      .filter(col("doc_id") % TakedownMod === TakedownResidue)
+      .groupBy(col("shard")).agg(min(floor(col("start_off") / 2048)).as("flip_seq"))
+    val immDiff = world.preWindows.filter(col("n_tokens") === 2048)
+      .join(flip, Seq("shard"), "left_outer")
+      .filter(col("flip_seq").isNull || col("seq_id") < col("flip_seq"))
+      .select(col("shard"), col("seq_id"), col("n_tokens"), col("n_patch"), col("window_fp"))
+      .as("a")
+      .join(world.finalWindows.as("b"), Seq("shard", "seq_id"), "left_outer")
+      .filter(!sameWindow).agg(count(lit(1)).as("n_imm_diff"))
+    val untouchedKey = Seq("shard", "doc_id", "mrank")
+    val untouchedDiff = world.postRewriteEntries
+      .filter(!col("shard").isin(world.affectedShards: _*)).as("a")
+      .join(world.preEntries
+        .filter(!col("shard").isin(world.affectedShards: _*)).as("b"),
+        untouchedKey, "full_outer")
+      .filter(!(col("a.start_off") <=> col("b.start_off") &&
+        col("a.tot") <=> col("b.tot")))
+      .agg(count(lit(1)).as("n_untouched_diff"))
+    world.finalWindows.agg(count(lit(1)).as("n_windows_after"))
+      .crossJoin(broadcast(Tables.documents(s, dir)
+        .filter(col("doc_id") % TakedownMod === TakedownResidue)
+        .agg(count(lit(1)).as("n_docs_forgotten"),
+          countDistinct(col("doc_id") % 4).as("n_shards_affected"))))
+      .crossJoin(broadcast(drainDiff))
+      .crossJoin(broadcast(immDiff))
+      .crossJoin(broadcast(untouchedDiff))
+      .select(col("n_windows_after"), col("n_docs_forgotten"),
+        col("n_shards_affected"),
+        (col("n_drain_diff") === 0).as("drain_equals_batch_rebuild"),
+        (col("n_imm_diff") === 0).as("preforget_windows_immutable"),
+        (col("n_untouched_diff") === 0).as("untouched_shards_preserved"))
+  }
+
   val all: Seq[Q] = Seq(streamMmEmitIds, streamMmEmitBounds, streamMmEmitIdFreq,
     streamMmEmitGated, streamTrimodalEmitIds, streamTrimodalBounds,
     streamTrimodalIdFreq, streamTrimodalGated,
-    streamTrimodalShuffle, streamTrimodalCard)
+    streamTrimodalShuffle, streamTrimodalCard, streamTrimodalForget)
 }

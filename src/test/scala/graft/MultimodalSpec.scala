@@ -240,6 +240,49 @@ class MultimodalSpec extends SparkSpec {
       s"id mass $idMass != shipped ids ${winTokens - winPatch}")
   }
 
+  test("live takedown: the stream forgets mid-flight across a kill/resume boundary") {
+    // the world IS the kill/resume composition: the phase-1 query
+    // dies after draining half the corpus, the takedown lands against
+    // the quiesced artifacts, and a FRESH query resumes on the same
+    // checkpoint. Assert the non-vacuity legs the certificate's
+    // booleans rest on, then an idle wake-up: a third pass with no
+    // new arrivals must change nothing.
+    import graft.streaming.StreamingMmEmit
+    import graft.multimodal.Multimodal.{TakedownMod, TakedownResidue}
+    val world = StreamingMmEmit.trimodalStreamForgetWorld(spark, sf)
+    def forgot(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("doc_id") % TakedownMod === TakedownResidue).count()
+    // phase 1 genuinely ingested withdrawn docs (the recut leg is live)
+    assert(forgot(world.preEntries) > 0, "no withdrawn doc shipped before the forget")
+    // the registry leg is live too: withdrawn docs arrived AFTER the
+    // forget and were kept out (they exist in the upper id half)
+    val mid = graft.sources.Tables.documents(spark, sf)
+      .agg(avg(col("doc_id"))).head().getDouble(0).toLong
+    assert(graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") >= mid &&
+        col("doc_id") % TakedownMod === TakedownResidue).count() > 0,
+      "no withdrawn doc in the post-forget arrivals — registry leg vacuous")
+    // the drained release holds NO withdrawn record, from either phase
+    assert(forgot(world.entries) == 0, "withdrawn records survived the takedown")
+    // drained union == the batch forget world's recut-from-reduced-corpus
+    val fin = world.finalWindows.collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_patch"),
+        r.getAs[String]("window_fp"))).toSet
+    val rebuilt = graft.multimodal.Multimodal.trimodalForgetRebuilt(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_patch"),
+        r.getAs[String]("window_fp"))).toSet
+    assert(fin == rebuilt, s"drain != batch rebuild: extra=${(fin -- rebuilt).take(3)} " +
+      s"missing=${(rebuilt -- fin).take(3)}")
+    // idle wake-up: a third pass on the same checkpoint with no new
+    // arrivals is a no-op (the resumed stream stays idempotent)
+    val before = world.entries.count()
+    StreamingMmEmit.runTrimodalPass(spark, world.env)
+    val after = spark.read.parquet(world.env.outDir).drop("batch").count()
+    assert(after == before, s"idle wake-up changed the release: $before -> $after")
+  }
+
   test("media forget: a forgotten clip is indistinguishable from never-ingested (audio, shared contract)") {
     // mm_dedup_forget certifies the image modality end-to-end at the
     // gate; the takedown path is modality-blind (the banded-index
