@@ -112,6 +112,13 @@ object Bench {
         // query runs first and min-of-2 hides it from the total
         graft.queries.TextOps.curationDecisions(spark, sfDir); ()
       },
+      timedWarm("cache_warm_media_quality") {
+        // the decode-stat feature store + the media LR fit + closed
+        // form behind mm_media_quality_model and the trimodal media
+        // gate — named BEFORE the stream warm so the consolidated
+        // pass doesn't absorb the fit
+        graft.ml.MediaQualityModel.closedForm(spark, sfDir); ()
+      },
       timedWarm("cache_warm_trimodal_stream") {
         // the ONE consolidated continuous emission pass: three
         // alignment gates per micro-batch, ALL FOUR faces placed

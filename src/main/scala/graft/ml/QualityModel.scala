@@ -172,6 +172,13 @@ object QualityModel {
       val store = new graft.sources.FrameStore(
         java.nio.file.Files.createTempDirectory("graft-quality-lr-").toString)
       store.promote(ModelName, store.register(s, ModelName, closedForm(s, dir)))
+      // the MEDIA-quality model ships in the same registry: the
+      // trimodal stream re-resolves both gates per micro-batch from
+      // one production store (a store WITHOUT the media name runs
+      // transcript-gated only — the gate is deployment-optional)
+      store.promote(MediaQualityModel.ModelName,
+        store.register(s, MediaQualityModel.ModelName,
+          MediaQualityModel.closedForm(s, dir)))
       store
     })
 

@@ -181,7 +181,8 @@ object StreamingMmEmit {
     * does): the gated record stream and the model version it
     * resolved, pinned together for the certificate. */
   private[streaming] final case class MmEmitStreamWorld(entries: DataFrame, env: Env,
-      gated: Option[DataFrame] = None, qmodel: Option[DataFrame] = None)
+      gated: Option[DataFrame] = None, qmodel: Option[DataFrame] = None,
+      mqmodel: Option[DataFrame] = None)
       extends graft.Reapable {
     def reapRoots: Seq[String] = env.reapRoots
   }
@@ -348,15 +349,28 @@ object StreamingMmEmit {
         .getOrElse(sys.error("no production quality model"))
       // ONE per-doc transcript decision drives both gated faces (the
       // caption is the shared half of every record family)
-      val keep = graft.ml.QualityModel.scoreClosedForm(
+      val tKeep = graft.ml.QualityModel.scoreClosedForm(
         gated.select(col("doc_id"), col("text")).distinct()
           .select(col("doc_id"), split(col("text"), " ").as("toks")), model)
         .filter(col("proba") >= 0.5).select(col("doc_id")).persist()
-      placeTrimodalFace(bs, env, batchId, gated.join(keep, Seq("doc_id")), lens,
+      // the TRIMODAL gated face additionally honors the MEDIA-quality
+      // model when the registry carries one: the decode-stat LR
+      // (re-resolved per batch like the transcript model) drops a
+      // doc's media records beside the transcript gate — the
+      // LAION-style two-filter curation. A registry without the media
+      // name gates transcript-only (deployment-optional).
+      val triKeep = qstore.loadProduction(bs, graft.ml.MediaQualityModel.ModelName)
+        .map { mmodel =>
+          tKeep.join(graft.ml.MediaQualityModel.mediaKeepIds(
+            bs, env.dir, gated.select(col("doc_id")).distinct(), mmodel),
+            Seq("doc_id")).persist()
+        }.getOrElse(tKeep)
+      placeTrimodalFace(bs, env, batchId, gated.join(triKeep, Seq("doc_id")), lens,
         TrimodalGatedOffsetsName, env.gatedOutDir)
-      placeFace(bs, env, batchId, mmAligned.join(keep, Seq("doc_id")), lens,
+      placeFace(bs, env, batchId, mmAligned.join(tKeep, Seq("doc_id")), lens,
         GatedOffsetsName, env.mmGatedOutDir)
-      keep.unpersist()
+      if (!(triKeep eq tKeep)) triKeep.unpersist()
+      tKeep.unpersist()
       ()
     }
     lens.unpersist()
@@ -429,6 +443,7 @@ object StreamingMmEmit {
     trimodalEntriesMemo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
       val qstore = graft.ml.QualityModel.productionStore(spark, dir)
       val vBefore = qstore.productionVersion(graft.ml.QualityModel.ModelName)
+      val mvBefore = qstore.productionVersion(graft.ml.MediaQualityModel.ModelName)
       val env = prepareTrimodal(spark, dir, quality = Some(qstore))
       StreamingCuration.landOrderedSlices(spark, env.inDir, dir, 2)
       runTrimodalPass(spark, env)
@@ -442,13 +457,17 @@ object StreamingMmEmit {
       env.store.gc(GatedOffsetsName, keep = 1)
       require(vBefore == qstore.productionVersion(graft.ml.QualityModel.ModelName),
         "quality model promoted during the memoized trimodal emission pass")
+      require(mvBefore == qstore.productionVersion(graft.ml.MediaQualityModel.ModelName),
+        "media quality model promoted during the memoized trimodal emission pass")
       val df = spark.read.parquet(env.outDir).drop("batch").persist()
       df.count()
       val g = spark.read.parquet(env.gatedOutDir).drop("batch").persist()
       g.count()
       MmEmitStreamWorld(df, env, gated = Some(g),
         qmodel = Some(qstore.loadProduction(spark, graft.ml.QualityModel.ModelName)
-          .getOrElse(sys.error("no production quality model")).localCheckpoint(true)))
+          .getOrElse(sys.error("no production quality model")).localCheckpoint(true)),
+        mqmodel = Some(qstore.loadProduction(spark, graft.ml.MediaQualityModel.ModelName)
+          .getOrElse(sys.error("no production media quality model")).localCheckpoint(true)))
     })
 
   def streamedTrimodalEntries(spark: SparkSession, dir: String): DataFrame =
@@ -501,18 +520,31 @@ object StreamingMmEmit {
         world.gated.getOrElse(sys.error("trimodal pass ran without a quality store"))))
       val sa = streamedTrimodalWindows(s, dir) // already lineage-cut
       val qmodel = world.qmodel.get
+      val mqmodel = world.mqmodel.get
       val gated = Multimodal.trimodalGated(s, dir)
       val docsWithRecords = gated.select(col("doc_id"), col("text")).distinct()
-      val keepIds = graft.ml.QualityModel.scoreClosedForm(
+      val tKeepIds = graft.ml.QualityModel.scoreClosedForm(
         docsWithRecords.select(col("doc_id"), split(col("text"), " ").as("toks")), qmodel)
         .filter(col("proba") >= 0.5).select(col("doc_id"))
+      val mKeepIds = graft.ml.MediaQualityModel.mediaKeepIds(
+        s, dir, docsWithRecords.select(col("doc_id")), mqmodel)
+      // batch twin composes BOTH pinned gates — the two-filter
+      // decision the stream's gated face places per micro-batch
+      val keepIds = tKeepIds.join(mKeepIds, Seq("doc_id"))
       val batchGated = pin(Multimodal.trimodalEmitWindowsOf(s, dir,
         Multimodal.trimodalPositionOf(s, dir, gated.join(keepIds, Seq("doc_id")))))
-      // expected per-DOC decision under the pinned model (a doc's
-      // records all keep or all drop — the caption is shared)
+      // expected per-DOC decision under the pinned models (a doc's
+      // records all keep or all drop — the caption/media stats are
+      // doc-level facts), with each gate's own verdict kept so the
+      // flips-only-media leg can attribute every drop to its filter
       val expected = pin(docsWithRecords.select(col("doc_id"))
-        .join(keepIds.withColumn("k", lit(true)), Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), coalesce(col("k"), lit(false)).as("expected_keep")))
+        .join(tKeepIds.withColumn("tk", lit(true)), Seq("doc_id"), "left_outer")
+        .join(mKeepIds.withColumn("mk", lit(true)), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("tk"), lit(false)).as("t_keep"),
+          coalesce(col("mk"), lit(false)).as("m_keep"),
+          (coalesce(col("tk"), lit(false)) && coalesce(col("mk"), lit(false)))
+            .as("expected_keep")))
       // per-shard FIRST flip window: the dropped doc's FIRST record
       // offset in the STREAM that retains it — derived from the
       // streamed ungated entries (not the batch-positioned frame) so
@@ -526,18 +558,24 @@ object StreamingMmEmit {
       (sg, sa, batchGated, expected, flipSeq)
     })
 
-  /** THE LEARNED GATE DRIVING THE THREE-MODALITY RELEASE — the
-    * [[streamMmEmitGated]] certificate one level up: the PRODUCTION
-    * model's per-batch re-resolved TRANSCRIPT decisions drive a
-    * second live trimodal record stream (a dropped caption removes
-    * all of its doc's modality records), and the certificate pins
-    * gated stream ≡ batch recut under the pinned model version,
-    * flips-only-quality on the per-doc record set, and per-shard
-    * first-divergence at the first dropped doc's record window. The
-    * oracle recomputes the gate-invariant aligned record and window
-    * counts through the full three-gate + BPE emission replay. The
-    * mid-stream-promotion mechanics are the [[processBatch]] gated
-    * face's, pinned at spec scale in QualityGateSpec. */
+  /** THE LEARNED GATES DRIVING THE THREE-MODALITY RELEASE — the
+    * [[streamMmEmitGated]] certificate one level up, now a TWO-FILTER
+    * composition: the PRODUCTION transcript model's AND the
+    * PRODUCTION media-quality model's per-batch re-resolved per-doc
+    * decisions drive a second live trimodal record stream (a doc
+    * dropped by EITHER filter loses all its modality records — the
+    * LAION-style text+media curation pair), and the certificate pins
+    * gated stream ≡ batch recut under the pinned model versions,
+    * flips-only-quality on the composed per-doc record set,
+    * flips-only-MEDIA-quality (relative to the transcript-only set,
+    * the stream's extra drops are exactly the media model's) with a
+    * non-vacuity leg (the media gate must drop something the
+    * transcript gate kept), and per-shard first-divergence at the
+    * first dropped doc's record window. The oracle recomputes the
+    * gate-invariant aligned record and window counts through the full
+    * three-gate + BPE emission replay. The mid-stream-promotion
+    * mechanics are the [[processBatch]] gated face's, pinned at spec
+    * scale in QualityGateSpec. */
   val streamTrimodalGated: Q = Q("stream_trimodal_gated",
     Multimodal.trimodalEmitOracleCtes("1 = 1") + """
       |SELECT
@@ -547,6 +585,8 @@ object StreamingMmEmit {
       |    AS n_windows,
       |  TRUE AS stream_equals_batch,
       |  TRUE AS flips_only_quality,
+      |  TRUE AS flips_only_media_quality,
+      |  TRUE AS media_gate_active,
       |  TRUE AS diverges_at_first_flip""".stripMargin) { (s, dir) =>
     val world = streamedTrimodalWorld(s, dir)
     val (sg, sa, batchGated, expected, flipSeq) = trimodalGatedCertArtifacts(s, dir)
@@ -557,10 +597,21 @@ object StreamingMmEmit {
       .filter(!sameWindow).agg(count(lit(1)).as("n_parity_diff"))
     val streamedIds = world.gated.get.select(col("doc_id")).distinct()
       .withColumn("in_stream", lit(true))
-    val flipBad = expected.join(streamedIds, Seq("doc_id"), "full_outer")
-      .filter(coalesce(col("expected_keep"), lit(false))
-        =!= coalesce(col("in_stream"), lit(false)))
-      .agg(count(lit(1)).as("n_flip_bad"))
+    val withStream = expected.join(streamedIds, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("t_keep"), lit(false)).as("tk"),
+        coalesce(col("m_keep"), lit(false)).as("mk"),
+        coalesce(col("expected_keep"), lit(false)).as("ek"),
+        coalesce(col("in_stream"), lit(false)).as("st"))
+    // one pass over the per-doc verdicts carries all three record-set
+    // legs: composed-decision parity, the media filter's drops being
+    // EXACTLY the transcript-kept docs missing from the stream, and
+    // the media gate's non-vacuity (it must genuinely drop something
+    // the transcript gate kept, or the two-filter claim is hollow)
+    val flipAgg = withStream.agg(
+      count(when(col("ek") =!= col("st"), 1)).as("n_flip_bad"),
+      count(when((col("tk") && !col("mk")) =!= (col("tk") && !col("st")), 1))
+        .as("n_media_flip_bad"),
+      count(when(col("tk") && !col("mk"), 1)).as("n_media_dropped"))
     val divSeq = sa.as("a").join(sg.as("b"), Seq("shard", "seq_id"), "full_outer")
       .filter(!sameWindow)
       .groupBy(col("shard")).agg(min(col("seq_id")).as("div_seq"))
@@ -570,11 +621,13 @@ object StreamingMmEmit {
     world.entries.agg(count(lit(1)).as("n_records"))
       .crossJoin(broadcast(sa.agg(count(lit(1)).as("n_windows"))))
       .crossJoin(broadcast(parityDiff))
-      .crossJoin(broadcast(flipBad))
+      .crossJoin(broadcast(flipAgg))
       .crossJoin(broadcast(srcMismatch))
       .select(col("n_records"), col("n_windows"),
         (col("n_parity_diff") === 0).as("stream_equals_batch"),
         (col("n_flip_bad") === 0).as("flips_only_quality"),
+        (col("n_media_flip_bad") === 0).as("flips_only_media_quality"),
+        (col("n_media_dropped") > 0).as("media_gate_active"),
         (col("n_src_mismatch") === 0).as("diverges_at_first_flip"))
   }
 

@@ -38,6 +38,47 @@ class QualityGateSpec extends SparkSpec {
     assert(maxErr < 1e-9, s"closed-form drift $maxErr")
   }
 
+  test("media quality closed form equals the MLlib transform; the trimodal gate composes both filters") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.functions.vector_to_array
+    import graft.ml.MediaQualityModel
+    val data = MediaQualityModel.labeledMedia(spark, sf)
+    val tr = data.filter(col("bucket") < 75)
+    val pipe = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(MediaQualityModel.FeatureNames.toArray)
+        .setOutputCol("features"),
+      new LogisticRegression().setMaxIter(100).setLabelCol("label")))
+    val mllib = pipe.fit(tr.coalesce(1)).transform(data)
+      .select(col("doc_id"), vector_to_array(col("probability")).getItem(1).as("p"))
+      .as[(Long, Double)].collect().toMap
+    val closed = MediaQualityModel.scoreClosedForm(
+        MediaQualityModel.mediaStats(spark, sf),
+        MediaQualityModel.closedForm(spark, sf))
+      .as[(Long, Double)].collect().toMap
+    assert(closed.keySet == mllib.keySet)
+    val maxErr = closed.map { case (d, p) => math.abs(p - mllib(d)) }.max
+    assert(maxErr < 1e-9, s"media closed-form drift $maxErr")
+    // the two-filter composition is live: the media gate drops docs
+    // the transcript gate kept (the cert's media_gate_active leg at
+    // spec scale), and the production registry ships BOTH models
+    val qstore = QualityModel.productionStore(spark, sf)
+    val tModel = qstore.loadProduction(spark, QualityModel.ModelName).get
+    val mModel = qstore.loadProduction(spark, MediaQualityModel.ModelName).get
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val tKeep = QualityModel.scoreClosedForm(
+        docs.select(col("doc_id"), split(col("text"), " ").as("toks")), tModel)
+      .filter(col("proba") >= 0.5).select(col("doc_id"))
+      .as[Long].collect().toSet
+    val mKeep = MediaQualityModel.mediaKeepIds(
+        spark, sf, docs.select(col("doc_id")), mModel)
+      .as[Long].collect().toSet
+    val mediaOnlyDrops = tKeep -- mKeep
+    assert(mediaOnlyDrops.nonEmpty,
+      "media gate drops nothing the transcript gate kept — composition vacuous")
+  }
+
   test("learned gate streams equal the batch learned pipeline across slicings") {
     val qstore = QualityModel.productionStore(spark, sf)
     val model = qstore.loadProduction(spark, QualityModel.ModelName).get
