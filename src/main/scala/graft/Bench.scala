@@ -144,6 +144,12 @@ object Bench {
         // before/rebuilt windows) behind mm_trimodal_forget
         graft.multimodal.Multimodal.warmTrimodalForget(spark, sfDir)
       },
+      timedWarm("cache_warm_release_bundle") {
+        // the publish → forget → gc bundle lifecycle behind
+        // mm_release_bundle (component artifacts are warmed by their
+        // own entries; this pays the registers + manifest flips)
+        graft.multimodal.ReleaseBundle.warmBundle(spark, sfDir)
+      },
       timedWarm("cache_warm_trimodal_stream_forget") {
         // the LIVE-takedown world behind stream_trimodal_forget:
         // phase-1 drain, mid-stream shard-pruned recut + registry

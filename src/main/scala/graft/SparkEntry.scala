@@ -29,7 +29,8 @@ object SparkEntry {
       graft.streaming.StreamingCowMerge.all ++ graft.streaming.StreamingMedia.all ++ graft.streaming.StreamingEmit.all ++
       graft.streaming.StreamingMmEmit.all ++
       FraudModel.all ++ graft.ml.MlCert.all ++ graft.ml.QualityModel.all ++
-      graft.ml.MediaQualityModel.all ++ Multimodal.all ++ graft.jobs.Jobs.all ++
+      graft.ml.MediaQualityModel.all ++ Multimodal.all ++
+      graft.multimodal.ReleaseBundle.all ++ graft.jobs.Jobs.all ++
       graft.sources.CowMerge.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1020,6 +1020,17 @@ object Multimodal {
       |  COUNT(DISTINCT t) FILTER (WHERE m = 'video') AS n_video,
       |  COUNT(DISTINCT t) FILTER (WHERE m = 'text') AS n_text
       |FROM l GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    splitLeakageOf(s, dir, _ => lit(true))
+  }
+
+  /** The [[mmSplitLeakage]] program over an optionally REDUCED corpus:
+    * `keepDoc` filters the doc set AND both pair endpoints — pair
+    * predicates are pairwise, so filtering the memoized lists IS the
+    * reduced-corpus pair set (the [[forgetMedia]] argument). Shared
+    * by the query (keep-all) and the release bundle's post-forget
+    * leakage rebuild. */
+  private[graft] def splitLeakageOf(s: SparkSession, dir: String,
+      keepDoc: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
     def tag(df: org.apache.spark.sql.DataFrame, m: String) =
       df.select(lit(m).as("m"), col("d1"), col("d2"))
     val pr = tag(imagePairs(s, dir), "image")
@@ -1027,9 +1038,11 @@ object Multimodal {
       .unionByName(tag(videoPairs(s, dir), "video"))
       .unionByName(tag(graft.queries.TextOps.nearDupPairs05(s, dir), "text"))
       .filter(col("d1") < TwinOffset && col("d2") < TwinOffset)
+      .filter(keepDoc(col("d1")) && keepDoc(col("d2")))
     val bucket = expr(
       "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
-    val b = Tables.documents(s, dir).select(col("doc_id"), bucket.as("bucket"))
+    val b = Tables.documents(s, dir).filter(keepDoc(col("doc_id")))
+      .select(col("doc_id"), bucket.as("bucket"))
     val e = pr.select(col("m"), col("d1").as("v"), col("d2").as("t"))
       .unionByName(pr.select(col("m"), col("d2").as("v"), col("d1").as("t")))
     e.join(b.filter(col("bucket") >= 90).select(col("doc_id").as("v")), Seq("v"))
@@ -1608,8 +1621,17 @@ object Multimodal {
     * continuously-publishing release monitors is the same oracle-
     * checked fact). */
   private[graft] def trimodalCardOf(s: SparkSession, dir: String,
-      records: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val total = broadcast(Tables.documents(s, dir).agg(count(lit(1)).as("n")))
+      records: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    trimodalCardOfDocs(records,
+      Tables.documents(s, dir).agg(count(lit(1)).as("n")))
+
+  /** [[trimodalCardOf]] against an explicit corpus-total frame — the
+    * release bundle's post-forget card rolls up against the REDUCED
+    * doc count (a withdrawn doc is not "dropped by a gate", it was
+    * never ingested). */
+  private[graft] def trimodalCardOfDocs(records: org.apache.spark.sql.DataFrame,
+      totalDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val total = broadcast(totalDf)
     records
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n_records"), sum(col("mt")).cast("long").as("patch_mass"))

@@ -283,6 +283,42 @@ class MultimodalSpec extends SparkSpec {
     assert(after == before, s"idle wake-up changed the release: $before -> $after")
   }
 
+  test("release bundle lifecycle: promote, forget through the pointer, gc reclaims the recut versions") {
+    import graft.multimodal.ReleaseBundle
+    val w = ReleaseBundle.bundleWorld(spark, sf)
+    def m(rows: Seq[(String, Int, Long)]) = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    val before = m(w.manifestBefore)
+    val after = m(w.manifestAfter)
+    assert(before.keySet == ReleaseBundle.Components.toSet)
+    assert(after.keySet == ReleaseBundle.Components.toSet)
+    // the production manifest IS manifestAfter (the one-pointer publication)
+    val prod = w.store.loadProduction(spark, ReleaseBundle.BundleName).get
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(prod == after, "production manifest must be the post-forget one")
+    // build-time immutability/consistency facts held
+    assert(w.oldReadableAtFlip, "old versions must stay readable until the flip")
+    assert(w.componentsMatchManifest, "manifest row counts must match the artifacts")
+    // the forget genuinely recut: windows shrank, every corpus-derived
+    // component moved to a NEW version, the tokenizer version did NOT
+    assert(after("windows")._2 < before("windows")._2, "forget must shrink the window set")
+    for (c <- Seq("windows", "shuffle", "card", "leakage"))
+      assert(after(c)._1 != before(c)._1, s"$c must re-version on forget")
+    assert(after("tokenizer") == before("tokenizer"),
+      "the release tokenizer must survive the forget untouched (id space never shifts)")
+    // gc physically reclaimed the pre-forget versions of the recut
+    // components — the withdrawn content is unreachable through any
+    // pointer — while the shared tokenizer version still loads
+    for (c <- Seq("windows", "shuffle", "card", "leakage"))
+      assert(!w.store.versions(c).contains(before(c)._1),
+        s"pre-forget $c v${before(c)._1} must be gc'd")
+    assert(w.store.load(spark, "tokenizer", after("tokenizer")._1).count()
+      == after("tokenizer")._2)
+    // resolving THROUGH the manifest yields intact components
+    prod.foreach { case (c, (v, n)) =>
+      assert(w.store.load(spark, c, v).count() == n, s"$c v$v inconsistent")
+    }
+  }
+
   test("media forget: a forgotten clip is indistinguishable from never-ingested (audio, shared contract)") {
     // mm_dedup_forget certifies the image modality end-to-end at the
     // gate; the takedown path is modality-blind (the banded-index
