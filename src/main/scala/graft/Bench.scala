@@ -156,6 +156,13 @@ object Bench {
         // promotion, phase-2 resume drain, pinned window cuts
         graft.streaming.StreamingMmEmit.warmTrimodalStreamForget(spark, sfDir)
       },
+      timedWarm("cache_warm_stream_bundle") {
+        // the stream-published bundle lifecycle behind
+        // stream_release_bundle — its window/forget worlds are warmed
+        // by the two stream entries above, so this pays only the
+        // registers + manifest flips + parity counts
+        graft.multimodal.ReleaseBundle.warmStreamBundle(spark, sfDir)
+      },
       timedWarm("cache_warm_joint_forget") {
         // the joint-dedup takedown world (two CC passes over the
         // unioned pair lists + store lifecycle) behind mm_joint_dedup_forget

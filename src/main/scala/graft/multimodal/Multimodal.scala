@@ -1776,6 +1776,47 @@ object Multimodal {
     graft.queries.TextOps.shuffleRankTrimodal(trimodalEmitWindows(s, dir))
   }
 
+  /** MULTI-EPOCH training orders over the trimodal release — the
+    * dataloader contract for a run that consumes the release E > 1
+    * times: each epoch reorders the IDENTICAL window set under an
+    * epoch-salted content key ([[graft.queries.TextOps.epochOrdersTrimodal]]),
+    * so epochs genuinely differ (no batch-composition reinforcement)
+    * while every epoch stays bit-reproducible on any engine, any
+    * partitioning, any rerun. Two epochs here exercise the contract;
+    * E is a config constant, so the cost is E rank programs over the
+    * memoized window artifact. */
+  val trimodalEpochs: Q = Q("mm_trimodal_epochs",
+    "WITH w AS (SELECT * FROM (" + trimodalEmitIds.oracle.get + ") t),\n" +
+      "e AS (SELECT CAST(0 AS BIGINT) AS epoch, * FROM w\n" +
+      "      UNION ALL SELECT CAST(1 AS BIGINT), * FROM w),\n" +
+      "k AS (SELECT epoch, shard AS data_shard, seq_id, n_tokens, n_patch, window_fp,\n" +
+      "        md5('shuffle:e' || epoch || ':' || window_fp) AS sort_key FROM e),\n" +
+      "k2 AS (SELECT *, CAST(('0x' || substr(sort_key, 1, 1)) AS BIGINT) AS shard FROM k)\n" +
+      "SELECT epoch,\n" +
+      "  CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY sort_key, data_shard, seq_id) AS BIGINT) AS ord,\n" +
+      "  shard,\n" +
+      "  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY sort_key, data_shard, seq_id) AS BIGINT) AS pos,\n" +
+      "  sort_key, data_shard, seq_id, n_tokens, n_patch, window_fp\n" +
+      "FROM k2 ORDER BY epoch, ord") { (s, dir) =>
+    graft.queries.TextOps.epochOrdersTrimodal(trimodalEmitWindows(s, dir), 2)
+  }
+
+  /** RESUME THE TRIMODAL TRAINING RUN MID-EPOCH — the
+    * checkpoint-restart contract of the flagship release's
+    * dataloader: [[graft.queries.TextOps.resumeManifest]] over
+    * [[trimodalShuffle]]'s order at the 60% global watermark. Per
+    * rank shard: windows the checkpoint covers, windows remaining,
+    * the in-shard seek position, and the fingerprint the resumed
+    * rank must find there — a recut release or re-rolled order
+    * fails the fp probe instead of double-feeding interleaved data.
+    * Rides the memoized lineage-cut window artifact; the manifest
+    * adds one 1-row watermark broadcast + a 16-shard group. */
+  val trimodalResume: Q = Q("mm_trimodal_resume",
+    graft.queries.TextOps.resumeOracleSql(trimodalShuffle.oracle.get, 0.6)) { (s, dir) =>
+    graft.queries.TextOps.resumeManifest(
+      graft.queries.TextOps.shuffleRankTrimodal(trimodalEmitWindows(s, dir)), 0.6)
+  }
+
   /** Position + window-cut the trimodal record stream: tot = patch
     * block + transcript id count, offsets via the two-level prefix
     * sum over (doc_id, mrank); then the [[mmEmitWindows]] cut with a
@@ -2935,5 +2976,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, trimodalIdFreq, trimodalShuffle, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, trimodalIdFreq, trimodalShuffle, trimodalResume, trimodalEpochs, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard)
 }

@@ -60,26 +60,52 @@ object ReleaseBundle {
 
   private[graft] def bundleWorld(s: SparkSession, dir: String): BundleWorld =
     memo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      buildBundleWorld(s, dir,
+        winBefore = Multimodal.trimodalEmitWindows(s, dir),
+        recordsBefore = Multimodal.trimodalGated(s, dir),
+        winAfter = Multimodal.trimodalForgetRebuilt(s, dir),
+        recordsAfter = Multimodal.trimodalGated(s, dir)
+          .filter(!forgotten(col("doc_id"))))
+    })
+
+  private val streamMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, BundleWorld])
+
+  /** The bundle published FROM THE LIVE PIPELINE: windows/shuffle/
+    * card ride the continuously-landed trimodal pass, the post-forget
+    * face rides the LIVE-takedown stream world's drained artifacts —
+    * the same promote → forget → gc lifecycle, sourced from what a
+    * continuously-publishing deployment actually has on disk. */
+  private[graft] def streamBundleWorld(s: SparkSession, dir: String): BundleWorld =
+    streamMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val forgetWorld = graft.streaming.StreamingMmEmit.trimodalStreamForgetWorld(s, dir)
+      buildBundleWorld(s, dir,
+        winBefore = graft.streaming.StreamingMmEmit.streamedTrimodalWindows(s, dir),
+        recordsBefore = graft.streaming.StreamingMmEmit.streamedTrimodalEntries(s, dir),
+        winAfter = forgetWorld.finalWindows,
+        recordsAfter = forgetWorld.entries)
+    })
+
+  private def buildBundleWorld(s: SparkSession, dir: String,
+      winBefore: DataFrame, recordsBefore: DataFrame,
+      winAfter: DataFrame, recordsAfter: DataFrame): BundleWorld = {
       val store = new FrameStore(
         java.nio.file.Files.createTempDirectory("graft-release-bundle-").toString)
       // ---- publish: the five components + one manifest flip ----
-      val windows = Multimodal.trimodalEmitWindows(s, dir)
       val before: Seq[(String, Int, Long)] = register(s, store, Map(
-        "windows" -> windows,
-        "shuffle" -> graft.queries.TextOps.shuffleRankTrimodal(windows),
-        "card" -> Multimodal.trimodalCardOf(s, dir, Multimodal.trimodalGated(s, dir)),
+        "windows" -> winBefore,
+        "shuffle" -> graft.queries.TextOps.shuffleRankTrimodal(winBefore),
+        "card" -> Multimodal.trimodalCardOfDocs(recordsBefore,
+          Tables.documents(s, dir).agg(count(lit(1)).as("n"))),
         "tokenizer" -> Multimodal.mmCaptionSymsStats(s, dir)._1,
         "leakage" -> Multimodal.splitLeakageOf(s, dir, _ => lit(true))))
       promoteManifest(s, store, before)
       // ---- the takedown: recut every corpus-derived component,
       // REUSE the tokenizer version, flip the manifest once ----
-      val winAfter = Multimodal.trimodalForgetRebuilt(s, dir)
-      val reducedGated = Multimodal.trimodalGated(s, dir)
-        .filter(!forgotten(col("doc_id")))
       val recut: Seq[(String, Int, Long)] = register(s, store, Map(
         "windows" -> winAfter,
         "shuffle" -> graft.queries.TextOps.shuffleRankTrimodal(winAfter),
-        "card" -> Multimodal.trimodalCardOfDocs(reducedGated,
+        "card" -> Multimodal.trimodalCardOfDocs(recordsAfter,
           Tables.documents(s, dir).filter(!forgotten(col("doc_id")))
             .agg(count(lit(1)).as("n"))),
         "leakage" -> Multimodal.splitLeakageOf(s, dir, id => !forgotten(id))))
@@ -102,7 +128,7 @@ object ReleaseBundle {
         after.find(_._1 == n).get._2); store.gc(n, keep = 0) }
       store.gc(BundleName, keep = 0)
       BundleWorld(store, before, after, oldReadable, consistent)
-    })
+  }
 
   private def register(s: SparkSession, store: FrameStore,
       comps: Map[String, DataFrame]): Seq[(String, Int, Long)] =
@@ -190,5 +216,61 @@ object ReleaseBundle {
         col("old_readable_at_flip"))
   }
 
-  val all: Seq[Q] = Seq(releaseBundle)
+  /** Streaming twin of `mm_release_bundle` — the bundle PUBLISHED
+    * FROM THE LIVE PIPELINE: every corpus-derived component is
+    * sourced from the continuously-landed trimodal artifacts (the
+    * consolidated stream pass's drained windows/records; the
+    * post-forget face from the LIVE-takedown world's final drain),
+    * and the certificate adds the cross-world leg
+    * `manifest_equals_batch`: component-for-component, both the
+    * pre-forget and post-forget production manifests claim the SAME
+    * row counts as the batch-published bundle — a training run
+    * pinning the stream-published release resolves the identical
+    * release the batch composition would have shipped. Oracle: the
+    * batch bundle's independent recomputes, plus the parity leg as
+    * a pinned boolean. */
+  val streamReleaseBundle: Q = Q("stream_release_bundle",
+    releaseBundle.oracle.get + ",\n  TRUE AS manifest_equals_batch") { (s, dir) =>
+    val w = streamBundleWorld(s, dir)
+    val b = bundleWorld(s, dir)
+    def byName(m: Seq[(String, Int, Long)]): Map[String, Long] =
+      m.map { case (n, _, rows) => n -> rows }.toMap
+    val parity =
+      byName(w.manifestBefore) == byName(b.manifestBefore) &&
+        byName(w.manifestAfter) == byName(b.manifestAfter)
+    def rows(m: Seq[(String, Int, Long)], n: String): Long = m.find(_._1 == n).get._3
+    def ver(m: Seq[(String, Int, Long)], n: String): Int = m.find(_._1 == n).get._2
+    import s.implicits._
+    Seq((
+      rows(w.manifestBefore, "windows"), rows(w.manifestAfter, "windows"),
+      rows(w.manifestBefore, "card"), rows(w.manifestBefore, "tokenizer"),
+      rows(w.manifestBefore, "leakage"),
+      rows(w.manifestBefore, "shuffle") == rows(w.manifestBefore, "windows") &&
+        rows(w.manifestAfter, "shuffle") == rows(w.manifestAfter, "windows"),
+      ver(w.manifestBefore, "tokenizer") == ver(w.manifestAfter, "tokenizer") &&
+        rows(w.manifestBefore, "tokenizer") == rows(w.manifestAfter, "tokenizer"),
+      w.componentsMatchManifest,
+      w.oldReadableAtFlip,
+      parity))
+      .toDF("n_windows_before", "n_windows_after", "n_card_rows",
+        "n_tokenizer_rows", "n_leak_docs",
+        "shuffle_matches_windows", "tokenizer_survives_forget",
+        "bundle_matches_components", "old_readable_at_flip",
+        "manifest_equals_batch")
+      .crossJoin(broadcast(Tables.documents(s, dir)
+        .filter(forgotten(col("doc_id")))
+        .agg(count(lit(1)).as("n_docs_forgotten"))))
+      .select(col("n_windows_before"), col("n_windows_after"),
+        col("n_card_rows"), col("n_tokenizer_rows"), col("n_leak_docs"),
+        col("n_docs_forgotten"), col("shuffle_matches_windows"),
+        col("tokenizer_survives_forget"), col("bundle_matches_components"),
+        col("old_readable_at_flip"), col("manifest_equals_batch"))
+  }
+
+  /** Bench warm hook for the stream-published lifecycle. */
+  private[graft] def warmStreamBundle(s: SparkSession, dir: String): Unit = {
+    streamBundleWorld(s, dir); ()
+  }
+
+  val all: Seq[Q] = Seq(releaseBundle, streamReleaseBundle)
 }

@@ -229,6 +229,65 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** SEMANTIC train/val LEAKAGE AUDIT — the embedding axis of the
+    * leakage family (`text_split_leakage` = shingle-Jaccard,
+    * `mm_split_leakage` = any-modality dedup pairs, this = cosine):
+    * under the standard content-hash split (md5 bucket on the vector
+    * id, val = top 10%), report every VAL vector whose embedding has
+    * a TRAIN near-neighbor at cosine ≥ 0.35 — the contamination
+    * n-gram decontamination cannot see (a paraphrase shares no
+    * shingles but lands on the same embedding). Output per leaked
+    * val vector: train-neighbor count, the strongest similarity, and
+    * the smallest offending train partner — the actionable drop/
+    * review list.
+    *
+    * Scale shape: candidates ride [[labelPairsAbove]]'s
+    * coarse-quantizer prune (equi-join on label, never all-pairs —
+    * the SemDeDup candidate rule), then two id-keyed equi-joins
+    * against the corpus-scaled split frame (no broadcast hint) and
+    * one group on the val id. Threshold 0.35 reuses
+    * [[semanticDedup]]'s documented margin (nearest pair ≥ 5.4e-5
+    * from the cut — ~10 orders above double summation noise), so
+    * engine and oracle agree on the pair set exactly; the oracle
+    * replays split, candidates, and the report in full. */
+  val splitLeakage: Q = Q("sim_split_leakage",
+    """WITH n AS (SELECT vec_id, label, SUM(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)) AS nsq
+      |           FROM (SELECT vec_id, label, unnest(embedding) AS a FROM embeddings) GROUP BY 1, 2),
+      |z AS (SELECT x.label AS label, x.vec_id AS v1, y.vec_id AS v2,
+      |             unnest(x.embedding) AS a, unnest(y.embedding) AS b
+      |      FROM embeddings x JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id),
+      |dots AS (SELECT label, v1, v2, SUM(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dot FROM z GROUP BY 1, 2, 3),
+      |pr AS (SELECT v1, v2, ROUND(dot/(sqrt(nx.nsq)*sqrt(ny.nsq)), 6) AS cosine
+      |       FROM dots JOIN n nx ON v1 = nx.vec_id JOIN n ny ON v2 = ny.vec_id
+      |       WHERE dot/(sqrt(nx.nsq)*sqrt(ny.nsq)) >= 0.35),
+      |b AS (SELECT vec_id,
+      |        CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+      |          AS bucket
+      |      FROM embeddings),
+      |e AS (SELECT v1 AS v, v2 AS t, cosine FROM pr UNION ALL SELECT v2, v1, cosine FROM pr)
+      |SELECT e.v AS vec_id, COUNT(*) AS n_train_neighbors,
+      |  MAX(cosine) AS max_cosine, MIN(e.t) AS min_train_partner
+      |FROM e JOIN b bv ON bv.vec_id = e.v JOIN b bt ON bt.vec_id = e.t
+      |WHERE bv.bucket >= 90 AND bt.bucket < 90
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint) % 100")
+    val b = Tables.embeddings(s, dir).select(col("vec_id"), bucket.as("bucket"))
+    val p = labelPairsAbove(Tables.embeddings(s, dir), 0.35)
+      .select(col("v1"), col("v2"), r6(col("cos_raw")).as("cosine"))
+    val e = p.select(col("v1").as("v"), col("v2").as("t"), col("cosine"))
+      .unionByName(p.select(col("v2").as("v"), col("v1").as("t"), col("cosine")))
+    e.join(b.filter(col("bucket") >= 90).select(col("vec_id").as("v")), Seq("v"))
+      .join(b.filter(col("bucket") < 90).select(col("vec_id").as("t")), Seq("t"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n_train_neighbors"), max(col("cosine")).as("max_cosine"),
+        min(col("t")).as("min_train_partner"))
+      .select(col("v").as("vec_id"), col("n_train_neighbors"),
+        col("max_cosine"), col("min_train_partner"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(topKQuery, knnSample, labelTopPairs, embeddingStats,
-    labelNearDups, semanticDedup)
+    labelNearDups, semanticDedup, splitLeakage)
 }

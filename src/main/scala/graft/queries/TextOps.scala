@@ -2082,6 +2082,65 @@ object TextOps {
     shuffleRankWindows(emitWindows(sourcePrefixSum(retained, col("final_tokens"))))
   }
 
+  /** DATALOADER RESUME MANIFEST over any shuffle-order frame
+    * (`ord`/`shard`/`pos`/`window_fp` — [[shuffleRankCore]]'s
+    * contract): a training run that consumed the first
+    * ⌊frac·total⌋ steps of the global order checkpoints ONE number;
+    * this manifest is what each rank needs to continue WITHOUT
+    * replaying — per rank shard, how many of its windows the global
+    * watermark covers, how many remain, the in-shard position to
+    * seek to, and the fingerprint of the window that must be found
+    * there (the integrity fact a resume verifies before training
+    * continues — a recut release or a re-rolled order fails the fp
+    * probe instead of silently double-feeding data).
+    *
+    * Scale shape: one count-to-1-row aggregate broadcast back (the
+    * watermark), one pass over the order frame, and a group on the
+    * 16-shard alphabet — no new corpus-scaled shuffle beside the
+    * order the release already owns; a fully-consumed shard yields
+    * NULL seek facts rather than a phantom position. */
+  private[graft] def resumeManifest(order: DataFrame, frac: Double): DataFrame = {
+    val k = order.agg(floor(count(lit(1)) * frac).cast("long").as("k"))
+    order.crossJoin(broadcast(k))
+      .groupBy(col("shard"))
+      .agg(
+        count(when(col("ord") <= col("k"), 1)).as("n_consumed"),
+        count(when(col("ord") > col("k"), 1)).as("n_remaining"),
+        min(when(col("ord") > col("k"), col("pos"))).as("next_pos"),
+        min(when(col("ord") > col("k"),
+          struct(col("pos"), col("window_fp")))).as("nw"))
+      .select(col("shard"), col("n_consumed"), col("n_remaining"),
+        col("next_pos"), col("nw").getField("window_fp").as("next_window_fp"))
+      .orderBy(col("shard"))
+  }
+
+  /** The shared resume-oracle tail: group the wrapped shuffle-order
+    * subquery by rank shard under the ⌊frac·total⌋ watermark. */
+  private[graft] def resumeOracleSql(orderSql: String, frac: Double): String =
+    // plain concatenation — an outer stripMargin would eat the
+    // leading '|' of any embedded oracle line that begins with the
+    // SQL concat operator '||'
+    s"WITH o AS (SELECT * FROM ($orderSql) t),\n" +
+      s"kk AS (SELECT CAST(FLOOR(COUNT(*) * $frac) AS BIGINT) AS k FROM o)\n" +
+      "SELECT shard,\n" +
+      "  COUNT(*) FILTER (WHERE ord <= k) AS n_consumed,\n" +
+      "  COUNT(*) FILTER (WHERE ord > k) AS n_remaining,\n" +
+      "  MIN(pos) FILTER (WHERE ord > k) AS next_pos,\n" +
+      "  arg_min(window_fp, pos) FILTER (WHERE ord > k) AS next_window_fp\n" +
+      "FROM o, kk GROUP BY shard ORDER BY shard"
+
+  /** Resume the CURATED TEXT run mid-epoch: the manifest over
+    * [[curationShuffle]]'s order at the 60% watermark — the
+    * checkpoint-restart contract of the text release's dataloader. */
+  val curationResume: Q = Q("text_curation_resume",
+    resumeOracleSql(curationShuffle.oracle.get, 0.6)) { (s, dir) =>
+    val retained = curationDecisions(s, dir)
+      .filter(col("drop_reason").isNull)
+      .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
+    resumeManifest(
+      shuffleRankWindows(emitWindows(sourcePrefixSum(retained, col("final_tokens")))), 0.6)
+  }
+
   /** The window-keyed shuffle-rank program over
     * `(source, seq_id, n_tokens, window_fp)` — shared by the batch
     * composition and the streaming drain (which ranks the landed
@@ -2101,6 +2160,31 @@ object TextOps {
       out = Seq(col("data_shard"), col("seq_id"), col("n_tokens"),
         col("n_patch"), col("window_fp")),
       tie = Seq(col("data_shard"), col("seq_id")))
+
+  /** MULTI-EPOCH training orders over trimodal windows — a run that
+    * sees the data E times must see a DIFFERENT order each epoch
+    * (same-order epochs reinforce batch composition artifacts), and
+    * each epoch's order must still be content-derived and total so
+    * every epoch is reproducible and oracle-checkable. One
+    * [[shuffleRankCore]] program per epoch with the epoch salted
+    * into the md5 key; the union is E independent rank programs over
+    * the same bounded window frame — no new scale shape, E is a
+    * training config constant. */
+  private[graft] def epochOrdersTrimodal(windows: DataFrame, epochs: Int): DataFrame =
+    (0 until epochs).map { e =>
+      shuffleRankCore(
+        windows.withColumnRenamed("shard", "data_shard")
+          .withColumn("sort_key",
+            md5(concat(lit(s"shuffle:e$e:"), col("window_fp")))),
+        out = Seq(col("data_shard"), col("seq_id"), col("n_tokens"),
+          col("n_patch"), col("window_fp")),
+        tie = Seq(col("data_shard"), col("seq_id")))
+        .withColumn("epoch", lit(e.toLong))
+    }.reduce(_.unionByName(_))
+      .select(col("epoch"), col("ord"), col("shard"), col("pos"),
+        col("sort_key"), col("data_shard"), col("seq_id"),
+        col("n_tokens"), col("n_patch"), col("window_fp"))
+      .orderBy(col("epoch"), col("ord"))
 
   /** The per-source concat-then-chunk packing over a retained-docs
     * frame `(source, doc_id, n_tokens)` — shared by [[curationPack]]
@@ -3371,6 +3455,6 @@ object TextOps {
     dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, bpeFertility, bpeRelease256, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
     sampleStratified, splitLeakage, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
-    tfidfTopK, curation, dataCard, qualityHist, curationPack, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle,
+    tfidfTopK, curation, dataCard, qualityHist, curationPack, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle, curationResume,
     emitForget, decontaminate, decontaminateIncremental, decontaminateBloom)
 }

@@ -486,7 +486,7 @@ object StreamingMmEmit {
   private val triWinMemo = graft.SessionCaches.register(
     scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
-  private def streamedTrimodalWindows(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def streamedTrimodalWindows(spark: SparkSession, dir: String): DataFrame =
     triWinMemo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
       Multimodal.trimodalEmitWindowsOf(spark, dir,
         streamedTrimodalEntries(spark, dir)).localCheckpoint(true)
@@ -658,6 +658,29 @@ object StreamingMmEmit {
   val streamTrimodalShuffle: Q = Q("stream_trimodal_shuffle",
     Multimodal.trimodalShuffle.oracle.get) { (s, dir) =>
     graft.queries.TextOps.shuffleRankTrimodal(streamedTrimodalWindows(s, dir))
+  }
+
+  /** Streaming twin of `mm_trimodal_resume` — same oracle: the
+    * checkpoint-restart manifest a continuously-published release
+    * hands its dataloader must come out identical whether the order
+    * was ranked over the batch artifact or assigned at drain over
+    * the continuously-landed windows — a resume against the live
+    * pipeline's release seeks to the same per-shard position and
+    * verifies the same window fingerprint. */
+  val streamTrimodalResume: Q = Q("stream_trimodal_resume",
+    Multimodal.trimodalResume.oracle.get) { (s, dir) =>
+    graft.queries.TextOps.resumeManifest(
+      graft.queries.TextOps.shuffleRankTrimodal(streamedTrimodalWindows(s, dir)), 0.6)
+  }
+
+  /** Streaming twin of `mm_trimodal_epochs` — same oracle: the
+    * epoch orders are content-derived facts of the window set, so
+    * the continuously-landed release must hand its dataloader the
+    * byte-identical multi-epoch schedule the batch composition
+    * would. */
+  val streamTrimodalEpochs: Q = Q("stream_trimodal_epochs",
+    Multimodal.trimodalEpochs.oracle.get) { (s, dir) =>
+    graft.queries.TextOps.epochOrdersTrimodal(streamedTrimodalWindows(s, dir), 2)
   }
 
   /** Streaming twin of `mm_trimodal_card` — same oracle: the
@@ -992,5 +1015,6 @@ object StreamingMmEmit {
   val all: Seq[Q] = Seq(streamMmEmitIds, streamMmEmitBounds, streamMmEmitIdFreq,
     streamMmEmitGated, streamTrimodalEmitIds, streamTrimodalBounds,
     streamTrimodalIdFreq, streamTrimodalGated,
-    streamTrimodalShuffle, streamTrimodalCard, streamTrimodalForget)
+    streamTrimodalShuffle, streamTrimodalResume, streamTrimodalEpochs,
+    streamTrimodalCard, streamTrimodalForget)
 }

@@ -319,6 +319,64 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("trimodal resume manifest: watermark arithmetic + seek fingerprint agree with the order") {
+    val order = graft.queries.TextOps.shuffleRankTrimodal(
+      Multimodal.trimodalEmitWindows(spark, sf)).cache()
+    val total = order.count()
+    val k = math.floor(total * 0.6).toLong
+    val m = Multimodal.trimodalResume.fn(spark, sf).collect()
+    // the per-shard consumed counts partition the global watermark,
+    // and consumed + remaining covers every window exactly once
+    assert(m.map(_.getAs[Long]("n_consumed")).sum == k)
+    assert(m.map(r => r.getAs[Long]("n_consumed") + r.getAs[Long]("n_remaining")).sum
+      == total)
+    // the seek facts: next position continues the in-shard order, and
+    // the fingerprint pinned there is the one the order actually holds
+    for (r <- m if r.getAs[Long]("n_remaining") > 0) {
+      assert(r.getAs[Long]("next_pos") == r.getAs[Long]("n_consumed") + 1)
+      val fp = order.filter(col("shard") === r.getAs[Long]("shard") &&
+        col("pos") === r.getAs[Long]("next_pos")).head.getAs[String]("window_fp")
+      assert(fp == r.getAs[String]("next_window_fp"))
+    }
+    // a fully-consumed shard must yield NULL seek facts, never a
+    // phantom position
+    for (r <- m if r.getAs[Long]("n_remaining") == 0) {
+      assert(r.isNullAt(r.fieldIndex("next_pos")))
+      assert(r.isNullAt(r.fieldIndex("next_window_fp")))
+    }
+    order.unpersist()
+    ()
+  }
+
+  test("trimodal epochs: each epoch reorders the identical window set") {
+    val df = Multimodal.trimodalEpochs.fn(spark, sf).cache()
+    val e0 = df.filter(col("epoch") === 0)
+    val e1 = df.filter(col("epoch") === 1)
+    assert(e0.count() == e1.count())
+    // identical window MULTISET per epoch (fingerprint histogram equality)
+    assert(e0.groupBy(col("window_fp")).count()
+      .except(e1.groupBy(col("window_fp")).count()).count() == 0)
+    // but a genuinely different order — same ord, different window
+    val byOrd = e0.select(col("ord"), col("window_fp").as("f0"))
+      .join(e1.select(col("ord"), col("window_fp").as("f1")), Seq("ord"))
+    assert(byOrd.filter(col("f0") =!= col("f1")).count() > 0,
+      "epoch 1 must not replay epoch 0's order")
+    df.unpersist()
+    ()
+  }
+
+  test("stream-published bundle matches the batch publication component-for-component") {
+    import graft.multimodal.ReleaseBundle
+    val sw = ReleaseBundle.streamBundleWorld(spark, sf)
+    val bw = ReleaseBundle.bundleWorld(spark, sf)
+    def m(rows: Seq[(String, Int, Long)]) = rows.map(r => r._1 -> r._3).toMap
+    assert(m(sw.manifestBefore) == m(bw.manifestBefore),
+      "pre-forget stream manifest must claim the batch row counts")
+    assert(m(sw.manifestAfter) == m(bw.manifestAfter),
+      "post-forget stream manifest must claim the batch row counts")
+    assert(sw.componentsMatchManifest && sw.oldReadableAtFlip)
+  }
+
   test("media forget: a forgotten clip is indistinguishable from never-ingested (audio, shared contract)") {
     // mm_dedup_forget certifies the image modality end-to-end at the
     // gate; the takedown path is modality-blind (the banded-index
