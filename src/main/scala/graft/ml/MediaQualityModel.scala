@@ -53,9 +53,17 @@ object MediaQualityModel {
 
   def mediaStats(s: SparkSession, dir: String): DataFrame =
     statsMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
-      val img = Multimodal.decodePpm(Multimodal.ppmTable(s, dir))
+      // The peak/RMS columns scan every audio sample (the one decode
+      // path column pruning can't cheapen), and the corpus arrives as
+      // one small parquet split — without a repartition the whole
+      // scan runs in a SINGLE task (measured 14.5 s serial at sf0.1,
+      // and a one-core ingest decode at 100 TB). The decode is
+      // embarrassingly parallel; spread it before the heavy
+      // expressions, then the tiny per-doc stat rows join.
+      val par = s.sparkContext.defaultParallelism
+      val img = Multimodal.decodePpm(Multimodal.ppmTable(s, dir).repartition(par))
         .select(col("doc_id"), col("mean_r"), col("mean_g"), col("mean_b"))
-      val au = Multimodal.decodeWav(Multimodal.wavTable(s, dir))
+      val au = Multimodal.decodeWav(Multimodal.wavTable(s, dir).repartition(par))
         .select(col("doc_id"), col("peak_l").cast("double").as("peak_l"),
           col("rms_l"), col("duration_ms"))
       val df = img.join(au, Seq("doc_id")).persist()

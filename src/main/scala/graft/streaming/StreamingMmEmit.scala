@@ -331,11 +331,35 @@ object StreamingMmEmit {
     val live = env.store.loadProduction(bs, TrimodalTakedownsName)
       .map(td => batch.join(td.select(col("doc_id")), Seq("doc_id"), "left_anti"))
       .getOrElse(batch)
+    // Co-partition the batch's record stream on its shard key ONCE
+    // before caching: the three-gate union otherwise pins 65 tiny
+    // cache partitions (3 × shuffle.partitions) and every downstream
+    // face stage inherits 65 near-empty tasks — pure scheduler
+    // overhead at micro-batch sizes. Hash-clustering on `shard` is
+    // also what every per-shard window downstream REQUIRES, so the
+    // face programs reuse this one exchange instead of re-shuffling.
+    // Partition count = the trimodal shard alphabet (4), the same
+    // constant the offsets state is keyed by.
     val gated = Multimodal.trimodalGatedOf(live, Tables.embeddings(bs, env.dir))
+      .repartition(4, col("shard"))
       .persist() // ALL faces read it: the three gates run once per batch
+    gated.count() // materialize BEFORE the concurrent face reads
     val lens = Multimodal.trimodalCapLensOf(bs, env.dir, gated).persist()
-    placeTrimodalFace(bs, env, batchId, gated, lens,
-      TrimodalOffsetsName, env.outDir)
+    lens.count()
+    // The four faces are INDEPENDENT sinks (each owns its offset
+    // state + output dir) over the shared cached frames, and at
+    // micro-batch sizes their placement jobs are latency-bound, not
+    // data-bound — so they run CONCURRENTLY: the two aligned faces
+    // start immediately and overlap the model scoring the gated
+    // faces wait on (measured ~15 s/batch of serial face latency at
+    // sf0.1, the bulk of the consolidated pass). FrameStore's
+    // staged-rename versioning tolerates concurrent writers by
+    // design, and each face's lineage is exactly the sequential
+    // composition's — determinism is untouched.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val alignedFace = Future(placeTrimodalFace(bs, env, batchId, gated, lens,
+      TrimodalOffsetsName, env.outDir))(FacePool)
     // the BIMODAL (interleaved image-caption) emission is the
     // mrank=0 projection of the same gated union — the consolidated
     // pass places it against its own offset state instead of a
@@ -343,8 +367,10 @@ object StreamingMmEmit {
     // gates were computed twice per corpus before this)
     val mmAligned = gated.filter(col("mrank") === 0)
       .select(col("doc_id"), col("shard"), col("mt").as("media_tokens"), col("text"))
-    placeFace(bs, env, batchId, mmAligned, lens, OffsetsName, env.mmOutDir)
-    env.quality.foreach { qstore =>
+    val mmFace = Future(placeFace(bs, env, batchId, mmAligned, lens,
+      OffsetsName, env.mmOutDir))(FacePool)
+    var keeps: List[DataFrame] = Nil
+    val gatedFaces = env.quality.toSeq.flatMap { qstore =>
       val model = qstore.loadProduction(bs, graft.ml.QualityModel.ModelName)
         .getOrElse(sys.error("no production quality model"))
       // ONE per-doc transcript decision drives both gated faces (the
@@ -353,6 +379,7 @@ object StreamingMmEmit {
         gated.select(col("doc_id"), col("text")).distinct()
           .select(col("doc_id"), split(col("text"), " ").as("toks")), model)
         .filter(col("proba") >= 0.5).select(col("doc_id")).persist()
+      tKeep.count()
       // the TRIMODAL gated face additionally honors the MEDIA-quality
       // model when the registry carries one: the decode-stat LR
       // (re-resolved per batch like the transcript model) drops a
@@ -365,18 +392,32 @@ object StreamingMmEmit {
             bs, env.dir, gated.select(col("doc_id")).distinct(), mmodel),
             Seq("doc_id")).persist()
         }.getOrElse(tKeep)
-      placeTrimodalFace(bs, env, batchId, gated.join(triKeep, Seq("doc_id")), lens,
-        TrimodalGatedOffsetsName, env.gatedOutDir)
-      placeFace(bs, env, batchId, mmAligned.join(tKeep, Seq("doc_id")), lens,
-        GatedOffsetsName, env.mmGatedOutDir)
-      if (!(triKeep eq tKeep)) triKeep.unpersist()
-      tKeep.unpersist()
-      ()
+      if (!(triKeep eq tKeep)) triKeep.count()
+      keeps = tKeep :: (if (triKeep eq tKeep) Nil else List(triKeep))
+      Seq(
+        Future(placeTrimodalFace(bs, env, batchId,
+          gated.join(triKeep, Seq("doc_id")), lens,
+          TrimodalGatedOffsetsName, env.gatedOutDir))(FacePool),
+        Future(placeFace(bs, env, batchId,
+          mmAligned.join(tKeep, Seq("doc_id")), lens,
+          GatedOffsetsName, env.mmGatedOutDir))(FacePool))
     }
+    (Seq(alignedFace, mmFace) ++ gatedFaces)
+      .foreach(Await.result(_, Duration.Inf))
+    keeps.foreach(_.unpersist())
     lens.unpersist()
     gated.unpersist()
     ()
   }
+
+  /** Fixed 4-thread pool for concurrent face placement — one thread
+    * per face of the consolidated pass; Spark schedules the
+    * submitted jobs across the session's cores as usual. */
+  private lazy val FacePool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4, (r: Runnable) => {
+        val t = new Thread(r, "graft-face-place"); t.setDaemon(true); t
+      }))
 
   /** Position + land one trimodal gate face's records for one
     * micro-batch against its own offset state. */
