@@ -163,6 +163,12 @@ object Bench {
         // registers + manifest flips + parity counts
         graft.multimodal.ReleaseBundle.warmStreamBundle(spark, sfDir)
       },
+      timedWarm("cache_warm_trimodal_series") {
+        // the two-phase accretion world behind stream_trimodal_republish:
+        // v1 publishes at the half-corpus drain, v2 over the extended
+        // drain (kill/resume brackets the republication)
+        graft.streaming.StreamingMmEmit.warmTrimodalSeries(spark, sfDir)
+      },
       timedWarm("cache_warm_joint_forget") {
         // the joint-dedup takedown world (two CC passes over the
         // unioned pair lists + store lifecycle) behind mm_joint_dedup_forget

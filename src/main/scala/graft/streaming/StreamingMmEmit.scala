@@ -1053,9 +1053,133 @@ object StreamingMmEmit {
         (col("n_untouched_diff") === 0).as("untouched_shards_preserved"))
   }
 
+  /** One RELEASE-SERIES world per (application, sf dir): half the
+    * corpus arrives, drains, and PUBLISHES release v1; the remainder
+    * lands and v2 publishes over the extended drain — the accretion
+    * face of a continuously-publishing pipeline, with the query
+    * kill/resume boundary deliberately bracketing the republication
+    * (phase-1 query dies at drain, v1 ships, a FRESH query resumes
+    * on the same checkpoint + carry for phase 2). Both versions
+    * register in ONE store name so the series mechanics — version
+    * advance, old-version readability after the flip — are pinned on
+    * the release artifact itself. */
+  private[streaming] final case class TrimodalSeriesWorld(env: Env, mid: Long,
+      v1Windows: DataFrame, v2Windows: DataFrame,
+      v1Version: Int, v2Version: Int,
+      v1ReadableAfterV2: Boolean) extends graft.Reapable {
+    def reapRoots: Seq[String] = env.reapRoots
+  }
+
+  val SeriesWindowsName = "trimodal_release_windows"
+
+  private val triSeriesMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, TrimodalSeriesWorld])
+
+  private[graft] def trimodalSeriesWorld(s: SparkSession,
+      dir: String): TrimodalSeriesWorld =
+    triSeriesMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val docs = Tables.documents(s, dir)
+      // structural midpoint in exact integer arithmetic — the oracle
+      // replays (min + max) // 2 bit-identically (an AVG-based cut
+      // would hang the certificate on float summation order)
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      val env = prepareTrimodal(s, dir)
+      StreamingCuration.landOrderedSlicesOf(
+        docs.filter(col("doc_id") < mid), "doc_id", env.inDir, 2)
+      runTrimodalPass(s, env) // phase-1 query dies at the v1 drain
+      val v1w = Multimodal.trimodalEmitWindowsOf(s, dir,
+        s.read.parquet(env.outDir).drop("batch")).localCheckpoint(true)
+      val v1Ver = env.store.register(s, SeriesWindowsName, v1w)
+      env.store.promote(SeriesWindowsName, v1Ver)
+      StreamingCuration.landOrderedSlicesOf(
+        docs.filter(col("doc_id") >= mid), "doc_id", env.inDir, 2, tag = "b")
+      runTrimodalPass(s, env) // fresh query, same checkpoint + carry
+      env.store.compact(s, TrimodalOffsetsName)
+      env.store.gc(TrimodalOffsetsName, keep = 1)
+      val v2w = Multimodal.trimodalEmitWindowsOf(s, dir,
+        s.read.parquet(env.outDir).drop("batch")).localCheckpoint(true)
+      val v2Ver = env.store.register(s, SeriesWindowsName, v2w)
+      env.store.promote(SeriesWindowsName, v2Ver)
+      // a training run pinned to v1 still resolves it intact AFTER
+      // the v2 flip (version immutability on the release artifact)
+      val v1Readable =
+        env.store.load(s, SeriesWindowsName, v1Ver).count() == v1w.count()
+      TrimodalSeriesWorld(env, mid, v1w, v2w, v1Ver, v2Ver, v1Readable)
+    })
+
+  /** Bench warm hook: the two-phase drain + both publications,
+    * attributed once. */
+  private[graft] def warmTrimodalSeries(s: SparkSession, dir: String): Unit = {
+    trimodalSeriesWorld(s, dir); ()
+  }
+
+  private val SeriesMidSql: String =
+    "(SELECT (MIN(doc_id) + MAX(doc_id)) // 2 FROM documents)"
+
+  /** REPUBLISH THE ACCRETING RELEASE — the dataset-versioning
+    * contract of a continuously-publishing pipeline: release v2
+    * extends v1 as data lands, and a training run pinned to v1 stays
+    * exactly reproducible. The certificate pins the three facts the
+    * series must hold simultaneously:
+    *
+    *  - `shipped_windows_immutable`: every COMPLETE v1 window
+    *    survives byte-identical in v2 — arrivals land in doc_id
+    *    order, so accretion EXTENDS each shard's token stream at the
+    *    tail and may touch only the partial tail window (a violated
+    *    prefix means v2 silently rewrote data someone already
+    *    trained on);
+    *  - `v2_equals_batch`: the two-phase drain (kill/resume across
+    *    the republication) lands the byte-identical window artifact
+    *    the one-shot batch composition builds;
+    *  - `v1_readable_after_republish`: the v1 version still loads
+    *    intact from the release store after the v2 flip.
+    *
+    * The oracle independently recomputes BOTH releases' window
+    * counts through the full three-gate + BPE emission replay — v1
+    * over the structural half-corpus prefix (doc_id below the
+    * (min+max)//2 midpoint, exact integer arithmetic on both
+    * engines), v2 over the full corpus — plus the accreted-doc
+    * count; the parity facts ride as pinned booleans. */
+  val streamTrimodalRepublish: Q = Q("stream_trimodal_republish",
+    "SELECT\n" +
+      "  (SELECT CAST(SUM((t + 2047) // 2048) AS BIGINT) FROM (SELECT shard, SUM(tot) AS t FROM (" +
+      Multimodal.trimodalEmitOracleCtes(s"doc_id < $SeriesMidSql") +
+      "\nSELECT shard, tot FROM o) v1o GROUP BY 1) v1t) AS n_windows_v1,\n" +
+      "  (SELECT CAST(SUM((t + 2047) // 2048) AS BIGINT) FROM (SELECT shard, SUM(tot) AS t FROM (" +
+      Multimodal.trimodalEmitOracleCtes("1 = 1") +
+      "\nSELECT shard, tot FROM o) v2o GROUP BY 1) v2t) AS n_windows_v2,\n" +
+      s"  (SELECT COUNT(*) FROM documents WHERE doc_id >= $SeriesMidSql) AS n_docs_added,\n" +
+      "  TRUE AS shipped_windows_immutable,\n" +
+      "  TRUE AS v2_equals_batch,\n" +
+      "  TRUE AS v1_readable_after_republish") { (s, dir) =>
+    val world = trimodalSeriesWorld(s, dir)
+    val sameWindow = col("a.n_tokens") <=> col("b.n_tokens") &&
+      col("a.n_patch") <=> col("b.n_patch") && col("a.window_fp") <=> col("b.window_fp")
+    // complete v1 windows must survive byte-identical in v2
+    val immDiff = world.v1Windows.filter(col("n_tokens") === 2048).as("a")
+      .join(world.v2Windows.as("b"), Seq("shard", "seq_id"), "left_outer")
+      .filter(!sameWindow).agg(count(lit(1)).as("n_imm_diff"))
+    val batchDiff = world.v2Windows.as("a")
+      .join(Multimodal.trimodalEmitWindows(s, dir).as("b"),
+        Seq("shard", "seq_id"), "full_outer")
+      .filter(!sameWindow).agg(count(lit(1)).as("n_batch_diff"))
+    world.v1Windows.agg(count(lit(1)).as("n_windows_v1"))
+      .crossJoin(broadcast(world.v2Windows.agg(count(lit(1)).as("n_windows_v2"))))
+      .crossJoin(broadcast(Tables.documents(s, dir)
+        .filter(col("doc_id") >= world.mid)
+        .agg(count(lit(1)).as("n_docs_added"))))
+      .crossJoin(broadcast(immDiff))
+      .crossJoin(broadcast(batchDiff))
+      .select(col("n_windows_v1"), col("n_windows_v2"), col("n_docs_added"),
+        (col("n_imm_diff") === 0).as("shipped_windows_immutable"),
+        (col("n_batch_diff") === 0).as("v2_equals_batch"),
+        lit(world.v1ReadableAfterV2).as("v1_readable_after_republish"))
+  }
+
   val all: Seq[Q] = Seq(streamMmEmitIds, streamMmEmitBounds, streamMmEmitIdFreq,
     streamMmEmitGated, streamTrimodalEmitIds, streamTrimodalBounds,
     streamTrimodalIdFreq, streamTrimodalGated,
     streamTrimodalShuffle, streamTrimodalResume, streamTrimodalEpochs,
-    streamTrimodalCard, streamTrimodalForget)
+    streamTrimodalCard, streamTrimodalForget, streamTrimodalRepublish)
 }

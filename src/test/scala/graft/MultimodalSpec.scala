@@ -377,6 +377,23 @@ class MultimodalSpec extends SparkSpec {
     assert(sw.componentsMatchManifest && sw.oldReadableAtFlip)
   }
 
+  test("release series: v2 extends v1 without rewriting shipped windows") {
+    import graft.streaming.StreamingMmEmit
+    val w = StreamingMmEmit.trimodalSeriesWorld(spark, sf)
+    assert(w.v2Version > w.v1Version, "republication must advance the release version")
+    assert(w.v1ReadableAfterV2, "v1 must stay resolvable after the v2 flip")
+    assert(w.v2Windows.count() >= w.v1Windows.count())
+    // every complete v1 window survives byte-identical in v2 — the
+    // accretion may only extend each shard's partial tail window
+    val diff = w.v1Windows.filter(col("n_tokens") === 2048).as("a")
+      .join(w.v2Windows.as("b"), Seq("shard", "seq_id"), "left_outer")
+      .filter(!(col("a.window_fp") <=> col("b.window_fp"))).count()
+    assert(diff == 0, s"$diff shipped windows rewritten by the republication")
+    // the store resolves BOTH versions of the series until gc
+    assert(w.env.store.versions(StreamingMmEmit.SeriesWindowsName)
+      .contains(w.v1Version))
+  }
+
   test("media forget: a forgotten clip is indistinguishable from never-ingested (audio, shared contract)") {
     // mm_dedup_forget certifies the image modality end-to-end at the
     // gate; the takedown path is modality-blind (the banded-index
