@@ -109,8 +109,11 @@ object Bench {
         // the composed curation decision frame (full filter stack)
         // shared by text_curation and text_curation_pack — without
         // this entry the one-time build lands on rep 1 of whichever
-        // query runs first and min-of-2 hides it from the total
-        graft.queries.TextOps.curationDecisions(spark, sfDir); ()
+        // query runs first and min-of-2 hides it from the total —
+        // plus the lineage-cut emission window artifact the shuffle/
+        // resume/epoch entries all rank over
+        graft.queries.TextOps.curationDecisions(spark, sfDir)
+        graft.queries.TextOps.curationWindows(spark, sfDir); ()
       },
       timedWarm("cache_warm_media_quality") {
         // the decode-stat feature store + the media LR fit + closed

@@ -252,6 +252,60 @@ object Multimodal {
     decodePpm(ppmTable(s, dir)).orderBy(col("doc_id"))
   }
 
+  /** Deterministic nearest-neighbor RESIZE to the fixed 4×3 patch
+    * grid — the preprocessing step between decode and the
+    * patch-token pack (a vision encoder consumes fixed-resolution
+    * patches, so every variable-dimension source image resizes
+    * first). Output pixel (x, y) reads source pixel
+    * (⌊x·w/4⌋, ⌊y·h/3⌋) — pure index arithmetic over the parsed
+    * pixel string, so the engine runs it as one codegen'd column
+    * program (no UDF) and the oracle replays byte-for-byte: the
+    * resized image ships as a content fingerprint plus its red-mean.
+    * Stateless per-row map — embarrassingly parallel at 100 TB, and
+    * the source dims (w ∈ [4,11], h ∈ [3,8]) always cover the
+    * target, so this is strictly a downsample. */
+  val imageResize: Q = Q("mm_image_resize",
+    """WITH enc AS (
+      |  SELECT doc_id,
+      |    'P6' || chr(10) || CAST(n_chars % 8 + 4 AS VARCHAR) || ' '
+      |      || CAST(n_chars % 6 + 3 AS VARCHAR) || chr(10) || '255' || chr(10)
+      |      || substr(repeat(text, 3*(n_chars % 8 + 4)*(n_chars % 6 + 3) // n_chars + 1),
+      |                1, 3*(n_chars % 8 + 4)*(n_chars % 6 + 3)) AS s
+      |  FROM documents WHERE n_chars > 0
+      |), dec AS (
+      |  SELECT doc_id, s,
+      |    split_part(s, chr(10), 1) AS p1,
+      |    split_part(s, chr(10), 2) AS p2,
+      |    split_part(s, chr(10), 3) AS p3,
+      |    CAST(split_part(split_part(s, chr(10), 2), ' ', 1) AS INTEGER) AS w,
+      |    CAST(split_part(split_part(s, chr(10), 2), ' ', 2) AS INTEGER) AS h
+      |  FROM enc
+      |), off AS (
+      |  SELECT *, substr(s, length(p1) + length(p2) + length(p3) + 3 + 1, 3*w*h) AS px
+      |  FROM dec
+      |), rs AS (
+      |  SELECT doc_id, w, h,
+      |    array_to_string(list_transform(range(0, 12), k ->
+      |      substr(px, 3*(((k // 4) * h // 3) * w + ((k % 4) * w // 4)) + 1, 3)), '') AS rpx
+      |  FROM off
+      |)
+      |SELECT doc_id, w, h, 4 AS tw, 3 AS th,
+      |  md5(rpx) AS resized_fp,
+      |  ROUND(list_sum(list_transform(range(0, 12), m -> ord(substr(rpx, 3*m + 1, 1)))) / 12.0, 6)
+      |    AS mean_r_resized
+      |FROM rs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    parsePpm(ppmTable(s, dir))
+      .withColumn("rpx", expr(
+        "concat_ws('', transform(sequence(0, 11), k -> " +
+          "substring(px, 3*(((k DIV 4) * h DIV 3) * w + ((k % 4) * w DIV 4)) + 1, 3)))"))
+      .select(col("doc_id"), col("w"), col("h"),
+        lit(4).as("tw"), lit(3).as("th"),
+        md5(col("rpx")).as("resized_fp"),
+        round(expr("aggregate(transform(sequence(0, 11), m -> ascii(substring(rpx, 3*m + 1, 1))), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x) / CAST(12 AS DOUBLE)"), 6).as("mean_r_resized"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Header parse shared by the decoder and the perceptual-hash
     * dedup: `(doc_id, payload)` → magic/dims/maxval fields, header
     * length, and the raw pixel string. Pure column program. */
@@ -2976,5 +3030,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, trimodalIdFreq, trimodalShuffle, trimodalResume, trimodalEpochs, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageResize, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, trimodalIdFreq, trimodalShuffle, trimodalResume, trimodalEpochs, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard)
 }

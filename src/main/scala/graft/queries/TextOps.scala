@@ -1639,10 +1639,7 @@ object TextOps {
       |  COUNT(*) AS n_tokens,
       |  md5(string_agg(word, ' ' ORDER BY start_off + i - 1)) AS window_fp
       |FROM rw GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
-    emitWindowsOfRetained(curationDecisions(s, dir)
-      .filter(col("drop_reason").isNull)
-      .select(col("source"), col("doc_id"), col("red"), col("final_tokens")))
-      .orderBy(col("source"), col("seq_id"))
+    curationWindows(s, dir).orderBy(col("source"), col("seq_id"))
   }
 
   /** Per-window DOCUMENT-BOUNDARY manifest for the emitted training
@@ -1692,6 +1689,23 @@ object TextOps {
     * source shards from the reduced retained set). */
   private[graft] def emitWindowsOfRetained(retained: DataFrame): DataFrame =
     emitWindows(sourcePrefixSum(retained, col("final_tokens")))
+
+  /** The curated emission's window artifact, memoized + lineage-cut
+    * per (application, sf dir): the emission query, the shuffle
+    * order, the resume manifest, and the epoch schedules all consume
+    * it — without the cut each of those entries re-pays the token
+    * explode + window hash per bench rep (the trimodal
+    * `trimodalEmitWindows` rule, one modality down). */
+  private val curWinMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+
+  private[graft] def curationWindows(s: SparkSession, dir: String): DataFrame =
+    curWinMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      emitWindowsOfRetained(curationDecisions(s, dir)
+        .filter(col("drop_reason").isNull)
+        .select(col("source"), col("doc_id"), col("red"), col("final_tokens")))
+        .localCheckpoint(true)
+    })
 
   /** Window cutting + hashing over positioned retained texts
     * `(source, doc_id, red, start_off)` — shared by the batch emit
@@ -2076,10 +2090,7 @@ object TextOps {
       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sort_key, source, seq_id) AS BIGINT) AS pos,
       |  sort_key, source, seq_id, n_tokens, window_fp
       |FROM k2 ORDER BY ord""".stripMargin) { (s, dir) =>
-    val retained = curationDecisions(s, dir)
-      .filter(col("drop_reason").isNull)
-      .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
-    shuffleRankWindows(emitWindows(sourcePrefixSum(retained, col("final_tokens"))))
+    shuffleRankWindows(curationWindows(s, dir))
   }
 
   /** DATALOADER RESUME MANIFEST over any shuffle-order frame
@@ -2134,11 +2145,44 @@ object TextOps {
     * checkpoint-restart contract of the text release's dataloader. */
   val curationResume: Q = Q("text_curation_resume",
     resumeOracleSql(curationShuffle.oracle.get, 0.6)) { (s, dir) =>
-    val retained = curationDecisions(s, dir)
-      .filter(col("drop_reason").isNull)
-      .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
-    resumeManifest(
-      shuffleRankWindows(emitWindows(sourcePrefixSum(retained, col("final_tokens")))), 0.6)
+    resumeManifest(shuffleRankWindows(curationWindows(s, dir)), 0.6)
+  }
+
+  /** Multi-epoch orders over the curated TEXT windows — the
+    * [[epochOrdersTrimodal]] device on the text release (same salt
+    * rule, the window family's own columns). */
+  private[graft] def epochOrdersWindows(windows: DataFrame, epochs: Int): DataFrame =
+    (0 until epochs).map { e =>
+      shuffleRankCore(
+        windows.withColumn("sort_key",
+          md5(concat(lit(s"shuffle:e$e:"), col("window_fp")))),
+        out = Seq(col("source"), col("seq_id"), col("n_tokens"), col("window_fp")))
+        .withColumn("epoch", lit(e.toLong))
+    }.reduce(_.unionByName(_))
+      .select(col("epoch"), col("ord"), col("shard"), col("pos"),
+        col("sort_key"), col("source"), col("seq_id"),
+        col("n_tokens"), col("window_fp"))
+      .orderBy(col("epoch"), col("ord"))
+
+  /** Multi-epoch training orders over the curated text release —
+    * each epoch reorders the IDENTICAL window set under an
+    * epoch-salted content key, so a multi-epoch run sees genuinely
+    * different orders (no batch-composition reinforcement) while
+    * every epoch stays bit-reproducible on any engine. */
+  val curationEpochs: Q = Q("text_curation_epochs",
+    "WITH w AS (SELECT * FROM (" + curationEmit.oracle.get + ") t),\n" +
+      "e AS (SELECT CAST(0 AS BIGINT) AS epoch, * FROM w\n" +
+      "      UNION ALL SELECT CAST(1 AS BIGINT), * FROM w),\n" +
+      "k AS (SELECT epoch, source, seq_id, n_tokens, window_fp,\n" +
+      "        md5('shuffle:e' || epoch || ':' || window_fp) AS sort_key FROM e),\n" +
+      "k2 AS (SELECT *, CAST(('0x' || substr(sort_key, 1, 1)) AS BIGINT) AS shard FROM k)\n" +
+      "SELECT epoch,\n" +
+      "  CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY sort_key, source, seq_id) AS BIGINT) AS ord,\n" +
+      "  shard,\n" +
+      "  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY sort_key, source, seq_id) AS BIGINT) AS pos,\n" +
+      "  sort_key, source, seq_id, n_tokens, window_fp\n" +
+      "FROM k2 ORDER BY epoch, ord") { (s, dir) =>
+    epochOrdersWindows(curationWindows(s, dir), 2)
   }
 
   /** The window-keyed shuffle-rank program over
@@ -3455,6 +3499,6 @@ object TextOps {
     dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, bpeFertility, bpeRelease256, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
     sampleStratified, splitLeakage, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
-    tfidfTopK, curation, dataCard, qualityHist, curationPack, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle, curationResume,
+    tfidfTopK, curation, dataCard, qualityHist, curationPack, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle, curationResume, curationEpochs,
     emitForget, decontaminate, decontaminateIncremental, decontaminateBloom)
 }

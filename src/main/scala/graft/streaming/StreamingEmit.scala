@@ -323,6 +323,25 @@ object StreamingEmit {
       .select(col("source"), col("seq_id"), col("n_tokens"), col("window_fp")))
   }
 
+  /** Streaming twin of `text_curation_resume` — same oracle: the
+    * checkpoint-restart manifest handed to the dataloader is
+    * identical whether the order was ranked over the batch artifact
+    * or assigned at drain over the continuously-landed windows. */
+  val streamCurationResume: Q = Q("stream_curation_resume",
+    TextOps.curationResume.oracle.get) { (s, dir) =>
+    TextOps.resumeManifest(TextOps.shuffleRankWindows(unifiedRun(s, dir).windows
+      .select(col("source"), col("seq_id"), col("n_tokens"), col("window_fp"))), 0.6)
+  }
+
+  /** Streaming twin of `text_curation_epochs` — same oracle: the
+    * multi-epoch schedule is a content-determined fact of the window
+    * set, byte-identical from the drained stream artifact. */
+  val streamCurationEpochs: Q = Q("stream_curation_epochs",
+    TextOps.curationEpochs.oracle.get) { (s, dir) =>
+    TextOps.epochOrdersWindows(unifiedRun(s, dir).windows
+      .select(col("source"), col("seq_id"), col("n_tokens"), col("window_fp")), 2)
+  }
+
   /** The learned quality gate flipped ACTIVE — the second half of the
     * shadow rollout: the PRODUCTION model's decisions DRIVE a live
     * window emission (and the pack manifest), with the heuristic face
@@ -477,5 +496,6 @@ object StreamingEmit {
   }
 
   val all: Seq[Q] = Seq(streamCurationEmit, streamCurationEmitIds,
-    streamCurationShuffle, streamCurationGated)
+    streamCurationShuffle, streamCurationResume, streamCurationEpochs,
+    streamCurationGated)
 }
