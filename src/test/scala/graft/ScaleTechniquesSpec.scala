@@ -361,4 +361,14 @@ class ScaleTechniquesSpec extends SparkSpec {
       assert(!over.contains("NestedLoop"), over)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("media decode stats spread across the session's cores (no single-task decode)") {
+    // the peak/RMS sample scan is the one decode path column pruning
+    // can't cheapen; a single small parquet split must not serialize
+    // it into one task (measured 14.5 s serial at sf0.1 before the
+    // repartition - the one-core-ingest shape at 100 TB)
+    val stats = graft.ml.MediaQualityModel.mediaStats(spark, sf)
+    assert(stats.rdd.getNumPartitions > 1,
+      s"media decode stats pinned to ${stats.rdd.getNumPartitions} partition(s)")
+  }
 }
