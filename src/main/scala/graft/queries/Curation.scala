@@ -133,6 +133,14 @@ object Curation {
       |       ROUND(AVG(ln(CAST(v.c AS DOUBLE) / total)), 6) AS avg_logp
       |FROM words w JOIN vocab v ON w.word = v.word, tot
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    lmScores(s, dir).orderBy(col("doc_id"))
+  }
+
+  /** The per-doc unigram-LM score frame `(doc_id, n_tokens,
+    * avg_logp)` behind [[lmScore]] — shared with the curriculum
+    * schedule, which ranks on the same ROUNDED score both engines
+    * agree on bit-for-bit. */
+  private[graft] def lmScores(s: SparkSession, dir: String): DataFrame = {
     val tc = TextOps.tokenCounts(s, dir)
     val (vocab, nVocab) = vocabStats(s, dir)
     val tot = vocab.agg(sum(col("c")).as("total"))
@@ -143,7 +151,6 @@ object Curation {
       .agg(sum(col("tf")).as("n_tokens"),
         round(sum(col("tf") * log(col("c").cast("double") / col("total")))
           / sum(col("tf")), 6).as("avg_logp"))
-      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- repetition
@@ -439,6 +446,191 @@ object Curation {
         (col("n_diff") === 0).as("forget_equals_rebuild"))
   }
 
+  // ---------------------------------------------------------------- curriculum
+  /** CURRICULUM + ANNEAL SCHEDULE — the training-order policy beyond
+    * a flat shuffle: rank every doc by the unigram-LM quality score
+    * ([[lmScores]]' ROUNDED `avg_logp`, the value both engines agree
+    * on bit-for-bit), cut the ranking into difficulty quartiles
+    * (quartile 0 = most-probable text = easiest/cleanest), train the
+    * main pass easy→hard (phase = quartile, deterministic md5
+    * shuffle WITHIN each phase), then ANNEAL: a final phase-4 replay
+    * of the quartile-0 docs under a fresh salt — the
+    * "finish on your highest-quality data, reshuffled" endgame
+    * schedule of modern LLM runs, made bit-reproducible.
+    *
+    * Scale shape: the global difficulty rank NEVER sorts the corpus
+    * in one window — the coarse bucket is `floor(score)`, whose
+    * alphabet is bounded by the score RANGE (a mean log-probability
+    * can't drop below ln(1/total_tokens) ≈ −28 even at 10^12 tokens,
+    * so O(log corpus) buckets, each a contiguous score slice);
+    * within-bucket ranks ride a hash-partitioned window and bucket
+    * offsets are a bounded prefix sum joined back broadcast. The
+    * final step numbering reuses [[TextOps.shuffleRankCore]] at
+    * shard width 2 (phase digit + first md5 hex = 80 balanced
+    * shards). The quartile cut `((rank−1)·4) div n` is exact integer
+    * arithmetic against a 1-row count. */
+  val curriculumOrder: Q = Q("text_curriculum_order",
+    """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |vocab AS (SELECT word, COUNT(*) AS c FROM words GROUP BY 1),
+      |tot AS (SELECT SUM(c) AS total FROM vocab),
+      |sc AS (SELECT w.doc_id, ROUND(AVG(ln(CAST(v.c AS DOUBLE) / total)), 6) AS avg_logp
+      |       FROM words w JOIN vocab v ON w.word = v.word, tot GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM sc),
+      |r AS (SELECT doc_id, avg_logp,
+      |        ROW_NUMBER() OVER (ORDER BY avg_logp DESC, doc_id) AS rnk FROM sc),
+      |q AS (SELECT doc_id, avg_logp,
+      |        CAST(((rnk - 1) * 4) // n_docs AS BIGINT) AS quartile FROM r, n),
+      |u AS (SELECT doc_id, avg_logp, quartile, quartile AS phase,
+      |        CAST(quartile AS VARCHAR) || md5('cur:' || CAST(doc_id AS VARCHAR)) AS sort_key
+      |      FROM q
+      |      UNION ALL
+      |      SELECT doc_id, avg_logp, quartile, 4 AS phase,
+      |        '4' || md5('anneal:' || CAST(doc_id AS VARCHAR)) AS sort_key
+      |      FROM q WHERE quartile = 0)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY sort_key, doc_id) AS BIGINT) AS ord,
+      |  CAST(('0x' || substr(sort_key, 1, 2)) AS BIGINT) AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY substr(sort_key, 1, 2)
+      |         ORDER BY sort_key, doc_id) AS BIGINT) AS pos,
+      |  sort_key, CAST(phase AS BIGINT) AS phase, doc_id, quartile, avg_logp
+      |FROM u ORDER BY ord""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sc = lmScores(s, dir).select(col("doc_id"), col("avg_logp"))
+    val bucketed = sc.withColumn("bucket", floor(col("avg_logp")).cast("long"))
+    val withPos = bucketed.withColumn("bpos",
+      row_number().over(Window.partitionBy(col("bucket"))
+        .orderBy(col("avg_logp").desc, col("doc_id"))).cast("long"))
+    val off = withPos.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("boff", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val n = sc.agg(count(lit(1)).as("n_docs"))
+    val ranked = withPos.join(broadcast(off), Seq("bucket"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("avg_logp"),
+        expr("((boff + bpos - 1) * 4) div n_docs").cast("long").as("quartile"))
+    val main = ranked
+      .withColumn("phase", col("quartile"))
+      .withColumn("sort_key", concat(col("quartile").cast("string"),
+        md5(concat(lit("cur:"), col("doc_id").cast("string")))))
+    val anneal = ranked.filter(col("quartile") === 0)
+      .withColumn("phase", lit(4L))
+      .withColumn("sort_key", concat(lit("4"),
+        md5(concat(lit("anneal:"), col("doc_id").cast("string")))))
+    TextOps.shuffleRankCore(main.unionByName(anneal),
+      out = Seq(col("phase"), col("doc_id"), col("quartile"), col("avg_logp")),
+      tie = Seq(col("doc_id")), shardWidth = 2)
+  }
+
+  // ---------------------------------------------------------------- drift
+  /** CORPUS DRIFT MONITOR — the between-crawls audit a continuously
+    * refreshed corpus needs: cut the ingest (doc_id order) into four
+    * structural slices by exact integer arithmetic, take slice 0 as
+    * the reference, and report the Population Stability Index of
+    * each later slice's length and language distributions against
+    * it. Buckets are corpus-independent (200-char length bands
+    * capped at band 9; languages as-is), counts are
+    * Laplace-smoothed over the CORPUS-WIDE bucket domain so an
+    * empty bucket never divides by zero, and the standard PSI ≥ 0.2
+    * "significant shift" flag rides the ROUNDED value so the boolean
+    * is engine-portable.
+    *
+    * Scale shape: one scan + one groupBy on a bounded key alphabet
+    * (4 slices × {10 length bands + |langs|}) with map-side partial
+    * aggregation; everything after the count frame is arithmetic
+    * over ≤ a few dozen rows. The min/max slice anchor is a 1-row
+    * aggregate (the structural-cut device of the release series). */
+  val corpusDrift: Q = Q("text_corpus_drift",
+    """WITH mm AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+      |d AS (SELECT doc_id, n_chars, lang,
+      |        CAST(((doc_id - mn) * 4) // (mx - mn + 1) AS BIGINT) AS slice
+      |      FROM documents, mm),
+      |b AS (SELECT slice, 'len' AS feature,
+      |        CAST(LEAST(n_chars // 200, 9) AS VARCHAR) AS bucket FROM d
+      |      UNION ALL SELECT slice, 'lang', lang FROM d),
+      |dom AS (SELECT DISTINCT feature, bucket FROM b),
+      |ns AS (SELECT slice, COUNT(*) AS n FROM d GROUP BY 1),
+      |bc AS (SELECT feature, COUNT(*) AS nb FROM dom GROUP BY 1),
+      |c AS (SELECT slice, feature, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2, 3),
+      |grid AS (SELECT s.slice, dom.feature, dom.bucket, ns.n, bc.nb,
+      |           COALESCE(c.c, 0) AS c
+      |         FROM (SELECT DISTINCT slice FROM d) s
+      |         CROSS JOIN dom
+      |         JOIN ns ON ns.slice = s.slice
+      |         JOIN bc ON bc.feature = dom.feature
+      |         LEFT JOIN c ON c.slice = s.slice AND c.feature = dom.feature
+      |                    AND c.bucket = dom.bucket),
+      |p AS (SELECT slice, feature, bucket,
+      |        (CAST(c AS DOUBLE) + 1) / (n + nb) AS p FROM grid),
+      |ref AS (SELECT feature, bucket, p AS q FROM p WHERE slice = 0),
+      |psi AS (SELECT p.slice, p.feature,
+      |          ROUND(SUM((p.p - ref.q) * ln(p.p / ref.q)), 6) AS psi
+      |        FROM p JOIN ref ON ref.feature = p.feature AND ref.bucket = p.bucket
+      |        WHERE p.slice > 0 GROUP BY 1, 2)
+      |SELECT psi.slice, psi.feature, ns.n AS n_docs, psi.psi, psi.psi >= 0.2 AS drifted
+      |FROM psi JOIN ns ON ns.slice = psi.slice ORDER BY psi.slice, psi.feature""".stripMargin) {
+    (s, dir) =>
+      psiReport(s, driftBucketCounts(s, dir))
+  }
+
+  /** The corpus-scale half of [[corpusDrift]]: one scan → the
+    * bounded `(slice, feature, bucket, c)` count frame. Shared with
+    * the streaming twin, whose micro-batches each contribute a
+    * partial count frame that sums to this one (counts are additive,
+    * so the monitor composes over any slicing). */
+  private[graft] def driftBucketCounts(s: SparkSession, dir: String): DataFrame = {
+    val (mn, mx) = driftAnchors(s, dir)
+    driftBuckets(Tables.documents(s, dir), mn, mx)
+      .groupBy(col("slice"), col("feature"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Corpus min/max doc_id — the structural-slice anchor (a 1-row
+    * aggregate; the streaming twin pays it once at prepare, not per
+    * micro-batch). */
+  private[graft] def driftAnchors(s: SparkSession, dir: String): (Long, Long) = {
+    val r = Tables.documents(s, dir).agg(min(col("doc_id")), max(col("doc_id"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Per-doc `(slice, feature, bucket)` rows of a documents frame —
+    * slice anchors (corpus min/max doc_id) come from the STATIC
+    * table so a streamed batch buckets identically to the batch
+    * scan. */
+  private[graft] def driftBuckets(docs: DataFrame, mn: Long, mx: Long): DataFrame = {
+    val sliced = docs.withColumn("slice",
+      expr(s"((doc_id - ${mn}L) * 4) div ${mx - mn + 1}L"))
+    sliced.select(col("slice"), lit("len").as("feature"),
+        least(expr("n_chars div 200"), lit(9L)).cast("string").as("bucket"))
+      .unionByName(sliced.select(col("slice"), lit("lang").as("feature"),
+        col("lang").as("bucket")))
+  }
+
+  /** PSI arithmetic over a bounded count frame (everything here is
+    * ≤ 4 slices × bucket-domain rows — broadcast-sized by
+    * construction). */
+  private[graft] def psiReport(s: SparkSession, counts: DataFrame): DataFrame = {
+    val dom = counts.select(col("feature"), col("bucket")).distinct()
+    val ns = counts.filter(col("feature") === "len")
+      .groupBy(col("slice")).agg(sum(col("c")).as("n"))
+    val bc = dom.groupBy(col("feature")).agg(count(lit(1)).as("nb"))
+    val grid = ns.crossJoin(dom)
+      .join(broadcast(bc), Seq("feature"))
+      .join(counts, Seq("slice", "feature", "bucket"), "left_outer")
+      .na.fill(0L, Seq("c"))
+      .withColumn("p", (col("c").cast("double") + 1) / (col("n") + col("nb")))
+    val ref = grid.filter(col("slice") === 0)
+      .select(col("feature"), col("bucket"), col("p").as("q"))
+    grid.filter(col("slice") > 0)
+      .join(broadcast(ref), Seq("feature", "bucket"))
+      .groupBy(col("slice"), col("feature"))
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+      .join(broadcast(ns), Seq("slice"))
+      .select(col("slice"), col("feature"), col("n").as("n_docs"), col("psi"),
+        (col("psi") >= 0.2).as("drifted"))
+      .orderBy(col("slice"), col("feature"))
+  }
+
   val all: Seq[Q] = Seq(splitAssign, sourceMix, lmScore, repetitionScore, epochMix,
-    mixPack, packForget)
+    mixPack, packForget, curriculumOrder, corpusDrift)
 }

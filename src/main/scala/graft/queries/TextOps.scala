@@ -1068,11 +1068,17 @@ object TextOps {
     * sort rides a range exchange. The tie columns make the order
     * total when sort keys can collide (duplicate window content);
     * with unique keys they change nothing. */
-  private def shuffleRankCore(keyed: DataFrame, out: Seq[Column],
-                              tie: Seq[Column] = Seq(col("source"), col("seq_id"))): DataFrame = {
+  private[graft] def shuffleRankCore(keyed: DataFrame, out: Seq[Column],
+                                     tie: Seq[Column] = Seq(col("source"), col("seq_id")),
+                                     shardWidth: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // widening the prefix multiplies the shard alphabet by 16 per
+    // char — the knob a 100 TB run turns so each shard's sort window
+    // stays a few GB (fixed-width hex prefixes order like their
+    // numeric values, so (shard, key) is still the global key order)
     val sharded = keyed
-      .withColumn("shard", conv(substring(col("sort_key"), 1, 1), 16, 10).cast("long"))
+      .withColumn("shard",
+        conv(substring(col("sort_key"), 1, shardWidth), 16, 10).cast("long"))
     val withPos = sharded.withColumn("pos",
       row_number().over(Window.partitionBy(col("shard"))
         .orderBy(col("sort_key") +: tie: _*)).cast("long"))

@@ -1177,9 +1177,80 @@ object StreamingMmEmit {
         lit(world.v1ReadableAfterV2).as("v1_readable_after_republish"))
   }
 
+  /** RELEASE DIFF — the per-shard audit a pipeline operator reads
+    * before promoting v2 over v1: how many windows the accreted
+    * release ADDS, which shipped window it RECUTS (only a partial
+    * tail may ever change under append-only accretion), how many
+    * survive byte-identical, and the token-mass / raw-document delta
+    * behind the change. The engine classifies by CONTENT — a
+    * full-outer join of the two shipped window frames on
+    * (shard, seq_id) with a fingerprint compare — while the oracle
+    * derives the same counts ARITHMETICALLY from the two releases'
+    * per-shard token totals (ceil-div window counts; recut ⟺ the v1
+    * tail was partial and the shard grew; removed ≡ 0). The two
+    * derivations agree ONLY if accretion strictly appended to each
+    * shard's token stream, so the diff doubles as the append-only
+    * certificate at per-shard granularity — a finer pin than
+    * `stream_trimodal_republish`'s corpus-level booleans.
+    *
+    * Scale shape: the join is shard+seq_id equi (windows, not
+    * tokens — the frames are already the release artifacts, memoized
+    * by the series world); the doc-delta side is a 4-row broadcast.
+    */
+  val streamTrimodalDiff: Q = Q("mm_release_diff",
+    "WITH t1 AS (SELECT shard, CAST(SUM(tot) AS BIGINT) AS t FROM (" +
+      Multimodal.trimodalEmitOracleCtes(s"doc_id < $SeriesMidSql") +
+      "\nSELECT shard, tot FROM o) x1 GROUP BY 1),\n" +
+      "t2 AS (SELECT shard, CAST(SUM(tot) AS BIGINT) AS t FROM (" +
+      Multimodal.trimodalEmitOracleCtes("1 = 1") +
+      "\nSELECT shard, tot FROM o) x2 GROUP BY 1),\n" +
+      s"d AS (SELECT doc_id % 4 AS shard, COUNT(*) AS n_docs_added FROM documents WHERE doc_id >= $SeriesMidSql GROUP BY 1),\n" +
+      """j AS (SELECT t2.shard AS shard, COALESCE(t1.t, 0) AS ta, t2.t AS tb
+        |       FROM t2 LEFT JOIN t1 USING (shard))
+        |SELECT shard,
+        |  CAST((ta + 2047) // 2048 AS BIGINT) AS n_windows_v1,
+        |  CAST((tb + 2047) // 2048 AS BIGINT) AS n_windows_v2,
+        |  CAST((tb + 2047) // 2048 - (ta + 2047) // 2048 AS BIGINT) AS n_added,
+        |  CAST(CASE WHEN ta % 2048 <> 0 AND tb > ta THEN 1 ELSE 0 END AS BIGINT) AS n_recut,
+        |  CAST((ta + 2047) // 2048
+        |       - CASE WHEN ta % 2048 <> 0 AND tb > ta THEN 1 ELSE 0 END AS BIGINT) AS n_preserved,
+        |  CAST(0 AS BIGINT) AS n_removed,
+        |  CAST(tb - ta AS BIGINT) AS tokens_delta,
+        |  COALESCE(d.n_docs_added, 0) AS n_docs_added
+        |FROM j LEFT JOIN d USING (shard) ORDER BY shard""".stripMargin) { (s, dir) =>
+    val world = trimodalSeriesWorld(s, dir)
+    val a = world.v1Windows.select(col("shard"), col("seq_id"),
+      col("n_tokens").as("nt1"), col("n_patch").as("np1"), col("window_fp").as("fp1"))
+    val b = world.v2Windows.select(col("shard"), col("seq_id"),
+      col("n_tokens").as("nt2"), col("n_patch").as("np2"), col("window_fp").as("fp2"))
+    val same = col("nt1").isNotNull && col("nt2").isNotNull &&
+      col("nt1") === col("nt2") && col("np1") === col("np2") &&
+      col("fp1") === col("fp2")
+    val docsAdded = Tables.documents(s, dir)
+      .filter(col("doc_id") >= world.mid)
+      .groupBy((col("doc_id") % 4).as("shard"))
+      .agg(count(lit(1)).as("n_docs_added"))
+    a.join(b, Seq("shard", "seq_id"), "full_outer")
+      .groupBy(col("shard"))
+      .agg(
+        count(col("nt1")).as("n_windows_v1"),
+        count(col("nt2")).as("n_windows_v2"),
+        sum(when(col("nt1").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("nt1").isNotNull && col("nt2").isNotNull && !same, 1L)
+          .otherwise(0L)).as("n_recut"),
+        sum(when(same, 1L).otherwise(0L)).as("n_preserved"),
+        sum(when(col("nt2").isNull, 1L).otherwise(0L)).as("n_removed"),
+        (coalesce(sum(col("nt2")), lit(0L)) -
+          coalesce(sum(col("nt1")), lit(0L))).as("tokens_delta"))
+      .join(broadcast(docsAdded), Seq("shard"), "left_outer")
+      .na.fill(0L, Seq("n_docs_added"))
+      .orderBy(col("shard"))
+  }
+
   val all: Seq[Q] = Seq(streamMmEmitIds, streamMmEmitBounds, streamMmEmitIdFreq,
     streamMmEmitGated, streamTrimodalEmitIds, streamTrimodalBounds,
     streamTrimodalIdFreq, streamTrimodalGated,
     streamTrimodalShuffle, streamTrimodalResume, streamTrimodalEpochs,
-    streamTrimodalCard, streamTrimodalForget, streamTrimodalRepublish)
+    streamTrimodalCard, streamTrimodalForget, streamTrimodalRepublish,
+    streamTrimodalDiff)
 }

@@ -268,4 +268,64 @@ class CurationSpec extends SparkSpec {
     assert(before(("src1", 1L)) == 300L && after(("src1", 0L)) == 600L)
     assert(!after.contains(("src1", 1L)))
   }
+
+  test("curriculum: easy quartiles first, contiguous steps, anneal replays quartile 0 reshuffled") {
+    val cur = Curation.curriculumOrder.fn(spark, sf)
+      .select("ord", "phase", "doc_id", "quartile", "avg_logp").cache()
+    try {
+      val total = cur.count()
+      val mm = cur.agg(min($"ord"), max($"ord")).head()
+      assert(mm.getLong(0) == 1L && mm.getLong(1) == total,
+        "ord must be a contiguous 1..N step numbering")
+      assert(cur.select($"ord").distinct().count() == total)
+      // phases are contiguous ord ranges in schedule order 0..4
+      val ranges = cur.groupBy($"phase")
+        .agg(min($"ord").as("lo"), max($"ord").as("hi"), count(lit(1)).as("c"))
+        .orderBy($"phase").collect()
+      assert(ranges.map(_.getLong(0)).toSeq == (0L to 4L).toSeq,
+        "all five phases (4 quartiles + anneal) must be present")
+      ranges.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(2) < b.getLong(1),
+            s"phase ${a.getLong(0)} must complete before phase ${b.getLong(0)} starts")
+        case _ => ()
+      }
+      // easy-first: the schedule's first quartile carries the most
+      // probable text (strictly higher mean score than the last)
+      val m = cur.filter($"phase" < 4).groupBy($"quartile")
+        .agg(avg($"avg_logp")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(m(0L) > m(3L), s"quartile 0 must be easier than 3: $m")
+      // anneal = the quartile-0 doc set under a FRESH order
+      val q0 = cur.filter($"phase" === 0).orderBy($"ord")
+        .select($"doc_id").as[Long].collect().toSeq
+      val ann = cur.filter($"phase" === 4).orderBy($"ord")
+        .select($"doc_id").as[Long].collect().toSeq
+      assert(q0.toSet == ann.toSet, "anneal must replay exactly the quartile-0 docs")
+      assert(q0 != ann, "anneal salt must genuinely reshuffle the replay")
+    } finally { cur.unpersist(); () }
+  }
+
+  test("drift monitor: identical slices score PSI 0, a shifted slice is flagged") {
+    // synthetic count frames: slice 1 matches the reference exactly,
+    // slice 2 inverts the 90/10 split — Laplace smoothing keeps the
+    // arithmetic total, PSI 0 means literally-identical distributions
+    val counts = Seq(
+      (0L, "len", "0", 90L), (0L, "len", "1", 10L),
+      (1L, "len", "0", 90L), (1L, "len", "1", 10L),
+      (2L, "len", "0", 10L), (2L, "len", "1", 90L)).toDF("slice", "feature", "bucket", "c")
+    val rep = Curation.psiReport(spark, counts).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(rep(1L) == ((0.0, false)), "identical distribution must score PSI 0")
+    assert(rep(2L)._1 > 0.2 && rep(2L)._2, "inverted distribution must flag drift")
+  }
+
+  test("streamed drift report equals the batch scan across slicings") {
+    import graft.streaming.StreamingDrift
+    val batch = Curation.corpusDrift.fn(spark, sf).collect().toSeq
+    assert(batch.nonEmpty)
+    assert(StreamingDrift.runDriftStream(spark, sf, 2).collect().toSeq == batch,
+      "2-slice stream must reproduce the batch PSI report")
+    assert(StreamingDrift.runDriftStream(spark, sf, 5).collect().toSeq == batch,
+      "5-slice stream must reproduce the batch PSI report")
+  }
 }

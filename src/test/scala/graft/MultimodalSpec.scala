@@ -394,6 +394,28 @@ class MultimodalSpec extends SparkSpec {
       .contains(w.v1Version))
   }
 
+  test("release diff: per-shard classification certifies append-only accretion") {
+    import graft.streaming.StreamingMmEmit
+    val rows = StreamingMmEmit.streamTrimodalDiff.fn(spark, sf).collect()
+    assert(rows.nonEmpty, "the diff must cover every shard with v2 windows")
+    rows.foreach { r =>
+      val (v1, v2) = (r.getLong(1), r.getLong(2))
+      val (added, recut, preserved, removed) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(removed == 0, s"accretion may never remove a window: $r")
+      assert(recut <= 1, s"only the one partial tail window may be recut: $r")
+      assert(v2 == v1 + added, s"window count must grow exactly by n_added: $r")
+      assert(preserved == v1 - recut,
+        s"every non-tail v1 window must survive byte-identical: $r")
+      assert(r.getLong(7) >= 0, s"token mass can only grow under accretion: $r")
+    }
+    // the doc delta must account for the whole accreted half-corpus
+    val world = StreamingMmEmit.trimodalSeriesWorld(spark, sf)
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") >= world.mid).count()
+    assert(rows.map(_.getLong(8)).sum == expected)
+  }
+
   test("media forget: a forgotten clip is indistinguishable from never-ingested (audio, shared contract)") {
     // mm_dedup_forget certifies the image modality end-to-end at the
     // gate; the takedown path is modality-blind (the banded-index
