@@ -402,8 +402,11 @@ object Multimodal {
     * [[imageDecode]] pattern for audio, making "multimodal columns"
     * mean more than one format. Scale shape: one codegen'd map pass,
     * no shuffle, no UDF; per-row cost linear in payload bytes. */
-  val audioDecode: Q = Q("mm_audio_decode",
-    s"""WITH g AS (
+  /** The WAV synth + parse + per-channel stats CTE chain (`g` …
+    * `stats`) of [[audioDecode]]'s oracle — shared with the media
+    * drift monitor, which buckets the same decoded stats. */
+  private def wavStatsOracleCtes: String =
+    s"""g AS (
       |  SELECT doc_id, n_chars, CAST(1 + doc_id % 2 AS INTEGER) AS ch,
       |         n_chars AS frames, text
       |  FROM documents WHERE n_chars > 0
@@ -447,13 +450,78 @@ object Multimodal {
       |      i -> CAST(${byteAtDuck("46 + i * 2")} AS DOUBLE) ** 2))
       |      / (data_size // 2)), 6) END AS rms_r
       |  FROM parsed
-      |)
+      |)""".stripMargin
+
+  val audioDecode: Q = Q("mm_audio_decode",
+    "WITH " + wavStatsOracleCtes + """
       |SELECT doc_id, riff_ok, wave_ok, fmt_pcm_ok, n_channels, sample_rate, bits,
       |  data_size, n_frames, payload_complete,
       |  ROUND(CAST(n_frames AS DOUBLE) * 1000 / sample_rate, 6) AS duration_ms,
       |  peak_l, rms_l, peak_r, rms_r
       |FROM stats ORDER BY doc_id""".stripMargin) { (s, dir) =>
     decodeWav(wavTable(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** MEDIA DRIFT MONITOR — `text_corpus_drift`'s device pointed at
+    * the DECODED media stats: cut the ingest into the same four
+    * structural slices and report the PSI of each later slice's
+    * loudness distributions (per-channel-L RMS in width-16 bands
+    * capped at band 15, and peak amplitude likewise) against slice
+    * 0 — the "did this crawl's audio get quieter/clippier" audit a
+    * multimodal pipeline runs between ingests. Bands are computed
+    * from the ROUNDED stats both engines already hash-agree on
+    * (`mm_audio_decode`), so the bucketing is engine-portable.
+    *
+    * Scale shape: the decode is the one codegen map pass the audio
+    * family always pays; everything after is the bounded-alphabet
+    * groupBy + ≤ a few dozen rows of PSI arithmetic
+    * ([[graft.queries.Curation.psiReport]]). */
+  val mediaDrift: Q = Q("mm_media_drift",
+    "WITH " + wavStatsOracleCtes + """,
+      |mm AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+      |d AS (SELECT doc_id, rms_l, peak_l,
+      |        CAST(((doc_id - mn) * 4) // (mx - mn + 1) AS BIGINT) AS slice
+      |      FROM stats, mm),
+      |b AS (SELECT slice, 'rms' AS feature,
+      |        -- explicit FLOOR: DuckDB's // does NOT floor DOUBLE operands
+      |        -- (91.68 // 16 = 5.73, and the BIGINT cast then ROUNDS)
+      |        CAST(LEAST(CAST(FLOOR(rms_l / 16) AS BIGINT), 15) AS VARCHAR) AS bucket FROM d
+      |      UNION ALL SELECT slice, 'peak',
+      |        CAST(LEAST(CAST(peak_l // 16 AS BIGINT), 15) AS VARCHAR) FROM d),
+      |dom AS (SELECT DISTINCT feature, bucket FROM b),
+      |ns AS (SELECT slice, COUNT(*) AS n FROM d GROUP BY 1),
+      |bc AS (SELECT feature, COUNT(*) AS nb FROM dom GROUP BY 1),
+      |c AS (SELECT slice, feature, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2, 3),
+      |grid AS (SELECT s.slice, dom.feature, dom.bucket, ns.n, bc.nb,
+      |           COALESCE(c.c, 0) AS c
+      |         FROM (SELECT DISTINCT slice FROM d) s
+      |         CROSS JOIN dom
+      |         JOIN ns ON ns.slice = s.slice
+      |         JOIN bc ON bc.feature = dom.feature
+      |         LEFT JOIN c ON c.slice = s.slice AND c.feature = dom.feature
+      |                    AND c.bucket = dom.bucket),
+      |p AS (SELECT slice, feature, bucket,
+      |        (CAST(c AS DOUBLE) + 1) / (n + nb) AS p FROM grid),
+      |ref AS (SELECT feature, bucket, p AS q FROM p WHERE slice = 0),
+      |psi AS (SELECT p.slice, p.feature,
+      |          ROUND(SUM((p.p - ref.q) * ln(p.p / ref.q)), 6) AS psi
+      |        FROM p JOIN ref ON ref.feature = p.feature AND ref.bucket = p.bucket
+      |        WHERE p.slice > 0 GROUP BY 1, 2)
+      |SELECT psi.slice, psi.feature, ns.n AS n_docs, psi.psi, psi.psi >= 0.2 AS drifted
+      |FROM psi JOIN ns ON ns.slice = psi.slice ORDER BY psi.slice, psi.feature""".stripMargin) {
+    (s, dir) =>
+      val (mn, mx) = graft.queries.Curation.driftAnchors(s, dir)
+      val stats = decodeWav(wavTable(s, dir))
+        .select(col("doc_id"), col("rms_l"), col("peak_l"))
+        .withColumn("slice", expr(s"((doc_id - ${mn}L) * 4) div ${mx - mn + 1}L"))
+      val buckets = stats.select(col("slice"), lit("rms").as("feature"),
+          least(floor(col("rms_l") / 16).cast("long"), lit(15L)).cast("string").as("bucket"))
+        .unionByName(stats.select(col("slice"), lit("peak").as("feature"),
+          least(floor(col("peak_l") / 16).cast("long"), lit(15L)).cast("string").as("bucket")))
+      graft.queries.Curation.psiReport(s,
+        buckets.groupBy(col("slice"), col("feature"), col("bucket"))
+          .agg(count(lit(1)).as("c")),
+        nsFeature = "rms")
   }
 
   /** The WAV decoder proper: `(doc_id, payload)` → chunk magics,
@@ -3030,5 +3098,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageResize, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, trimodalIdFreq, trimodalShuffle, trimodalResume, trimodalEpochs, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageResize, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, trimodalIdFreq, trimodalShuffle, trimodalResume, trimodalEpochs, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard, mediaDrift)
 }

@@ -608,10 +608,13 @@ object Curation {
 
   /** PSI arithmetic over a bounded count frame (everything here is
     * ≤ 4 slices × bucket-domain rows — broadcast-sized by
-    * construction). */
-  private[graft] def psiReport(s: SparkSession, counts: DataFrame): DataFrame = {
+    * construction). `nsFeature` names the feature whose per-slice
+    * count mass equals the row population (every row contributes
+    * exactly one bucket per feature, so any one feature works). */
+  private[graft] def psiReport(s: SparkSession, counts: DataFrame,
+                               nsFeature: String = "len"): DataFrame = {
     val dom = counts.select(col("feature"), col("bucket")).distinct()
-    val ns = counts.filter(col("feature") === "len")
+    val ns = counts.filter(col("feature") === nsFeature)
       .groupBy(col("slice")).agg(sum(col("c")).as("n"))
     val bc = dom.groupBy(col("feature")).agg(count(lit(1)).as("nb"))
     val grid = ns.crossJoin(dom)

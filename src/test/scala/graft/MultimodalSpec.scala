@@ -416,6 +416,18 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.getLong(8)).sum == expected)
   }
 
+  test("media drift: every later slice scores both loudness features against the reference") {
+    val rows = Multimodal.mediaDrift.fn(spark, sf).collect()
+    assert(rows.length == 6, "3 later slices x {rms, peak}")
+    assert(rows.map(_.getString(1)).toSet == Set("rms", "peak"))
+    assert(rows.forall(_.getDouble(3) >= 0.0), "PSI is non-negative by construction")
+    // the monitor must SEE the loudness distribution: at this SF the
+    // rms bands genuinely differ across slices (pinned ground truth),
+    // so a degenerate all-zero report means the bucketing collapsed
+    assert(rows.filter(_.getString(1) == "rms").exists(_.getDouble(3) > 0.0),
+      "rms distribution differences must surface in the PSI")
+  }
+
   test("media forget: a forgotten clip is indistinguishable from never-ingested (audio, shared contract)") {
     // mm_dedup_forget certifies the image modality end-to-end at the
     // gate; the takedown path is modality-blind (the banded-index
