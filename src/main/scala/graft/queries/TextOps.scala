@@ -2640,6 +2640,77 @@ object TextOps {
       .filter(col("n_hit").cast("double") / col("n_grams") >= 0.5)
   }
 
+  /** EVAL-SET CONSTRUCTOR — decontamination run from the EVAL side:
+    * [[decontaminate]] protects training from benchmark leakage;
+    * this builds the benchmark itself. Candidates are the md5 test
+    * split (bucket ≥ 90, the [[Curation.splitAssign]] arithmetic —
+    * content-stable, so the eval set never churns as the corpus
+    * grows), and every candidate is screened against the distinct
+    * 8-grams of everything the model trains on (bucket < 90): a
+    * candidate sharing ≥ 20% of its grams with training text is
+    * marked `kept = false` — evaluating on memorized data measures
+    * recall, not capability. The emitted manifest carries the full
+    * audit (gram totals, hit counts, rounded overlap, language for
+    * coverage checks), not just the survivors, so the drop decisions
+    * are themselves reviewable.
+    *
+    * Scale shape: [[decontaminate]]'s exactly — gram postings are
+    * hashed 8-byte keys, the seen-set join rides [[maybeBroadcast]]
+    * (degrading to shuffle at 100 TB), one pass, no all-pairs; docs
+    * too short to carry an 8-gram can't be screened and keep with
+    * overlap 0. */
+  val evalBuild: Q = Q("text_eval_build",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
+      |g0 AS (SELECT doc_id, word,
+      |         lead(word, 1) OVER win AS w1, lead(word, 2) OVER win AS w2,
+      |         lead(word, 3) OVER win AS w3, lead(word, 4) OVER win AS w4,
+      |         lead(word, 5) OVER win AS w5, lead(word, 6) OVER win AS w6,
+      |         lead(word, 7) OVER win AS w7
+      |       FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |g AS (SELECT DISTINCT doc_id,
+      |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+      |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS s
+      |      FROM g0 WHERE w7 IS NOT NULL),
+      |bkt AS (SELECT doc_id,
+      |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bucket
+      |        FROM documents),
+      |seen AS (SELECT DISTINCT g.s FROM g JOIN bkt USING (doc_id) WHERE bucket < 90),
+      |cand AS (SELECT d.doc_id, d.lang FROM documents d JOIN bkt USING (doc_id)
+      |         WHERE bucket >= 90),
+      |cg AS (SELECT g.doc_id, g.s FROM g JOIN bkt USING (doc_id) WHERE bucket >= 90),
+      |agg AS (SELECT cg.doc_id, COUNT(*) AS n_grams, COUNT(seen.s) AS n_hit
+      |        FROM cg LEFT JOIN seen ON cg.s = seen.s GROUP BY 1),
+      |ov AS (SELECT c.doc_id, c.lang,
+      |         COALESCE(a.n_grams, 0) AS n_grams, COALESCE(a.n_hit, 0) AS n_hit,
+      |         CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0.0
+      |              ELSE ROUND(CAST(a.n_hit AS DOUBLE) / a.n_grams, 6) END AS overlap
+      |       FROM cand c LEFT JOIN agg a USING (doc_id))
+      |SELECT doc_id, lang, n_grams, n_hit, overlap, overlap < 0.2 AS kept
+      |FROM ov ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100")
+    val grams = hashedGrams8(Tables.fanOut(docs)).withColumn("bucket", bucket)
+    val seen = grams.filter(col("bucket") < 90).select(col("h")).distinct()
+    val (_, _, postings) = hashedShinglesStats(s, dir)
+    val agg = grams.filter(col("bucket") >= 90)
+      .join(maybeBroadcast(seen.withColumn("hit", lit(1)), postings * 9 / 10 * 8),
+        Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+    docs.withColumn("bucket", bucket).filter(col("bucket") >= 90)
+      .select(col("doc_id"), col("lang"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_grams", "n_hit"))
+      .withColumn("overlap",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(r6(col("n_hit").cast("double") / col("n_grams"))))
+      .select(col("doc_id"), col("lang"), col("n_grams"), col("n_hit"),
+        col("overlap"), (col("overlap") < 0.2).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Overlapping token-window CHUNKING — the context-window shaping
     * step every RAG / long-document training pipeline runs: split
     * each document into windows of 32 whitespace tokens advancing by
@@ -3506,5 +3577,5 @@ object TextOps {
     sampleStratified, splitLeakage, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
     tfidfTopK, curation, dataCard, qualityHist, curationPack, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle, curationResume, curationEpochs,
-    emitForget, decontaminate, decontaminateIncremental, decontaminateBloom)
+    emitForget, decontaminate, decontaminateIncremental, decontaminateBloom, evalBuild)
 }

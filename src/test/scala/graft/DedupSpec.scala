@@ -352,6 +352,36 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "no contaminated docs at this SF — spec is vacuous")
   }
 
+  test("eval-set constructor screens the md5 test split against an independent gram check") {
+    // independent reference: real STRING 8-grams, md5 split replayed
+    // via java.security — the manifest's keep/drop decisions must
+    // match a from-scratch computation exactly
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bucket(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      (((d(0) & 0xff) << 8 | (d(1) & 0xff)) % 100 + 100) % 100
+    }
+    def grams(t: String): Set[Seq[String]] =
+      t.split(" ").toSeq.sliding(8).filter(_.size == 8).toSet
+    val seen = docs.collect { case (id, t) if bucket(id) < 90 => grams(t) }
+      .foldLeft(Set.empty[Seq[String]])(_ ++ _)
+    val expected = docs.collect { case (id, t) if bucket(id) >= 90 =>
+      val g = grams(t)
+      val hit = g.count(seen)
+      val overlap = if (g.isEmpty) 0.0 else hit.toDouble / g.size
+      (id, g.size.toLong, hit.toLong, overlap < 0.2)
+    }.toSet
+    val got = TextOps.evalBuild.fn(spark, sf)
+      .select("doc_id", "n_grams", "n_hit", "kept").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == expected, s"extra=${got -- expected} missing=${expected -- got}")
+    assert(got.exists(!_._4), "no dropped candidate at this SF — screen is vacuous")
+    assert(got.exists(_._4), "no kept candidate at this SF")
+  }
+
   test("incremental decontamination equals the full pass restricted to new docs") {
     // the persisted-gram-index path over only the top-10% doc_ids must
     // flag exactly what the full corpus screen flags for those docs
