@@ -1923,6 +1923,68 @@ object Multimodal {
     graft.queries.TextOps.epochOrdersTrimodal(trimodalEmitWindows(s, dir), 2)
   }
 
+  /** MODALITY-MIX CURRICULUM over the trimodal release —
+    * `text_curriculum_order`'s schedule machinery pointed at the
+    * flagship window artifact: windows are ranked by PATCH SHARE
+    * (`n_patch / n_tokens`, the fraction of the window that is
+    * opaque media tokens), cut into quartiles, and the main pass
+    * ramps text-heavy → media-heavy (multimodal runs warm up on
+    * language before paying attention to dense patch blocks); the
+    * phase-4 ANNEAL then replays the MOST media-dense quartile under
+    * a fresh salt — finish on the hardest interleaved data. Scores
+    * are exact window arithmetic (rounded ratio of two BIGINTs), so
+    * the whole schedule — quartile cut, per-phase md5 shuffle, step
+    * numbering — replays bit-identically in the oracle over the full
+    * emission chain.
+    *
+    * Scale shape: [[graft.queries.Curation.difficultyQuartiles]]'s —
+    * coarse buckets `floor(share·8)` (alphabet ≤ 9), hash-partitioned
+    * within-bucket ranks, bounded prefix-sum offsets, and the
+    * width-2 `shuffleRankCore` step numbering; rides the memoized
+    * lineage-cut window artifact the shuffle/epochs/resume rows
+    * already share. */
+  val trimodalCurriculum: Q = Q("mm_trimodal_curriculum",
+    "WITH w AS (SELECT * FROM (" + trimodalEmitIds.oracle.get + ") t),\n" +
+      "sc AS (SELECT shard AS data_shard, seq_id, n_tokens, n_patch,\n" +
+      "         ROUND(CAST(n_patch AS DOUBLE) / n_tokens, 6) AS patch_share FROM w),\n" +
+      "n AS (SELECT COUNT(*) AS qn FROM sc),\n" +
+      "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY patch_share, data_shard, seq_id) AS rnk FROM sc),\n" +
+      "q AS (SELECT data_shard, seq_id, n_tokens, n_patch, patch_share,\n" +
+      "        CAST(((rnk - 1) * 4) // qn AS BIGINT) AS quartile FROM r, n),\n" +
+      "u AS (SELECT *, quartile AS phase,\n" +
+      "        CAST(quartile AS VARCHAR) || md5('tcur:' || CAST(data_shard AS VARCHAR)" +
+      " || ':' || CAST(seq_id AS VARCHAR)) AS sort_key FROM q\n" +
+      "      UNION ALL\n" +
+      "      SELECT *, 4 AS phase,\n" +
+      "        '4' || md5('tanneal:' || CAST(data_shard AS VARCHAR)" +
+      " || ':' || CAST(seq_id AS VARCHAR)) AS sort_key FROM q WHERE quartile = 3)\n" +
+      "SELECT CAST(ROW_NUMBER() OVER (ORDER BY sort_key, data_shard, seq_id) AS BIGINT) AS ord,\n" +
+      "  CAST(('0x' || substr(sort_key, 1, 2)) AS BIGINT) AS shard,\n" +
+      "  CAST(ROW_NUMBER() OVER (PARTITION BY substr(sort_key, 1, 2)" +
+      " ORDER BY sort_key, data_shard, seq_id) AS BIGINT) AS pos,\n" +
+      "  sort_key, CAST(phase AS BIGINT) AS phase, data_shard, seq_id," +
+      " quartile, patch_share, n_tokens, n_patch\n" +
+      "FROM u ORDER BY ord") { (s, dir) =>
+    val w = trimodalEmitWindows(s, dir).withColumnRenamed("shard", "data_shard")
+      .withColumn("patch_share",
+        round(col("n_patch").cast("double") / col("n_tokens"), 6))
+    val ranked = graft.queries.Curation.difficultyQuartiles(w,
+      bucket = floor(col("patch_share") * 8).cast("long"),
+      inBucketOrder = Seq(col("patch_share"), col("data_shard"), col("seq_id")),
+      bucketAscending = true)
+    def key(salt: String) = md5(concat(lit(salt), col("data_shard").cast("string"),
+      lit(":"), col("seq_id").cast("string")))
+    val main = ranked.withColumn("phase", col("quartile"))
+      .withColumn("sort_key", concat(col("quartile").cast("string"), key("tcur:")))
+    val anneal = ranked.filter(col("quartile") === 3)
+      .withColumn("phase", lit(4L))
+      .withColumn("sort_key", concat(lit("4"), key("tanneal:")))
+    graft.queries.TextOps.shuffleRankCore(main.unionByName(anneal),
+      out = Seq(col("phase"), col("data_shard"), col("seq_id"), col("quartile"),
+        col("patch_share"), col("n_tokens"), col("n_patch")),
+      tie = Seq(col("data_shard"), col("seq_id")), shardWidth = 2)
+  }
+
   /** RESUME THE TRIMODAL TRAINING RUN MID-EPOCH — the
     * checkpoint-restart contract of the flagship release's
     * dataloader: [[graft.queries.TextOps.resumeManifest]] over
@@ -3098,5 +3160,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageResize, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, trimodalIdFreq, trimodalShuffle, trimodalResume, trimodalEpochs, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard, mediaDrift)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageResize, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, trimodalIdFreq, trimodalShuffle, trimodalResume, trimodalEpochs, trimodalCurriculum, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard, mediaDrift)
 }

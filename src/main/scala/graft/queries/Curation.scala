@@ -493,22 +493,11 @@ object Curation {
       |         ORDER BY sort_key, doc_id) AS BIGINT) AS pos,
       |  sort_key, CAST(phase AS BIGINT) AS phase, doc_id, quartile, avg_logp
       |FROM u ORDER BY ord""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val sc = lmScores(s, dir).select(col("doc_id"), col("avg_logp"))
-    val bucketed = sc.withColumn("bucket", floor(col("avg_logp")).cast("long"))
-    val withPos = bucketed.withColumn("bpos",
-      row_number().over(Window.partitionBy(col("bucket"))
-        .orderBy(col("avg_logp").desc, col("doc_id"))).cast("long"))
-    val off = withPos.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-      .withColumn("boff", coalesce(sum(col("cnt")).over(
-        Window.orderBy(col("bucket").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket"), col("boff"))
-    val n = sc.agg(count(lit(1)).as("n_docs"))
-    val ranked = withPos.join(broadcast(off), Seq("bucket"))
-      .crossJoin(broadcast(n))
-      .select(col("doc_id"), col("avg_logp"),
-        expr("((boff + bpos - 1) * 4) div n_docs").cast("long").as("quartile"))
+    val ranked = difficultyQuartiles(sc,
+      bucket = floor(col("avg_logp")).cast("long"),
+      inBucketOrder = Seq(col("avg_logp").desc, col("doc_id")),
+      bucketAscending = false)
     val main = ranked
       .withColumn("phase", col("quartile"))
       .withColumn("sort_key", concat(col("quartile").cast("string"),
@@ -520,6 +509,35 @@ object Curation {
     TextOps.shuffleRankCore(main.unionByName(anneal),
       out = Seq(col("phase"), col("doc_id"), col("quartile"), col("avg_logp")),
       tie = Seq(col("doc_id")), shardWidth = 2)
+  }
+
+  /** The scalable global-quartile cut shared by the text and
+    * trimodal curricula: a coarse data-independent `bucket` of the
+    * score (contiguous score slices, bounded alphabet), within-bucket
+    * ranks on a hash-partitioned window, bucket offsets from a
+    * bounded prefix sum joined back broadcast, and the quartile via
+    * exact integer arithmetic against a 1-row count — the corpus is
+    * never sorted in one window. `bucketAscending` must orient the
+    * prefix sum to match `inBucketOrder`'s direction. Returns the
+    * input columns plus `quartile`. */
+  private[graft] def difficultyQuartiles(df: DataFrame, bucket: Column,
+                                         inBucketOrder: Seq[Column],
+                                         bucketAscending: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df.withColumn("bucket", bucket)
+    val withPos = bucketed.withColumn("bpos",
+      row_number().over(Window.partitionBy(col("bucket"))
+        .orderBy(inBucketOrder: _*)).cast("long"))
+    val bw = Window.orderBy(if (bucketAscending) col("bucket") else col("bucket").desc)
+    val off = withPos.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("boff", coalesce(sum(col("cnt")).over(
+        bw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val n = df.agg(count(lit(1)).as("qr_n"))
+    withPos.join(broadcast(off), Seq("bucket"))
+      .crossJoin(broadcast(n))
+      .withColumn("quartile", expr("((boff + bpos - 1) * 4) div qr_n").cast("long"))
+      .drop("bucket", "bpos", "boff", "qr_n")
   }
 
   // ---------------------------------------------------------------- drift

@@ -394,6 +394,37 @@ class MultimodalSpec extends SparkSpec {
       .contains(w.v1Version))
   }
 
+  test("trimodal curriculum ramps patch density and anneals on the most media-dense quartile") {
+    val cur = Multimodal.trimodalCurriculum.fn(spark, sf)
+      .select("ord", "phase", "data_shard", "seq_id", "quartile", "patch_share").cache()
+    try {
+      val total = cur.count()
+      val mm = cur.agg(min(col("ord")), max(col("ord"))).head()
+      assert(mm.getLong(0) == 1L && mm.getLong(1) == total)
+      val ranges = cur.groupBy(col("phase"))
+        .agg(min(col("ord")).as("lo"), max(col("ord")).as("hi"))
+        .orderBy(col("phase")).collect()
+      assert(ranges.map(_.getLong(0)).toSeq == (0L to 4L).toSeq)
+      ranges.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(2) < b.getLong(1),
+          s"phase ${a.getLong(0)} must complete before ${b.getLong(0)}")
+        case _ => ()
+      }
+      // the ramp is real: later quartiles carry denser media
+      val m = cur.filter(col("phase") < 4).groupBy(col("quartile"))
+        .agg(avg(col("patch_share"))).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(m(0L) < m(3L), s"patch density must ramp across quartiles: $m")
+      // anneal = the quartile-3 window set under a fresh order
+      val q3 = cur.filter(col("phase") === 3).orderBy(col("ord"))
+        .select("data_shard", "seq_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ann = cur.filter(col("phase") === 4).orderBy(col("ord"))
+        .select("data_shard", "seq_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(q3.toSet == ann.toSet, "anneal must replay exactly the quartile-3 windows")
+      assert(!q3.sameElements(ann), "anneal salt must genuinely reshuffle the replay")
+    } finally { cur.unpersist(); () }
+  }
+
   test("release diff: per-shard classification certifies append-only accretion") {
     import graft.streaming.StreamingMmEmit
     val rows = StreamingMmEmit.streamTrimodalDiff.fn(spark, sf).collect()

@@ -142,6 +142,23 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(singles <= 1, s"$singles single-partition exchanges:\n$plan")
   }
 
+  test("curricula rank inside bounded score buckets; the corpus never single-partitions") {
+    // the difficulty rank must exchange on the coarse score bucket and
+    // the step numbering on the md5-prefix shard (both hash); the only
+    // SinglePartition exchanges allowed are the three BOUNDED frames —
+    // the 1-row count anchor and the two prefix-sum offset windows
+    // (bucket alphabet, shard alphabet) — never the corpus
+    for (q <- Seq("text_curriculum_order", "mm_trimodal_curriculum")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("hashpartitioning(bucket"), s"$q:\n$plan")
+      assert(plan.contains("hashpartitioning(shard"), s"$q:\n$plan")
+      assert(plan.contains("rangepartitioning(ord"), s"$q:\n$plan")
+      val singles = """Exchange SinglePartition""".r.findAllIn(plan).size
+      assert(singles <= 3, s"$q: $singles single-partition exchanges:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
   test("image dedup candidates come from the band equi-join, never a nested loop") {
     val plan = formatted(SparkEntry.queries("mm_image_dedup")(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
