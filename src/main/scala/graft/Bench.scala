@@ -115,6 +115,12 @@ object Bench {
         graft.queries.TextOps.curationDecisions(spark, sfDir)
         graft.queries.TextOps.curationWindows(spark, sfDir); ()
       },
+      timedWarm("cache_warm_curriculum") {
+        // the quality-quartile schedule (lmScore join + two-level
+        // rank) shared by text_curriculum_order and its resume
+        // manifest — memoized per session, attributed here
+        graft.queries.Curation.curriculumSchedule(spark, sfDir); ()
+      },
       timedWarm("cache_warm_media_quality") {
         // the decode-stat feature store + the media LR fit + closed
         // form behind mm_media_quality_model and the trimodal media

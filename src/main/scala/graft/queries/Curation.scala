@@ -493,6 +493,26 @@ object Curation {
       |         ORDER BY sort_key, doc_id) AS BIGINT) AS pos,
       |  sort_key, CAST(phase AS BIGINT) AS phase, doc_id, quartile, avg_logp
       |FROM u ORDER BY ord""".stripMargin) { (s, dir) =>
+    // re-assert the presentation order off the cache (tiny frame)
+    curriculumSchedule(s, dir).orderBy(col("ord"))
+  }
+
+  /** The curriculum schedule frame behind [[curriculumOrder]] —
+    * shared with the resume manifest, so memoized + persisted per
+    * (application, sf dir) like the other session caches (the
+    * lmScore join + rank machinery is paid once; Bench attributes
+    * the one-time build as `cache_warm_curriculum`). */
+  private val curriculumMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+
+  private[graft] def curriculumSchedule(s: SparkSession, dir: String): DataFrame =
+    curriculumMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val df = curriculumScheduleCompute(s, dir).persist()
+      df.count()
+      df
+    })
+
+  private def curriculumScheduleCompute(s: SparkSession, dir: String): DataFrame = {
     val sc = lmScores(s, dir).select(col("doc_id"), col("avg_logp"))
     val ranked = difficultyQuartiles(sc,
       bucket = floor(col("avg_logp")).cast("long"),
@@ -509,6 +529,21 @@ object Curation {
     TextOps.shuffleRankCore(main.unionByName(anneal),
       out = Seq(col("phase"), col("doc_id"), col("quartile"), col("avg_logp")),
       tie = Seq(col("doc_id")), shardWidth = 2)
+  }
+
+  /** RESUME THE CURRICULUM RUN MID-SCHEDULE — the checkpoint-restart
+    * contract composed with the curriculum: the
+    * [[TextOps.resumeManifest]] device over [[curriculumOrder]]'s
+    * step numbering at the 60% global watermark. The seek
+    * fingerprint here is the schedule's own md5 `sort_key` (phase
+    * digit + salted content hash), so a re-scored corpus or
+    * re-rolled schedule fails the probe instead of silently feeding
+    * the wrong phase — the same guarantee the window releases get
+    * from `window_fp`, at doc granularity. */
+  val curriculumResume: Q = Q("text_curriculum_resume",
+    TextOps.resumeOracleSql(curriculumOrder.oracle.get, 0.6, fpCol = "sort_key")) {
+    (s, dir) =>
+      TextOps.resumeManifest(curriculumSchedule(s, dir), 0.6, fpCol = "sort_key")
   }
 
   /** The scalable global-quartile cut shared by the text and
@@ -653,5 +688,5 @@ object Curation {
   }
 
   val all: Seq[Q] = Seq(splitAssign, sourceMix, lmScore, repetitionScore, epochMix,
-    mixPack, packForget, curriculumOrder, corpusDrift)
+    mixPack, packForget, curriculumOrder, curriculumResume, corpusDrift)
 }

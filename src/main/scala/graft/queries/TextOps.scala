@@ -2116,7 +2116,8 @@ object TextOps {
     * 16-shard alphabet — no new corpus-scaled shuffle beside the
     * order the release already owns; a fully-consumed shard yields
     * NULL seek facts rather than a phantom position. */
-  private[graft] def resumeManifest(order: DataFrame, frac: Double): DataFrame = {
+  private[graft] def resumeManifest(order: DataFrame, frac: Double,
+                                    fpCol: String = "window_fp"): DataFrame = {
     val k = order.agg(floor(count(lit(1)) * frac).cast("long").as("k"))
     order.crossJoin(broadcast(k))
       .groupBy(col("shard"))
@@ -2125,15 +2126,19 @@ object TextOps {
         count(when(col("ord") > col("k"), 1)).as("n_remaining"),
         min(when(col("ord") > col("k"), col("pos"))).as("next_pos"),
         min(when(col("ord") > col("k"),
-          struct(col("pos"), col("window_fp")))).as("nw"))
+          struct(col("pos"), col(fpCol)))).as("nw"))
       .select(col("shard"), col("n_consumed"), col("n_remaining"),
-        col("next_pos"), col("nw").getField("window_fp").as("next_window_fp"))
+        col("next_pos"), col("nw").getField(fpCol).as(s"next_$fpCol"))
       .orderBy(col("shard"))
   }
 
   /** The shared resume-oracle tail: group the wrapped shuffle-order
-    * subquery by rank shard under the ⌊frac·total⌋ watermark. */
-  private[graft] def resumeOracleSql(orderSql: String, frac: Double): String =
+    * subquery by rank shard under the ⌊frac·total⌋ watermark.
+    * `fpCol` is the content fingerprint the resumed rank probes at
+    * its seek position (window_fp for window orders; the md5
+    * sort_key for doc-level schedules). */
+  private[graft] def resumeOracleSql(orderSql: String, frac: Double,
+                                     fpCol: String = "window_fp"): String =
     // plain concatenation — an outer stripMargin would eat the
     // leading '|' of any embedded oracle line that begins with the
     // SQL concat operator '||'
@@ -2143,7 +2148,7 @@ object TextOps {
       "  COUNT(*) FILTER (WHERE ord <= k) AS n_consumed,\n" +
       "  COUNT(*) FILTER (WHERE ord > k) AS n_remaining,\n" +
       "  MIN(pos) FILTER (WHERE ord > k) AS next_pos,\n" +
-      "  arg_min(window_fp, pos) FILTER (WHERE ord > k) AS next_window_fp\n" +
+      s"  arg_min($fpCol, pos) FILTER (WHERE ord > k) AS next_$fpCol\n" +
       "FROM o, kk GROUP BY shard ORDER BY shard"
 
   /** Resume the CURATED TEXT run mid-epoch: the manifest over
