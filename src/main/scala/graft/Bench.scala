@@ -115,6 +115,12 @@ object Bench {
         graft.queries.TextOps.curationDecisions(spark, sfDir)
         graft.queries.TextOps.curationWindows(spark, sfDir); ()
       },
+      timedWarm("cache_warm_drift_stream") {
+        // the drained drift world (stream pass + clean-corpus
+        // promotion) shared by stream_corpus_drift and the
+        // quarantine gate
+        graft.streaming.StreamingDrift.warmDriftStream(spark, sfDir)
+      },
       timedWarm("cache_warm_curriculum") {
         // the quality-quartile schedule (lmScore join + two-level
         // rank) shared by text_curriculum_order and its resume

@@ -593,7 +593,10 @@ object Curation {
     * aggregation; everything after the count frame is arithmetic
     * over ≤ a few dozen rows. The min/max slice anchor is a 1-row
     * aggregate (the structural-cut device of the release series). */
-  val corpusDrift: Q = Q("text_corpus_drift",
+  /** The drift-report CTE chain (through `psi`) — shared by the
+    * batch monitor, its streaming twin, and the quarantine gate
+    * (which pivots `psi` into per-slice promotion verdicts). */
+  private[graft] def driftOracleCtes: String =
     """WITH mm AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
       |d AS (SELECT doc_id, n_chars, lang,
       |        CAST(((doc_id - mn) * 4) // (mx - mn + 1) AS BIGINT) AS slice
@@ -619,7 +622,10 @@ object Curation {
       |psi AS (SELECT p.slice, p.feature,
       |          ROUND(SUM((p.p - ref.q) * ln(p.p / ref.q)), 6) AS psi
       |        FROM p JOIN ref ON ref.feature = p.feature AND ref.bucket = p.bucket
-      |        WHERE p.slice > 0 GROUP BY 1, 2)
+      |        WHERE p.slice > 0 GROUP BY 1, 2)""".stripMargin
+
+  val corpusDrift: Q = Q("text_corpus_drift",
+    driftOracleCtes + """
       |SELECT psi.slice, psi.feature, ns.n AS n_docs, psi.psi, psi.psi >= 0.2 AS drifted
       |FROM psi JOIN ns ON ns.slice = psi.slice ORDER BY psi.slice, psi.feature""".stripMargin) {
     (s, dir) =>

@@ -2,50 +2,83 @@ package graft.streaming
 
 import graft.Q
 import graft.queries.Curation
-import graft.sources.{Scratch, Tables}
+import graft.sources.{FrameStore, Scratch, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** The corpus drift monitor OPERATED CONTINUOUSLY — the streaming
-  * twin of `text_corpus_drift`: documents arrive as a stream, every
-  * micro-batch buckets its rows against the STATIC structural-slice
-  * anchors and lands its partial `(slice, feature, bucket, c)` count
-  * frame; the drained partials SUM to the batch scan's exact counts
-  * (counts are additive, so the monitor composes over any slicing),
-  * and the PSI report off the summed frame is byte-identical to the
-  * batch query — the twin shares its DuckDB oracle verbatim.
+/** The corpus drift monitor OPERATED CONTINUOUSLY — and ACTING on the
+  * pipeline. Two faces over one stream pass:
   *
-  * No cross-batch store is needed: each partial is keyed by its
-  * batch id directory, so a replayed batch OVERWRITES its own
-  * partial instead of double-counting (idempotent by construction —
-  * the exactly-once story the count-state twins need a FrameStore
-  * for comes free when the accumulator is a sum over per-batch
-  * sub-aggregates).
+  *  - `stream_corpus_drift`: documents arrive as a stream, every
+  *    micro-batch buckets its rows against the STATIC structural-slice
+  *    anchors and lands its partial `(slice, feature, bucket, c)`
+  *    count frame; the drained partials SUM to the batch scan's exact
+  *    counts (counts are additive, so the monitor composes over any
+  *    slicing), and the PSI report off the summed frame is
+  *    byte-identical to the batch query — shares its oracle verbatim.
+  *  - `stream_drift_quarantine`: the monitor GATES the corpus — each
+  *    arriving doc also lands in a per-slice staging manifest, and at
+  *    the drain every slice gets a promotion verdict (BOTH feature
+  *    PSIs under the moderate-shift bound 0.1 ⇒ promoted); only the
+  *    clean slices' docs promote into the `corpus_clean` release
+  *    artifact. A drifted crawl slice is HELD BACK, not trained on —
+  *    the act the monitor exists for. The certificate's
+  *    `clean_corpus_matches_manifest` leg pins the promoted artifact
+  *    row count against the verdicts it claims.
+  *
+  * No cross-batch store is needed for the counts: each partial is
+  * keyed by its batch id directory, so a replayed batch OVERWRITES
+  * its own partial instead of double-counting (idempotent by
+  * construction); the staging manifests ride the same discipline.
   *
   * Scale shape: the per-batch work is one map-side-combinable
   * groupBy on a bounded key alphabet (4 slices × {10 length bands +
-  * |langs|}); the drain-time sum and the PSI arithmetic run over ≤ a
-  * few dozen rows per batch file.
+  * |langs|}) plus a two-column manifest append; the drain-time sum,
+  * PSI arithmetic, and verdict pivot run over ≤ a few dozen rows,
+  * and the promotion join prunes on the ≤ 4-value slice key.
   */
 object StreamingDrift {
 
-  final case class Env(inDir: String, outDir: String, ckpt: String,
-                       mn: Long, mx: Long,
-                       schema: org.apache.spark.sql.types.StructType)
+  /** Moderate-shift PSI bound (industry convention: < 0.1 stable,
+    * 0.1–0.2 moderate, > 0.2 major) — a slice must clear it on EVERY
+    * feature to promote. */
+  val QuarantinePsi = 0.1
 
-  def prepare(spark: SparkSession, dir: String): Env = {
+  val CleanCorpusName = "corpus_clean"
+
+  final case class Env(inDir: String, outDir: String, ckpt: String,
+                       mn: Long, mx: Long, store: FrameStore,
+                       schema: org.apache.spark.sql.types.StructType) {
+    def docsDir: String = outDir + "-docs"
+  }
+
+  /** The drained world: summed counts, the PSI report, the per-slice
+    * staging manifests, and the promoted clean-corpus artifact. */
+  final case class DriftWorld(env: Env, counts: DataFrame, report: DataFrame,
+                              staged: DataFrame, cleanCount: Long)
+      extends graft.Reapable {
+    def reapRoots: Seq[String] =
+      Seq(java.nio.file.Paths.get(env.outDir).getParent.toString)
+  }
+
+  def prepare(spark: SparkSession, dir: String,
+              docs: DataFrame): Env = {
     val scratch = Scratch.dir("graft-drift-").toString
-    val (mn, mx) = Curation.driftAnchors(spark, dir)
-    Env(s"$scratch/in", s"$scratch/counts", s"$scratch/ckpt", mn, mx,
-      Tables.documents(spark, dir).schema)
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    Env(s"$scratch/in", s"$scratch/counts", s"$scratch/ckpt",
+      r.getLong(0), r.getLong(1), new FrameStore(s"$scratch/store"), docs.schema)
   }
 
   def processBatch(batch: DataFrame, batchId: Long, env: Env): Unit = {
-    Curation.driftBuckets(batch, env.mn, env.mx)
-      .groupBy(col("slice"), col("feature"), col("bucket"))
+    val sliced = Curation.driftBuckets(batch, env.mn, env.mx)
+    sliced.groupBy(col("slice"), col("feature"), col("bucket"))
       .agg(count(lit(1)).as("c"))
       .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
+    batch.select(
+        expr(s"((doc_id - ${env.mn}L) * 4) div ${env.mx - env.mn + 1}L").as("slice"),
+        col("doc_id"))
+      .write.mode("overwrite").parquet(s"${env.docsDir}/batch=$batchId")
     ()
   }
 
@@ -69,18 +102,93 @@ object StreamingDrift {
       .groupBy(col("slice"), col("feature"), col("bucket"))
       .agg(sum(col("c")).as("c"))
 
-  def runDriftStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame = {
-    val env = prepare(spark, dir)
-    StreamingCuration.landOrderedSlices(spark, env.inDir, dir, slices)
-    runPass(spark, env)
-    Curation.psiReport(spark, drainedCounts(spark, env))
+  /** Per-slice promotion verdicts off a PSI report: every feature's
+    * ROUNDED psi must clear [[QuarantinePsi]] (slice 0 is the
+    * reference — vacuously clean). */
+  private[graft] def verdicts(counts: DataFrame, report: DataFrame): DataFrame = {
+    val ns = counts.filter(col("feature") === "len")
+      .groupBy(col("slice")).agg(sum(col("c")).as("n_docs"))
+    val piv = report.groupBy(col("slice"))
+      .agg(max(when(col("feature") === "len", col("psi"))).as("psi_len"),
+        max(when(col("feature") === "lang", col("psi"))).as("psi_lang"))
+    ns.join(piv, Seq("slice"), "left_outer")
+      .na.fill(0.0, Seq("psi_len", "psi_lang"))
+      .withColumn("promoted",
+        col("psi_len") < QuarantinePsi && col("psi_lang") < QuarantinePsi)
+      .withColumn("n_docs_promoted",
+        when(col("promoted"), col("n_docs")).otherwise(0L))
+  }
+
+  /** One drained drift world per (application, input): stream pass,
+    * summed counts, PSI report, and the clean-corpus promotion. */
+  private val worldMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DriftWorld])
+
+  private[graft] def driftWorld(s: SparkSession, dir: String): DriftWorld =
+    worldMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir,
+      buildWorld(s, dir, Tables.documents(s, dir), slices = 3))
+
+  /** The full pass over an arbitrary documents frame — exposed so the
+    * planted-drift spec can drive a corpus whose tail slice genuinely
+    * shifts. */
+  private[graft] def buildWorld(s: SparkSession, dir: String, docs: DataFrame,
+                                slices: Int): DriftWorld = {
+    val env = prepare(s, dir, docs)
+    StreamingCuration.landOrderedSlicesOf(docs, "doc_id", env.inDir, slices)
+    runPass(s, env)
+    val counts = drainedCounts(s, env).localCheckpoint(true)
+    val report = Curation.psiReport(s, counts).localCheckpoint(true)
+    val staged = s.read.parquet(env.docsDir).drop("batch")
+    val clean = verdicts(counts, report)
+      .filter(col("promoted")).select(col("slice"))
+    // ≤ 4-row promotion key — the slice prune IS the quarantine
+    val cleanDocs = staged.join(broadcast(clean), Seq("slice"))
+    env.store.promote(CleanCorpusName,
+      env.store.register(s, CleanCorpusName, cleanDocs))
+    val cleanCount = env.store.loadProduction(s, CleanCorpusName)
+      .getOrElse(sys.error("no promoted clean corpus")).count()
+    DriftWorld(env, counts, report, staged, cleanCount)
+  }
+
+  /** Bench warm hook: the stream pass + promotion, attributed once. */
+  private[graft] def warmDriftStream(s: SparkSession, dir: String): Unit = {
+    driftWorld(s, dir); ()
   }
 
   /** Streaming twin of `text_corpus_drift` — same oracle. */
   val streamCorpusDrift: Q = Q("stream_corpus_drift",
     Curation.corpusDrift.oracle.get) { (s, dir) =>
-    runDriftStream(s, dir)
+    driftWorld(s, dir).report.orderBy(col("slice"), col("feature"))
   }
 
-  val all: Seq[Q] = Seq(streamCorpusDrift)
+  /** The quarantine gate — see the object doc. The oracle pivots the
+    * shared drift chain into per-slice verdicts; the artifact-parity
+    * leg rides as a pinned boolean the engine computes for real. */
+  val streamDriftQuarantine: Q = Q("stream_drift_quarantine",
+    Curation.driftOracleCtes + s""",
+      |piv AS (SELECT slice,
+      |          MAX(CASE WHEN feature = 'len' THEN psi END) AS psi_len,
+      |          MAX(CASE WHEN feature = 'lang' THEN psi END) AS psi_lang
+      |        FROM psi GROUP BY 1)
+      |SELECT ns.slice, ns.n AS n_docs,
+      |  COALESCE(piv.psi_len, 0.0) AS psi_len,
+      |  COALESCE(piv.psi_lang, 0.0) AS psi_lang,
+      |  (COALESCE(piv.psi_len, 0.0) < $QuarantinePsi
+      |    AND COALESCE(piv.psi_lang, 0.0) < $QuarantinePsi) AS promoted,
+      |  CASE WHEN COALESCE(piv.psi_len, 0.0) < $QuarantinePsi
+      |            AND COALESCE(piv.psi_lang, 0.0) < $QuarantinePsi
+      |       THEN ns.n ELSE 0 END AS n_docs_promoted,
+      |  TRUE AS clean_corpus_matches_manifest
+      |FROM ns LEFT JOIN piv USING (slice) ORDER BY slice""".stripMargin) { (s, dir) =>
+    val world = driftWorld(s, dir)
+    val v = verdicts(world.counts, world.report)
+    val promisedTotal = v.agg(sum(col("n_docs_promoted")).as("t"))
+    v.crossJoin(broadcast(promisedTotal))
+      .select(col("slice"), col("n_docs"), col("psi_len"), col("psi_lang"),
+        col("promoted"), col("n_docs_promoted"),
+        (col("t") === world.cleanCount).as("clean_corpus_matches_manifest"))
+      .orderBy(col("slice"))
+  }
+
+  val all: Seq[Q] = Seq(streamCorpusDrift, streamDriftQuarantine)
 }

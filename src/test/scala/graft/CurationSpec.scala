@@ -321,11 +321,34 @@ class CurationSpec extends SparkSpec {
 
   test("streamed drift report equals the batch scan across slicings") {
     import graft.streaming.StreamingDrift
+    val docs = graft.sources.Tables.documents(spark, sf)
     val batch = Curation.corpusDrift.fn(spark, sf).collect().toSeq
     assert(batch.nonEmpty)
-    assert(StreamingDrift.runDriftStream(spark, sf, 2).collect().toSeq == batch,
-      "2-slice stream must reproduce the batch PSI report")
-    assert(StreamingDrift.runDriftStream(spark, sf, 5).collect().toSeq == batch,
-      "5-slice stream must reproduce the batch PSI report")
+    def streamed(slices: Int) =
+      StreamingDrift.buildWorld(spark, sf, docs, slices)
+        .report.orderBy($"slice", $"feature").collect().toSeq
+    assert(streamed(2) == batch, "2-slice stream must reproduce the batch PSI report")
+    assert(streamed(5) == batch, "5-slice stream must reproduce the batch PSI report")
+  }
+
+  test("drift quarantine holds back a planted drifted slice; clean slices promote") {
+    import graft.streaming.StreamingDrift
+    // 200 docs, uniform length; slices 0-2 alternate en/de, slice 3
+    // is single-language -> its lang PSI blows past the 0.1 bound
+    val docs = (0L until 200L).map { i =>
+      val lang = if (i >= 150) "xx" else if (i % 2 == 0) "en" else "de"
+      (i, Seq.fill(20)("tok").mkString(" "), lang, "src1", 120L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = StreamingDrift.buildWorld(spark, sf, docs, slices = 3)
+    val v = StreamingDrift.verdicts(w.counts, w.report)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(4), r.getLong(1), r.getLong(5))).toMap
+    assert(!v(3L)._1, "the single-language tail slice must be quarantined")
+    assert(Seq(0L, 1L, 2L).forall(v(_)._1), "stable slices must promote")
+    // the promoted artifact is exactly the clean slices' docs
+    assert(w.cleanCount == 150L,
+      s"clean corpus must hold slices 0-2 (150 docs), got ${w.cleanCount}")
+    val staged = w.staged.count()
+    assert(staged == 200L, s"staging must hold every arrival, got $staged")
   }
 }
