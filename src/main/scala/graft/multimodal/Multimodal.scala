@@ -511,24 +511,32 @@ object Multimodal {
       |FROM psi JOIN ns ON ns.slice = psi.slice ORDER BY psi.slice, psi.feature""".stripMargin) {
     (s, dir) =>
       val (mn, mx) = graft.queries.Curation.driftAnchors(s, dir)
-      // repartition BEFORE the synth+decode: the sf parquet is one
-      // split, and the per-payload RMS aggregate is the expensive
-      // map — one task would serialize the whole decode (the
-      // consolidated-trimodal-pass lesson). Both loudness features
-      // come out of ONE decode pass via a 2-entry map explode, not a
-      // union that re-decodes the corpus per branch.
-      val stats = decodeWav(wavTable(s, dir)
-          .repartition(s.sessionState.conf.numShufflePartitions))
-        .select(col("doc_id"), col("rms_l"), col("peak_l"))
-        .withColumn("slice", expr(s"((doc_id - ${mn}L) * 4) div ${mx - mn + 1}L"))
-      val buckets = stats.select(col("slice"), explode(map(
-          lit("rms"), least(floor(col("rms_l") / 16).cast("long"), lit(15L)).cast("string"),
-          lit("peak"), least(floor(col("peak_l") / 16).cast("long"), lit(15L)).cast("string"))))
-        .withColumnRenamed("key", "feature").withColumnRenamed("value", "bucket")
       graft.queries.Curation.psiReport(s,
-        buckets.groupBy(col("slice"), col("feature"), col("bucket"))
+        mediaDriftBuckets(Tables.documents(s, dir), mn, mx)
+          .groupBy(col("slice"), col("feature"), col("bucket"))
           .agg(count(lit(1)).as("c")),
         nsFeature = "rms")
+  }
+
+  /** Per-doc `(slice, feature, bucket)` loudness rows of a documents
+    * frame — shared by the batch monitor and its streaming twin
+    * (slice anchors come from the static table, so a streamed batch
+    * buckets identically). Repartitions BEFORE the synth+decode: the
+    * sf parquet is one split and the per-payload RMS aggregate is the
+    * expensive map — one task would serialize the whole decode (the
+    * consolidated-trimodal-pass lesson). Both loudness features come
+    * out of ONE decode pass via a 2-entry map explode, not a union
+    * that re-decodes the corpus per branch. */
+  private[graft] def mediaDriftBuckets(docs: org.apache.spark.sql.DataFrame,
+                                       mn: Long, mx: Long): org.apache.spark.sql.DataFrame = {
+    val stats = decodeWav(wavFrames(docs
+        .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)))
+      .select(col("doc_id"), col("rms_l"), col("peak_l"))
+      .withColumn("slice", expr(s"((doc_id - ${mn}L) * 4) div ${mx - mn + 1}L"))
+    stats.select(col("slice"), explode(map(
+        lit("rms"), least(floor(col("rms_l") / 16).cast("long"), lit(15L)).cast("string"),
+        lit("peak"), least(floor(col("peak_l") / 16).cast("long"), lit(15L)).cast("string"))))
+      .withColumnRenamed("key", "feature").withColumnRenamed("value", "bucket")
   }
 
   /** The WAV decoder proper: `(doc_id, payload)` → chunk magics,

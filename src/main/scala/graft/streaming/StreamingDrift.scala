@@ -82,13 +82,20 @@ object StreamingDrift {
     ()
   }
 
-  def runPass(spark: SparkSession, env: Env): Unit = {
+  def runPass(spark: SparkSession, env: Env): Unit =
+    runPassWith(spark, env)((b, id) => processBatch(b, id, env))
+
+  /** The AvailableNow drain with a pluggable per-batch handler —
+    * shared by the text face and the media face (same slicing, same
+    * count discipline, different bucketer). */
+  def runPassWith(spark: SparkSession, env: Env)(
+      handler: (DataFrame, Long) => Unit): Unit = {
     val q = spark.readStream.schema(env.schema)
       .option("maxFilesPerTrigger", 1).parquet(env.inDir)
       .writeStream
       .option("checkpointLocation", env.ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) processBatch(Tables.normalizeDocuments(batch), batchId, env)
+        if (!batch.isEmpty) handler(Tables.normalizeDocuments(batch), batchId)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -150,9 +157,42 @@ object StreamingDrift {
     DriftWorld(env, counts, report, staged, cleanCount)
   }
 
-  /** Bench warm hook: the stream pass + promotion, attributed once. */
+  /** The MEDIA face: same slicing + count discipline, the decoded
+    * loudness bucketer — the drained partials sum to
+    * `mm_media_drift`'s count frame for any slicing. */
+  final case class MediaDriftWorld(env: Env, report: DataFrame)
+      extends graft.Reapable {
+    def reapRoots: Seq[String] =
+      Seq(java.nio.file.Paths.get(env.outDir).getParent.toString)
+  }
+
+  private val mediaMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, MediaDriftWorld])
+
+  private[graft] def mediaDriftWorld(s: SparkSession, dir: String): MediaDriftWorld =
+    mediaMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      import graft.multimodal.Multimodal
+      val docs = Tables.documents(s, dir)
+      val env = prepare(s, dir, docs)
+      StreamingCuration.landOrderedSlicesOf(docs, "doc_id", env.inDir, 3)
+      runPassWith(s, env) { (batch, batchId) =>
+        Multimodal.mediaDriftBuckets(batch, env.mn, env.mx)
+          .groupBy(col("slice"), col("feature"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+          .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
+        ()
+      }
+      val report = Curation.psiReport(s, drainedCounts(s, env), nsFeature = "rms")
+        .localCheckpoint(true)
+      MediaDriftWorld(env, report)
+    })
+
+  /** Bench warm hook: both stream passes (+ the clean-corpus
+    * promotion), attributed once. */
   private[graft] def warmDriftStream(s: SparkSession, dir: String): Unit = {
-    driftWorld(s, dir); ()
+    driftWorld(s, dir)
+    mediaDriftWorld(s, dir)
+    ()
   }
 
   /** Streaming twin of `text_corpus_drift` — same oracle. */
@@ -190,5 +230,11 @@ object StreamingDrift {
       .orderBy(col("slice"))
   }
 
-  val all: Seq[Q] = Seq(streamCorpusDrift, streamDriftQuarantine)
+  /** Streaming twin of `mm_media_drift` — same oracle. */
+  val streamMediaDrift: Q = Q("stream_media_drift",
+    graft.multimodal.Multimodal.mediaDrift.oracle.get) { (s, dir) =>
+    mediaDriftWorld(s, dir).report.orderBy(col("slice"), col("feature"))
+  }
+
+  val all: Seq[Q] = Seq(streamCorpusDrift, streamDriftQuarantine, streamMediaDrift)
 }

@@ -459,6 +459,16 @@ class MultimodalSpec extends SparkSpec {
       "rms distribution differences must surface in the PSI")
   }
 
+  test("streamed media drift equals the batch report") {
+    // the slicing-invariance mechanism (additive per-batch counts) is
+    // proven on the text face across 2/5 slicings; this pins the
+    // media bucketer through the same pass
+    val batch = Multimodal.mediaDrift.fn(spark, sf).collect().toSeq
+    val streamed = graft.streaming.StreamingDrift.mediaDriftWorld(spark, sf)
+      .report.orderBy(col("slice"), col("feature")).collect().toSeq
+    assert(streamed == batch, "drained media counts must reproduce the batch PSI report")
+  }
+
   test("media forget: a forgotten clip is indistinguishable from never-ingested (audio, shared contract)") {
     // mm_dedup_forget certifies the image modality end-to-end at the
     // gate; the takedown path is modality-blind (the banded-index
