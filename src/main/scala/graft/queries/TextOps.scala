@@ -2716,6 +2716,96 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** RETROACTIVE RELEASE CONTAMINATION AUDIT — the audit that runs
+    * when a NEW benchmark drops AFTER the release shipped: curation
+    * screened against the benchmark quarter it knew (`doc_id%4 = 3`,
+    * [[decontaminate]]), so a benchmark published later (modeled as
+    * the md5 val split, bucket ∈ [80,90) — an axis curation never
+    * screened) can still overlap shipped text. Per source: how many
+    * shipped 512-token windows CONTAIN a release doc sharing ≥ 1
+    * word-8-gram with the new benchmark, out of how many shipped
+    * windows total, and how many docs hit. Downstream, the affected
+    * windows are what an eval-integrity note excludes (or the forget
+    * device recuts). Grams are computed over the RAW text — a
+    * conservative over-approximation of the post-scrub window
+    * content, which is the standard audit posture (flag, then
+    * inspect). A release doc that IS a new-benchmark doc is a hit by
+    * definition — that's eval text shipped verbatim.
+    *
+    * Scale shape: gram postings are hashed 8-byte keys under the
+    * [[maybeBroadcast]] gate; the doc→window span explode is bounded
+    * by each doc's own window span; everything aggregates per
+    * source. */
+  val releaseContamAudit: Q = Q("text_release_contam_audit",
+    curationOracleBody + emitTokenCtes + """
+      |, atok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |awords AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM atok),
+      |ag0 AS (SELECT doc_id, word,
+      |         lead(word, 1) OVER awin AS w1, lead(word, 2) OVER awin AS w2,
+      |         lead(word, 3) OVER awin AS w3, lead(word, 4) OVER awin AS w4,
+      |         lead(word, 5) OVER awin AS w5, lead(word, 6) OVER awin AS w6,
+      |         lead(word, 7) OVER awin AS w7
+      |       FROM awords WINDOW awin AS (PARTITION BY doc_id ORDER BY i)),
+      |ag AS (SELECT DISTINCT doc_id,
+      |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+      |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS s
+      |      FROM ag0 WHERE w7 IS NOT NULL),
+      |abkt AS (SELECT doc_id,
+      |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bucket
+      |        FROM documents),
+      |abench AS (SELECT DISTINCT ag.s FROM ag JOIN abkt USING (doc_id)
+      |           WHERE bucket >= 80 AND bucket < 90),
+      |rox AS (SELECT source, doc_id, start_off,
+      |          len(string_split(red, ' ')) AS ft FROM ro),
+      |ahits AS (SELECT DISTINCT ag.doc_id FROM ag
+      |          JOIN (SELECT DISTINCT doc_id FROM rox) rr USING (doc_id)
+      |          JOIN abench ON ag.s = abench.s),
+      |aspans AS (SELECT rox.source,
+      |             unnest(generate_series(CAST(start_off // 512 AS BIGINT),
+      |               CAST((start_off + ft - 1) // 512 AS BIGINT))) AS w
+      |           FROM rox JOIN ahits USING (doc_id) WHERE ft >= 1),
+      |aaff AS (SELECT source, COUNT(DISTINCT w) AS n_windows_affected FROM aspans GROUP BY 1),
+      |anh AS (SELECT source, COUNT(*) AS n_docs_hit FROM rox JOIN ahits USING (doc_id) GROUP BY 1),
+      |atot AS (SELECT source, CAST((SUM(ft) + 511) // 512 AS BIGINT) AS n_windows_total
+      |         FROM rox GROUP BY 1)
+      |SELECT atot.source, atot.n_windows_total,
+      |  COALESCE(aaff.n_windows_affected, 0) AS n_windows_affected,
+      |  COALESCE(anh.n_docs_hit, 0) AS n_docs_hit
+      |FROM atot LEFT JOIN aaff USING (source) LEFT JOIN anh USING (source)
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val ro = sourcePrefixSum(
+      curationDecisions(s, dir).filter(col("drop_reason").isNull)
+        .select(col("source"), col("doc_id"), col("final_tokens")),
+      col("final_tokens"))
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100")
+    val grams = hashedGrams8(Tables.fanOut(docs))
+    val bench = grams.withColumn("bucket", bucket)
+      .filter(col("bucket") >= 80 && col("bucket") < 90)
+      .select(col("h")).distinct()
+    val (_, _, postings) = hashedShinglesStats(s, dir)
+    val hits = grams
+      .join(ro.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .join(maybeBroadcast(bench, postings / 10 * 8), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val spans = ro.join(hits, Seq("doc_id"))
+      .filter(col("final_tokens") >= 1)
+      .select(col("source"), explode(sequence(
+        floor(col("start_off") / 512).cast("long"),
+        floor((col("start_off") + col("final_tokens") - 1) / 512).cast("long"))).as("w"))
+    val aff = spans.groupBy(col("source"))
+      .agg(countDistinct(col("w")).as("n_windows_affected"))
+    val nh = ro.join(hits, Seq("doc_id")).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_hit"))
+    ro.groupBy(col("source"))
+      .agg(expr("cast((sum(final_tokens) + 511) div 512 as bigint)").as("n_windows_total"))
+      .join(aff, Seq("source"), "left_outer")
+      .join(nh, Seq("source"), "left_outer")
+      .na.fill(0L, Seq("n_windows_affected", "n_docs_hit"))
+      .orderBy(col("source"))
+  }
+
   /** Overlapping token-window CHUNKING — the context-window shaping
     * step every RAG / long-document training pipeline runs: split
     * each document into windows of 32 whitespace tokens advancing by
@@ -3582,5 +3672,6 @@ object TextOps {
     sampleStratified, splitLeakage, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
     tfidfTopK, curation, dataCard, qualityHist, curationPack, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle, curationResume, curationEpochs,
-    emitForget, decontaminate, decontaminateIncremental, decontaminateBloom, evalBuild)
+    emitForget, decontaminate, decontaminateIncremental, decontaminateBloom, evalBuild,
+    releaseContamAudit)
 }

@@ -382,6 +382,35 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(_._4), "no kept candidate at this SF")
   }
 
+  test("retroactive release audit flags at least every shipped new-benchmark doc") {
+    // a release doc that IS a val-split (new-benchmark) doc shares its
+    // own grams by definition — the audit's hit set must cover every
+    // retained val doc that carries an 8-gram, and affected windows
+    // are bounded by the shipped total
+    def bucket(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((d(0) & 0xff) << 8 | (d(1) & 0xff)) % 100
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val retained = TextOps.curationDecisions(spark, sf)
+      .filter(col("drop_reason").isNull).select("doc_id").as[Long].collect().toSet
+    val expectedMin = docs.collect {
+      case (id, t, src) if retained(id) && bucket(id) >= 80 && bucket(id) < 90 &&
+        t.split(" ").length >= 8 => src
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = TextOps.releaseContamAudit.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    got.foreach { case (src, (tot, aff, hits)) =>
+      assert(aff >= 0 && aff <= tot, s"$src: affected $aff outside [0, $tot]")
+      assert(hits >= expectedMin.getOrElse(src, 0L),
+        s"$src: $hits hits < ${expectedMin.getOrElse(src, 0L)} shipped benchmark docs")
+    }
+    assert(got.values.map(_._3).sum > 0, "audit is vacuous at this SF")
+  }
+
   test("incremental decontamination equals the full pass restricted to new docs") {
     // the persisted-gram-index path over only the top-10% doc_ids must
     // flag exactly what the full corpus screen flags for those docs
