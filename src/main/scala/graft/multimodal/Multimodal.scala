@@ -1980,7 +1980,15 @@ object Multimodal {
       "  sort_key, CAST(phase AS BIGINT) AS phase, data_shard, seq_id," +
       " quartile, patch_share, n_tokens, n_patch\n" +
       "FROM u ORDER BY ord") { (s, dir) =>
-    val w = trimodalEmitWindows(s, dir).withColumnRenamed("shard", "data_shard")
+    curriculumOverWindows(trimodalEmitWindows(s, dir))
+  }
+
+  /** The modality-mix curriculum transform over any trimodal window
+    * frame — shared verbatim by the batch query and the streaming
+    * twin (the schedule is a content-determined fact of the
+    * windows). */
+  private[graft] def curriculumOverWindows(windows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = windows.withColumnRenamed("shard", "data_shard")
       .withColumn("patch_share",
         round(col("n_patch").cast("double") / col("n_tokens"), 6))
     val ranked = graft.queries.Curation.difficultyQuartiles(w,

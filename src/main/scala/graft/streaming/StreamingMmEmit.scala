@@ -724,6 +724,15 @@ object StreamingMmEmit {
     graft.queries.TextOps.epochOrdersTrimodal(streamedTrimodalWindows(s, dir), 2)
   }
 
+  /** Streaming twin of `mm_trimodal_curriculum` — same oracle: the
+    * modality-mix schedule is a content-determined fact of the
+    * windows, so ranking the continuously-landed release gives the
+    * byte-identical curriculum. */
+  val streamTrimodalCurriculum: Q = Q("stream_trimodal_curriculum",
+    Multimodal.trimodalCurriculum.oracle.get) { (s, dir) =>
+    Multimodal.curriculumOverWindows(streamedTrimodalWindows(s, dir))
+  }
+
   /** Streaming twin of `mm_trimodal_card` — same oracle: the
     * per-modality release card is a content-determined rollup of the
     * gated record stream, so the continuously-landed records must
@@ -1251,6 +1260,7 @@ object StreamingMmEmit {
     streamMmEmitGated, streamTrimodalEmitIds, streamTrimodalBounds,
     streamTrimodalIdFreq, streamTrimodalGated,
     streamTrimodalShuffle, streamTrimodalResume, streamTrimodalEpochs,
+    streamTrimodalCurriculum,
     streamTrimodalCard, streamTrimodalForget, streamTrimodalRepublish,
     streamTrimodalDiff)
 }
