@@ -121,6 +121,11 @@ object Bench {
         // quarantine gate
         graft.streaming.StreamingDrift.warmDriftStream(spark, sfDir)
       },
+      timedWarm("cache_warm_eval_stream") {
+        // the persisted train-gram index + the candidate-screening
+        // stream pass behind stream_eval_build
+        graft.streaming.StreamingEvalBuild.warmEvalStream(spark, sfDir)
+      },
       timedWarm("cache_warm_curriculum") {
         // the quality-quartile schedule (lmScore join + two-level
         // rank) shared by text_curriculum_order and its resume

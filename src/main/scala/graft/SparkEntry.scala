@@ -24,7 +24,7 @@ object SparkEntry {
       graft.streaming.StreamingCuration.all ++ graft.streaming.StreamingMixPack.all ++
       graft.streaming.StreamingLineDedup.all ++ graft.streaming.StreamingSpanDedup.all ++
       graft.streaming.StreamingSemDedup.all ++ graft.streaming.StreamingKmeansUpdate.all ++
-      graft.streaming.StreamingDrift.all ++
+      graft.streaming.StreamingDrift.all ++ graft.streaming.StreamingEvalBuild.all ++
       graft.streaming.StreamingScd2.all ++
       graft.streaming.StreamingAnnIndex.all ++ graft.streaming.StreamingAnnServe.all ++
       graft.streaming.StreamingCowMerge.all ++ graft.streaming.StreamingMedia.all ++ graft.streaming.StreamingEmit.all ++

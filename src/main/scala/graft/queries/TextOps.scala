@@ -2694,18 +2694,34 @@ object TextOps {
       |SELECT doc_id, lang, n_grams, n_hit, overlap, overlap < 0.2 AS kept
       |FROM ov ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val bucket = expr(
-      "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100")
-    val grams = hashedGrams8(Tables.fanOut(docs)).withColumn("bucket", bucket)
+    val grams = hashedGrams8(Tables.fanOut(docs)).withColumn("bucket", splitBucket)
     val seen = grams.filter(col("bucket") < 90).select(col("h")).distinct()
     val (_, _, postings) = hashedShinglesStats(s, dir)
-    val agg = grams.filter(col("bucket") >= 90)
-      .join(maybeBroadcast(seen.withColumn("hit", lit(1)), postings * 9 / 10 * 8),
-        Seq("h"), "left_outer")
+    evalManifestOf(
+      docs.withColumn("bucket", splitBucket).filter(col("bucket") >= 90),
+      grams.filter(col("bucket") >= 90).select(col("doc_id"), col("h")),
+      maybeBroadcast(seen, postings * 9 / 10 * 8))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The md5 split bucket (`text_split_assign`'s arithmetic) as a
+    * column — shared by the eval constructor's batch and stream
+    * faces. */
+  private[graft] def splitBucket: Column = expr(
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100")
+
+  /** The eval-manifest transform of [[evalBuild]] over any candidate
+    * frame: per candidate, gram totals vs the `seen` train-gram set,
+    * rounded overlap, and the keep decision — a per-doc content fact
+    * (the seen set is the STATIC full train side), so the streaming
+    * twin shares it verbatim per micro-batch. */
+  private[graft] def evalManifestOf(cand: DataFrame, candGrams: DataFrame,
+                                    seen: DataFrame): DataFrame = {
+    val agg = candGrams
+      .join(seen.withColumn("hit", lit(1)), Seq("h"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
-    docs.withColumn("bucket", bucket).filter(col("bucket") >= 90)
-      .select(col("doc_id"), col("lang"))
+    cand.select(col("doc_id"), col("lang"))
       .join(agg, Seq("doc_id"), "left_outer")
       .na.fill(0L, Seq("n_grams", "n_hit"))
       .withColumn("overlap",
@@ -2713,7 +2729,6 @@ object TextOps {
           .otherwise(r6(col("n_hit").cast("double") / col("n_grams"))))
       .select(col("doc_id"), col("lang"), col("n_grams"), col("n_hit"),
         col("overlap"), (col("overlap") < 0.2).as("kept"))
-      .orderBy(col("doc_id"))
   }
 
   /** RETROACTIVE RELEASE CONTAMINATION AUDIT — the audit that runs

@@ -382,6 +382,16 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(_._4), "no kept candidate at this SF")
   }
 
+  test("streamed eval construction equals the batch manifest") {
+    // the keep decision is a per-doc fact against the STATIC train
+    // side, so the per-batch manifests must concatenate into exactly
+    // the batch constructor's output
+    val batch = TextOps.evalBuild.fn(spark, sf).collect().toSeq
+    val streamed = graft.streaming.StreamingEvalBuild.evalWorld(spark, sf)
+      .manifest.orderBy(col("doc_id")).collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("retroactive release audit flags at least every shipped new-benchmark doc") {
     // a release doc that IS a val-split (new-benchmark) doc shares its
     // own grams by definition — the audit's hit set must cover every
