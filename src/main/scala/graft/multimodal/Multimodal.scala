@@ -476,7 +476,10 @@ object Multimodal {
     * family always pays; everything after is the bounded-alphabet
     * groupBy + ≤ a few dozen rows of PSI arithmetic
     * ([[graft.queries.Curation.psiReport]]). */
-  val mediaDrift: Q = Q("mm_media_drift",
+  /** The media drift-report CTE chain (through `psi`) — shared by
+    * the batch monitor, its streaming twin, and the media quarantine
+    * gate. */
+  private[graft] def mediaDriftOracleCtes: String =
     "WITH " + wavStatsOracleCtes + """,
       |mm AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
       |d AS (SELECT doc_id, rms_l, peak_l,
@@ -506,7 +509,10 @@ object Multimodal {
       |psi AS (SELECT p.slice, p.feature,
       |          ROUND(SUM((p.p - ref.q) * ln(p.p / ref.q)), 6) AS psi
       |        FROM p JOIN ref ON ref.feature = p.feature AND ref.bucket = p.bucket
-      |        WHERE p.slice > 0 GROUP BY 1, 2)
+      |        WHERE p.slice > 0 GROUP BY 1, 2)""".stripMargin
+
+  val mediaDrift: Q = Q("mm_media_drift",
+    mediaDriftOracleCtes + """
       |SELECT psi.slice, psi.feature, ns.n AS n_docs, psi.psi, psi.psi >= 0.2 AS drifted
       |FROM psi JOIN ns ON ns.slice = psi.slice ORDER BY psi.slice, psi.feature""".stripMargin) {
     (s, dir) =>

@@ -109,19 +109,23 @@ object StreamingDrift {
       .groupBy(col("slice"), col("feature"), col("bucket"))
       .agg(sum(col("c")).as("c"))
 
-  /** Per-slice promotion verdicts off a PSI report: every feature's
+  /** Per-slice promotion verdicts off a PSI report: EVERY feature's
     * ROUNDED psi must clear [[QuarantinePsi]] (slice 0 is the
-    * reference — vacuously clean). */
-  private[graft] def verdicts(counts: DataFrame, report: DataFrame): DataFrame = {
-    val ns = counts.filter(col("feature") === "len")
+    * reference — vacuously clean). Emits one `psi_<feature>` column
+    * per feature; `nsFeature` names the feature whose count mass is
+    * the slice population. */
+  private[graft] def verdicts(counts: DataFrame, report: DataFrame,
+                              features: Seq[String] = Seq("len", "lang"),
+                              nsFeature: String = "len"): DataFrame = {
+    val ns = counts.filter(col("feature") === nsFeature)
       .groupBy(col("slice")).agg(sum(col("c")).as("n_docs"))
-    val piv = report.groupBy(col("slice"))
-      .agg(max(when(col("feature") === "len", col("psi"))).as("psi_len"),
-        max(when(col("feature") === "lang", col("psi"))).as("psi_lang"))
+    val aggs = features.map(f =>
+      max(when(col("feature") === f, col("psi"))).as(s"psi_$f"))
+    val piv = report.groupBy(col("slice")).agg(aggs.head, aggs.tail: _*)
     ns.join(piv, Seq("slice"), "left_outer")
-      .na.fill(0.0, Seq("psi_len", "psi_lang"))
+      .na.fill(0.0, features.map(f => s"psi_$f"))
       .withColumn("promoted",
-        col("psi_len") < QuarantinePsi && col("psi_lang") < QuarantinePsi)
+        features.map(f => col(s"psi_$f") < QuarantinePsi).reduce(_ && _))
       .withColumn("n_docs_promoted",
         when(col("promoted"), col("n_docs")).otherwise(0L))
   }
@@ -157,14 +161,19 @@ object StreamingDrift {
     DriftWorld(env, counts, report, staged, cleanCount)
   }
 
-  /** The MEDIA face: same slicing + count discipline, the decoded
-    * loudness bucketer — the drained partials sum to
-    * `mm_media_drift`'s count frame for any slicing. */
-  final case class MediaDriftWorld(env: Env, report: DataFrame)
+  /** The MEDIA face: same slicing + count + staging discipline, the
+    * decoded loudness bucketer — the drained partials sum to
+    * `mm_media_drift`'s count frame for any slicing, and the
+    * quarantine gate promotes only clean slices' clips into the
+    * `media_clean` artifact. */
+  final case class MediaDriftWorld(env: Env, counts: DataFrame,
+                                   report: DataFrame, cleanCount: Long)
       extends graft.Reapable {
     def reapRoots: Seq[String] =
       Seq(java.nio.file.Paths.get(env.outDir).getParent.toString)
   }
+
+  val MediaCleanName = "media_clean"
 
   private val mediaMemo = graft.SessionCaches.register(
     scala.collection.concurrent.TrieMap.empty[String, MediaDriftWorld])
@@ -180,11 +189,25 @@ object StreamingDrift {
           .groupBy(col("slice"), col("feature"), col("bucket"))
           .agg(count(lit(1)).as("c"))
           .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
+        batch.filter(col("n_chars") > 0) // the decodable-clip population
+          .select(
+            expr(s"((doc_id - ${env.mn}L) * 4) div ${env.mx - env.mn + 1}L").as("slice"),
+            col("doc_id"))
+          .write.mode("overwrite").parquet(s"${env.docsDir}/batch=$batchId")
         ()
       }
-      val report = Curation.psiReport(s, drainedCounts(s, env), nsFeature = "rms")
+      val counts = drainedCounts(s, env).localCheckpoint(true)
+      val report = Curation.psiReport(s, counts, nsFeature = "rms")
         .localCheckpoint(true)
-      MediaDriftWorld(env, report)
+      val clean = verdicts(counts, report, Seq("rms", "peak"), nsFeature = "rms")
+        .filter(col("promoted")).select(col("slice"))
+      val cleanClips = s.read.parquet(env.docsDir).drop("batch")
+        .join(broadcast(clean), Seq("slice"))
+      env.store.promote(MediaCleanName,
+        env.store.register(s, MediaCleanName, cleanClips))
+      val cleanCount = env.store.loadProduction(s, MediaCleanName)
+        .getOrElse(sys.error("no promoted clean media set")).count()
+      MediaDriftWorld(env, counts, report, cleanCount)
     })
 
   /** Bench warm hook: both stream passes (+ the clean-corpus
@@ -236,5 +259,38 @@ object StreamingDrift {
     mediaDriftWorld(s, dir).report.orderBy(col("slice"), col("feature"))
   }
 
-  val all: Seq[Q] = Seq(streamCorpusDrift, streamDriftQuarantine, streamMediaDrift)
+  /** The media quarantine gate — [[streamDriftQuarantine]]'s act on
+    * the MEDIA monitor: per slice, both loudness PSIs must clear the
+    * moderate-shift bound for the slice's clips to promote into the
+    * `media_clean` artifact; a crawl slice whose audio got louder or
+    * clippier is held back. Same shared CTE pivot oracle; the
+    * artifact-parity leg is computed for real. */
+  val streamMediaQuarantine: Q = Q("stream_media_quarantine",
+    graft.multimodal.Multimodal.mediaDriftOracleCtes + s""",
+      |piv AS (SELECT slice,
+      |          MAX(CASE WHEN feature = 'rms' THEN psi END) AS psi_rms,
+      |          MAX(CASE WHEN feature = 'peak' THEN psi END) AS psi_peak
+      |        FROM psi GROUP BY 1)
+      |SELECT ns.slice, ns.n AS n_docs,
+      |  COALESCE(piv.psi_rms, 0.0) AS psi_rms,
+      |  COALESCE(piv.psi_peak, 0.0) AS psi_peak,
+      |  (COALESCE(piv.psi_rms, 0.0) < $QuarantinePsi
+      |    AND COALESCE(piv.psi_peak, 0.0) < $QuarantinePsi) AS promoted,
+      |  CASE WHEN COALESCE(piv.psi_rms, 0.0) < $QuarantinePsi
+      |            AND COALESCE(piv.psi_peak, 0.0) < $QuarantinePsi
+      |       THEN ns.n ELSE 0 END AS n_docs_promoted,
+      |  TRUE AS clean_media_matches_manifest
+      |FROM ns LEFT JOIN piv USING (slice) ORDER BY slice""".stripMargin) { (s, dir) =>
+    val world = mediaDriftWorld(s, dir)
+    val v = verdicts(world.counts, world.report, Seq("rms", "peak"), nsFeature = "rms")
+    val promisedTotal = v.agg(sum(col("n_docs_promoted")).as("t"))
+    v.crossJoin(broadcast(promisedTotal))
+      .select(col("slice"), col("n_docs"), col("psi_rms"), col("psi_peak"),
+        col("promoted"), col("n_docs_promoted"),
+        (col("t") === world.cleanCount).as("clean_media_matches_manifest"))
+      .orderBy(col("slice"))
+  }
+
+  val all: Seq[Q] = Seq(streamCorpusDrift, streamDriftQuarantine, streamMediaDrift,
+    streamMediaQuarantine)
 }

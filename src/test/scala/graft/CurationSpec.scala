@@ -331,6 +331,24 @@ class CurationSpec extends SparkSpec {
     assert(streamed(5) == batch, "5-slice stream must reproduce the batch PSI report")
   }
 
+  test("media quarantine verdicts hold back a slice whose loudness shifted") {
+    import graft.streaming.StreamingDrift
+    // pure verdict arithmetic over planted frames: slice 2's peak PSI
+    // breaches the bound on ONE feature — that alone must quarantine
+    val counts = Seq((0L, "rms", "6", 100L), (1L, "rms", "6", 100L),
+      (2L, "rms", "6", 100L)).toDF("slice", "feature", "bucket", "c")
+    val report = Seq(
+      (1L, "rms", 100L, 0.0, false), (1L, "peak", 100L, 0.0, false),
+      (2L, "rms", 100L, 0.01, false), (2L, "peak", 100L, 0.35, true))
+      .toDF("slice", "feature", "n_docs", "psi", "drifted")
+    val v = StreamingDrift.verdicts(counts, report, Seq("rms", "peak"), "rms")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(4), r.getLong(5))).toMap
+    assert(v(0L) == ((true, 100L)), "the reference slice promotes vacuously")
+    assert(v(1L) == ((true, 100L)), "a stable slice promotes")
+    assert(v(2L) == ((false, 0L)),
+      "one breached feature must quarantine the whole slice")
+  }
+
   test("drift quarantine holds back a planted drifted slice; clean slices promote") {
     import graft.streaming.StreamingDrift
     // 200 docs, uniform length; slices 0-2 alternate en/de, slice 3
