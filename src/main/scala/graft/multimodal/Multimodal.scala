@@ -1959,11 +1959,12 @@ object Multimodal {
     * emission chain.
     *
     * Scale shape: [[graft.queries.Curation.difficultyQuartiles]]'s —
-    * coarse buckets `floor(share·8)` (alphabet ≤ 9), hash-partitioned
-    * within-bucket ranks, bounded prefix-sum offsets, and the
-    * width-2 `shuffleRankCore` step numbering; rides the memoized
-    * lineage-cut window artifact the shuffle/epochs/resume rows
-    * already share. */
+    * coarse buckets `floor(share·8)` (alphabet ≤ 9) each cut into
+    * score-range sub-bands so the within-bucket ranks hash-partition
+    * on (bucket, band) and no bucket ever sorts in one task, bounded
+    * two-level prefix-sum offsets, and the width-2 `shuffleRankCore`
+    * step numbering; rides the memoized lineage-cut window artifact
+    * the shuffle/epochs/resume rows already share. */
   val trimodalCurriculum: Q = Q("mm_trimodal_curriculum",
     "WITH w AS (SELECT * FROM (" + trimodalEmitIds.oracle.get + ") t),\n" +
       "sc AS (SELECT shard AS data_shard, seq_id, n_tokens, n_patch,\n" +
@@ -1998,7 +1999,7 @@ object Multimodal {
       .withColumn("patch_share",
         round(col("n_patch").cast("double") / col("n_tokens"), 6))
     val ranked = graft.queries.Curation.difficultyQuartiles(w,
-      bucket = floor(col("patch_share") * 8).cast("long"),
+      scaled = col("patch_share") * 8,
       inBucketOrder = Seq(col("patch_share"), col("data_shard"), col("seq_id")),
       bucketAscending = true)
     def key(salt: String) = md5(concat(lit(salt), col("data_shard").cast("string"),

@@ -515,7 +515,7 @@ object Curation {
   private def curriculumScheduleCompute(s: SparkSession, dir: String): DataFrame = {
     val sc = lmScores(s, dir).select(col("doc_id"), col("avg_logp"))
     val ranked = difficultyQuartiles(sc,
-      bucket = floor(col("avg_logp")).cast("long"),
+      scaled = col("avg_logp"),
       inBucketOrder = Seq(col("avg_logp").desc, col("doc_id")),
       bucketAscending = false)
     val main = ranked
@@ -546,33 +546,63 @@ object Curation {
       TextOps.resumeManifest(curriculumSchedule(s, dir), 0.6, fpCol = "sort_key")
   }
 
+  /** Sub-bands per unit score bucket — the fan-out knob of the
+    * two-level curriculum rank below. 16 keeps the offsets frame
+    * trivially bounded (alphabet × 16 rows); a 100 TB run widens it
+    * so each (bucket, band) window task holds a few GB. */
+  private[graft] val QuartileBands = 16
+
   /** The scalable global-quartile cut shared by the text and
-    * trimodal curricula: a coarse data-independent `bucket` of the
-    * score (contiguous score slices, bounded alphabet), within-bucket
-    * ranks on a hash-partitioned window, bucket offsets from a
-    * bounded prefix sum joined back broadcast, and the quartile via
-    * exact integer arithmetic against a 1-row count — the corpus is
-    * never sorted in one window. `bucketAscending` must orient the
-    * prefix sum to match `inBucketOrder`'s direction. Returns the
+    * trimodal curricula, TWO-LEVEL so no single window task ever
+    * holds a whole score bucket: `scaled` is the score mapped so
+    * unit slices are the coarse `bucket` (`floor(scaled)`, bounded
+    * alphabet); within each bucket the fractional part is cut into
+    * [[QuartileBands]] RANGE sub-bands, ranks ride a window
+    * hash-partitioned on (bucket, band) — each task holds
+    * O(corpus / (alphabet·bands)) rows — and global offsets come
+    * from a (bucket, band)-bounded prefix sum joined back
+    * broadcast; the quartile is exact integer arithmetic against a
+    * 1-row count. The corpus is never sorted in one window and no
+    * bucket lands in one task.
+    *
+    * The sub-band is a RANGE cut of the score, not an md5 hash,
+    * for the same reason [[TextOps.sourcePrefixSum]]'s sub-shard is:
+    * only a bucket weakly MONOTONE in the rank order lets per-band
+    * totals compose into the exact global rank — quartile membership
+    * is a function of that rank, so a hash band would flip docs
+    * across quartile boundaries. Ties (equal scores) collapse into
+    * one band harmlessly: the within-band window still orders by the
+    * true `inBucketOrder` key, so output is bit-identical to a
+    * single global sort. `bucketAscending` must orient BOTH prefix
+    * levels to match `inBucketOrder`'s score direction. Returns the
     * input columns plus `quartile`. */
-  private[graft] def difficultyQuartiles(df: DataFrame, bucket: Column,
+  private[graft] def difficultyQuartiles(df: DataFrame, scaled: Column,
                                          inBucketOrder: Seq[Column],
                                          bucketAscending: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = df.withColumn("bucket", bucket)
+    // frac ∈ [0,1) exactly, but frac*BANDS can round UP to BANDS at
+    // the representable-double edge — clamp (cf. sourcePrefixSum)
+    val bucketed = df.withColumn("qr_scaled", scaled)
+      .withColumn("bucket", floor(col("qr_scaled")).cast("long"))
+      .withColumn("qr_band", least(
+        floor((col("qr_scaled") - col("bucket")) * QuartileBands),
+        lit(QuartileBands - 1L)).cast("long"))
     val withPos = bucketed.withColumn("bpos",
-      row_number().over(Window.partitionBy(col("bucket"))
+      row_number().over(Window.partitionBy(col("bucket"), col("qr_band"))
         .orderBy(inBucketOrder: _*)).cast("long"))
-    val bw = Window.orderBy(if (bucketAscending) col("bucket") else col("bucket").desc)
-    val off = withPos.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val bw = Window.orderBy(
+      (if (bucketAscending) Seq(col("bucket"), col("qr_band"))
+       else Seq(col("bucket").desc, col("qr_band").desc)): _*)
+    val off = withPos.groupBy(col("bucket"), col("qr_band"))
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("boff", coalesce(sum(col("cnt")).over(
         bw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket"), col("boff"))
+      .select(col("bucket"), col("qr_band"), col("boff"))
     val n = df.agg(count(lit(1)).as("qr_n"))
-    withPos.join(broadcast(off), Seq("bucket"))
+    withPos.join(broadcast(off), Seq("bucket", "qr_band"))
       .crossJoin(broadcast(n))
       .withColumn("quartile", expr("((boff + bpos - 1) * 4) div qr_n").cast("long"))
-      .drop("bucket", "bpos", "boff", "qr_n")
+      .drop("bucket", "qr_band", "qr_scaled", "bpos", "boff", "qr_n")
   }
 
   // ---------------------------------------------------------------- drift

@@ -143,14 +143,17 @@ class PlanInvariantsSpec extends SparkSpec {
   }
 
   test("curricula rank inside bounded score buckets; the corpus never single-partitions") {
-    // the difficulty rank must exchange on the coarse score bucket and
-    // the step numbering on the md5-prefix shard (both hash); the only
-    // SinglePartition exchanges allowed are the three BOUNDED frames —
-    // the 1-row count anchor and the two prefix-sum offset windows
-    // (bucket alphabet, shard alphabet) — never the corpus
+    // the difficulty rank must exchange on (bucket, band) — the coarse
+    // score bucket AND the range sub-band, so no whole bucket lands in
+    // one task — and the step numbering on the md5-prefix shard (both
+    // hash); the only SinglePartition exchanges allowed are the three
+    // BOUNDED frames — the 1-row count anchor and the two prefix-sum
+    // offset windows (bucket×band alphabet, shard alphabet) — never
+    // the corpus
     for (q <- Seq("text_curriculum_order", "mm_trimodal_curriculum")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sf))
-      assert(plan.contains("hashpartitioning(bucket"), s"$q:\n$plan")
+      assert("hashpartitioning\\(bucket#\\d+L?, qr_band".r.findFirstIn(plan).nonEmpty,
+        s"$q: rank exchange must hash on (bucket, qr_band):\n$plan")
       assert(plan.contains("hashpartitioning(shard"), s"$q:\n$plan")
       assert(plan.contains("rangepartitioning(ord"), s"$q:\n$plan")
       val singles = """Exchange SinglePartition""".r.findAllIn(plan).size
