@@ -880,6 +880,13 @@ object StreamingMmEmit {
     * The recut reads `tot` off the landed records themselves — no
     * re-gating, no vocab lens re-join: the takedown's cost is the
     * affected shard's record stream, not the corpus. */
+  /** Job-description tag of the takedown's single partition-overwrite
+    * write, and the count of write jobs the LAST takedown ran under
+    * it — the spec pins this to 1 (a regression back to the
+    * one-job-per-batch-dir loop would scale with micro-batch count). */
+  private[graft] val TakedownRewriteDesc = "graft-takedown-rewrite"
+  @volatile private[graft] var lastTakedownRewriteJobs: Int = -1
+
   private[graft] def applyTrimodalStreamForget(s: SparkSession, env: Env): Unit = {
     import graft.multimodal.Multimodal.{TakedownMod, TakedownResidue}
     def forgotten(id: org.apache.spark.sql.Column) =
@@ -902,15 +909,60 @@ object StreamingMmEmit {
           col("mrank"), col("modality"), col("mt"), col("tot"), col("text")),
         col("tot"), order = Seq(col("doc_id"), col("mrank")))
         .withColumnRenamed("source", "shard")
-      // pinned BEFORE the batch dirs it read from are overwritten
-      val replacement = landed.filter(!col("shard").isin(affected: _*))
+      // the rewrite touches ONLY batch dirs holding an affected
+      // shard's rows (recut rows keep their landed batch, so the
+      // affected-batch set is closed under the recut); every other
+      // landed dir is preserved byte-for-byte on disk, unread
+      val affectedBatches = landed.filter(col("shard").isin(affected: _*))
+        .select(col("batch")).distinct().localCheckpoint(true)
+      // pinned BEFORE the batch dirs it read from are overwritten;
+      // unaffected shards' rows WITHIN an affected batch ride along
+      // because dynamic overwrite replaces whole partitions
+      val replacement = landed
+        .join(broadcast(affectedBatches), Seq("batch"), "left_semi")
+        .filter(!col("shard").isin(affected: _*))
         .unionByName(recut.select(landed.columns.map(col): _*))
         .localCheckpoint(true)
-      val batches = replacement.select(col("batch")).distinct()
-        .collect().map(_.getLong(0))
-      batches.foreach { b =>
-        replacement.filter(col("batch") === b).drop("batch")
-          .write.mode("overwrite").parquet(s"${env.outDir}/batch=$b")
+      // ONE write job for the whole takedown (the PredictionsStore
+      // upsert shape): dynamic partition overwrite replaces exactly
+      // the affected batch dirs; repartition(batch) gives each dir
+      // one writer task instead of a file per task per dir. The old
+      // per-batch foreach ran one Spark job per landed micro-batch —
+      // 10^4-10^5 serialized jobs on a 100 TB stream. The job count
+      // is RECORDED (listener on the tagged description) so the spec
+      // can pin the one-job shape against regression to a loop.
+      val rewriteJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (Option(j.properties).flatMap(p =>
+              Option(p.getProperty("spark.job.description")))
+              .contains(TakedownRewriteDesc)) { rewriteJobs.incrementAndGet(); () }
+      }
+      s.sparkContext.addSparkListener(counter)
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        s.sparkContext.setJobDescription(TakedownRewriteDesc)
+        try replacement.repartition(col("batch"))
+          .write.mode("overwrite").partitionBy("batch").parquet(env.outDir)
+        finally s.sparkContext.setJobDescription(null)
+        // every write job started (and finished) before write()
+        // returned; poll the async listener bus to a stable count
+        var prev = -1; var waited = 0
+        while ((rewriteJobs.get != prev || rewriteJobs.get == 0) && waited < 5000) {
+          prev = rewriteJobs.get; Thread.sleep(50); waited += 50
+        }
+        lastTakedownRewriteJobs = rewriteJobs.get
+      } finally s.sparkContext.removeSparkListener(counter)
+      // a batch whose EVERY record was withdrawn is absent from the
+      // write, so dynamic overwrite leaves its stale dir — drop it
+      // explicitly (both lists are bounded batch-id collects)
+      val keptB = replacement.select(col("batch")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(env.outDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      affectedBatches.collect().map(_.getLong(0)).filterNot(keptB).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"${env.outDir}/batch=$b"), true); ()
       }
       env.store.rewrite(s, TrimodalOffsetsName) { old =>
         old.filter(!col("shard").isin(affected: _*))
@@ -948,8 +1000,10 @@ object StreamingMmEmit {
       val docs = Tables.documents(s, dir)
       val mid = docs.agg(avg(col("doc_id"))).head().getDouble(0).toLong
       val env = prepareTrimodal(s, dir)
+      // 4 phase-1 slices (not 2) so the one-job-rewrite pin is
+      // non-vacuous: the per-batch-loop form would run >= 4 jobs here
       StreamingCuration.landOrderedSlicesOf(
-        docs.filter(col("doc_id") < mid), "doc_id", env.inDir, 2)
+        docs.filter(col("doc_id") < mid), "doc_id", env.inDir, 4)
       runTrimodalPass(s, env) // phase-1 query dies here
       val pre = s.read.parquet(env.outDir).localCheckpoint(true)
       applyTrimodalStreamForget(s, env) // the takedown lands mid-stream

@@ -264,6 +264,20 @@ class MultimodalSpec extends SparkSpec {
       "no withdrawn doc in the post-forget arrivals — registry leg vacuous")
     // the drained release holds NO withdrawn record, from either phase
     assert(forgot(world.entries) == 0, "withdrawn records survived the takedown")
+    // the mid-stream rewrite is ONE dynamic-partition-overwrite write
+    // action — a CONSTANT two jobs (the AQE shuffle-materialization of
+    // repartition(batch) + the final write), never a per-batch-dir
+    // loop, which runs one job per landed micro-batch (>= the batch
+    // count asserted strictly above the pin here; 10^4-10^5 serialized
+    // jobs on a 100 TB stream)
+    val landedBatches = world.preEntries.select(col("batch")).distinct().count()
+    assert(landedBatches >= 4,
+      s"phase 1 landed $landedBatches batches — the one-job pin would be vacuous")
+    assert(StreamingMmEmit.lastTakedownRewriteJobs >= 1 &&
+      StreamingMmEmit.lastTakedownRewriteJobs <= 2 &&
+      StreamingMmEmit.lastTakedownRewriteJobs < landedBatches,
+      s"takedown rewrite ran ${StreamingMmEmit.lastTakedownRewriteJobs} write jobs " +
+        s"over $landedBatches landed batches, want a batch-count-independent <= 2")
     // drained union == the batch forget world's recut-from-reduced-corpus
     val fin = world.finalWindows.collect()
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_id"),
