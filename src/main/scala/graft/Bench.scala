@@ -57,11 +57,26 @@ object Bench {
     // per the MXBean contract.
     def loadAvg(): Double =
       ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    final case class Entry(name: String, sec: Double, gcMsDelta: Long, load: Double)
+    // resolveSec: warm entries only (-1 on query entries). A warm
+    // build is one-shot by nature (the memo makes a second build
+    // unobservable), so it can't get the min-of-N discipline query
+    // entries have — instead each warm times a SECOND resolve of the
+    // memoized world right after the build. Genuinely warm ⇒
+    // near-zero; so a 2-6x swing on a byte-identical warm's BUILD
+    // with a near-zero resolve reads as host noise from the artifact
+    // itself (r17: 549.6 s of single-shot warms at loads 3.5-13.2
+    // inflated the driver total 747.5 s vs a quiet 439.0 s), while a
+    // structural regression moves build round-over-round at
+    // comparable load.
+    final case class Entry(name: String, sec: Double, gcMsDelta: Long, load: Double,
+                           resolveSec: Double = -1.0)
     def timedWarm(name: String)(f: => Unit): Entry = {
       val load0 = loadAvg(); val gc0 = gcMs(); val t0 = System.nanoTime()
       warmup(f)
-      Entry(name, (System.nanoTime() - t0) / 1e9, gcMs() - gc0, load0)
+      val build = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      warmup(f)
+      Entry(name, build, gcMs() - gc0, load0, (System.nanoTime() - t1) / 1e9)
     }
     val warmShared = Seq(
       timedWarm("cache_warm_shingles") {
@@ -266,9 +281,11 @@ object Bench {
     // (including "metric") to the truncation and never parses.
     System.err.println(s"""[bench-detail] ${fmt(results.map(e => e.name -> e.sec))}""")
     // Per-entry noise attribution record: gc_ms = JVM GC time inside
-    // the entry (both reps), load = 1-min system load at entry start.
+    // the entry (both reps), load = 1-min system load at entry start,
+    // resolve = the post-build memo re-resolve (warm entries only).
     System.err.println("[bench-gc] " + results.map { e =>
-      "\"" + e.name + "\":{\"gc_ms\":" + e.gcMsDelta + ",\"load\":" + d2(e.load) + "}"
+      "\"" + e.name + "\":{\"gc_ms\":" + e.gcMsDelta + ",\"load\":" + d2(e.load) +
+        (if (e.resolveSec >= 0) ",\"resolve\":" + d3(e.resolveSec) else "") + "}"
     }.mkString("{", ",", "}"))
     // The ONE stdout JSON line, capped so line + sbt's trailing
     // "[success] ..." stays inside the consumer's tail window: the
@@ -286,10 +303,18 @@ object Bench {
     // line for in-session diagnosis.
     val gcTotal = results.map(_.gcMsDelta).sum
     val loadEnd = loadAvg()
-    val prefix = s"""{"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir","gc_ms":$gcTotal,"load_start":${d2(results.headOption.map(_.load).getOrElse(loadEnd))},"load_end":${d2(loadEnd)},"queries_total":${results.size},"queries":"""
+    // warm_build / warm_resolve: the warm family's one-shot build sum
+    // (inside "value") and its re-resolve sum (diagnostic, NOT in
+    // "value") — round-over-round comparison keys off value minus
+    // load-suspect warm builds, adjudicated per entry by the 4th
+    // element ([sec, gc_ms, load, resolve]) each kept warm carries.
+    val warmBuild = results.filter(_.resolveSec >= 0).map(_.sec).sum
+    val warmResolve = results.filter(_.resolveSec >= 0).map(_.resolveSec).sum
+    val prefix = s"""{"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir","gc_ms":$gcTotal,"load_start":${d2(results.headOption.map(_.load).getOrElse(loadEnd))},"load_end":${d2(loadEnd)},"warm_build":${d3(warmBuild)},"warm_resolve":${d3(warmResolve)},"queries_total":${results.size},"queries":"""
     val budget = 1600 - prefix.length
     def entryJson(e: Entry): String =
-      "\"" + e.name + "\":[" + d3(e.sec) + "," + e.gcMsDelta + "," + d2(e.load) + "]"
+      "\"" + e.name + "\":[" + d3(e.sec) + "," + e.gcMsDelta + "," + d2(e.load) +
+        (if (e.resolveSec >= 0) "," + d3(e.resolveSec) else "") + "]"
     val (kept, keptJson, _) = byCost.foldLeft(
         (Vector.empty[Entry], Vector.empty[String], 0)) {
       case ((acc, js, len), e) =>
