@@ -538,7 +538,7 @@ object Multimodal {
     val stats = decodeWav(wavFrames(docs
         .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)))
       .select(col("doc_id"), col("rms_l"), col("peak_l"))
-      .withColumn("slice", expr(s"((doc_id - ${mn}L) * 4) div ${mx - mn + 1}L"))
+      .withColumn("slice", graft.queries.Curation.sliceCol(mn, mx))
     stats.select(col("slice"), explode(map(
         lit("rms"), least(floor(col("rms_l") / 16).cast("long"), lit(15L)).cast("string"),
         lit("peak"), least(floor(col("peak_l") / 16).cast("long"), lit(15L)).cast("string"))))

@@ -682,13 +682,20 @@ object Curation {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** The structural-slice column: `⌊(doc_id − mn)·4 / (mx − mn + 1)⌋`
+    * — THE one spelling of the slice arithmetic, shared by the text
+    * and media drift bucketers and both streaming per-batch handlers
+    * (it must stay in exact lockstep with the oracle CTEs' `//`
+    * integer division, so it lives in one place). */
+  private[graft] def sliceCol(mn: Long, mx: Long): Column =
+    expr(s"((doc_id - ${mn}L) * 4) div ${mx - mn + 1}L")
+
   /** Per-doc `(slice, feature, bucket)` rows of a documents frame —
     * slice anchors (corpus min/max doc_id) come from the STATIC
     * table so a streamed batch buckets identically to the batch
     * scan. */
   private[graft] def driftBuckets(docs: DataFrame, mn: Long, mx: Long): DataFrame = {
-    val sliced = docs.withColumn("slice",
-      expr(s"((doc_id - ${mn}L) * 4) div ${mx - mn + 1}L"))
+    val sliced = docs.withColumn("slice", sliceCol(mn, mx))
     sliced.select(col("slice"), lit("len").as("feature"),
         least(expr("n_chars div 200"), lit(9L)).cast("string").as("bucket"))
       .unionByName(sliced.select(col("slice"), lit("lang").as("feature"),

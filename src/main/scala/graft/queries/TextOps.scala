@@ -2793,10 +2793,8 @@ object TextOps {
       curationDecisions(s, dir).filter(col("drop_reason").isNull)
         .select(col("source"), col("doc_id"), col("final_tokens")),
       col("final_tokens"))
-    val bucket = expr(
-      "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100")
     val grams = hashedGrams8(Tables.fanOut(docs))
-    val bench = grams.withColumn("bucket", bucket)
+    val bench = grams.withColumn("bucket", splitBucket)
       .filter(col("bucket") >= 80 && col("bucket") < 90)
       .select(col("h")).distinct()
     val (_, _, postings) = hashedShinglesStats(s, dir)

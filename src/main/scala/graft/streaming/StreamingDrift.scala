@@ -76,7 +76,7 @@ object StreamingDrift {
       .agg(count(lit(1)).as("c"))
       .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
     batch.select(
-        expr(s"((doc_id - ${env.mn}L) * 4) div ${env.mx - env.mn + 1}L").as("slice"),
+        Curation.sliceCol(env.mn, env.mx).as("slice"),
         col("doc_id"))
       .write.mode("overwrite").parquet(s"${env.docsDir}/batch=$batchId")
     ()
@@ -191,7 +191,7 @@ object StreamingDrift {
           .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
         batch.filter(col("n_chars") > 0) // the decodable-clip population
           .select(
-            expr(s"((doc_id - ${env.mn}L) * 4) div ${env.mx - env.mn + 1}L").as("slice"),
+            Curation.sliceCol(env.mn, env.mx).as("slice"),
             col("doc_id"))
           .write.mode("overwrite").parquet(s"${env.docsDir}/batch=$batchId")
         ()
