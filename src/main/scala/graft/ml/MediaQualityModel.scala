@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
 /** Learned MEDIA-quality classifier — [[QualityModel]]'s device over
   * the decode stats the media pipeline already computes: a linear
   * model over the per-doc image channel means (PPM decode), audio
-  * peak/RMS (WAV decode) and clip duration scores each doc's media
-  * side, and the trimodal release keeps the high-score tail BESIDE
-  * the transcript gate — the image/audio-quality filter a LAION-style
-  * multimodal curation stack runs next to its text filter.
+  * peak/RMS (WAV decode), clip duration, AND the video decode's
+  * luminance stats (whole-clip mean byte + inter-frame luminance
+  * spread — the corrupt-/static-video signal) scores each doc's
+  * media side, and the trimodal release keeps the high-score tail
+  * BESIDE the transcript gate — the image/audio/video-quality filter
+  * a LAION-style multimodal curation stack runs next to its text
+  * filter. All THREE modality decodes feed the gate: a clip whose
+  * video frames are broken can no longer pass on image+audio stats
+  * alone.
   *
   * Certified with the [[MlCert]] exactness machinery: the label comes
   * from a replayable latent over the DECODE STATS (each one a
@@ -26,11 +31,11 @@ import org.apache.spark.sql.functions._
   * decode replay; the Spark-only LR facts ride as pinned booleans.
   *
   * Scale shape: features are one decode map-pass per modality (no
-  * shuffle — the stats are per-doc column programs), the fit
-  * collapses a bounded 6-feature training frame, and serving is a
-  * 6-row broadcast join + sigmoid — at 100 TB the feature store is
-  * computed at ingest and the gate is a map-side join, exactly how
-  * the streaming gate consumes it. */
+  * shuffle — the stats are per-doc column programs; the video rollup
+  * groups 3 rows per doc), the fit collapses a bounded 8-feature
+  * training frame, and serving is a 9-row broadcast join + sigmoid —
+  * at 100 TB the feature store is computed at ingest and the gate is
+  * a map-side join, exactly how the streaming gate consumes it. */
 object MediaQualityModel {
 
   /** Held-out AUC the LR must clear — the latent dominates its
@@ -40,9 +45,16 @@ object MediaQualityModel {
 
   val ModelName = "media_quality_lr"
 
-  /** Feature order IS the closed-form index space (idx 0..5). */
+  /** Feature order IS the closed-form index space (idx 0..7). */
   val FeatureNames: Seq[String] =
-    Seq("mean_r", "mean_g", "mean_b", "peak_l", "rms_l", "duration_ms")
+    Seq("mean_r", "mean_g", "mean_b", "peak_l", "rms_l", "duration_ms",
+      "v_lum_mean", "v_lum_spread")
+
+  /** Closed-form indices of the video features — the certificate's
+    * flips-only-video leg zeroes exactly these to prove the video
+    * side of the gate is load-bearing. */
+  val VideoFeatureIdx: Seq[Int] =
+    Seq("v_lum_mean", "v_lum_spread").map(FeatureNames.indexOf)
 
   /** Per-doc media decode stats, memoized + persisted — the static
     * feature store the batch gate and the streaming gate both join
@@ -66,7 +78,8 @@ object MediaQualityModel {
       val au = Multimodal.decodeWav(Multimodal.wavTable(s, dir).repartition(par))
         .select(col("doc_id"), col("peak_l").cast("double").as("peak_l"),
           col("rms_l"), col("duration_ms"))
-      val df = img.join(au, Seq("doc_id")).persist()
+      val vid = Multimodal.videoLumStats(Multimodal.videoTable(s, dir).repartition(par))
+      val df = img.join(au, Seq("doc_id")).join(vid, Seq("doc_id")).persist()
       df.count()
       df
     })
@@ -81,7 +94,8 @@ object MediaQualityModel {
       .withColumn("u", MlCert.hashFrac("mqlabel:", col("doc_id")))
       .withColumn("latent",
         lit(0.08) * col("mean_r") + lit(0.5) * col("rms_l")
-          + lit(0.02) * col("duration_ms") - lit(57.0))
+          + lit(0.02) * col("duration_ms") + lit(0.2) * col("v_lum_mean")
+          + lit(0.02) * col("v_lum_spread") - lit(77.45))
       .withColumn("label", (col("latent") > lit(1.0) * (col("u") - lit(0.5))).cast("double"))
       .withColumn("bucket", (MlCert.hashLong("mqsplit:", 4, col("doc_id")) % 100).cast("int"))
 
@@ -138,15 +152,31 @@ object MediaQualityModel {
       |      / (data_size // n_channels)), 6) AS rms_l,
       |    ROUND(CAST(data_size // n_channels AS DOUBLE) * 1000 / 8000, 6) AS duration_ms
       |  FROM mau
+      |), mfr AS (
+      |  SELECT doc_id, w, h, f,
+      |    substr(repeat(text, (3*w*h) // n_chars + 2), f + 1, 3*w*h) AS px
+      |  FROM mg, range(0, 3) r(f)
+      |), mvl AS (
+      |  SELECT doc_id, w, h,
+      |    CAST(list_sum(list_transform(range(1, 3*w*h + 1), i -> ord(substr(px, i, 1)))) AS BIGINT)
+      |      AS lum_sum
+      |  FROM mfr
+      |), mvagg AS (
+      |  SELECT doc_id,
+      |    ROUND(CAST(SUM(lum_sum) AS DOUBLE) / (9.0 * ANY_VALUE(w) * ANY_VALUE(h)), 6)
+      |      AS v_lum_mean,
+      |    CAST(MAX(lum_sum) - MIN(lum_sum) AS DOUBLE) AS v_lum_spread
+      |  FROM mvl GROUP BY doc_id
       |), mfeat AS (
-      |  SELECT * FROM mimg JOIN mau2 USING (doc_id)
+      |  SELECT * FROM mimg JOIN mau2 USING (doc_id) JOIN mvagg USING (doc_id)
       |), mlab AS (
       |  SELECT *,
       |    CAST(('0x' || substr(md5('mqlabel:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       |      / CAST(4294967296.0 AS DOUBLE) AS u,
       |    CAST(CAST(('0x' || substr(md5('mqsplit:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS INTEGER) AS bucket,
       |    CAST(0.08 AS DOUBLE) * mean_r + CAST(0.5 AS DOUBLE) * rms_l
-      |      + CAST(0.02 AS DOUBLE) * duration_ms - CAST(57.0 AS DOUBLE) AS latent
+      |      + CAST(0.02 AS DOUBLE) * duration_ms + CAST(0.2 AS DOUBLE) * v_lum_mean
+      |      + CAST(0.02 AS DOUBLE) * v_lum_spread - CAST(77.45 AS DOUBLE) AS latent
       |  FROM mfeat
       |), mlab2 AS (
       |  SELECT *,
@@ -174,7 +204,7 @@ object MediaQualityModel {
 
   /** Closed-form export: one `(idx, coef)` row per feature
     * (idx = position in [[FeatureNames]]) plus the intercept at
-    * idx −1 — the model as a 7-row frame, inference a broadcast
+    * idx −1 — the model as a 9-row frame, inference a broadcast
     * join + sigmoid with no MLlib at serving time. */
   private val fitMemo = graft.SessionCaches.register(
     scala.collection.concurrent.TrieMap.empty[String, DataFrame])
@@ -195,7 +225,7 @@ object MediaQualityModel {
   /** Closed-form scoring over a feature frame carrying doc_id + the
     * [[FeatureNames]] columns: margin = Σ coef·feature + intercept in
     * DECIMAL(38,18) (order-independent — batch and stream produce the
-    * bit-identical proba), the coef side is 7 rows BY CONSTRUCTION,
+    * bit-identical proba), the coef side is 9 rows BY CONSTRUCTION,
     * the missing-intercept failure is loud. Returns (doc_id, proba). */
   def scoreClosedForm(feats: DataFrame, model: DataFrame): DataFrame = {
     val coefs = model.filter(col("idx") >= 0)
@@ -230,12 +260,13 @@ object MediaQualityModel {
       .filter(col("proba") >= 0.5).select(col("doc_id"))
 
   /** MEDIA-QUALITY MODEL CERTIFICATE — the [[MlCert]] device on the
-    * decode-stat feature space: DuckDB independently replays BOTH
-    * decodes (PPM channel means; WAV peak/RMS/duration through the
-    * hex image), the md5 label/noise/split arithmetic, the test-set
-    * counts, and the exact Mann-Whitney AUC of the latent scorer;
-    * the LR's held-out AUC over the 6 decode features rides as a
-    * pinned boolean. */
+    * decode-stat feature space: DuckDB independently replays ALL
+    * THREE decodes (PPM channel means; WAV peak/RMS/duration through
+    * the hex image; per-frame video luminance mass through the
+    * 3-frame container replay), the md5 label/noise/split arithmetic,
+    * the test-set counts, and the exact Mann-Whitney AUC of the
+    * latent scorer; the LR's held-out AUC over the 8 decode features
+    * rides as a pinned boolean. */
   val mediaQualityCert: Q = Q("mm_media_quality_model",
     "WITH " + labeledMediaSql + """,
       |mte AS (SELECT * FROM mlab2 WHERE bucket >= 75),

@@ -2465,6 +2465,25 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Per-doc video luminance stats for the learned media-quality
+    * gate over raw `(doc_id, payload)` containers: `v_lum_mean` (mean
+    * byte over ALL 3 frames' pixel blocks — `mm_video_decode`'s
+    * `mean_byte` device rolled up per doc) and `v_lum_spread` (max −
+    * min per-frame luminance MASS — integer-exact, so the
+    * inter-frame variation a corrupt or static clip distorts is an
+    * engine-portable fact). One codegen map pass + a per-doc groupBy
+    * of 3 rows; no shuffle before the 3-row rollup's. */
+  def videoLumStats(media: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    videoFramePx(media)
+      .select(col("doc_id"), col("w"), col("h"),
+        expr("""aggregate(transform(split(px, ''), c -> CAST(ascii(c) AS BIGINT)),
+               |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin).as("lum_sum"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(sum(col("lum_sum")).cast("double")
+          / (lit(9.0) * first(col("w")) * first(col("h"))), 6).as("v_lum_mean"),
+        (max(col("lum_sum")) - min(col("lum_sum"))).cast("double").as("v_lum_spread"))
+
   /** Per-frame dHash → rotate-XOR chain over `(doc_id, w, h, f, px)`
     * rows. Staged localCheckpoints ([[imageHashes]] reasons). */
   private def chainSignature(frames: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

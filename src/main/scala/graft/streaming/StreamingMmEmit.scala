@@ -569,6 +569,16 @@ object StreamingMmEmit {
         .filter(col("proba") >= 0.5).select(col("doc_id"))
       val mKeepIds = graft.ml.MediaQualityModel.mediaKeepIds(
         s, dir, docsWithRecords.select(col("doc_id")), mqmodel)
+      // the COUNTERFACTUAL media decision with the video coefficients
+      // zeroed — the flips-only-video leg compares the real decision
+      // against this to prove the gate's video side is load-bearing
+      // (a gate blind to video would decide identically on image +
+      // audio stats alone)
+      val mvKeepIds = graft.ml.MediaQualityModel.mediaKeepIds(
+        s, dir, docsWithRecords.select(col("doc_id")),
+        mqmodel.withColumn("coef",
+          when(col("idx").isin(graft.ml.MediaQualityModel.VideoFeatureIdx: _*),
+            lit(0.0)).otherwise(col("coef"))))
       // batch twin composes BOTH pinned gates — the two-filter
       // decision the stream's gated face places per micro-batch
       val keepIds = tKeepIds.join(mKeepIds, Seq("doc_id"))
@@ -581,9 +591,11 @@ object StreamingMmEmit {
       val expected = pin(docsWithRecords.select(col("doc_id"))
         .join(tKeepIds.withColumn("tk", lit(true)), Seq("doc_id"), "left_outer")
         .join(mKeepIds.withColumn("mk", lit(true)), Seq("doc_id"), "left_outer")
+        .join(mvKeepIds.withColumn("mvk", lit(true)), Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           coalesce(col("tk"), lit(false)).as("t_keep"),
           coalesce(col("mk"), lit(false)).as("m_keep"),
+          coalesce(col("mvk"), lit(false)).as("m_keep_novideo"),
           (coalesce(col("tk"), lit(false)) && coalesce(col("mk"), lit(false)))
             .as("expected_keep")))
       // per-shard FIRST flip window: the dropped doc's FIRST record
@@ -611,8 +623,11 @@ object StreamingMmEmit {
     * flips-only-MEDIA-quality (relative to the transcript-only set,
     * the stream's extra drops are exactly the media model's) with a
     * non-vacuity leg (the media gate must drop something the
-    * transcript gate kept), and per-shard first-divergence at the
-    * first dropped doc's record window. The oracle recomputes the
+    * transcript gate kept), flips-only-VIDEO (zeroing the model's
+    * video-feature coefficients must flip at least one doc's media
+    * verdict — the video decode stats are deciding, not riding), and
+    * per-shard first-divergence at the first dropped doc's record
+    * window. The oracle recomputes the
     * gate-invariant aligned record and window counts through the full
     * three-gate + BPE emission replay. The mid-stream-promotion
     * mechanics are the [[processBatch]] gated face's, pinned at spec
@@ -628,6 +643,7 @@ object StreamingMmEmit {
       |  TRUE AS flips_only_quality,
       |  TRUE AS flips_only_media_quality,
       |  TRUE AS media_gate_active,
+      |  TRUE AS video_gate_active,
       |  TRUE AS diverges_at_first_flip""".stripMargin) { (s, dir) =>
     val world = streamedTrimodalWorld(s, dir)
     val (sg, sa, batchGated, expected, flipSeq) = trimodalGatedCertArtifacts(s, dir)
@@ -641,6 +657,7 @@ object StreamingMmEmit {
     val withStream = expected.join(streamedIds, Seq("doc_id"), "full_outer")
       .select(coalesce(col("t_keep"), lit(false)).as("tk"),
         coalesce(col("m_keep"), lit(false)).as("mk"),
+        coalesce(col("m_keep_novideo"), lit(false)).as("mvk"),
         coalesce(col("expected_keep"), lit(false)).as("ek"),
         coalesce(col("in_stream"), lit(false)).as("st"))
     // one pass over the per-doc verdicts carries all three record-set
@@ -652,7 +669,10 @@ object StreamingMmEmit {
       count(when(col("ek") =!= col("st"), 1)).as("n_flip_bad"),
       count(when((col("tk") && !col("mk")) =!= (col("tk") && !col("st")), 1))
         .as("n_media_flip_bad"),
-      count(when(col("tk") && !col("mk"), 1)).as("n_media_dropped"))
+      count(when(col("tk") && !col("mk"), 1)).as("n_media_dropped"),
+      // docs whose media verdict FLIPS when the video coefficients
+      // are zeroed — the gate's video features deciding, not riding
+      count(when(col("mk") =!= col("mvk"), 1)).as("n_video_flipped"))
     val divSeq = sa.as("a").join(sg.as("b"), Seq("shard", "seq_id"), "full_outer")
       .filter(!sameWindow)
       .groupBy(col("shard")).agg(min(col("seq_id")).as("div_seq"))
@@ -669,6 +689,7 @@ object StreamingMmEmit {
         (col("n_flip_bad") === 0).as("flips_only_quality"),
         (col("n_media_flip_bad") === 0).as("flips_only_media_quality"),
         (col("n_media_dropped") > 0).as("media_gate_active"),
+        (col("n_video_flipped") > 0).as("video_gate_active"),
         (col("n_src_mismatch") === 0).as("diverges_at_first_flip"))
   }
 
