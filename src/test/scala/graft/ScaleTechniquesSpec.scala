@@ -238,19 +238,35 @@ class ScaleTechniquesSpec extends SparkSpec {
     out.unpersist(); pairs.unpersist()
   }
 
+  /** Set autoBroadcastJoinThreshold=-1 on EVERY session that could
+    * plan the probed join, not just this suite's: the memoized frames
+    * (tokenCounts, vocabStats, dupSpanFps, …) are built by whichever
+    * suite touches them FIRST in the JVM, and a Dataset plans under
+    * its ROOT frame's owner session — so a conf set only on `spark`
+    * silently doesn't apply when another suite owns the memo, and the
+    * planner slips an auto-broadcast into the un-hinted `over` plan
+    * (order-dependent flake: QualityGateSpec before this suite). */
+  private def withNoAutoBroadcast(sessions: org.apache.spark.sql.SparkSession*)(
+      body: => Unit): Unit = {
+    val uniq = sessions.distinct
+    val prev = uniq.map(s => s -> s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    uniq.foreach(_.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1"))
+    try body
+    finally prev.foreach { case (s, v) =>
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", v) }
+  }
+
   test("broadcast gate degrades to a non-broadcast join past the size bound") {
     // The corpus-scaled frames (lm-score vocab, contaminated drop
     // list, decontamination gram set) all route through
     // TextOps.maybeBroadcast: under the bound the hint applies; past
     // it the plan must fall back to a shuffle strategy — the property
     // that keeps these joins alive at the 100 TB design point.
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     // AQE/stats must not slip a broadcast in on their own: the gate
     // is what we're testing, so force strategy choice through it
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val (vocab, nVocab) = graft.queries.Curation.vocabStats(spark, sf)
-      val tc = graft.queries.TextOps.tokenCounts(spark, sf)
+    val (vocab, nVocab) = graft.queries.Curation.vocabStats(spark, sf)
+    val tc = graft.queries.TextOps.tokenCounts(spark, sf)
+    withNoAutoBroadcast(spark, tc.sparkSession, vocab.sparkSession) {
       def planWith(estBytes: Long): String =
         tc.join(graft.queries.TextOps.maybeBroadcast(vocab, estBytes), "tok")
           .groupBy(col("doc_id")).agg(sum(col("tf")).as("n"))
@@ -260,7 +276,7 @@ class ScaleTechniquesSpec extends SparkSpec {
       val over = planWith(graft.queries.TextOps.BroadcastBytesLimit + 1)
       assert(under.contains("BroadcastHashJoin"), under)
       assert(!over.contains("BroadcastHashJoin"), over)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 
   test("cap-lens vocabulary join degrades past the size bound") {
@@ -270,13 +286,11 @@ class ScaleTechniquesSpec extends SparkSpec {
     // through the same gate: hint under the bound, shuffle join above
     // it — a hard broadcast here was the one remaining 100× driver-
     // OOM hazard on a hot path.
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val (nsymPerWord, nWords) =
-        graft.multimodal.Multimodal.mmVocabLensStats(spark, sf)
-      val docs = graft.sources.Tables.documents(spark, sf)
-        .select(col("doc_id"), col("text"))
+    val (nsymPerWord, nWords) =
+      graft.multimodal.Multimodal.mmVocabLensStats(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    withNoAutoBroadcast(spark, docs.sparkSession, nsymPerWord.sparkSession) {
       def planWith(estBytes: Long): String =
         graft.multimodal.Multimodal
           .capIdLensSized(docs, nsymPerWord, estBytes, "caption")
@@ -289,18 +303,16 @@ class ScaleTechniquesSpec extends SparkSpec {
       // broadcast that isn't this join's
       assert(under.contains("BroadcastHashJoin [word"), under)
       assert(!over.contains("BroadcastHashJoin [word"), over)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 
   test("span dedup mark-join degrades past the size bound") {
     // The duplicated-window set grows with the crawl; past the gate
     // the mark-join must fall back to a shuffle strategy on the same
     // 8-byte fingerprint key
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val docs = graft.sources.Tables.documents(spark, sf)
-      val (dups, _) = graft.queries.TextOps.dupSpanFps(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val (dups, _) = graft.queries.TextOps.dupSpanFps(spark, sf)
+    withNoAutoBroadcast(spark, docs.sparkSession, dups.sparkSession) {
       def planWith(nDups: Long): String =
         graft.queries.TextOps.spanDedupReport(docs, dups, nDups)
           .queryExecution.executedPlan.toString
@@ -308,7 +320,7 @@ class ScaleTechniquesSpec extends SparkSpec {
       val over = planWith(graft.queries.TextOps.BroadcastBytesLimit)
       assert(under.contains("BroadcastHashJoin"), under)
       assert(!over.contains("BroadcastHashJoin"), over)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 
   test("enrichment dim broadcast degrades past the size bound") {
@@ -317,10 +329,8 @@ class ScaleTechniquesSpec extends SparkSpec {
     // through the same gate. Plan the batch-equivalent join under the
     // real per-row estimate (fits → broadcast) and under a simulated
     // web-scale user base (must fall back to a shuffle strategy).
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val events = graft.sources.Tables.events(spark, sf)
+    val events = graft.sources.Tables.events(spark, sf)
+    withNoAutoBroadcast(spark, events.sparkSession) {
       val dim = events.groupBy(col("user_id"))
         .agg(count(lit(1)).as("user_events"), avg(col("value")).as("user_avg_value"))
       def planWith(bytesPerRow: Long): String =
@@ -331,7 +341,7 @@ class ScaleTechniquesSpec extends SparkSpec {
       val over = planWith(graft.queries.TextOps.BroadcastBytesLimit + 1)
       assert(under.contains("BroadcastHashJoin"), under)
       assert(!over.contains("BroadcastHashJoin"), over)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 
   test("band-join grid dim degrades past the size bound") {
