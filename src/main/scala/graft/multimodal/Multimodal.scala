@@ -2173,6 +2173,52 @@ object Multimodal {
           x => x.getField("mr")), ",")).as("mrank_fp"))
       .orderBy(col("shard"), col("seq_id"))
 
+  /** PACKING-EFFICIENCY REPORT of the trimodal release — the number a
+    * dataloader owner reads before changing the window size: per
+    * shard, the padding-loss tokens (the unfilled tail of the last
+    * 2048-window — per-shard packing is contiguous, so exactly one
+    * window per shard can be partial), the SPLIT-record rate (records
+    * whose [off, off+tot) span crosses a window boundary and so feed
+    * two+ training windows), and the mean windows spanned per record.
+    * The engine derives everything from the positioned record frame's
+    * (start_off, tot) arithmetic; the oracle re-derives the same
+    * facts from the `o` prefix-sum chain — agreement certifies the
+    * offsets, not just the rollup.
+    *
+    * Scale shape: two per-record integer columns + one groupBy on the
+    * 4-value shard alphabet with map-side partials; rides the
+    * memoized positioned artifact the bounds/id-freq rows share. */
+  val packEfficiency: Q = Q("mm_pack_efficiency",
+    trimodalEmitOracleCtes("1 = 1") + """
+      |SELECT shard,
+      |  COUNT(*) AS n_records,
+      |  CAST(SUM(tot) AS BIGINT) AS n_tokens,
+      |  CAST((SUM(tot) + 2047) // 2048 AS BIGINT) AS n_windows,
+      |  CAST(((SUM(tot) + 2047) // 2048) * 2048 - SUM(tot) AS BIGINT) AS pad_tokens,
+      |  CAST(COUNT(*) FILTER (WHERE off // 2048 != (off + tot - 1) // 2048) AS BIGINT)
+      |    AS n_split_records,
+      |  ROUND(COUNT(*) FILTER (WHERE off // 2048 != (off + tot - 1) // 2048)
+      |        / CAST(COUNT(*) AS DOUBLE), 6) AS split_rate,
+      |  ROUND(SUM((off + tot - 1) // 2048 - off // 2048 + 1)
+      |        / CAST(COUNT(*) AS DOUBLE), 6) AS windows_per_record
+      |FROM o GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
+    val rec = trimodalPositioned(s, dir)
+      .withColumn("w0", expr("start_off div 2048"))
+      .withColumn("w1", expr("(start_off + tot - 1) div 2048"))
+    rec.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(col("tot")).as("n_tokens"),
+        expr("(sum(tot) + 2047) div 2048").as("n_windows"),
+        expr("((sum(tot) + 2047) div 2048) * 2048 - sum(tot)").as("pad_tokens"),
+        sum(when(col("w0") =!= col("w1"), 1L).otherwise(0L)).as("n_split_records"),
+        round(sum(when(col("w0") =!= col("w1"), 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 6).as("split_rate"),
+        round(sum(col("w1") - col("w0") + 1L)
+          / count(lit(1)).cast("double"), 6).as("windows_per_record"))
+      .orderBy(col("shard"))
+  }
+
   /** Token-ID FREQUENCY table of the TRIMODAL release — the unigram
     * distribution shipped beside the three-modality shards, with the
     * patch-token row at id −1 carrying the combined image/audio/video
@@ -3209,5 +3255,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageResize, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, trimodalIdFreq, trimodalShuffle, trimodalResume, trimodalEpochs, trimodalCurriculum, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard, mediaDrift)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageResize, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, packEfficiency, trimodalIdFreq, trimodalShuffle, trimodalResume, trimodalEpochs, trimodalCurriculum, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard, mediaDrift)
 }
