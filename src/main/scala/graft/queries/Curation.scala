@@ -690,17 +690,23 @@ object Curation {
   private[graft] def sliceCol(mn: Long, mx: Long): Column =
     expr(s"((doc_id - ${mn}L) * 4) div ${mx - mn + 1}L")
 
+  /** Per-doc `(…carry…, feature, bucket)` rows — THE one spelling of
+    * the text drift bucketer (200-char length bands capped at 9;
+    * languages as-is), shared by the within-scan monitor and the
+    * cross-release baseline device so the two report families can
+    * never bucket differently. */
+  private[graft] def featurePairs(docs: DataFrame, carry: Seq[Column]): DataFrame =
+    docs.select(carry :+ lit("len").as("feature")
+        :+ least(expr("n_chars div 200"), lit(9L)).cast("string").as("bucket"): _*)
+      .unionByName(docs.select(carry :+ lit("lang").as("feature")
+        :+ col("lang").as("bucket"): _*))
+
   /** Per-doc `(slice, feature, bucket)` rows of a documents frame —
     * slice anchors (corpus min/max doc_id) come from the STATIC
     * table so a streamed batch buckets identically to the batch
     * scan. */
-  private[graft] def driftBuckets(docs: DataFrame, mn: Long, mx: Long): DataFrame = {
-    val sliced = docs.withColumn("slice", sliceCol(mn, mx))
-    sliced.select(col("slice"), lit("len").as("feature"),
-        least(expr("n_chars div 200"), lit(9L)).cast("string").as("bucket"))
-      .unionByName(sliced.select(col("slice"), lit("lang").as("feature"),
-        col("lang").as("bucket")))
-  }
+  private[graft] def driftBuckets(docs: DataFrame, mn: Long, mx: Long): DataFrame =
+    featurePairs(docs.withColumn("slice", sliceCol(mn, mx)), Seq(col("slice")))
 
   /** PSI arithmetic over a bounded count frame (everything here is
     * ≤ 4 slices × bucket-domain rows — broadcast-sized by
@@ -730,6 +736,161 @@ object Curation {
       .orderBy(col("slice"), col("feature"))
   }
 
+  // -------------------------------------------- cross-release drift baseline
+  /** The persisted reference distribution's artifact name — the
+    * per-feature bucket counts of the LAST PROMOTED release, a
+    * [[graft.sources.VersionedStore]] frame the monitors re-resolve
+    * (the model-gate discipline applied to drift). */
+  val DriftBaselineName = "drift_baseline"
+
+  /** The structural midpoint splitting "the last promoted release's
+    * crawl" (doc_id < mid) from "the new crawl" (doc_id ≥ mid) — the
+    * series/forget worlds' half-corpus convention, floor(avg) so the
+    * oracle's FLOOR(AVG(doc_id)) lands on the same id. */
+  private[graft] def releaseMid(s: SparkSession, dir: String): Long =
+    Tables.documents(s, dir).agg(avg(col("doc_id"))).head().getDouble(0).toLong
+
+  /** Per-feature bucket counts of a baseline population (no slice —
+    * one reference distribution), the frame that gets REGISTERED. */
+  private[graft] def baselineCounts(docs: DataFrame): DataFrame =
+    featurePairs(docs, Seq.empty)
+      .groupBy(col("feature"), col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** PSI of each new-crawl slice against a PROMOTED baseline
+    * distribution — [[psiReport]]'s arithmetic with the reference
+    * swapped from slice 0 of the same scan to the persisted
+    * cross-release artifact. The Laplace domain is the UNION of the
+    * two sides' buckets (a bucket new to either side still smooths),
+    * `nsFeature` carries each side's population, and the resolved
+    * baseline VERSION rides every row so a report is attributable to
+    * the exact release it judged against. Bounded end to end: both
+    * count frames are (slices+1) × bucket-domain rows. */
+  private[graft] def psiVsBaseline(newCounts: DataFrame, baseCounts: DataFrame,
+                                   baselineVersion: Int,
+                                   nsFeature: String = "len"): DataFrame = {
+    val dom = newCounts.select(col("feature"), col("bucket"))
+      .unionByName(baseCounts.select(col("feature"), col("bucket"))).distinct()
+    val bc = dom.groupBy(col("feature")).agg(count(lit(1)).as("nb"))
+    val bpop = baseCounts.filter(col("feature") === nsFeature)
+      .agg(sum(col("c")).as("bn"))
+    val q = dom.join(broadcast(bc), Seq("feature"))
+      .crossJoin(broadcast(bpop))
+      .join(baseCounts.withColumnRenamed("c", "bcv"),
+        Seq("feature", "bucket"), "left_outer")
+      .na.fill(0L, Seq("bcv"))
+      .withColumn("q", (col("bcv").cast("double") + 1) / (col("bn") + col("nb")))
+      .select(col("feature"), col("bucket"), col("q"))
+    val ns = newCounts.filter(col("feature") === nsFeature)
+      .groupBy(col("slice")).agg(sum(col("c")).as("n"))
+    val grid = ns.crossJoin(dom)
+      .join(broadcast(bc), Seq("feature"))
+      .join(newCounts, Seq("slice", "feature", "bucket"), "left_outer")
+      .na.fill(0L, Seq("c"))
+      .withColumn("p", (col("c").cast("double") + 1) / (col("n") + col("nb")))
+    grid.join(broadcast(q), Seq("feature", "bucket"))
+      .groupBy(col("slice"), col("feature"))
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+      .join(broadcast(ns), Seq("slice"))
+      .select(col("slice"), col("feature"), col("n").as("n_docs"), col("psi"),
+        (col("psi") >= 0.2).as("drifted"),
+        lit(baselineVersion.toLong).as("baseline_version"))
+      .orderBy(col("slice"), col("feature"))
+  }
+
+  /** The cross-release CTE chain (through `bpsi`/`bns`) — the oracle
+    * rebuild of the baseline device, shared by the batch monitor and
+    * the streaming quarantine twin. Baseline = doc_id < FLOOR(AVG);
+    * new crawl = the rest, cut into 4 structural slices by ITS OWN
+    * anchors; Laplace domain = union of both sides' buckets. */
+  private[graft] def baselineDriftOracleCtes: String =
+    """WITH bmid AS (SELECT CAST(FLOOR(AVG(doc_id)) AS BIGINT) AS mid FROM documents),
+      |bbase AS (SELECT doc_id, n_chars, lang FROM documents, bmid WHERE doc_id < mid),
+      |bnew AS (SELECT doc_id, n_chars, lang FROM documents, bmid WHERE doc_id >= mid),
+      |bmm AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM bnew),
+      |bnd AS (SELECT doc_id, n_chars, lang,
+      |          CAST(((doc_id - mn) * 4) // (mx - mn + 1) AS BIGINT) AS slice
+      |        FROM bnew, bmm),
+      |bfb AS (SELECT 'len' AS feature,
+      |          CAST(LEAST(n_chars // 200, 9) AS VARCHAR) AS bucket FROM bbase
+      |        UNION ALL SELECT 'lang', lang FROM bbase),
+      |nfb AS (SELECT slice, 'len' AS feature,
+      |          CAST(LEAST(n_chars // 200, 9) AS VARCHAR) AS bucket FROM bnd
+      |        UNION ALL SELECT slice, 'lang', lang FROM bnd),
+      |bdom AS (SELECT DISTINCT feature, bucket FROM
+      |           (SELECT feature, bucket FROM bfb
+      |            UNION ALL SELECT feature, bucket FROM nfb)),
+      |bbc AS (SELECT feature, COUNT(*) AS nb FROM bdom GROUP BY 1),
+      |bpop AS (SELECT COUNT(*) AS n FROM bbase),
+      |bcnt AS (SELECT feature, bucket, COUNT(*) AS c FROM bfb GROUP BY 1, 2),
+      |bq AS (SELECT bdom.feature, bdom.bucket,
+      |         (CAST(COALESCE(bcnt.c, 0) AS DOUBLE) + 1) / (bpop.n + bbc.nb) AS q
+      |       FROM bdom JOIN bbc ON bbc.feature = bdom.feature
+      |       CROSS JOIN bpop
+      |       LEFT JOIN bcnt ON bcnt.feature = bdom.feature
+      |                     AND bcnt.bucket = bdom.bucket),
+      |bns AS (SELECT slice, COUNT(*) AS n FROM bnd GROUP BY 1),
+      |nbcnt AS (SELECT slice, feature, bucket, COUNT(*) AS c FROM nfb GROUP BY 1, 2, 3),
+      |bnp AS (SELECT s.slice, bdom.feature, bdom.bucket,
+      |          (CAST(COALESCE(nbcnt.c, 0) AS DOUBLE) + 1) / (bns.n + bbc.nb) AS p
+      |        FROM (SELECT DISTINCT slice FROM bnd) s
+      |        CROSS JOIN bdom
+      |        JOIN bns ON bns.slice = s.slice
+      |        JOIN bbc ON bbc.feature = bdom.feature
+      |        LEFT JOIN nbcnt ON nbcnt.slice = s.slice AND nbcnt.feature = bdom.feature
+      |                       AND nbcnt.bucket = bdom.bucket),
+      |bpsi AS (SELECT bnp.slice, bnp.feature,
+      |           ROUND(SUM((bnp.p - bq.q) * ln(bnp.p / bq.q)), 6) AS psi
+      |         FROM bnp JOIN bq ON bq.feature = bnp.feature AND bq.bucket = bnp.bucket
+      |         GROUP BY 1, 2)""".stripMargin
+
+  /** One cross-release baseline world per (application, sf dir): the
+    * last release's bucket counts REGISTERED + PROMOTED in a
+    * versioned store, then the report computed through a production
+    * RE-RESOLVE (pointer, not lineage — re-promoting a new baseline
+    * moves the next report, the promote-then-drift spec's pin). Owns
+    * its store (Reapable). */
+  private final case class BaselineWorld(store: graft.sources.FrameStore,
+      report: DataFrame) extends graft.Reapable {
+    def reapRoots: Seq[String] = Seq(store.root)
+  }
+
+  private val baselineMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, BaselineWorld])
+
+  /** CROSS-RELEASE DRIFT MONITOR — the operational form of
+    * [[corpusDrift]]: the reference is not slice 0 of the same scan
+    * but the PERSISTED distribution of the last promoted release (a
+    * versioned artifact), so the monitor catches drift BETWEEN
+    * releases, not within one crawl. The resolved baseline version
+    * rides every report row. */
+  val driftBaseline: Q = Q("text_drift_baseline",
+    baselineDriftOracleCtes + """
+      |SELECT bpsi.slice, bpsi.feature, bns.n AS n_docs, bpsi.psi,
+      |  bpsi.psi >= 0.2 AS drifted, CAST(1 AS BIGINT) AS baseline_version
+      |FROM bpsi JOIN bns ON bns.slice = bpsi.slice
+      |ORDER BY bpsi.slice, bpsi.feature""".stripMargin) { (s, dir) =>
+    baselineMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val docs = Tables.documents(s, dir)
+      val mid = releaseMid(s, dir)
+      val store = new graft.sources.FrameStore(
+        graft.sources.Scratch.dir("graft-driftbase-").toString + "/store")
+      store.promote(DriftBaselineName,
+        store.register(s, DriftBaselineName,
+          baselineCounts(docs.filter(col("doc_id") < mid))))
+      val newDocs = docs.filter(col("doc_id") >= mid)
+      val r = newDocs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val newCounts = driftBuckets(newDocs, r.getLong(0), r.getLong(1))
+        .groupBy(col("slice"), col("feature"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val bv = store.productionVersion(DriftBaselineName)
+        .getOrElse(sys.error("no promoted drift baseline"))
+      val base = store.loadProduction(s, DriftBaselineName)
+        .getOrElse(sys.error("no promoted drift baseline"))
+      BaselineWorld(store,
+        psiVsBaseline(newCounts, base, bv).localCheckpoint(true))
+    }).report.orderBy(col("slice"), col("feature"))
+  }
+
   val all: Seq[Q] = Seq(splitAssign, sourceMix, lmScore, repetitionScore, epochMix,
-    mixPack, packForget, curriculumOrder, curriculumResume, corpusDrift)
+    mixPack, packForget, curriculumOrder, curriculumResume, corpusDrift, driftBaseline)
 }

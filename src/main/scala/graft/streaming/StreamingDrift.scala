@@ -210,11 +210,74 @@ object StreamingDrift {
       MediaDriftWorld(env, counts, report, cleanCount)
     })
 
-  /** Bench warm hook: both stream passes (+ the clean-corpus
-    * promotion), attributed once. */
+  // ------------------------------------------ cross-release baseline face
+  /** The drained cross-release world: the promoted baseline's
+    * version, the new crawl's summed per-slice counts, the PSI
+    * report AGAINST the promoted baseline, and the clean-corpus
+    * promotion it gated. */
+  final case class BaselineDriftWorld(env: Env, baseVersion: Int,
+      newCounts: DataFrame, report: DataFrame, cleanCount: Long)
+      extends graft.Reapable {
+    def reapRoots: Seq[String] =
+      Seq(java.nio.file.Paths.get(env.outDir).getParent.toString)
+  }
+
+  private val baselineMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, BaselineDriftWorld])
+
+  private[graft] def baselineDriftWorld(s: SparkSession, dir: String): BaselineDriftWorld =
+    baselineMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val docs = Tables.documents(s, dir)
+      val mid = Curation.releaseMid(s, dir)
+      buildBaselineWorld(s, dir, docs.filter(col("doc_id") < mid),
+        docs.filter(col("doc_id") >= mid), slices = 3)
+    })
+
+  /** The full cross-release pass over arbitrary baseline/new-crawl
+    * frames — exposed so the planted-drift spec can drive a new
+    * crawl whose tail slice genuinely shifts off the baseline. */
+  private[graft] def buildBaselineWorld(s: SparkSession, dir: String, base: DataFrame,
+      newDocs: DataFrame, slices: Int): BaselineDriftWorld = {
+    // slice anchors come from the NEW crawl (the population under
+    // judgment); the reference is the PROMOTED artifact, not a slice
+    val env = prepare(s, dir, newDocs)
+    // the last release pinned its distribution BEFORE this crawl ran
+    env.store.promote(Curation.DriftBaselineName,
+      env.store.register(s, Curation.DriftBaselineName,
+        Curation.baselineCounts(base)))
+    StreamingCuration.landOrderedSlicesOf(newDocs, "doc_id", env.inDir, slices)
+    runPass(s, env)
+    val counts = drainedCounts(s, env).localCheckpoint(true)
+    val (bv, report) = baselineReport(s, env, counts)
+    val clean = verdicts(counts, report)
+      .filter(col("promoted")).select(col("slice"))
+    val cleanDocs = s.read.parquet(env.docsDir).drop("batch")
+      .join(broadcast(clean), Seq("slice"))
+    env.store.promote(CleanCorpusName,
+      env.store.register(s, CleanCorpusName, cleanDocs))
+    val cleanCount = env.store.loadProduction(s, CleanCorpusName)
+      .getOrElse(sys.error("no promoted clean corpus")).count()
+    BaselineDriftWorld(env, bv, counts, report.localCheckpoint(true), cleanCount)
+  }
+
+  /** RE-RESOLVE the production baseline and report against it — the
+    * pointer read the promote-then-drift spec re-drives after
+    * promoting a new baseline version. */
+  private[graft] def baselineReport(s: SparkSession, env: Env,
+      counts: DataFrame): (Int, DataFrame) = {
+    val bv = env.store.productionVersion(Curation.DriftBaselineName)
+      .getOrElse(sys.error("no promoted drift baseline"))
+    val base = env.store.loadProduction(s, Curation.DriftBaselineName)
+      .getOrElse(sys.error("no promoted drift baseline"))
+    (bv, Curation.psiVsBaseline(counts, base, bv))
+  }
+
+  /** Bench warm hook: the three stream passes (+ the clean-corpus
+    * promotions), attributed once. */
   private[graft] def warmDriftStream(s: SparkSession, dir: String): Unit = {
     driftWorld(s, dir)
     mediaDriftWorld(s, dir)
+    baselineDriftWorld(s, dir)
     ()
   }
 
@@ -291,6 +354,45 @@ object StreamingDrift {
       .orderBy(col("slice"))
   }
 
+  /** THE CROSS-RELEASE QUARANTINE — the operational drift gate: the
+    * new crawl streams in, its per-slice distributions are judged
+    * against the PERSISTED baseline of the last promoted release (a
+    * versioned artifact the drain RE-RESOLVES — re-promoting a new
+    * baseline moves the next verdict, never a code change), and only
+    * slices whose every feature clears the moderate-shift bound
+    * promote into the clean-corpus artifact. The resolved baseline
+    * VERSION rides every row, so a held-back slice is attributable
+    * to the exact release distribution that rejected it. The oracle
+    * rebuilds baseline, slices, union-domain smoothing, and PSIs
+    * arithmetically; the artifact-parity leg is computed for real. */
+  val streamDriftBaseline: Q = Q("stream_drift_baseline",
+    Curation.baselineDriftOracleCtes + s""",
+      |bpiv AS (SELECT slice,
+      |           MAX(CASE WHEN feature = 'len' THEN psi END) AS psi_len,
+      |           MAX(CASE WHEN feature = 'lang' THEN psi END) AS psi_lang
+      |         FROM bpsi GROUP BY 1)
+      |SELECT bns.slice, bns.n AS n_docs,
+      |  COALESCE(bpiv.psi_len, 0.0) AS psi_len,
+      |  COALESCE(bpiv.psi_lang, 0.0) AS psi_lang,
+      |  (COALESCE(bpiv.psi_len, 0.0) < $QuarantinePsi
+      |    AND COALESCE(bpiv.psi_lang, 0.0) < $QuarantinePsi) AS promoted,
+      |  CASE WHEN COALESCE(bpiv.psi_len, 0.0) < $QuarantinePsi
+      |            AND COALESCE(bpiv.psi_lang, 0.0) < $QuarantinePsi
+      |       THEN bns.n ELSE 0 END AS n_docs_promoted,
+      |  CAST(1 AS BIGINT) AS baseline_version,
+      |  TRUE AS clean_corpus_matches_manifest
+      |FROM bns LEFT JOIN bpiv USING (slice) ORDER BY slice""".stripMargin) { (s, dir) =>
+    val world = baselineDriftWorld(s, dir)
+    val v = verdicts(world.newCounts, world.report)
+    val promisedTotal = v.agg(sum(col("n_docs_promoted")).as("t"))
+    v.crossJoin(broadcast(promisedTotal))
+      .select(col("slice"), col("n_docs"), col("psi_len"), col("psi_lang"),
+        col("promoted"), col("n_docs_promoted"),
+        lit(world.baseVersion.toLong).as("baseline_version"),
+        (col("t") === world.cleanCount).as("clean_corpus_matches_manifest"))
+      .orderBy(col("slice"))
+  }
+
   val all: Seq[Q] = Seq(streamCorpusDrift, streamDriftQuarantine, streamMediaDrift,
-    streamMediaQuarantine)
+    streamMediaQuarantine, streamDriftBaseline)
 }

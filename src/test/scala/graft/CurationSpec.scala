@@ -369,4 +369,43 @@ class CurationSpec extends SparkSpec {
     val staged = w.staged.count()
     assert(staged == 200L, s"staging must hold every arrival, got $staged")
   }
+
+  test("cross-release baseline: promote-then-drift — the monitor follows the PROMOTED pointer") {
+    import graft.streaming.StreamingDrift
+    def corpus(ids: Range, lang: Long => String) = ids.map { i =>
+      (i.toLong, Seq.fill(20)("tok").mkString(" "), lang(i.toLong), "src1", 120L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // release 1's crawl: alternating en/de; the NEW crawl matches it
+    // on slices 0-2 but slice 3 (ids 250+) is single-language
+    val base = corpus(0 until 100, i => if (i % 2 == 0) "en" else "de")
+    val newc = corpus(100 until 300,
+      i => if (i >= 250) "xx" else if (i % 2 == 0) "en" else "de")
+    val w = StreamingDrift.buildBaselineWorld(spark, sf, base, newc, slices = 3)
+    assert(w.baseVersion == 1, s"first promoted baseline must be v1, got ${w.baseVersion}")
+    assert(w.report.select(col("baseline_version")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L), "report rows must carry the resolved version")
+    val v1 = StreamingDrift.verdicts(w.newCounts, w.report)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(!v1(3L), "the off-baseline tail slice must be quarantined under v1")
+    assert(Seq(0L, 1L, 2L).forall(v1(_)), "baseline-matching slices must promote")
+    assert(w.cleanCount == 150L,
+      s"clean corpus must hold slices 0-2 (150 docs), got ${w.cleanCount}")
+    // release 2 ships the single-language crawl as ITS baseline: the
+    // SAME drained counts re-judged through the re-resolved pointer
+    // must flip — slice 3 now matches the release, slices 0-2 drift.
+    // No monitor code changes; only the promoted artifact moved.
+    val base2 = corpus(0 until 100, _ => "xx")
+    w.env.store.promote(graft.queries.Curation.DriftBaselineName,
+      w.env.store.register(spark, graft.queries.Curation.DriftBaselineName,
+        graft.queries.Curation.baselineCounts(base2)))
+    val (bv2, rep2) = StreamingDrift.baselineReport(spark, w.env, w.newCounts)
+    assert(bv2 == 2, s"re-promotion must resolve v2, got $bv2")
+    assert(rep2.select(col("baseline_version")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    val v2 = StreamingDrift.verdicts(w.newCounts, rep2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(v2(3L), "under the v2 baseline the single-language slice must promote")
+    assert(Seq(0L, 1L, 2L).forall(!v2(_)),
+      "under the v2 baseline the en/de slices must be held back")
+  }
 }
