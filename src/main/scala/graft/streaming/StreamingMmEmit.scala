@@ -1003,9 +1003,15 @@ object StreamingMmEmit {
     * resumes on the same checkpoint to ingest the rest — the
     * kill/resume boundary deliberately brackets the forget. Owns its
     * scratch tree (Reapable) and pins the certificate's comparison
-    * frames lineage-cut. */
-  private[streaming] final case class TrimodalStreamForgetWorld(env: Env,
-      preEntries: DataFrame, postRewriteEntries: DataFrame,
+    * frames lineage-cut. `mid` is the series worlds' exact integer
+    * midpoint and `preOffsets`/`preMmOffsets` the offset states AT
+    * the phase-1 drain (pinned before the takedown rewrites them):
+    * together with `preEntries` they are the complete pre-takedown
+    * phase-1 state, which [[trimodalSeriesWorld]] INSTALLS instead of
+    * re-draining the same half corpus through a second stream. */
+  private[streaming] final case class TrimodalStreamForgetWorld(env: Env, mid: Long,
+      preEntries: DataFrame, preOffsets: DataFrame, preMmOffsets: DataFrame,
+      postRewriteEntries: DataFrame,
       preWindows: DataFrame, entries: DataFrame, finalWindows: DataFrame,
       affectedShards: Seq[Long]) extends graft.Reapable {
     def reapRoots: Seq[String] = env.reapRoots
@@ -1019,7 +1025,12 @@ object StreamingMmEmit {
     triForgetStreamMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
       import graft.multimodal.Multimodal.{TakedownMod, TakedownResidue}
       val docs = Tables.documents(s, dir)
-      val mid = docs.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+      // the SAME exact integer midpoint the series world cuts at, so
+      // the series can install this world's phase-1 state verbatim
+      // (the forget facts are cut-invariant: the final drain is the
+      // full corpus minus the takedown family wherever the cut lands)
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
       val env = prepareTrimodal(s, dir)
       // 4 phase-1 slices (not 2) so the one-job-rewrite pin is
       // non-vacuous: the per-batch-loop form would run >= 4 jobs here
@@ -1027,6 +1038,14 @@ object StreamingMmEmit {
         docs.filter(col("doc_id") < mid), "doc_id", env.inDir, 4)
       runTrimodalPass(s, env) // phase-1 query dies here
       val pre = s.read.parquet(env.outDir).localCheckpoint(true)
+      // the phase-1 offset states, pinned BEFORE the takedown rewrite —
+      // the carry the series world resumes from (4-row frames per face)
+      val preOff = env.store.loadProduction(s, TrimodalOffsetsName)
+        .getOrElse(sys.error("no trimodal offsets at phase-1 drain"))
+        .localCheckpoint(true)
+      val preMmOff = env.store.loadProduction(s, OffsetsName)
+        .getOrElse(sys.error("no bimodal offsets at phase-1 drain"))
+        .localCheckpoint(true)
       applyTrimodalStreamForget(s, env) // the takedown lands mid-stream
       val post = s.read.parquet(env.outDir).localCheckpoint(true)
       StreamingCuration.landOrderedSlicesOf(
@@ -1038,8 +1057,9 @@ object StreamingMmEmit {
       val affected = pre
         .filter(col("doc_id") % TakedownMod === TakedownResidue)
         .select(col("shard")).distinct().collect().map(_.getLong(0)).toSeq
-      TrimodalStreamForgetWorld(env,
-        preEntries = pre, postRewriteEntries = post,
+      TrimodalStreamForgetWorld(env, mid,
+        preEntries = pre, preOffsets = preOff, preMmOffsets = preMmOff,
+        postRewriteEntries = post,
         preWindows = Multimodal.trimodalEmitWindowsOf(s, dir, pre.drop("batch"))
           .localCheckpoint(true),
         entries = fin,
@@ -1142,11 +1162,13 @@ object StreamingMmEmit {
     * lands and v2 publishes over the extended drain — the accretion
     * face of a continuously-publishing pipeline, with the query
     * kill/resume boundary deliberately bracketing the republication
-    * (phase-1 query dies at drain, v1 ships, a FRESH query resumes
-    * on the same checkpoint + carry for phase 2). Both versions
-    * register in ONE store name so the series mechanics — version
-    * advance, old-version readability after the flip — are pinned on
-    * the release artifact itself. */
+    * (the v1 state comes from a DEAD query's drain — installed from
+    * the live-takedown world's pre-forget pins, which cut at the same
+    * midpoint — and a FRESH query resumes over the continuation with
+    * the carried offsets for phase 2). Both versions register in ONE
+    * store name so the series mechanics — version advance,
+    * old-version readability after the flip — are pinned on the
+    * release artifact itself. */
   private[streaming] final case class TrimodalSeriesWorld(env: Env, mid: Long,
       v1Windows: DataFrame, v2Windows: DataFrame,
       v1Version: Int, v2Version: Int,
@@ -1159,26 +1181,44 @@ object StreamingMmEmit {
   private val triSeriesMemo = graft.SessionCaches.register(
     scala.collection.concurrent.TrieMap.empty[String, TrimodalSeriesWorld])
 
+  /** Installed phase-1 batches get ids shifted out of a fresh
+    * checkpoint's id space, so the resumed pass's batch 0.. neither
+    * overwrites an installed batch dir nor collides with an installed
+    * offsets row's provenance stamp (the `batch_id =!= batchId`
+    * replay-normalization filter in the placement). */
+  private val SeriesInstallShift = 1000L
+
   private[graft] def trimodalSeriesWorld(s: SparkSession,
       dir: String): TrimodalSeriesWorld =
     triSeriesMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
       val docs = Tables.documents(s, dir)
-      // structural midpoint in exact integer arithmetic — the oracle
-      // replays (min + max) // 2 bit-identically (an AVG-based cut
-      // would hang the certificate on float summation order)
-      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      // DERIVE phase 1 from the live-takedown world's pre-forget pins
+      // instead of draining the same half corpus through a second
+      // stream: both worlds cut at the exact integer midpoint
+      // (min + max) // 2 — which the series oracle replays
+      // bit-identically — so the forget world's pre-takedown state IS
+      // release v1's drain. The series pays one install write + the
+      // phase-2 drain; the half-corpus gates/pricing run once per
+      // session across the pair.
+      val fw = trimodalStreamForgetWorld(s, dir)
+      val mid = fw.mid
       val env = prepareTrimodal(s, dir)
-      StreamingCuration.landOrderedSlicesOf(
-        docs.filter(col("doc_id") < mid), "doc_id", env.inDir, 2)
-      runTrimodalPass(s, env) // phase-1 query dies at the v1 drain
+      def shifted(off: DataFrame) =
+        off.withColumn("batch_id", col("batch_id") + SeriesInstallShift)
+      fw.preEntries.withColumn("batch", col("batch") + SeriesInstallShift)
+        .repartition(col("batch"))
+        .write.partitionBy("batch").parquet(env.outDir)
+      env.store.promote(TrimodalOffsetsName,
+        env.store.register(s, TrimodalOffsetsName, shifted(fw.preOffsets)))
+      env.store.promote(OffsetsName,
+        env.store.register(s, OffsetsName, shifted(fw.preMmOffsets)))
       val v1w = Multimodal.trimodalEmitWindowsOf(s, dir,
         s.read.parquet(env.outDir).drop("batch")).localCheckpoint(true)
       val v1Ver = env.store.register(s, SeriesWindowsName, v1w)
       env.store.promote(SeriesWindowsName, v1Ver)
       StreamingCuration.landOrderedSlicesOf(
         docs.filter(col("doc_id") >= mid), "doc_id", env.inDir, 2, tag = "b")
-      runTrimodalPass(s, env) // fresh query, same checkpoint + carry
+      runTrimodalPass(s, env) // fresh query over the continuation + carry
       env.store.compact(s, TrimodalOffsetsName)
       env.store.gc(TrimodalOffsetsName, keep = 1)
       val v2w = Multimodal.trimodalEmitWindowsOf(s, dir,

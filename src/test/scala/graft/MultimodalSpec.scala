@@ -256,10 +256,8 @@ class MultimodalSpec extends SparkSpec {
     assert(forgot(world.preEntries) > 0, "no withdrawn doc shipped before the forget")
     // the registry leg is live too: withdrawn docs arrived AFTER the
     // forget and were kept out (they exist in the upper id half)
-    val mid = graft.sources.Tables.documents(spark, sf)
-      .agg(avg(col("doc_id"))).head().getDouble(0).toLong
     assert(graft.sources.Tables.documents(spark, sf)
-      .filter(col("doc_id") >= mid &&
+      .filter(col("doc_id") >= world.mid &&
         col("doc_id") % TakedownMod === TakedownResidue).count() > 0,
       "no withdrawn doc in the post-forget arrivals — registry leg vacuous")
     // the drained release holds NO withdrawn record, from either phase
