@@ -142,10 +142,12 @@ object Bench {
         graft.streaming.StreamingEvalBuild.warmEvalStream(spark, sfDir)
       },
       timedWarm("cache_warm_curriculum") {
-        // the quality-quartile schedule (lmScore join + two-level
-        // rank) shared by text_curriculum_order and its resume
+        // the quality-quartile schedules (lmScore join + two-level
+        // rank; the composite adds the heuristic-quality pass) shared
+        // by text_curriculum_order / _composite and the resume
         // manifest — memoized per session, attributed here
-        graft.queries.Curation.curriculumSchedule(spark, sfDir); ()
+        graft.queries.Curation.curriculumSchedule(spark, sfDir)
+        graft.queries.Curation.compositeSchedule(spark, sfDir); ()
       },
       timedWarm("cache_warm_media_quality") {
         // the decode-stat feature store + the media LR fit + closed

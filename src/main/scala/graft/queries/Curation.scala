@@ -546,6 +546,90 @@ object Curation {
       TextOps.resumeManifest(curriculumSchedule(s, dir), 0.6, fpCol = "sort_key")
   }
 
+  /** QUALITY-WEIGHTED CURRICULUM — the composite schedule the plain
+    * [[curriculumOrder]] is blind to: difficulty alone would front a
+    * probable-but-junk doc (boilerplate scores a high `avg_logp`),
+    * so the composite ranks on `avg_logp + 3·quality_score` — the
+    * LM-difficulty signal tempered by the heuristic
+    * length/stopword/distinctness quality the curation stack already
+    * computes ([[TextOps.qualityScores]]). Both inputs are ROUND(…,6)
+    * engine-portable facts, so the composite (one rounded left-assoc
+    * chain) replays bit-identically; quartiles/phases/anneal/step
+    * numbering are [[curriculumOrder]]'s devices under fresh salts.
+    * Same scale shape: the two-level (bucket, band) rank + width-2
+    * shuffleRankCore — the corpus never sorts in one window. */
+  val curriculumComposite: Q = Q("text_curriculum_composite",
+    """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |vocab AS (SELECT word, COUNT(*) AS c FROM words GROUP BY 1),
+      |tot AS (SELECT SUM(c) AS total FROM vocab),
+      |lm AS (SELECT w.doc_id, ROUND(AVG(ln(CAST(v.c AS DOUBLE) / total)), 6) AS avg_logp
+      |       FROM words w JOIN vocab v ON w.word = v.word, tot GROUP BY 1),
+      |qt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |qm AS (SELECT doc_id, len(w) AS n_tokens,
+      |         len(list_filter(w, x -> x = 'the' OR x = 'a')) AS n_stop,
+      |         len(list_distinct(w)) AS n_distinct FROM qt),
+      |qs AS (SELECT doc_id,
+      |         ROUND(((CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0))
+      |           + (CAST(0.3 AS DOUBLE) * (1.0 - (CAST(n_stop AS DOUBLE) / n_tokens))))
+      |           + (CAST(0.3 AS DOUBLE) * (CAST(n_distinct AS DOUBLE) / n_tokens)), 6)
+      |           AS quality_score
+      |       FROM qm),
+      |sc AS (SELECT lm.doc_id, lm.avg_logp, qs.quality_score,
+      |         ROUND(lm.avg_logp + CAST(3.0 AS DOUBLE) * qs.quality_score, 6) AS cscore
+      |       FROM lm JOIN qs USING (doc_id)),
+      |n AS (SELECT COUNT(*) AS n_docs FROM sc),
+      |r AS (SELECT doc_id, avg_logp, quality_score, cscore,
+      |        ROW_NUMBER() OVER (ORDER BY cscore DESC, doc_id) AS rnk FROM sc),
+      |q AS (SELECT doc_id, avg_logp, quality_score, cscore,
+      |        CAST(((rnk - 1) * 4) // n_docs AS BIGINT) AS quartile FROM r, n),
+      |u AS (SELECT doc_id, avg_logp, quality_score, cscore, quartile,
+      |        quartile AS phase,
+      |        CAST(quartile AS VARCHAR) || md5('ccur:' || CAST(doc_id AS VARCHAR)) AS sort_key
+      |      FROM q
+      |      UNION ALL
+      |      SELECT doc_id, avg_logp, quality_score, cscore, quartile, 4 AS phase,
+      |        '4' || md5('canneal:' || CAST(doc_id AS VARCHAR)) AS sort_key
+      |      FROM q WHERE quartile = 0)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY sort_key, doc_id) AS BIGINT) AS ord,
+      |  CAST(('0x' || substr(sort_key, 1, 2)) AS BIGINT) AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY substr(sort_key, 1, 2)
+      |         ORDER BY sort_key, doc_id) AS BIGINT) AS pos,
+      |  sort_key, CAST(phase AS BIGINT) AS phase, doc_id, quartile,
+      |  cscore, avg_logp, quality_score
+      |FROM u ORDER BY ord""".stripMargin) { (s, dir) =>
+    compositeSchedule(s, dir).orderBy(col("ord"))
+  }
+
+  private val compositeMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+
+  private[graft] def compositeSchedule(s: SparkSession, dir: String): DataFrame =
+    compositeMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val sc = lmScores(s, dir).select(col("doc_id"), col("avg_logp"))
+        .join(TextOps.qualityScores(Tables.documents(s, dir))
+          .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+        .withColumn("cscore",
+          round(col("avg_logp") + lit(3.0) * col("quality_score"), 6))
+      val ranked = difficultyQuartiles(sc,
+        scaled = col("cscore"),
+        inBucketOrder = Seq(col("cscore").desc, col("doc_id")),
+        bucketAscending = false)
+      val main = ranked
+        .withColumn("phase", col("quartile"))
+        .withColumn("sort_key", concat(col("quartile").cast("string"),
+          md5(concat(lit("ccur:"), col("doc_id").cast("string")))))
+      val anneal = ranked.filter(col("quartile") === 0)
+        .withColumn("phase", lit(4L))
+        .withColumn("sort_key", concat(lit("4"),
+          md5(concat(lit("canneal:"), col("doc_id").cast("string")))))
+      val df = TextOps.shuffleRankCore(main.unionByName(anneal),
+        out = Seq(col("phase"), col("doc_id"), col("quartile"),
+          col("cscore"), col("avg_logp"), col("quality_score")),
+        tie = Seq(col("doc_id")), shardWidth = 2).persist()
+      df.count()
+      df
+    })
+
   /** Sub-bands per unit score bucket — the fan-out knob of the
     * two-level curriculum rank below. 16 keeps the offsets frame
     * trivially bounded (alphabet × 16 rows); a 100 TB run widens it
@@ -892,5 +976,6 @@ object Curation {
   }
 
   val all: Seq[Q] = Seq(splitAssign, sourceMix, lmScore, repetitionScore, epochMix,
-    mixPack, packForget, curriculumOrder, curriculumResume, corpusDrift, driftBaseline)
+    mixPack, packForget, curriculumOrder, curriculumResume, curriculumComposite,
+    corpusDrift, driftBaseline)
 }

@@ -155,10 +155,18 @@ object TextOps {
       |    + (CAST(0.3 AS DOUBLE) * (1.0 - (CAST(n_stop AS DOUBLE) / n_tokens))))
       |    + (CAST(0.3 AS DOUBLE) * (CAST(n_distinct AS DOUBLE) / n_tokens)), 6) AS quality_score
       |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    qualityScores(Tables.documents(s, dir)).orderBy(col("doc_id"))
+  }
+
+  /** The per-doc heuristic quality frame behind [[quality]] — THE one
+    * spelling of the length/stopword/distinctness composite, shared
+    * with the quality-weighted curriculum so the two can never score
+    * differently. One tokenize map pass, no shuffle. */
+  private[graft] def qualityScores(docs: DataFrame): DataFrame = {
     val nTokens   = size(col("w"))
     val nStop     = size(filter(col("w"), x => x === "the" || x === "a"))
     val nDistinct = size(array_distinct(col("w")))
-    tokenized(Tables.documents(s, dir))
+    tokenized(docs)
       .select(col("doc_id"),
         nTokens.cast("long").as("n_tokens"),
         nStop.cast("long").as("n_stop"),
@@ -167,7 +175,6 @@ object TextOps {
         r6((lit(0.4) * least(nTokens.cast("double") / lit(50.0), lit(1.0))
           + lit(0.3) * (lit(1.0) - (nStop.cast("double") / nTokens)))
           + lit(0.3) * (nDistinct.cast("double") / nTokens)).as("quality_score"))
-      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- lang id

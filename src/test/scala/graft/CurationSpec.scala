@@ -370,6 +370,21 @@ class CurationSpec extends SparkSpec {
     assert(staged == 200L, s"staging must hold every arrival, got $staged")
   }
 
+  test("composite curriculum: the quality signal genuinely moves the schedule") {
+    // the composite rank must differ from the difficulty-only rank —
+    // otherwise the quality term is decorative and the row is the
+    // plain curriculum under a new salt
+    val plain = graft.queries.Curation.curriculumSchedule(spark, sf)
+      .filter(col("phase") < 4).select(col("doc_id"), col("quartile"))
+    val comp = graft.queries.Curation.compositeSchedule(spark, sf)
+      .filter(col("phase") < 4)
+      .select(col("doc_id"), col("quartile").as("cq"))
+    val moved = plain.join(comp, Seq("doc_id"))
+      .filter(col("quartile") =!= col("cq")).count()
+    assert(moved > 0,
+      "no doc changed quartile under the quality-weighted composite — vacuous")
+  }
+
   test("cross-release baseline: promote-then-drift — the monitor follows the PROMOTED pointer") {
     import graft.streaming.StreamingDrift
     def corpus(ids: Range, lang: Long => String) = ids.map { i =>
