@@ -490,7 +490,10 @@ object Multimodal {
       |        -- (91.68 // 16 = 5.73, and the BIGINT cast then ROUNDS)
       |        CAST(LEAST(CAST(FLOOR(rms_l / 16) AS BIGINT), 15) AS VARCHAR) AS bucket FROM d
       |      UNION ALL SELECT slice, 'peak',
-      |        CAST(LEAST(CAST(peak_l // 16 AS BIGINT), 15) AS VARCHAR) FROM d),
+      |        -- FLOOR here too: peak_l is DOUBLE, and a // spelling is
+      |        -- round-not-floor (masked so far only because the synthetic
+      |        -- corpus's peak byte is a constant -> one bucket either way)
+      |        CAST(LEAST(CAST(FLOOR(peak_l / 16) AS BIGINT), 15) AS VARCHAR) FROM d),
       |dom AS (SELECT DISTINCT feature, bucket FROM b),
       |ns AS (SELECT slice, COUNT(*) AS n FROM d GROUP BY 1),
       |bc AS (SELECT feature, COUNT(*) AS nb FROM dom GROUP BY 1),
@@ -510,6 +513,59 @@ object Multimodal {
       |          ROUND(SUM((p.p - ref.q) * ln(p.p / ref.q)), 6) AS psi
       |        FROM p JOIN ref ON ref.feature = p.feature AND ref.bucket = p.bucket
       |        WHERE p.slice > 0 GROUP BY 1, 2)""".stripMargin
+
+  /** The media cross-release CTE chain (through `bpsi`/`bns`) — the
+    * text [[graft.queries.Curation.baselineDriftOracleCtes]] device
+    * over the DECODED loudness stats: baseline = clips of the last
+    * release (doc_id < FLOOR(AVG)), new crawl sliced by its own
+    * anchors, union-domain Laplace smoothing, PSI vs the baseline
+    * distribution. Explicit FLOOR on every double banding (the
+    * `//`-rounds trap). */
+  private[graft] def mediaBaselineOracleCtes: String =
+    "WITH " + wavStatsOracleCtes + """,
+      |bmid AS (SELECT CAST(FLOOR(AVG(doc_id)) AS BIGINT) AS mid FROM documents),
+      |mbase AS (SELECT doc_id, rms_l, peak_l FROM stats, bmid WHERE doc_id < mid),
+      |nmm AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+      |        FROM documents, bmid WHERE doc_id >= mid),
+      |mnd AS (SELECT s.doc_id, s.rms_l, s.peak_l,
+      |          CAST(((s.doc_id - mn) * 4) // (mx - mn + 1) AS BIGINT) AS slice
+      |        FROM stats s, bmid, nmm WHERE s.doc_id >= mid),
+      |bfb AS (SELECT 'rms' AS feature,
+      |          CAST(LEAST(CAST(FLOOR(rms_l / 16) AS BIGINT), 15) AS VARCHAR) AS bucket
+      |        FROM mbase
+      |        UNION ALL SELECT 'peak',
+      |          CAST(LEAST(CAST(FLOOR(peak_l / 16) AS BIGINT), 15) AS VARCHAR) FROM mbase),
+      |nfb AS (SELECT slice, 'rms' AS feature,
+      |          CAST(LEAST(CAST(FLOOR(rms_l / 16) AS BIGINT), 15) AS VARCHAR) AS bucket
+      |        FROM mnd
+      |        UNION ALL SELECT slice, 'peak',
+      |          CAST(LEAST(CAST(FLOOR(peak_l / 16) AS BIGINT), 15) AS VARCHAR) FROM mnd),
+      |bdom AS (SELECT DISTINCT feature, bucket FROM
+      |           (SELECT feature, bucket FROM bfb
+      |            UNION ALL SELECT feature, bucket FROM nfb)),
+      |bbc AS (SELECT feature, COUNT(*) AS nb FROM bdom GROUP BY 1),
+      |bpop AS (SELECT COUNT(*) AS n FROM mbase),
+      |bcnt AS (SELECT feature, bucket, COUNT(*) AS c FROM bfb GROUP BY 1, 2),
+      |bq AS (SELECT bdom.feature, bdom.bucket,
+      |         (CAST(COALESCE(bcnt.c, 0) AS DOUBLE) + 1) / (bpop.n + bbc.nb) AS q
+      |       FROM bdom JOIN bbc ON bbc.feature = bdom.feature
+      |       CROSS JOIN bpop
+      |       LEFT JOIN bcnt ON bcnt.feature = bdom.feature
+      |                     AND bcnt.bucket = bdom.bucket),
+      |bns AS (SELECT slice, COUNT(*) AS n FROM mnd GROUP BY 1),
+      |nbcnt AS (SELECT slice, feature, bucket, COUNT(*) AS c FROM nfb GROUP BY 1, 2, 3),
+      |bnp AS (SELECT s.slice, bdom.feature, bdom.bucket,
+      |          (CAST(COALESCE(nbcnt.c, 0) AS DOUBLE) + 1) / (bns.n + bbc.nb) AS p
+      |        FROM (SELECT DISTINCT slice FROM mnd) s
+      |        CROSS JOIN bdom
+      |        JOIN bns ON bns.slice = s.slice
+      |        JOIN bbc ON bbc.feature = bdom.feature
+      |        LEFT JOIN nbcnt ON nbcnt.slice = s.slice AND nbcnt.feature = bdom.feature
+      |                       AND nbcnt.bucket = bdom.bucket),
+      |bpsi AS (SELECT bnp.slice, bnp.feature,
+      |           ROUND(SUM((bnp.p - bq.q) * ln(bnp.p / bq.q)), 6) AS psi
+      |         FROM bnp JOIN bq ON bq.feature = bnp.feature AND bq.bucket = bnp.bucket
+      |         GROUP BY 1, 2)""".stripMargin
 
   val mediaDrift: Q = Q("mm_media_drift",
     mediaDriftOracleCtes + """
@@ -534,16 +590,38 @@ object Multimodal {
     * out of ONE decode pass via a 2-entry map explode, not a union
     * that re-decodes the corpus per branch. */
   private[graft] def mediaDriftBuckets(docs: org.apache.spark.sql.DataFrame,
-                                       mn: Long, mx: Long): org.apache.spark.sql.DataFrame = {
-    val stats = decodeWav(wavFrames(docs
+                                       mn: Long, mx: Long): org.apache.spark.sql.DataFrame =
+    mediaFeaturePairs(
+      mediaLoudnessStats(docs).withColumn("slice",
+        graft.queries.Curation.sliceCol(mn, mx)),
+      Seq(col("slice")))
+
+  /** The decoded per-clip loudness stats `(doc_id, rms_l, peak_l)` —
+    * one decode pass, repartitioned first (single-split sf parquet
+    * would serialize the heavy per-payload RMS map into one task). */
+  private[graft] def mediaLoudnessStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    decodeWav(wavFrames(docs
         .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)))
       .select(col("doc_id"), col("rms_l"), col("peak_l"))
-      .withColumn("slice", graft.queries.Curation.sliceCol(mn, mx))
-    stats.select(col("slice"), explode(map(
+
+  /** Per-clip `(…carry…, feature, bucket)` loudness rows — THE one
+    * spelling of the media drift bucketer (16-wide bands capped at
+    * 15), shared by the within-scan monitor and the cross-release
+    * baseline face. Both features ride ONE decode via a 2-entry map
+    * explode, never a union that re-decodes per branch. */
+  private[graft] def mediaFeaturePairs(stats: org.apache.spark.sql.DataFrame,
+      carry: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame =
+    stats.select(carry :+ explode(map(
         lit("rms"), least(floor(col("rms_l") / 16).cast("long"), lit(15L)).cast("string"),
-        lit("peak"), least(floor(col("peak_l") / 16).cast("long"), lit(15L)).cast("string"))))
+        lit("peak"), least(floor(col("peak_l") / 16).cast("long"), lit(15L)).cast("string"))): _*)
       .withColumnRenamed("key", "feature").withColumnRenamed("value", "bucket")
-  }
+
+  /** Per-feature loudness bucket counts of a baseline clip population
+    * (no slice — one reference distribution), the frame the media
+    * cross-release monitor REGISTERS as its `drift_baseline`. */
+  private[graft] def mediaBaselineCounts(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    mediaFeaturePairs(mediaLoudnessStats(docs), Seq.empty)
+      .groupBy(col("feature"), col("bucket")).agg(count(lit(1)).as("c"))
 
   /** The WAV decoder proper: `(doc_id, payload)` → chunk magics,
     * header fields, byte accounting, per-channel peak/RMS, duration.

@@ -272,12 +272,63 @@ object StreamingDrift {
     (bv, Curation.psiVsBaseline(counts, base, bv))
   }
 
-  /** Bench warm hook: the three stream passes (+ the clean-corpus
+  /** The MEDIA face of the cross-release device: the last release's
+    * decoded-loudness distribution registers + promotes as the
+    * baseline, the new crawl's clips stream in and bucket per batch,
+    * and the drain judges each slice against the RE-RESOLVED
+    * production baseline — promoting only clearing slices' clips. */
+  private val mediaBaselineMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, BaselineDriftWorld])
+
+  private[graft] def mediaBaselineWorld(s: SparkSession, dir: String): BaselineDriftWorld =
+    mediaBaselineMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      import graft.multimodal.Multimodal
+      val docs = Tables.documents(s, dir)
+      val mid = Curation.releaseMid(s, dir)
+      val base = docs.filter(col("doc_id") < mid)
+      val newDocs = docs.filter(col("doc_id") >= mid)
+      val env = prepare(s, dir, newDocs)
+      env.store.promote(Curation.DriftBaselineName,
+        env.store.register(s, Curation.DriftBaselineName,
+          Multimodal.mediaBaselineCounts(base)))
+      StreamingCuration.landOrderedSlicesOf(newDocs, "doc_id", env.inDir, 3)
+      runPassWith(s, env) { (batch, batchId) =>
+        Multimodal.mediaDriftBuckets(batch, env.mn, env.mx)
+          .groupBy(col("slice"), col("feature"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+          .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
+        batch.filter(col("n_chars") > 0) // the decodable-clip population
+          .select(
+            Curation.sliceCol(env.mn, env.mx).as("slice"),
+            col("doc_id"))
+          .write.mode("overwrite").parquet(s"${env.docsDir}/batch=$batchId")
+        ()
+      }
+      val counts = drainedCounts(s, env).localCheckpoint(true)
+      val bv = env.store.productionVersion(Curation.DriftBaselineName)
+        .getOrElse(sys.error("no promoted media drift baseline"))
+      val baseCounts = env.store.loadProduction(s, Curation.DriftBaselineName)
+        .getOrElse(sys.error("no promoted media drift baseline"))
+      val report = Curation.psiVsBaseline(counts, baseCounts, bv, nsFeature = "rms")
+        .localCheckpoint(true)
+      val clean = verdicts(counts, report, Seq("rms", "peak"), nsFeature = "rms")
+        .filter(col("promoted")).select(col("slice"))
+      val cleanClips = s.read.parquet(env.docsDir).drop("batch")
+        .join(broadcast(clean), Seq("slice"))
+      env.store.promote(MediaCleanName,
+        env.store.register(s, MediaCleanName, cleanClips))
+      val cleanCount = env.store.loadProduction(s, MediaCleanName)
+        .getOrElse(sys.error("no promoted clean media set")).count()
+      BaselineDriftWorld(env, bv, counts, report, cleanCount)
+    })
+
+  /** Bench warm hook: the drift stream passes (+ the clean-corpus
     * promotions), attributed once. */
   private[graft] def warmDriftStream(s: SparkSession, dir: String): Unit = {
     driftWorld(s, dir)
     mediaDriftWorld(s, dir)
     baselineDriftWorld(s, dir)
+    mediaBaselineWorld(s, dir)
     ()
   }
 
@@ -393,6 +444,39 @@ object StreamingDrift {
       .orderBy(col("slice"))
   }
 
+  /** [[streamDriftBaseline]]'s MEDIA twin — the cross-release
+    * quarantine over the decoded loudness distributions: new-crawl
+    * clips judged per slice against the last release's PROMOTED
+    * loudness baseline (re-resolved at drain, version on every row);
+    * only clearing slices' clips promote into `media_clean`. */
+  val streamMediaBaseline: Q = Q("stream_media_baseline",
+    graft.multimodal.Multimodal.mediaBaselineOracleCtes + s""",
+      |bpiv AS (SELECT slice,
+      |           MAX(CASE WHEN feature = 'rms' THEN psi END) AS psi_rms,
+      |           MAX(CASE WHEN feature = 'peak' THEN psi END) AS psi_peak
+      |         FROM bpsi GROUP BY 1)
+      |SELECT bns.slice, bns.n AS n_docs,
+      |  COALESCE(bpiv.psi_rms, 0.0) AS psi_rms,
+      |  COALESCE(bpiv.psi_peak, 0.0) AS psi_peak,
+      |  (COALESCE(bpiv.psi_rms, 0.0) < $QuarantinePsi
+      |    AND COALESCE(bpiv.psi_peak, 0.0) < $QuarantinePsi) AS promoted,
+      |  CASE WHEN COALESCE(bpiv.psi_rms, 0.0) < $QuarantinePsi
+      |            AND COALESCE(bpiv.psi_peak, 0.0) < $QuarantinePsi
+      |       THEN bns.n ELSE 0 END AS n_docs_promoted,
+      |  CAST(1 AS BIGINT) AS baseline_version,
+      |  TRUE AS clean_media_matches_manifest
+      |FROM bns LEFT JOIN bpiv USING (slice) ORDER BY slice""".stripMargin) { (s, dir) =>
+    val world = mediaBaselineWorld(s, dir)
+    val v = verdicts(world.newCounts, world.report, Seq("rms", "peak"), nsFeature = "rms")
+    val promisedTotal = v.agg(sum(col("n_docs_promoted")).as("t"))
+    v.crossJoin(broadcast(promisedTotal))
+      .select(col("slice"), col("n_docs"), col("psi_rms"), col("psi_peak"),
+        col("promoted"), col("n_docs_promoted"),
+        lit(world.baseVersion.toLong).as("baseline_version"),
+        (col("t") === world.cleanCount).as("clean_media_matches_manifest"))
+      .orderBy(col("slice"))
+  }
+
   val all: Seq[Q] = Seq(streamCorpusDrift, streamDriftQuarantine, streamMediaDrift,
-    streamMediaQuarantine, streamDriftBaseline)
+    streamMediaQuarantine, streamDriftBaseline, streamMediaBaseline)
 }
