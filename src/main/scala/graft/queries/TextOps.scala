@@ -1628,6 +1628,57 @@ object TextOps {
       .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens")))
   }
 
+  /** PACKING-EFFICIENCY REPORT of the curated text release —
+    * `mm_pack_efficiency`'s device one modality down: per source
+    * shard, padding-loss tokens (the unfilled tail of the last
+    * 512-window), split-doc count/rate (docs whose token span crosses
+    * a window boundary — the `is_split` population as a shard-level
+    * rate), and mean windows spanned per doc. Engine from the
+    * retained docs' running offsets; oracle from the curation
+    * `o`-chain arithmetically — agreement certifies the offsets. Two
+    * per-doc integer columns + one groupBy on the bounded source
+    * alphabet. */
+  val packEfficiency: Q = Q("text_pack_efficiency",
+    curationOracleBody +
+      """
+      |, o AS (
+      |  SELECT source, doc_id, CAST(len(string_split(red, ' ')) AS BIGINT) AS n_tokens,
+      |    COALESCE(SUM(len(string_split(red, ' '))) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM fin2 WHERE drop_reason IS NULL
+      |)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST((SUM(n_tokens) + 511) // 512 AS BIGINT) AS n_windows,
+      |  CAST(((SUM(n_tokens) + 511) // 512) * 512 - SUM(n_tokens) AS BIGINT) AS pad_tokens,
+      |  CAST(COUNT(*) FILTER (WHERE start_off // 512 != (start_off + n_tokens - 1) // 512) AS BIGINT)
+      |    AS n_split_docs,
+      |  ROUND(COUNT(*) FILTER (WHERE start_off // 512 != (start_off + n_tokens - 1) // 512)
+      |        / CAST(COUNT(*) AS DOUBLE), 6) AS split_rate,
+      |  ROUND(SUM((start_off + n_tokens - 1) // 512 - start_off // 512 + 1)
+      |        / CAST(COUNT(*) AS DOUBLE), 6) AS windows_per_doc
+      |FROM o GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+    val rec = sourcePrefixSum(
+      curationDecisions(s, dir).filter(col("drop_reason").isNull)
+        .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens")),
+      col("n_tokens"))
+      .withColumn("w0", expr("start_off div 512"))
+      .withColumn("w1", expr("(start_off + n_tokens - 1) div 512"))
+    rec.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("(sum(n_tokens) + 511) div 512").as("n_windows"),
+        expr("((sum(n_tokens) + 511) div 512) * 512 - sum(n_tokens)").as("pad_tokens"),
+        sum(when(col("w0") =!= col("w1"), 1L).otherwise(0L)).as("n_split_docs"),
+        round(sum(when(col("w0") =!= col("w1"), 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 6).as("split_rate"),
+        round(sum(col("w1") - col("w0") + 1L)
+          / count(lit(1)).cast("double"), 6).as("windows_per_doc"))
+      .orderBy(col("source"))
+  }
+
   /** The curated corpus EMITTED — not just the manifest: the actual
     * training WINDOWS, identified by the md5 of each 512-token
     * window's reassembled text. Retained docs' final (scrubbed +
@@ -3691,7 +3742,7 @@ object TextOps {
     dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, bpeFertility, bpeRelease256, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
     sampleStratified, splitLeakage, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
-    tfidfTopK, curation, dataCard, qualityHist, curationPack, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle, curationResume, curationEpochs,
+    tfidfTopK, curation, dataCard, qualityHist, curationPack, packEfficiency, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle, curationResume, curationEpochs,
     emitForget, decontaminate, decontaminateIncremental, decontaminateBloom, evalBuild,
     releaseContamAudit)
 }

@@ -150,7 +150,8 @@ class PlanInvariantsSpec extends SparkSpec {
     // BOUNDED frames — the 1-row count anchor and the two prefix-sum
     // offset windows (bucket×band alphabet, shard alphabet) — never
     // the corpus
-    for (q <- Seq("text_curriculum_order", "mm_trimodal_curriculum")) {
+    for (q <- Seq("text_curriculum_order", "text_curriculum_composite",
+      "mm_trimodal_curriculum")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sf))
       assert("hashpartitioning\\(bucket#\\d+L?, qr_band".r.findFirstIn(plan).nonEmpty,
         s"$q: rank exchange must hash on (bucket, qr_band):\n$plan")
@@ -158,6 +159,21 @@ class PlanInvariantsSpec extends SparkSpec {
       assert(plan.contains("rangepartitioning(ord"), s"$q:\n$plan")
       val singles = """Exchange SinglePartition""".r.findAllIn(plan).size
       assert(singles <= 3, s"$q: $singles single-partition exchanges:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
+  test("packing-efficiency reports aggregate on the bounded shard key, never a cartesian") {
+    // doc/record-level arithmetic + one map-side-combinable groupBy on
+    // the shard/source alphabet; the presentation sort is a range
+    // exchange over a bounded report
+    // (the memoized positioned lineage contains broadcast 1-row
+    // anchor cross joins — bounded by construction — so only a true
+    // CartesianProduct is forbidden)
+    for ((q, key) <- Seq("mm_pack_efficiency" -> "shard",
+      "text_pack_efficiency" -> "source")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains(s"hashpartitioning($key"), s"$q:\n$plan")
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
     }
   }
