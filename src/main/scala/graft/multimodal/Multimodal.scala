@@ -2280,7 +2280,14 @@ object Multimodal {
       |  ROUND(SUM((off + tot - 1) // 2048 - off // 2048 + 1)
       |        / CAST(COUNT(*) AS DOUBLE), 6) AS windows_per_record
       |FROM o GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
-    val rec = trimodalPositioned(s, dir)
+    packEfficiencyOf(trimodalPositioned(s, dir))
+  }
+
+  /** The [[packEfficiency]] rollup over any positioned record frame —
+    * a content-determined fact of the offsets, shared verbatim by the
+    * batch query and the streaming twin's drained entries. */
+  private[graft] def packEfficiencyOf(positioned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rec = positioned
       .withColumn("w0", expr("start_off div 2048"))
       .withColumn("w1", expr("(start_off + tot - 1) div 2048"))
     rec.groupBy(col("shard"))

@@ -703,6 +703,17 @@ object StreamingMmEmit {
     Multimodal.trimodalBoundsOf(streamedTrimodalEntries(s, dir))
   }
 
+  /** Streaming twin of `mm_pack_efficiency` — same oracle: the
+    * padding-loss / split-rate report is a content-determined fact of
+    * the record offsets, so the continuously-landed entries must
+    * publish the byte-identical report beside the drained shards (a
+    * dataloader owner reads the SAME numbers off the live release as
+    * off a batch recut). */
+  val streamPackEfficiency: Q = Q("stream_pack_efficiency",
+    Multimodal.packEfficiency.oracle.get) { (s, dir) =>
+    Multimodal.packEfficiencyOf(streamedTrimodalEntries(s, dir))
+  }
+
   /** Streaming twin of `mm_trimodal_id_freq` — same oracle: the
     * unigram distribution a continuously-publishing trimodal release
     * monitors, weighed from the drained entries against the same
@@ -1373,7 +1384,7 @@ object StreamingMmEmit {
 
   val all: Seq[Q] = Seq(streamMmEmitIds, streamMmEmitBounds, streamMmEmitIdFreq,
     streamMmEmitGated, streamTrimodalEmitIds, streamTrimodalBounds,
-    streamTrimodalIdFreq, streamTrimodalGated,
+    streamPackEfficiency, streamTrimodalIdFreq, streamTrimodalGated,
     streamTrimodalShuffle, streamTrimodalResume, streamTrimodalEpochs,
     streamTrimodalCurriculum,
     streamTrimodalCard, streamTrimodalForget, streamTrimodalRepublish,
