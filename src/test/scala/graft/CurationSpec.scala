@@ -385,6 +385,34 @@ class CurationSpec extends SparkSpec {
       "no doc changed quartile under the quality-weighted composite — vacuous")
   }
 
+  test("media cross-release baseline resolves through the promoted pointer") {
+    // the value/verdict-flip semantics of psiVsBaseline are pinned by
+    // the text promote-then-drift spec on the SHARED device; here pin
+    // that the MEDIA world reads the pointer, not a captured frame:
+    // re-promoting a new loudness baseline must resolve v2 and stamp
+    // it on the re-driven report
+    import graft.streaming.StreamingDrift
+    import graft.queries.Curation
+    val w = StreamingDrift.mediaBaselineWorld(spark, sf)
+    assert(w.baseVersion == 1, s"first media baseline must be v1, got ${w.baseVersion}")
+    assert(w.report.select(col("baseline_version")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val mid = Curation.releaseMid(spark, sf)
+    w.env.store.promote(Curation.DriftBaselineName,
+      w.env.store.register(spark, Curation.DriftBaselineName,
+        graft.multimodal.Multimodal.mediaBaselineCounts(
+          docs.filter(col("doc_id") >= mid))))
+    val bv2 = w.env.store.productionVersion(Curation.DriftBaselineName).get
+    assert(bv2 == 2, s"re-promotion must resolve v2, got $bv2")
+    val rep2 = Curation.psiVsBaseline(w.newCounts,
+      w.env.store.loadProduction(spark, Curation.DriftBaselineName).get,
+      bv2, nsFeature = "rms")
+    assert(rep2.select(col("baseline_version")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(2L),
+      "the re-driven report must stamp the re-resolved version")
+  }
+
   test("cross-release baseline: promote-then-drift — the monitor follows the PROMOTED pointer") {
     import graft.streaming.StreamingDrift
     def corpus(ids: Range, lang: Long => String) = ids.map { i =>
