@@ -1659,8 +1659,15 @@ object TextOps {
       |  ROUND(SUM((start_off + n_tokens - 1) // 512 - start_off // 512 + 1)
       |        / CAST(COUNT(*) AS DOUBLE), 6) AS windows_per_doc
       |FROM o GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+    packEfficiencyOfDecisions(curationDecisions(s, dir))
+  }
+
+  /** The [[packEfficiency]] rollup over any decision-record frame — a
+    * content-determined fact of the decisions, shared verbatim by the
+    * batch query and the consolidated stream's twin. */
+  private[graft] def packEfficiencyOfDecisions(decisions: DataFrame): DataFrame = {
     val rec = sourcePrefixSum(
-      curationDecisions(s, dir).filter(col("drop_reason").isNull)
+      decisions.filter(col("drop_reason").isNull)
         .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens")),
       col("n_tokens"))
       .withColumn("w0", expr("start_off div 512"))

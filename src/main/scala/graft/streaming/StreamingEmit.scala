@@ -495,7 +495,17 @@ object StreamingEmit {
         (col("n_pack_diff") === 0).as("gated_pack_equals_batch"))
   }
 
+  /** Streaming twin of `text_pack_efficiency` — same oracle: the
+    * padding-loss / split-rate report is a content-determined fact of
+    * the streamed decision records, so the operating pipeline reports
+    * the byte-identical packing numbers the batch recut would. Reads
+    * the [[unifiedRun]] artifacts (one stream pass per session). */
+  val streamCurationPackEfficiency: Q = Q("stream_curation_pack_efficiency",
+    TextOps.packEfficiency.oracle.get) { (s, dir) =>
+    TextOps.packEfficiencyOfDecisions(unifiedRun(s, dir).decisions)
+  }
+
   val all: Seq[Q] = Seq(streamCurationEmit, streamCurationEmitIds,
     streamCurationShuffle, streamCurationResume, streamCurationEpochs,
-    streamCurationGated)
+    streamCurationGated, streamCurationPackEfficiency)
 }
