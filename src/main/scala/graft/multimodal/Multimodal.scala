@@ -517,13 +517,15 @@ object Multimodal {
   /** The media cross-release CTE chain (through `bpsi`/`bns`) — the
     * text [[graft.queries.Curation.baselineDriftOracleCtes]] device
     * over the DECODED loudness stats: baseline = clips of the last
-    * release (doc_id < FLOOR(AVG)), new crawl sliced by its own
-    * anchors, union-domain Laplace smoothing, PSI vs the baseline
-    * distribution. Explicit FLOOR on every double banding (the
-    * `//`-rounds trap). */
+    * release (doc_id < the exact integer midpoint (MIN+MAX)//2,
+    * matching [[graft.queries.Curation.releaseMid]] — avg would hang
+    * the cut on float summation order at scale), new crawl sliced by
+    * its own anchors, union-domain Laplace smoothing, PSI vs the
+    * baseline distribution. Explicit FLOOR on every double banding
+    * (the `//`-rounds trap). */
   private[graft] def mediaBaselineOracleCtes: String =
     "WITH " + wavStatsOracleCtes + """,
-      |bmid AS (SELECT CAST(FLOOR(AVG(doc_id)) AS BIGINT) AS mid FROM documents),
+      |bmid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents),
       |mbase AS (SELECT doc_id, rms_l, peak_l FROM stats, bmid WHERE doc_id < mid),
       |nmm AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
       |        FROM documents, bmid WHERE doc_id >= mid),
@@ -2273,11 +2275,11 @@ object Multimodal {
       |  CAST(SUM(tot) AS BIGINT) AS n_tokens,
       |  CAST((SUM(tot) + 2047) // 2048 AS BIGINT) AS n_windows,
       |  CAST(((SUM(tot) + 2047) // 2048) * 2048 - SUM(tot) AS BIGINT) AS pad_tokens,
-      |  CAST(COUNT(*) FILTER (WHERE off // 2048 != (off + tot - 1) // 2048) AS BIGINT)
+      |  CAST(COUNT(*) FILTER (WHERE off // 2048 != (off + GREATEST(tot, 1) - 1) // 2048) AS BIGINT)
       |    AS n_split_records,
-      |  ROUND(COUNT(*) FILTER (WHERE off // 2048 != (off + tot - 1) // 2048)
+      |  ROUND(COUNT(*) FILTER (WHERE off // 2048 != (off + GREATEST(tot, 1) - 1) // 2048)
       |        / CAST(COUNT(*) AS DOUBLE), 6) AS split_rate,
-      |  ROUND(SUM((off + tot - 1) // 2048 - off // 2048 + 1)
+      |  ROUND(SUM((off + GREATEST(tot, 1) - 1) // 2048 - off // 2048 + 1)
       |        / CAST(COUNT(*) AS DOUBLE), 6) AS windows_per_record
       |FROM o GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
     packEfficiencyOf(trimodalPositioned(s, dir))
@@ -2289,7 +2291,10 @@ object Multimodal {
   private[graft] def packEfficiencyOf(positioned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val rec = positioned
       .withColumn("w0", expr("start_off div 2048"))
-      .withColumn("w1", expr("(start_off + tot - 1) div 2048"))
+      // greatest(tot, 1): a zero-token record must not step w1 below
+      // w0 (Spark div truncates toward zero, DuckDB // floors — the
+      // two disagree at -1); unreachable today, pinned explicitly
+      .withColumn("w1", expr("(start_off + greatest(tot, 1) - 1) div 2048"))
     rec.groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_records"),

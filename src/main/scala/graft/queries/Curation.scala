@@ -828,11 +828,17 @@ object Curation {
   val DriftBaselineName = "drift_baseline"
 
   /** The structural midpoint splitting "the last promoted release's
-    * crawl" (doc_id < mid) from "the new crawl" (doc_id ≥ mid) — the
-    * series/forget worlds' half-corpus convention, floor(avg) so the
-    * oracle's FLOOR(AVG(doc_id)) lands on the same id. */
-  private[graft] def releaseMid(s: SparkSession, dir: String): Long =
-    Tables.documents(s, dir).agg(avg(col("doc_id"))).head().getDouble(0).toLong
+    * crawl" (doc_id < mid) from "the new crawl" (doc_id ≥ mid) —
+    * the exact integer (min+max)/2 the series/forget worlds cut at.
+    * NOT floor(avg): Spark sums integral AVG in DOUBLE, so past
+    * ~2^53 of summed ids an avg-based cut becomes partition-order-
+    * dependent and can diverge from the oracle at the 100 TB design
+    * point; min/max compose exactly at any scale. */
+  private[graft] def releaseMid(s: SparkSession, dir: String): Long = {
+    val r = Tables.documents(s, dir)
+      .agg(min(col("doc_id")), max(col("doc_id"))).head()
+    (r.getLong(0) + r.getLong(1)) / 2
+  }
 
   /** Per-feature bucket counts of a baseline population (no slice —
     * one reference distribution), the frame that gets REGISTERED. */
@@ -883,11 +889,13 @@ object Curation {
 
   /** The cross-release CTE chain (through `bpsi`/`bns`) — the oracle
     * rebuild of the baseline device, shared by the batch monitor and
-    * the streaming quarantine twin. Baseline = doc_id < FLOOR(AVG);
-    * new crawl = the rest, cut into 4 structural slices by ITS OWN
-    * anchors; Laplace domain = union of both sides' buckets. */
+    * the streaming quarantine twin. Baseline = doc_id < the exact
+    * integer midpoint (MIN+MAX)//2 (float-summation-proof, matching
+    * [[releaseMid]]); new crawl = the rest, cut into 4 structural
+    * slices by ITS OWN anchors; Laplace domain = union of both
+    * sides' buckets. */
   private[graft] def baselineDriftOracleCtes: String =
-    """WITH bmid AS (SELECT CAST(FLOOR(AVG(doc_id)) AS BIGINT) AS mid FROM documents),
+    """WITH bmid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents),
       |bbase AS (SELECT doc_id, n_chars, lang FROM documents, bmid WHERE doc_id < mid),
       |bnew AS (SELECT doc_id, n_chars, lang FROM documents, bmid WHERE doc_id >= mid),
       |bmm AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM bnew),

@@ -1652,11 +1652,11 @@ object TextOps {
       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
       |  CAST((SUM(n_tokens) + 511) // 512 AS BIGINT) AS n_windows,
       |  CAST(((SUM(n_tokens) + 511) // 512) * 512 - SUM(n_tokens) AS BIGINT) AS pad_tokens,
-      |  CAST(COUNT(*) FILTER (WHERE start_off // 512 != (start_off + n_tokens - 1) // 512) AS BIGINT)
+      |  CAST(COUNT(*) FILTER (WHERE start_off // 512 != (start_off + GREATEST(n_tokens, 1) - 1) // 512) AS BIGINT)
       |    AS n_split_docs,
-      |  ROUND(COUNT(*) FILTER (WHERE start_off // 512 != (start_off + n_tokens - 1) // 512)
+      |  ROUND(COUNT(*) FILTER (WHERE start_off // 512 != (start_off + GREATEST(n_tokens, 1) - 1) // 512)
       |        / CAST(COUNT(*) AS DOUBLE), 6) AS split_rate,
-      |  ROUND(SUM((start_off + n_tokens - 1) // 512 - start_off // 512 + 1)
+      |  ROUND(SUM((start_off + GREATEST(n_tokens, 1) - 1) // 512 - start_off // 512 + 1)
       |        / CAST(COUNT(*) AS DOUBLE), 6) AS windows_per_doc
       |FROM o GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
     packEfficiencyOfDecisions(curationDecisions(s, dir))
@@ -1671,7 +1671,10 @@ object TextOps {
         .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens")),
       col("n_tokens"))
       .withColumn("w0", expr("start_off div 512"))
-      .withColumn("w1", expr("(start_off + n_tokens - 1) div 512"))
+      // greatest(n_tokens, 1): a zero-token record must not step w1
+      // BELOW w0 — Spark div truncates toward zero while DuckDB //
+      // floors, so (0 - 1) would read 0 here and -1 in the oracle
+      .withColumn("w1", expr("(start_off + greatest(n_tokens, 1) - 1) div 512"))
     rec.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -973,17 +973,19 @@ object StreamingMmEmit {
       }
       s.sparkContext.addSparkListener(counter)
       try {
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         s.sparkContext.setJobDescription(TakedownRewriteDesc)
+        // overwrite mode scoped to THIS write (the CowMerge.writeBase
+        // idiom) — a session-wide conf.set would silently flip every
+        // later partitioned mode("overwrite") in the session from
+        // full-replace to partial-replace semantics
         try replacement.repartition(col("batch"))
-          .write.mode("overwrite").partitionBy("batch").parquet(env.outDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(env.outDir)
         finally s.sparkContext.setJobDescription(null)
         // every write job started (and finished) before write()
-        // returned; poll the async listener bus to a stable count
-        var prev = -1; var waited = 0
-        while ((rewriteJobs.get != prev || rewriteJobs.get == 0) && waited < 5000) {
-          prev = rewriteJobs.get; Thread.sleep(50); waited += 50
-        }
+        // returned; drain the async bus deterministically, then read
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(s)
         lastTakedownRewriteJobs = rewriteJobs.get
       } finally s.sparkContext.removeSparkListener(counter)
       // a batch whose EVERY record was withdrawn is absent from the

@@ -24,4 +24,11 @@ object Bridge {
     case al: org.apache.spark.sql.internal.Alias => Some(al.name.last)
     case _ => None
   }
+
+  /** Block until every already-posted listener event has been
+    * delivered — the deterministic alternative to sleep-polling the
+    * async bus when a job-count listener must be read right after an
+    * action returns (Spark's own test suites drain the same way). */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
