@@ -24,6 +24,7 @@ import org.apache.spark.sql.types.DoubleType
   *   graft_ml_term_index(t, n)      — MLlib HashingTF term index (closed-form LR)
   *   graft_token_profile(w)         — one-pass quality/lang-id token counts
   *   graft_token_hashes(w)          — per-token xxhash64 array
+  *   graft_greedy_pack(ns, budget)  — doc-boundary-preserving pack offsets
   *   graft_bloom_agg(h, n, bits)    — mergeable BloomFilter aggregate
   *   graft_bloom_contains(bf, h)    — BloomFilter membership probe
   *
@@ -128,6 +129,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TokenHashes].getName, "graft_token_hashes"),
       (children: Seq[Expression]) => arity("graft_token_hashes", 1, children)(
         TokenHashes(children.head))),
+    (FunctionIdentifier("graft_greedy_pack"),
+      new ExpressionInfo(classOf[GreedyPackOffsets].getName, "graft_greedy_pack"),
+      (children: Seq[Expression]) => arity("graft_greedy_pack", 2, children)(
+        GreedyPackOffsets(children(0), foldableInt("graft_greedy_pack", children(1))))),
     // Spark ships a mergeable BloomFilter aggregate + probe for its
     // internal runtime join filters but does not expose them to SQL;
     // graft surfaces them for user-level semi-join reduction (the

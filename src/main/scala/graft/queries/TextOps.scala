@@ -1157,11 +1157,11 @@ object TextOps {
       |          JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
       |          WHERE CAST(i AS DOUBLE) / ((x.n + y.n) - i) >= 0.5),
       |g0 AS (SELECT doc_id, word,
-      |         lead(word, 1) OVER win AS w1, lead(word, 2) OVER win AS w2,
-      |         lead(word, 3) OVER win AS w3, lead(word, 4) OVER win AS w4,
-      |         lead(word, 5) OVER win AS w5, lead(word, 6) OVER win AS w6,
-      |         lead(word, 7) OVER win AS w7
-      |       FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |         lead(word, 1) OVER win8 AS w1, lead(word, 2) OVER win8 AS w2,
+      |         lead(word, 3) OVER win8 AS w3, lead(word, 4) OVER win8 AS w4,
+      |         lead(word, 5) OVER win8 AS w5, lead(word, 6) OVER win8 AS w6,
+      |         lead(word, 7) OVER win8 AS w7
+      |       FROM words WINDOW win8 AS (PARTITION BY doc_id ORDER BY i)),
       |g AS (SELECT DISTINCT doc_id,
       |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
       |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS s8
@@ -1686,6 +1686,191 @@ object TextOps {
           / count(lit(1)).cast("double"), 6).as("split_rate"),
         round(sum(col("w1") - col("w0") + 1L)
           / count(lit(1)).cast("double"), 6).as("windows_per_doc"))
+      .orderBy(col("source"))
+  }
+
+  /** Pack-block size of the doc-boundary-preserving policy: greedy
+    * fill runs independently inside each `doc_id div 4096` id-block,
+    * so (a) the pack is embarrassingly parallel — no cross-block
+    * sequential dependency at any corpus size, (b) the collected
+    * per-block doc list is BOUNDED (≤ 4096 structs) regardless of
+    * scale, and (c) earlier blocks' packs are immutable under corpus
+    * append (ids append monotonically), unlike the concat-pack whose
+    * every offset shifts. The price — one padded window tail per
+    * (source, block) — is exactly what [[packWholeReport]] meters. */
+  private[graft] final val PackBlockDocs = 4096
+
+  /** Doc-boundary-preserving greedy packing — the LEVER the
+    * pack-efficiency reports exist to justify: instead of
+    * concatenating and splitting docs at every 512·k boundary
+    * ([[packOffsets]]' is_split population), each doc that would
+    * cross the open window's edge pads that window's tail and starts
+    * at the next boundary, so NO sub-window doc is ever split; docs
+    * longer than one window still split (their own windows, tail
+    * padded — recorded in `is_split`). Input: one row per doc
+    * (source, doc_id, n_tokens); output adds the padded-stream
+    * (seq_id, offset_in_seq, is_split) — per-source window ids,
+    * comparable to [[packOffsets]].
+    *
+    * Scale shape: one shuffle groups docs into bounded id-blocks
+    * ([[PackBlockDocs]]); the greedy fold is the native
+    * [[graft.functions.GreedyPackOffsets]] kernel — one O(block)
+    * primitive loop per block row inside codegen; per-block window
+    * counts compose through the [[sourcePrefixSum]] two-level device
+    * (blk is a doc_id-monotone key); a posexplode restores per-doc
+    * rows. No per-doc window function, no unbounded collect. */
+  private[graft] def packWholeDocs(perDoc: DataFrame, budget: Int = 512): DataFrame = {
+    val blocks = perDoc
+      .withColumn("blk", expr(s"doc_id div $PackBlockDocs"))
+      .groupBy(col("source"), col("blk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens")))).as("ds"))
+      .withColumn("offs",
+        expr(s"graft_greedy_pack(transform(ds, x -> x.n_tokens), $budget)"))
+      // windows this block occupies = ceil(final padded offset / b);
+      // the block's trailing pad rounds UP to the next boundary so
+      // the next block starts fresh (the append-stability property)
+      .withColumn("nwin", expr(
+        s"(element_at(offs, size(offs)) + element_at(ds, size(ds)).n_tokens" +
+          s" + ${budget - 1}) div $budget"))
+    val bwo = sourcePrefixSum(
+        blocks.select(col("source"), col("blk").as("doc_id"), col("nwin")),
+        col("nwin"))
+      .select(col("source"), col("doc_id").as("blk"), col("start_off").as("w_off"))
+    blocks.join(bwo, Seq("source", "blk"))
+      .select(col("source"), col("w_off"),
+        posexplode(arrays_zip(col("ds"), col("offs"))).as(Seq("i", "z")))
+      .select(col("source"),
+        col("z.ds.doc_id").as("doc_id"),
+        col("z.ds.n_tokens").as("n_tokens"),
+        (col("w_off") + expr(s"z.offs div $budget")).as("seq_id"),
+        expr(s"z.offs % $budget").as("offset_in_seq"),
+        (col("z.ds.n_tokens") > budget).as("is_split"))
+  }
+
+  /** The DuckDB rebuild of [[packWholeDocs]]: greedy fill replayed as
+    * its group formulation — maximal consecutive runs with run-sum ≤
+    * 512 (an over-long doc is a singleton run), each run padded to a
+    * window multiple. `nxt` precomputes every possible run end via a
+    * bounded band self-join (≤ 512 docs can share a run); the
+    * recursive CTE then just walks run starts (depth = runs per
+    * block, ≤ block size); per-doc offsets are pure arithmetic off
+    * the in-run prefix sums. `tSql` supplies the per-doc token frame
+    * (raw documents or the curated o-chain). */
+  private def wholePackOracleCtes(tSql: String): String =
+    s"""wpt AS ($tSql
+      |), wptr AS (
+      |  SELECT source, blk, doc_id, n,
+      |    ROW_NUMBER() OVER (PARTITION BY source, blk ORDER BY doc_id) AS rn,
+      |    SUM(n) OVER (PARTITION BY source, blk ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS s
+      |  FROM wpt
+      |), wpnxt AS (
+      |  SELECT r.source, r.blk, r.rn,
+      |    GREATEST(COALESCE(MAX(j.rn), r.rn), r.rn) AS je,
+      |    CASE WHEN MAX(j.rn) IS NULL THEN r.s ELSE MAX(j.s) END AS je_s
+      |  FROM wptr r LEFT JOIN wptr j
+      |    ON j.source = r.source AND j.blk = r.blk
+      |   AND j.rn >= r.rn AND j.rn <= r.rn + 512
+      |   AND j.s <= r.s - r.n + 512
+      |  GROUP BY r.source, r.blk, r.rn, r.s, r.n
+      |), wpg AS (
+      |  SELECT source, blk, CAST(1 AS BIGINT) AS r,
+      |    CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS w0
+      |  FROM (SELECT DISTINCT source, blk FROM wptr)
+      |  UNION ALL
+      |  SELECT g.source, g.blk, n.je + 1, n.je_s,
+      |    g.w0 + (n.je_s - g.s0 + 511) // 512
+      |  FROM wpg g JOIN wpnxt n ON n.source = g.source AND n.blk = g.blk AND n.rn = g.r
+      |), wpgrp AS (
+      |  SELECT g.source, g.blk, g.r, n.je, n.je_s, g.s0, g.w0
+      |  FROM wpg g JOIN wpnxt n ON n.source = g.source AND n.blk = g.blk AND n.rn = g.r
+      |), wpbw AS (
+      |  SELECT source, blk, SUM((je_s - s0 + 511) // 512) AS nwin FROM wpgrp GROUP BY 1, 2
+      |), wpbwo AS (
+      |  SELECT source, blk,
+      |    COALESCE(SUM(nwin) OVER (PARTITION BY source ORDER BY blk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_off
+      |  FROM wpbw
+      |), wppd AS (
+      |  SELECT d.source, d.doc_id, d.n AS n_tokens,
+      |    CAST(wpbwo.w_off + wpgrp.w0 + (d.s - d.n - wpgrp.s0) // 512 AS BIGINT) AS seq_id,
+      |    CAST((d.s - d.n - wpgrp.s0) % 512 AS BIGINT) AS offset_in_seq,
+      |    d.n > 512 AS is_split
+      |  FROM wptr d
+      |  JOIN wpgrp ON wpgrp.source = d.source AND wpgrp.blk = d.blk
+      |          AND d.rn >= wpgrp.r AND d.rn <= wpgrp.je
+      |  JOIN wpbwo ON wpbwo.source = d.source AND wpbwo.blk = d.blk
+      |)""".stripMargin
+
+  /** Per-document index of the WHOLE-DOC pack over the raw corpus —
+    * [[packOffsets]]' columns under the boundary-preserving policy,
+    * so the two indexes diff doc-by-doc: every sub-window doc reads
+    * `is_split = false` here, and the padded window ids replace the
+    * concat ones. */
+  val packWholeDocsQ: Q = Q("text_pack_whole_docs",
+    "WITH RECURSIVE " + wholePackOracleCtes(
+      s"""
+      |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    doc_id // $PackBlockDocs AS blk
+      |  FROM documents""".stripMargin) + """
+      |SELECT source, doc_id, n_tokens, seq_id, offset_in_seq, is_split
+      |FROM wppd ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+    packWholeDocs(
+      tokenized(Tables.documents(s, dir))
+        .select(col("source"), col("doc_id"), size(col("w")).cast("long").as("n_tokens")))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** The [[packEfficiency]] report under the WHOLE-DOC policy, over
+    * the same curated release — the two rows read side by side are
+    * the split_rate/pad_tokens TRADEOFF: this one must show
+    * split_rate = 0 whenever no retained doc exceeds a window, and
+    * its pad_tokens excess over [[packEfficiency]]'s is the measured
+    * price of never splitting a doc. Same rollup key (the bounded
+    * source alphabet); n_windows = the last window id + 1, exact
+    * because per-source window ids are contiguous across blocks. */
+  val packWholeReport: Q = Q("text_pack_whole_report",
+    "WITH RECURSIVE " + curationOracleBody.stripPrefix("WITH ") + ",\n" +
+      wholePackOracleCtes(
+        s"""
+      |  SELECT source, doc_id, CAST(len(string_split(red, ' ')) AS BIGINT) AS n,
+      |    doc_id // $PackBlockDocs AS blk
+      |  FROM fin2 WHERE drop_reason IS NULL""".stripMargin) + """
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(MAX(seq_id + (offset_in_seq + GREATEST(n_tokens, 1) - 1) // 512) + 1 AS BIGINT) AS n_windows,
+      |  CAST((MAX(seq_id + (offset_in_seq + GREATEST(n_tokens, 1) - 1) // 512) + 1) * 512
+      |       - SUM(n_tokens) AS BIGINT) AS pad_tokens,
+      |  CAST(COUNT(*) FILTER (WHERE is_split) AS BIGINT) AS n_split_docs,
+      |  ROUND(COUNT(*) FILTER (WHERE is_split) / CAST(COUNT(*) AS DOUBLE), 6) AS split_rate,
+      |  ROUND(SUM((offset_in_seq + GREATEST(n_tokens, 1) - 1) // 512 + 1)
+      |        / CAST(COUNT(*) AS DOUBLE), 6) AS windows_per_doc
+      |FROM wppd GROUP BY 1 ORDER BY source""".stripMargin) { (s, dir) =>
+    packWholeReportOf(packWholeDocs(
+      curationDecisions(s, dir).filter(col("drop_reason").isNull)
+        .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens"))))
+  }
+
+  /** The whole-doc-policy report rollup over a [[packWholeDocs]]
+    * frame — shared device so a stream twin certifies the identical
+    * numbers off drained decisions. */
+  private[graft] def packWholeReportOf(packed: DataFrame, budget: Int = 512): DataFrame = {
+    val d = packed.withColumn("w1",
+      col("seq_id") + expr(s"(offset_in_seq + greatest(n_tokens, 1) - 1) div $budget"))
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("w1")) + 1L).as("n_windows"),
+        sum(when(col("is_split"), 1L).otherwise(0L)).as("n_split_docs"),
+        round(sum(when(col("is_split"), 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 6).as("split_rate"),
+        round(sum(col("w1") - col("seq_id") + 1L)
+          / count(lit(1)).cast("double"), 6).as("windows_per_doc"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_windows"),
+        (col("n_windows") * budget - col("n_tokens")).as("pad_tokens"),
+        col("n_split_docs"), col("split_rate"), col("windows_per_doc"))
       .orderBy(col("source"))
   }
 
@@ -2542,11 +2727,11 @@ object TextOps {
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
       |g0 AS (SELECT doc_id, word,
-      |         lead(word, 1) OVER win AS w1, lead(word, 2) OVER win AS w2,
-      |         lead(word, 3) OVER win AS w3, lead(word, 4) OVER win AS w4,
-      |         lead(word, 5) OVER win AS w5, lead(word, 6) OVER win AS w6,
-      |         lead(word, 7) OVER win AS w7
-      |       FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |         lead(word, 1) OVER win8 AS w1, lead(word, 2) OVER win8 AS w2,
+      |         lead(word, 3) OVER win8 AS w3, lead(word, 4) OVER win8 AS w4,
+      |         lead(word, 5) OVER win8 AS w5, lead(word, 6) OVER win8 AS w6,
+      |         lead(word, 7) OVER win8 AS w7
+      |       FROM words WINDOW win8 AS (PARTITION BY doc_id ORDER BY i)),
       |g AS (SELECT DISTINCT doc_id,
       |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
       |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS s
@@ -2599,11 +2784,11 @@ object TextOps {
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
       |g0 AS (SELECT doc_id, word,
-      |         lead(word, 1) OVER win AS w1, lead(word, 2) OVER win AS w2,
-      |         lead(word, 3) OVER win AS w3, lead(word, 4) OVER win AS w4,
-      |         lead(word, 5) OVER win AS w5, lead(word, 6) OVER win AS w6,
-      |         lead(word, 7) OVER win AS w7
-      |       FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |         lead(word, 1) OVER win8 AS w1, lead(word, 2) OVER win8 AS w2,
+      |         lead(word, 3) OVER win8 AS w3, lead(word, 4) OVER win8 AS w4,
+      |         lead(word, 5) OVER win8 AS w5, lead(word, 6) OVER win8 AS w6,
+      |         lead(word, 7) OVER win8 AS w7
+      |       FROM words WINDOW win8 AS (PARTITION BY doc_id ORDER BY i)),
       |g AS (SELECT DISTINCT doc_id,
       |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
       |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS s
@@ -2736,11 +2921,11 @@ object TextOps {
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |words AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tok),
       |g0 AS (SELECT doc_id, word,
-      |         lead(word, 1) OVER win AS w1, lead(word, 2) OVER win AS w2,
-      |         lead(word, 3) OVER win AS w3, lead(word, 4) OVER win AS w4,
-      |         lead(word, 5) OVER win AS w5, lead(word, 6) OVER win AS w6,
-      |         lead(word, 7) OVER win AS w7
-      |       FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |         lead(word, 1) OVER win8 AS w1, lead(word, 2) OVER win8 AS w2,
+      |         lead(word, 3) OVER win8 AS w3, lead(word, 4) OVER win8 AS w4,
+      |         lead(word, 5) OVER win8 AS w5, lead(word, 6) OVER win8 AS w6,
+      |         lead(word, 7) OVER win8 AS w7
+      |       FROM words WINDOW win8 AS (PARTITION BY doc_id ORDER BY i)),
       |g AS (SELECT DISTINCT doc_id,
       |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
       |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS s
@@ -3752,7 +3937,7 @@ object TextOps {
     dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, bpeFertility, bpeRelease256, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
     sampleStratified, splitLeakage, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
-    tfidfTopK, curation, dataCard, qualityHist, curationPack, packEfficiency, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle, curationResume, curationEpochs,
+    tfidfTopK, curation, dataCard, qualityHist, curationPack, packEfficiency, packWholeDocsQ, packWholeReport, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle, curationResume, curationEpochs,
     emitForget, decontaminate, decontaminateIncremental, decontaminateBloom, evalBuild,
     releaseContamAudit)
 }

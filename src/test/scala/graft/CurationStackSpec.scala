@@ -192,4 +192,93 @@ class CurationStackSpec extends SparkSpec {
     assert(stats.getLong(0) == 0L)
     assert(stats.getLong(1) == stats.getLong(2) - 1)
   }
+
+  // reference fold of the whole-doc policy — the spec-side oracle for
+  // the over-window branch the test corpora never reach (max doc ~100
+  // tokens at every sf)
+  private def wholePackReference(rows: Seq[(String, Long, Long)], budget: Long = 512L)
+      : Seq[(String, Long, Long, Long, Long, Boolean)] = {
+    val byBlk = rows.groupBy { case (s, d, _) => (s, d / TextOps.PackBlockDocs) }
+    val local = scala.collection.mutable.Map.empty[Long, (String, Long, Long, Long)]
+    val nwin = scala.collection.mutable.Map.empty[(String, Long), Long]
+    for (((src, blk), ds) <- byBlk.toSeq.sortBy(_._1)) {
+      var poff = 0L
+      for ((_, did, n) <- ds.sortBy(_._2)) {
+        val fill = poff % budget
+        if (fill != 0 && fill + n > budget) poff += budget - fill
+        local(did) = (src, n, poff, blk)
+        poff += n
+        if (n > budget && poff % budget != 0) poff += budget - poff % budget
+      }
+      nwin((src, blk)) = (poff + budget - 1) / budget
+    }
+    val wOff = scala.collection.mutable.Map.empty[(String, Long), Long]
+    for (src <- nwin.keys.map(_._1).toSeq.distinct.sorted) {
+      var acc = 0L
+      for (k <- nwin.keys.filter(_._1 == src).toSeq.sortBy(_._2)) {
+        wOff(k) = acc; acc += nwin(k)
+      }
+    }
+    local.toSeq.map { case (did, (src, n, poff, blk)) =>
+      (src, did, n, wOff((src, blk)) + poff / budget, poff % budget, n > budget)
+    }.sorted
+  }
+
+  test("whole-doc pack: planted over-window docs split alone, sub-window docs never split") {
+    graft.functions.GraftFunctions.register(spark)
+    // spans both sides of a 4096 id-block boundary; sizes hit every
+    // branch: fits, pads-then-starts-fresh, exactly-512, over-window
+    // (1024 = exact multiple, 1500/600/513 = padded tails)
+    val rows = Seq(
+      ("a", 10L, 100L), ("a", 20L, 480L), ("a", 30L, 512L), ("a", 40L, 600L),
+      ("a", 41L, 5L), ("a", 4095L, 5L), ("a", 4096L, 100L),
+      ("a", 4100L, 1024L), ("a", 4101L, 1L),
+      ("b", 15L, 1500L), ("b", 16L, 513L), ("b", 17L, 5L), ("b", 5000L, 512L))
+    val got = TextOps.packWholeDocs(rows.toDF("source", "doc_id", "n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq.sorted
+    assert(got == wholePackReference(rows),
+      s"engine pack diverges from the reference fold:\n$got\nvs\n${wholePackReference(rows)}")
+    // policy pins: only over-window docs split; every split doc
+    // starts at a window boundary; no sub-window doc crosses one
+    for ((src, did, n, seq, off, split) <- got) {
+      assert(split == (n > 512L), s"doc $did")
+      if (split) assert(off == 0L, s"split doc $did must start at a boundary")
+      else assert(off + math.max(n, 1L) <= 512L, s"doc $did crosses a boundary")
+    }
+    // the report conserves mass: windows * 512 = tokens + pad, and
+    // split accounting matches the planted over-window population
+    val rep = TextOps.packWholeReportOf(
+      TextOps.packWholeDocs(rows.toDF("source", "doc_id", "n_tokens"))).collect()
+    for (r <- rep) {
+      assert(r.getAs[Long]("n_windows") * 512L ==
+        r.getAs[Long]("n_tokens") + r.getAs[Long]("pad_tokens"))
+      val planted = rows.count(x => x._1 == r.getAs[String]("source") && x._3 > 512L)
+      assert(r.getAs[Long]("n_split_docs") == planted.toLong)
+    }
+  }
+
+  test("whole-doc pack at sf: split_rate 0 and the pad delta vs concat-pack is the measured price") {
+    graft.functions.GraftFunctions.register(spark)
+    val retained = TextOps.curationDecisions(spark, sf)
+      .filter(col("drop_reason").isNull)
+      .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens"))
+    val whole = TextOps.packWholeReportOf(TextOps.packWholeDocs(retained))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val concat = TextOps.packEfficiencyOfDecisions(TextOps.curationDecisions(spark, sf))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(whole.keySet == concat.keySet)
+    for ((src, w) <- whole) {
+      val c = concat(src)
+      // no retained doc exceeds a window at test scale → zero splits,
+      // where the concat policy splits every boundary-crossing doc
+      assert(w.getAs[Long]("n_split_docs") == 0L, src)
+      assert(w.getAs[Double]("windows_per_doc") == 1.0, src)
+      // same tokens, never fewer windows: the pad delta IS the price
+      assert(w.getAs[Long]("n_tokens") == c.getAs[Long]("n_tokens"), src)
+      assert(w.getAs[Long]("pad_tokens") >= c.getAs[Long]("pad_tokens"), src)
+    }
+    // the lever is non-vacuous at this corpus: concat splits docs
+    assert(concat.values.map(_.getAs[Long]("n_split_docs")).sum > 0L)
+  }
 }

@@ -387,4 +387,47 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(nonLit.getCondition == "NON_FOLDABLE_ARGUMENT", nonLit)
   }
+
+  test("graft_greedy_pack matches the reference fold and stays codegen-resident") {
+    GraftFunctions.register(spark)
+    def reference(ns: Seq[Long], b: Long): Seq[Long] = {
+      var poff = 0L
+      ns.map { n =>
+        val fill = poff % b
+        if (fill != 0 && fill + n > b) poff += b - fill
+        val o = poff
+        poff += n
+        if (n > b && poff % b != 0) poff += b - poff % b
+        o
+      }
+    }
+    // every branch: fits / pads-then-fresh / exactly-budget /
+    // over-budget (exact multiple and padded tail) / zero-size
+    val cases: Seq[Seq[Long]] = Seq(
+      Seq.empty[Long], Seq(512L), Seq(513L),
+      Seq(100L, 1000L, 5L), Seq(300L, 300L, 300L),
+      Seq(100L, 100L, 100L, 100L, 100L, 100L),
+      Seq(512L, 1L), Seq(1024L, 1L), Seq(1500L, 5L, 600L, 0L, 7L),
+      Seq(0L, 0L, 512L, 0L))
+    val df = cases.zipWithIndex.map { case (ns, i) => (i, ns) }.toDF("i", "ns")
+    val got = df.selectExpr("i", "graft_greedy_pack(ns, 512) AS o")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+    for ((ns, i) <- cases.zipWithIndex)
+      assert(got(i) == reference(ns, 512L).toList, s"case $i: $ns")
+    // a different budget exercises the foldable parameter
+    val b5 = Seq((0, Seq(3L, 3L, 7L, 2L))).toDF("i", "ns")
+      .selectExpr("graft_greedy_pack(ns, 5) AS o").head().getSeq[Long](0).toList
+    assert(b5 == reference(Seq(3L, 3L, 7L, 2L), 5L).toList, b5)
+    // codegen residency over range() (a LocalRelation input would be
+    // constant-folded into a LocalTableScan)
+    val cg = spark.range(50)
+      .selectExpr("sequence(1L, 1L + id % 7) AS ns")
+      .selectExpr("graft_greedy_pack(ns, 512) AS o")
+    val plan = cg.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_greedy_pack""".r.findFirstIn(plan).isDefined, plan)
+    assert(cg.collect().length == 50)
+    // null-safe: null array → null out
+    assert(spark.sql("SELECT graft_greedy_pack(CAST(NULL AS ARRAY<BIGINT>), 512)")
+      .head().isNullAt(0))
+  }
 }
