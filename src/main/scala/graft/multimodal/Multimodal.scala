@@ -2070,6 +2070,121 @@ object Multimodal {
     curriculumOverWindows(trimodalEmitWindows(s, dir))
   }
 
+  /** QUALITY-WEIGHTED trimodal curriculum — the text
+    * `text_curriculum_composite` device mirrored onto the modality
+    * mix: window difficulty (patch_share) tempered by the PRODUCTION
+    * media-quality model's per-clip score, aggregated to the window
+    * through the same positioned-record join the gate already does
+    * (each record carries its doc's closed-form proba; a window's
+    * quality is the mean over the records starting in it). The
+    * composite `cscore = ROUND(patch_share - 0.25·win_quality, 6)`
+    * ranks ascending through the shared two-level
+    * [[graft.queries.Curation.difficultyQuartiles]] — low-patch,
+    * high-quality windows first, the anneal phase re-visits the
+    * hardest quartile under a fresh salt.
+    *
+    * The LR proba is Spark-learned (not DuckDB-replayable), so the
+    * row is the CERTIFICATE shape of the learned-gate family: the
+    * oracle replays the gate-invariant window count and the exact
+    * quartile-size arithmetic closed-form, and pins the engine-side
+    * structural booleans — dense ord, exact quartile populations,
+    * rank monotone in cscore across quartile boundaries, and the
+    * non-vacuity leg: the quality signal must MOVE at least one
+    * window's quartile vs the patch-share-only schedule (quality
+    * deciding, not riding).
+    *
+    * Scale shape: the score join is the gate's broadcast-coefficient
+    * sigmoid over the positioned frame; window quality is one
+    * groupBy on the (shard, seq_id) window key; both schedules ride
+    * the two-level rank (no single-task sort); every certificate leg
+    * is a ≤ 5-row aggregate crossJoin. */
+  val trimodalCurriculumComposite: Q = Q("mm_trimodal_curriculum_composite",
+    "WITH w AS (SELECT * FROM (" + trimodalEmitIds.oracle.get + ") t),\n" +
+      "n AS (SELECT COUNT(*) AS qn FROM w)\n" +
+      "SELECT CAST(qn AS BIGINT) AS n_windows,\n" +
+      "  CAST(2 * qn - (3 * qn + 3) // 4 AS BIGINT) AS n_sched_rows,\n" +
+      "  TRUE AS ord_dense, TRUE AS quartiles_exact,\n" +
+      "  TRUE AS quality_moves_membership, TRUE AS rank_monotone\n" +
+      "FROM n") { (s, dir) =>
+    val store = graft.ml.QualityModel.productionStore(s, dir)
+    val model = store.loadProduction(s, graft.ml.MediaQualityModel.ModelName)
+      .getOrElse(sys.error("no production media quality model"))
+    val scores = graft.ml.MediaQualityModel.scoreClosedForm(
+      graft.ml.MediaQualityModel.mediaStats(s, dir), model)
+    val winQ = trimodalPositioned(s, dir)
+      .join(scores, Seq("doc_id"))
+      .groupBy(col("shard").as("data_shard"),
+        floor(col("start_off") / 2048).cast("long").as("seq_id"))
+      .agg(avg(col("proba")).as("win_quality"))
+    val w = trimodalEmitWindows(s, dir).withColumnRenamed("shard", "data_shard")
+      .withColumn("patch_share",
+        round(col("n_patch").cast("double") / col("n_tokens"), 6))
+      .join(winQ, Seq("data_shard", "seq_id"), "left_outer")
+      // a window no record starts in (possible only when one record
+      // spans it whole) reads the neutral score
+      .withColumn("win_quality", coalesce(round(col("win_quality"), 6), lit(0.5)))
+      .withColumn("cscore",
+        round(col("patch_share") - lit(0.25) * col("win_quality"), 6))
+    def rank(score: org.apache.spark.sql.Column) = compositeTrimodalRank(w, score)
+    val ranked = rank(col("cscore"))
+    def key(salt: String) = md5(concat(lit(salt), col("data_shard").cast("string"),
+      lit(":"), col("seq_id").cast("string")))
+    val main = ranked.withColumn("phase", col("quartile"))
+      .withColumn("sort_key", concat(col("quartile").cast("string"), key("tcomp:")))
+    val anneal = ranked.filter(col("quartile") === 3)
+      .withColumn("phase", lit(4L))
+      .withColumn("sort_key", concat(lit("4"), key("tcanneal:")))
+    val sched = graft.queries.TextOps.shuffleRankCore(main.unionByName(anneal),
+      out = Seq(col("phase"), col("data_shard"), col("seq_id"), col("quartile"),
+        col("cscore"), col("patch_share"), col("win_quality")),
+      tie = Seq(col("data_shard"), col("seq_id")), shardWidth = 2)
+    val nWin = w.agg(count(lit(1)).as("n_windows"))
+    val schedAgg = sched.agg(count(lit(1)).as("n_sched_rows"),
+      max(col("ord")).as("max_ord"), countDistinct(col("ord")).as("n_ord"))
+    // exact quartile populations: size_k = ceil((k+1)·N/4) − ceil(k·N/4)
+    val qBad = ranked.groupBy(col("quartile")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(nWin))
+      .select(sum(when(col("c") =!= expr(
+        "((quartile + 1) * n_windows + 3) div 4 - (quartile * n_windows + 3) div 4"),
+        1L).otherwise(0L)).as("n_qbad"),
+        count(lit(1)).as("n_quartiles"))
+    // the quality signal must move membership vs patch-share alone
+    val moved = ranked.select(col("data_shard"), col("seq_id"),
+        col("quartile").as("qc"))
+      .join(rank(col("patch_share")).select(col("data_shard"), col("seq_id"),
+        col("quartile").as("qp")), Seq("data_shard", "seq_id"))
+      .agg(count(when(col("qc") =!= col("qp"), 1)).as("n_moved"))
+    // cscore never decreases across an ascending quartile boundary
+    val mono = ranked.groupBy(col("quartile"))
+      .agg(min(col("cscore")).as("lo"), max(col("cscore")).as("hi"))
+      .select(max(col("hi")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("quartile")).rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+        .as("prev_hi"), col("lo"))
+      .agg(count(when(col("prev_hi") > col("lo"), 1)).as("n_mono_bad"))
+    nWin.crossJoin(broadcast(schedAgg))
+      .crossJoin(broadcast(qBad))
+      .crossJoin(broadcast(moved))
+      .crossJoin(broadcast(mono))
+      .select(col("n_windows"),
+        col("n_sched_rows"),
+        (col("max_ord") === col("n_sched_rows") &&
+          col("n_ord") === col("n_sched_rows")).as("ord_dense"),
+        (col("n_qbad") === 0 && col("n_quartiles") === 4).as("quartiles_exact"),
+        (col("n_moved") > 0).as("quality_moves_membership"),
+        (col("n_mono_bad") === 0).as("rank_monotone"))
+  }
+
+  /** The composite curriculum's two-level rank over any window frame
+    * carrying (data_shard, seq_id) — shared by the certificate's
+    * composite and patch-only legs and by the membership-movement
+    * spec (which plants windows whose quality must flip quartiles). */
+  private[graft] def compositeTrimodalRank(w: org.apache.spark.sql.DataFrame,
+      score: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    graft.queries.Curation.difficultyQuartiles(w,
+      scaled = (score + 1) * 8,
+      inBucketOrder = Seq(score, col("data_shard"), col("seq_id")),
+      bucketAscending = true)
+
   /** The modality-mix curriculum transform over any trimodal window
     * frame — shared verbatim by the batch query and the streaming
     * twin (the schedule is a content-determined fact of the
@@ -3345,5 +3460,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageResize, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, packEfficiency, trimodalIdFreq, trimodalShuffle, trimodalResume, trimodalEpochs, trimodalCurriculum, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard, mediaDrift)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageResize, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, packEfficiency, trimodalIdFreq, trimodalShuffle, trimodalResume, trimodalEpochs, trimodalCurriculum, trimodalCurriculumComposite, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard, mediaDrift)
 }

@@ -1124,9 +1124,17 @@ object StreamingMmEmit {
       "  (SELECT COUNT(DISTINCT doc_id % 4) FROM documents WHERE doc_id % 20 = 8) AS n_shards_affected,\n" +
       "  TRUE AS drain_equals_batch_rebuild,\n" +
       "  TRUE AS preforget_windows_immutable,\n" +
-      "  TRUE AS untouched_shards_preserved") { (s, dir) =>
+      "  TRUE AS untouched_shards_preserved,\n" +
+      "  TRUE AS takedown_one_write_job") { (s, dir) =>
     import graft.multimodal.Multimodal.{TakedownMod, TakedownResidue}
     val world = trimodalStreamForgetWorld(s, dir)
+    // the listener-counted rewrite jobs, read AFTER the (memoized)
+    // world built: the whole mid-stream takedown must be ONE
+    // dynamic-partition-overwrite write (≤ 2 with AQE's shuffle
+    // materialization) — batch-count-independent, so the 10⁴-job
+    // per-batch-loop regression is locked by the ORACLE, not only by
+    // the MultimodalSpec listener pin
+    val rewriteJobs = lastTakedownRewriteJobs
     val sameWindow = col("a.n_tokens") <=> col("b.n_tokens") &&
       col("a.n_patch") <=> col("b.n_patch") && col("a.window_fp") <=> col("b.window_fp")
     val drainDiff = world.finalWindows.as("a")
@@ -1167,7 +1175,8 @@ object StreamingMmEmit {
         col("n_shards_affected"),
         (col("n_drain_diff") === 0).as("drain_equals_batch_rebuild"),
         (col("n_imm_diff") === 0).as("preforget_windows_immutable"),
-        (col("n_untouched_diff") === 0).as("untouched_shards_preserved"))
+        (col("n_untouched_diff") === 0).as("untouched_shards_preserved"),
+        (lit(rewriteJobs) >= 1 && lit(rewriteJobs) <= 2).as("takedown_one_write_job"))
   }
 
   /** One RELEASE-SERIES world per (application, sf dir): half the

@@ -544,4 +544,38 @@ class MultimodalSpec extends SparkSpec {
       assert(!r.getAs[Boolean]("keep"), s"plant kept: $r")
     }
   }
+
+  test("composite trimodal curriculum: media quality moves quartile membership") {
+    import spark.implicits._
+    // 8 planted windows, patch_share strictly ascending; only the
+    // hardest window carries high media quality, so the composite
+    // cscore (patch_share − 0.25·quality = 0.55) must pull exactly
+    // that window from quartile 3 to quartile 2 while the untouched
+    // extremes keep their patch-only quartiles
+    val wq = Seq(
+      (0L, 0L, 0.1), (0L, 1L, 0.2), (1L, 0L, 0.3), (1L, 1L, 0.4),
+      (2L, 0L, 0.5), (2L, 1L, 0.6), (3L, 0L, 0.7), (3L, 1L, 0.8))
+      .toDF("data_shard", "seq_id", "patch_share")
+      .withColumn("win_quality",
+        when(col("data_shard") === 3 && col("seq_id") === 1, 1.0).otherwise(0.0))
+      .withColumn("cscore",
+        round(col("patch_share") - lit(0.25) * col("win_quality"), 6))
+    def quartiles(score: org.apache.spark.sql.Column) =
+      Multimodal.compositeTrimodalRank(wq, score)
+        .select(col("data_shard"), col("seq_id"), col("quartile")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val comp = quartiles(col("cscore"))
+    val patch = quartiles(col("patch_share"))
+    assert(patch((3L, 1L)) == 3L, s"patch-only: $patch")
+    assert(comp((3L, 1L)) == 2L,
+      s"quality must pull the high-quality window a quartile earlier: $comp")
+    assert(comp((0L, 0L)) == 0L && patch((0L, 0L)) == 0L)
+    assert(comp((3L, 0L)) == 3L, s"displaced hardest-quartile tail: $comp")
+    // zero quality everywhere ≡ patch-only (the weight is the lever)
+    val flat = wq.withColumn("cscore", round(col("patch_share"), 6))
+    val comp0 = Multimodal.compositeTrimodalRank(flat, col("cscore"))
+      .select(col("data_shard"), col("seq_id"), col("quartile")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(comp0 == patch, s"zero quality must recover the patch-only schedule: $comp0")
+  }
 }
