@@ -2174,6 +2174,13 @@ object Multimodal {
         (col("n_mono_bad") === 0).as("rank_monotone"))
   }
 
+  /** Monotone integer encoding of the trimodal curricula's
+    * (data_shard, seq_id) structural tiebreak — the rank device's
+    * atom-splitting key. 2⁴⁰ headroom: ~10¹² windows per shard
+    * before seq_id could wrap into the shard bits. */
+  private[graft] def trimodalTieKey: org.apache.spark.sql.Column =
+    col("data_shard") * (1L << 40) + col("seq_id")
+
   /** The composite curriculum's two-level rank over any window frame
     * carrying (data_shard, seq_id) — shared by the certificate's
     * composite and patch-only legs and by the membership-movement
@@ -2183,7 +2190,7 @@ object Multimodal {
     graft.queries.Curation.difficultyQuartiles(w,
       scaled = (score + 1) * 8,
       inBucketOrder = Seq(score, col("data_shard"), col("seq_id")),
-      bucketAscending = true)
+      bucketAscending = true, tieKey = trimodalTieKey)
 
   /** The modality-mix curriculum transform over any trimodal window
     * frame — shared verbatim by the batch query and the streaming
@@ -2196,7 +2203,7 @@ object Multimodal {
     val ranked = graft.queries.Curation.difficultyQuartiles(w,
       scaled = col("patch_share") * 8,
       inBucketOrder = Seq(col("patch_share"), col("data_shard"), col("seq_id")),
-      bucketAscending = true)
+      bucketAscending = true, tieKey = trimodalTieKey)
     def key(salt: String) = md5(concat(lit(salt), col("data_shard").cast("string"),
       lit(":"), col("seq_id").cast("string")))
     val main = ranked.withColumn("phase", col("quartile"))

@@ -517,7 +517,7 @@ object Curation {
     val ranked = difficultyQuartiles(sc,
       scaled = col("avg_logp"),
       inBucketOrder = Seq(col("avg_logp").desc, col("doc_id")),
-      bucketAscending = false)
+      bucketAscending = false, tieKey = col("doc_id"))
     val main = ranked
       .withColumn("phase", col("quartile"))
       .withColumn("sort_key", concat(col("quartile").cast("string"),
@@ -613,7 +613,7 @@ object Curation {
       val ranked = difficultyQuartiles(sc,
         scaled = col("cscore"),
         inBucketOrder = Seq(col("cscore").desc, col("doc_id")),
-        bucketAscending = false)
+        bucketAscending = false, tieKey = col("doc_id"))
       val main = ranked
         .withColumn("phase", col("quartile"))
         .withColumn("sort_key", concat(col("quartile").cast("string"),
@@ -662,7 +662,9 @@ object Curation {
     * input columns plus `quartile`. */
   private[graft] def difficultyQuartiles(df: DataFrame, scaled: Column,
                                          inBucketOrder: Seq[Column],
-                                         bucketAscending: Boolean): DataFrame = {
+                                         bucketAscending: Boolean,
+                                         tieKey: Column,
+                                         keepBands: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // frac ∈ [0,1) exactly, but frac*BANDS can round UP to BANDS at
     // the representable-double edge — clamp (cf. sourcePrefixSum)
@@ -671,22 +673,52 @@ object Curation {
       .withColumn("qr_band", least(
         floor((col("qr_scaled") - col("bucket")) * QuartileBands),
         lit(QuartileBands - 1L)).cast("long"))
-    val withPos = bucketed.withColumn("bpos",
-      row_number().over(Window.partitionBy(col("bucket"), col("qr_band"))
+      .withColumn("qr_tkey", tieKey.cast("long"))
+    // THIRD-level cut, applied only inside exact-score tie groups: a
+    // (bucket, band) holding ONE score value (a score ATOM — e.g. an
+    // integer-valued difficulty putting 50% of the corpus on one
+    // number) would otherwise sort its whole population in one window
+    // task. Inside a pure band the in-bucket order IS the structural
+    // tiebreak (`tieKey`, a monotone integer encoding of the
+    // inBucketOrder tail), so a RANGE band of the tiebreak is
+    // order-monotone there and the task can split; a MIXED band keeps
+    // qr_tie = 0 (a tiebreak range is NOT monotone across scores).
+    // Purity frame and tie anchors are bounded (alphabet × bands
+    // rows; 1 row) — the offsets frame stays ≤ alphabet × bands².
+    val pure = bucketed.groupBy(col("bucket"), col("qr_band"))
+      .agg((min(col("qr_scaled")) === max(col("qr_scaled"))).as("qr_pure"))
+    val anchor = bucketed.agg(min(col("qr_tkey")).as("qr_tmn"),
+      (max(col("qr_tkey")) + 1L).as("qr_tmx1"))
+    val cut = bucketed
+      .join(broadcast(pure), Seq("bucket", "qr_band"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("qr_tie", when(col("qr_pure"),
+          expr(s"((qr_tkey - qr_tmn) * $QuartileBands) div (qr_tmx1 - qr_tmn)"))
+        .otherwise(lit(0L)))
+      .drop("qr_pure", "qr_tmn", "qr_tmx1", "qr_tkey")
+    val withPos = cut.withColumn("bpos",
+      row_number().over(Window.partitionBy(col("bucket"), col("qr_band"), col("qr_tie"))
         .orderBy(inBucketOrder: _*)).cast("long"))
+    // qr_tie orders ASCENDING even under a descending bucket walk:
+    // within a pure band the score is constant, so the in-bucket
+    // order there is the ascending structural tiebreak itself
     val bw = Window.orderBy(
-      (if (bucketAscending) Seq(col("bucket"), col("qr_band"))
-       else Seq(col("bucket").desc, col("qr_band").desc)): _*)
-    val off = withPos.groupBy(col("bucket"), col("qr_band"))
+      (if (bucketAscending) Seq(col("bucket"), col("qr_band"), col("qr_tie"))
+       else Seq(col("bucket").desc, col("qr_band").desc, col("qr_tie"))): _*)
+    val off = withPos.groupBy(col("bucket"), col("qr_band"), col("qr_tie"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("boff", coalesce(sum(col("cnt")).over(
         bw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket"), col("qr_band"), col("boff"))
+      .select(col("bucket"), col("qr_band"), col("qr_tie"), col("boff"))
     val n = df.agg(count(lit(1)).as("qr_n"))
-    withPos.join(broadcast(off), Seq("bucket", "qr_band"))
+    val out = withPos.join(broadcast(off), Seq("bucket", "qr_band", "qr_tie"))
       .crossJoin(broadcast(n))
       .withColumn("quartile", expr("((boff + bpos - 1) * 4) div qr_n").cast("long"))
-      .drop("bucket", "qr_band", "qr_scaled", "bpos", "boff", "qr_n")
+      .drop("qr_scaled", "bpos", "boff", "qr_n")
+    // keepBands retains the (bucket, qr_band, qr_tie) task keys — the
+    // planted-atom spec's hook for asserting no single task holds an
+    // atom's whole tie group
+    if (keepBands) out else out.drop("bucket", "qr_band", "qr_tie")
   }
 
   // ---------------------------------------------------------------- drift
@@ -983,7 +1015,142 @@ object Curation {
     }).report.orderBy(col("slice"), col("feature"))
   }
 
+  /** One release-series drift world per (application, sf dir): three
+    * accreting releases' bucket counts REGISTERED as successive
+    * versions of the `drift_baseline` artifact, then the longitudinal
+    * report computed off the RELOADED versioned artifacts (the chart
+    * a corpus owner reads — each release judged against each
+    * predecessor). Owns its store (Reapable). */
+  private final case class SeriesDriftWorld(store: graft.sources.FrameStore,
+      report: DataFrame) extends graft.Reapable {
+    def reapRoots: Seq[String] = Seq(store.root)
+  }
+
+  private val seriesDriftMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, SeriesDriftWorld])
+
+  /** LONGITUDINAL DRIFT ACROSS THE RELEASE SERIES — [[driftBaseline]]
+    * judged against one predecessor becomes the full |versions|²
+    * triangle: three accreting releases (exact integer thirds of the
+    * doc_id span — the structural-cut convention) register as
+    * drift_baseline v1/v2/v3, and the report is the PSI of every
+    * (newer, older) version pair per feature over the union-domain
+    * Laplace smoothing [[psiVsBaseline]] uses, with BOTH versions on
+    * every row. Catching slow drift needs the triangle: a per-release
+    * step can stay under the 0.2 gate while v3-vs-v1 crosses it.
+    *
+    * Scale shape: everything after the three bucket-count scans (one
+    * groupBy each on the bounded feature×bucket alphabet, map-side
+    * combined) is arithmetic over ≤ |versions|² × bucket-domain rows
+    * — tens of rows at any corpus size. */
+  val driftSeries: Q = Q("text_drift_series",
+    """WITH mm0 AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+      |rel AS (SELECT CAST(r.range + 1 AS BIGINT) AS version,
+      |          mn + ((mx - mn + 1) * (r.range + 1)) // 3 AS cut
+      |        FROM range(3) r, mm0),
+      |fb AS (SELECT doc_id, 'len' AS feature,
+      |         CAST(LEAST(n_chars // 200, 9) AS VARCHAR) AS bucket FROM documents
+      |       UNION ALL SELECT doc_id, 'lang', lang FROM documents),
+      |vc AS (SELECT rel.version, fb.feature, fb.bucket, COUNT(*) AS c
+      |       FROM rel JOIN fb ON fb.doc_id < rel.cut
+      |       GROUP BY 1, 2, 3),
+      |pr AS (SELECT a.version AS v_new, b.version AS v_base
+      |       FROM (SELECT DISTINCT version FROM vc) a
+      |       JOIN (SELECT DISTINCT version FROM vc) b ON a.version > b.version),
+      |dm AS (SELECT DISTINCT pr.v_new, pr.v_base, vc.feature, vc.bucket
+      |       FROM pr JOIN vc ON vc.version = pr.v_new OR vc.version = pr.v_base),
+      |nbp AS (SELECT v_new, v_base, feature, COUNT(*) AS nb
+      |        FROM dm GROUP BY 1, 2, 3),
+      |ns AS (SELECT version, SUM(c) AS n FROM vc WHERE feature = 'len' GROUP BY 1),
+      |grid AS (SELECT dm.v_new, dm.v_base, dm.feature, dm.bucket, nbp.nb,
+      |           COALESCE(cn.c, 0) AS cn, COALESCE(cb.c, 0) AS cb,
+      |           nn.n AS n_new, nbs.n AS n_base
+      |         FROM dm
+      |         JOIN nbp ON nbp.v_new = dm.v_new AND nbp.v_base = dm.v_base
+      |                 AND nbp.feature = dm.feature
+      |         LEFT JOIN vc cn ON cn.version = dm.v_new AND cn.feature = dm.feature
+      |                        AND cn.bucket = dm.bucket
+      |         LEFT JOIN vc cb ON cb.version = dm.v_base AND cb.feature = dm.feature
+      |                        AND cb.bucket = dm.bucket
+      |         JOIN ns nn ON nn.version = dm.v_new
+      |         JOIN ns nbs ON nbs.version = dm.v_base)
+      |SELECT v_new, v_base, feature,
+      |  CAST(n_new AS BIGINT) AS n_new, CAST(n_base AS BIGINT) AS n_base,
+      |  ROUND(SUM(((CAST(cn AS DOUBLE) + 1) / (n_new + nb)
+      |             - (CAST(cb AS DOUBLE) + 1) / (n_base + nb))
+      |        * ln(((CAST(cn AS DOUBLE) + 1) / (n_new + nb))
+      |             / ((CAST(cb AS DOUBLE) + 1) / (n_base + nb)))), 6) AS psi,
+      |  ROUND(SUM(((CAST(cn AS DOUBLE) + 1) / (n_new + nb)
+      |             - (CAST(cb AS DOUBLE) + 1) / (n_base + nb))
+      |        * ln(((CAST(cn AS DOUBLE) + 1) / (n_new + nb))
+      |             / ((CAST(cb AS DOUBLE) + 1) / (n_base + nb)))), 6) >= 0.2 AS drifted
+      |FROM grid GROUP BY 1, 2, 3, n_new, n_base
+      |ORDER BY v_new, v_base, feature""".stripMargin) { (s, dir) =>
+    seriesDriftMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val docs = Tables.documents(s, dir)
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val store = new graft.sources.FrameStore(
+        graft.sources.Scratch.dir("graft-driftseries-").toString + "/store")
+      val versions = (1 to 3).map { v =>
+        val cut = mn + (mx - mn + 1) * v / 3
+        val vv = store.register(s, DriftBaselineName,
+          baselineCounts(docs.filter(col("doc_id") < cut)))
+        store.promote(DriftBaselineName, vv)
+        vv
+      }
+      // the report reads the RELOADED versioned artifacts, not the
+      // frames it just built — the longitudinal chart is a fact of
+      // the persisted series
+      val counts = versions.map { v =>
+        store.load(s, DriftBaselineName, v)
+          .withColumn("version", lit(v.toLong))
+      }.reduce(_ unionByName _)
+      SeriesDriftWorld(store, psiSeries(counts).localCheckpoint(true))
+    }).report.orderBy(col("v_new"), col("v_base"), col("feature"))
+  }
+
+  /** The pairwise-PSI triangle over a (version, feature, bucket, c)
+    * frame — [[psiVsBaseline]]'s union-domain Laplace arithmetic for
+    * every (newer, older) version pair. Bounded end to end. */
+  private[graft] def psiSeries(counts: DataFrame): DataFrame = {
+    val vs = counts.select(col("version")).distinct()
+    val pairs = vs.select(col("version").as("v_new"))
+      .join(vs.select(col("version").as("v_base")), col("v_new") > col("v_base"))
+    val vb = counts.select(col("version"), col("feature"), col("bucket"))
+    val dom = pairs.join(vb.withColumnRenamed("version", "v_new"), Seq("v_new"))
+      .select(col("v_new"), col("v_base"), col("feature"), col("bucket"))
+      .unionByName(pairs.join(vb.withColumnRenamed("version", "v_base"), Seq("v_base"))
+        .select(col("v_new"), col("v_base"), col("feature"), col("bucket")))
+      .distinct()
+    val nbp = dom.groupBy(col("v_new"), col("v_base"), col("feature"))
+      .agg(count(lit(1)).as("nb"))
+    val ns = counts.filter(col("feature") === "len")
+      .groupBy(col("version")).agg(sum(col("c")).as("n"))
+    dom
+      .join(broadcast(nbp), Seq("v_new", "v_base", "feature"))
+      .join(counts.select(col("version").as("v_new"), col("feature"),
+        col("bucket"), col("c").as("cn")),
+        Seq("v_new", "feature", "bucket"), "left_outer")
+      .join(counts.select(col("version").as("v_base"), col("feature"),
+        col("bucket"), col("c").as("cb")),
+        Seq("v_base", "feature", "bucket"), "left_outer")
+      .na.fill(0L, Seq("cn", "cb"))
+      .join(broadcast(ns.select(col("version").as("v_new"), col("n").as("n_new"))),
+        Seq("v_new"))
+      .join(broadcast(ns.select(col("version").as("v_base"), col("n").as("n_base"))),
+        Seq("v_base"))
+      .withColumn("p", (col("cn").cast("double") + 1) / (col("n_new") + col("nb")))
+      .withColumn("q", (col("cb").cast("double") + 1) / (col("n_base") + col("nb")))
+      .groupBy(col("v_new"), col("v_base"), col("feature"),
+        col("n_new"), col("n_base"))
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+      .select(col("v_new"), col("v_base"), col("feature"),
+        col("n_new"), col("n_base"), col("psi"),
+        (col("psi") >= 0.2).as("drifted"))
+  }
+
   val all: Seq[Q] = Seq(splitAssign, sourceMix, lmScore, repetitionScore, epochMix,
     mixPack, packForget, curriculumOrder, curriculumResume, curriculumComposite,
-    corpusDrift, driftBaseline)
+    corpusDrift, driftBaseline, driftSeries)
 }

@@ -451,4 +451,44 @@ class CurationSpec extends SparkSpec {
     assert(Seq(0L, 1L, 2L).forall(!v2(_)),
       "under the v2 baseline the en/de slices must be held back")
   }
+
+  test("rank device: a planted score ATOM splits across tie-range tasks, rank stays exact") {
+    import spark.implicits._
+    // one score value holds 50% of the corpus (the integer-difficulty
+    // hazard); the rest spread over distinct scores. The two-level
+    // (bucket, band) cut puts the whole atom in ONE range band — the
+    // third-level tie cut must split it across tasks WITHOUT moving a
+    // single rank.
+    val n = 1000
+    val rows = (0 until n).map { i =>
+      val score = if (i % 2 == 0) 0.5 else 0.9 + (i % 97) * 0.001
+      (i.toLong, score)
+    }
+    val df = rows.toDF("doc_id", "score")
+    val ranked = Curation.difficultyQuartiles(df,
+      scaled = col("score") * 8,
+      inBucketOrder = Seq(col("score"), col("doc_id")),
+      bucketAscending = true, tieKey = col("doc_id"), keepBands = true)
+    val got = ranked.select(col("doc_id"), col("quartile"),
+      col("bucket"), col("qr_band"), col("qr_tie")).collect()
+    // exactness: quartile == the global-rank quartile of (score, doc_id)
+    val expected = rows.sortBy { case (d, s) => (s, d) }.zipWithIndex
+      .map { case ((d, _), r) => d -> (r.toLong * 4) / n }.toMap
+    got.foreach { r =>
+      assert(r.getLong(1) == expected(r.getLong(0)),
+        s"doc ${r.getLong(0)}: quartile ${r.getLong(1)} != ${expected(r.getLong(0))}")
+    }
+    // task-splitting: the atom's 500 rows must span several qr_tie
+    // groups and no single (bucket, band, tie) task may hold them all
+    val atomTasks = got.filter(r => expectedScore(r.getLong(0)))
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).distinct
+    assert(atomTasks.length >= 8,
+      s"atom spans only ${atomTasks.length} tasks: ${atomTasks.mkString(",")}")
+    val maxTask = got.groupBy(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .values.map(_.length).max
+    assert(maxTask <= n / 8,
+      s"one rank task holds $maxTask of $n rows — the atom did not split")
+  }
+
+  private def expectedScore(docId: Long): Boolean = docId % 2 == 0
 }

@@ -153,12 +153,15 @@ class PlanInvariantsSpec extends SparkSpec {
     for (q <- Seq("text_curriculum_order", "text_curriculum_composite",
       "mm_trimodal_curriculum")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sf))
-      assert("hashpartitioning\\(bucket#\\d+L?, qr_band".r.findFirstIn(plan).nonEmpty,
-        s"$q: rank exchange must hash on (bucket, qr_band):\n$plan")
+      assert("hashpartitioning\\(bucket#\\d+L?, qr_band#\\d+L?, qr_tie".r
+        .findFirstIn(plan).nonEmpty,
+        s"$q: rank exchange must hash on (bucket, qr_band, qr_tie):\n$plan")
       assert(plan.contains("hashpartitioning(shard"), s"$q:\n$plan")
       assert(plan.contains("rangepartitioning(ord"), s"$q:\n$plan")
+      // bounded frames only: the 1-row count anchor, the 1-row tie
+      // anchor, and the two prefix-sum offset windows
       val singles = """Exchange SinglePartition""".r.findAllIn(plan).size
-      assert(singles <= 3, s"$q: $singles single-partition exchanges:\n$plan")
+      assert(singles <= 4, s"$q: $singles single-partition exchanges:\n$plan")
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
     }
   }
