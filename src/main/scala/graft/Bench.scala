@@ -156,22 +156,13 @@ object Bench {
         // pass doesn't absorb the fit
         graft.ml.MediaQualityModel.closedForm(spark, sfDir); ()
       },
-      timedWarm("cache_warm_trimodal_stream_forget") {
-        // the LIVE-takedown world behind stream_trimodal_forget:
-        // four-face phase-1 drain (production quality store),
-        // mid-stream shard-pruned recut + registry promotion, phase-2
-        // resume drain, pinned window cuts. Runs FIRST of the
-        // trimodal stream warms: its pre-forget pins are the phase-1
-        // state the plain stream world INSTALLS, so this entry owns
-        // the half-corpus drain cost
-        graft.streaming.StreamingMmEmit.warmTrimodalStreamForget(spark, sfDir)
-      },
       timedWarm("cache_warm_trimodal_stream") {
-        // the consolidated continuous emission world: phase 1
-        // installed from the takedown world's pre-forget pins, the
-        // continuation drained live (three alignment gates per
-        // micro-batch, ALL FOUR faces placed) + the lineage-cut
-        // drained trimodal window artifact
+        // the ONE consolidated continuous emission pass: three
+        // alignment gates per micro-batch, ALL FOUR faces placed
+        // (trimodal + bimodal projection, each aligned + model-gated)
+        // + the lineage-cut drained trimodal window artifact — r17
+        // folded the separate bimodal pass into this one, so it runs
+        // FIRST and owns the drain cost
         graft.streaming.StreamingMmEmit.warmTrimodalStream(spark, sfDir)
       },
       timedWarm("cache_warm_mm_emit_stream") {
@@ -195,6 +186,12 @@ object Bench {
         // mm_release_bundle (component artifacts are warmed by their
         // own entries; this pays the registers + manifest flips)
         graft.multimodal.ReleaseBundle.warmBundle(spark, sfDir)
+      },
+      timedWarm("cache_warm_trimodal_stream_forget") {
+        // the LIVE-takedown world behind stream_trimodal_forget:
+        // phase-1 drain, mid-stream shard-pruned recut + registry
+        // promotion, phase-2 resume drain, pinned window cuts
+        graft.streaming.StreamingMmEmit.warmTrimodalStreamForget(spark, sfDir)
       },
       timedWarm("cache_warm_stream_bundle") {
         // the stream-published bundle lifecycle behind

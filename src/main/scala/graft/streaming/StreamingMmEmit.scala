@@ -479,47 +479,14 @@ object StreamingMmEmit {
   /** ONE trimodal stream pass per (application, sf dir), memoized —
     * attributed by the `cache_warm_trimodal_stream` bench entry. Runs
     * with the PRODUCTION quality store, so it places BOTH faces per
-    * micro-batch (the consolidated-pass rule). Phase 1 (doc_id below
-    * the exact integer midpoint) is INSTALLED from the live-takedown
-    * world's pre-forget pins — that world drains the same half corpus
-    * through the same four-face pass with the same production store,
-    * so its pre-takedown state IS this world's phase-1 drain (the
-    * series world's install trick extended to every face); this world
-    * pays one install write + the continuation drain, and the
-    * kill/resume boundary at the midpoint exercises the same
-    * fresh-query + offset-carry contract the resume specs pin. */
+    * micro-batch (the consolidated-pass rule). */
   private def streamedTrimodalWorld(spark: SparkSession, dir: String): MmEmitStreamWorld =
     trimodalEntriesMemo.getOrElseUpdate(spark.sparkContext.applicationId + "#" + dir, {
       val qstore = graft.ml.QualityModel.productionStore(spark, dir)
       val vBefore = qstore.productionVersion(graft.ml.QualityModel.ModelName)
       val mvBefore = qstore.productionVersion(graft.ml.MediaQualityModel.ModelName)
-      val fw = trimodalStreamForgetWorld(spark, dir)
       val env = prepareTrimodal(spark, dir, quality = Some(qstore))
-      def installEntries(pre: DataFrame, out: String): Unit = {
-        pre.withColumn("batch", col("batch") + SeriesInstallShift)
-          .repartition(col("batch"))
-          .write.partitionBy("batch").parquet(out)
-        ()
-      }
-      def shifted(off: DataFrame) =
-        off.withColumn("batch_id", col("batch_id") + SeriesInstallShift)
-      installEntries(fw.preEntries, env.outDir)
-      installEntries(fw.preMmEntries, env.mmOutDir)
-      installEntries(fw.preGatedEntries, env.gatedOutDir)
-      installEntries(fw.preMmGatedEntries, env.mmGatedOutDir)
-      env.store.promote(TrimodalOffsetsName,
-        env.store.register(spark, TrimodalOffsetsName, shifted(fw.preOffsets)))
-      env.store.promote(OffsetsName,
-        env.store.register(spark, OffsetsName, shifted(fw.preMmOffsets)))
-      env.store.promote(TrimodalGatedOffsetsName,
-        env.store.register(spark, TrimodalGatedOffsetsName,
-          shifted(fw.preGatedOffsets)))
-      env.store.promote(GatedOffsetsName,
-        env.store.register(spark, GatedOffsetsName,
-          shifted(fw.preMmGatedOffsets)))
-      StreamingCuration.landOrderedSlicesOf(
-        Tables.documents(spark, dir).filter(col("doc_id") >= fw.mid),
-        "doc_id", env.inDir, 2)
+      StreamingCuration.landOrderedSlices(spark, env.inDir, dir, 2)
       runTrimodalPass(spark, env)
       env.store.compact(spark, TrimodalOffsetsName)
       env.store.gc(TrimodalOffsetsName, keep = 1)
@@ -1057,9 +1024,6 @@ object StreamingMmEmit {
     * re-draining the same half corpus through a second stream. */
   private[streaming] final case class TrimodalStreamForgetWorld(env: Env, mid: Long,
       preEntries: DataFrame, preOffsets: DataFrame, preMmOffsets: DataFrame,
-      preMmEntries: DataFrame, preGatedEntries: DataFrame,
-      preMmGatedEntries: DataFrame,
-      preGatedOffsets: DataFrame, preMmGatedOffsets: DataFrame,
       postRewriteEntries: DataFrame,
       preWindows: DataFrame, entries: DataFrame, finalWindows: DataFrame,
       affectedShards: Seq[Long]) extends graft.Reapable {
@@ -1080,32 +1044,21 @@ object StreamingMmEmit {
       // full corpus minus the takedown family wherever the cut lands)
       val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val mid = (r.getLong(0) + r.getLong(1)) / 2
-      // run WITH the production quality store so phase 1 places all
-      // FOUR faces: the plain trimodal-stream world then INSTALLS
-      // this world's pre-forget pins instead of re-draining the same
-      // half corpus — the pair pays the half-corpus gates once per
-      // session (the series world's trick extended to every face)
-      val env = prepareTrimodal(s, dir,
-        quality = Some(graft.ml.QualityModel.productionStore(s, dir)))
+      val env = prepareTrimodal(s, dir)
       // 4 phase-1 slices (not 2) so the one-job-rewrite pin is
       // non-vacuous: the per-batch-loop form would run >= 4 jobs here
       StreamingCuration.landOrderedSlicesOf(
         docs.filter(col("doc_id") < mid), "doc_id", env.inDir, 4)
       runTrimodalPass(s, env) // phase-1 query dies here
       val pre = s.read.parquet(env.outDir).localCheckpoint(true)
-      // every face's phase-1 entries + offset states, pinned BEFORE
-      // the takedown rewrite — the carry the series world (aligned
-      // faces) and the plain stream world (all four) install
-      val preMm = s.read.parquet(env.mmOutDir).localCheckpoint(true)
-      val preGated = s.read.parquet(env.gatedOutDir).localCheckpoint(true)
-      val preMmGated = s.read.parquet(env.mmGatedOutDir).localCheckpoint(true)
-      def pinOff(name: String) = env.store.loadProduction(s, name)
-        .getOrElse(sys.error(s"no $name at phase-1 drain"))
+      // the phase-1 offset states, pinned BEFORE the takedown rewrite —
+      // the carry the series world resumes from (4-row frames per face)
+      val preOff = env.store.loadProduction(s, TrimodalOffsetsName)
+        .getOrElse(sys.error("no trimodal offsets at phase-1 drain"))
         .localCheckpoint(true)
-      val preOff = pinOff(TrimodalOffsetsName)
-      val preMmOff = pinOff(OffsetsName)
-      val preGatedOff = pinOff(TrimodalGatedOffsetsName)
-      val preMmGatedOff = pinOff(GatedOffsetsName)
+      val preMmOff = env.store.loadProduction(s, OffsetsName)
+        .getOrElse(sys.error("no bimodal offsets at phase-1 drain"))
+        .localCheckpoint(true)
       applyTrimodalStreamForget(s, env) // the takedown lands mid-stream
       val post = s.read.parquet(env.outDir).localCheckpoint(true)
       StreamingCuration.landOrderedSlicesOf(
@@ -1119,9 +1072,6 @@ object StreamingMmEmit {
         .select(col("shard")).distinct().collect().map(_.getLong(0)).toSeq
       TrimodalStreamForgetWorld(env, mid,
         preEntries = pre, preOffsets = preOff, preMmOffsets = preMmOff,
-        preMmEntries = preMm, preGatedEntries = preGated,
-        preMmGatedEntries = preMmGated,
-        preGatedOffsets = preGatedOff, preMmGatedOffsets = preMmGatedOff,
         postRewriteEntries = post,
         preWindows = Multimodal.trimodalEmitWindowsOf(s, dir, pre.drop("batch"))
           .localCheckpoint(true),
