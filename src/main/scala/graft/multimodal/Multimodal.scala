@@ -2422,6 +2422,42 @@ object Multimodal {
     packEfficiencyOf(trimodalPositioned(s, dir))
   }
 
+  /** WHOLE-RECORD packing of the trimodal release —
+    * [[graft.queries.TextOps.packWholeDocs]]' boundary-preserving
+    * lever one modality up: a record that would cross the open
+    * 2048-window's edge pads the tail and starts fresh, so no
+    * sub-window record is ever split across training windows;
+    * over-window records split alone with padded tails. Records pack
+    * in (doc_id, modality-rank) order, encoded as the monotone
+    * integer doc_id·4 + mrank so the ENTIRE text device — the
+    * bounded-block greedy kernel, the two-level block-window prefix,
+    * and the recursive run-group oracle — is reused verbatim at
+    * budget 2048 (encoded-key blocks of 4096 = 1024 docs).
+    * Output: per record, the padded-stream window id, in-window
+    * offset, and the is_split mark. */
+  val packWholeRecords: Q = Q("mm_pack_whole_records",
+    "WITH RECURSIVE " + trimodalEmitOracleCtes("1 = 1").stripPrefix("WITH ") + ",\n" +
+      graft.queries.TextOps.wholePackOracleCtes(
+        s"""
+      |  SELECT shard AS source, doc_id * 4 + mrank AS doc_id,
+      |    CAST(tot AS BIGINT) AS n,
+      |    (doc_id * 4 + mrank) // 4096 AS blk
+      |  FROM o""".stripMargin, budget = 2048) + """
+      |SELECT source AS shard, doc_id // 4 AS doc_id, doc_id % 4 AS mrank,
+      |  n_tokens AS tot, seq_id, offset_in_seq, is_split
+      |FROM wppd ORDER BY shard, doc_id, mrank""".stripMargin) { (s, dir) =>
+    val enc = trimodalPositioned(s, dir)
+      .select(col("shard").as("source"),
+        (col("doc_id") * 4 + col("mrank")).as("doc_id"),
+        col("tot").as("n_tokens"))
+    graft.queries.TextOps.packWholeDocs(enc, budget = 2048)
+      .select(col("source").as("shard"),
+        expr("doc_id div 4").as("doc_id"), (col("doc_id") % 4).as("mrank"),
+        col("n_tokens").as("tot"),
+        col("seq_id"), col("offset_in_seq"), col("is_split"))
+      .orderBy(col("shard"), col("doc_id"), col("mrank"))
+  }
+
   /** The [[packEfficiency]] rollup over any positioned record frame —
     * a content-determined fact of the offsets, shared verbatim by the
     * batch query and the streaming twin's drained entries. */
@@ -3482,5 +3518,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageResize, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, packEfficiency, trimodalIdFreq, trimodalShuffle, trimodalResume, trimodalEpochs, trimodalCurriculum, trimodalCurriculumComposite, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard, mediaDrift)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageResize, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, packEfficiency, packWholeRecords, trimodalIdFreq, trimodalShuffle, trimodalResume, trimodalEpochs, trimodalCurriculum, trimodalCurriculumComposite, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard, mediaDrift)
 }

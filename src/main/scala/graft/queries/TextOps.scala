@@ -1756,7 +1756,7 @@ object TextOps {
     * block, ≤ block size); per-doc offsets are pure arithmetic off
     * the in-run prefix sums. `tSql` supplies the per-doc token frame
     * (raw documents or the curated o-chain). */
-  private def wholePackOracleCtes(tSql: String): String =
+  private[graft] def wholePackOracleCtes(tSql: String, budget: Int = 512): String =
     s"""wpt AS ($tSql
       |), wptr AS (
       |  SELECT source, blk, doc_id, n,
@@ -1770,8 +1770,8 @@ object TextOps {
       |    CASE WHEN MAX(j.rn) IS NULL THEN r.s ELSE MAX(j.s) END AS je_s
       |  FROM wptr r LEFT JOIN wptr j
       |    ON j.source = r.source AND j.blk = r.blk
-      |   AND j.rn >= r.rn AND j.rn <= r.rn + 512
-      |   AND j.s <= r.s - r.n + 512
+      |   AND j.rn >= r.rn AND j.rn <= r.rn + $budget
+      |   AND j.s <= r.s - r.n + $budget
       |  GROUP BY r.source, r.blk, r.rn, r.s, r.n
       |), wpg AS (
       |  SELECT source, blk, CAST(1 AS BIGINT) AS r,
@@ -1779,13 +1779,13 @@ object TextOps {
       |  FROM (SELECT DISTINCT source, blk FROM wptr)
       |  UNION ALL
       |  SELECT g.source, g.blk, n.je + 1, n.je_s,
-      |    g.w0 + (n.je_s - g.s0 + 511) // 512
+      |    g.w0 + (n.je_s - g.s0 + ${budget - 1}) // $budget
       |  FROM wpg g JOIN wpnxt n ON n.source = g.source AND n.blk = g.blk AND n.rn = g.r
       |), wpgrp AS (
       |  SELECT g.source, g.blk, g.r, n.je, n.je_s, g.s0, g.w0
       |  FROM wpg g JOIN wpnxt n ON n.source = g.source AND n.blk = g.blk AND n.rn = g.r
       |), wpbw AS (
-      |  SELECT source, blk, SUM((je_s - s0 + 511) // 512) AS nwin FROM wpgrp GROUP BY 1, 2
+      |  SELECT source, blk, SUM((je_s - s0 + ${budget - 1}) // $budget) AS nwin FROM wpgrp GROUP BY 1, 2
       |), wpbwo AS (
       |  SELECT source, blk,
       |    COALESCE(SUM(nwin) OVER (PARTITION BY source ORDER BY blk
@@ -1793,9 +1793,9 @@ object TextOps {
       |  FROM wpbw
       |), wppd AS (
       |  SELECT d.source, d.doc_id, d.n AS n_tokens,
-      |    CAST(wpbwo.w_off + wpgrp.w0 + (d.s - d.n - wpgrp.s0) // 512 AS BIGINT) AS seq_id,
-      |    CAST((d.s - d.n - wpgrp.s0) % 512 AS BIGINT) AS offset_in_seq,
-      |    d.n > 512 AS is_split
+      |    CAST(wpbwo.w_off + wpgrp.w0 + (d.s - d.n - wpgrp.s0) // $budget AS BIGINT) AS seq_id,
+      |    CAST((d.s - d.n - wpgrp.s0) % $budget AS BIGINT) AS offset_in_seq,
+      |    d.n > $budget AS is_split
       |  FROM wptr d
       |  JOIN wpgrp ON wpgrp.source = d.source AND wpgrp.blk = d.blk
       |          AND d.rn >= wpgrp.r AND d.rn <= wpgrp.je

@@ -505,7 +505,20 @@ object StreamingEmit {
     TextOps.packEfficiencyOfDecisions(unifiedRun(s, dir).decisions)
   }
 
+  /** Streaming twin of `text_pack_whole_report` — same oracle: the
+    * whole-doc policy's split/pad report is a content-determined fact
+    * of the streamed decision records, so the operating pipeline
+    * certifies the boundary-preserving packing's price off the SAME
+    * drained decisions the concat report reads (one stream pass per
+    * session, both policies metered side by side). */
+  val streamPackWholeReport: Q = Q("stream_pack_whole_report",
+    TextOps.packWholeReport.oracle.get) { (s, dir) =>
+    TextOps.packWholeReportOf(TextOps.packWholeDocs(
+      unifiedRun(s, dir).decisions.filter(col("drop_reason").isNull)
+        .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens"))))
+  }
+
   val all: Seq[Q] = Seq(streamCurationEmit, streamCurationEmitIds,
     streamCurationShuffle, streamCurationResume, streamCurationEpochs,
-    streamCurationGated, streamCurationPackEfficiency)
+    streamCurationGated, streamCurationPackEfficiency, streamPackWholeReport)
 }
