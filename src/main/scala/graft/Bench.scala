@@ -68,15 +68,23 @@ object Bench {
     // inflated the driver total 747.5 s vs a quiet 439.0 s), while a
     // structural regression moves build round-over-round at
     // comparable load.
+    // phases: the per-phase walls the builder recorded via
+    // WarmPhases.phase during the BUILD (warm entries only) — a
+    // quiet-run swing on a byte-identical warm localizes to "drain"
+    // vs "artifacts" vs "register" from the artifact itself instead
+    // of needing an adjudicating re-run (the r19 variance item).
     final case class Entry(name: String, sec: Double, gcMsDelta: Long, load: Double,
-                           resolveSec: Double = -1.0)
+                           resolveSec: Double = -1.0,
+                           phases: Seq[(String, Double)] = Nil)
     def timedWarm(name: String)(f: => Unit): Entry = {
+      WarmPhases.drain() // attribute phases to exactly this build
       val load0 = loadAvg(); val gc0 = gcMs(); val t0 = System.nanoTime()
       warmup(f)
       val build = (System.nanoTime() - t0) / 1e9
+      val ph = WarmPhases.drain()
       val t1 = System.nanoTime()
       warmup(f)
-      Entry(name, build, gcMs() - gc0, load0, (System.nanoTime() - t1) / 1e9)
+      Entry(name, build, gcMs() - gc0, load0, (System.nanoTime() - t1) / 1e9, ph)
     }
     val warmShared = Seq(
       timedWarm("cache_warm_shingles") {
@@ -115,9 +123,9 @@ object Bench {
       timedWarm("cache_warm_media_pairs") {
         // the image/audio/video fingerprint + band-join pair lists
         // shared by the media dedup and cluster queries
-        graft.multimodal.Multimodal.imagePairs(spark, sfDir)
-        graft.multimodal.Multimodal.audioPairs(spark, sfDir)
-        graft.multimodal.Multimodal.videoPairs(spark, sfDir)
+        WarmPhases.phase("image") { graft.multimodal.Multimodal.imagePairs(spark, sfDir) }
+        WarmPhases.phase("audio") { graft.multimodal.Multimodal.audioPairs(spark, sfDir) }
+        WarmPhases.phase("video") { graft.multimodal.Multimodal.videoPairs(spark, sfDir) }
         ()
       },
       timedWarm("cache_warm_curation") {
@@ -129,6 +137,13 @@ object Bench {
         // resume/epoch entries all rank over
         graft.queries.TextOps.curationDecisions(spark, sfDir)
         graft.queries.TextOps.curationWindows(spark, sfDir); ()
+      },
+      timedWarm("cache_warm_media_stats") {
+        // the session-shared full-corpus loudness decode consumed by
+        // the media drift monitor, the release series, and the
+        // cross-release baseline registration — one decode pass,
+        // attributed here instead of on whichever consumer runs first
+        graft.multimodal.Multimodal.mediaLoudnessStatsCached(spark, sfDir); ()
       },
       timedWarm("cache_warm_drift_stream") {
         // the drained drift world (stream pass + clean-corpus
@@ -146,8 +161,13 @@ object Bench {
         // rank; the composite adds the heuristic-quality pass) shared
         // by text_curriculum_order / _composite and the resume
         // manifest — memoized per session, attributed here
-        graft.queries.Curation.curriculumSchedule(spark, sfDir)
-        graft.queries.Curation.compositeSchedule(spark, sfDir); ()
+        WarmPhases.phase("plain") {
+          graft.queries.Curation.curriculumSchedule(spark, sfDir)
+        }
+        WarmPhases.phase("composite") {
+          graft.queries.Curation.compositeSchedule(spark, sfDir)
+        }
+        ()
       },
       timedWarm("cache_warm_media_quality") {
         // the decode-stat feature store + the media LR fit + closed
@@ -287,7 +307,8 @@ object Bench {
     // resolve = the post-build memo re-resolve (warm entries only).
     System.err.println("[bench-gc] " + results.map { e =>
       "\"" + e.name + "\":{\"gc_ms\":" + e.gcMsDelta + ",\"load\":" + d2(e.load) +
-        (if (e.resolveSec >= 0) ",\"resolve\":" + d3(e.resolveSec) else "") + "}"
+        (if (e.resolveSec >= 0) ",\"resolve\":" + d3(e.resolveSec) else "") +
+        (if (e.phases.nonEmpty) ",\"phases\":" + fmt(e.phases) else "") + "}"
     }.mkString("{", ",", "}"))
     // The ONE stdout JSON line, capped so line + sbt's trailing
     // "[success] ..." stays inside the consumer's tail window: the
@@ -314,9 +335,15 @@ object Bench {
     val warmResolve = results.filter(_.resolveSec >= 0).map(_.resolveSec).sum
     val prefix = s"""{"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir","gc_ms":$gcTotal,"load_start":${d2(results.headOption.map(_.load).getOrElse(loadEnd))},"load_end":${d2(loadEnd)},"warm_build":${d3(warmBuild)},"warm_resolve":${d3(warmResolve)},"queries_total":${results.size},"queries":"""
     val budget = 1600 - prefix.length
+    // kept warm entries carry [sec, gc_ms, load, resolve, {phases}]:
+    // the 5th element is the per-phase build breakdown (short keys,
+    // only phases ≥ 0.1 s — noise-level phases stay on [bench-gc])
     def entryJson(e: Entry): String =
       "\"" + e.name + "\":[" + d3(e.sec) + "," + e.gcMsDelta + "," + d2(e.load) +
-        (if (e.resolveSec >= 0) "," + d3(e.resolveSec) else "") + "]"
+        (if (e.resolveSec >= 0) "," + d3(e.resolveSec) else "") +
+        (if (e.phases.exists(_._2 >= 0.1))
+           "," + fmt(e.phases.filter(_._2 >= 0.1))
+         else "") + "]"
     val (kept, keptJson, _) = byCost.foldLeft(
         (Vector.empty[Entry], Vector.empty[String], 0)) {
       case ((acc, js, len), e) =>

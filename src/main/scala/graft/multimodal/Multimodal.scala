@@ -575,11 +575,117 @@ object Multimodal {
       |FROM psi JOIN ns ON ns.slice = psi.slice ORDER BY psi.slice, psi.feature""".stripMargin) {
     (s, dir) =>
       val (mn, mx) = graft.queries.Curation.driftAnchors(s, dir)
+      // session-shared decode; the bucketer is the same
+      // mediaFeaturePairs spelling the streaming twin applies per batch
       graft.queries.Curation.psiReport(s,
-        mediaDriftBuckets(Tables.documents(s, dir), mn, mx)
+        mediaFeaturePairs(
+            mediaLoudnessStatsCached(s, dir).withColumn("slice",
+              graft.queries.Curation.sliceCol(mn, mx)),
+            Seq(col("slice")))
           .groupBy(col("slice"), col("feature"), col("bucket"))
           .agg(count(lit(1)).as("c")),
         nsFeature = "rms")
+  }
+
+  /** Longitudinal series world: owns the versioned baseline store
+    * the report reads back (Reapable). */
+  private final case class MediaSeriesWorld(store: graft.sources.FrameStore,
+      report: org.apache.spark.sql.DataFrame) extends graft.Reapable {
+    def reapRoots: Seq[String] = Seq(store.root)
+  }
+
+  private val mediaSeriesMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, MediaSeriesWorld])
+
+  /** LONGITUDINAL DRIFT ACROSS THE MEDIA RELEASE SERIES —
+    * `text_drift_series` mirrored onto the decoded-loudness face: a
+    * media corpus drifts in loudness/clipping exactly like text
+    * drifts in length, and a per-release step can stay under the
+    * 0.2 gate while v3-vs-v1 crosses it, so the monitor needs the
+    * full |versions|² triangle, not just the last pair. Three
+    * accreting releases (exact integer thirds of the doc_id span —
+    * the structural-cut convention) register + promote their
+    * loudness bucket counts as `drift_baseline` v1/v2/v3, and the
+    * report is the PSI of every (newer, older) version pair per
+    * feature over the same union-domain Laplace smoothing the
+    * cross-release gate uses, read back from the PERSISTED versioned
+    * artifacts (the longitudinal chart is a fact of the store).
+    *
+    * Scale shape: ONE decode pass for the whole series (the three
+    * releases are doc_id-prefix cuts of the same corpus, so the
+    * per-clip stats persist once and each release's counts are a
+    * filter + bounded groupBy over them); everything downstream is
+    * arithmetic over ≤ |versions|² × bucket-domain rows. */
+  val mediaDriftSeries: Q = Q("mm_drift_series",
+    "WITH " + wavStatsOracleCtes + """,
+      |mm0 AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+      |rel AS (SELECT CAST(r.range + 1 AS BIGINT) AS version,
+      |          mn + ((mx - mn + 1) * (r.range + 1)) // 3 AS cut
+      |        FROM range(3) r, mm0),
+      |fb AS (SELECT doc_id, 'rms' AS feature,
+      |         CAST(LEAST(CAST(FLOOR(rms_l / 16) AS BIGINT), 15) AS VARCHAR) AS bucket
+      |       FROM stats
+      |       UNION ALL SELECT doc_id, 'peak',
+      |         CAST(LEAST(CAST(FLOOR(peak_l / 16) AS BIGINT), 15) AS VARCHAR) FROM stats),
+      |vc AS (SELECT rel.version, fb.feature, fb.bucket, COUNT(*) AS c
+      |       FROM rel JOIN fb ON fb.doc_id < rel.cut
+      |       GROUP BY 1, 2, 3),
+      |pr AS (SELECT a.version AS v_new, b.version AS v_base
+      |       FROM (SELECT DISTINCT version FROM vc) a
+      |       JOIN (SELECT DISTINCT version FROM vc) b ON a.version > b.version),
+      |dm AS (SELECT DISTINCT pr.v_new, pr.v_base, vc.feature, vc.bucket
+      |       FROM pr JOIN vc ON vc.version = pr.v_new OR vc.version = pr.v_base),
+      |nbp AS (SELECT v_new, v_base, feature, COUNT(*) AS nb
+      |        FROM dm GROUP BY 1, 2, 3),
+      |ns AS (SELECT version, SUM(c) AS n FROM vc WHERE feature = 'rms' GROUP BY 1),
+      |grid AS (SELECT dm.v_new, dm.v_base, dm.feature, dm.bucket, nbp.nb,
+      |           COALESCE(cn.c, 0) AS cn, COALESCE(cb.c, 0) AS cb,
+      |           nn.n AS n_new, nbs.n AS n_base
+      |         FROM dm
+      |         JOIN nbp ON nbp.v_new = dm.v_new AND nbp.v_base = dm.v_base
+      |                 AND nbp.feature = dm.feature
+      |         LEFT JOIN vc cn ON cn.version = dm.v_new AND cn.feature = dm.feature
+      |                        AND cn.bucket = dm.bucket
+      |         LEFT JOIN vc cb ON cb.version = dm.v_base AND cb.feature = dm.feature
+      |                        AND cb.bucket = dm.bucket
+      |         JOIN ns nn ON nn.version = dm.v_new
+      |         JOIN ns nbs ON nbs.version = dm.v_base)
+      |SELECT v_new, v_base, feature,
+      |  CAST(n_new AS BIGINT) AS n_new, CAST(n_base AS BIGINT) AS n_base,
+      |  ROUND(SUM(((CAST(cn AS DOUBLE) + 1) / (n_new + nb)
+      |             - (CAST(cb AS DOUBLE) + 1) / (n_base + nb))
+      |        * ln(((CAST(cn AS DOUBLE) + 1) / (n_new + nb))
+      |             / ((CAST(cb AS DOUBLE) + 1) / (n_base + nb)))), 6) AS psi,
+      |  ROUND(SUM(((CAST(cn AS DOUBLE) + 1) / (n_new + nb)
+      |             - (CAST(cb AS DOUBLE) + 1) / (n_base + nb))
+      |        * ln(((CAST(cn AS DOUBLE) + 1) / (n_new + nb))
+      |             / ((CAST(cb AS DOUBLE) + 1) / (n_base + nb)))), 6) >= 0.2 AS drifted
+      |FROM grid GROUP BY 1, 2, 3, n_new, n_base
+      |ORDER BY v_new, v_base, feature""".stripMargin) { (s, dir) =>
+    mediaSeriesMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val docs = Tables.documents(s, dir)
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val store = new graft.sources.FrameStore(
+        graft.sources.Scratch.dir("graft-mmdriftseries-").toString + "/store")
+      // rides the session-shared decode (no extra corpus pass)
+      val stats = mediaLoudnessStatsCached(s, dir)
+      val versions = (1 to 3).map { v =>
+        val cut = mn + (mx - mn + 1) * v / 3
+        val vv = store.register(s, graft.queries.Curation.DriftBaselineName,
+          mediaFeaturePairs(stats.filter(col("doc_id") < cut), Seq.empty)
+            .groupBy(col("feature"), col("bucket")).agg(count(lit(1)).as("c")))
+        store.promote(graft.queries.Curation.DriftBaselineName, vv)
+        vv
+      }
+      val counts = versions.map { v =>
+        store.load(s, graft.queries.Curation.DriftBaselineName, v)
+          .withColumn("version", lit(v.toLong))
+      }.reduce(_ unionByName _)
+      MediaSeriesWorld(store,
+        graft.queries.Curation.psiSeries(counts, nsFeature = "rms")
+          .localCheckpoint(true))
+    }).report.orderBy(col("v_new"), col("v_base"), col("feature"))
   }
 
   /** Per-doc `(slice, feature, bucket)` loudness rows of a documents
@@ -606,6 +712,22 @@ object Multimodal {
         .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)))
       .select(col("doc_id"), col("rms_l"), col("peak_l"))
 
+  /** The FULL-CORPUS loudness stats, memoized + persisted per
+    * (application, sf dir): the within-scan monitor, the release
+    * series, and the cross-release baseline registration all consume
+    * per-clip loudness — without the memo each pays its own corpus
+    * decode (the "new worlds ride existing passes" rule). Three
+    * columns per clip, the persist footprint class of tokenCounts. */
+  private val loudnessMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame])
+
+  private[graft] def mediaLoudnessStatsCached(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    loudnessMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val df = mediaLoudnessStats(Tables.documents(s, dir)).persist()
+      df.count()
+      df
+    })
+
   /** Per-clip `(…carry…, feature, bucket)` loudness rows — THE one
     * spelling of the media drift bucketer (16-wide bands capped at
     * 15), shared by the within-scan monitor and the cross-release
@@ -622,7 +744,12 @@ object Multimodal {
     * (no slice — one reference distribution), the frame the media
     * cross-release monitor REGISTERS as its `drift_baseline`. */
   private[graft] def mediaBaselineCounts(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    mediaFeaturePairs(mediaLoudnessStats(docs), Seq.empty)
+    mediaBaselineCountsOfStats(mediaLoudnessStats(docs))
+
+  /** [[mediaBaselineCounts]] over an already-decoded stats frame —
+    * so callers holding the session-shared decode don't re-pay it. */
+  private[graft] def mediaBaselineCountsOfStats(stats: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    mediaFeaturePairs(stats, Seq.empty)
       .groupBy(col("feature"), col("bucket")).agg(count(lit(1)).as("c"))
 
   /** The WAV decoder proper: `(doc_id, payload)` → chunk magics,
@@ -2138,9 +2265,16 @@ object Multimodal {
           .withColumn("cscore",
             round(col("patch_share") - lit(0.25) * col("win_quality"), 6))
           .localCheckpoint(true)
+        // the non-vacuity leg needs only the patch-share quartile
+        // MEMBERSHIP — derived via the closed-form boundary device,
+        // not a second full two-level rank (r19 verdict item #1;
+        // equivalence to compositeTrimodalRank's quartile column is
+        // spec-pinned in MultimodalSpec)
         (wf,
           compositeTrimodalRank(wf, col("cscore")).localCheckpoint(true),
-          compositeTrimodalRank(wf, col("patch_share")).localCheckpoint(true))
+          graft.queries.Curation.quartileMembershipAsc(wf,
+            scaled = (col("patch_share") + 1) * 8,
+            tieKey = trimodalTieKey).localCheckpoint(true))
       })
     def key(salt: String) = md5(concat(lit(salt), col("data_shard").cast("string"),
       lit(":"), col("seq_id").cast("string")))
@@ -2197,9 +2331,12 @@ object Multimodal {
     col("data_shard") * (1L << 40) + col("seq_id")
 
   /** The composite curriculum's two-level rank over any window frame
-    * carrying (data_shard, seq_id) — shared by the certificate's
-    * composite and patch-only legs and by the membership-movement
-    * spec (which plants windows whose quality must flip quartiles). */
+    * carrying (data_shard, seq_id) — the certificate's composite
+    * leg and the membership-movement spec (which plants windows
+    * whose quality must flip quartiles); the patch-only leg reads
+    * just the quartile MEMBERSHIP via
+    * [[graft.queries.Curation.quartileMembershipAsc]]'s boundary
+    * device instead of paying this rank a second time. */
   private[graft] def compositeTrimodalRank(w: org.apache.spark.sql.DataFrame,
       score: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
     graft.queries.Curation.difficultyQuartiles(w,
@@ -2314,7 +2451,10 @@ object Multimodal {
 
   private[graft] def trimodalEmitWindows(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     trimodalWinMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
-      trimodalEmitWindowsOf(s, dir, trimodalPositioned(s, dir)).localCheckpoint(true)
+      val pos = graft.WarmPhases.phase("position") { trimodalPositioned(s, dir) }
+      graft.WarmPhases.phase("windows") {
+        trimodalEmitWindowsOf(s, dir, pos).localCheckpoint(true)
+      }
     })
 
   /** The trimodal window cut over any positioned record frame —
@@ -3518,5 +3658,5 @@ object Multimodal {
       .orderBy(col("modality"))
   }
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageResize, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, packEfficiency, packWholeRecords, trimodalIdFreq, trimodalShuffle, trimodalResume, trimodalEpochs, trimodalCurriculum, trimodalCurriculumComposite, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard, mediaDrift)
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, imageDecode, imageResize, imageDedup, imageClusters, audioDecode, audioDedup, audioClusters, videoDecode, videoDedup, videoClusters, captionAlign, alignedPack, packBudget, mmEmitIds, mmEmitBounds, mmEmitIdFreq, mmEmitForget, videoAlign, videoAlignedPack, audioAlign, trimodalPack, trimodalEmitIds, trimodalBounds, packEfficiency, packWholeRecords, trimodalIdFreq, trimodalShuffle, trimodalResume, trimodalEpochs, trimodalCurriculum, trimodalCurriculumComposite, trimodalForget, trimodalCard, jointDedup, jointDedupForget, mmSplitLeakage, mediaCard, mediaDrift, mediaDriftSeries)
 }

@@ -139,8 +139,29 @@ object Curation {
   /** The per-doc unigram-LM score frame `(doc_id, n_tokens,
     * avg_logp)` behind [[lmScore]] — shared with the curriculum
     * schedule, which ranks on the same ROUNDED score both engines
-    * agree on bit-for-bit. */
-  private[graft] def lmScores(s: SparkSession, dir: String): DataFrame = {
+    * agree on bit-for-bit.
+    *
+    * Memoized + PERSISTED per (application, sf dir): the two-level
+    * rank device downstream ([[difficultyQuartiles]] +
+    * [[TextOps.shuffleRankCore]]) fans its input into ~6 DAG
+    * branches (purity/anchor/offset aggregates, the rank window, the
+    * final count), and an unpersisted score frame re-pays the vocab
+    * join once per branch — measured at sf0.1 as the bulk of the
+    * 21 s plain-schedule build (r19 verdict's `cache_warm_curriculum`
+    * item). One row per doc, so the persist is corpus-proportional
+    * but per-doc-small — the same footprint class as
+    * [[TextOps.tokenCounts]], spilling to disk at 100 TB. */
+  private val lmMemo = graft.SessionCaches.register(
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+
+  private[graft] def lmScores(s: SparkSession, dir: String): DataFrame =
+    lmMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      val df = lmScoresCompute(s, dir).persist()
+      df.count()
+      df
+    })
+
+  private def lmScoresCompute(s: SparkSession, dir: String): DataFrame = {
     val tc = TextOps.tokenCounts(s, dir)
     val (vocab, nVocab) = vocabStats(s, dir)
     val tot = vocab.agg(sum(col("c")).as("total"))
@@ -506,18 +527,19 @@ object Curation {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   private[graft] def curriculumSchedule(s: SparkSession, dir: String): DataFrame =
-    curriculumMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
-      val df = curriculumScheduleCompute(s, dir).persist()
-      df.count()
-      df
-    })
+    curriculumMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir,
+      curriculumScheduleCompute(s, dir))
 
   private def curriculumScheduleCompute(s: SparkSession, dir: String): DataFrame = {
     val sc = lmScores(s, dir).select(col("doc_id"), col("avg_logp"))
+    // persist the ranked frame: main + anneal read it twice and
+    // shuffleRankCore fans the union into ~3 more branches — without
+    // the cache the two-level rank DAG re-executes ~6× (the r19
+    // cache_warm_curriculum item; measured 21 s → ~6 s at sf0.1)
     val ranked = difficultyQuartiles(sc,
       scaled = col("avg_logp"),
       inBucketOrder = Seq(col("avg_logp").desc, col("doc_id")),
-      bucketAscending = false, tieKey = col("doc_id"))
+      bucketAscending = false, tieKey = col("doc_id")).persist()
     val main = ranked
       .withColumn("phase", col("quartile"))
       .withColumn("sort_key", concat(col("quartile").cast("string"),
@@ -526,9 +548,12 @@ object Curation {
       .withColumn("phase", lit(4L))
       .withColumn("sort_key", concat(lit("4"),
         md5(concat(lit("anneal:"), col("doc_id").cast("string")))))
-    TextOps.shuffleRankCore(main.unionByName(anneal),
+    val df = TextOps.shuffleRankCore(main.unionByName(anneal),
       out = Seq(col("phase"), col("doc_id"), col("quartile"), col("avg_logp")),
-      tie = Seq(col("doc_id")), shardWidth = 2)
+      tie = Seq(col("doc_id")), shardWidth = 2).persist()
+    df.count()
+    ranked.unpersist()
+    df
   }
 
   /** RESUME THE CURRICULUM RUN MID-SCHEDULE — the checkpoint-restart
@@ -605,15 +630,19 @@ object Curation {
 
   private[graft] def compositeSchedule(s: SparkSession, dir: String): DataFrame =
     compositeMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      // persist the joined score frame: the rank device fans it into
+      // ~6 branches, and the quality side re-tokenizes per branch
+      // otherwise (same rationale as the lmScores memo)
       val sc = lmScores(s, dir).select(col("doc_id"), col("avg_logp"))
         .join(TextOps.qualityScores(Tables.documents(s, dir))
           .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
         .withColumn("cscore",
           round(col("avg_logp") + lit(3.0) * col("quality_score"), 6))
+        .persist()
       val ranked = difficultyQuartiles(sc,
         scaled = col("cscore"),
         inBucketOrder = Seq(col("cscore").desc, col("doc_id")),
-        bucketAscending = false, tieKey = col("doc_id"))
+        bucketAscending = false, tieKey = col("doc_id")).persist()
       val main = ranked
         .withColumn("phase", col("quartile"))
         .withColumn("sort_key", concat(col("quartile").cast("string"),
@@ -627,8 +656,62 @@ object Curation {
           col("cscore"), col("avg_logp"), col("quality_score")),
         tie = Seq(col("doc_id")), shardWidth = 2).persist()
       df.count()
+      sc.unpersist(); ranked.unpersist()
       df
     })
+
+  /** CURRICULUM-ORDERED PACKING — curriculum and packing COMPOSED:
+    * the composite schedule orders docs quartile-major (easy→hard,
+    * deterministic shuffle within each quartile), and a real
+    * dataloader packs IN that order, so the training windows
+    * themselves are quartile-contiguous — not windows of the
+    * doc_id-ordered pack replayed out of order. Implementation is
+    * the whole-doc greedy device with the schedule position as the
+    * pack key: the main-pass `ord` (phases 0–3; dense, quartile-
+    * major) substitutes for doc_id, so blocks are `ord div 4096` —
+    * equivalently (quartile, in-quartile rank div 4096) since the
+    * order is quartile-major — and the [[TextOps.packWholeDocs]]
+    * kernel + monotone-key prefix device compose verbatim (the
+    * `mm_pack_whole_records` encoded-key trick, key = schedule
+    * position instead of doc_id·4+mrank).
+    *
+    * Consequences the spec pins: mass conservation vs
+    * `text_pack_whole_docs` (same docs, same token counts — only
+    * window ASSIGNMENT changes), and quartile-contiguity (a window
+    * mixes two quartiles only where a quartile boundary falls
+    * mid-window — at most 3 such windows, one per interior
+    * boundary, since block cuts at 4096·k always start fresh
+    * windows). Scale shape: the schedule rides the memoized
+    * two-level rank; the pack adds one bounded-block shuffle keyed
+    * on ord and one join back to the schedule frame. */
+  val packCurriculum: Q = Q("text_pack_curriculum",
+    "WITH RECURSIVE csched AS (" + curriculumComposite.oracle.get + "),\n" +
+      TextOps.wholePackOracleCtes(
+        s"""
+      |  SELECT 'curriculum' AS source, sch.ord AS doc_id, tk.n,
+      |    sch.ord // ${TextOps.PackBlockDocs} AS blk
+      |  FROM csched sch
+      |  JOIN (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |        FROM documents) tk ON tk.doc_id = sch.doc_id
+      |  WHERE sch.phase < 4""".stripMargin) + """
+      |SELECT sch.ord, sch.doc_id, sch.quartile, p.n_tokens,
+      |  p.seq_id, p.offset_in_seq, p.is_split
+      |FROM wppd p JOIN csched sch ON sch.ord = p.doc_id AND sch.phase < 4
+      |ORDER BY sch.ord""".stripMargin) { (s, dir) =>
+    val sched = compositeSchedule(s, dir).filter(col("phase") < 4)
+      .select(col("ord"), col("doc_id"), col("quartile"))
+    val perDoc = sched
+      .join(lmScores(s, dir).select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .select(lit("curriculum").as("source"), col("ord").as("doc_id"),
+        col("n_tokens"))
+    TextOps.packWholeDocs(perDoc)
+      .select(col("doc_id").as("ord"), col("n_tokens"), col("seq_id"),
+        col("offset_in_seq"), col("is_split"))
+      .join(sched, Seq("ord"))
+      .select(col("ord"), col("doc_id"), col("quartile"), col("n_tokens"),
+        col("seq_id"), col("offset_in_seq"), col("is_split"))
+      .orderBy(col("ord"))
+  }
 
   /** Sub-bands per unit score bucket — the fan-out knob of the
     * two-level curriculum rank below. 16 keeps the offsets frame
@@ -719,6 +802,104 @@ object Curation {
     // planted-atom spec's hook for asserting no single task holds an
     // atom's whole tie group
     if (keepBands) out else out.drop("bucket", "qr_band", "qr_tie")
+  }
+
+  /** QUARTILE MEMBERSHIP WITHOUT A SECOND GLOBAL RANK — the
+    * closed-form banding the composite-curriculum certificates' non-
+    * vacuity leg needs (`quality_moves_membership` compares composite
+    * vs single-signal quartiles; it needs the single-signal
+    * MEMBERSHIP, not its full ord/sort_key schedule, so paying a
+    * second [[difficultyQuartiles]] + rank pass was pure waste — the
+    * r19 verdict's `cache_warm_curriculum` item).
+    *
+    * Equivalence to `difficultyQuartiles(df, scaled, inBucketOrder =
+    * (score, tie…), bucketAscending = true, tieKey)`: with `scaled` a
+    * strictly monotone transform of the score and `tieKey` a total
+    * structural tiebreak, the device's global ascending order is
+    * exactly the lexicographic (scaled, tkey) order, and
+    * `quartile(rnk) = ((rnk−1)·4) div N` means `quartile ≥ q  ⟺
+    * rnk ≥ r_q` with `r_q = ceil(q·N/4)+1`. So membership is a
+    * 3-way comparison against the three BOUNDARY KEYS — the rows at
+    * global ranks r_1, r_2, r_3 — and only those keys need locating:
+    *
+    *  1. the same (bucket, band, tie) three-level cut as the rank
+    *     device (RANGE bands, pure-band structural sub-split — the
+    *     atom-proof task bound carries over verbatim);
+    *  2. a per-slice count frame, bounded ≤ alphabet × bands² rows
+    *     by construction — collected, like the rank device
+    *     broadcasts it (the ONLY collect; provably bounded);
+    *  3. a rank window over just the ≤ 3 slices that contain a
+    *     boundary (each slice is one rank-device task's population —
+    *     O(corpus / (alphabet·bands²)) rows, NOT the corpus);
+    *  4. membership = Σ_q [ (scaled, tkey) ≥ boundary_q ], a
+    *     stateless per-row predicate against 3 literals.
+    *
+    * No shuffle of the full frame, no global rank — one bounded
+    * aggregate + one ≤3-slice window + a map-side comparison.
+    * Returns `df` plus the `quartile` column. Ascending score order
+    * only (both composite certificates rank ascending). */
+  private[graft] def quartileMembershipAsc(df: DataFrame, scaled: Column,
+                                           tieKey: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df.withColumn("qm_scaled", scaled)
+      .withColumn("qm_bucket", floor(col("qm_scaled")).cast("long"))
+      .withColumn("qm_band", least(
+        floor((col("qm_scaled") - col("qm_bucket")) * QuartileBands),
+        lit(QuartileBands - 1L)).cast("long"))
+      .withColumn("qm_tkey", tieKey.cast("long"))
+    val pure = bucketed.groupBy(col("qm_bucket"), col("qm_band"))
+      .agg((min(col("qm_scaled")) === max(col("qm_scaled"))).as("qm_pure"))
+    val anchor = bucketed.agg(min(col("qm_tkey")).as("qm_tmn"),
+      (max(col("qm_tkey")) + 1L).as("qm_tmx1"))
+    val cut = bucketed.join(broadcast(pure), Seq("qm_bucket", "qm_band"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("qm_tie", when(col("qm_pure"),
+          expr(s"((qm_tkey - qm_tmn) * $QuartileBands) div (qm_tmx1 - qm_tmn)"))
+        .otherwise(lit(0L)))
+      .drop("qm_pure", "qm_tmn", "qm_tmx1")
+    // slice counts: ≤ alphabet × bands² rows by construction (the
+    // same frame the rank device prefix-sums and broadcasts)
+    val slices = cut.groupBy(col("qm_bucket"), col("qm_band"), col("qm_tie"))
+      .agg(count(lit(1)).as("qm_cnt"))
+      .orderBy(col("qm_bucket"), col("qm_band"), col("qm_tie"))
+      .collect()
+    var running = 0L
+    val offs = slices.map { r =>
+      val o = (r.getLong(0), r.getLong(1), r.getLong(2), running, r.getLong(3))
+      running += r.getLong(3); o
+    }
+    val nTot = running
+    // first global rank of quartile q: r_q = ceil(q·N/4) + 1; a rank
+    // past N means no row reaches that quartile (tiny frames) — skip
+    val bounds = (1 to 3).flatMap { q =>
+      val rq = (q * nTot + 3) / 4 + 1
+      offs.find { case (_, _, _, off, cnt) => off < rq && rq <= off + cnt }
+        .map { case (bk, bd, tn, off, _) => (bk, bd, tn, rq - off) }
+    }
+    if (bounds.isEmpty) df.withColumn("quartile", lit(0L))
+    else {
+      val sliceFilter = bounds.map { case (bk, bd, tn, _) =>
+        col("qm_bucket") === bk && col("qm_band") === bd && col("qm_tie") === tn
+      }.reduce(_ || _)
+      val posFilter = bounds.map { case (bk, bd, tn, p) =>
+        col("qm_bucket") === bk && col("qm_band") === bd &&
+          col("qm_tie") === tn && col("qm_pos") === p
+      }.reduce(_ || _)
+      // ≤ 3 boundary rows — the second bounded collect
+      val keys = cut.filter(sliceFilter)
+        .withColumn("qm_pos", row_number().over(
+          Window.partitionBy(col("qm_bucket"), col("qm_band"), col("qm_tie"))
+            .orderBy(col("qm_scaled"), col("qm_tkey"))).cast("long"))
+        .filter(posFilter)
+        .select(col("qm_scaled"), col("qm_tkey"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      val s = scaled; val t = tieKey.cast("long")
+      val memb = keys.foldLeft(lit(0L)) { case (acc, (sq, tq)) =>
+        acc + when(s > lit(sq) || (s === lit(sq) && t >= lit(tq)), 1L)
+          .otherwise(0L)
+      }
+      df.withColumn("quartile", memb)
+    }
   }
 
   // ---------------------------------------------------------------- drift
@@ -1112,8 +1293,11 @@ object Curation {
 
   /** The pairwise-PSI triangle over a (version, feature, bucket, c)
     * frame — [[psiVsBaseline]]'s union-domain Laplace arithmetic for
-    * every (newer, older) version pair. Bounded end to end. */
-  private[graft] def psiSeries(counts: DataFrame): DataFrame = {
+    * every (newer, older) version pair. Bounded end to end.
+    * `nsFeature` names the feature whose count mass is each
+    * version's population (len for text releases, rms for media). */
+  private[graft] def psiSeries(counts: DataFrame,
+                               nsFeature: String = "len"): DataFrame = {
     val vs = counts.select(col("version")).distinct()
     val pairs = vs.select(col("version").as("v_new"))
       .join(vs.select(col("version").as("v_base")), col("v_new") > col("v_base"))
@@ -1125,7 +1309,7 @@ object Curation {
       .distinct()
     val nbp = dom.groupBy(col("v_new"), col("v_base"), col("feature"))
       .agg(count(lit(1)).as("nb"))
-    val ns = counts.filter(col("feature") === "len")
+    val ns = counts.filter(col("feature") === nsFeature)
       .groupBy(col("version")).agg(sum(col("c")).as("n"))
     dom
       .join(broadcast(nbp), Seq("v_new", "v_base", "feature"))
@@ -1152,5 +1336,5 @@ object Curation {
 
   val all: Seq[Q] = Seq(splitAssign, sourceMix, lmScore, repetitionScore, epochMix,
     mixPack, packForget, curriculumOrder, curriculumResume, curriculumComposite,
-    corpusDrift, driftBaseline, driftSeries)
+    packCurriculum, corpusDrift, driftBaseline, driftSeries)
 }

@@ -1726,11 +1726,16 @@ object TextOps {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens")))).as("ds"))
       .withColumn("offs",
         expr(s"graft_greedy_pack(transform(ds, x -> x.n_tokens), $budget)"))
-      // windows this block occupies = ceil(final padded offset / b);
-      // the block's trailing pad rounds UP to the next boundary so
-      // the next block starts fresh (the append-stability property)
+      // windows this block occupies = the last doc's last occupied
+      // window + 1 (offsets are monotone, so the last doc attains the
+      // max); greatest(n, 1): a zero-token doc OCCUPIES the window
+      // its offset points into even though it advances nothing, so a
+      // trailing zero-token doc sitting exactly on a window boundary
+      // must still claim that window — without the guard its seq_id
+      // would collide with the next block's first window (the
+      // append-stability property the kernel docstring promises)
       .withColumn("nwin", expr(
-        s"(element_at(offs, size(offs)) + element_at(ds, size(ds)).n_tokens" +
+        s"(element_at(offs, size(offs)) + greatest(element_at(ds, size(ds)).n_tokens, 1)" +
           s" + ${budget - 1}) div $budget"))
     val bwo = sourcePrefixSum(
         blocks.select(col("source"), col("blk").as("doc_id"), col("nwin")),
@@ -1751,10 +1756,17 @@ object TextOps {
     * its group formulation — maximal consecutive runs with run-sum ≤
     * 512 (an over-long doc is a singleton run), each run padded to a
     * window multiple. `nxt` precomputes every possible run end via a
-    * bounded band self-join (≤ 512 docs can share a run); the
-    * recursive CTE then just walks run starts (depth = runs per
-    * block, ≤ block size); per-doc offsets are pure arithmetic off
-    * the in-run prefix sums. `tSql` supplies the per-doc token frame
+    * bounded band self-join — band width budget + the block's
+    * zero-token doc count, because zero-token docs extend a run
+    * without consuming budget (a fixed `budget` band would silently
+    * truncate such a run — the engine kernel supports them); still
+    * bounded by the 4096-doc block. The recursive CTE then just
+    * walks run starts (depth = runs per block, ≤ block size);
+    * per-doc offsets are pure arithmetic off the in-run prefix sums;
+    * per-block window counts are MAX over docs of the last occupied
+    * window (GREATEST(n,1): a trailing zero-token doc on a window
+    * boundary still occupies that window — mirrors the engine's
+    * nwin guard). `tSql` supplies the per-doc token frame
     * (raw documents or the curated o-chain). */
   private[graft] def wholePackOracleCtes(tSql: String, budget: Int = 512): String =
     s"""wpt AS ($tSql
@@ -1764,13 +1776,18 @@ object TextOps {
       |    SUM(n) OVER (PARTITION BY source, blk ORDER BY doc_id
       |      ROWS UNBOUNDED PRECEDING) AS s
       |  FROM wpt
+      |), wpzc AS (
+      |  SELECT source, blk, COUNT(*) FILTER (WHERE n = 0) AS zc
+      |  FROM wpt GROUP BY 1, 2
       |), wpnxt AS (
       |  SELECT r.source, r.blk, r.rn,
       |    GREATEST(COALESCE(MAX(j.rn), r.rn), r.rn) AS je,
       |    CASE WHEN MAX(j.rn) IS NULL THEN r.s ELSE MAX(j.s) END AS je_s
-      |  FROM wptr r LEFT JOIN wptr j
+      |  FROM wptr r
+      |  JOIN wpzc z ON z.source = r.source AND z.blk = r.blk
+      |  LEFT JOIN wptr j
       |    ON j.source = r.source AND j.blk = r.blk
-      |   AND j.rn >= r.rn AND j.rn <= r.rn + $budget
+      |   AND j.rn >= r.rn AND j.rn <= r.rn + $budget + z.zc
       |   AND j.s <= r.s - r.n + $budget
       |  GROUP BY r.source, r.blk, r.rn, r.s, r.n
       |), wpg AS (
@@ -1784,22 +1801,28 @@ object TextOps {
       |), wpgrp AS (
       |  SELECT g.source, g.blk, g.r, n.je, n.je_s, g.s0, g.w0
       |  FROM wpg g JOIN wpnxt n ON n.source = g.source AND n.blk = g.blk AND n.rn = g.r
+      |), wpd0 AS (
+      |  SELECT d.source, d.blk, d.doc_id, d.n,
+      |    wpgrp.w0 + (d.s - d.n - wpgrp.s0) // $budget AS lseq,
+      |    (d.s - d.n - wpgrp.s0) % $budget AS off_in_seq,
+      |    wpgrp.w0 + (d.s - d.n - wpgrp.s0 + GREATEST(d.n, 1) - 1) // $budget AS lw_end
+      |  FROM wptr d
+      |  JOIN wpgrp ON wpgrp.source = d.source AND wpgrp.blk = d.blk
+      |          AND d.rn >= wpgrp.r AND d.rn <= wpgrp.je
       |), wpbw AS (
-      |  SELECT source, blk, SUM((je_s - s0 + ${budget - 1}) // $budget) AS nwin FROM wpgrp GROUP BY 1, 2
+      |  SELECT source, blk, MAX(lw_end) + 1 AS nwin FROM wpd0 GROUP BY 1, 2
       |), wpbwo AS (
       |  SELECT source, blk,
       |    COALESCE(SUM(nwin) OVER (PARTITION BY source ORDER BY blk
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_off
       |  FROM wpbw
       |), wppd AS (
-      |  SELECT d.source, d.doc_id, d.n AS n_tokens,
-      |    CAST(wpbwo.w_off + wpgrp.w0 + (d.s - d.n - wpgrp.s0) // $budget AS BIGINT) AS seq_id,
-      |    CAST((d.s - d.n - wpgrp.s0) % $budget AS BIGINT) AS offset_in_seq,
-      |    d.n > $budget AS is_split
-      |  FROM wptr d
-      |  JOIN wpgrp ON wpgrp.source = d.source AND wpgrp.blk = d.blk
-      |          AND d.rn >= wpgrp.r AND d.rn <= wpgrp.je
-      |  JOIN wpbwo ON wpbwo.source = d.source AND wpbwo.blk = d.blk
+      |  SELECT d0.source, d0.doc_id, d0.n AS n_tokens,
+      |    CAST(wpbwo.w_off + d0.lseq AS BIGINT) AS seq_id,
+      |    CAST(d0.off_in_seq AS BIGINT) AS offset_in_seq,
+      |    d0.n > $budget AS is_split
+      |  FROM wpd0 d0
+      |  JOIN wpbwo ON wpbwo.source = d0.source AND wpbwo.blk = d0.blk
       |)""".stripMargin
 
   /** Per-document index of the WHOLE-DOC pack over the raw corpus —
@@ -1850,6 +1873,106 @@ object TextOps {
     packWholeReportOf(packWholeDocs(
       curationDecisions(s, dir).filter(col("drop_reason").isNull)
         .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens"))))
+  }
+
+  /** Cost weights of the pack-policy decision: a SPLIT doc corrupts
+    * one training sample (attention flows across an arbitrary cut —
+    * quality cost per affected doc), a PAD token wastes one token of
+    * compute (throughput cost per padded slot). Both rates are
+    * corpus-normalized fractions in [0,1], and unit-for-unit the two
+    * harms are comparable, so the default weighting is 1:1 — the
+    * knob is EXPLICIT so an operator who prices sample quality above
+    * compute (or vice versa) turns it, and the oracle replays
+    * whatever is set here. */
+  private[graft] val SplitCostWeight = 1.0
+  private[graft] val PadCostWeight = 1.0
+
+  /** PACK-POLICY DECISION — the operator the two efficiency reports
+    * exist to feed: per source shard, the weighted cost of the
+    * concat policy (splits docs, pads almost nothing) vs the
+    * whole-doc policy (splits nothing sub-window, pads window
+    * tails), and the argmin. cost = [[SplitCostWeight]]·split_rate +
+    * [[PadCostWeight]]·pad_share, every input a ROUND(…,6)
+    * engine-portable fact; ties choose whole-doc (at equal cost,
+    * boundary preservation is free). A long-doc source (every doc
+    * over-window) picks concat — the whole-doc policy splits those
+    * docs anyway AND pads; a short-doc source picks whole-doc — the
+    * split rate it avoids dwarfs the tail padding (both poles
+    * spec-pinned). One broadcast-sized join of two bounded-alphabet
+    * rollups; all the heavy lifting rides the memoized decision and
+    * pack frames the reports already pay for. */
+  val packPolicy: Q = Q("text_pack_policy",
+    "WITH RECURSIVE " + curationOracleBody.stripPrefix("WITH ") +
+      """
+      |, o AS (
+      |  SELECT source, doc_id, CAST(len(string_split(red, ' ')) AS BIGINT) AS n_tokens,
+      |    COALESCE(SUM(len(string_split(red, ' '))) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM fin2 WHERE drop_reason IS NULL
+      |), crep AS (
+      |  SELECT source,
+      |    ROUND(COUNT(*) FILTER (WHERE start_off // 512 != (start_off + GREATEST(n_tokens, 1) - 1) // 512)
+      |          / CAST(COUNT(*) AS DOUBLE), 6) AS split_rate,
+      |    ROUND(CAST(((SUM(n_tokens) + 511) // 512) * 512 - SUM(n_tokens) AS DOUBLE)
+      |          / (((SUM(n_tokens) + 511) // 512) * 512), 6) AS pad_share
+      |  FROM o GROUP BY 1
+      |),
+      |""".stripMargin +
+      wholePackOracleCtes(
+        s"""
+      |  SELECT source, doc_id, CAST(len(string_split(red, ' ')) AS BIGINT) AS n,
+      |    doc_id // $PackBlockDocs AS blk
+      |  FROM fin2 WHERE drop_reason IS NULL""".stripMargin) + """
+      |, wrep AS (
+      |  SELECT source,
+      |    ROUND(COUNT(*) FILTER (WHERE is_split) / CAST(COUNT(*) AS DOUBLE), 6) AS split_rate,
+      |    ROUND(CAST((MAX(seq_id + (offset_in_seq + GREATEST(n_tokens, 1) - 1) // 512) + 1) * 512
+      |               - SUM(n_tokens) AS DOUBLE)
+      |          / ((MAX(seq_id + (offset_in_seq + GREATEST(n_tokens, 1) - 1) // 512) + 1) * 512), 6)
+      |      AS pad_share
+      |  FROM wppd GROUP BY 1
+      |)
+      |SELECT c.source,
+      |  c.split_rate AS split_rate_concat, c.pad_share AS pad_share_concat,
+      |  ROUND(1.0 * c.split_rate + 1.0 * c.pad_share, 6) AS cost_concat,
+      |  w.split_rate AS split_rate_whole, w.pad_share AS pad_share_whole,
+      |  ROUND(1.0 * w.split_rate + 1.0 * w.pad_share, 6) AS cost_whole,
+      |  CASE WHEN ROUND(1.0 * w.split_rate + 1.0 * w.pad_share, 6)
+      |         <= ROUND(1.0 * c.split_rate + 1.0 * c.pad_share, 6)
+      |       THEN 'whole_doc' ELSE 'concat' END AS chosen_policy
+      |FROM crep c JOIN wrep w USING (source) ORDER BY c.source""".stripMargin) { (s, dir) =>
+    packPolicyOf(
+      packEfficiencyOfDecisions(curationDecisions(s, dir)),
+      packWholeReportOf(packWholeDocs(
+        curationDecisions(s, dir).filter(col("drop_reason").isNull)
+          .select(col("source"), col("doc_id"), col("final_tokens").as("n_tokens")))))
+  }
+
+  /** The policy argmin over any (concat report, whole-doc report)
+    * pair — shared by the batch query, the planted-pole spec, and
+    * any stream twin riding drained decision reports. */
+  private[graft] def packPolicyOf(concat: DataFrame, whole: DataFrame,
+                                  budget: Int = 512): DataFrame = {
+    def shaped(rep: DataFrame, suffix: String): DataFrame =
+      rep.select(col("source"),
+        col("split_rate").as(s"split_rate_$suffix"),
+        round(col("pad_tokens").cast("double")
+          / (col("n_windows") * budget), 6).as(s"pad_share_$suffix"))
+    shaped(concat, "concat").join(shaped(whole, "whole"), Seq("source"))
+      .withColumn("cost_concat",
+        round(lit(SplitCostWeight) * col("split_rate_concat")
+          + lit(PadCostWeight) * col("pad_share_concat"), 6))
+      .withColumn("cost_whole",
+        round(lit(SplitCostWeight) * col("split_rate_whole")
+          + lit(PadCostWeight) * col("pad_share_whole"), 6))
+      .withColumn("chosen_policy",
+        when(col("cost_whole") <= col("cost_concat"), "whole_doc")
+          .otherwise("concat"))
+      .select(col("source"),
+        col("split_rate_concat"), col("pad_share_concat"), col("cost_concat"),
+        col("split_rate_whole"), col("pad_share_whole"), col("cost_whole"),
+        col("chosen_policy"))
+      .orderBy(col("source"))
   }
 
   /** The whole-doc-policy report rollup over a [[packWholeDocs]]
@@ -3937,7 +4060,7 @@ object TextOps {
     dedupKeep, dedupLines, dedupLinesPrefix, dedupSpans, dedupSpansPrefix, tokenBpe, bpeTrain, bpeEncode, bpeFertility, bpeRelease256, packSequences, packOffsets, shuffleOrder, dupRateSketch, topTokensSketch,
     sampleStratified, splitLeakage, corpusReport, topNgrams, lengthBuckets, lengthQuantiles,
     bigramLm, vocabBySource,
-    tfidfTopK, curation, dataCard, qualityHist, curationPack, packEfficiency, packWholeDocsQ, packWholeReport, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle, curationResume, curationEpochs,
+    tfidfTopK, curation, dataCard, qualityHist, curationPack, packEfficiency, packWholeDocsQ, packWholeReport, packPolicy, curationEmit, curationEmitIds, curationEmitBounds, emitIdFreq, curationShuffle, curationResume, curationEpochs,
     emitForget, decontaminate, decontaminateIncremental, decontaminateBloom, evalBuild,
     releaseContamAudit)
 }

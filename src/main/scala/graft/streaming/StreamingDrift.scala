@@ -286,21 +286,34 @@ object StreamingDrift {
     val (mn, mx) = (r.getLong(0), r.getLong(1))
     val rn = newDocs.agg(min(col("doc_id")), max(col("doc_id"))).head()
     val (nmn, nmx) = (rn.getLong(0), rn.getLong(1))
+    // per-face inDir/ckpt even though only eT's stream runs: eB/eM/
+    // eMB ride eT's drain, and a future caller driving runPass off
+    // one of them must fail fast (nonexistent landing dir) instead of
+    // silently streaming the full corpus through a new-crawl-anchored
+    // face and double-counting
     def faceEnv(face: String, a: Long, b: Long) =
-      Env(s"$scratch/in", s"$scratch/$face", s"$scratch/ckpt", a, b,
+      Env(s"$scratch/in-$face", s"$scratch/$face", s"$scratch/ckpt-$face", a, b,
         new FrameStore(s"$scratch/store-$face"), docs.schema)
     val eT = faceEnv("text", mn, mx)
     val eM = faceEnv("media", mn, mx)
     val eB = faceEnv("base", nmn, nmx)
     val eMB = faceEnv("mbase", nmn, nmx)
     // the last release pinned its distributions BEFORE this crawl ran
-    eB.store.promote(Curation.DriftBaselineName,
-      eB.store.register(s, Curation.DriftBaselineName,
-        Curation.baselineCounts(base)))
-    eMB.store.promote(Curation.DriftBaselineName,
-      eMB.store.register(s, Curation.DriftBaselineName,
-        Multimodal.mediaBaselineCounts(base)))
-    StreamingCuration.landOrderedSlicesOf(docs, "doc_id", eT.inDir, 3)
+    graft.WarmPhases.phase("baselines") {
+      eB.store.promote(Curation.DriftBaselineName,
+        eB.store.register(s, Curation.DriftBaselineName,
+          Curation.baselineCounts(base)))
+      eMB.store.promote(Curation.DriftBaselineName,
+        eMB.store.register(s, Curation.DriftBaselineName,
+          // rides the session-shared corpus decode (doc_id-pruned)
+          Multimodal.mediaBaselineCountsOfStats(
+            Multimodal.mediaLoudnessStatsCached(s, dir)
+              .filter(col("doc_id") < mid))))
+    }
+    graft.WarmPhases.phase("land") {
+      StreamingCuration.landOrderedSlicesOf(docs, "doc_id", eT.inDir, 3)
+    }
+    graft.WarmPhases.phase("drain") {
     runPassWith(s, eT) { (batch, batchId) =>
       processBatch(batch, batchId, eT)
       processBatch(batch.filter(col("doc_id") >= mid), batchId, eB)
@@ -324,6 +337,8 @@ object StreamingDrift {
           batch.filter(col("doc_id") >= mid), eMB)
       } finally { stats.unpersist(); () }
     }
+    }
+    graft.WarmPhases.phase("artifacts") {
     // text face
     val tCounts = drainedCounts(s, eT).localCheckpoint(true)
     val tReport = Curation.psiReport(s, tCounts).localCheckpoint(true)
@@ -380,6 +395,7 @@ object StreamingDrift {
       .getOrElse(sys.error("no promoted clean media set")).count()
     mediaBaselineMemo.put(key,
       BaselineDriftWorld(eMB, mbv, mbCounts, mbReport, mbCleanCount))
+    }
     ()
   }
 

@@ -257,36 +257,42 @@ object StreamingEmit {
       val qstore = graft.ml.QualityModel.productionStore(s, dir)
       val vBefore = qstore.productionVersion(graft.ml.QualityModel.ModelName)
       val env = prepare(s, dir, quality = Some(qstore), shadow = true)
-      StreamingCuration.addArrivalsOrdered(s, env.cur, dir, slices = 2)
-      runPass(s, env)
-      env.cur.store.compact(s, StreamingCuration.ShingleIdx)
-      env.cur.store.compact(s, StreamingCuration.FpIdx)
-      env.cur.store.gc(StreamingCuration.ShingleIdx, keep = 1)
-      env.cur.store.gc(StreamingCuration.FpIdx, keep = 1)
-      StreamingCuration.snapshotCounts(s, env.cur.store,
-        StreamingCuration.LineCounts, env.cur.ckpt)
-      StreamingCuration.snapshotCounts(s, env.cur.store,
-        StreamingCuration.SpanCounts, env.cur.ckpt)
-      env.cur.store.gc(StreamingCuration.LineCounts, keep = 1)
-      env.cur.store.gc(StreamingCuration.SpanCounts, keep = 1)
+      graft.WarmPhases.phase("land") {
+        StreamingCuration.addArrivalsOrdered(s, env.cur, dir, slices = 2)
+      }
+      graft.WarmPhases.phase("drain") { runPass(s, env) }
+      graft.WarmPhases.phase("store") {
+        env.cur.store.compact(s, StreamingCuration.ShingleIdx)
+        env.cur.store.compact(s, StreamingCuration.FpIdx)
+        env.cur.store.gc(StreamingCuration.ShingleIdx, keep = 1)
+        env.cur.store.gc(StreamingCuration.FpIdx, keep = 1)
+        StreamingCuration.snapshotCounts(s, env.cur.store,
+          StreamingCuration.LineCounts, env.cur.ckpt)
+        StreamingCuration.snapshotCounts(s, env.cur.store,
+          StreamingCuration.SpanCounts, env.cur.ckpt)
+        env.cur.store.gc(StreamingCuration.LineCounts, keep = 1)
+        env.cur.store.gc(StreamingCuration.SpanCounts, keep = 1)
+      }
       val vAfter = qstore.productionVersion(graft.ml.QualityModel.ModelName)
       // lineage-cut pin: the drain frames sit on carry-flush lineages
       // (symbol tables, prefix sums), and a dozen certificates union
       // them — localCheckpoint collapses each to a cached-RDD scan so
       // consumers pay execution, not repeated Catalyst re-analysis
       def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
-      Unified(env,
-        windows = pin(allWindows(s, env)),
-        decisions = pin(StreamingCuration.streamedDecisions(s, env.cur)),
-        learned = pin(s.read.parquet(env.cur.learnedOutDir).drop("batch")),
-        gatedWindows = pin(allGatedWindows(s, env)),
-        // the model THIS run resolved, pinned with the artifacts: the
-        // learned certificate's batch twin must score with the same
-        // model the stream used, even if a promotion lands between
-        // the (possibly much earlier, memoized) run and the cert
-        qmodel = pin(qstore.loadProduction(s, graft.ml.QualityModel.ModelName)
-          .getOrElse(sys.error("no production quality model"))),
-        sameModelVersion = vBefore.isDefined && vBefore == vAfter)
+      graft.WarmPhases.phase("artifacts") {
+        Unified(env,
+          windows = pin(allWindows(s, env)),
+          decisions = pin(StreamingCuration.streamedDecisions(s, env.cur)),
+          learned = pin(s.read.parquet(env.cur.learnedOutDir).drop("batch")),
+          gatedWindows = pin(allGatedWindows(s, env)),
+          // the model THIS run resolved, pinned with the artifacts: the
+          // learned certificate's batch twin must score with the same
+          // model the stream used, even if a promotion lands between
+          // the (possibly much earlier, memoized) run and the cert
+          qmodel = pin(qstore.loadProduction(s, graft.ml.QualityModel.ModelName)
+            .getOrElse(sys.error("no production quality model"))),
+          sameModelVersion = vBefore.isDefined && vBefore == vAfter)
+      }
     })
 
   /** Streaming twin of `text_curation_emit` — same oracle: the

@@ -47,14 +47,19 @@ object StreamingEvalBuild {
       val docs = Tables.documents(s, dir)
       val store = new FrameStore(s"$scratch/store")
       // the persisted index: distinct train-side grams, promoted once
-      store.promote(GramsName, store.register(s, GramsName,
-        TextOps.hashedGrams8(Tables.fanOut(docs))
-          .withColumn("bucket", TextOps.splitBucket)
-          .filter(col("bucket") < 90).select(col("h")).distinct()))
+      graft.WarmPhases.phase("index") {
+        store.promote(GramsName, store.register(s, GramsName,
+          TextOps.hashedGrams8(Tables.fanOut(docs))
+            .withColumn("bucket", TextOps.splitBucket)
+            .filter(col("bucket") < 90).select(col("h")).distinct()))
+      }
       val inDir = s"$scratch/in"
       val outDir = s"$scratch/manifests"
       val ckpt = s"$scratch/ckpt"
-      StreamingCuration.landOrderedSlicesOf(docs, "doc_id", inDir, 3)
+      graft.WarmPhases.phase("land") {
+        StreamingCuration.landOrderedSlicesOf(docs, "doc_id", inDir, 3)
+      }
+      graft.WarmPhases.phase("drain") {
       val q = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
         .writeStream
@@ -74,7 +79,10 @@ object StreamingEvalBuild {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val manifest = s.read.parquet(outDir).drop("batch").localCheckpoint(true)
+      }
+      val manifest = graft.WarmPhases.phase("artifacts") {
+        s.read.parquet(outDir).drop("batch").localCheckpoint(true)
+      }
       World(inDir, outDir, ckpt, store, manifest)
     })
 

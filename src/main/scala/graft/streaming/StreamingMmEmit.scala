@@ -486,24 +486,31 @@ object StreamingMmEmit {
       val vBefore = qstore.productionVersion(graft.ml.QualityModel.ModelName)
       val mvBefore = qstore.productionVersion(graft.ml.MediaQualityModel.ModelName)
       val env = prepareTrimodal(spark, dir, quality = Some(qstore))
-      StreamingCuration.landOrderedSlices(spark, env.inDir, dir, 2)
-      runTrimodalPass(spark, env)
-      env.store.compact(spark, TrimodalOffsetsName)
-      env.store.gc(TrimodalOffsetsName, keep = 1)
-      env.store.compact(spark, TrimodalGatedOffsetsName)
-      env.store.gc(TrimodalGatedOffsetsName, keep = 1)
-      env.store.compact(spark, OffsetsName)
-      env.store.gc(OffsetsName, keep = 1)
-      env.store.compact(spark, GatedOffsetsName)
-      env.store.gc(GatedOffsetsName, keep = 1)
+      graft.WarmPhases.phase("land") {
+        StreamingCuration.landOrderedSlices(spark, env.inDir, dir, 2)
+      }
+      graft.WarmPhases.phase("drain") { runTrimodalPass(spark, env) }
+      graft.WarmPhases.phase("store") {
+        env.store.compact(spark, TrimodalOffsetsName)
+        env.store.gc(TrimodalOffsetsName, keep = 1)
+        env.store.compact(spark, TrimodalGatedOffsetsName)
+        env.store.gc(TrimodalGatedOffsetsName, keep = 1)
+        env.store.compact(spark, OffsetsName)
+        env.store.gc(OffsetsName, keep = 1)
+        env.store.compact(spark, GatedOffsetsName)
+        env.store.gc(GatedOffsetsName, keep = 1)
+      }
       require(vBefore == qstore.productionVersion(graft.ml.QualityModel.ModelName),
         "quality model promoted during the memoized trimodal emission pass")
       require(mvBefore == qstore.productionVersion(graft.ml.MediaQualityModel.ModelName),
         "media quality model promoted during the memoized trimodal emission pass")
-      val df = spark.read.parquet(env.outDir).drop("batch").persist()
-      df.count()
-      val g = spark.read.parquet(env.gatedOutDir).drop("batch").persist()
-      g.count()
+      val (df, g) = graft.WarmPhases.phase("artifacts") {
+        val df0 = spark.read.parquet(env.outDir).drop("batch").persist()
+        df0.count()
+        val g0 = spark.read.parquet(env.gatedOutDir).drop("batch").persist()
+        g0.count()
+        (df0, g0)
+      }
       MmEmitStreamWorld(df, env, gated = Some(g),
         qmodel = Some(qstore.loadProduction(spark, graft.ml.QualityModel.ModelName)
           .getOrElse(sys.error("no production quality model")).localCheckpoint(true)),
@@ -542,6 +549,29 @@ object StreamingMmEmit {
   val streamTrimodalEmitIds: Q = Q("stream_trimodal_emit_ids",
     Multimodal.trimodalEmitIds.oracle.get) { (s, dir) =>
     streamedTrimodalWindows(s, dir).orderBy(col("shard"), col("seq_id"))
+  }
+
+  /** Streaming twin of `mm_pack_whole_records` — same oracle
+    * verbatim: the whole-record boundary-preserving pack at budget
+    * 2048 is a content-determined fact of the positioned records, so
+    * the operating pipeline's packs (greedy kernel over the DRAINED
+    * record stream, records in the same (doc_id, mrank) encoded-key
+    * order) are byte-identical to the batch recut's — the
+    * `stream_pack_whole_report` pattern one modality up. Rides the
+    * memoized consolidated drain; the pack adds one bounded-block
+    * shuffle over the drained entries. */
+  val streamMmPackWhole: Q = Q("stream_mm_pack_whole",
+    Multimodal.packWholeRecords.oracle.get) { (s, dir) =>
+    val enc = streamedTrimodalEntries(s, dir)
+      .select(col("shard").as("source"),
+        (col("doc_id") * 4 + col("mrank")).as("doc_id"),
+        col("tot").as("n_tokens"))
+    graft.queries.TextOps.packWholeDocs(enc, budget = 2048)
+      .select(col("source").as("shard"),
+        expr("doc_id div 4").as("doc_id"), (col("doc_id") % 4).as("mrank"),
+        col("n_tokens").as("tot"),
+        col("seq_id"), col("offset_in_seq"), col("is_split"))
+      .orderBy(col("shard"), col("doc_id"), col("mrank"))
   }
 
   /** The trimodal gated certificate's pinned artifacts
@@ -1026,7 +1056,7 @@ object StreamingMmEmit {
       preEntries: DataFrame, preOffsets: DataFrame, preMmOffsets: DataFrame,
       postRewriteEntries: DataFrame,
       preWindows: DataFrame, entries: DataFrame, finalWindows: DataFrame,
-      affectedShards: Seq[Long]) extends graft.Reapable {
+      affectedShards: Seq[Long], rewriteJobs: Int) extends graft.Reapable {
     def reapRoots: Seq[String] = env.reapRoots
   }
 
@@ -1047,9 +1077,13 @@ object StreamingMmEmit {
       val env = prepareTrimodal(s, dir)
       // 4 phase-1 slices (not 2) so the one-job-rewrite pin is
       // non-vacuous: the per-batch-loop form would run >= 4 jobs here
-      StreamingCuration.landOrderedSlicesOf(
-        docs.filter(col("doc_id") < mid), "doc_id", env.inDir, 4)
-      runTrimodalPass(s, env) // phase-1 query dies here
+      graft.WarmPhases.phase("land") {
+        StreamingCuration.landOrderedSlicesOf(
+          docs.filter(col("doc_id") < mid), "doc_id", env.inDir, 4)
+      }
+      graft.WarmPhases.phase("drain1") {
+        runTrimodalPass(s, env) // phase-1 query dies here
+      }
       val pre = s.read.parquet(env.outDir).localCheckpoint(true)
       // the phase-1 offset states, pinned BEFORE the takedown rewrite —
       // the carry the series world resumes from (4-row frames per face)
@@ -1059,26 +1093,37 @@ object StreamingMmEmit {
       val preMmOff = env.store.loadProduction(s, OffsetsName)
         .getOrElse(sys.error("no bimodal offsets at phase-1 drain"))
         .localCheckpoint(true)
-      applyTrimodalStreamForget(s, env) // the takedown lands mid-stream
+      graft.WarmPhases.phase("takedown") {
+        applyTrimodalStreamForget(s, env) // the takedown lands mid-stream
+      }
+      // the listener-counted rewrite-job count is a fact of THIS
+      // world's takedown — captured at build time so a session
+      // touching two dataset dirs can't read the other world's count
+      // off the shared volatile (the r19 ADVICE finding)
+      val rewriteJobCount = lastTakedownRewriteJobs
       val post = s.read.parquet(env.outDir).localCheckpoint(true)
-      StreamingCuration.landOrderedSlicesOf(
-        docs.filter(col("doc_id") >= mid), "doc_id", env.inDir, 2, tag = "b")
-      runTrimodalPass(s, env) // fresh query, same checkpoint + carry
-      env.store.compact(s, TrimodalOffsetsName)
-      env.store.gc(TrimodalOffsetsName, keep = 1)
+      graft.WarmPhases.phase("drain2") {
+        StreamingCuration.landOrderedSlicesOf(
+          docs.filter(col("doc_id") >= mid), "doc_id", env.inDir, 2, tag = "b")
+        runTrimodalPass(s, env) // fresh query, same checkpoint + carry
+        env.store.compact(s, TrimodalOffsetsName)
+        env.store.gc(TrimodalOffsetsName, keep = 1)
+      }
       val fin = s.read.parquet(env.outDir).drop("batch").localCheckpoint(true)
       val affected = pre
         .filter(col("doc_id") % TakedownMod === TakedownResidue)
         .select(col("shard")).distinct().collect().map(_.getLong(0)).toSeq
-      TrimodalStreamForgetWorld(env, mid,
-        preEntries = pre, preOffsets = preOff, preMmOffsets = preMmOff,
-        postRewriteEntries = post,
-        preWindows = Multimodal.trimodalEmitWindowsOf(s, dir, pre.drop("batch"))
-          .localCheckpoint(true),
-        entries = fin,
-        finalWindows = Multimodal.trimodalEmitWindowsOf(s, dir, fin)
-          .localCheckpoint(true),
-        affectedShards = affected)
+      graft.WarmPhases.phase("artifacts") {
+        TrimodalStreamForgetWorld(env, mid,
+          preEntries = pre, preOffsets = preOff, preMmOffsets = preMmOff,
+          postRewriteEntries = post,
+          preWindows = Multimodal.trimodalEmitWindowsOf(s, dir, pre.drop("batch"))
+            .localCheckpoint(true),
+          entries = fin,
+          finalWindows = Multimodal.trimodalEmitWindowsOf(s, dir, fin)
+            .localCheckpoint(true),
+          affectedShards = affected, rewriteJobs = rewriteJobCount)
+      }
     })
 
   /** Bench warm hook: the two-phase drain + mid-stream rewrite,
@@ -1128,13 +1173,14 @@ object StreamingMmEmit {
       "  TRUE AS takedown_one_write_job") { (s, dir) =>
     import graft.multimodal.Multimodal.{TakedownMod, TakedownResidue}
     val world = trimodalStreamForgetWorld(s, dir)
-    // the listener-counted rewrite jobs, read AFTER the (memoized)
-    // world built: the whole mid-stream takedown must be ONE
-    // dynamic-partition-overwrite write (≤ 2 with AQE's shuffle
+    // the listener-counted rewrite jobs, a build-time fact of THIS
+    // world (not the shared volatile, which a second dataset dir's
+    // build would overwrite): the whole mid-stream takedown must be
+    // ONE dynamic-partition-overwrite write (≤ 2 with AQE's shuffle
     // materialization) — batch-count-independent, so the 10⁴-job
     // per-batch-loop regression is locked by the ORACLE, not only by
     // the MultimodalSpec listener pin
-    val rewriteJobs = lastTakedownRewriteJobs
+    val rewriteJobs = world.rewriteJobs
     val sameWindow = col("a.n_tokens") <=> col("b.n_tokens") &&
       col("a.n_patch") <=> col("b.n_patch") && col("a.window_fp") <=> col("b.window_fp")
     val drainDiff = world.finalWindows.as("a")
@@ -1395,7 +1441,7 @@ object StreamingMmEmit {
 
   val all: Seq[Q] = Seq(streamMmEmitIds, streamMmEmitBounds, streamMmEmitIdFreq,
     streamMmEmitGated, streamTrimodalEmitIds, streamTrimodalBounds,
-    streamPackEfficiency, streamTrimodalIdFreq, streamTrimodalGated,
+    streamPackEfficiency, streamMmPackWhole, streamTrimodalIdFreq, streamTrimodalGated,
     streamTrimodalShuffle, streamTrimodalResume, streamTrimodalEpochs,
     streamTrimodalCurriculum,
     streamTrimodalCard, streamTrimodalForget, streamTrimodalRepublish,

@@ -199,18 +199,24 @@ class CurationStackSpec extends SparkSpec {
   private def wholePackReference(rows: Seq[(String, Long, Long)], budget: Long = 512L)
       : Seq[(String, Long, Long, Long, Long, Boolean)] = {
     val byBlk = rows.groupBy { case (s, d, _) => (s, d / TextOps.PackBlockDocs) }
-    val local = scala.collection.mutable.Map.empty[Long, (String, Long, Long, Long)]
+    // keyed by (source, doc_id): doc ids repeat across sources
+    val local = scala.collection.mutable.Map.empty[(String, Long), (String, Long, Long, Long)]
     val nwin = scala.collection.mutable.Map.empty[(String, Long), Long]
     for (((src, blk), ds) <- byBlk.toSeq.sortBy(_._1)) {
       var poff = 0L
+      var lastOff = 0L; var lastN = 0L
       for ((_, did, n) <- ds.sortBy(_._2)) {
         val fill = poff % budget
         if (fill != 0 && fill + n > budget) poff += budget - fill
-        local(did) = (src, n, poff, blk)
+        local((src, did)) = (src, n, poff, blk)
+        lastOff = poff; lastN = n
         poff += n
         if (n > budget && poff % budget != 0) poff += budget - poff % budget
       }
-      nwin((src, blk)) = (poff + budget - 1) / budget
+      // block windows = last doc's last occupied window + 1; the
+      // max(n, 1) mirrors the engine guard — a trailing zero-token
+      // doc on a window boundary still occupies that window
+      nwin((src, blk)) = (lastOff + math.max(lastN, 1L) + budget - 1) / budget
     }
     val wOff = scala.collection.mutable.Map.empty[(String, Long), Long]
     for (src <- nwin.keys.map(_._1).toSeq.distinct.sorted) {
@@ -219,7 +225,7 @@ class CurationStackSpec extends SparkSpec {
         wOff(k) = acc; acc += nwin(k)
       }
     }
-    local.toSeq.map { case (did, (src, n, poff, blk)) =>
+    local.toSeq.map { case ((_, did), (src, n, poff, blk)) =>
       (src, did, n, wOff((src, blk)) + poff / budget, poff % budget, n > budget)
     }.sorted
   }
@@ -233,7 +239,14 @@ class CurationStackSpec extends SparkSpec {
       ("a", 10L, 100L), ("a", 20L, 480L), ("a", 30L, 512L), ("a", 40L, 600L),
       ("a", 41L, 5L), ("a", 4095L, 5L), ("a", 4096L, 100L),
       ("a", 4100L, 1024L), ("a", 4101L, 1L),
-      ("b", 15L, 1500L), ("b", 16L, 513L), ("b", 17L, 5L), ("b", 5000L, 512L))
+      ("b", 15L, 1500L), ("b", 16L, 513L), ("b", 17L, 5L), ("b", 5000L, 512L),
+      // the zero-token edge: block 0 ends with a zero-token doc
+      // sitting EXACTLY on a window boundary (512-token doc fills
+      // window 0; the zero doc's offset is 512 = window 1) — block
+      // 1's first window must NOT collide with it
+      ("z", 0L, 512L), ("z", 1L, 0L), ("z", 4096L, 10L),
+      // and a zero-token doc mid-window (no extra window claimed)
+      ("z", 8192L, 10L), ("z", 8193L, 0L), ("z", 8194L, 20L))
     val got = TextOps.packWholeDocs(rows.toDF("source", "doc_id", "n_tokens"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq.sorted
@@ -246,6 +259,15 @@ class CurationStackSpec extends SparkSpec {
       if (split) assert(off == 0L, s"split doc $did must start at a boundary")
       else assert(off + math.max(n, 1L) <= 512L, s"doc $did crosses a boundary")
     }
+    // append-stability under the zero-token edge: the boundary zero
+    // doc claims window 1, so block 1 starts at window 2 — no
+    // (source, seq_id) collision across blocks; the mid-window zero
+    // claims nothing extra
+    val z = got.filter(_._1 == "z").map(t => t._2 -> t._4).toMap
+    assert(z(0L) == 0L && z(1L) == 1L, s"boundary zero doc placement: $z")
+    assert(z(4096L) == 2L, s"next block must start past the zero doc's window: $z")
+    assert(z(8193L) == z(8192L) && z(8194L) == z(8192L),
+      s"mid-window zero doc must not open a window: $z")
     // the report conserves mass: windows * 512 = tokens + pad, and
     // split accounting matches the planted over-window population
     val rep = TextOps.packWholeReportOf(
@@ -280,5 +302,63 @@ class CurationStackSpec extends SparkSpec {
     }
     // the lever is non-vacuous at this corpus: concat splits docs
     assert(concat.values.map(_.getAs[Long]("n_split_docs")).sum > 0L)
+  }
+
+  test("pack policy: all-long source chooses concat, all-short chooses whole-doc") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // L: every doc over-window (2000 tokens) — the whole-doc policy
+    // splits them ANYWAY and pads each doc's own tail, so concat
+    // must win; S: short docs (60 tokens) — whole-doc avoids the
+    // ~12% boundary-split rate for a ~6% tail pad, so it must win
+    val docs = ((0 until 40).map(i => ("L", i.toLong, 2000L)) ++
+        (0 until 100).map(i => ("S", i.toLong, 60L)))
+      .toDF("source", "doc_id", "n_tokens")
+    val decisions = docs
+      .select(col("source"), col("doc_id"), col("n_tokens").as("final_tokens"),
+        lit(null).cast("string").as("drop_reason"))
+    val pol = TextOps.packPolicyOf(
+        TextOps.packEfficiencyOfDecisions(decisions),
+        TextOps.packWholeReportOf(TextOps.packWholeDocs(docs)))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(pol("L").getAs[String]("chosen_policy") == "concat",
+      s"long-doc source must choose concat: ${pol("L")}")
+    assert(pol("S").getAs[String]("chosen_policy") == "whole_doc",
+      s"short-doc source must choose whole-doc: ${pol("S")}")
+    // the decision is the stated arithmetic, not a hidden rule
+    for ((_, r) <- pol) {
+      val cc = r.getAs[Double]("cost_concat"); val cw = r.getAs[Double]("cost_whole")
+      assert(r.getAs[String]("chosen_policy") ==
+        (if (cw <= cc) "whole_doc" else "concat"))
+    }
+  }
+
+  test("curriculum-ordered pack: quartile-contiguous windows, mass conserved") {
+    graft.functions.GraftFunctions.register(spark)
+    val packed = graft.queries.Curation.packCurriculum.fn(spark, sf)
+      .select(col("ord"), col("doc_id"), col("quartile"), col("n_tokens"),
+        col("seq_id")).collect()
+    // every doc packed exactly once, mass conserved vs the corpus
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(packed.length == nDocs)
+    assert(packed.map(_.getAs[Long]("doc_id")).distinct.length == nDocs)
+    // quartile-contiguity: a window mixes quartiles only where a
+    // quartile boundary falls mid-window — at most one interior
+    // boundary per adjacent pair, ≤ 3 mixed windows total
+    val byWin = packed.groupBy(_.getAs[Long]("seq_id"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("quartile")).distinct.sorted }
+    val mixed = byWin.filter(_.length > 1)
+    assert(mixed.size <= 3, s"too many mixed windows: ${mixed.size}")
+    for (qs <- mixed)
+      assert(qs.length == 2 && qs(1) == qs(0) + 1,
+        s"a mixed window must straddle ONE adjacent boundary: $qs")
+    // schedule order respected: within a quartile, window ids are
+    // monotone in schedule position
+    val byQ = packed.groupBy(_.getAs[Long]("quartile"))
+    for ((q, rs) <- byQ) {
+      val inOrder = rs.sortBy(_.getAs[Long]("ord")).map(_.getAs[Long]("seq_id"))
+      assert(inOrder.zip(inOrder.drop(1)).forall { case (a, b) => a <= b },
+        s"quartile $q windows must be monotone in schedule order")
+    }
   }
 }

@@ -578,4 +578,38 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(comp0 == patch, s"zero quality must recover the patch-only schedule: $comp0")
   }
+
+  test("quartileMembershipAsc ≡ the full two-level rank's quartile column") {
+    import spark.implicits._
+    def membership(wq: org.apache.spark.sql.DataFrame) =
+      graft.queries.Curation.quartileMembershipAsc(wq,
+          scaled = (col("patch_share") + 1) * 8,
+          tieKey = Multimodal.trimodalTieKey)
+        .select(col("data_shard"), col("seq_id"), col("quartile")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def fullRank(wq: org.apache.spark.sql.DataFrame) =
+      Multimodal.compositeTrimodalRank(wq, col("patch_share"))
+        .select(col("data_shard"), col("seq_id"), col("quartile")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // distinct-score frame with a duplicated score pair (tie broken
+    // by the structural key) + a non-multiple-of-4 population
+    val mixed = (0 until 23).map(i =>
+        (i.toLong / 4, i.toLong % 4, (i % 7) / 10.0))
+      .toDF("data_shard", "seq_id", "patch_share")
+    assert(membership(mixed) == fullRank(mixed))
+    // score ATOM: every row identical — the pure-band tie sub-split
+    // must locate boundaries inside the atom without a global sort
+    val atom = (0 until 40).map(i => (i.toLong / 8, i.toLong % 8, 0.5))
+      .toDF("data_shard", "seq_id", "patch_share")
+    assert(membership(atom) == fullRank(atom))
+    // tiny frames: boundary ranks past N must degrade to quartile 0
+    val tiny = Seq((0L, 0L, 0.3)).toDF("data_shard", "seq_id", "patch_share")
+    assert(membership(tiny) == fullRank(tiny))
+    // the planted 8-window frame of the movement test above
+    val planted = Seq(
+      (0L, 0L, 0.1), (0L, 1L, 0.2), (1L, 0L, 0.3), (1L, 1L, 0.4),
+      (2L, 0L, 0.5), (2L, 1L, 0.6), (3L, 0L, 0.7), (3L, 1L, 0.8))
+      .toDF("data_shard", "seq_id", "patch_share")
+    assert(membership(planted) == fullRank(planted))
+  }
 }
