@@ -1911,12 +1911,14 @@ object Multimodal {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame])
 
   private[graft] def trimodalGated(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    trimodalGatedMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
-      val u = trimodalGatedOf(Tables.documents(s, dir), Tables.embeddings(s, dir))
-        .persist()
-      u.count()
-      u
-    })
+    trimodalGatedMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir,
+      // localCheckpoint (lineage CUT), not persist: the three
+      // alignment programs are a deep tree, and each consumer ACTION
+      // re-runs Catalyst over it (persist caches execution only) —
+      // the emission family embeds this frame repeatedly, so the
+      // re-analysis wall dwarfs the cached-scan execution
+      trimodalGatedOf(Tables.documents(s, dir), Tables.embeddings(s, dir))
+        .localCheckpoint(true))
 
   /** [[trimodalGated]] over any documents frame — shared with the
     * streaming twin's per-micro-batch gates (stream-static equi-joins
@@ -2398,11 +2400,11 @@ object Multimodal {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame])
 
   private[graft] def trimodalPositioned(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    trimodalPosMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
-      val df = trimodalPositionOf(s, dir, trimodalGated(s, dir)).persist()
-      df.count()
-      df
-    })
+    trimodalPosMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir,
+      // localCheckpoint, not persist — same lineage-cut rationale as
+      // trimodalGated (the positioned frame feeds the pack/emit/freq
+      // family, each action re-analyzing the whole tree otherwise)
+      trimodalPositionOf(s, dir, trimodalGated(s, dir)).localCheckpoint(true))
 
   /** Position any gated trimodal record frame on the interleaved
     * stream (tot = patch block + transcript id count) — shared by the

@@ -155,13 +155,16 @@ object Curation {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   private[graft] def lmScores(s: SparkSession, dir: String): DataFrame =
-    lmMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
-      val df = lmScoresCompute(s, dir).persist()
-      df.count()
-      df
-    })
+    lmMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir,
+      // localCheckpoint (lineage CUT), not persist: the vocab-join +
+      // groupBy tree re-ANALYZES on every consumer action otherwise,
+      // and downstream plans (curriculum rank, pack joins) embed this
+      // tree several times over — Catalyst wall, not execution wall
+      // (the r20 pack probe: counting a 2-row cached frame derived
+      // from it read 2.4 s)
+      lmScoresCompute(s, dir).localCheckpoint(true))
 
-  private def lmScoresCompute(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lmScoresCompute(s: SparkSession, dir: String): DataFrame = {
     val tc = TextOps.tokenCounts(s, dir)
     val (vocab, nVocab) = vocabStats(s, dir)
     val tot = vocab.agg(sum(col("c")).as("total"))
@@ -527,10 +530,27 @@ object Curation {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame])
 
   private[graft] def curriculumSchedule(s: SparkSession, dir: String): DataFrame =
-    curriculumMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir,
-      curriculumScheduleCompute(s, dir))
+    curriculumMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      // localCheckpoint (lineage CUT), not persist: the memoized frame
+      // carries the whole two-level-rank + tie-cut + shuffleRank tree,
+      // and every consumer ACTION re-runs Catalyst over it (persist
+      // caches execution, not analysis) — consumers like the pack join
+      // embed the tree 4+ times, so the re-analysis wall dwarfs the
+      // cached-scan execution (guide §3.3: materialize to truncate).
+      // The rank device's plan invariants stay pinned on the
+      // PRE-checkpoint plan (PlanInvariantsSpec explains
+      // curriculumScheduleCompute without executing it).
+      val (df0, ranked) = curriculumScheduleCompute(s, dir)
+      val df = df0.localCheckpoint(true)
+      ranked.unpersist()
+      df
+    })
 
-  private def curriculumScheduleCompute(s: SparkSession, dir: String): DataFrame = {
+  /** Pre-checkpoint schedule plan + the build-internal persisted rank
+    * frame (returned so the memo build can unpersist it after the
+    * lineage cut; specs explain the plan without executing). */
+  private[graft] def curriculumScheduleCompute(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val sc = lmScores(s, dir).select(col("doc_id"), col("avg_logp"))
     // persist the ranked frame: main + anneal read it twice and
     // shuffleRankCore fans the union into ~3 more branches — without
@@ -548,12 +568,9 @@ object Curation {
       .withColumn("phase", lit(4L))
       .withColumn("sort_key", concat(lit("4"),
         md5(concat(lit("anneal:"), col("doc_id").cast("string")))))
-    val df = TextOps.shuffleRankCore(main.unionByName(anneal),
+    (TextOps.shuffleRankCore(main.unionByName(anneal),
       out = Seq(col("phase"), col("doc_id"), col("quartile"), col("avg_logp")),
-      tie = Seq(col("doc_id")), shardWidth = 2).persist()
-    df.count()
-    ranked.unpersist()
-    df
+      tie = Seq(col("doc_id")), shardWidth = 2), ranked)
   }
 
   /** RESUME THE CURRICULUM RUN MID-SCHEDULE — the checkpoint-restart
@@ -630,6 +647,20 @@ object Curation {
 
   private[graft] def compositeSchedule(s: SparkSession, dir: String): DataFrame =
     compositeMemo.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
+      // localCheckpoint, not persist — same lineage-cut rationale as
+      // curriculumSchedule above (plan invariants pinned on the
+      // pre-checkpoint compute)
+      val (df0, sc, ranked) = compositeScheduleCompute(s, dir)
+      val df = df0.localCheckpoint(true)
+      sc.unpersist(); ranked.unpersist()
+      df
+    })
+
+  /** Pre-checkpoint composite plan + the two build-internal persisted
+    * frames (returned so the memo build can unpersist them after the
+    * lineage cut; specs explain the plan without executing). */
+  private[graft] def compositeScheduleCompute(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
       // persist the joined score frame: the rank device fans it into
       // ~6 branches, and the quality side re-tokenizes per branch
       // otherwise (same rationale as the lmScores memo)
@@ -651,14 +682,11 @@ object Curation {
         .withColumn("phase", lit(4L))
         .withColumn("sort_key", concat(lit("4"),
           md5(concat(lit("canneal:"), col("doc_id").cast("string")))))
-      val df = TextOps.shuffleRankCore(main.unionByName(anneal),
+      (TextOps.shuffleRankCore(main.unionByName(anneal),
         out = Seq(col("phase"), col("doc_id"), col("quartile"),
           col("cscore"), col("avg_logp"), col("quality_score")),
-        tie = Seq(col("doc_id")), shardWidth = 2).persist()
-      df.count()
-      sc.unpersist(); ranked.unpersist()
-      df
-    })
+        tie = Seq(col("doc_id")), shardWidth = 2), sc, ranked)
+  }
 
   /** CURRICULUM-ORDERED PACKING — curriculum and packing COMPOSED:
     * the composite schedule orders docs quartile-major (easy→hard,

@@ -1451,14 +1451,17 @@ object TextOps {
       val contam = maybeBroadcast(
         contaminationAgg(s, dir).select(col("doc_id")).withColumn("is_contam", lit(true)),
         contaminationAgg(s, dir).count() * 16)
-      val df = per
+      // localCheckpoint (lineage CUT), not persist: the marked frame
+      // sits on the scrub + boiler/dup-prefix + dedup-join tree, and
+      // the whole curation family re-runs Catalyst over that tree on
+      // EVERY action otherwise (persist caches execution, not
+      // analysis) — the decide cascade embeds it once per consumer
+      per
         .join(keepers, Seq("fp"))
         .join(near, Seq("doc_id"), "left_outer")
         .join(contam, Seq("doc_id"), "left_outer")
         .withColumn("is_exact_dup", col("doc_id") =!= col("keeper"))
-        .persist()
-      df.count()
-      df
+        .localCheckpoint(true)
     })
 
   /** The composed pipeline with the LEARNED quality gate: same
@@ -1737,6 +1740,17 @@ object TextOps {
       .withColumn("nwin", expr(
         s"(element_at(offs, size(offs)) + greatest(element_at(ds, size(ds)).n_tokens, 1)" +
           s" + ${budget - 1}) div $budget"))
+      // persisted: this subtree is referenced FOUR times in the one
+      // output plan (sourcePrefixSum's anchor/totals/main diamond +
+      // the join back), and column pruning gives each branch a
+      // distinct exchange, so ReuseExchange can't collapse them —
+      // without the cache the INPUT lineage executes 4×, which is
+      // invisible over a raw parquet scan but multiplies a derived
+      // input (the curriculum-schedule join read 16.3 s/rep vs 0.3 s
+      // for the same kernel over raw docs). The frame is the per-doc
+      // (id, n_tokens) pairs regrouped into ≤4096-doc block rows —
+      // O(corpus/4096) rows, MEMORY_AND_DISK, evicted LRU.
+      .persist()
     val bwo = sourcePrefixSum(
         blocks.select(col("source"), col("blk").as("doc_id"), col("nwin")),
         col("nwin"))

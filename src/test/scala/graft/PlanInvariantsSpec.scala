@@ -150,9 +150,20 @@ class PlanInvariantsSpec extends SparkSpec {
     // BOUNDED frames — the 1-row count anchor and the two prefix-sum
     // offset windows (bucket×band alphabet, shard alphabet) — never
     // the corpus
-    for (q <- Seq("text_curriculum_order", "text_curriculum_composite",
-      "mm_trimodal_curriculum")) {
-      val plan = formatted(SparkEntry.queries(q)(spark, sf))
+    // the text schedules are memoized behind a lineage CUT
+    // (localCheckpoint — the consumer-facing plan is a bounded RDD
+    // scan by design), so the rank device's shape is pinned on the
+    // PRE-checkpoint build plan; the trimodal schedule still exposes
+    // its build plan through the persisted memo
+    val curriculumPlans: Seq[(String, DataFrame)] = Seq(
+      "text_curriculum_order" ->
+        queries.Curation.curriculumScheduleCompute(spark, sf)._1,
+      "text_curriculum_composite" ->
+        queries.Curation.compositeScheduleCompute(spark, sf)._1,
+      "mm_trimodal_curriculum" ->
+        SparkEntry.queries("mm_trimodal_curriculum")(spark, sf))
+    for ((q, df) <- curriculumPlans) {
+      val plan = formatted(df)
       assert("hashpartitioning\\(bucket#\\d+L?, qr_band#\\d+L?, qr_tie".r
         .findFirstIn(plan).nonEmpty,
         s"$q: rank exchange must hash on (bucket, qr_band, qr_tie):\n$plan")
@@ -315,13 +326,17 @@ class PlanInvariantsSpec extends SparkSpec {
     // decisions — a join or second corpus scan above the cached
     // record would mean the card re-derives the pipeline
     val plan = formatted(SparkEntry.queries("text_data_card")(spark, sf))
-    assert(plan.contains("InMemoryTableScan"), plan)
-    // formatted explain expands the cached pipeline inside
-    // InMemoryRelation; the card's own plan is everything ABOVE it
-    assert(plan.contains("InMemoryRelation"), plan) // guard the substring below
-    val above = plan.substring(0, plan.indexOf("InMemoryRelation"))
-    assert(!above.contains("Join"), above)
-    assert("Exchange".r.findAllIn(above).size <= 2, above) // agg + presentation sort only
+    // the decision record is memoized behind a lineage cut
+    // (localCheckpoint of the marked frame → the card reads a bounded
+    // RDD scan); with either cache representation, nothing above the
+    // cached record may join or re-scan the corpus
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Scan parquet"), plan) // no second corpus scan
+    // agg + presentation sort only (count the formatted-mode node
+    // headers — each operator prints once in the tree AND once in the
+    // details section)
+    assert("""\(\d+\) Exchange""".r.findAllIn(plan).size <= 2, plan)
   }
 
   test("fertility report joins the vocab-bounded encoded table by broadcast") {
@@ -409,8 +424,10 @@ class PlanInvariantsSpec extends SparkSpec {
   test("lm score joins the vocab by broadcast while it fits the size gate") {
     // at test SF the vocab passes TextOps.maybeBroadcast's bound, so
     // the hint applies; the degradation past the bound is pinned in
-    // ScaleTechniquesSpec ("broadcast gate degrades...")
-    val plan = formatted(SparkEntry.queries("text_lm_score")(spark, sf))
+    // ScaleTechniquesSpec ("broadcast gate degrades...").
+    // lmScores is memoized behind a lineage cut (localCheckpoint), so
+    // the join strategy is pinned on the PRE-checkpoint build plan.
+    val plan = formatted(queries.Curation.lmScoresCompute(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
