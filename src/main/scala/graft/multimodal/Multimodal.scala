@@ -3202,9 +3202,12 @@ object Multimodal {
       val symtab = seg.select(col("sym")).distinct()
         .withColumn("id", (row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("sym"))) - 1).cast("long"))
+      // localCheckpoint, not persist: joined into per-micro-batch
+      // plans in both gated mm streams — the memo-boundary lineage
+      // cut keeps every consumer's plan at scan size
       val df = seg.join(broadcast(symtab), Seq("sym"))
         .select(col("word"), col("j").cast("long").as("j"), col("id"), col("sym"))
-        .persist()
+        .localCheckpoint(true)
       (df, df.count())
     })
 
@@ -3222,7 +3225,8 @@ object Multimodal {
       dir: String): (org.apache.spark.sql.DataFrame, Long) =
     mmVocabLensCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
       val (syms, _) = mmCaptionSymsStats(s, dir)
-      val df = syms.groupBy(col("word")).agg(count(lit(1)).as("nsym")).persist()
+      val df = syms.groupBy(col("word")).agg(count(lit(1)).as("nsym"))
+        .localCheckpoint(true)
       (df, df.count())
     })
 
@@ -3260,9 +3264,7 @@ object Multimodal {
 
   private[graft] def mmEmitPositioned(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     mmPosCache.getOrElseUpdate(s.sparkContext.applicationId + "#" + dir, {
-      val df = mmPositionOf(s, dir, mmEmitDocs(s, dir)).persist()
-      df.count()
-      df
+      mmPositionOf(s, dir, mmEmitDocs(s, dir)).localCheckpoint(true)
     })
 
   /** Position any `(doc_id, shard, media_tokens, text)` aligned-docs

@@ -2153,9 +2153,14 @@ object TextOps {
       val symtab = seg.select(col("sym")).distinct()
         .withColumn("id", (row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("sym"))) - 1).cast("long"))
+      // localCheckpoint, not persist: the table's lineage is the full
+      // cascade + BPE fold, and it is JOINED into every window-cut
+      // plan (4× per streaming micro-batch) — persist caches execution
+      // but every consumer still re-analyzes the giant tree (the
+      // memo-boundary rule this round applied to the schedules)
       val df = seg.join(broadcast(symtab), Seq("sym"))
         .select(col("word"), col("j").cast("long").as("j"), col("id"), col("sym"))
-        .persist()
+        .localCheckpoint(true)
       (df, df.count())
     })
 
@@ -2184,9 +2189,11 @@ object TextOps {
       val symtab = seg.select(col("sym")).distinct()
         .withColumn("id", (row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("sym"))) - 1).cast("long"))
+      // localCheckpoint like [[emitWordSymsStats]] — same giant
+      // lineage, joined into every GATED window cut
       val df = seg.join(broadcast(symtab), Seq("sym"))
         .select(col("word"), col("j").cast("long").as("j"), col("id"), col("sym"))
-        .persist()
+        .localCheckpoint(true)
       (df, df.count())
     })
 

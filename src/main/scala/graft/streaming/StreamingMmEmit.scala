@@ -83,11 +83,14 @@ object StreamingMmEmit {
     * appends skipped by the identity-checked watermark. */
   def processBatch(batch: DataFrame, batchId: Long, env: Env): Unit = {
     val bs = batch.sparkSession
+    // localCheckpoint (eager), not persist: both faces read it AND
+    // every face action re-analyzes its plan — the lineage cut keeps
+    // those plans at scan size (the trimodal batch's rule)
     val aligned = Multimodal.mmEmitDocsOf(batch, Tables.embeddings(bs, env.dir))
-      .persist() // both faces read it: alignment scores run once per batch
+      .localCheckpoint(true)
     // caption lens paid ONCE per batch — the gated face's records are
     // a subset of the aligned ids, so both positionings share it
-    val lens = Multimodal.mmCapLensOf(bs, env.dir, aligned).persist()
+    val lens = Multimodal.mmCapLensOf(bs, env.dir, aligned).localCheckpoint(true)
     placeFace(bs, env, batchId, aligned, lens, OffsetsName, env.outDir)
     env.quality.foreach { qstore =>
       val model = qstore.loadProduction(bs, graft.ml.QualityModel.ModelName)
@@ -98,8 +101,7 @@ object StreamingMmEmit {
       placeFace(bs, env, batchId, aligned.join(keep, Seq("doc_id")), lens,
         GatedOffsetsName, env.gatedOutDir)
     }
-    lens.unpersist()
-    aligned.unpersist()
+    // aligned/lens are localCheckpoint-backed — ContextCleaner reclaims
     ()
   }
 
@@ -340,12 +342,17 @@ object StreamingMmEmit {
     // face programs reuse this one exchange instead of re-shuffling.
     // Partition count = the trimodal shard alphabet (4), the same
     // constant the offsets state is keyed by.
+    // localCheckpoint (eager), not persist+count: ALL faces read it —
+    // the three gates run once per batch AND, crucially, every face
+    // action (2 writes × 4 faces) re-ANALYZES its full logical plan;
+    // with persist those plans embed the whole gate pipeline (250–700
+    // nodes measured), with the lineage cut they are scans. Eager =
+    // materialized before the concurrent face reads, like the count
+    // this replaces.
     val gated = Multimodal.trimodalGatedOf(live, Tables.embeddings(bs, env.dir))
       .repartition(4, col("shard"))
-      .persist() // ALL faces read it: the three gates run once per batch
-    gated.count() // materialize BEFORE the concurrent face reads
-    val lens = Multimodal.trimodalCapLensOf(bs, env.dir, gated).persist()
-    lens.count()
+      .localCheckpoint(true)
+    val lens = Multimodal.trimodalCapLensOf(bs, env.dir, gated).localCheckpoint(true)
     // The four faces are INDEPENDENT sinks (each owns its offset
     // state + output dir) over the shared cached frames, and at
     // micro-batch sizes their placement jobs are latency-bound, not
@@ -405,8 +412,9 @@ object StreamingMmEmit {
     (Seq(alignedFace, mmFace) ++ gatedFaces)
       .foreach(Await.result(_, Duration.Inf))
     keeps.foreach(_.unpersist())
-    lens.unpersist()
-    gated.unpersist()
+    // gated/lens are localCheckpoint-backed: their blocks are
+    // reclaimed by the ContextCleaner once this scope drops the last
+    // reference (unpersist() only acts on CacheManager entries)
     ()
   }
 
