@@ -2465,11 +2465,9 @@ object Multimodal {
       positioned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (syms, nSyms) = mmCaptionSymsStats(s, dir)
-    val patches = positioned
-      .select(col("shard"), col("start_off"),
-        explode(sequence(lit(0L), col("mt") - 1)).as("k"))
-      .select(col("shard"), (col("start_off") + col("k")).as("pos"),
-        lit("P").as("tok"))
+    // patch blocks as run slices — one row per (record, window
+    // overlap) instead of one per patch token ([[patchRunSlices]])
+    val patches = patchRunSlices(positioned, col("mt"), 2048)
     val capIds = positioned
       .select(col("shard"), col("doc_id"), col("mrank"),
         (col("start_off") + col("mt")).as("cap_off"),
@@ -2485,14 +2483,8 @@ object Multimodal {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id"), col("mrank")).orderBy(col("i"), col("j"))) - 1)
       .select(col("shard"), (col("cap_off") + col("rk")).as("pos"),
-        col("id").cast("string").as("tok"))
-    patches.unionByName(capIds)
-      .groupBy(col("shard"), floor(col("pos") / 2048).cast("long").as("seq_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        count(when(col("tok") === "P", 1)).as("n_patch"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), ",")).as("window_fp"))
+        lit(1L).as("n"), lit(0L).as("np"), col("id").cast("string").as("csv"))
+    windowAggOfSlices(patches.unionByName(capIds), 2048)
   }
 
   /** Per-window RECORD-BOUNDARY manifest for the TRIMODAL release —
@@ -3300,6 +3292,47 @@ object Multimodal {
       .select(col("shard"), col("doc_id"), col("start_off"),
         col("media_tokens"), col("text"), col("tot"))
 
+  /** Patch-block contributions as RUN SLICES instead of one row per
+    * patch token: a record's patch block occupies
+    * [start_off, start_off + m) contiguously, so its contribution to
+    * window k is an arithmetically-determined run of `P` tokens —
+    * emitted as ONE row `(shard, pos, n, np, csv)` per (record,
+    * overlapped window), where csv is the run's comma-joined
+    * spelling. Row count drops from Σ patch tokens (the cost rule
+    * gives ~16×⌈bytes/32⌉ ≈ 512 rows per 1 KB doc) to #records +
+    * boundary crossings, and the aggregated window hash is
+    * byte-identical because a slice's csv IS its tokens joined by
+    * ',' (guide §2.3: shuffle run metadata, not per-token rows). */
+  private def patchRunSlices(positioned: org.apache.spark.sql.DataFrame,
+      mt: org.apache.spark.sql.Column, budget: Int): org.apache.spark.sql.DataFrame =
+    positioned
+      .select(col("shard"), col("start_off"), mt.as("m"))
+      .filter(col("m") > 0)
+      .select(col("shard"), col("start_off"), col("m"),
+        explode(sequence(floor(col("start_off") / budget),
+          floor((col("start_off") + col("m") - 1) / budget))).as("win"))
+      .select(col("shard"),
+        greatest(col("start_off"), col("win") * budget).as("pos"),
+        (least(col("start_off") + col("m"), (col("win") + 1) * budget)
+          - greatest(col("start_off"), col("win") * budget)).as("n"))
+      .select(col("shard"), col("pos"), col("n"), col("n").as("np"),
+        array_join(array_repeat(lit("P"), col("n").cast("int")), ",").as("csv"))
+
+  /** The (shard, window) aggregation over slice rows
+    * `(shard, pos, n, np, csv)` — token counts sum the slice widths,
+    * the window hash concatenates slice spellings in position order
+    * (positions are globally unique per shard, so the sort is
+    * total). */
+  private def windowAggOfSlices(slices: org.apache.spark.sql.DataFrame,
+      budget: Int): org.apache.spark.sql.DataFrame =
+    slices
+      .groupBy(col("shard"), floor(col("pos") / budget).cast("long").as("seq_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("np")).as("n_patch"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("csv")))),
+          x => x.getField("csv")), ",")).as("window_fp"))
+
   /** Cut the interleaved 2048-token windows of a positioned
     * aligned-docs frame: each doc contributes its media patch block
     * (`media_tokens` opaque patch tokens, spelled `P`) immediately
@@ -3309,22 +3342,19 @@ object Multimodal {
     * the direct analog of the text emission's
     * [[graft.queries.TextOps.emitWindowsIds]].
     *
-    * Scale shape: the patch explode is arithmetic (no payload bytes
-    * ride past the cost column); caption ids join the bounded symbol
-    * table broadcast; the in-doc id rank is a per-DOC window (≤
-    * caption length rows per partition — bounded, skew-free); the
-    * only corpus-width shuffles are that doc-keyed exchange and the
-    * final (shard, window) aggregation, the emission family's
-    * established shape. */
+    * Scale shape: the patch contribution is [[patchRunSlices]] run
+    * arithmetic (one row per record-window overlap, never per patch
+    * token); caption ids join the bounded symbol table broadcast;
+    * the in-doc id rank is a per-DOC window (≤ caption length rows
+    * per partition — bounded, skew-free); the only corpus-width
+    * shuffles are that doc-keyed exchange and the final
+    * (shard, window) aggregation, the emission family's established
+    * shape. */
   private[graft] def mmEmitWindows(s: SparkSession, dir: String,
       positioned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (syms, nSyms) = mmCaptionSymsStats(s, dir)
-    val patches = positioned
-      .select(col("shard"), col("start_off"),
-        explode(sequence(lit(0L), col("media_tokens") - 1)).as("k"))
-      .select(col("shard"), (col("start_off") + col("k")).as("pos"),
-        lit("P").as("tok"))
+    val patches = patchRunSlices(positioned, col("media_tokens"), 2048)
     val capIds = positioned
       .select(col("shard"), col("doc_id"),
         (col("start_off") + col("media_tokens")).as("cap_off"),
@@ -3339,14 +3369,8 @@ object Multimodal {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("i"), col("j"))) - 1)
       .select(col("shard"), (col("cap_off") + col("rk")).as("pos"),
-        col("id").cast("string").as("tok"))
-    patches.unionByName(capIds)
-      .groupBy(col("shard"), floor(col("pos") / 2048).cast("long").as("seq_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        count(when(col("tok") === "P", 1)).as("n_patch"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), ",")).as("window_fp"))
+        lit(1L).as("n"), lit(0L).as("np"), col("id").cast("string").as("csv"))
+    windowAggOfSlices(patches.unionByName(capIds), 2048)
   }
 
   /** The INTERLEAVED image-text training emission — the multimodal
