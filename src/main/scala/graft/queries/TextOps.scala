@@ -2197,23 +2197,56 @@ object TextOps {
       (df, df.count())
     })
 
+  /** The per-WORD id encoding of a symbol table: `(word, ids_csv,
+    * nsym)` — the word's symbol ids in j order joined by ',' plus
+    * their count. Joining TOKENS against this instead of the
+    * per-symbol table keeps the window aggregation's input at one
+    * row per token instead of one per symbol (guide §2.3 — shuffle
+    * fewer rows), and the window's id sequence is reassembled by
+    * concatenating per-word csv fragments in position order —
+    * byte-identical to the per-symbol sort by (pos, j). Memoized +
+    * lineage-cut per symbol-table memo, vocab-bounded like it. */
+  private val wordEncCache =
+    graft.SessionCaches.register(
+      scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)])
+
+  private def wordEncOf(key: String, symsStats: => (DataFrame, Long)): (DataFrame, Long) =
+    wordEncCache.getOrElseUpdate(key, {
+      val (syms, _) = symsStats
+      val df = syms.groupBy(col("word")).agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("j"), col("id")))),
+            x => x.getField("id").cast("string")), ",").as("ids_csv"),
+          count(lit(1)).as("nsym"))
+        .localCheckpoint(true)
+      (df, df.count())
+    })
+
+  private[graft] def emitWordEncStats(s: SparkSession, dir: String): (DataFrame, Long) =
+    wordEncOf(s.sparkContext.applicationId + "#emit#" + dir, emitWordSymsStats(s, dir))
+
+  private[graft] def preQualityWordEncStats(s: SparkSession, dir: String): (DataFrame, Long) =
+    wordEncOf(s.sparkContext.applicationId + "#preq#" + dir, preQualityWordSymsStats(s, dir))
+
   /** [[emitWindows]] extended with the TOKENIZED-ID face of each
     * window: alongside the text fingerprint, every window also hashes
     * its BPE token-ID sequence (each word's symbols in order, words
     * in position order) — the actual dataloader contract a training
     * run consumes. One extra word-keyed join against the (bounded)
-    * symbol table; n_tokens counts j = 0 rows so the text-window
-    * accounting is unchanged. */
+    * per-word encoding. Windows are cut at WORD positions, so a
+    * word's ids never straddle a boundary and the per-word csv
+    * fragments concatenate into exactly the per-symbol sequence. */
   private[graft] def emitWindowsIds(s: SparkSession, dir: String,
                                     positioned: DataFrame): DataFrame =
-    emitWindowsIdsWith(emitWordSymsStats(s, dir), positioned)
+    emitWindowsIdsWith(emitWordEncStats(s, dir), positioned)
 
-  /** [[emitWindowsIds]] against an explicit symbol table — the gated
-    * emission cuts with the pre-quality release table instead of the
-    * heuristic-corpus one. */
-  private[graft] def emitWindowsIdsWith(symsStats: (DataFrame, Long),
+  /** [[emitWindowsIds]] against an explicit per-word encoding — the
+    * gated emission cuts with the pre-quality release table
+    * ([[preQualityWordEncStats]]) instead of the heuristic-corpus
+    * one. */
+  private[graft] def emitWindowsIdsWith(encStats: (DataFrame, Long),
                                         positioned: DataFrame): DataFrame = {
-    val (syms, nSyms) = symsStats
+    val (enc, nEnc) = encStats
     // LEFT join: a word outside the tokenizer vocabulary must fail
     // LOUDLY (raise_error), never silently vanish from the window —
     // an inner join would drop it from BOTH faces (text fingerprint
@@ -2223,23 +2256,22 @@ object TextOps {
       .select(col("source"), col("start_off"),
         posexplode(split(col("red"), " ")).as(Seq("i", "word")))
       .select(col("source"), (col("start_off") + col("i")).as("pos"), col("word"))
-      .join(maybeBroadcast(syms, nSyms * 48L), Seq("word"), "left_outer")
-      .select(col("source"), col("pos"), col("word"),
-        coalesce(col("j"), lit(0L)).as("j"),
-        when(col("id").isNotNull, col("id"))
+      .join(maybeBroadcast(enc, nEnc * 64L), Seq("word"), "left_outer")
+      .select(col("source"), col("pos"), col("word"), col("nsym"),
+        when(col("ids_csv").isNotNull, col("ids_csv"))
           .otherwise(raise_error(concat(
             lit("emission word missing from tokenizer vocabulary: "), col("word"))))
-          .as("id"))
+          .as("ids_csv"))
       .groupBy(col("source"), floor(col("pos") / 512).as("seq_id"))
       .agg(
-        count(when(col("j") === 0, 1)).as("n_tokens"),
-        count(lit(1)).as("n_ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("nsym")).as("n_ids"),
         md5(array_join(transform(
-          array_sort(collect_list(when(col("j") === 0, struct(col("pos"), col("word"))))),
+          array_sort(collect_list(struct(col("pos"), col("word")))),
           x => x.getField("word")), " ")).as("window_fp"),
         md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("j"), col("id")))),
-          x => x.getField("id").cast("string")), ",")).as("ids_fp"))
+          array_sort(collect_list(struct(col("pos"), col("ids_csv")))),
+          x => x.getField("ids_csv")), ",")).as("ids_fp"))
   }
 
   /** The `ro`/`rw` positioned-token CTEs of the emission oracles —

@@ -85,7 +85,7 @@ object StreamingEmit {
         .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
       cutAgainstCarry(bs, env, batchId, gatedRetained, CarryGatedName,
         env.gatedWindowsDir,
-        p => TextOps.emitWindowsIdsWith(TextOps.preQualityWordSymsStats(bs, env.dir), p),
+        p => TextOps.emitWindowsIdsWith(TextOps.preQualityWordEncStats(bs, env.dir), p),
         Seq("n_tokens", "n_ids", "window_fp", "ids_fp"))
     }
     ()
@@ -217,7 +217,7 @@ object StreamingEmit {
         col("carry_text").as("red"))
     spark.read.parquet(env.gatedWindowsDir).drop("batch")
       .unionByName(TextOps.emitWindowsIdsWith(
-        TextOps.preQualityWordSymsStats(spark, env.dir), latest))
+        TextOps.preQualityWordEncStats(spark, env.dir), latest))
   }
 
   // ------------------------------------------------------------ unified pass
@@ -411,7 +411,7 @@ object StreamingEmit {
       // batch recut of BOTH faces, against the same pre-quality
       // release symbol table the gated stream cuts with
       val batchGated = pin(TextOps.emitWindowsIdsWith(
-        TextOps.preQualityWordSymsStats(s, dir), gatedPos))
+        TextOps.preQualityWordEncStats(s, dir), gatedPos))
       // flip docs: where the heuristic and learned cascades disagree
       val flips = pin(un.decisions
         .select(col("doc_id"), col("source"), col("drop_reason").as("h"))
