@@ -1403,6 +1403,49 @@ object TextOps {
         // input; the decision-record queries drop it before the oracle
         when(col("drop_reason").isNull, col("red")).as("red"))
 
+  /** The gate-invariant prefix of [[curationDecideWith]] PLUS the
+    * retained-docs PII tail computed ONCE: every cascade stage before
+    * low_quality, and the tail columns for rows those stages keep.
+    * The tail is gate-invariant — a doc retained under ANY quality
+    * gate carries the same planted/redacted text — so a two-face
+    * consumer (the shadow stream: heuristic + learned decisions per
+    * micro-batch) localCheckpoints this and projects both gates from
+    * it instead of paying the regex tail twice per batch. */
+  private[graft] def curationDecideShared(marked: DataFrame): DataFrame =
+    marked
+      .withColumn("pre_drop",
+        when(col("is_exact_dup"), "exact_dup")
+        .when(col("is_near_dup"), "near_dup")
+        .when(lit(2L) * col("n_tokens_kept") < col("n_tokens"), "heavy_dup")
+        .when(col("is_contam"), "contaminated")
+        .when(col("pred_lang") =!= "en", "lang"))
+      .withColumn("t0", when(col("pre_drop").isNull,
+        Privacy.planted(col("kept_text"), col("doc_id"))))
+      .withColumn("red0", when(col("pre_drop").isNull, Privacy.redacted(col("t0"))))
+      .withColumn("n_pii0", when(col("pre_drop").isNull,
+        (regexp_count(col("t0"), lit(Privacy.EmailRe))
+          + regexp_count(col("t0"), lit(Privacy.Ipv4Re))
+          + regexp_count(col("t0"), lit(Privacy.PhoneRe))).cast("long")))
+      .withColumn("final_tokens0", when(col("pre_drop").isNull,
+        size(split(col("red0"), " ")).cast("long")))
+      .withColumn("final_fp0", when(col("pre_drop").isNull, md5(col("red0"))))
+
+  /** One gate face over [[curationDecideShared]] — the exact
+    * [[curationDecideWith]] output columns; rows the gate drops get
+    * their precomputed tail values NULLed, reproducing the original
+    * when(drop_reason IS NULL, ...) semantics byte for byte. */
+  private[graft] def decideFromShared(shared: DataFrame, lowQuality: Column): DataFrame =
+    shared
+      .withColumn("drop_reason",
+        coalesce(col("pre_drop"), when(lowQuality, "low_quality")))
+      .select(col("doc_id"), col("source"), col("lang"), col("pred_lang"),
+        col("n_tokens"), col("n_line_rm"), col("n_span_rm"), col("n_removed"),
+        col("n_tokens_kept"), col("quality_score"), col("drop_reason"),
+        when(col("drop_reason").isNull, col("n_pii0")).as("n_pii"),
+        when(col("drop_reason").isNull, col("final_tokens0")).as("final_tokens"),
+        when(col("drop_reason").isNull, col("final_fp0")).as("final_fp"),
+        when(col("drop_reason").isNull, col("red0")).as("red"))
+
   /** Per-doc decision frame behind [[curation]] / [[curationPack]],
     * memoized + persisted per (application, sf dir): both queries
     * (and the consistency spec) replay the same composed stack, and

@@ -319,12 +319,9 @@ object StreamingCuration {
     //       closed-form LR score, re-resolving the PRODUCTION model
     //       EVERY batch (the stream_ann_query discipline) so a
     //       mid-stream promotion takes effect at the next batch.
-    val markedRaw = exact
+    val marked = exact
       .join(nearIds, Seq("doc_id"), "left_outer")
       .join(contamIds, Seq("doc_id"), "left_outer")
-    // shadow mode reads the marked frame twice (heuristic + learned
-    // cascades) — persist so the mask joins + token profile run once
-    val marked = if (env.shadow) markedRaw.persist() else markedRaw
     def learnedDecisions(qstore: FrameStore): DataFrame = {
       val model = qstore.loadProduction(bs, graft.ml.QualityModel.ModelName)
         .getOrElse(sys.error("no production quality model"))
@@ -333,20 +330,33 @@ object StreamingCuration {
       TextOps.curationDecideWith(marked.join(proba, Seq("doc_id")),
         col("proba") < 0.5)
     }
-    val decisions = env.quality match {
-      case Some(qstore) if !env.shadow => learnedDecisions(qstore)
-      case _ => TextOps.curationDecide(marked)
+    env.quality match {
+      case Some(qstore) if env.shadow =>
+        // shadow mode lands BOTH faces: the cascade's gate-invariant
+        // prefix + PII tail is computed ONCE (localCheckpoint — the
+        // tail regexes were the stack's second-most-expensive pass,
+        // paid twice per batch before this), then each gate is a
+        // cheap projection. The learned face scores only pre-quality
+        // survivors: the gate can only fire where the prefix kept the
+        // doc, so the decisions are unchanged.
+        val shared = TextOps.curationDecideShared(marked).localCheckpoint(true)
+        TextOps.decideFromShared(shared, col("quality_score") < 0.7)
+          .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
+        val model = qstore.loadProduction(bs, graft.ml.QualityModel.ModelName)
+          .getOrElse(sys.error("no production quality model"))
+        val proba = graft.ml.QualityModel.scoreClosedForm(
+          shared.filter(col("pre_drop").isNull)
+            .select(col("doc_id"), split(col("kept_text"), " ").as("toks")), model)
+        TextOps.decideFromShared(shared.join(proba, Seq("doc_id"), "left_outer"),
+            col("proba") < 0.5)
+          .write.mode("overwrite").parquet(s"${env.learnedOutDir}/batch=$batchId")
+      case Some(qstore) =>
+        learnedDecisions(qstore)
+          .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
+      case None =>
+        TextOps.curationDecide(marked)
+          .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
     }
-    decisions.write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
-    // SHADOW learned record: same per-batch PRODUCTION re-resolve as
-    // the gated mode (a mid-stream promotion takes effect at the next
-    // batch), landed beside the heuristic decisions — overwrite-
-    // deterministic, so replays stay idempotent like the main write
-    if (env.shadow) env.quality.foreach { qstore =>
-      learnedDecisions(qstore).write.mode("overwrite")
-        .parquet(s"${env.learnedOutDir}/batch=$batchId")
-    }
-    if (env.shadow) marked.unpersist()
     // the indexes grow with EVERY doc (dropped docs still index —
     // the batch pipeline's pair list spans the whole corpus)
     env.store.appendBatch(bs, ShingleIdx,
