@@ -53,6 +53,7 @@ object DrainProbe2 {
       case "curation" => graft.streaming.StreamingEmit.unifiedRun(spark, sfDir); ()
       case "trimodal" => graft.streaming.StreamingMmEmit.warmTrimodalStream(spark, sfDir)
       case "drift"    => graft.streaming.StreamingDrift.warmDriftStream(spark, sfDir)
+      case other      => sys.error(s"unknown probe: $other (curation|trimodal|drift)")
     }
     val wall = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500)

@@ -2463,27 +2463,16 @@ object Multimodal {
     * shared by the batch query and the streaming twin's drain. */
   private[graft] def trimodalEmitWindowsOf(s: SparkSession, dir: String,
       positioned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (syms, nSyms) = mmCaptionSymsStats(s, dir)
     // patch blocks as run slices — one row per (record, window
-    // overlap) instead of one per patch token ([[patchRunSlices]])
+    // overlap) instead of one per patch token ([[patchRunSlices]]);
+    // transcript ids as word-run slices — one row per token instead
+    // of one per symbol ([[captionRunSlices]])
     val patches = patchRunSlices(positioned, col("mt"), 2048)
-    val capIds = positioned
-      .select(col("shard"), col("doc_id"), col("mrank"),
+    val capIds = captionRunSlices(mmCaptionWordEncStats(s, dir),
+      positioned.select(col("shard"), col("doc_id"), col("mrank"),
         (col("start_off") + col("mt")).as("cap_off"),
-        posexplode(split(col("text"), " ")).as(Seq("i", "word")))
-      .join(graft.queries.TextOps.maybeBroadcast(syms, nSyms * 48L),
-        Seq("word"), "left_outer")
-      .select(col("shard"), col("doc_id"), col("mrank"), col("cap_off"),
-        col("i"), col("j"),
-        when(col("id").isNotNull, col("id"))
-          .otherwise(raise_error(concat(
-            lit("transcript word missing from mm tokenizer vocabulary: "), col("word"))))
-          .as("id"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id"), col("mrank")).orderBy(col("i"), col("j"))) - 1)
-      .select(col("shard"), (col("cap_off") + col("rk")).as("pos"),
-        lit(1L).as("n"), lit(0L).as("np"), col("id").cast("string").as("csv"))
+        posexplode(split(col("text"), " ")).as(Seq("i", "word"))),
+      Seq("doc_id", "mrank"), 2048, "transcript")
     windowAggOfSlices(patches.unionByName(capIds), 2048)
   }
 
@@ -3307,6 +3296,13 @@ object Multimodal {
       mt: org.apache.spark.sql.Column, budget: Int): org.apache.spark.sql.DataFrame =
     positioned
       .select(col("shard"), col("start_off"), mt.as("m"))
+      // m ≥ 16 by the cost rule (greatest(1, bytes/32) * 16 — engine
+      // and every oracle CTE), so this filter never drops a record.
+      // It exists to PIN the mt=0 edge: the old per-token
+      // explode(sequence(0, m-1)) defaulted to step -1 for m=0 and
+      // emitted two spurious 'P' rows; run arithmetic emits none —
+      // the correct spelling of "no patch block" should the rule ever
+      // admit zero-media records.
       .filter(col("m") > 0)
       .select(col("shard"), col("start_off"), col("m"),
         explode(sequence(floor(col("start_off") / budget),
@@ -3317,6 +3313,64 @@ object Multimodal {
           - greatest(col("start_off"), col("win") * budget)).as("n"))
       .select(col("shard"), col("pos"), col("n"), col("n").as("np"),
         array_join(array_repeat(lit("P"), col("n").cast("int")), ",").as("csv"))
+
+  /** The per-WORD id encoding of the mm caption/transcript symbol
+    * table — [[graft.queries.TextOps.wordEncOf]] over
+    * [[mmCaptionSymsStats]]: `(word, ids_csv, nsym)` plus row count
+    * and a broadcast-size estimate derived from Σ nsym. Memoized +
+    * lineage-cut per session, vocabulary-bounded like the symbol
+    * table itself. */
+  private[graft] def mmCaptionWordEncStats(s: SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Long, Long) =
+    graft.queries.TextOps.wordEncOf(
+      s.sparkContext.applicationId + "#mmcap#" + dir, mmCaptionSymsStats(s, dir))
+
+  /** Caption token-ID contributions as WORD-RUN SLICES instead of one
+    * row per BPE symbol — [[patchRunSlices]]' device applied to the
+    * caption face (the text emission's per-word encoding one modality
+    * up): token i's ids occupy the contiguous run
+    * [cap_off + Σ nsym(tokens before i), +nsym), so its contribution
+    * to window k is an arithmetically-determined fragment of its
+    * ids_csv. The mm cuts place each ID at its own stream position,
+    * so a word CAN straddle a window boundary — a straddling token
+    * emits one slice per overlapped window (≤ 1 extra row per 2048
+    * positions), each carrying the csv fragment of its side, and the
+    * aggregated window hash stays byte-identical to the per-symbol
+    * (pos, j) sort because fragments concatenate in position order.
+    * Aggregation input drops from one row per symbol (~3-5× the
+    * token count) to one per token (guide §2.3 — shuffle runs, not
+    * rows). OOV stays LOUD: nsym is null only for a word outside the
+    * release vocabulary, and both the window prefix-sum and the
+    * slice bounds evaluate the checked column, so the raise fires
+    * before any row could silently vanish. */
+  private def captionRunSlices(enc: (org.apache.spark.sql.DataFrame, Long, Long),
+      tokens: org.apache.spark.sql.DataFrame, partCols: Seq[String],
+      budget: Int, kind: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (encDf, _, encBytes) = enc
+    val wBefore = Window.partitionBy(partCols.map(col): _*).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tokens
+      .join(graft.queries.TextOps.maybeBroadcast(encDf, encBytes),
+        Seq("word"), "left_outer")
+      .withColumn("nsym", when(col("nsym").isNotNull, col("nsym"))
+        .otherwise(raise_error(concat(
+          lit(s"$kind word missing from mm tokenizer vocabulary: "), col("word")))))
+      .withColumn("pos0",
+        col("cap_off") + coalesce(sum(col("nsym")).over(wBefore), lit(0L)))
+      .select(col("shard"), col("pos0"), col("nsym"), col("ids_csv"),
+        explode(sequence(floor(col("pos0") / budget),
+          floor((col("pos0") + col("nsym") - 1) / budget))).as("win"))
+      .select(col("shard"), col("pos0"), col("nsym"), col("ids_csv"),
+        greatest(col("pos0"), col("win") * budget).as("pos"),
+        (least(col("pos0") + col("nsym"), (col("win") + 1) * budget)
+          - greatest(col("pos0"), col("win") * budget)).as("n"))
+      .select(col("shard"), col("pos"), col("n"), lit(0L).as("np"),
+        when(col("n") === col("nsym"), col("ids_csv"))
+          .otherwise(array_join(slice(split(col("ids_csv"), ","),
+            (col("pos") - col("pos0") + 1).cast("int"), col("n").cast("int")), ","))
+          .as("csv"))
+  }
 
   /** The (shard, window) aggregation over slice rows
     * `(shard, pos, n, np, csv)` — token counts sum the slice widths,
@@ -3344,32 +3398,21 @@ object Multimodal {
     *
     * Scale shape: the patch contribution is [[patchRunSlices]] run
     * arithmetic (one row per record-window overlap, never per patch
-    * token); caption ids join the bounded symbol table broadcast;
-    * the in-doc id rank is a per-DOC window (≤ caption length rows
-    * per partition — bounded, skew-free); the only corpus-width
-    * shuffles are that doc-keyed exchange and the final
-    * (shard, window) aggregation, the emission family's established
-    * shape. */
+    * token); caption ids are [[captionRunSlices]] word-run arithmetic
+    * (one row per token, never per symbol) against the bounded
+    * per-word encoding broadcast; the in-doc prefix sum is a per-DOC
+    * window (≤ caption length rows per partition — bounded,
+    * skew-free); the only corpus-width shuffles are that doc-keyed
+    * exchange and the final (shard, window) aggregation, the
+    * emission family's established shape. */
   private[graft] def mmEmitWindows(s: SparkSession, dir: String,
       positioned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (syms, nSyms) = mmCaptionSymsStats(s, dir)
     val patches = patchRunSlices(positioned, col("media_tokens"), 2048)
-    val capIds = positioned
-      .select(col("shard"), col("doc_id"),
+    val capIds = captionRunSlices(mmCaptionWordEncStats(s, dir),
+      positioned.select(col("shard"), col("doc_id"),
         (col("start_off") + col("media_tokens")).as("cap_off"),
-        posexplode(split(col("text"), " ")).as(Seq("i", "word")))
-      .join(graft.queries.TextOps.maybeBroadcast(syms, nSyms * 48L),
-        Seq("word"), "left_outer")
-      .select(col("shard"), col("doc_id"), col("cap_off"), col("i"), col("j"),
-        when(col("id").isNotNull, col("id"))
-          .otherwise(raise_error(concat(
-            lit("caption word missing from mm tokenizer vocabulary: "), col("word"))))
-          .as("id"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("i"), col("j"))) - 1)
-      .select(col("shard"), (col("cap_off") + col("rk")).as("pos"),
-        lit(1L).as("n"), lit(0L).as("np"), col("id").cast("string").as("csv"))
+        posexplode(split(col("text"), " ")).as(Seq("i", "word"))),
+      Seq("doc_id"), 2048, "caption")
     windowAggOfSlices(patches.unionByName(capIds), 2048)
   }
 

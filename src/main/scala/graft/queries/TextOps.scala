@@ -2251,9 +2251,14 @@ object TextOps {
     * lineage-cut per symbol-table memo, vocab-bounded like it. */
   private val wordEncCache =
     graft.SessionCaches.register(
-      scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long)])
+      scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long, Long)])
 
-  private def wordEncOf(key: String, symsStats: => (DataFrame, Long)): (DataFrame, Long) =
+  /** Returns (enc frame, row count, broadcast-size estimate in bytes).
+    * The estimate is sized from the table itself — Σ nsym drives the
+    * ids_csv payload (a fixed per-row constant understated tables
+    * with long words: ids_csv length scales with symbols per word). */
+  private[graft] def wordEncOf(key: String,
+      symsStats: => (DataFrame, Long)): (DataFrame, Long, Long) =
     wordEncCache.getOrElseUpdate(key, {
       val (syms, _) = symsStats
       val df = syms.groupBy(col("word")).agg(
@@ -2262,13 +2267,14 @@ object TextOps {
             x => x.getField("id").cast("string")), ",").as("ids_csv"),
           count(lit(1)).as("nsym"))
         .localCheckpoint(true)
-      (df, df.count())
+      val r = df.agg(count(lit(1)), coalesce(sum(col("nsym")), lit(0L))).head()
+      (df, r.getLong(0), r.getLong(0) * 32L + r.getLong(1) * 8L)
     })
 
-  private[graft] def emitWordEncStats(s: SparkSession, dir: String): (DataFrame, Long) =
+  private[graft] def emitWordEncStats(s: SparkSession, dir: String): (DataFrame, Long, Long) =
     wordEncOf(s.sparkContext.applicationId + "#emit#" + dir, emitWordSymsStats(s, dir))
 
-  private[graft] def preQualityWordEncStats(s: SparkSession, dir: String): (DataFrame, Long) =
+  private[graft] def preQualityWordEncStats(s: SparkSession, dir: String): (DataFrame, Long, Long) =
     wordEncOf(s.sparkContext.applicationId + "#preq#" + dir, preQualityWordSymsStats(s, dir))
 
   /** [[emitWindows]] extended with the TOKENIZED-ID face of each
@@ -2287,9 +2293,9 @@ object TextOps {
     * gated emission cuts with the pre-quality release table
     * ([[preQualityWordEncStats]]) instead of the heuristic-corpus
     * one. */
-  private[graft] def emitWindowsIdsWith(encStats: (DataFrame, Long),
+  private[graft] def emitWindowsIdsWith(encStats: (DataFrame, Long, Long),
                                         positioned: DataFrame): DataFrame = {
-    val (enc, nEnc) = encStats
+    val (enc, _, encBytes) = encStats
     // LEFT join: a word outside the tokenizer vocabulary must fail
     // LOUDLY (raise_error), never silently vanish from the window —
     // an inner join would drop it from BOTH faces (text fingerprint
@@ -2299,7 +2305,7 @@ object TextOps {
       .select(col("source"), col("start_off"),
         posexplode(split(col("red"), " ")).as(Seq("i", "word")))
       .select(col("source"), (col("start_off") + col("i")).as("pos"), col("word"))
-      .join(maybeBroadcast(enc, nEnc * 64L), Seq("word"), "left_outer")
+      .join(maybeBroadcast(enc, encBytes), Seq("word"), "left_outer")
       .select(col("source"), col("pos"), col("word"), col("nsym"),
         when(col("ids_csv").isNotNull, col("ids_csv"))
           .otherwise(raise_error(concat(

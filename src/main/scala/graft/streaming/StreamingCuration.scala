@@ -350,6 +350,10 @@ object StreamingCuration {
         TextOps.decideFromShared(shared.join(proba, Seq("doc_id"), "left_outer"),
             col("proba") < 0.5)
           .write.mode("overwrite").parquet(s"${env.learnedOutDir}/batch=$batchId")
+        // shared is dead once both faces landed — free its checkpoint
+        // blocks now rather than letting past batches' pins wait on
+        // driver GC + ContextCleaner
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(shared)
       case Some(qstore) =>
         learnedDecisions(qstore)
           .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")

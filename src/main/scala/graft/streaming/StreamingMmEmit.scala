@@ -101,7 +101,12 @@ object StreamingMmEmit {
       placeFace(bs, env, batchId, aligned.join(keep, Seq("doc_id")), lens,
         GatedOffsetsName, env.gatedOutDir)
     }
-    // aligned/lens are localCheckpoint-backed — ContextCleaner reclaims
+    // aligned/lens are localCheckpoint-backed and dead once both
+    // faces have landed — free their blocks NOW instead of waiting
+    // for driver GC + ContextCleaner (blocks from past batches would
+    // otherwise accumulate between GC cycles on a long stream)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(lens)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(aligned)
     ()
   }
 
@@ -412,9 +417,13 @@ object StreamingMmEmit {
     (Seq(alignedFace, mmFace) ++ gatedFaces)
       .foreach(Await.result(_, Duration.Inf))
     keeps.foreach(_.unpersist())
-    // gated/lens are localCheckpoint-backed: their blocks are
-    // reclaimed by the ContextCleaner once this scope drops the last
-    // reference (unpersist() only acts on CacheManager entries)
+    // gated/lens are localCheckpoint-backed and dead once every face
+    // has landed (Await above) — free their blocks NOW instead of
+    // waiting for driver GC + ContextCleaner (unpersist() only acts
+    // on CacheManager entries; past batches' checkpoint blocks would
+    // otherwise accumulate between GC cycles on a long stream)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(lens)
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(gated)
     ()
   }
 

@@ -31,4 +31,48 @@ object Bridge {
     * action returns (Spark's own test suites drain the same way). */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Dev-probe support: per-NODE metrics of the slowest completed SQL
+    * executions from the session's status store — the attribution
+    * level below DrainProbe2's per-execution task sums (a foreachBatch
+    * drain's decision write is ONE execution; this shows which
+    * operator inside it carries the time). Returns printable lines. */
+  def sqlNodeMetricLines(spark: SparkSession, topExec: Int): Seq[String] = {
+    val store = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.statusStore
+    val execs = store.executionsList()
+      .filter(_.completionTime.isDefined)
+      .sortBy(e => -(e.completionTime.get.getTime - e.submissionTime))
+      .take(topExec)
+    execs.flatMap { e =>
+      val vals = store.executionMetrics(e.executionId)
+      val desc = Option(e.description).map(_.linesIterator.take(1).mkString).getOrElse("")
+      val header = f"== exec ${e.executionId}%4d  wall ${(e.completionTime.get.getTime - e.submissionTime) / 1e3}%8.2f s  $desc"
+      val nodeLines = store.planGraph(e.executionId).allNodes.toSeq.flatMap { n =>
+        val ms = n.metrics.flatMap(m => vals.get(m.accumulatorId).map(v => s"${m.name}=$v"))
+        val interesting = ms.filter(s => s.contains("time") || s.contains("rows") ||
+          s.contains("spill") || s.contains("bytes"))
+        if (interesting.isEmpty) Nil
+        else Seq(f"   node ${n.id}%4d ${n.name}%-40s ${interesting.mkString(" | ")}")
+      }
+      header +: nodeLines
+    }
+  }
+
+  /** Explicitly release the cached RDD blocks behind a
+    * `localCheckpoint(true)`-pinned DataFrame at a known lifecycle
+    * point (end of micro-batch). Relying on driver GC +
+    * ContextCleaner lets checkpoint blocks from past batches
+    * accumulate between GC cycles on long streams; freeing them
+    * deterministically bounds the storage footprint at one batch's
+    * pins. The frame is UNREADABLE afterwards (localCheckpoint
+    * severed its lineage) — callers only pass frames whose consumers
+    * have all completed. */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+  }
 }
