@@ -330,54 +330,80 @@ object StreamingCuration {
       TextOps.curationDecideWith(marked.join(proba, Seq("doc_id")),
         col("proba") < 0.5)
     }
-    env.quality match {
-      case Some(qstore) if env.shadow =>
-        // shadow mode lands BOTH faces: the cascade's gate-invariant
-        // prefix + PII tail is computed ONCE (localCheckpoint — the
-        // tail regexes were the stack's second-most-expensive pass,
-        // paid twice per batch before this), then each gate is a
-        // cheap projection. The learned face scores only pre-quality
-        // survivors: the gate can only fire where the prefix kept the
-        // doc, so the decisions are unchanged.
-        val shared = TextOps.curationDecideShared(marked).localCheckpoint(true)
-        TextOps.decideFromShared(shared, col("quality_score") < 0.7)
-          .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
-        val model = qstore.loadProduction(bs, graft.ml.QualityModel.ModelName)
-          .getOrElse(sys.error("no production quality model"))
-        val proba = graft.ml.QualityModel.scoreClosedForm(
-          shared.filter(col("pre_drop").isNull)
-            .select(col("doc_id"), split(col("kept_text"), " ").as("toks")), model)
-        TextOps.decideFromShared(shared.join(proba, Seq("doc_id"), "left_outer"),
-            col("proba") < 0.5)
-          .write.mode("overwrite").parquet(s"${env.learnedOutDir}/batch=$batchId")
-        // shared is dead once both faces landed — free its checkpoint
-        // blocks now rather than letting past batches' pins wait on
-        // driver GC + ContextCleaner
-        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(shared)
-      case Some(qstore) =>
-        learnedDecisions(qstore)
-          .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
-      case None =>
-        TextOps.curationDecide(marked)
-          .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
-    }
+    // The decision write(s) and the four index appends are INDEPENDENT
+    // actions over frames the shared-cascade materialization already
+    // persisted (docs/batchHs/segs/starts), each latency-bound at
+    // micro-batch sizes — run them CONCURRENTLY (guide §2.6, the
+    // trimodal FacePool discipline): every action keeps its exact
+    // sequential lineage and output location, the appends target four
+    // DISTINCT store names (staged-rename versioning tolerates
+    // concurrent writers by design), and every production read either
+    // resolved its version path eagerly above or filters this batch's
+    // own stamp, so ordering among the actions is immaterial.
+    val (decisionActs, sharedPin): (Seq[() => Unit], Option[DataFrame]) =
+      env.quality match {
+        case Some(qstore) if env.shadow =>
+          // shadow mode lands BOTH faces: the cascade's gate-invariant
+          // prefix + PII tail is computed ONCE (localCheckpoint — the
+          // tail regexes were the stack's second-most-expensive pass,
+          // paid twice per batch before this), then each gate is a
+          // cheap projection. The learned face scores only pre-quality
+          // survivors: the gate can only fire where the prefix kept the
+          // doc, so the decisions are unchanged.
+          val shared = TextOps.curationDecideShared(marked).localCheckpoint(true)
+          val heurFace = () => {
+            TextOps.decideFromShared(shared, col("quality_score") < 0.7)
+              .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
+            ()
+          }
+          val learnedFace = () => {
+            val model = qstore.loadProduction(bs, graft.ml.QualityModel.ModelName)
+              .getOrElse(sys.error("no production quality model"))
+            val proba = graft.ml.QualityModel.scoreClosedForm(
+              shared.filter(col("pre_drop").isNull)
+                .select(col("doc_id"), split(col("kept_text"), " ").as("toks")), model)
+            TextOps.decideFromShared(shared.join(proba, Seq("doc_id"), "left_outer"),
+                col("proba") < 0.5)
+              .write.mode("overwrite").parquet(s"${env.learnedOutDir}/batch=$batchId")
+            ()
+          }
+          (Seq(heurFace, learnedFace), Some(shared))
+        case Some(qstore) =>
+          (Seq(() => {
+            learnedDecisions(qstore)
+              .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
+            ()
+          }), None)
+        case None =>
+          (Seq(() => {
+            TextOps.curationDecide(marked)
+              .write.mode("overwrite").parquet(s"${env.outDir}/batch=$batchId")
+            ()
+          }), None)
+      }
     // the indexes grow with EVERY doc (dropped docs still index —
     // the batch pipeline's pair list spans the whole corpus)
-    env.store.appendBatch(bs, ShingleIdx,
-      batchHs.withColumn("batch_id", lit(batchId)),
-      batchId = Some(batchId), streamId = Some(env.ckpt))
-    env.store.appendBatch(bs, FpIdx,
-      docs.select(col("doc_id"), md5(col("text")).as("fp"))
-        .withColumn("batch_id", lit(batchId)),
-      batchId = Some(batchId), streamId = Some(env.ckpt))
-    env.store.appendBatch(bs, LineCounts,
-      lineFirsts.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
-        .withColumn("batch_id", lit(batchId)),
-      batchId = Some(batchId), streamId = Some(env.ckpt))
-    env.store.appendBatch(bs, SpanCounts,
-      spanFirsts.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
-        .withColumn("batch_id", lit(batchId)),
-      batchId = Some(batchId), streamId = Some(env.ckpt))
+    val appendActs: Seq[() => Unit] = Seq(
+      () => { env.store.appendBatch(bs, ShingleIdx,
+        batchHs.withColumn("batch_id", lit(batchId)),
+        batchId = Some(batchId), streamId = Some(env.ckpt)); () },
+      () => { env.store.appendBatch(bs, FpIdx,
+        docs.select(col("doc_id"), md5(col("text")).as("fp"))
+          .withColumn("batch_id", lit(batchId)),
+        batchId = Some(batchId), streamId = Some(env.ckpt)); () },
+      () => { env.store.appendBatch(bs, LineCounts,
+        lineFirsts.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("batch_id", lit(batchId)),
+        batchId = Some(batchId), streamId = Some(env.ckpt)); () },
+      () => { env.store.appendBatch(bs, SpanCounts,
+        spanFirsts.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("batch_id", lit(batchId)),
+        batchId = Some(batchId), streamId = Some(env.ckpt)); () })
+    StreamPools.runAll(decisionActs ++ appendActs)
+    // shared is dead once both faces landed — free its checkpoint
+    // blocks now rather than letting past batches' pins wait on
+    // driver GC + ContextCleaner
+    sharedPin.foreach(org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
     starts.unpersist()
     segs.unpersist()
     batchHs.unpersist()

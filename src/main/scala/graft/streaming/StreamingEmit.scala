@@ -62,15 +62,17 @@ object StreamingEmit {
   def processBatch(batch: DataFrame, batchId: Long, env: Env): Unit = {
     val bs = batch.sparkSession
     StreamingCuration.processBatch(batch, batchId, env.cur)
-    val retained = bs.read.parquet(s"${env.cur.outDir}/batch=$batchId")
-      .filter(col("drop_reason").isNull)
-      .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
     // heuristic-gated stream: both window faces (text fingerprint +
     // tokenized-ID hash — the symbol table is the fixed tokenizer
     // artifact, memoized per session, one broadcast join)
-    cutAgainstCarry(bs, env, batchId, retained, CarryName, env.windowsDir,
-      p => TextOps.emitWindowsIds(bs, env.dir, p),
-      Seq("n_tokens", "n_ids", "window_fp", "ids_fp"))
+    val heurCut = () => {
+      val retained = bs.read.parquet(s"${env.cur.outDir}/batch=$batchId")
+        .filter(col("drop_reason").isNull)
+        .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
+      cutAgainstCarry(bs, env, batchId, retained, CarryName, env.windowsDir,
+        p => TextOps.emitWindowsIds(bs, env.dir, p),
+        Seq("n_tokens", "n_ids", "window_fp", "ids_fp"))
+    }
     // GATED stream: the PRODUCTION quality model's decisions drive a
     // second window cut — the post-rollout operating mode, running
     // beside the heuristic face in the SAME pass (the expensive
@@ -79,7 +81,7 @@ object StreamingEmit {
     // ([[TextOps.preQualityWordSymsStats]] — vocab fixed before the
     // quality gate, so any gated subset under any promoted model is
     // covered and the id space never shifts under a gate flip).
-    if (env.cur.shadow) env.cur.quality.foreach { _ =>
+    val gatedCut = if (env.cur.shadow) env.cur.quality.map { _ => () => {
       val gatedRetained = bs.read.parquet(s"${env.cur.learnedOutDir}/batch=$batchId")
         .filter(col("drop_reason").isNull)
         .select(col("source"), col("doc_id"), col("red"), col("final_tokens"))
@@ -87,7 +89,19 @@ object StreamingEmit {
         env.gatedWindowsDir,
         p => TextOps.emitWindowsIdsWith(TextOps.preQualityWordEncStats(bs, env.dir), p),
         Seq("n_tokens", "n_ids", "window_fp", "ids_fp"))
+    }} else None
+    // resolve both memoized encodings BEFORE the concurrent cuts: a
+    // first-batch race would otherwise double-build the shared BPE
+    // memos (harmless — both builds are identical and one wins the
+    // memo — but wasteful)
+    if (gatedCut.isDefined) {
+      TextOps.emitWordEncStats(bs, env.dir)
+      TextOps.preQualityWordEncStats(bs, env.dir)
+      ()
     }
+    // the two faces cut against DISTINCT carry states and land in
+    // DISTINCT dirs — independent actions, overlapped (guide §2.6)
+    StreamPools.runAll(Seq(heurCut) ++ gatedCut.toSeq)
     ()
   }
 

@@ -46,10 +46,14 @@ object Bridge {
       .take(topExec)
     execs.flatMap { e =>
       val vals = store.executionMetrics(e.executionId)
-      val desc = Option(e.description).map(_.linesIterator.take(1).mkString).getOrElse("")
+      val desc0 = Option(e.description).map(_.linesIterator.take(1).mkString.trim)
+        .filter(_.nonEmpty)
+      val desc = desc0.getOrElse(Option(e.physicalPlanDescription)
+        .map(_.linesIterator.take(2).mkString(" | ").take(200)).getOrElse(""))
       val header = f"== exec ${e.executionId}%4d  wall ${(e.completionTime.get.getTime - e.submissionTime) / 1e3}%8.2f s  $desc"
       val nodeLines = store.planGraph(e.executionId).allNodes.toSeq.flatMap { n =>
-        val ms = n.metrics.flatMap(m => vals.get(m.accumulatorId).map(v => s"${m.name}=$v"))
+        val ms = n.metrics.flatMap(m => vals.get(m.accumulatorId)
+          .map(v => s"${m.name}=${v.linesIterator.mkString(" ").trim}"))
         val interesting = ms.filter(s => s.contains("time") || s.contains("rows") ||
           s.contains("spill") || s.contains("bytes"))
         if (interesting.isEmpty) Nil
