@@ -122,11 +122,10 @@ object Bench {
       },
       timedWarm("cache_warm_media_pairs") {
         // the image/audio/video fingerprint + band-join pair lists
-        // shared by the media dedup and cluster queries
-        WarmPhases.phase("image") { graft.multimodal.Multimodal.imagePairs(spark, sfDir) }
-        WarmPhases.phase("audio") { graft.multimodal.Multimodal.audioPairs(spark, sfDir) }
-        WarmPhases.phase("video") { graft.multimodal.Multimodal.videoPairs(spark, sfDir) }
-        ()
+        // shared by the media dedup and cluster queries — built
+        // concurrently (independent memo keys; per-face phases
+        // overlap, so their sum exceeds the entry wall by design)
+        graft.multimodal.Multimodal.warmMediaPairs(spark, sfDir)
       },
       timedWarm("cache_warm_curation") {
         // the composed curation decision frame (full filter stack)

@@ -976,6 +976,17 @@ object Multimodal {
   def videoHashesOf(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     memoHashes(s, dir, "video", videoHashes(Tables.documents(s, dir)))
 
+  /** Build all three modality pair lists CONCURRENTLY (guide §2.6):
+    * the decode+hash+band-join builds are independent (own memo keys,
+    * own decode paths), each a chain of wide jobs with driver-side
+    * gaps the others back-fill. Phases record each face's own wall —
+    * overlapped, so their sum exceeds the entry wall by design. */
+  private[graft] def warmMediaPairs(s: SparkSession, dir: String): Unit =
+    graft.streaming.StreamPools.runAll(Seq(
+      () => { graft.WarmPhases.phase("image") { imagePairs(s, dir) }; () },
+      () => { graft.WarmPhases.phase("audio") { audioPairs(s, dir) }; () },
+      () => { graft.WarmPhases.phase("video") { videoPairs(s, dir) }; () }))
+
   def imagePairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     memoPairs(s, dir, "image", imageBands(imageHashesOf(s, dir)))
 
@@ -1262,8 +1273,6 @@ object Multimodal {
       val pairs = jointPairsUnion(s, dir)
       val store = new graft.sources.FrameStore(
         java.nio.file.Files.createTempDirectory("graft-forget-joint-").toString)
-      val full = jointClustersOf(pairs).localCheckpoint(true)
-      store.promote("joint_clusters", store.register(s, "joint_clusters", full))
       // twin ids are parent+TwinOffset with TwinOffset ≡ 0 (mod
       // TakedownMod) — asserted at object construction beside the
       // constants — so the residue filter also withdraws a forgotten
@@ -1272,7 +1281,18 @@ object Multimodal {
       val pruned = pairs.filter(
         col("d1") % TakedownMod =!= TakedownResidue &&
           col("d2") % TakedownMod =!= TakedownResidue)
-      val after = jointClustersOf(pruned).localCheckpoint(true)
+      // the full and reduced CC recomputes are INDEPENDENT iterative
+      // loops over different edge lists — overlap them (guide §2.6):
+      // each loop's jobs back-fill the other's driver-side gaps; the
+      // store lifecycle below keeps its exact sequential order
+      val slots = new java.util.concurrent.atomic.AtomicReferenceArray[
+        org.apache.spark.sql.DataFrame](2)
+      graft.streaming.StreamPools.runAll(Seq(
+        () => slots.set(0, jointClustersOf(pairs).localCheckpoint(true)),
+        () => slots.set(1, jointClustersOf(pruned).localCheckpoint(true))))
+      val full = slots.get(0)
+      val after = slots.get(1)
+      store.promote("joint_clusters", store.register(s, "joint_clusters", full))
       store.rewrite(s, "joint_clusters")(_ => after)
       store.gc("joint_clusters", keep = 0)
       JointForgetWorld(store, after)

@@ -113,15 +113,11 @@ object ReleaseBundle {
       // a reader holding the OLD manifest still loads every OLD
       // version right up to the flip (version immutability — checked
       // here, pinned in the lifecycle spec)
-      val oldReadable = before.forall { case (n, v, rows) =>
-        store.load(s, n, v).count() == rows
-      }
+      val oldReadable = parityAll(s, store, before)
       promoteManifest(s, store, after)
       // components named by the production manifest exist with the
       // row counts the manifest claims
-      val consistent = after.forall { case (n, v, rows) =>
-        store.load(s, n, v).count() == rows
-      }
+      val consistent = parityAll(s, store, after)
       // gc: pre-forget versions of the recut components are PHYSICALLY
       // reclaimed — the withdrawn content survives through no pointer
       Components.foreach { n => store.promote(n,
@@ -130,12 +126,35 @@ object ReleaseBundle {
       BundleWorld(store, before, after, oldReadable, consistent)
   }
 
+  /** Register each component and read back its row count — the
+    * components of one manifest are INDEPENDENT artifacts under their
+    * own per-name version counters, so the register+count pairs run
+    * CONCURRENTLY (guide §2.6); the returned rows keep the sorted
+    * component order the manifest always had. */
   private def register(s: SparkSession, store: FrameStore,
-      comps: Map[String, DataFrame]): Seq[(String, Int, Long)] =
-    comps.toSeq.sortBy(_._1).map { case (n, df) =>
-      val v = store.register(s, n, df)
-      (n, v, store.load(s, n, v).count())
-    }
+      comps: Map[String, DataFrame]): Seq[(String, Int, Long)] = {
+    val entries = comps.toSeq.sortBy(_._1)
+    val out = new java.util.concurrent.atomic.AtomicReferenceArray[
+      (String, Int, Long)](entries.size)
+    graft.streaming.StreamPools.runAll(entries.zipWithIndex.map {
+      case ((n, df), i) => () => {
+        val v = store.register(s, n, df)
+        out.set(i, (n, v, store.load(s, n, v).count()))
+      }
+    })
+    entries.indices.map(out.get)
+  }
+
+  /** Concurrent parity readback: every (component, version) loads
+    * with the row count the manifest claims. */
+  private def parityAll(s: SparkSession, store: FrameStore,
+      rows: Seq[(String, Int, Long)]): Boolean = {
+    val oks = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.streaming.StreamPools.runAll(rows.map { case (n, v, nRows) =>
+      () => { if (store.load(s, n, v).count() == nRows) { oks.incrementAndGet(); () } }
+    })
+    oks.get == rows.size
+  }
 
   private def promoteManifest(s: SparkSession, store: FrameStore,
       rows: Seq[(String, Int, Long)]): Unit = {

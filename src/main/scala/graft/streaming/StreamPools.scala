@@ -9,7 +9,7 @@ package graft.streaming
   * store fs ops), so overlapping them compresses the per-batch wall
   * without changing any action's lineage or output. Six threads: the
   * widest concurrent action set (2 decision faces + 4 index appends). */
-private[streaming] object StreamPools {
+private[graft] object StreamPools {
   lazy val pool: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutor(
       java.util.concurrent.Executors.newFixedThreadPool(6, (r: Runnable) => {

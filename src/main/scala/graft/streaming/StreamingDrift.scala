@@ -338,7 +338,14 @@ object StreamingDrift {
       } finally { stats.unpersist(); () }
     }
     }
+    // the four face blocks are INDEPENDENT (own env, own store, own
+    // memo key) and each is a short chain of latency-bound actions
+    // (counts checkpoint → report checkpoint → verdict join →
+    // register + promote → count) — overlap them (guide §2.6, the
+    // per-batch discipline applied to the derived-artifact phase)
     graft.WarmPhases.phase("artifacts") {
+    StreamPools.runAll(Seq(
+    () => {
     // text face
     val tCounts = drainedCounts(s, eT).localCheckpoint(true)
     val tReport = Curation.psiReport(s, tCounts).localCheckpoint(true)
@@ -351,6 +358,9 @@ object StreamingDrift {
     val tCleanCount = eT.store.loadProduction(s, CleanCorpusName)
       .getOrElse(sys.error("no promoted clean corpus")).count()
     worldMemo.put(key, DriftWorld(eT, tCounts, tReport, tStaged, tCleanCount))
+    ()
+    },
+    () => {
     // media face
     val mCounts = drainedCounts(s, eM).localCheckpoint(true)
     val mReport = Curation.psiReport(s, mCounts, nsFeature = "rms")
@@ -364,6 +374,9 @@ object StreamingDrift {
     val mCleanCount = eM.store.loadProduction(s, MediaCleanName)
       .getOrElse(sys.error("no promoted clean media set")).count()
     mediaMemo.put(key, MediaDriftWorld(eM, mCounts, mReport, mCleanCount))
+    ()
+    },
+    () => {
     // cross-release text face (baseline re-resolved from the pointer)
     val bCounts = drainedCounts(s, eB).localCheckpoint(true)
     val (bv, bReport0) = baselineReport(s, eB, bCounts)
@@ -377,6 +390,9 @@ object StreamingDrift {
     val bCleanCount = eB.store.loadProduction(s, CleanCorpusName)
       .getOrElse(sys.error("no promoted clean corpus")).count()
     baselineMemo.put(key, BaselineDriftWorld(eB, bv, bCounts, bReport, bCleanCount))
+    ()
+    },
+    () => {
     // cross-release media face
     val mbCounts = drainedCounts(s, eMB).localCheckpoint(true)
     val mbv = eMB.store.productionVersion(Curation.DriftBaselineName)
@@ -395,6 +411,8 @@ object StreamingDrift {
       .getOrElse(sys.error("no promoted clean media set")).count()
     mediaBaselineMemo.put(key,
       BaselineDriftWorld(eMB, mbv, mbCounts, mbReport, mbCleanCount))
+    ()
+    }))
     }
     ()
   }
