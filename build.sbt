@@ -28,8 +28,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap default sized to the executor role a local[N] driver plays
+// (guide §5): at 32 concurrent tasks, 8g gave ~250 MB per task slot
+// and the bench measured multi-second FULL-GC excursions inside
+// individual late-run entries (gc_ms 5.4 s in one entry, 25 s/run)
+// once session caches + broadcast relations accumulated. 24g is the
+// production-shaped value (executors run ~1 GB/core plus cached
+// state) and stays env-overridable for smaller hosts.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
